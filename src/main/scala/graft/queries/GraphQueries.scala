@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algorithms.{PregelSssp, Traversals}
+import graft.store.{GraphStore, Tables}
+
+/** Graph operator surface (SURVEY.md §2.1 scans, §2.3 pattern joins, §2.6
+  * algorithms, §2.8 composite workloads) exercised over the TPC-H property
+  * graph projection (GraphStore.tpch). The DuckDB oracles rebuild the same
+  * packed-id edge list with bit ops and use recursive CTEs for BFS/VLE —
+  * the graph projection is a DAG (labels form a forward chain), so simple
+  * walk enumeration in SQL equals cycle-checked VLE.
+  */
+object GraphQueries {
+
+  /** Shared oracle prelude: the packed-id edge list, mirroring
+    * GraphStore.tpch / Graphid.packCol exactly.
+    */
+  private val edgesCte: String =
+    """edges AS (
+      |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+      |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst FROM orders
+      |  UNION ALL
+      |  SELECT (CAST(2 AS BIGINT)<<48)|CAST(l_orderkey AS BIGINT),
+      |         (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT),
+      |         (CAST(4 AS BIGINT)<<48)|CAST(l_suppkey AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT),
+      |         (CAST(5 AS BIGINT)<<48)|CAST(c_nationkey AS BIGINT) FROM customer
+      |  UNION ALL
+      |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT),
+      |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT) FROM supplier
+      |  UNION ALL
+      |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
+      |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) FROM nation
+      |)""".stripMargin
+
+  private val startCust1 = "(CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT)"
+
+  private def srcDst(df: DataFrame): DataFrame = df.select(col("src"), col("dst"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 label scan: per-label dataset = the v:{label} prefix scan analogue.
+    "g1_label_scan" -> ((s, dir) => {
+      GraphStore.tpch(s, dir).vertices("Customer")
+        .select(col("id"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("id"))
+    }),
+
+    // J1 triple pattern (a:Customer {nation})-[:PLACED]->(b:Order):
+    // scan → join edges on src → join end vertices on dst.
+    "g2_one_hop" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val c = g.vertices("Customer").filter(col("c_nationkey") === 1)
+      val e = g.edges("PLACED")
+      val o = g.vertices("Order")
+      c.join(e, c("id") === e("src"))
+        .join(o, e("dst") === o("id"))
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
+    }),
+
+    // J2 two-hop pattern (c)-[:PLACED]->(o)-[:CONTAINS]->(p), aggregated.
+    "g3_two_hop" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val c = g.vertices("Customer").filter(col("c_nationkey") === 1)
+      val placed = g.edges("PLACED").select(col("src").as("e1_src"), col("dst").as("e1_dst"))
+      val contains = g.edges("CONTAINS").select(col("src").as("e2_src"), col("dst").as("e2_dst"))
+      c.join(placed, c("id") === col("e1_src"))
+        .join(contains, col("e1_dst") === col("e2_src"))
+        .groupBy(col("c_custkey"))
+        .agg(countDistinct(col("e2_dst")).as("n_parts"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // G3 VLE: all simple paths of length 1..3 from customer 1, counted by length.
+    "g4_vle_counts" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val starts = Seq(graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)).toDF("id")
+      Traversals.vle(srcDst(g.allEdges), starts, 1, 3)
+        .groupBy(col("len")).agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("len"))
+    }),
+
+    // G1/G2 BFS shortest-path distances from customer 1 to every reachable vertex.
+    "g5_sssp_bfs" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val starts = Seq(graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)).toDF("id")
+      Traversals.bfsDistances(srcDst(g.allEdges), starts, 6)
+        .orderBy(col("id"))
+    }),
+
+    // Same distances via GraphX Pregel — cross-validates the two engines.
+    "g6_sssp_pregel" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      PregelSssp.run(s, srcDst(g.allEdges), graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L))
+        .select(col("id"), col("dist").cast("int").as("dist"))
+        .orderBy(col("id"))
+    }),
+
+    // G5 k-hop: vertices at exactly distance 2 from nation-1 customers.
+    "g7_khop" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val starts = g.vertices("Customer").filter(col("c_nationkey") === 1).select("id")
+      Traversals.kHopNeighbors(srcDst(g.allEdges), starts, 2)
+        .orderBy(col("id"))
+    }),
+
+    // C3 mutual friends analogue: parts ordered by BOTH customer 1 and 2
+    // (intersection of 2-hop out-neighborhoods).
+    "g8_mutual" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val placed = g.edges("PLACED").select(col("src").as("e1_src"), col("dst").as("e1_dst"))
+      val contains = g.edges("CONTAINS").select(col("src").as("e2_src"), col("dst").as("e2_dst"))
+      def partsOf(ck: Long): DataFrame = {
+        val cid = graft.model.Graphid.pack(GraphStore.Lab.Customer, ck)
+        placed.filter(col("e1_src") === cid)
+          .join(contains, col("e1_dst") === col("e2_src"))
+          .select(col("e2_dst").as("part_id")).distinct()
+      }
+      partsOf(1L).intersect(partsOf(2L)).orderBy(col("part_id"))
+    }),
+
+    // C4 friend suggestion: customers sharing parts with customer 1, scored
+    // by #shared parts, top-10 (2-hop out + 2-hop back in, scored).
+    "g9_suggest" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val cid = graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)
+      val placed = g.edges("PLACED").select(col("src").as("p_src"), col("dst").as("p_dst"))
+      val contains = g.edges("CONTAINS").select(col("src").as("c_src"), col("dst").as("c_dst"))
+      val myParts = placed.filter(col("p_src") === cid)
+        .join(contains, col("p_dst") === col("c_src"))
+        .select(col("c_dst").as("part_id")).distinct()
+      val otherCustParts = placed
+        .join(contains, col("p_dst") === col("c_src"))
+        .select(col("p_src").as("cust_id"), col("c_dst").as("part_id")).distinct()
+      otherCustParts.join(myParts, "part_id")
+        .filter(col("cust_id") =!= cid)
+        .groupBy(col("cust_id"))
+        .agg(count(lit(1)).as("shared_parts"))
+        .orderBy(col("shared_parts").desc, col("cust_id"))
+        .limit(10)
+    }),
+
+    // Degree distribution of CONTAINS out-edges (items per order).
+    "g10_degree_dist" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      g.edges("CONTAINS")
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("degree"))
+    }),
+
+    // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
+    "g11_timeline" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("rk"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"), col("rk"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "g1_label_scan" ->
+      """SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS id, c_name, c_acctbal
+        |FROM customer ORDER BY id""".stripMargin,
+    "g2_one_hop" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_nationkey = 1
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "g3_two_hop" ->
+      """SELECT c_custkey, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_nationkey = 1
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "g4_vle_counts" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |walk(end_id, len) AS (
+         |  SELECT dst, 1 FROM edges WHERE src = $startCust1
+         |  UNION ALL
+         |  SELECT e.dst, w.len + 1 FROM walk w JOIN edges e ON e.src = w.end_id
+         |  WHERE w.len < 3
+         |)
+         |SELECT len, COUNT(*) AS n_paths FROM walk GROUP BY len ORDER BY len""".stripMargin,
+    "g5_sssp_bfs" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |bfs(id, dist) AS (
+         |  SELECT $startCust1, 0
+         |  UNION ALL
+         |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.id
+         |  WHERE b.dist < 6
+         |)
+         |SELECT id, CAST(MIN(dist) AS INT) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+    "g6_sssp_pregel" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |bfs(id, dist) AS (
+         |  SELECT $startCust1, 0
+         |  UNION ALL
+         |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.id
+         |  WHERE b.dist < 6
+         |)
+         |SELECT id, CAST(MIN(dist) AS INT) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+    "g7_khop" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |starts(id) AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT)
+         |  FROM customer WHERE c_nationkey = 1
+         |),
+         |bfs(id, dist) AS (
+         |  SELECT id, 0 FROM starts
+         |  UNION ALL
+         |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.id
+         |  WHERE b.dist < 2
+         |)
+         |SELECT id FROM bfs GROUP BY id HAVING MIN(dist) = 2 ORDER BY id""".stripMargin,
+    "g8_mutual" ->
+      """WITH parts_of AS (
+        |  SELECT DISTINCT o_custkey AS ck,
+        |    (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT) AS part_id
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_custkey IN (1, 2)
+        |)
+        |SELECT part_id FROM parts_of WHERE ck = 1
+        |INTERSECT
+        |SELECT part_id FROM parts_of WHERE ck = 2
+        |ORDER BY part_id""".stripMargin,
+    "g9_suggest" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |)
+        |SELECT (CAST(1 AS BIGINT)<<48)|CAST(o.ck AS BIGINT) AS cust_id,
+        |  COUNT(*) AS shared_parts
+        |FROM cp o JOIN cp m ON o.pk = m.pk AND m.ck = 1
+        |WHERE o.ck <> 1
+        |GROUP BY o.ck
+        |ORDER BY shared_parts DESC, cust_id
+        |LIMIT 10""".stripMargin,
+    "g10_degree_dist" ->
+      """SELECT degree, COUNT(*) AS n_orders FROM (
+        |  SELECT l_orderkey, COUNT(*) AS degree FROM lineitem GROUP BY l_orderkey) x
+        |GROUP BY degree ORDER BY degree""".stripMargin,
+    "g11_timeline" ->
+      """SELECT user_id, rk, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
+        |  FROM events WHERE user_id < 20) x
+        |WHERE rk <= 3
+        |ORDER BY user_id, rk""".stripMargin)
+}
