@@ -1,0 +1,77 @@
+package graft.cypher
+
+/** openCypher-subset AST, shape-compatible with the reference's
+  * (/root/reference/src/parser/ast.rs:10-120) but extended where the
+  * reference is parsed-only or buggy: full expression trees with proper
+  * left-associative folding (the reference's builder drops operator-chain
+  * tails, builder.rs:573-618), unbounded pattern length (the reference caps
+  * at 5 elements, match_executor.rs:115-123), and variable-length
+  * relationships.
+  */
+object Ast {
+
+  // ---- expressions ----
+  sealed trait Expr
+  case object NullLit extends Expr
+  final case class BoolLit(v: Boolean) extends Expr
+  final case class IntLit(v: Long) extends Expr
+  final case class FloatLit(v: Double) extends Expr
+  final case class StrLit(v: String) extends Expr
+  final case class ListLit(items: Seq[Expr]) extends Expr
+  final case class MapLit(entries: Seq[(String, Expr)]) extends Expr
+  final case class Variable(name: String) extends Expr
+  /** Property access chain a.b.c (grammar cypher.pest:145-155). */
+  final case class Prop(base: Expr, key: String) extends Expr
+  final case class Index(base: Expr, idx: Expr) extends Expr
+  final case class Param(name: String) extends Expr
+  final case class FnCall(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
+  /** COUNT(*) */
+  case object CountStar extends Expr
+  final case class Bin(op: String, l: Expr, r: Expr) extends Expr // + - * / % = <> < > <= >= AND OR
+  final case class Un(op: String, e: Expr) extends Expr // - + NOT
+  final case class CaseExpr(whens: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+  final case class InList(e: Expr, list: Expr, negated: Boolean) extends Expr
+
+  // ---- patterns ----
+  sealed trait Dir
+  object Dir { case object Out extends Dir; case object In extends Dir; case object Both extends Dir }
+
+  final case class NodePat(
+      variable: Option[String],
+      labels: Seq[String],
+      props: Seq[(String, Expr)])
+
+  final case class RelPat(
+      variable: Option[String],
+      types: Seq[String],
+      props: Seq[(String, Expr)],
+      dir: Dir,
+      varLength: Option[(Int, Int)]) // [*min..max]
+
+  /** (n0)-[r1]->(n1)-[r2]->(n2)... */
+  final case class PathPat(start: NodePat, hops: Seq[(RelPat, NodePat)])
+
+  // ---- clauses ----
+  sealed trait Clause
+  final case class MatchClause(patterns: Seq[PathPat], optional: Boolean,
+      where: Option[Expr]) extends Clause
+  final case class ReturnItem(expr: Expr, alias: Option[String])
+  final case class OrderItem(expr: Expr, asc: Boolean)
+  final case class ReturnClause(distinct: Boolean, items: Seq[ReturnItem],
+      orderBy: Seq[OrderItem], skip: Option[Long], limit: Option[Long]) extends Clause
+  final case class WithClause(distinct: Boolean, items: Seq[ReturnItem],
+      orderBy: Seq[OrderItem], skip: Option[Long], limit: Option[Long],
+      where: Option[Expr]) extends Clause
+  final case class CreateClause(patterns: Seq[PathPat]) extends Clause
+  /** SET target path (variable + property chain) = value. */
+  final case class SetItem(variable: String, path: Seq[String], value: Expr)
+  final case class SetClause(items: Seq[SetItem]) extends Clause
+  final case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
+  final case class UnwindClause(expr: Expr, alias: String) extends Clause
+
+  /** A whole query = ordered clause pipeline (generalizes the reference's
+    * Read/Write/Mixed split, ast.rs:10-37).
+    */
+  final case class Query(clauses: Seq[Clause])
+}

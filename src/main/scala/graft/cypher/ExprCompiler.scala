@@ -1,0 +1,299 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Ast._
+
+/** Variable binding kinds in a compiled scope. */
+sealed trait VarKind
+object VarKind {
+  case object Node extends VarKind
+  case object Edge extends VarKind
+  case object Value extends VarKind
+}
+
+final case class VarInfo(kind: VarKind, label: Option[String], props: Seq[String])
+
+/** A compiled clause pipeline state: the binding DataFrame plus the
+  * variable table. Entity variables own prefixed columns
+  * (`v__id`, `v__label`, `v__<prop>`, edges also `v__src`/`v__dst`);
+  * value variables own a single column named after themselves.
+  * This is the Spark answer to the reference's per-row
+  * `HashMap<String, Value>` bindings (/root/reference/src/executor/mod.rs:117-143):
+  * one wide columnar relation instead of a hash map per row.
+  */
+final case class Scope(df: DataFrame, vars: Map[String, VarInfo], order: Seq[String]) {
+  def varCols(v: String): Seq[String] = vars(v).kind match {
+    case VarKind.Value => Seq(v)
+    case _ => df.columns.filter(_.startsWith(s"${v}__")).toSeq
+  }
+}
+object Scope {
+  def colName(v: String, field: String): String = s"${v}__$field"
+}
+
+/** Compiles Cypher expressions (Ast.Expr) to Catalyst Columns. Cypher
+  * numeric semantics (SURVEY.md §1.3) map onto Spark: int/float promotion is
+  * native; integer `/` truncates (reference set_executor.rs:296-310);
+  * missing properties evaluate to NULL (openCypher semantics — deliberate
+  * divergence from the reference's PropertyNotFound error, SURVEY.md §1.4).
+  */
+final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
+
+  private val aggNames = Set("count", "sum", "avg", "min", "max", "collect",
+    "stdev", "percentilecont")
+
+  def isAggregate(e: Expr): Boolean = e match {
+    case CountStar => true
+    case FnCall(n, args, _) => aggNames.contains(n) || args.exists(isAggregate)
+    case Bin(_, l, r) => isAggregate(l) || isAggregate(r)
+    case Un(_, x) => isAggregate(x)
+    case Prop(b, _) => isAggregate(b)
+    case Index(b, i) => isAggregate(b) || isAggregate(i)
+    case IsNull(x, _) => isAggregate(x)
+    case InList(x, l, _) => isAggregate(x) || isAggregate(l)
+    case CaseExpr(ws, o) =>
+      ws.exists(w => isAggregate(w._1) || isAggregate(w._2)) || o.exists(isAggregate)
+    case ListLit(xs) => xs.exists(isAggregate)
+    case MapLit(es) => es.exists(e => isAggregate(e._2))
+    case _ => false
+  }
+
+  private def dtype(c: Column): DataType =
+    scope.df.select(c).schema.head.dataType
+
+  private def isStringT(c: Column): Boolean = dtype(c) == StringType
+  private def isArrayT(c: Column): Boolean = dtype(c).isInstanceOf[ArrayType]
+  private def isIntegralT(c: Column): Boolean = dtype(c) match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def entityVar(name: String): Option[VarInfo] =
+    scope.vars.get(name).filter(_.kind != VarKind.Value)
+
+  /** An entity rendered as a value: struct of its columns (used when a bare
+    * node/edge variable appears in RETURN).
+    */
+  def entityStruct(v: String): Column = {
+    val cols = scope.varCols(v)
+    struct(cols.map(c => col(c).as(c.stripPrefix(s"${v}__"))).toIndexedSeq: _*)
+  }
+
+  def idOf(v: String): Column = col(Scope.colName(v, "id"))
+
+  def compile(e: Expr): Column = e match {
+    case NullLit => lit(null)
+    case BoolLit(v) => lit(v)
+    case IntLit(v) => lit(v)
+    case FloatLit(v) => lit(v)
+    case StrLit(v) => lit(v)
+    case ListLit(items) => array(items.map(compile).toIndexedSeq: _*)
+    case MapLit(entries) =>
+      struct(entries.map { case (k, v) => compile(v).as(k) }.toIndexedSeq: _*)
+    case Param(name) =>
+      params.get(name).map(lit).getOrElse(
+        sys.error(s"unbound parameter: $$$name (bind via CypherSession.withParams)"))
+    case Variable(name) =>
+      scope.vars.get(name) match {
+        case Some(vi) if vi.kind == VarKind.Value => col(name)
+        case Some(_) => entityStruct(name)
+        case None => sys.error(s"unbound variable: $name")
+      }
+    case p: Prop => compileProp(p)
+    case Index(base, idx) =>
+      val b = compile(base)
+      val i = compile(idx)
+      if (dtype(b).isInstanceOf[MapType]) element_at(b, i)
+      else element_at(b, (i + lit(1)).cast("int")) // Cypher 0-based, Spark 1-based
+    case CountStar => count(lit(1))
+    case f: FnCall => compileFn(f)
+    case Bin(op, l, r) => compileBin(op, l, r)
+    case Un("NOT", x) => !truthy(compile(x))
+    case Un("-", x) => -compile(x)
+    case Un(op, x) => sys.error(s"unknown unary op $op")
+    case IsNull(x, negated) =>
+      val c = compile(x)
+      if (negated) c.isNotNull else c.isNull
+    case InList(x, list, negated) =>
+      val c = array_contains(compile(list), compile(x))
+      if (negated) !c else c
+    case CaseExpr(whens, otherwise) =>
+      val first = when(truthy(compile(whens.head._1)), compile(whens.head._2))
+      val chained = whens.tail.foldLeft(first) { case (acc, (w, t)) =>
+        acc.when(truthy(compile(w)), compile(t))
+      }
+      otherwise.map(o => chained.otherwise(compile(o))).getOrElse(chained)
+  }
+
+  /** Property access a.b.c — typed column for labeled entities, JSON path
+    * for schemaless ones, struct field for map values.
+    */
+  private def compileProp(p: Prop): Column = {
+    def chain(e: Expr): (Expr, List[String]) = e match {
+      case Prop(b, k) => val (root, path) = chain(b); (root, path :+ k)
+      case other => (other, Nil)
+    }
+    val (root, path) = chain(p)
+    root match {
+      case Variable(v) if entityVar(v).isDefined =>
+        val vi = scope.vars(v)
+        val key = path.head
+        val base: Column =
+          if (vi.props.contains(key)) col(Scope.colName(v, key))
+          else if (vi.props.contains("properties"))
+            get_json_object(col(Scope.colName(v, "properties")), "$." + key)
+          else lit(null)
+        path.tail.foldLeft(base)((c, k) => navigate(c, k))
+      case _ =>
+        path.foldLeft(compile(root))((c, k) => navigate(c, k))
+    }
+  }
+
+  private def navigate(c: Column, key: String): Column = dtype(c) match {
+    case _: StructType => c.getField(key)
+    case _: MapType => element_at(c, key)
+    case StringType => get_json_object(c, "$." + key)
+    case _ => lit(null)
+  }
+
+  private def compileFn(f: FnCall): Column = {
+    val FnCall(name, args, distinct) = f
+    def a0 = compile(args.head)
+    /** aggregate arg: a bare entity var aggregates over its id (null for
+      * unmatched OPTIONAL rows, so count(n) skips them correctly).
+      */
+    def aggArg = args.headOption match {
+      case Some(Variable(v)) if entityVar(v).isDefined => idOf(v)
+      case Some(other) => compile(other)
+      case None => sys.error(s"$name() needs an argument")
+    }
+    name match {
+      case "count" =>
+        if (distinct) count_distinct(aggArg) else count(aggArg)
+      case "sum" => if (distinct) sum_distinct(aggArg) else sum(aggArg)
+      case "avg" => avg(aggArg)
+      case "min" => min(aggArg)
+      case "max" => max(aggArg)
+      case "collect" => if (distinct) collect_set(aggArg) else collect_list(aggArg)
+      case "stdev" => stddev_samp(aggArg)
+      case "id" => args.head match {
+        case Variable(v) if entityVar(v).isDefined => idOf(v)
+        case _ => a0.getField("id")
+      }
+      case "labels" | "label" | "type" => args.head match {
+        case Variable(v) if entityVar(v).isDefined => col(Scope.colName(v, "label"))
+        case _ => a0.getField("label")
+      }
+      case "startnode" => args.head match {
+        case Variable(v) => col(Scope.colName(v, "src"))
+        case _ => a0.getField("src")
+      }
+      case "endnode" => args.head match {
+        case Variable(v) => col(Scope.colName(v, "dst"))
+        case _ => a0.getField("dst")
+      }
+      case "properties" => args.head match {
+        case Variable(v) if entityVar(v).isDefined =>
+          val vi = scope.vars(v)
+          if (vi.props == Seq("properties")) col(Scope.colName(v, "properties"))
+          else to_json(struct(vi.props.filterNot(_ == "label")
+            .map(pr => col(Scope.colName(v, pr)).as(pr)).toIndexedSeq: _*))
+        case _ => to_json(a0)
+      }
+      case "size" | "length" =>
+        if (isStringT(a0)) length(a0) else size(a0).cast("long")
+      case "coalesce" => coalesce(args.map(compile).toIndexedSeq: _*)
+      case "tostring" => a0.cast("string")
+      case "tointeger" | "toint" =>
+        if (isStringT(a0)) a0.cast("double").cast("long") else a0.cast("long")
+      case "tofloat" => a0.cast("double")
+      case "toboolean" => a0.cast("boolean")
+      case "abs" => abs(a0)
+      case "round" => round(a0)
+      case "floor" => floor(a0).cast("double")
+      case "ceil" => ceil(a0).cast("double")
+      case "sqrt" => sqrt(a0)
+      case "sign" => signum(a0).cast("long")
+      case "toupper" | "upper" => upper(a0)
+      case "tolower" | "lower" => lower(a0)
+      case "trim" => trim(a0)
+      case "ltrim" => ltrim(a0)
+      case "rtrim" => rtrim(a0)
+      case "reverse" => reverse(a0)
+      case "replace" => regexp_replace(a0, compile(args(1)), compile(args(2)))
+      case "split" => split(a0, compile(args(1)).toString)
+      case "substring" =>
+        val start = compile(args(1)) + lit(1)
+        if (args.length > 2) a0.substr(start, compile(args(2)))
+        else a0.substr(start, length(a0))
+      case "left" => a0.substr(lit(1), compile(args(1)))
+      case "right" => a0.substr(length(a0) - compile(args(1)) + lit(1), compile(args(1)))
+      case "range" =>
+        if (args.length > 2) sequence(compile(args(0)), compile(args(1)), compile(args(2)))
+        else sequence(compile(args(0)), compile(args(1)))
+      case "head" => element_at(a0, 1)
+      case "last" => element_at(a0, -1)
+      case "keys" =>
+        if (isStringT(a0)) json_object_keys(a0)
+        else map_keys(a0)
+      case "exists" => compile(args.head).isNotNull
+      case other => sys.error(s"unknown function: $other (reference rejects unknown functions too, match_executor.rs:458-462)")
+    }
+  }
+
+  private def compileBin(op: String, le: Expr, re: Expr): Column = {
+    // entity = entity compares ids
+    (le, re) match {
+      case (Variable(a), Variable(b))
+          if (op == "=" || op == "<>") && entityVar(a).isDefined && entityVar(b).isDefined =>
+        return if (op == "=") idOf(a) === idOf(b) else idOf(a) =!= idOf(b)
+      case _ =>
+    }
+    lazy val l = compile(le)
+    lazy val r = compile(re)
+    op match {
+      case "AND" => truthy(l) && truthy(r)
+      case "OR" => truthy(l) || truthy(r)
+      case "XOR" => truthy(l) =!= truthy(r)
+      case "=" => l === r
+      case "<>" => l =!= r
+      case "<" => l < r
+      case ">" => l > r
+      case "<=" => l <= r
+      case ">=" => l >= r
+      case "=~" => l.rlike(re match { case StrLit(s) => s; case _ => r.toString })
+      case "STARTS WITH" => l.startsWith(r)
+      case "ENDS WITH" => l.endsWith(r)
+      case "CONTAINS" => l.contains(r)
+      case "+" =>
+        if (isStringT(l) || isStringT(r)) concat(l.cast("string"), r.cast("string"))
+        else if (isArrayT(l)) concat(l, r)
+        else l + r
+      case "-" => l - r
+      case "*" => l * r
+      case "/" =>
+        // Cypher/reference semantics: integer / integer = integer division
+        if (isIntegralT(l) && isIntegralT(r)) (l / r).cast("long") else l / r
+      case "%" => l % r
+      case "^" => pow(l, r)
+      case other => sys.error(s"unknown operator: $other")
+    }
+  }
+
+  /** Cypher truthiness for WHERE on non-boolean values (reference
+    * match_executor.rs:702-716): null/0/''/[] are false. Booleans pass
+    * through (3-valued logic preserved).
+    */
+  def truthy(c: Column): Column = dtype(c) match {
+    case BooleanType => c
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         _: DecimalType => c =!= 0
+    case StringType => length(c) > 0
+    case _: ArrayType => size(c) > 0
+    case NullType => lit(null).cast("boolean")
+    case _ => c.isNotNull
+  }
+}

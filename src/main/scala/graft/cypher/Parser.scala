@@ -1,0 +1,365 @@
+package graft.cypher
+
+import Ast._
+import Lexer._
+
+/** Recursive-descent parser for the Cypher subset. Mirrors the rule set of
+  * the reference grammar (/root/reference/src/parser/cypher.pest) with
+  * proper left-associative operator folding — the reference's AST builder
+  * silently drops the tail of operator chains (builder.rs:573-618); we
+  * don't replicate that bug (SURVEY.md §7.3).
+  */
+final class Parser(tokens: Vector[Tok]) {
+  private var p = 0
+
+  final case class ParseError(msg: String, pos: Int)
+    extends RuntimeException(s"$msg (at offset $pos)")
+
+  private def cur: Tok = tokens(p)
+  private def advance(): Tok = { val t = tokens(p); p += 1; t }
+  private def fail(msg: String): Nothing = throw ParseError(s"$msg, got $cur", cur.pos)
+
+  private def isKw(k: String): Boolean = cur match { case Kw(v, _) => v == k; case _ => false }
+  private def isOp(o: String): Boolean = cur match { case Op(v, _) => v == o; case _ => false }
+  private def eatKw(k: String): Unit = if (isKw(k)) p += 1 else fail(s"expected $k")
+  private def eatOp(o: String): Unit = if (isOp(o)) p += 1 else fail(s"expected '$o'")
+  private def tryKw(k: String): Boolean = { if (isKw(k)) { p += 1; true } else false }
+  private def tryOp(o: String): Boolean = { if (isOp(o)) { p += 1; true } else false }
+  private def ident(): String = cur match {
+    case Ident(v, _) => p += 1; v
+    case k @ Kw(_, _) => p += 1; k.raw // allow keywords as prop names / labels
+    case _ => fail("expected identifier")
+  }
+
+  def parseQuery(): Query = {
+    val clauses = Seq.newBuilder[Clause]
+    var done = false
+    while (!done) {
+      cur match {
+        case Kw("MATCH", _) | Kw("OPTIONAL", _) => clauses += parseMatch()
+        case Kw("RETURN", _) => clauses += parseReturn()
+        case Kw("WITH", _) => clauses += parseWith()
+        case Kw("CREATE", _) => clauses += parseCreate()
+        case Kw("SET", _) => clauses += parseSet()
+        case Kw("DELETE", _) | Kw("DETACH", _) => clauses += parseDelete()
+        case Kw("UNWIND", _) => clauses += parseUnwind()
+        case Eof(_) => done = true
+        case Op(";", _) => p += 1
+        case _ => fail("expected clause keyword")
+      }
+    }
+    val q = Query(clauses.result())
+    if (q.clauses.isEmpty) fail("empty query")
+    q
+  }
+
+  private def parseMatch(): MatchClause = {
+    val optional = tryKw("OPTIONAL")
+    eatKw("MATCH")
+    val pats = Seq.newBuilder[PathPat]
+    pats += parsePathPat()
+    while (tryOp(",")) pats += parsePathPat()
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    MatchClause(pats.result(), optional, where)
+  }
+
+  private def parsePathPat(): PathPat = {
+    val start = parseNodePat()
+    val hops = Seq.newBuilder[(RelPat, NodePat)]
+    while (isOp("-") || isOp("<-")) {
+      val rel = parseRelPat()
+      val node = parseNodePat()
+      hops += ((rel, node))
+    }
+    PathPat(start, hops.result())
+  }
+
+  private def parseNodePat(): NodePat = {
+    eatOp("(")
+    val variable = cur match {
+      case Ident(v, _) => p += 1; Some(v)
+      case _ => None
+    }
+    val labels = Seq.newBuilder[String]
+    while (tryOp(":")) labels += ident()
+    val props = if (isOp("{")) parsePropMap() else Nil
+    eatOp(")")
+    NodePat(variable, labels.result(), props)
+  }
+
+  /** -[r:T {..} *1..3]-> | <-[..]- | -[..]- | --> | <-- | -- */
+  private def parseRelPat(): RelPat = {
+    var dir: Dir = Dir.Both
+    val leftArrow = isOp("<-")
+    if (leftArrow) { eatOp("<-"); dir = Dir.In } else eatOp("-")
+    var variable: Option[String] = None
+    var types: Seq[String] = Nil
+    var props: Seq[(String, Expr)] = Nil
+    var varLength: Option[(Int, Int)] = None
+    if (tryOp("[")) {
+      cur match { case Ident(v, _) => p += 1; variable = Some(v); case _ => }
+      if (tryOp(":")) {
+        val ts = Seq.newBuilder[String]
+        ts += ident()
+        while (tryOp("|")) { tryOp(":"); ts += ident() }
+        types = ts.result()
+      }
+      if (tryOp("*")) {
+        val lo = cur match { case IntTok(v, _) => p += 1; v.toInt; case _ => 1 }
+        val hi =
+          if (tryOp("..")) cur match {
+            case IntTok(v, _) => p += 1; v.toInt
+            case _ => lo.max(10) // open upper bound: default cap 10 (reference default max_length 10, vle.rs:68)
+          } else lo
+        varLength = Some((lo, hi))
+      }
+      if (isOp("{")) props = parsePropMap()
+      eatOp("]")
+    }
+    val rightArrow = isOp("->")
+    if (rightArrow) { eatOp("->"); dir = if (leftArrow) Dir.Both else Dir.Out }
+    else eatOp("-")
+    RelPat(variable, types, props, dir, varLength)
+  }
+
+  private def parsePropMap(): Seq[(String, Expr)] = {
+    eatOp("{")
+    val entries = Seq.newBuilder[(String, Expr)]
+    if (!isOp("}")) {
+      def entry(): Unit = { val k = ident(); eatOp(":"); entries += ((k, parseExpr())) }
+      entry()
+      while (tryOp(",")) entry()
+    }
+    eatOp("}")
+    entries.result()
+  }
+
+  private def parseReturnItems(): (Boolean, Seq[ReturnItem]) = {
+    val distinct = tryKw("DISTINCT")
+    val items = Seq.newBuilder[ReturnItem]
+    def item(): Unit = {
+      val e = parseExpr()
+      val alias = if (tryKw("AS")) Some(ident()) else None
+      items += ReturnItem(e, alias)
+    }
+    item()
+    while (tryOp(",")) item()
+    (distinct, items.result())
+  }
+
+  private def parseOrderSkipLimit(): (Seq[OrderItem], Option[Long], Option[Long]) = {
+    val order = Seq.newBuilder[OrderItem]
+    if (tryKw("ORDER")) {
+      eatKw("BY")
+      def oitem(): Unit = {
+        val e = parseExpr()
+        val asc = if (tryKw("DESC")) false else { tryKw("ASC"); true }
+        order += OrderItem(e, asc)
+      }
+      oitem()
+      while (tryOp(",")) oitem()
+    }
+    val skip = if (tryKw("SKIP")) Some(intLit()) else None
+    val limit = if (tryKw("LIMIT")) Some(intLit()) else None
+    (order.result(), skip, limit)
+  }
+
+  private def intLit(): Long = cur match {
+    case IntTok(v, _) => p += 1; v
+    case _ => fail("expected integer literal")
+  }
+
+  private def parseReturn(): ReturnClause = {
+    eatKw("RETURN")
+    val (distinct, items) = parseReturnItems()
+    val (order, skip, limit) = parseOrderSkipLimit()
+    ReturnClause(distinct, items, order, skip, limit)
+  }
+
+  private def parseWith(): WithClause = {
+    eatKw("WITH")
+    val (distinct, items) = parseReturnItems()
+    val (order, skip, limit) = parseOrderSkipLimit()
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    WithClause(distinct, items, order, skip, limit, where)
+  }
+
+  private def parseCreate(): CreateClause = {
+    eatKw("CREATE")
+    val pats = Seq.newBuilder[PathPat]
+    pats += parsePathPat()
+    while (tryOp(",")) pats += parsePathPat()
+    CreateClause(pats.result())
+  }
+
+  private def parseSet(): SetClause = {
+    eatKw("SET")
+    val items = Seq.newBuilder[SetItem]
+    def item(): Unit = {
+      val v = ident()
+      val path = Seq.newBuilder[String]
+      while (tryOp(".")) path += ident()
+      eatOp("=")
+      items += SetItem(v, path.result(), parseExpr())
+    }
+    item()
+    while (tryOp(",")) item()
+    SetClause(items.result())
+  }
+
+  private def parseDelete(): DeleteClause = {
+    val detach = tryKw("DETACH")
+    eatKw("DELETE")
+    val vars = Seq.newBuilder[String]
+    vars += ident()
+    while (tryOp(",")) vars += ident()
+    DeleteClause(vars.result(), detach)
+  }
+
+  private def parseUnwind(): UnwindClause = {
+    eatKw("UNWIND")
+    val e = parseExpr()
+    eatKw("AS")
+    UnwindClause(e, ident())
+  }
+
+  // ---- expressions (precedence climbing) ----
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var l = parseXor()
+    while (tryKw("OR")) l = Bin("OR", l, parseXor())
+    l
+  }
+  private def parseXor(): Expr = {
+    var l = parseAnd()
+    while (tryKw("XOR")) l = Bin("XOR", l, parseAnd())
+    l
+  }
+  private def parseAnd(): Expr = {
+    var l = parseNot()
+    while (tryKw("AND")) l = Bin("AND", l, parseNot())
+    l
+  }
+  private def parseNot(): Expr =
+    if (tryKw("NOT")) Un("NOT", parseNot()) else parseComparison()
+
+  private def parseComparison(): Expr = {
+    var l = parseAdditive()
+    var done = false
+    while (!done) {
+      if (isOp("=") || isOp("<>") || isOp("!=") || isOp("<") || isOp(">") ||
+        isOp("<=") || isOp(">=") || isOp("=~")) {
+        val op = advance().asInstanceOf[Op].v
+        l = Bin(if (op == "!=") "<>" else op, l, parseAdditive())
+      } else if (isKw("IS")) {
+        p += 1
+        val neg = tryKw("NOT")
+        eatKw("NULL")
+        l = IsNull(l, neg)
+      } else if (isKw("IN")) {
+        p += 1
+        l = InList(l, parseAdditive(), negated = false)
+      } else if (isKw("STARTS")) {
+        p += 1; eatKw("WITH"); l = Bin("STARTS WITH", l, parseAdditive())
+      } else if (isKw("ENDS")) {
+        p += 1; eatKw("WITH"); l = Bin("ENDS WITH", l, parseAdditive())
+      } else if (isKw("CONTAINS")) {
+        p += 1; l = Bin("CONTAINS", l, parseAdditive())
+      } else done = true
+    }
+    l
+  }
+
+  private def parseAdditive(): Expr = {
+    var l = parseMultiplicative()
+    while (isOp("+") || isOp("-")) {
+      val op = advance().asInstanceOf[Op].v
+      l = Bin(op, l, parseMultiplicative())
+    }
+    l
+  }
+  private def parseMultiplicative(): Expr = {
+    var l = parseUnary()
+    while (isOp("*") || isOp("/") || isOp("%") || isOp("^")) {
+      val op = advance().asInstanceOf[Op].v
+      l = Bin(op, l, parseUnary())
+    }
+    l
+  }
+  private def parseUnary(): Expr =
+    if (tryOp("-")) Un("-", parseUnary())
+    else if (tryOp("+")) parseUnary()
+    else parsePostfix()
+
+  private def parsePostfix(): Expr = {
+    var e = parseAtom()
+    var done = false
+    while (!done) {
+      if (tryOp(".")) e = Prop(e, ident())
+      else if (tryOp("[")) { e = Index(e, parseExpr()); eatOp("]") }
+      else done = true
+    }
+    e
+  }
+
+  private def parseAtom(): Expr = cur match {
+    case Kw("NULL", _) => p += 1; NullLit
+    case Kw("TRUE", _) => p += 1; BoolLit(true)
+    case Kw("FALSE", _) => p += 1; BoolLit(false)
+    case Kw("CASE", _) => parseCase()
+    case IntTok(v, _) => p += 1; IntLit(v)
+    case FloatTok(v, _) => p += 1; FloatLit(v)
+    case StrTok(v, _) => p += 1; StrLit(v)
+    case ParamTok(v, _) => p += 1; Param(v)
+    case Ident(name, _) =>
+      p += 1
+      if (isOp("(")) parseFnCall(name) else Variable(name)
+    case Op("(", _) => p += 1; val e = parseExpr(); eatOp(")"); e
+    case Op("[", _) =>
+      p += 1
+      val items = Seq.newBuilder[Expr]
+      if (!isOp("]")) { items += parseExpr(); while (tryOp(",")) items += parseExpr() }
+      eatOp("]")
+      ListLit(items.result())
+    case Op("{", _) => MapLit(parsePropMap())
+    case _ => fail("expected expression atom")
+  }
+
+  private def parseFnCall(name: String): Expr = {
+    eatOp("(")
+    if (name.equalsIgnoreCase("count") && tryOp("*")) {
+      eatOp(")")
+      return CountStar
+    }
+    val distinct = tryKw("DISTINCT")
+    val args = Seq.newBuilder[Expr]
+    if (!isOp(")")) { args += parseExpr(); while (tryOp(",")) args += parseExpr() }
+    eatOp(")")
+    FnCall(name.toLowerCase, args.result(), distinct)
+  }
+
+  private def parseCase(): Expr = {
+    eatKw("CASE")
+    // simple CASE (CASE e WHEN v ...) folded into generic by rewriting to e = v
+    val subject: Option[Expr] = if (!isKw("WHEN")) Some(parseExpr()) else None
+    val whens = Seq.newBuilder[(Expr, Expr)]
+    while (tryKw("WHEN")) {
+      val w0 = parseExpr()
+      val w = subject.map(sub => Bin("=", sub, w0)).getOrElse(w0)
+      eatKw("THEN")
+      whens += ((w, parseExpr()))
+    }
+    val otherwise = if (tryKw("ELSE")) Some(parseExpr()) else None
+    eatKw("END")
+    CaseExpr(whens.result(), otherwise)
+  }
+}
+
+object Parser {
+  def parse(cypher: String): Ast.Query =
+    new Parser(Lexer.tokenize(cypher)).parseQuery()
+
+  def parseExpression(s: String): Ast.Expr =
+    new Parser(Lexer.tokenize(s)).parseExpr()
+}

@@ -1,0 +1,537 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import Ast._
+import graft.algorithms.{Direction, Traversals}
+import graft.store.GraphStore
+
+final case class PlanResult(df: Option[DataFrame], store: GraphStore)
+
+/** Compiles a Cypher AST to a DataFrame pipeline over a GraphStore — the
+  * analogue of the reference's QueryExecutor dispatch
+  * (/root/reference/src/executor/mod.rs:156-197), except the output is a
+  * declarative Catalyst plan: triple patterns become equi-joins (the
+  * reference's nested-loop index join, match_executor.rs:128-213), OPTIONAL
+  * MATCH becomes a left join (mod.rs:1089-1120), subsequent MATCH clauses
+  * correlate on shared variables (fixing the reference's cartesian-only
+  * apply_match, mod.rs:1065-1087), aggregation uses correct openCypher
+  * implicit grouping (fixing mod.rs:664-677), and pattern length is
+  * unbounded (the reference caps at 5 elements, match_executor.rs:115-123).
+  */
+final class Planner(spark: SparkSession, store0: GraphStore,
+    params: Map[String, Any] = Map.empty) {
+
+  private var store = store0
+  private var anon = 0
+  private def fresh(p: String): String = { anon += 1; s"__$p$anon" }
+  private def ec(s: Scope) = new ExprCompiler(s, params)
+
+  def plan(q: Query): PlanResult = {
+    var scope: Option[Scope] = None
+    var result: Option[DataFrame] = None
+    q.clauses.foreach {
+      case m: MatchClause => scope = Some(compileMatch(scope, m))
+      case w: WithClause => scope = Some(compileWith(scope.getOrElse(emptyScope), w))
+      case u: UnwindClause =>
+        val s = scope.getOrElse(emptyScope)
+        val c = ec(s).compile(u.expr)
+        scope = Some(Scope(s.df.withColumn(u.alias, explode(c)),
+          s.vars + (u.alias -> VarInfo(VarKind.Value, None, Nil)),
+          s.order :+ u.alias))
+      case r: ReturnClause =>
+        result = Some(compileReturn(scope.getOrElse(emptyScope), r))
+      case c: CreateClause => scope = Some(compileCreate(scope, c))
+      case s: SetClause => compileSet(scope.getOrElse(sys.error("SET requires MATCH")), s)
+      case d: DeleteClause => compileDelete(scope.getOrElse(sys.error("DELETE requires MATCH")), d)
+    }
+    PlanResult(result, store)
+  }
+
+  private def emptyScope: Scope = {
+    import spark.implicits._
+    Scope(Seq(1).toDF("__unit"), Map.empty, Nil)
+  }
+
+  // ---------------- scans ----------------
+
+  private def prefixAll(df: DataFrame, v: String): DataFrame =
+    df.select(df.columns.map(c => col(c).as(Scope.colName(v, c))).toIndexedSeq: _*)
+
+  private def nodeScan(np: NodePat, v: String): (DataFrame, VarInfo) = np.labels match {
+    case Seq(l) =>
+      val base = store.vertices(l)
+      (prefixAll(base, v),
+        VarInfo(VarKind.Node, Some(l), base.columns.filterNot(_ == "id").toSeq))
+    case Nil =>
+      val base = store.allVertices
+      (prefixAll(base, v), VarInfo(VarKind.Node, None, Seq("label", "properties")))
+    case many => sys.error(s"multiple labels not supported: $many")
+  }
+
+  /** Typed union of edge tables (schema union, absent props null-filled). */
+  private def edgeUnion(types: Seq[String]): DataFrame = {
+    val names = if (types.nonEmpty) types else store.edgeLabels
+    names.map(store.edges).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Edge scan, traversal-oriented: after this, `src` is always the side we
+    * expand FROM. Both = union of the two orientations (matches the
+    * reference's Both handling, match_executor.rs:149-177).
+    */
+  private def edgeScan(rp: RelPat, v: String): (DataFrame, VarInfo) = {
+    val base = edgeUnion(rp.types)
+    val oriented = rp.dir match {
+      case Dir.Out => base
+      case Dir.In =>
+        base.withColumn("__tmp", col("src")).withColumn("src", col("dst"))
+          .withColumn("dst", col("__tmp")).drop("__tmp")
+      case Dir.Both =>
+        val fwd = base
+        val rev = base.withColumn("__tmp", col("src")).withColumn("src", col("dst"))
+          .withColumn("dst", col("__tmp")).drop("__tmp")
+        fwd.unionByName(rev)
+    }
+    val label = rp.types match { case Seq(t) => Some(t); case _ => None }
+    (prefixAll(oriented, v),
+      VarInfo(VarKind.Edge, label, oriented.columns.filterNot(_ == "id").toSeq))
+  }
+
+  // ---------------- pattern compilation ----------------
+
+  private def applyProps(sc: Scope, v: String, props: Seq[(String, Expr)]): Scope =
+    props.foldLeft(sc) { case (s, (k, e)) =>
+      val compiler = ec(s)
+      val target = compiler.compile(Prop(Variable(v), k))
+      s.copy(df = s.df.where(target === compiler.compile(e)))
+    }
+
+  private def applyNodeConstraints(sc: Scope, v: String, np: NodePat): Scope = {
+    val withLabels = np.labels.foldLeft(sc) { (s, l) =>
+      s.copy(df = s.df.where(col(Scope.colName(v, "label")) === l))
+    }
+    applyProps(withLabels, v, np.props)
+  }
+
+  private def compilePath(scope: Option[Scope], pat: PathPat): Scope = {
+    val sv = pat.start.variable.getOrElse(fresh("n"))
+    var sc: Scope = scope match {
+      case Some(s) if s.vars.contains(sv) =>
+        applyNodeConstraints(s, sv, pat.start)
+      case Some(s) =>
+        val (ndf, info) = nodeScan(pat.start, sv)
+        val joined = Scope(s.df.crossJoin(ndf), s.vars + (sv -> info), s.order :+ sv)
+        applyProps(joined, sv, pat.start.props)
+      case None =>
+        val (ndf, info) = nodeScan(pat.start, sv)
+        applyProps(Scope(ndf, Map(sv -> info), Seq(sv)), sv, pat.start.props)
+    }
+    var prev = sv
+    pat.hops.foreach { case (rel, node) =>
+      val (next, nv) = compileHop(sc, prev, rel, node)
+      sc = next
+      prev = nv
+    }
+    sc
+  }
+
+  private def compileHop(sc0: Scope, prev: String, rel: RelPat, node: NodePat): (Scope, String) = {
+    val nv = node.variable.getOrElse(fresh("n"))
+    rel.varLength match {
+      case Some((lo, hi)) =>
+        val dir = rel.dir match {
+          case Dir.Out => Direction.Out; case Dir.In => Direction.In; case Dir.Both => Direction.Both
+        }
+        val edges = edgeUnion(rel.types).select(col("src"), col("dst"))
+        val starts = sc0.df.select(col(Scope.colName(prev, "id")).as("id")).distinct()
+        val ev = fresh("vl")
+        val pairs = Traversals.vle(edges, starts, lo.max(1), hi, dir)
+          .select(col("start_id").as(s"${ev}__s"), col("end_id").as(s"${ev}__d"))
+        var sc = sc0.copy(df = sc0.df.join(pairs,
+          col(Scope.colName(prev, "id")) === col(s"${ev}__s")))
+        sc = bindTarget(sc, s"${ev}__d", node, nv)
+        sc = sc.copy(df = sc.df.drop(s"${ev}__s", s"${ev}__d"))
+        (sc, nv)
+      case None =>
+        val ev = rel.variable.getOrElse(fresh("e"))
+        require(!sc0.vars.contains(ev), s"relationship variable reused: $ev")
+        val (edf, einfo) = edgeScan(rel, ev)
+        var sc = Scope(
+          sc0.df.join(edf, col(Scope.colName(prev, "id")) === col(Scope.colName(ev, "src"))),
+          sc0.vars + (ev -> einfo), sc0.order :+ ev)
+        sc = applyProps(sc, ev, rel.props)
+        sc = bindTarget(sc, Scope.colName(ev, "dst"), node, nv)
+        (sc, nv)
+    }
+  }
+
+  /** Bind the far end of a hop: join a fresh node scan, or constrain to an
+    * already-bound variable (same-variable re-occurrence = equi-filter).
+    */
+  private def bindTarget(sc0: Scope, endCol: String, node: NodePat, nv: String): Scope = {
+    if (sc0.vars.contains(nv)) {
+      val filtered = sc0.copy(df = sc0.df.where(col(endCol) === col(Scope.colName(nv, "id"))))
+      applyNodeConstraints(filtered, nv, node)
+    } else {
+      val (ndf, ninfo) = nodeScan(node, nv)
+      val joined = Scope(
+        sc0.df.join(ndf, col(endCol) === col(Scope.colName(nv, "id"))),
+        sc0.vars + (nv -> ninfo), sc0.order :+ nv)
+      applyProps(joined, nv, node.props)
+    }
+  }
+
+  private def patternVars(pats: Seq[PathPat]): Seq[String] =
+    pats.flatMap { p =>
+      (p.start.variable.toSeq ++
+        p.hops.flatMap { case (r, n) => r.variable.toSeq ++ n.variable.toSeq })
+    }.distinct
+
+  private def compileMatch(outer: Option[Scope], m: MatchClause): Scope = {
+    if (!m.optional || outer.isEmpty) {
+      var sc = outer
+      m.patterns.foreach { pat => sc = Some(compilePath(sc, pat)) }
+      val s = sc.get
+      m.where match {
+        case Some(w) =>
+          val compiler = ec(s)
+          s.copy(df = s.df.where(compiler.truthy(compiler.compile(w))))
+        case None => s
+      }
+    } else {
+      val o = outer.get
+      val shared = patternVars(m.patterns).filter(o.vars.contains)
+      require(shared.nonEmpty,
+        "OPTIONAL MATCH without a shared variable is not supported")
+      val seedCols = shared.flatMap(o.varCols)
+      val seed = o.df.select(seedCols.map(col).toIndexedSeq: _*).distinct()
+      var sub = Scope(seed, shared.map(v => v -> o.vars(v)).toMap, shared)
+      m.patterns.foreach { pat => sub = compilePath(Some(sub), pat) }
+      sub = m.where match {
+        case Some(w) =>
+          val compiler = ec(sub)
+          sub.copy(df = sub.df.where(compiler.truthy(compiler.compile(w))))
+        case None => sub
+      }
+      val joined = o.df.join(sub.df, seedCols, "left_outer")
+      val newVars = sub.vars -- shared
+      Scope(joined, o.vars ++ newVars, o.order ++ sub.order.filterNot(shared.contains))
+    }
+  }
+
+  // ---------------- projection (RETURN / WITH) ----------------
+
+  private final case class NamedItem(name: String, expr: Expr, agg: Boolean)
+
+  private def defaultName(e: Expr, i: Int): String = e match {
+    case Variable(n) => n
+    case Prop(Variable(v), k) => s"${v}_$k"
+    case _ => s"col$i"
+  }
+
+  private def nameItems(items: Seq[ReturnItem], compiler: ExprCompiler): Seq[NamedItem] =
+    items.zipWithIndex.map { case (it, i) =>
+      NamedItem(it.alias.getOrElse(defaultName(it.expr, i)), it.expr,
+        compiler.isAggregate(it.expr))
+    }
+
+  private def orderAndSlice(df0: DataFrame, orderBy: Seq[OrderItem],
+      skip: Option[Long], limit: Option[Long],
+      resolve: Expr => Column): DataFrame = {
+    var df = df0
+    if (orderBy.nonEmpty) {
+      val sortCols = orderBy.map { oi =>
+        val c = resolve(oi.expr)
+        // reference sorts NULLs last in both directions (mod.rs:969-977)
+        if (oi.asc) c.asc_nulls_last else c.desc_nulls_last
+      }
+      df = df.orderBy(sortCols.toIndexedSeq: _*)
+    }
+    skip.foreach(n => df = df.offset(n.toInt))
+    limit.foreach(n => df = df.limit(n.toInt))
+    df
+  }
+
+  /** Resolver for ORDER BY expressions: an output column when the expr is an
+    * alias or structurally equals a projected item, else compiled fresh
+    * against the projected relation.
+    */
+  private def outputResolver(items: Seq[NamedItem], outDf: DataFrame): Expr => Column = {
+    val outScope = Scope(outDf,
+      items.map(i => i.name -> VarInfo(VarKind.Value, None, Nil)).toMap,
+      items.map(_.name))
+    val oec = ec(outScope)
+    (e: Expr) => items.find(_.expr == e).map(i => col(i.name))
+      .getOrElse(oec.compile(e))
+  }
+
+  private def compileReturn(scope: Scope, rc: ReturnClause): DataFrame = {
+    val compiler = ec(scope)
+    val named = nameItems(rc.items, compiler)
+    val hasAgg = named.exists(_.agg)
+    var df =
+      if (hasAgg) {
+        val keys = named.filterNot(_.agg)
+        val aggs = named.filter(_.agg)
+        val aggCols = aggs.map(a => compiler.compile(a.expr).as(a.name))
+        if (keys.isEmpty) scope.df.agg(aggCols.head, aggCols.tail.toIndexedSeq: _*)
+        else {
+          val keyCols = keys.map(k => compiler.compile(k.expr).as(k.name))
+          scope.df.groupBy(keyCols.toIndexedSeq: _*)
+            .agg(aggCols.head, aggCols.tail.toIndexedSeq: _*)
+            .select(named.map(i => col(i.name)).toIndexedSeq: _*)
+        }
+      } else scope.df.select(
+        named.map(i => compiler.compile(i.expr).as(i.name)).toIndexedSeq: _*)
+    if (rc.distinct) df = df.distinct()
+    orderAndSlice(df, rc.orderBy, rc.skip, rc.limit, outputResolver(named, df))
+  }
+
+  private def compileWith(scope: Scope, wc: WithClause): Scope = {
+    val compiler = ec(scope)
+    val named = nameItems(wc.items, compiler)
+    val hasAgg = named.exists(_.agg)
+
+    /** Entity passthrough: `WITH c` (or `WITH c AS d`) keeps all prefixed
+      * columns of the entity under the (possibly renamed) variable.
+      */
+    def passthrough(it: NamedItem): Option[(String, String)] = it.expr match {
+      case Variable(v) if scope.vars.get(v).exists(_.kind != VarKind.Value) =>
+        Some((v, it.name))
+      case _ => None
+    }
+
+    val selectCols: Seq[Column] = named.filterNot(_.agg).flatMap { it =>
+      passthrough(it) match {
+        case Some((v, out)) => scope.varCols(v).map(c =>
+          col(c).as(Scope.colName(out, c.stripPrefix(s"${v}__"))))
+        case None => Seq(compiler.compile(it.expr).as(it.name))
+      }
+    }
+    var df =
+      if (hasAgg) {
+        val aggCols = named.filter(_.agg).map(a => compiler.compile(a.expr).as(a.name))
+        if (selectCols.isEmpty) scope.df.agg(aggCols.head, aggCols.tail.toIndexedSeq: _*)
+        else scope.df.groupBy(selectCols.toIndexedSeq: _*)
+          .agg(aggCols.head, aggCols.tail.toIndexedSeq: _*)
+      } else scope.df.select(selectCols.toIndexedSeq: _*)
+    if (wc.distinct) df = df.distinct()
+
+    val newVars: Map[String, VarInfo] = named.map { it =>
+      passthrough(it) match {
+        case Some((v, out)) => out -> scope.vars(v)
+        case None => it.name -> VarInfo(VarKind.Value, None, Nil)
+      }
+    }.toMap
+    val newOrder = named.map(it => passthrough(it).map(_._2).getOrElse(it.name))
+    var out = Scope(df, newVars, newOrder)
+
+    // ORDER BY / SKIP / LIMIT on the projected relation
+    val resolve: Expr => Column = { e =>
+      named.find(_.expr == e).map(i => i.expr match {
+        case Variable(v) if out.vars(i.name).kind != VarKind.Value =>
+          col(Scope.colName(i.name, "id"))
+        case _ => col(i.name)
+      }).getOrElse(ec(out).compile(e))
+    }
+    out = out.copy(df = orderAndSlice(out.df, wc.orderBy, wc.skip, wc.limit, resolve))
+    wc.where match {
+      case Some(w) =>
+        val oc = ec(out)
+        out.copy(df = out.df.where(oc.truthy(oc.compile(w))))
+      case None => out
+    }
+  }
+
+  // ---------------- mutations ----------------
+
+  /** CREATE: standalone literal patterns append vertices/edges; with a bound
+    * scope, edges between bound node variables are created per binding row
+    * (reference create_executor.rs:44-177; id allocation mirrors the
+    * per-label counter, rocksdb_store.rs:302-304, via max-locid + row_number).
+    */
+  private def compileCreate(scope: Option[Scope], cc: CreateClause): Scope = {
+    import graft.model.Graphid
+    val sc = scope.getOrElse(emptyScope)
+
+    def labidOf(label: String): Int =
+      GraphStore.Lab.byId.find(_._2 == label).map(_._1)
+        .getOrElse(math.abs(label.hashCode) % 60000 + 100)
+
+    def maxLocid(tables: Map[String, DataFrame], label: String): Long =
+      tables.get(label) match {
+        case Some(df) =>
+          val r = df.agg(max(Graphid.locidCol(col("id")))).collect()(0)
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        case None => 0L
+      }
+
+    // collect literal nodes created in this clause (var -> (label, props))
+    val createdNodes = scala.collection.mutable.LinkedHashMap[String, (String, Seq[(String, Expr)])]()
+    cc.patterns.foreach { p =>
+      (p.start +: p.hops.map(_._2)).foreach { np =>
+        val v = np.variable.getOrElse(fresh("cn"))
+        val bound = sc.vars.contains(v)
+        if (!bound && !createdNodes.contains(v)) {
+          require(np.labels.size == 1, s"CREATE node needs exactly one label: $np")
+          createdNodes(v) = (np.labels.head, np.props)
+        }
+      }
+    }
+
+    val compiler = ec(sc)
+    // assign ids to new literal nodes (one row each — standalone CREATE)
+    var vtabs = store.vertexTables
+    val nodeIds = scala.collection.mutable.Map[String, Long]()
+    val counters = scala.collection.mutable.Map[String, Long]()
+    createdNodes.foreach { case (v, (label, props)) =>
+      val next = counters.getOrElseUpdate(label, maxLocid(vtabs, label)) + 1
+      counters(label) = next
+      val id = Graphid.pack(labidOf(label), next)
+      nodeIds(v) = id
+      val row = spark.range(1).select(
+        (lit(id).as("id") +: props.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
+      vtabs = vtabs.get(label) match {
+        case Some(t) => vtabs + (label -> t.unionByName(row, allowMissingColumns = true))
+        case None => vtabs + (label -> row)
+      }
+    }
+
+    // edges: endpoints are either freshly created or bound scope vars
+    var etabs = store.edgeTables
+    cc.patterns.foreach { p =>
+      var prevVar = p.start.variable.getOrElse(sys.error("CREATE pattern needs node variables"))
+      p.hops.foreach { case (rel, node) =>
+        val nv = node.variable.getOrElse(sys.error("CREATE pattern needs node variables"))
+        require(rel.types.size == 1, s"CREATE relationship needs exactly one type")
+        require(rel.dir != Dir.Both, "CREATE relationship cannot be undirected (reference create_executor.rs:80-85)")
+        val label = rel.types.head
+        val (fromV, toV) = if (rel.dir == Dir.In) (nv, prevVar) else (prevVar, nv)
+        def endpoint(v: String): Column =
+          if (nodeIds.contains(v)) lit(nodeIds(v))
+          else if (sc.vars.contains(v)) col(Scope.colName(v, "id"))
+          else sys.error(s"CREATE edge endpoint not bound: $v")
+        val base = if (nodeIds.contains(fromV) && nodeIds.contains(toV))
+          spark.range(1).toDF() else sc.df
+        val start = maxLocid(etabs, label)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())
+        val rows = base.select(
+          (endpoint(fromV).as("src") +: endpoint(toV).as("dst") +:
+            rel.props.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
+          .withColumn("id", Graphid.packCol(labidOf(label),
+            lit(start) + row_number().over(w)))
+        val ordered = rows.select(
+          (col("id") +: col("src") +: col("dst") +:
+            rel.props.map { case (k, _) => col(k) }).toIndexedSeq: _*)
+        etabs = etabs.get(label) match {
+          case Some(t) => etabs + (label -> t.unionByName(ordered, allowMissingColumns = true))
+          case None => etabs + (label -> ordered)
+        }
+        prevVar = nv
+      }
+    }
+    store = new GraphStore(vtabs, etabs)
+    sc
+  }
+
+  /** DELETE / DETACH DELETE (reference delete_executor.rs:42-129): victims
+    * are anti-joined out of their tables; a plain DELETE on a vertex that
+    * still has edges errors, matching the reference's guard (:90-107).
+    */
+  private def compileDelete(scope: Scope, dc: DeleteClause): Unit = {
+    dc.vars.foreach { v =>
+      val vi = scope.vars.getOrElse(v, sys.error(s"DELETE of unbound variable $v"))
+      val victims = scope.df.select(col(Scope.colName(v, "id")).as("__vid")).distinct()
+      vi.kind match {
+        case VarKind.Edge =>
+          store = new GraphStore(store.vertexTables,
+            store.edgeTables.map { case (l, t) =>
+              l -> t.join(victims, t("id") === col("__vid"), "left_anti")
+            })
+        case VarKind.Node =>
+          val touching = store.edgeTables.values.map(t =>
+            t.join(victims, t("src") === col("__vid") || t("dst") === col("__vid"), "left_semi")
+              .select("id"))
+            .reduce((a, b) => a.unionByName(b))
+          if (!dc.detach && !touching.isEmpty)
+            sys.error(s"cannot DELETE vertex with edges; use DETACH DELETE (reference rocksdb_store.rs:568-583)")
+          val etabs =
+            if (dc.detach) store.edgeTables.map { case (l, t) =>
+              l -> t.join(victims, t("src") === col("__vid") || t("dst") === col("__vid"), "left_anti")
+            } else store.edgeTables
+          val vtabs = store.vertexTables.map { case (l, t) =>
+            l -> t.join(victims, t("id") === col("__vid"), "left_anti")
+          }
+          store = new GraphStore(vtabs, etabs)
+        case VarKind.Value => sys.error(s"cannot DELETE value $v")
+      }
+    }
+  }
+
+  /** SET n.prop = expr (reference set_executor.rs:29-202): per-entity
+    * grouped read-modify-write becomes a join + conditional column rewrite.
+    * Nested paths write through struct columns via withField.
+    */
+  private def compileSet(scope: Scope, sclause: SetClause): Unit = {
+    val compiler = ec(scope)
+    sclause.items.foreach { item =>
+      val vi = scope.vars.getOrElse(item.variable, sys.error(s"SET of unbound ${item.variable}"))
+      require(item.path.nonEmpty, "SET needs a property path")
+      val prop = item.path.head
+      val idCol = Scope.colName(item.variable, "id")
+      // one update value per entity (reference groups updates per entity;
+      // with multiple binding rows the first value wins deterministically)
+      val updates = scope.df
+        .select(col(idCol).as("__uid"), compiler.compile(item.value).as("__uval"))
+        .groupBy("__uid").agg(first("__uval").as("__uval"))
+        .withColumn("__hit", lit(true))
+      def rewrite(t: DataFrame): DataFrame = {
+        val joined = t.join(updates, t("id") === col("__uid"), "left")
+        val newVal: Column =
+          if (item.path.size == 1) col("__uval")
+          else {
+            val cur = t.schema.find(_.name == prop)
+            cur match {
+              case Some(f) if f.dataType.isInstanceOf[StructType] =>
+                col(prop).withField(item.path.tail.mkString("."), col("__uval"))
+              case _ => sys.error(s"nested SET needs a struct column: ${item.path.mkString(".")}")
+            }
+          }
+        val updatedCol = when(col("__hit"), newVal)
+          .otherwise(if (t.columns.contains(prop)) t(prop) else lit(null))
+        joined.withColumn(prop, updatedCol).drop("__uid", "__uval", "__hit")
+      }
+      def applyTo(tables: Map[String, DataFrame]): Map[String, DataFrame] =
+        vi.label match {
+          case Some(l) if tables.contains(l) => tables + (l -> rewrite(tables(l)))
+          case Some(_) => tables
+          case None => tables.map { case (l, t) => l -> rewrite(t) }
+        }
+      store = vi.kind match {
+        case VarKind.Node => new GraphStore(applyTo(store.vertexTables), store.edgeTables)
+        case VarKind.Edge => new GraphStore(store.vertexTables, applyTo(store.edgeTables))
+        case VarKind.Value => sys.error(s"cannot SET on value ${item.variable}")
+      }
+    }
+  }
+}
+
+/** User-facing session: parse → plan → run; mutations swap the store
+  * atomically per statement (the Spark analogue of the reference's
+  * per-statement transaction, SURVEY.md §2.7 M6).
+  */
+final class CypherSession(val spark: SparkSession, initial: GraphStore,
+    params: Map[String, Any] = Map.empty) {
+  @volatile var store: GraphStore = initial
+
+  def run(cypher: String): DataFrame = {
+    val res = new Planner(spark, store, params).plan(Parser.parse(cypher))
+    store = res.store
+    res.df.getOrElse(spark.emptyDataFrame)
+  }
+
+  def withParams(p: Map[String, Any]): CypherSession =
+    new CypherSession(spark, store, params ++ p)
+}

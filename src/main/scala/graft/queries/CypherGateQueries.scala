@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cypher.CypherSession
+import graft.store.GraphStore
+
+/** The Cypher surface proven against the DuckDB oracle: every query here
+  * goes through the full parse → plan → Catalyst pipeline over the TPC-H
+  * graph projection, and its result must hash-match plain SQL over the raw
+  * tables. This is the end-to-end evidence that the Cypher engine computes
+  * the same answers as a relational oracle (SURVEY.md §3 entry point 1).
+  *
+  * Aggregates over doubles use min/max/count/integer-sum only (exact in
+  * both engines); decimal-accumulation tricks are not expressible from
+  * Cypher, so FP-accumulation-ordering-sensitive sums are avoided.
+  */
+object CypherGateQueries {
+
+  private def cy(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => new CypherSession(s, GraphStore.tpch(s, dir)).run(q)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cy1_match_where" -> cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE c.c_acctbal > 5000 AND o.o_orderstatus = 'F'
+        |RETURN c.c_custkey AS ck, o.o_orderkey AS ok
+        |ORDER BY ck, ok""".stripMargin),
+
+    "cy2_agg_group" -> cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |RETURN c.c_mktsegment AS seg, count(o) AS n_orders,
+        |  min(o.o_totalprice) AS min_price, max(o.o_totalprice) AS max_price,
+        |  sum(o.o_orderkey) AS key_sum
+        |ORDER BY seg""".stripMargin),
+
+    "cy3_optional" -> cy(
+      """MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS ck, count(o) AS n
+        |ORDER BY ck""".stripMargin),
+
+    "cy4_with_chain" -> cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c, count(o) AS n
+        |WHERE n >= 12
+        |RETURN c.c_custkey AS ck, n
+        |ORDER BY ck""".stripMargin),
+
+    "cy5_two_hop" -> cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)-[e:CONTAINS]->(p:Part)
+        |WHERE c.c_custkey = 7
+        |RETURN o.o_orderkey AS ok, p.p_partkey AS pk, e.l_quantity AS qty
+        |ORDER BY ok, pk, qty""".stripMargin),
+
+    "cy6_incoming" -> cy(
+      """MATCH (n:Nation)<-[:CUST_NATION]-(c:Customer)
+        |RETURN n.n_name AS nation, count(c) AS n_cust
+        |ORDER BY nation""".stripMargin),
+
+    "cy7_undirected" -> cy(
+      """MATCH (n:Nation {n_nationkey: 3})-[:IN_REGION]-(x)
+        |RETURN id(x) AS xid ORDER BY xid""".stripMargin),
+
+    "cy8_varlen" -> cy(
+      """MATCH (c:Customer {c_custkey: 1})-[*1..3]->(x)
+        |RETURN labels(x) AS lab, count(*) AS n_paths
+        |ORDER BY lab""".stripMargin),
+
+    "cy9_expr" -> cy(
+      """MATCH (p:Part)
+        |WHERE p.p_size > 40 AND p.p_type STARTS WITH 'STANDARD'
+        |RETURN p.p_partkey AS pk,
+        |  CASE WHEN p.p_size >= 48 THEN 'xl' ELSE 'l' END AS cls,
+        |  p.p_brand + ':' + p.p_type AS bt
+        |ORDER BY pk""".stripMargin),
+
+    "cy10_distinct_skip_limit" -> cy(
+      """MATCH (c:Customer)-[:CUST_NATION]->(n:Nation)
+        |RETURN DISTINCT n.n_name AS nation
+        |ORDER BY nation SKIP 2 LIMIT 5""".stripMargin),
+
+    // mutation roundtrip: create a node + edges, set, detach-delete a
+    // victim, then count what remains — all through the Cypher session.
+    "cy11_mutation" -> ((s, dir) => {
+      val sess = new CypherSession(s, GraphStore.tpch(s, dir))
+      sess.run("CREATE (h:Hub {name: 'hub'})")
+      sess.run("MATCH (h:Hub), (n:Nation) CREATE (h)-[:LINKS {w: 1}]->(n)")
+      sess.run("MATCH (h:Hub) SET h.name = 'HUB'")
+      sess.run("MATCH (n:Nation {n_nationkey: 0}) DETACH DELETE n")
+      sess.run(
+        """MATCH (h:Hub)-[:LINKS]->(n:Nation)
+          |RETURN h.name AS hub, count(n) AS n_linked""".stripMargin)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "cy1_match_where" ->
+      """SELECT c_custkey AS ck, o_orderkey AS ok
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_acctbal > 5000 AND o_orderstatus = 'F'
+        |ORDER BY ck, ok""".stripMargin,
+    "cy2_agg_group" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  SUM(o_orderkey) AS key_sum
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY seg""".stripMargin,
+    "cy3_optional" ->
+      """SELECT c_custkey AS ck, COUNT(o_orderkey) AS n
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey
+        |ORDER BY ck""".stripMargin,
+    "cy4_with_chain" ->
+      """SELECT c_custkey AS ck, COUNT(*) AS n
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey
+        |HAVING COUNT(*) >= 12
+        |ORDER BY ck""".stripMargin,
+    "cy5_two_hop" ->
+      """SELECT o_orderkey AS ok, l_partkey AS pk, l_quantity AS qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_custkey = 7
+        |ORDER BY ok, pk, qty""".stripMargin,
+    "cy6_incoming" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_cust
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY nation""".stripMargin,
+    "cy7_undirected" ->
+      // Both-direction around nation 3: its region (out) plus its customers
+      // and suppliers (in). IN_REGION only touches Nation/Region; undirected
+      // = region of nation 3 UNION nations of region... nation 3 has no
+      // incoming IN_REGION edges, so: the region vertex only.
+      """SELECT (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) AS xid
+        |FROM nation WHERE n_nationkey = 3
+        |ORDER BY xid""".stripMargin,
+    "cy8_varlen" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+        |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst,
+        |         'Order' AS dlab FROM orders
+        |  UNION ALL
+        |  SELECT (CAST(2 AS BIGINT)<<48)|CAST(l_orderkey AS BIGINT),
+        |         (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT), 'Part' FROM lineitem
+        |  UNION ALL
+        |  SELECT DISTINCT (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT),
+        |         (CAST(4 AS BIGINT)<<48)|CAST(l_suppkey AS BIGINT), 'Supplier' FROM lineitem
+        |  UNION ALL
+        |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT),
+        |         (CAST(5 AS BIGINT)<<48)|CAST(c_nationkey AS BIGINT), 'Nation' FROM customer
+        |  UNION ALL
+        |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT),
+        |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT), 'Nation' FROM supplier
+        |  UNION ALL
+        |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
+        |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT), 'Region' FROM nation
+        |),
+        |walk(end_id, lab, len) AS (
+        |  SELECT dst, dlab, 1 FROM edges WHERE src = (CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT e.dst, e.dlab, w.len + 1 FROM walk w JOIN edges e ON e.src = w.end_id
+        |  WHERE w.len < 3
+        |)
+        |SELECT lab, COUNT(*) AS n_paths FROM walk GROUP BY lab ORDER BY lab""".stripMargin,
+    "cy9_expr" ->
+      """SELECT p_partkey AS pk,
+        |  CASE WHEN p_size >= 48 THEN 'xl' ELSE 'l' END AS cls,
+        |  p_brand || ':' || p_type AS bt
+        |FROM part
+        |WHERE p_size > 40 AND p_type LIKE 'STANDARD%'
+        |ORDER BY pk""".stripMargin,
+    "cy10_distinct_skip_limit" ->
+      """SELECT DISTINCT n_name AS nation
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |ORDER BY nation OFFSET 2 LIMIT 5""".stripMargin,
+    "cy11_mutation" ->
+      """SELECT 'HUB' AS hub, COUNT(*) AS n_linked
+        |FROM nation WHERE n_nationkey <> 0""".stripMargin)
+}

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.CypherSession
+import graft.model.Graphid
+import graft.store.GraphStore
+
+/** End-to-end Cypher tests over the canonical People graph
+  * (FIXTURES.md §3 — mirrors the reference's executor/OPTIONAL/WITH tests):
+  * Alice(30,Beijing), Bob(25,Shanghai), Charlie(35,Beijing),
+  * David(28,Shenzhen); KNOWS: Alice→Bob(2020), Bob→Charlie(2021).
+  */
+class CypherSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def peopleStore: GraphStore = {
+    import spark.implicits._
+    val persons = Seq(
+      (Graphid.pack(100, 1), "Alice", 30L, "Beijing"),
+      (Graphid.pack(100, 2), "Bob", 25L, "Shanghai"),
+      (Graphid.pack(100, 3), "Charlie", 35L, "Beijing"),
+      (Graphid.pack(100, 4), "David", 28L, "Shenzhen"))
+      .toDF("id", "name", "age", "city")
+    val knows = Seq(
+      (Graphid.pack(101, 1), Graphid.pack(100, 1), Graphid.pack(100, 2), 2020L),
+      (Graphid.pack(101, 2), Graphid.pack(100, 2), Graphid.pack(100, 3), 2021L))
+      .toDF("id", "src", "dst", "since")
+    new GraphStore(Map("Person" -> persons), Map("KNOWS" -> knows))
+  }
+
+  def session: CypherSession = new CypherSession(spark, peopleStore)
+
+  def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
+
+  test("node scan with filter, projection, order, limit") {
+    val df = session.run(
+      "MATCH (n:Person) WHERE n.age >= 28 RETURN n.name AS name, n.age AS age ORDER BY n.age DESC LIMIT 2")
+    assert(rows(df) == Seq(Seq("Charlie", 35L), Seq("Alice", 30L)))
+  }
+
+  test("one-hop pattern with WHERE on both endpoints") {
+    val df = session.run(
+      "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.age >= 25 RETURN a.name AS a, r.since AS y, b.name AS b ORDER BY a")
+    assert(rows(df) == Seq(Seq("Alice", 2020L, "Bob"), Seq("Bob", 2021L, "Charlie")))
+  }
+
+  test("inline property pattern") {
+    val df = session.run("MATCH (a:Person {name: 'Alice'})-[:KNOWS]->(b) RETURN b.name AS n")
+    assert(rows(df) == Seq(Seq("Bob")))
+  }
+
+  test("two-hop chain") {
+    val df = session.run(
+      "MATCH (a:Person)-[:KNOWS]->(b:Person)-[:KNOWS]->(c:Person) RETURN a.name AS a, c.name AS c")
+    assert(rows(df) == Seq(Seq("Alice", "Charlie")))
+  }
+
+  test("undirected (Both) expansion") {
+    val df = session.run(
+      "MATCH (a:Person {name: 'Bob'})-[:KNOWS]-(x) RETURN x.name AS n ORDER BY n")
+    assert(rows(df) == Seq(Seq("Alice"), Seq("Charlie")))
+  }
+
+  test("incoming direction") {
+    val df = session.run("MATCH (a)<-[:KNOWS]-(b) RETURN a.name AS a, b.name AS b ORDER BY a")
+    assert(rows(df) == Seq(Seq("Bob", "Alice"), Seq("Charlie", "Bob")))
+  }
+
+  test("OPTIONAL MATCH emits nulls for unmatched") {
+    val df = session.run(
+      "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b) RETURN a.name AS a, b.name AS b ORDER BY a")
+    assert(rows(df) == Seq(
+      Seq("Alice", "Bob"), Seq("Bob", "Charlie"), Seq("Charlie", null), Seq("David", null)))
+  }
+
+  test("aggregation with implicit grouping (openCypher semantics)") {
+    val df = session.run(
+      "MATCH (n:Person) RETURN n.city AS city, count(*) AS n, avg(n.age) AS avg_age ORDER BY city")
+    assert(rows(df) == Seq(
+      Seq("Beijing", 2L, 32.5), Seq("Shanghai", 1L, 25.0), Seq("Shenzhen", 1L, 28.0)))
+  }
+
+  test("count(entity) skips OPTIONAL nulls") {
+    val df = session.run(
+      "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b) RETURN a.name AS a, count(b) AS n ORDER BY a")
+    assert(rows(df) == Seq(
+      Seq("Alice", 1L), Seq("Bob", 1L), Seq("Charlie", 0L), Seq("David", 0L)))
+  }
+
+  test("WITH chaining + aggregate + post-WHERE") {
+    val df = session.run(
+      "MATCH (a:Person)-[:KNOWS]->(b) WITH a, count(b) AS n WHERE n >= 1 RETURN a.name AS name, n ORDER BY name")
+    assert(rows(df) == Seq(Seq("Alice", 1L), Seq("Bob", 1L)))
+  }
+
+  test("correlated subsequent MATCH (reference cartesian bug fixed)") {
+    val df = session.run(
+      "MATCH (a:Person {name: 'Alice'}) MATCH (a)-[:KNOWS]->(b) RETURN b.name AS b")
+    assert(rows(df) == Seq(Seq("Bob")))
+  }
+
+  test("variable-length expansion *1..2") {
+    val df = session.run(
+      "MATCH (a:Person {name: 'Alice'})-[*1..2]->(x) RETURN x.name AS n ORDER BY n")
+    assert(rows(df) == Seq(Seq("Bob"), Seq("Charlie")))
+  }
+
+  test("DISTINCT and scalar functions") {
+    val df = session.run(
+      "MATCH (n:Person) RETURN DISTINCT toupper(n.city) AS c ORDER BY c")
+    assert(rows(df) == Seq(Seq("BEIJING"), Seq("SHANGHAI"), Seq("SHENZHEN")))
+  }
+
+  test("expression surface: arithmetic, CASE, concat, coalesce") {
+    val df = session.run(
+      "MATCH (n:Person {name: 'Alice'}) RETURN n.age + 1 AS a, n.age / 7 AS d, " +
+        "n.age % 7 AS m, CASE WHEN n.age > 28 THEN 'old' ELSE 'young' END AS c, " +
+        "n.name + '!' AS s, coalesce(n.missing, 'x') AS z")
+    assert(rows(df) == Seq(Seq(31L, 4L, 2L, "old", "Alice!", "x")))
+  }
+
+  test("missing property is NULL (openCypher divergence from reference)") {
+    val df = session.run("MATCH (n:Person {name: 'Bob'}) RETURN n.nope AS x")
+    assert(rows(df) == Seq(Seq(null)))
+  }
+
+  test("UNWIND and list literals") {
+    val df = session.run("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x")
+    assert(rows(df) == Seq(Seq(3L), Seq(1L), Seq(2L)).sortBy(_.head.asInstanceOf[Long]))
+  }
+
+  test("id / labels / type / startNode / endNode functions") {
+    val df = session.run(
+      "MATCH (a:Person {name:'Alice'})-[r:KNOWS]->(b) " +
+        "RETURN id(a) AS ia, labels(a) AS la, type(r) AS t, startNode(r) AS s, endNode(r) AS e")
+    val r = rows(df).head
+    assert(r == Seq(Graphid.pack(100, 1), "Person", "KNOWS",
+      Graphid.pack(100, 1), Graphid.pack(100, 2)))
+  }
+
+  test("CREATE nodes and edge, then query (session state swap)") {
+    val sess = session
+    sess.run("CREATE (a:Person {name: 'Eve', age: 22, city: 'Wuhan'})")
+    val df = sess.run("MATCH (n:Person) RETURN count(*) AS n")
+    assert(rows(df) == Seq(Seq(5L)))
+    sess.run("MATCH (a:Person {name: 'Eve'}), (b:Person {name: 'Alice'}) CREATE (a)-[:KNOWS {since: 2024}]->(b)")
+    val df2 = sess.run("MATCH (:Person {name: 'Eve'})-[r:KNOWS]->(b) RETURN r.since AS y, b.name AS b")
+    assert(rows(df2) == Seq(Seq(2024L, "Alice")))
+  }
+
+  test("SET updates a property") {
+    val sess = session
+    sess.run("MATCH (n:Person {name: 'Bob'}) SET n.age = n.age + 1")
+    val df = sess.run("MATCH (n:Person {name: 'Bob'}) RETURN n.age AS a")
+    assert(rows(df) == Seq(Seq(26L)))
+  }
+
+  test("DELETE with edges errors; DETACH DELETE works") {
+    val sess = session
+    val err = intercept[RuntimeException] {
+      sess.run("MATCH (n:Person {name: 'Bob'}) DELETE n")
+    }
+    assert(err.getMessage.contains("DETACH"))
+    sess.run("MATCH (n:Person {name: 'Bob'}) DETACH DELETE n")
+    assert(rows(sess.run("MATCH (n:Person) RETURN count(*) AS n")) == Seq(Seq(3L)))
+    assert(rows(sess.run("MATCH ()-[r:KNOWS]->() RETURN count(*) AS n")) == Seq(Seq(0L)))
+  }
+
+  test("unlabeled scan via JSON fallback") {
+    val df = session.run("MATCH (n) WHERE n.age > 30 RETURN n.name AS name ORDER BY name")
+    assert(rows(df) == Seq(Seq("Charlie")))
+  }
+
+  test("IS NULL / IN / STARTS WITH predicates") {
+    val df = session.run(
+      "MATCH (n:Person) WHERE n.city IN ['Beijing', 'Shenzhen'] AND n.name STARTS WITH 'C' " +
+        "RETURN n.name AS name")
+    assert(rows(df) == Seq(Seq("Charlie")))
+  }
+
+  test("SKIP and LIMIT") {
+    val df = session.run("MATCH (n:Person) RETURN n.name AS name ORDER BY name SKIP 1 LIMIT 2")
+    assert(rows(df) == Seq(Seq("Bob"), Seq("Charlie")))
+  }
+}
