@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Large-scale document deduplication operators. All are pure DataFrame →
+  * DataFrame transforms (no driver-side materialization):
+  *
+  *  - exact:   hash-groupBy on a normalized fingerprint — one shuffle on
+  *             the fingerprint, survivor = min id (deterministic).
+  *  - n-gram Jaccard: shingle explode → pair join on shingle → exact
+  *             similarity. Quadratic in bucket size, exact — the verifier.
+  *  - MinHash+LSH: k permuted min-hashes → band buckets → candidate join
+  *             only within buckets — the 100 TB path (candidate generation
+  *             is linear + a shuffle on band keys; no all-pairs join).
+  *  - SimHash: 32-bit sign-aggregated token hash per doc; near-dups share
+  *             most bits (hamming distance via xor bit_count).
+  *  - embedding cosine: see Similarity.nearDupPairs.
+  */
+object Dedup {
+
+  /** Normalized content fingerprint: lowercase, collapse whitespace, md5. */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp", md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+
+  /** Exact dedup: one survivor (min id) per normalized fingerprint. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprint(df, textCol)
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc distinct word-n-gram shingle sets, exploded: (id, shingle). */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(shingles(tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+    * Returns (a, b, inter, size_a, size_b, jaccard) with a < b.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "size_a"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "size_b"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+  }
+
+  /** MinHash signatures: k permuted-min hashes over the shingle set.
+    * One explode + one groupBy — linear, shuffle on id.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, n: Int = 3): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, n)
+      .withColumn("h", h32(col("shingle")))
+    val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(permuted(col("h"), a, b)).as(s"mh$i")
+    }
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
+  /** LSH banding: bucket id per band = hash of the band's signature slice.
+    * Emits (id, band, bucket).
+    */
+  def lshBuckets(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("_", slice: _*)).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs (a < b, distinct), verified with
+    * exact n-gram Jaccard. The all-pairs join is confined to LSH buckets.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    val buckets = lshBuckets(minhashSignatures(df, idCol, textCol, k, n), k, bands)
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val exactPairs = ngramJaccardPairs(df, idCol, textCol, n)
+    cands.join(exactPairs, Seq("a", "b"), "inner")
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash per document over token multiset: bit b is the sign of
+    * sum over tokens of ±1 according to bit b of the token hash.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", h32(col("tok")))
+    val sums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val bits = (0 until 32).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }
+    toks.groupBy(col("id")).agg(sums.head, sums.tail.toIndexedSeq: _*)
+      .withColumn("simhash", bits.reduce(_ + _))
+      .select(col("id"), col("simhash"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media (image/audio/video) as opaque binary
+  * columns with typed metadata, processed by a partition-wise decoder.
+  *
+  * The Spark-side plumbing is real and tested — schema, batch iteration via
+  * mapPartitions (the Scala analogue of mapInPandas batches), deterministic
+  * output schema — while the codec itself is a STUB: this container has no
+  * image/audio libraries, so `decodeStub` computes deterministic fake
+  * features (payload length + md5-derived pseudo-feature). A production
+  * deployment swaps `decodeStub` for a JNI/javacpp codec without touching
+  * the plumbing.
+  */
+object Multimodal {
+
+  /** Deterministic fake "decode": [byte length, h32(payload) % 251].
+    * Mirrors TextHash.h32 so the SQL oracle can reproduce it.
+    */
+  def decodeStub(bytes: Array[Byte]): (Long, Long) = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).take(4).map("%02x".format(_)).mkString
+    (bytes.length.toLong, java.lang.Long.parseLong(hex, 16) % 251)
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_len", LongType, nullable = false),
+    StructField("feature", LongType, nullable = false)))
+
+  /** Attach decoded features to a DataFrame with a binary `payload` column.
+    * Partition-wise iteration (one decoder instance per partition, batch
+    * shape = the partition's row iterator) — the distribution pattern a
+    * real codec needs.
+    */
+  def extractFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", featureSchema, nullable = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // per-partition decoder setup happens here (stub: none needed)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val (len, feat) = decodeStub(bytes)
+        Row.fromSeq(r.toSeq :+ Row(len, feat))
+      }
+    }
+  }
+
+  /** Demo pipeline over documents: treat text bytes as a fake media payload,
+    * decode, and aggregate per source — exercises binary columns end-to-end.
+    */
+  def featureStats(docs: DataFrame): DataFrame =
+    extractFeatures(docs.withColumn("payload", col("text").cast("binary")), "payload")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("features.media_len")).as("total_bytes"),
+        sum(col("features.feature")).as("feature_sum"))
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-vote heuristic), quality scoring (length/char-class/stopword
+  * ratios), token counting, and content fingerprinting. All pure column
+  * expressions (codegen'd, no UDFs) so they run at scan speed and are
+  * SQL-oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram-free heuristic.
+    * Deterministic and mirrored in the oracle SQL.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Stopword votes per language: |tokens ∩ stopwords(lang)| (distinct). */
+  def langVotes(toks: Column): Seq[(String, Column)] =
+    stopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+
+  /** Predicted language = argmax votes, ties broken by language name
+    * (deterministic); no votes at all → 'und' (undetermined).
+    */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val votes = langVotes(toks)
+    val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = votes.foldRight(lit("und")) { case ((lang, v), acc) =>
+      when(v === best && best > 0, lang).otherwise(acc)
+    }
+    // foldRight + otherwise chain means the FIRST language (asc order) with
+    // the max vote wins — mirrored in SQL with a CASE over the same order.
+    df.withColumn("predicted_lang", pred)
+  }
+
+  /** Quality metrics: token count, char count, alpha ratio, space ratio,
+    * avg token length, and a composite [0,1] score.
+    */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("double")
+    val nAlpha = length(regexp_replace(lower(t), "[^a-z]", "")).cast("double")
+    val nSpace = length(regexp_replace(t, "[^ ]", "")).cast("double")
+    val nToks = size(toks).cast("double")
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("alpha_ratio", nAlpha / nChars)
+      .withColumn("space_ratio", nSpace / nChars)
+      .withColumn("avg_token_len", (nChars - nSpace) / nToks)
+      .withColumn("quality_score",
+        least(lit(1.0), nToks / lit(64.0)) * col("alpha_ratio"))
+  }
+
+  /** Corpus token statistics per grouping column. */
+  def tokenStats(df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), tokens(col(textCol)).as("toks"))
+      .select(col(groupCol), size(col("toks")).as("n"),
+        size(array_distinct(col("toks"))).as("nd"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("nd")).as("total_distinct_tokens"),
+        max(col("n")).as("max_tokens"))
+
+  /** Content fingerprint: h32 of the normalized text (exact-dup detector),
+    * plus a min-shingle-hash (stable under small edits — rolling-hash
+    * style document signature).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val sh = shingles(tokens(col(textCol)), n)
+    df.select(col(idCol).as("id"),
+      h32(norm).as("content_fp"),
+      when(size(sh) > 0, array_min(transform(sh, s => h32(s)))).otherwise(lit(null))
+        .as("min_shingle_fp"))
+  }
+}

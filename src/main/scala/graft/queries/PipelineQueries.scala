@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, TextHash}
+import graft.store.Tables
+
+/** Training-data pipeline operators proven against the DuckDB oracle:
+  * dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding),
+  * similarity search (brute-force + LSH ANN), text analysis (langid,
+  * quality, token stats, fingerprints), multimodal binary plumbing.
+  * The oracle SQL re-implements every hash (TextHash.h32 == md5-prefix
+  * parse) and every accumulation in the same order, so results hash-match
+  * bit-for-bit.
+  */
+object PipelineQueries {
+  import TextHash._
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private val K = 16
+  private val BANDS = 4
+  private val NGRAM = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .orderBy(col("keep_id"))),
+
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", NGRAM)
+        .select(col("a"), col("b"), col("inter"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(20)),
+
+    "d3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text", K, BANDS, NGRAM)
+        .orderBy(col("a"), col("b"))),
+
+    "d4_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text")
+        .orderBy(col("id"))),
+
+    "d5_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", -1.0)
+        .orderBy(col("sim").desc, col("a"), col("b"))
+        .limit(20)),
+
+    "e1_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L), 10)
+        .orderBy(col("pid"), col("rank"))),
+
+    "e2_ann_lsh" -> ((s, dir) =>
+      Similarity.annTopK(embs(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L), 5, 8)
+        .orderBy(col("pid"), col("rank"))),
+
+    "t1_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "text")
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted_lang"))),
+
+    "t2_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"), col("quality_score"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .limit(20)),
+
+    "t3_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir), "text", "source")
+        .orderBy(col("source"))),
+
+    "t4_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", 5)
+        .orderBy(col("id"))),
+
+    "m1_multimodal" -> ((s, dir) =>
+      Multimodal.featureStats(docs(s, dir))
+        .orderBy(col("source"))))
+
+  // ---------------- oracle SQL ----------------
+
+  private val toksSql = "string_split_regex(lower(text), '\\s+')"
+
+  private def shSql(n: Int): String = shinglesSql(toksSql, n)
+
+  /** Distinct (id, shingle) + per-doc sizes + intersection pairs. */
+  private def jaccardCtes(n: Int): String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(${shSql(n)}) AS shingle FROM documents
+       |),
+       |sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT x.id AS a, y.id AS b, COUNT(*) AS inter
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+       |  GROUP BY 1, 2
+       |),
+       |jac AS (
+       |  SELECT a, b, inter,
+       |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |  FROM inter JOIN sz sa ON sa.id = a JOIN sz sb ON sb.id = b
+       |)""".stripMargin
+
+  private def minhashSql: String = {
+    val mins = minhashCoeffs(K).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(${permutedSql(h32Sql("shingle"), a, b)}) AS mh$i"
+    }.mkString(",\n    ")
+    val rows = K / BANDS
+    val bandCols = (0 until BANDS).map { bd =>
+      val parts = (0 until rows).map(r => s"CAST(mh${bd * rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $bd AS band, md5($parts) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""sig AS (
+       |  SELECT id, $mins
+       |  FROM sh GROUP BY id
+       |),
+       |buckets AS (
+       |  $bandCols
+       |),
+       |cands AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+       |)""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val sums = (0 until 32).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
+    val bits = (0 until 32).map(b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, ${h32Sql("unnest($TOKS)")} AS h FROM documents
+       |),
+       |sums AS (
+       |  SELECT id, $sums FROM toks GROUP BY id
+       |)
+       |SELECT id, $bits AS simhash FROM sums ORDER BY id"""
+      .stripMargin.replace("$TOKS", toksSql)
+  }
+
+  /** cosine(a,b) in the same double left-fold order as Similarity.cosine. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+       | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+       |  sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))"""
+      .stripMargin.replace("\n", " ")
+
+  /** LSH bucket in SQL: sign bits of dot(vec, ±1-plane m), m = 0..7. */
+  private def bucketSql(v: String): String =
+    (0 until 8).map { m =>
+      val sign = s"CASE WHEN ${h32Sql(s"('plane${m}_' || CAST(i - 1 AS VARCHAR))")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> $v[i]::DOUBLE * ($sign))) > 0 THEN ${1L << m} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def langIdSql: String = {
+    val votes = TextAnalysis.stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect($toksSql, $list)) AS v_$lang"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val best = s"greatest(${langs.map(l => s"v_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN v_$l = best AND best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH v AS (
+       |  SELECT lang, $votes FROM documents
+       |),
+       |w AS (SELECT lang, $best AS best, * FROM v)
+       |SELECT lang, $pred AS predicted_lang, COUNT(*) AS n
+       |FROM w GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "d2_ngram_jaccard" ->
+      s"""WITH ${jaccardCtes(NGRAM)}
+         |SELECT a, b, inter, jaccard FROM jac
+         |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH ${jaccardCtes(NGRAM)},
+         |$minhashSql
+         |SELECT c.a, c.b, j.jaccard
+         |FROM cands c JOIN jac j ON j.a = c.a AND j.b = c.b
+         |ORDER BY c.a, c.b""".stripMargin,
+    "d4_simhash" -> simhashSql,
+    "d5_embed_neardup" ->
+      s"""SELECT x.vec_id AS a, y.vec_id AS b,
+         |  ${cosSql("x.embedding", "y.embedding")} AS sim
+         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
+    "e1_cosine_topk" ->
+      s"""WITH scored AS (
+         |  SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    ${cosSql("p.embedding", "c.embedding")} AS sim
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id IN (0, 1, 2)
+         |),
+         |ranked AS (
+         |  SELECT pid, cid, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rank
+         |  FROM scored
+         |)
+         |SELECT pid, rank, cid, sim FROM ranked WHERE rank <= 10
+         |ORDER BY pid, rank""".stripMargin,
+    "e2_ann_lsh" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id AS cid, embedding AS cvec,
+         |    ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings
+         |),
+         |scored AS (
+         |  SELECT p.cid AS pid, c.cid AS cid,
+         |    ${cosSql("p.cvec", "c.cvec")} AS sim
+         |  FROM bucketed p JOIN bucketed c ON c.bucket = p.bucket AND c.cid <> p.cid
+         |  WHERE p.cid IN (0, 1, 2)
+         |),
+         |ranked AS (
+         |  SELECT pid, cid, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rank
+         |  FROM scored
+         |)
+         |SELECT pid, rank, cid, sim FROM ranked WHERE rank <= 5
+         |ORDER BY pid, rank""".stripMargin,
+    "t1_langid" -> langIdSql,
+    "t2_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    len($toksSql) AS n_tokens,
+         |    CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / len(text) AS alpha_ratio
+         |  FROM documents
+         |)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, alpha_ratio,
+         |  least(1.0, n_tokens / 64.0) * alpha_ratio AS quality_score
+         |FROM q ORDER BY quality_score DESC, doc_id LIMIT 20""".stripMargin,
+    "t3_token_stats" ->
+      s"""WITH t AS (
+         |  SELECT source, len($toksSql) AS n,
+         |    len(list_distinct($toksSql)) AS nd
+         |  FROM documents
+         |)
+         |SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+         |  SUM(nd) AS total_distinct_tokens, MAX(n) AS max_tokens
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "t4_fingerprints" ->
+      s"""SELECT doc_id AS id,
+         |  ${h32Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS content_fp,
+         |  CASE WHEN len(${shSql(5)}) > 0
+         |    THEN list_min(list_transform(${shSql(5)}, s -> ${h32Sql("s")}))
+         |    ELSE NULL END AS min_shingle_fp
+         |FROM documents ORDER BY id""".stripMargin,
+    "m1_multimodal" ->
+      // DuckDB md5(VARCHAR) hashes UTF-8 bytes = Spark md5(cast(text AS
+      // binary)); strlen counts bytes, matching the decoded payload length.
+      s"""SELECT source, COUNT(*) AS n_media,
+         |  SUM(strlen(text)) AS total_bytes,
+         |  SUM(${h32Sql("text")} % 251) AS feature_sum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+}
