@@ -1,0 +1,128 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Graphid
+
+/** JSON / CSV graph interchange (reference src/tools/import.rs:309-427,
+  * export.rs:45-244; formats in FIXTURES.md §1-2). String ids in the
+  * interchange files are remapped to packed Graphids exactly like the
+  * reference's id-mapping pass, but distributed: the mapping is a
+  * DataFrame join, not a driver-side HashMap.
+  */
+object GraphIO {
+
+  /** Deterministic label dictionary: labels sorted, ids assigned from 1
+    * (vertices) / 1001 (edges) — the l: keyspace analogue.
+    */
+  private def labelIds(labels: Seq[String], base: Int): Map[String, Int] =
+    labels.sorted.zipWithIndex.map { case (l, i) => l -> (base + i) }.toMap
+
+  /** Import the single-document {vertices:[...], edges:[...]} JSON format.
+    * Vertex `id` is an arbitrary string key; edges reference start/end by
+    * that key. Properties become a JSON string column (schemaless, like the
+    * reference); use fromJsonTyped to project a typed table.
+    */
+  def importJson(spark: SparkSession, path: String): GraphStore = {
+    val doc = spark.read.option("multiLine", true).json(path)
+    // properties may arrive as an inferred struct (fresh import) or as an
+    // already-serialized JSON string (re-import of our own export)
+    def propsOf(df: DataFrame, field: String): org.apache.spark.sql.Column =
+      if (df.schema(field).dataType == org.apache.spark.sql.types.StringType) col(field)
+      else to_json(col(field))
+    val v0 = doc.select(explode(col("vertices")).as("v")).select(col("v.*"))
+    val vRaw = v0.select(col("id").cast("string").as("key"), col("label"),
+      propsOf(v0, "properties").as("properties"))
+    val e0 = doc.select(explode(col("edges")).as("e")).select(col("e.*"))
+    val eRaw = e0.select(col("label"), col("start").cast("string").as("start"),
+      col("end").cast("string").as("end"), propsOf(e0, "properties").as("properties"))
+    buildStore(spark, vRaw, eRaw)
+  }
+
+  /** CSV import: vertices.csv has header id,label,<prop cols>; edges.csv has
+    * id,label,start,end,<prop cols> (reference import.rs:109-274). Empty ids
+    * are auto-generated. Property columns fold into a JSON string.
+    */
+  def importCsv(spark: SparkSession, vertexCsv: String, edgeCsv: String): GraphStore = {
+    val v = spark.read.option("header", true).csv(vertexCsv)
+    val vProps = v.columns.filterNot(Set("id", "label"))
+    val vRaw = v.select(
+      coalesce(col("id").cast("string"), concat(lit("__auto_"), monotonically_increasing_id()))
+        .as("key"),
+      col("label"),
+      to_json(struct(vProps.map(col).toIndexedSeq: _*)).as("properties"))
+    val e = spark.read.option("header", true).csv(edgeCsv)
+    val eProps = e.columns.filterNot(Set("id", "label", "start", "end"))
+    val eRaw = e.select(col("label"), col("start").cast("string"),
+      col("end").cast("string"),
+      to_json(struct(eProps.map(col).toIndexedSeq: _*)).as("properties"))
+    buildStore(spark, vRaw, eRaw)
+  }
+
+  private def buildStore(spark: SparkSession, vRaw: DataFrame, eRaw: DataFrame): GraphStore = {
+    val vLabels = vRaw.select("label").distinct().collect().map(_.getString(0)).toSeq
+    val eLabels = eRaw.select("label").distinct().collect().map(_.getString(0)).toSeq
+    val vLab = labelIds(vLabels, 1)
+    val eLab = labelIds(eLabels, 1001)
+
+    // string key -> packed id mapping: per-label dense local ids by key order
+    // (deterministic; the reference's counter allocation analogue)
+    val keyW = Window.partitionBy(col("label")).orderBy(col("key"))
+    val mapping = vRaw.select(col("key"), col("label"))
+      .withColumn("locid", row_number().over(keyW))
+      .withColumn("labid",
+        coalesce(vLabels.map(l => when(col("label") === l, lit(vLab(l)))): _*))
+      .withColumn("vid", Graphid.packCol(0, col("locid"))
+        .bitwiseOR(shiftleft(col("labid").cast("long"), Graphid.LocalBits)))
+      .select(col("key"), col("vid"))
+
+    val vertexTables = vLabels.map { l =>
+      l -> vRaw.filter(col("label") === l)
+        .join(mapping, "key")
+        .select(col("vid").as("id"), col("properties"))
+    }.toMap
+
+    val edgeW = Window.partitionBy(col("label")).orderBy(col("start"), col("end"))
+    val edgeTables = eLabels.map { l =>
+      l -> eRaw.filter(col("label") === l)
+        .join(mapping.withColumnRenamed("key", "start").withColumnRenamed("vid", "src"), "start")
+        .join(mapping.withColumnRenamed("key", "end").withColumnRenamed("vid", "dst"), "end")
+        .withColumn("id", Graphid.packCol(eLab(l), row_number().over(edgeW)))
+        .select(col("id"), col("src"), col("dst"), col("properties"))
+    }.toMap
+    new GraphStore(vertexTables, edgeTables)
+  }
+
+  /** Edges in interchange shape: start/end instead of src/dst
+    * (FIXTURES.md §1, reference export.rs:160-244).
+    */
+  private def interchangeEdges(store: GraphStore): DataFrame =
+    store.allEdges.select(col("label"), col("src").cast("string").as("start"),
+      col("dst").cast("string").as("end"), col("properties"))
+
+  /** Scalable export: JSON-lines per label directory (df.write.json). */
+  def exportJsonLines(store: GraphStore, outDir: String): Unit = {
+    store.allVertices.write.mode("overwrite").json(s"$outDir/vertices")
+    interchangeEdges(store).write.mode("overwrite").json(s"$outDir/edges")
+  }
+
+  /** Single-document export matching the reference's format
+    * (export.rs:160-244). Driver-side collect — small graphs only, by
+    * design; large graphs use exportJsonLines.
+    */
+  def exportJsonDoc(store: GraphStore): String = {
+    val vs = store.allVertices.orderBy(col("id")).toJSON.collect()
+    val es = interchangeEdges(store).orderBy(col("start"), col("end")).toJSON.collect()
+    s"""{"vertices":[${vs.mkString(",")}],"edges":[${es.mkString(",")}]}"""
+  }
+
+  /** CSV export, properties as a JSON string column (export.rs:45-158). */
+  def exportCsv(store: GraphStore, outDir: String): Unit = {
+    store.allVertices.write.mode("overwrite").option("header", true)
+      .csv(s"$outDir/vertices")
+    store.allEdges.write.mode("overwrite").option("header", true)
+      .csv(s"$outDir/edges")
+  }
+}
