@@ -43,7 +43,8 @@ object Traversals {
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int,
       dir: Direction = Direction.Out): DataFrame = {
-    val e = Direction.orient(edges, dir)
+    // one materialization of the oriented edge set for all hops
+    val e = Direction.orient(edges, dir).localCheckpoint()
     var visited = sources.select(col("id").cast("long").as("id"), lit(0).as("dist"))
       .distinct().localCheckpoint()
     var frontier = visited
@@ -85,7 +86,7 @@ object Traversals {
   def vle(edges: DataFrame, starts: DataFrame, minLength: Int, maxLength: Int,
       dir: Direction = Direction.Out, maxPaths: Option[Int] = None): DataFrame = {
     require(minLength >= 1 && maxLength >= minLength, "need 1 <= min <= max")
-    val e = Direction.orient(edges, dir)
+    val e = Direction.orient(edges, dir).localCheckpoint()
     var frontier = starts.select(col("id").cast("long").as("start_id"))
       .distinct()
       .withColumn("end_id", col("start_id"))

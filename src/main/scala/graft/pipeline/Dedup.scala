@@ -40,8 +40,11 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
     * Returns (a, b, inter, size_a, size_b, jaccard) with a < b.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val sh = explodedShingles(df, idCol, textCol, n).cache()
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    jaccardFromShingles(explodedShingles(df, idCol, textCol, n).localCheckpoint())
+
+  /** Exact Jaccard from a pre-materialized (id, shingle) set. */
+  def jaccardFromShingles(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
@@ -87,13 +90,20 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(df, idCol, textCol, k, n), k, bands)
+    // one shingle materialization shared by signatures and verification
+    val sh = explodedShingles(df, idCol, textCol, n).localCheckpoint()
+    val hashed = sh.withColumn("h", h32(col("shingle")))
+    val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(permuted(col("h"), a, b)).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val buckets = lshBuckets(sig, k, bands)
     val cands = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    val exactPairs = ngramJaccardPairs(df, idCol, textCol, n)
+    val exactPairs = jaccardFromShingles(sh)
     cands.join(exactPairs, Seq("a", "b"), "inner")
       .select(col("a"), col("b"), col("jaccard"))
   }

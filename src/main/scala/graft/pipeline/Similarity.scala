@@ -1,65 +1,72 @@
 package graft.pipeline
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import TextHash.h32
+import graft.functions.VectorFunctions
 
 /** Embedding similarity search over an Array[Float] column.
   *
   * - bruteForceTopK: exact cosine against every row — the correctness
-  *   baseline; at scale this is one broadcast of the (small) probe set and
-  *   a map-side scan, no shuffle until the per-probe top-k.
+  *   baseline; one broadcast of the (small) probe set, map-side scan, no
+  *   shuffle until the per-probe top-k.
   * - Random-hyperplane LSH: deterministic ±1 planes derived from the shared
-  *   md5 hash, sign-bit bucket per vector; ANN search only compares within
-  *   the probe's bucket — the 100 TB path (bucket join instead of
-  *   cross join). Planes are pseudo-random but fixed, so results are
-  *   reproducible and SQL-oracle-checkable.
+  *   md5 hash; ANN search compares only within the probe's bucket — the
+  *   100 TB path (bucket equi-join instead of cross join).
   *
-  * All arithmetic is done in double with left-to-right accumulation so the
-  * DuckDB oracle (list_sum over list_transform) is bit-identical.
+  * The kernels run through the codegen'd DotProduct Catalyst expression
+  * (graft.functions.DotProduct) with norms precomputed once per vector;
+  * accumulation order matches SQL list_sum exactly, so results stay
+  * bit-identical to the DuckDB oracle.
   */
 object Similarity {
+  import VectorFunctions.{dot, norm, toDoubleArray}
 
-  private def toD(c: Column): Column = transform(c, x => x.cast("double"))
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
-  /** Sequential-fold dot product (matches SQL list_sum order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toD(a), toD(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** (id, vec_double, norm) — norms computed once, not per pair. */
+  private def prepared(corpus: DataFrame, idCol: String, vecCol: String,
+      id: String, vec: String, nrm: String): DataFrame =
+    corpus.select(col(idCol).as(id), toDoubleArray(col(vecCol)).as(vec))
+      .withColumn(nrm, norm(col(vec)))
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Exact top-k neighbors for each probe id. probes/corpus: (id, vec). */
+  /** Exact top-k neighbors for each probe id. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       probeIds: Seq[Long], k: Int): DataFrame = {
-    val base = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val base = prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
     val probes = base.filter(col("cid").isin(probeIds: _*))
-      .select(col("cid").as("pid"), col("cvec").as("pvec"))
+      .select(col("cid").as("pid"), col("cvec").as("pvec"), col("cnorm").as("pnorm"))
     val scored = base.join(broadcast(probes), col("cid") =!= col("pid"))
-      .withColumn("sim", cosine(col("pvec"), col("cvec")))
+      .withColumn("sim", dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm")))
     val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("pid"), col("rank"), col("cid"), col("sim"))
   }
 
-  /** Deterministic ±1 hyperplane component for plane m, dimension j. */
-  private def planeSign(m: Int, j: Column): Column =
-    when(h32(concat(lit(s"plane${m}_"), j.cast("string"))) % 2 === 0, lit(1.0))
-      .otherwise(lit(-1.0))
+  /** Deterministic ±1 hyperplane for plane m: component j has the parity of
+    * the shared md5-prefix hash of "plane{m}_{j}" — computed once on the
+    * driver, shipped as a literal array (the SQL oracle recomputes the same
+    * values per row).
+    */
+  def planeVector(m: Int, dim: Int): Array[Double] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until dim).map { j =>
+      val hex = md.digest(s"plane${m}_$j".getBytes(StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }.toArray
+  }
 
   /** Sign-bit LSH bucket of a vector under nPlanes hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int = 64): Column = {
     val bits = (0 until nPlanes).map { m =>
-      // dot(vec, plane_m) where plane components are ±1 by hash parity
-      val d = aggregate(
-        zip_with(toD(vec), sequence(lit(0), size(vec) - 1),
-          (x, j) => x * planeSign(m, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1L << m)).otherwise(0L)
+      val plane = array(planeVector(m, dim).map(lit).toIndexedSeq: _*)
+      when(dot(vec, plane) > 0, lit(1L << m)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
@@ -67,28 +74,29 @@ object Similarity {
   /** ANN top-k: exact cosine restricted to the probe's LSH bucket. */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
       probeIds: Seq[Long], k: Int, nPlanes: Int = 8): DataFrame = {
-    val bucketed = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val bucketed = prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
       .withColumn("bucket", lshBucket(col("cvec"), nPlanes))
     val probes = bucketed.filter(col("cid").isin(probeIds: _*))
-      .select(col("cid").as("pid"), col("cvec").as("pvec"), col("bucket"))
+      .select(col("cid").as("pid"), col("cvec").as("pvec"),
+        col("cnorm").as("pnorm"), col("bucket"))
     val scored = bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col("cid") =!= col("pid"))
-      .withColumn("sim", cosine(col("pvec"), col("cvec")))
+      .withColumn("sim", dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm")))
     val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("pid"), col("rank"), col("cid"), col("sim"))
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold, a < b. Exact
-    * all-pairs here; at scale, pre-bucket with lshBucket and join on bucket.
+  /** Embedding near-duplicate pairs: cosine >= threshold, a < b. All-pairs
+    * here; at scale, pre-bucket with lshBucket and join on bucket first.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val base = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val other = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
-    base.join(other, col("a") < col("b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+    val a = prepared(corpus, idCol, vecCol, "a", "va", "na")
+    val b = prepared(corpus, idCol, vecCol, "b", "vb", "nb")
+    a.join(b, col("a") < col("b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
   }
