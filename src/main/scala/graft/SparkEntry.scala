@@ -8,9 +8,9 @@ object SparkEntry {
     RelationalQueries.queries("q3_join_topk")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries ++ CypherGateQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ GraphQueries.queries ++ CypherGateQueries.queries ++ PipelineQueries.queries ++ ExtraQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ GraphQueries.oracle ++ CypherGateQueries.oracle ++ PipelineQueries.oracle
+    RelationalQueries.oracle ++ GraphQueries.oracle ++ CypherGateQueries.oracle ++ PipelineQueries.oracle ++ ExtraQueries.oracle
 }

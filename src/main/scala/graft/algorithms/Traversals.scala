@@ -56,7 +56,9 @@ object Traversals {
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      // visited is a shallow union of already-checkpointed levels — no
+      // re-materialization needed per hop
+      visited = visited.unionByName(next)
       frontier = next
     }
     visited

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algorithms.Traversals
+import graft.functions.Aggregators
+import graft.model.Graphid
+import graft.store.{GraphStore, Tables}
+
+/** Coverage extensions: CUBE grouping sets (oracle-checked), plus the
+  * approximate/sketch/sampling/custom-UDAF surface. Approximate results are
+  * engine-specific by nature, so those entries deliberately have NO oracle
+  * SQL — the driver records its weaker rows-only check, which is the right
+  * contract for approximation operators.
+  */
+object ExtraQueries {
+
+  private val DEC = "decimal(18,2)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CUBE grouping sets (A7).
+    "q16_cube" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DEC)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // HLL approximate distinct (A7) — rows-only check by design.
+    "x1_approx_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // approximate quantiles — rows-only.
+    "x2_quantiles" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // seeded Bernoulli sampling — rows-only (count varies by engine).
+    "x3_sample" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .sample(withReplacement = false, fraction = 0.1, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"))
+    }),
+
+    // VLE with full path enumeration + deterministic maxPaths cap — the
+    // path arrays are not SQL-comparable, rows-only.
+    "x4_vle_paths" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val starts = Seq(Graphid.pack(GraphStore.Lab.Customer, 1L)).toDF("id")
+      Traversals.vle(g.allEdges.select(col("src"), col("dst")), starts, 1, 3,
+          maxPaths = Some(100))
+        .select(col("start_id"), col("end_id"), col("len"),
+          concat_ws("->", col("path")).as("path_str"))
+        .orderBy(col("len"), col("path_str"))
+    }),
+
+    // custom typed Aggregator (UDAF) — geometric mean + top-k; rows-only.
+    "x5_custom_udaf" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Aggregators.geometric_mean(col("l_extendedprice")).as("geo_price"),
+          Aggregators.top_k(col("l_suppkey"), 3).as("top_suppliers"))
+        .select(col("l_returnflag"), round(col("geo_price"), 2).as("geo_price"),
+          concat_ws(",", col("top_suppliers")).as("top_suppliers"))
+        .orderBy(col("l_returnflag"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q16_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+}
