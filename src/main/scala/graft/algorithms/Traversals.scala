@@ -51,7 +51,11 @@ object Traversals {
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
-      val next = frontier.join(e, frontier("id") === e("src"))
+      // frontier is broadcast: each hop is a map-side scan of the edge
+      // table, no shuffle of the (large) edge side; dedup/anti shuffle only
+      // frontier-sized data. AQE spills to sort-merge if a frontier ever
+      // exceeds the broadcast threshold.
+      val next = e.join(broadcast(frontier), frontier("id") === e("src"))
         .select(e("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(hop))
@@ -98,7 +102,7 @@ object Traversals {
     var len = 0
     while (len < maxLength && !frontier.isEmpty) {
       len += 1
-      frontier = frontier.join(e, frontier("end_id") === e("src"))
+      frontier = e.join(broadcast(frontier), frontier("end_id") === e("src"))
         .where(!array_contains(col("path"), e("dst")))
         .select(col("start_id"), e("dst").as("end_id"),
           concat(col("path"), array(e("dst"))).as("path"))

@@ -215,7 +215,13 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           sub.copy(df = sub.df.where(compiler.truthy(compiler.compile(w))))
         case None => sub
       }
-      val joined = o.df.join(sub.df, seedCols, "left_outer")
+      // join back on entity ids only (they functionally determine the rest
+      // of the seed columns) — narrower keys, smaller shuffle
+      val keyCols = shared.map { v =>
+        if (o.vars(v).kind == VarKind.Value) v else Scope.colName(v, "id")
+      }
+      val joined = o.df.join(
+        sub.df.drop(seedCols.filterNot(keyCols.contains): _*), keyCols, "left_outer")
       val newVars = sub.vars -- shared
       Scope(joined, o.vars ++ newVars, o.order ++ sub.order.filterNot(shared.contains))
     }
