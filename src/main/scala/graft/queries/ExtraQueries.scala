@@ -66,6 +66,31 @@ object ExtraQueries {
         .orderBy(col("len"), col("path_str"))
     }),
 
+    // GraphX PageRank over the TPC-H graph — FP iteration, rows-only.
+    "x6_pagerank" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      graft.algorithms.GraphAlgorithms.pageRank(s, g.allEdges.select(col("src"), col("dst")))
+        .orderBy(col("rank").desc, col("id"))
+        .limit(20)
+    }),
+
+    // GraphX connected components (undirected reachability closure is too
+    // large for a SQL oracle) — rows-only.
+    "x7_components" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      graft.algorithms.GraphAlgorithms
+        .connectedComponents(s, g.allEdges.select(col("src"), col("dst")))
+        .groupBy(col("component")).agg(count(lit(1)).as("n_vertices"))
+        .orderBy(col("component"))
+    }),
+
+    // full-outer degree table — oracle-checked.
+    "x8_degrees" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      graft.algorithms.GraphAlgorithms.degrees(g.allEdges.select(col("src"), col("dst")))
+        .orderBy(col("id"))
+    }),
+
     // custom typed Aggregator (UDAF) — geometric mean + top-k; rows-only.
     "x5_custom_udaf" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
@@ -78,6 +103,15 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x8_degrees" ->
+      s"""WITH ${GraphQueries.edgesCte},
+         |outd AS (SELECT src AS id, COUNT(*) AS out_degree FROM edges GROUP BY src),
+         |ind AS (SELECT dst AS id, COUNT(*) AS in_degree FROM edges GROUP BY dst)
+         |SELECT COALESCE(o.id, i.id) AS id,
+         |  COALESCE(in_degree, 0) AS in_degree,
+         |  COALESCE(out_degree, 0) AS out_degree
+         |FROM outd o FULL OUTER JOIN ind i ON o.id = i.id
+         |ORDER BY id""".stripMargin,
     "q16_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -19,7 +19,7 @@ object GraphQueries {
   /** Shared oracle prelude: the packed-id edge list, mirroring
     * GraphStore.tpch / Graphid.packCol exactly.
     */
-  private val edgesCte: String =
+  private[queries] val edgesCte: String =
     """edges AS (
       |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
       |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst FROM orders

@@ -92,6 +92,18 @@ final class GraphStore(
   def withEdgeTable(label: String, df: DataFrame): GraphStore =
     new GraphStore(vertexTables, edgeTables + (label -> df))
 
+  /** Persist the store as per-label parquet datasets (the durable layout:
+    * one directory per label = the reference's per-label key prefix).
+    */
+  def save(dir: String): Unit = {
+    vertexTables.foreach { case (l, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/vertices/$l")
+    }
+    edgeTables.foreach { case (l, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/edges/$l")
+    }
+  }
+
   /** Persist edges bucketed by src — at cluster scale this makes every hop
     * join shuffle-free on the build side (SURVEY.md §1.2). Local tests use
     * the in-memory tables directly.
@@ -107,6 +119,18 @@ final class GraphStore(
 }
 
 object GraphStore {
+
+  /** Load a store saved with `save` (per-label parquet directories). */
+  def load(spark: SparkSession, dir: String): GraphStore = {
+    def labelsIn(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/$sub")
+      if (d.isDirectory) d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+      else Nil
+    }
+    new GraphStore(
+      labelsIn("vertices").map(l => l -> spark.read.parquet(s"$dir/vertices/$l")).toMap,
+      labelsIn("edges").map(l => l -> spark.read.parquet(s"$dir/edges/$l")).toMap)
+  }
 
   /** Label-id dictionary for the TPC-H projection — the analogue of the
     * reference's l: label keyspace (rocksdb_store.rs:188-222).
