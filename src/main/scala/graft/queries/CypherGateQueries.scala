@@ -79,6 +79,21 @@ object CypherGateQueries {
         |RETURN DISTINCT n.n_name AS nation
         |ORDER BY nation SKIP 2 LIMIT 5""".stripMargin),
 
+    "cy12_unwind" -> cy(
+      """MATCH (n:Nation) UNWIND [1, 2, 3] AS m
+        |RETURN n.n_nationkey * m AS v, count(*) AS c
+        |ORDER BY v""".stripMargin),
+
+    // parameter binding ($minbal) — parsed-only in the reference, executes here.
+    "cy13_params" -> ((s, dir) => {
+      new CypherSession(s, GraphStore.tpch(s, dir), Map("minbal" -> 5000.0))
+        .run(
+          """MATCH (c:Customer)-[:CUST_NATION]->(n:Nation)
+            |WHERE c.c_acctbal > $minbal
+            |RETURN n.n_name AS nation, count(c) AS n_rich
+            |ORDER BY nation""".stripMargin)
+    }),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -175,5 +190,14 @@ object CypherGateQueries {
         |ORDER BY nation OFFSET 2 LIMIT 5""".stripMargin,
     "cy11_mutation" ->
       """SELECT 'HUB' AS hub, COUNT(*) AS n_linked
-        |FROM nation WHERE n_nationkey <> 0""".stripMargin)
+        |FROM nation WHERE n_nationkey <> 0""".stripMargin,
+    "cy12_unwind" ->
+      """SELECT CAST(n_nationkey * m AS BIGINT) AS v, COUNT(*) AS c
+        |FROM nation CROSS JOIN (VALUES (1), (2), (3)) AS t(m)
+        |GROUP BY 1 ORDER BY v""".stripMargin,
+    "cy13_params" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_rich
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_acctbal > 5000.0
+        |GROUP BY n_name ORDER BY nation""".stripMargin)
 }
