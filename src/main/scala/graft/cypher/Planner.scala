@@ -115,62 +115,101 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     applyProps(withLabels, v, np.props)
   }
 
-  private def compilePath(scope: Option[Scope], pat: PathPat): Scope = {
-    val sv = pat.start.variable.getOrElse(fresh("n"))
-    var sc: Scope = scope match {
+  /** Node that constrains nothing: no variable, labels, or props. Edges
+    * always reference existing vertices (store integrity invariant, same as
+    * the reference), so such nodes need no vertex-table join at all.
+    */
+  private def anonFree(np: NodePat): Boolean =
+    np.variable.isEmpty && np.labels.isEmpty && np.props.isEmpty
+
+  private def bindStart(scope: Option[Scope], np: NodePat): (Scope, String) = {
+    val sv = np.variable.getOrElse(fresh("n"))
+    val sc = scope match {
       case Some(s) if s.vars.contains(sv) =>
-        applyNodeConstraints(s, sv, pat.start)
+        applyNodeConstraints(s, sv, np)
       case Some(s) =>
-        val (ndf, info) = nodeScan(pat.start, sv)
+        val (ndf, info) = nodeScan(np, sv)
         val joined = Scope(s.df.crossJoin(ndf), s.vars + (sv -> info), s.order :+ sv)
-        applyProps(joined, sv, pat.start.props)
+        applyProps(joined, sv, np.props)
       case None =>
-        val (ndf, info) = nodeScan(pat.start, sv)
-        applyProps(Scope(ndf, Map(sv -> info), Seq(sv)), sv, pat.start.props)
+        val (ndf, info) = nodeScan(np, sv)
+        applyProps(Scope(ndf, Map(sv -> info), Seq(sv)), sv, np.props)
     }
-    var prev = sv
-    pat.hops.foreach { case (rel, node) =>
-      val (next, nv) = compileHop(sc, prev, rel, node)
-      sc = next
-      prev = nv
-    }
-    sc
+    (sc, Scope.colName(sv, "id"))
   }
 
-  private def compileHop(sc0: Scope, prev: String, rel: RelPat, node: NodePat): (Scope, String) = {
-    val nv = node.variable.getOrElse(fresh("n"))
+  private def compilePath(scope: Option[Scope], pat: PathPat): Scope = {
+    // anonymous unconstrained start before a plain hop: the first edge scan
+    // is the anchor, no vertex join (`MATCH ()-[r:X]->(b)` touches only the
+    // edge table and b)
+    val skipStart = anonFree(pat.start) && pat.hops.nonEmpty &&
+      pat.hops.head._1.varLength.isEmpty
+    var (sc, prevId): (Option[Scope], Option[String]) =
+      if (skipStart) (scope, None)
+      else {
+        val (s, p) = bindStart(scope, pat.start)
+        (Some(s), Some(p))
+      }
+    pat.hops.foreach { case (rel, node) =>
+      val (next, anchor) = compileHop(sc, prevId, rel, node)
+      sc = Some(next)
+      prevId = Some(anchor)
+    }
+    sc.get
+  }
+
+  /** One hop; returns the new scope plus the column anchoring the far end
+    * (a bound variable's id, or the raw edge dst for skipped anon nodes).
+    */
+  private def compileHop(scOpt: Option[Scope], prevIdCol: Option[String],
+      rel: RelPat, node: NodePat): (Scope, String) = {
     rel.varLength match {
       case Some((lo, hi)) =>
+        val sc0 = scOpt.getOrElse(sys.error("var-length hop needs a bound start"))
+        val prev = prevIdCol.getOrElse(sys.error("var-length hop needs a bound start"))
         val dir = rel.dir match {
           case Dir.Out => Direction.Out; case Dir.In => Direction.In; case Dir.Both => Direction.Both
         }
         val edges = edgeUnion(rel.types).select(col("src"), col("dst"))
-        val starts = sc0.df.select(col(Scope.colName(prev, "id")).as("id")).distinct()
+        val starts = sc0.df.select(col(prev).as("id")).distinct()
         val ev = fresh("vl")
         val pairs = Traversals.vle(edges, starts, lo.max(1), hi, dir)
           .select(col("start_id").as(s"${ev}__s"), col("end_id").as(s"${ev}__d"))
-        var sc = sc0.copy(df = sc0.df.join(pairs,
-          col(Scope.colName(prev, "id")) === col(s"${ev}__s")))
-        sc = bindTarget(sc, s"${ev}__d", node, nv)
+        var sc = sc0.copy(df = sc0.df.join(pairs, col(prev) === col(s"${ev}__s")))
+        val nv = node.variable.getOrElse(fresh("n"))
+        sc = bindTargetVar(sc, s"${ev}__d", node, nv)
         sc = sc.copy(df = sc.df.drop(s"${ev}__s", s"${ev}__d"))
-        (sc, nv)
+        (sc, Scope.colName(nv, "id"))
       case None =>
         val ev = rel.variable.getOrElse(fresh("e"))
-        require(!sc0.vars.contains(ev), s"relationship variable reused: $ev")
+        require(!scOpt.exists(_.vars.contains(ev)), s"relationship variable reused: $ev")
         val (edf, einfo) = edgeScan(rel, ev)
-        var sc = Scope(
-          sc0.df.join(edf, col(Scope.colName(prev, "id")) === col(Scope.colName(ev, "src"))),
-          sc0.vars + (ev -> einfo), sc0.order :+ ev)
+        val srcCol = Scope.colName(ev, "src")
+        var sc = (scOpt, prevIdCol) match {
+          case (Some(s), Some(p)) =>
+            Scope(s.df.join(edf, col(p) === col(srcCol)),
+              s.vars + (ev -> einfo), s.order :+ ev)
+          case (Some(s), None) =>
+            Scope(s.df.crossJoin(edf), s.vars + (ev -> einfo), s.order :+ ev)
+          case (None, _) =>
+            Scope(edf, Map(ev -> einfo), Seq(ev))
+        }
         sc = applyProps(sc, ev, rel.props)
-        sc = bindTarget(sc, Scope.colName(ev, "dst"), node, nv)
-        (sc, nv)
+        val endCol = Scope.colName(ev, "dst")
+        if (anonFree(node) && !scOpt.exists(s => node.variable.exists(s.vars.contains))) {
+          (sc, endCol) // no vertex join needed
+        } else {
+          val nv = node.variable.getOrElse(fresh("n"))
+          (bindTargetVar(sc, endCol, node, nv), Scope.colName(nv, "id"))
+        }
     }
   }
 
-  /** Bind the far end of a hop: join a fresh node scan, or constrain to an
-    * already-bound variable (same-variable re-occurrence = equi-filter).
+  /** Bind the far end of a hop to a variable: join a fresh node scan, or
+    * constrain to an already-bound variable (same-variable re-occurrence =
+    * equi-filter).
     */
-  private def bindTarget(sc0: Scope, endCol: String, node: NodePat, nv: String): Scope = {
+  private def bindTargetVar(sc0: Scope, endCol: String, node: NodePat, nv: String): Scope = {
     if (sc0.vars.contains(nv)) {
       val filtered = sc0.copy(df = sc0.df.where(col(endCol) === col(Scope.colName(nv, "id"))))
       applyNodeConstraints(filtered, nv, node)

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Semantic tests for the training-data pipeline operators: planted
+  * near-duplicates must actually be found (not just deterministically
+  * hashed), ANN must agree with brute force on easy queries, and text
+  * heuristics must behave sensibly on clear-cut inputs.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+
+  def docs = Seq(
+    (1L, base),
+    (2L, base + " tonight"), // near-dup of 1
+    (3L, base.replace("quick", "slow")), // near-dup of 1
+    (4L, "completely different content about spark catalyst optimizer internals and codegen"),
+    (5L, "yet another unrelated string regarding distributed graph traversal engines at scale"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup collapses identical normalized text") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(d, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // min id survives
+  }
+
+  test("n-gram Jaccard ranks planted near-dups on top") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("a", "b", "jaccard")
+      .orderBy($"jaccard".desc).collect()
+    val top = pairs.take(2).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top.contains((1L, 2L)) || top.contains((1L, 3L)))
+    assert(pairs.head.getDouble(2) > 0.5)
+  }
+
+  test("MinHash+LSH finds the planted near-dup pairs without all-pairs compare") {
+    val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 2L)))
+    // and does not claim the unrelated docs
+    assert(!found.contains((4L, 5L)))
+  }
+
+  test("SimHash: near-dups are close in hamming distance, unrelated are far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(5L)))
+  }
+
+  test("ANN bucket search agrees with brute force for same-bucket neighbors") {
+    val vecs = (0 until 50).map { i =>
+      val v = Array.tabulate(64)(j => if (j == i % 8) 1.0f else 0.01f * ((i * 7 + j) % 5))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L), 5)
+      .collect().map(_.getLong(2))
+    val ann = Similarity.annTopK(vecs, "vec_id", "embedding", Seq(0L), 5)
+      .collect().map(_.getLong(2))
+    // ANN candidates are a subset of the corpus sharing the bucket; its top
+    // hit must appear among brute-force's top hits when recall is good
+    assert(ann.nonEmpty && bf.contains(ann.head))
+  }
+
+  test("language ID picks the language whose stopwords dominate") {
+    val d = Seq(
+      (1L, "the cat is on the mat and the dog is in the house"),
+      (2L, "der hund ist nicht in der stadt und das ist gut"),
+      (3L, "el gato esta en la casa y el perro en el jardin"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, "text")
+      .select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "es")
+  }
+
+  test("quality score favors long clean text over short noisy text") {
+    val d = Seq(
+      (1L, ("clean readable english words " * 16).trim),
+      (2L, "x@#$ 1!!"))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.quality(d, "text")
+      .select("doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > q(2L))
+  }
+}
