@@ -1,0 +1,110 @@
+package graft.social
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algorithms.{Direction, Traversals}
+import graft.model.Graphid
+import graft.store.GraphStore
+
+/** The reference's social-network workload (SURVEY.md §2.8,
+  * /root/reference/social-network-api) as a typed Scala API over a
+  * GraphStore: User vertices, FOLLOWS edges, Post vertices + POSTED edges.
+  * Every operation is a DataFrame transform — follow/unfollow are the M1/M3
+  * mutation patterns, the read ops are the C2-C6 composite queries.
+  */
+final class SocialGraph(spark: SparkSession, initial: GraphStore) {
+  @volatile var store: GraphStore = initial
+
+  val UserLab = 200
+  val PostLab = 201
+  val FollowsLab = 210
+  val PostedLab = 211
+
+  private def follows: DataFrame = store.edgeTables.getOrElse("FOLLOWS",
+    spark.emptyDataFrame.withColumn("id", lit(0L)).withColumn("src", lit(0L))
+      .withColumn("dst", lit(0L)).withColumn("followed_at", lit(0L)).limit(0))
+
+  def userId(k: Long): Long = Graphid.pack(UserLab, k)
+
+  /** C1 follow: dup-check (anti-join) then edge insert — the reference's
+    * check-then-create (social_graph.rs:21-49) without the read loop.
+    */
+  def follow(followerKey: Long, followeeKey: Long, at: Long): Unit = {
+    import spark.implicits._
+    val row = Seq((Graphid.pack(FollowsLab, followerKey << 24 | followeeKey),
+      userId(followerKey), userId(followeeKey), at))
+      .toDF("id", "src", "dst", "followed_at")
+    val existing = follows
+    val fresh = row.join(existing.select(col("src").as("esrc"), col("dst").as("edst")),
+      col("src") === col("esrc") && col("dst") === col("edst"), "left_anti")
+    store = store.withEdgeTable("FOLLOWS", existing.unionByName(fresh))
+  }
+
+  /** C1 unfollow: anti-join delete (social_graph.rs:52-73). */
+  def unfollow(followerKey: Long, followeeKey: Long): Unit = {
+    val kept = follows.where(
+      !(col("src") === userId(followerKey) && col("dst") === userId(followeeKey)))
+    store = store.withEdgeTable("FOLLOWS", kept)
+  }
+
+  /** C2 following / followers: one-hop expansion + limit. */
+  def following(userKey: Long, limit: Int = 100): DataFrame =
+    follows.where(col("src") === userId(userKey))
+      .select(col("dst").as("user_id"), col("followed_at"))
+      .orderBy(col("followed_at").desc, col("user_id")).limit(limit)
+
+  def followers(userKey: Long, limit: Int = 100): DataFrame =
+    follows.where(col("dst") === userId(userKey))
+      .select(col("src").as("user_id"), col("followed_at"))
+      .orderBy(col("followed_at").desc, col("user_id")).limit(limit)
+
+  /** C3 mutual friends: intersection of the two following sets
+    * (social_graph.rs:138-163).
+    */
+  def mutualFriends(aKey: Long, bKey: Long): DataFrame = {
+    val fa = follows.where(col("src") === userId(aKey)).select(col("dst").as("user_id"))
+    val fb = follows.where(col("src") === userId(bKey)).select(col("dst").as("user_id"))
+    fa.intersect(fb).orderBy(col("user_id"))
+  }
+
+  /** C4 friend suggestion: friends-of-friends minus self and
+    * already-followed, scored by path count, top-k
+    * (services/social_graph.rs:81-122).
+    */
+  def suggestFriends(userKey: Long, k: Int = 10): DataFrame = {
+    val me = userId(userKey)
+    val f = follows.select(col("src"), col("dst"))
+    val mine = f.where(col("src") === me).select(col("dst").as("friend"))
+    val fof = mine.join(f, col("friend") === f("src"))
+      .select(col("dst").as("candidate"))
+      .where(col("candidate") =!= me)
+    fof.join(mine.withColumnRenamed("friend", "candidate"), Seq("candidate"), "left_anti")
+      .groupBy(col("candidate")).agg(count(lit(1)).as("paths"))
+      .orderBy(col("paths").desc, col("candidate"))
+      .limit(k)
+  }
+
+  /** C5 degrees of separation: BFS shortest path over FOLLOWS. */
+  def degreesOfSeparation(aKey: Long, bKey: Long, maxHops: Int = 6): Option[Int] = {
+    val d = Traversals.shortestPathDist(
+      follows.select(col("src"), col("dst")), userId(aKey), userId(bKey), maxHops,
+      Direction.Out).collect()
+    d.headOption.map(_.getInt(1))
+  }
+
+  /** C6 timeline: posts of followed users, newest first
+    * (services/content.rs:65-100). posts: (id, src=user, dst=post) POSTED +
+    * Post vertices with created_at.
+    */
+  def timeline(userKey: Long, limit: Int = 20): DataFrame = {
+    val posted = store.edgeTables.getOrElse("POSTED", return spark.emptyDataFrame)
+    val posts = store.vertexTables.getOrElse("Post", return spark.emptyDataFrame)
+    follows.where(col("src") === userId(userKey))
+      .select(col("dst").as("author"))
+      .join(posted.select(col("src").as("author"), col("dst").as("post_id")), "author")
+      .join(posts.select(col("id").as("post_id"), col("content"), col("created_at")), "post_id")
+      .orderBy(col("created_at").desc, col("post_id"))
+      .limit(limit)
+  }
+}
