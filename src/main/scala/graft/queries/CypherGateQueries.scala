@@ -116,7 +116,7 @@ object CypherGateQueries {
     "cy2_agg_group" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,
         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-        |  SUM(o_orderkey) AS key_sum
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY seg""".stripMargin,

@@ -245,8 +245,8 @@ object PipelineQueries {
          |    len(list_distinct($toksSql)) AS nd
          |  FROM documents
          |)
-         |SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
-         |  SUM(nd) AS total_distinct_tokens, MAX(n) AS max_tokens
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(nd) AS BIGINT) AS total_distinct_tokens, CAST(MAX(n) AS BIGINT) AS max_tokens
          |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "t4_fingerprints" ->
       s"""SELECT doc_id AS id,
@@ -259,7 +259,7 @@ object PipelineQueries {
       // DuckDB md5(VARCHAR) hashes UTF-8 bytes = Spark md5(cast(text AS
       // binary)); strlen counts bytes, matching the decoded payload length.
       s"""SELECT source, COUNT(*) AS n_media,
-         |  SUM(strlen(text)) AS total_bytes,
+         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
          |  SUM(${h32Sql("text")} % 251) AS feature_sum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }
