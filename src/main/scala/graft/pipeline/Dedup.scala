@@ -31,10 +31,16 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc distinct word-n-gram shingle sets, exploded: (id, shingle). */
+  /** Per-doc distinct word-n-gram shingle sets, exploded and HASHED:
+    * (id, h). Joining/grouping on the 64-bit-safe integer hash instead of
+    * the shingle string makes the pair join several times cheaper; the
+    * oracle applies the identical hash, so any collision affects both
+    * engines identically (standard minhash-world practice).
+    */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
       explode(shingles(tokens(col(textCol)), n)).as("shingle"))
+      .select(col("id"), h32(col("shingle")).as("h"))
       .distinct()
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
@@ -43,11 +49,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     jaccardFromShingles(explodedShingles(df, idCol, textCol, n).localCheckpoint())
 
-  /** Exact Jaccard from a pre-materialized (id, shingle) set. */
+  /** Exact Jaccard from a pre-materialized hashed (id, h) shingle set. */
   def jaccardFromShingles(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -63,7 +69,6 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, n: Int = 3): DataFrame = {
     val sh = explodedShingles(df, idCol, textCol, n)
-      .withColumn("h", h32(col("shingle")))
     val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       min(permuted(col("h"), a, b)).as(s"mh$i")
     }
@@ -92,11 +97,10 @@ object Dedup {
       k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
     // one shingle materialization shared by signatures and verification
     val sh = explodedShingles(df, idCol, textCol, n).localCheckpoint()
-    val hashed = sh.withColumn("h", h32(col("shingle")))
     val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       min(permuted(col("h"), a, b)).as(s"mh$i")
     }
-    val sig = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     val buckets = lshBuckets(sig, k, bands)
     val cands = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

@@ -86,15 +86,17 @@ object PipelineQueries {
 
   private def shSql(n: Int): String = shinglesSql(toksSql, n)
 
-  /** Distinct (id, shingle) + per-doc sizes + intersection pairs. */
+  /** Distinct hashed (id, h) shingles + per-doc sizes + intersection pairs
+    * (hash join mirrors Dedup.explodedShingles exactly).
+    */
   private def jaccardCtes(n: Int): String =
     s"""sh AS (
-       |  SELECT DISTINCT doc_id AS id, unnest(${shSql(n)}) AS shingle FROM documents
+       |  SELECT DISTINCT doc_id AS id, ${h32Sql(s"unnest(${shSql(n)})")} AS h FROM documents
        |),
        |sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
        |inter AS (
        |  SELECT x.id AS a, y.id AS b, COUNT(*) AS inter
-       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+       |  FROM sh x JOIN sh y ON x.h = y.h AND x.id < y.id
        |  GROUP BY 1, 2
        |),
        |jac AS (
@@ -105,7 +107,7 @@ object PipelineQueries {
 
   private def minhashSql: String = {
     val mins = minhashCoeffs(K).zipWithIndex.map { case ((a, b), i) =>
-      s"MIN(${permutedSql(h32Sql("shingle"), a, b)}) AS mh$i"
+      s"MIN(${permutedSql("h", a, b)}) AS mh$i"
     }.mkString(",\n    ")
     val rows = K / BANDS
     val bandCols = (0 until BANDS).map { bd =>
