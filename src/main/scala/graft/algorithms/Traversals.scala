@@ -15,11 +15,16 @@ object Direction {
   /** Normalize an edge set to (src, dst) rows in traversal direction.
     * Both = union of forward and reversed — two scans, no per-row branching.
     */
-  def orient(edges: DataFrame, dir: Direction): DataFrame = dir match {
-    case Out  => edges.select(col("src"), col("dst"))
-    case In   => edges.select(col("dst").as("src"), col("src").as("dst"))
-    case Both => edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+  def orient(edges: DataFrame, dir: Direction): DataFrame = {
+    // preserve the edge id when present so callers can reconstruct
+    // edge sequences; orientation does not change identity
+    val extra = edges.columns.filter(_ == "id").toSeq.map(col)
+    dir match {
+      case Out  => edges.select(col("src") +: col("dst") +: extra: _*)
+      case In   => edges.select(col("dst").as("src") +: col("src").as("dst") +: extra: _*)
+      case Both => edges.select(col("src") +: col("dst") +: extra: _*)
+        .unionByName(edges.select(col("dst").as("src") +: col("src").as("dst") +: extra: _*))
+    }
   }
 }
 
@@ -30,10 +35,22 @@ object Direction {
   *
   * Scale posture: each hop is one equi-join of the frontier against the
   * (bucketable) edge table; frontiers are localCheckpoint'ed to cut lineage;
-  * no driver-side materialization of vertex sets (loop termination uses
-  * `isEmpty`, a cheap limit-1 job).
+  * no driver-side materialization of vertex sets. Loop termination reuses the
+  * frontier count that also gates the join strategy: checkpointed relations
+  * report no usable size stats, so we count the (already materialized)
+  * frontier once per hop — a cheap cached-block scan — and broadcast ONLY
+  * when the frontier is provably small. A frontier near |V| falls back to a
+  * shuffle join instead of OOMing the driver.
   */
 object Traversals {
+
+  /** Frontier row-count ceiling for a broadcast hop join. ~1M (id,dist) rows
+    * is tens of MB serialized — safely under executor memory anywhere.
+    */
+  val BroadcastFrontierRows: Long = 1L << 20
+
+  /** Lower ceiling when frontier rows carry path arrays (VLE). */
+  val BroadcastPathRows: Long = 100000L
 
   /** Unweighted single/multi-source shortest-path distances (BFS level
     * sweep). `sources` must have an `id` column. Returns (id, dist) with
@@ -44,28 +61,116 @@ object Traversals {
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int,
       dir: Direction = Direction.Out): DataFrame = {
     // one materialization of the oriented edge set for all hops
-    val e = Direction.orient(edges, dir).localCheckpoint()
+    val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint()
     var visited = sources.select(col("id").cast("long").as("id"), lit(0).as("dist"))
       .distinct().localCheckpoint()
     var frontier = visited
+    var frontierRows = frontier.count()
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierRows > 0) {
       hop += 1
-      // frontier is broadcast: each hop is a map-side scan of the edge
-      // table, no shuffle of the (large) edge side; dedup/anti shuffle only
-      // frontier-sized data. AQE spills to sort-merge if a frontier ever
-      // exceeds the broadcast threshold.
-      val next = e.join(broadcast(frontier), frontier("id") === e("src"))
+      // Small frontier → broadcast: map-side scan of the (large) edge table,
+      // no edge shuffle. Large frontier → regular shuffle join; never force
+      // a broadcast of an unbounded relation.
+      val f = if (frontierRows <= BroadcastFrontierRows) broadcast(frontier) else frontier
+      val next = e.join(f, f("id") === e("src"))
         .select(e("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint()
+      frontierRows = next.count() // cached-block scan of the checkpoint
       // visited is a shallow union of already-checkpointed levels — no
       // re-materialization needed per hop
       visited = visited.unionByName(next)
       frontier = next
     }
     visited
+  }
+
+  /** BFS with deterministic predecessor tracking: returns
+    * (id, dist, parent) where parent is the minimum-id neighbor at dist-1
+    * (NULL for sources). Walking parents backwards reconstructs the unique
+    * lexicographically-minimal shortest path, mirroring the reference's
+    * vertex+edge path result (/root/reference/src/algorithms/shortest_path.rs:144-174)
+    * without carrying per-vertex path arrays (which would be |V|*maxHops
+    * memory at scale — parents are O(|V|)).
+    */
+  def bfsParents(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      dir: Direction = Direction.Out): DataFrame = {
+    val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint()
+    var visited = sources.select(col("id").cast("long").as("id"), lit(0).as("dist"),
+      lit(null).cast("long").as("parent"))
+      .distinct().localCheckpoint()
+    var frontier = visited.select("id")
+    var frontierRows = frontier.count()
+    var hop = 0
+    while (hop < maxHops && frontierRows > 0) {
+      hop += 1
+      val f = if (frontierRows <= BroadcastFrontierRows) broadcast(frontier) else frontier
+      val next = e.join(f, f("id") === e("src"))
+        // min-parent is a map-side-combinable aggregation — deterministic
+        // and shuffle-light (one row per newly reached vertex)
+        .groupBy(e("dst").as("id")).agg(min(e("src")).as("parent"))
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(hop).as("dist"), col("parent"))
+        .localCheckpoint()
+      frontierRows = next.count()
+      visited = visited.unionByName(next)
+      frontier = next.select("id")
+    }
+    visited
+  }
+
+  /** Full shortest path between two vertices: returns one row
+    * (start_id, end_id, dist, path) with path = the vertex-id sequence of
+    * the lexicographically-minimal shortest path, or 0 rows if unreachable
+    * within maxHops (the reference errors on unreachable:
+    * shortest_path.rs:66-73 — we return 0 rows, the relational idiom;
+    * `pathsBetween` restores the erroring surface).
+    *
+    * Reconstruction walks parent pointers backwards: at most `dist` point
+    * lookups against the checkpointed parents table — O(path length) tiny
+    * jobs, never a |V|-sized driver materialization.
+    */
+  def shortestPath(edges: DataFrame, srcId: Long, dstId: Long, maxHops: Int,
+      dir: Direction = Direction.Out): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parents = bfsParents(edges, Seq(srcId).toDF("id"), maxHops, dir)
+    val endRow = parents.where(col("id") === dstId)
+      .select("dist", "parent").collect()
+    val out =
+      if (endRow.isEmpty) Seq.empty[(Long, Long, Int, Seq[Long])]
+      else {
+        val dist = endRow(0).getInt(0)
+        val path = scala.collection.mutable.ArrayBuffer(dstId)
+        var cur = if (endRow(0).isNullAt(1)) None else Some(endRow(0).getLong(1))
+        while (cur.isDefined) {
+          path.prepend(cur.get)
+          val r = parents.where(col("id") === cur.get).select("parent").collect()
+          cur = if (r.isEmpty || r(0).isNullAt(0)) None else Some(r(0).getLong(0))
+        }
+        Seq((srcId, dstId, dist, path.toSeq))
+      }
+    out.toDF("start_id", "end_id", "dist", "path")
+  }
+
+  /** All simple paths between two vertices with length in [minLen, maxLen]
+    * (reference vle.rs:165-185 `paths_between`, which errors when none
+    * exist). Throws NoSuchElementException if no path is found, matching
+    * the reference's error surface.
+    */
+  def pathsBetween(edges: DataFrame, srcId: Long, dstId: Long,
+      minLen: Int, maxLen: Int, dir: Direction = Direction.Out): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val res = vle(edges, Seq(srcId).toDF("id"), minLen, maxLen, dir)
+      .where(col("end_id") === dstId)
+      .localCheckpoint()
+    if (res.isEmpty)
+      throw new NoSuchElementException(
+        s"no path of length [$minLen,$maxLen] from $srcId to $dstId")
+    res
   }
 
   /** Shortest-path distance between two vertices; empty result if
@@ -90,31 +195,49 @@ object Traversals {
     * max_paths option (vle.rs:60-63,124-127).
     */
   def vle(edges: DataFrame, starts: DataFrame, minLength: Int, maxLength: Int,
-      dir: Direction = Direction.Out, maxPaths: Option[Int] = None): DataFrame = {
+      dir: Direction = Direction.Out, maxPaths: Option[Int] = None,
+      carryEdges: Boolean = false): DataFrame = {
     require(minLength >= 1 && maxLength >= minLength, "need 1 <= min <= max")
-    val e = Direction.orient(edges, dir).localCheckpoint()
+    require(!carryEdges || edges.columns.contains("id"),
+      "carryEdges needs an `id` column on the edge relation")
+    val eCols = if (carryEdges) Seq("src", "dst", "id") else Seq("src", "dst")
+    val e = Direction.orient(edges, dir)
+      .select(eCols.head, eCols.tail: _*).localCheckpoint()
     var frontier = starts.select(col("id").cast("long").as("start_id"))
       .distinct()
       .withColumn("end_id", col("start_id"))
       .withColumn("path", array(col("start_id")))
-      .localCheckpoint()
+    if (carryEdges)
+      frontier = frontier.withColumn("epath", array().cast("array<long>"))
+    frontier = frontier.localCheckpoint()
+    var frontierRows = frontier.count()
     var results: Option[DataFrame] = None
     var len = 0
-    while (len < maxLength && !frontier.isEmpty) {
+    while (len < maxLength && frontierRows > 0) {
       len += 1
-      frontier = e.join(broadcast(frontier), frontier("end_id") === e("src"))
+      // path rows are wider than (id,dist) — lower broadcast ceiling; a
+      // large path frontier falls back to a shuffle join
+      val f = if (frontierRows <= BroadcastPathRows) broadcast(frontier) else frontier
+      val stepCols =
+        Seq(col("start_id"), e("dst").as("end_id"),
+          concat(col("path"), array(e("dst"))).as("path")) ++
+          (if (carryEdges) Seq(concat(col("epath"), array(e("id"))).as("epath")) else Nil)
+      frontier = e.join(f, f("end_id") === e("src"))
         .where(!array_contains(col("path"), e("dst")))
-        .select(col("start_id"), e("dst").as("end_id"),
-          concat(col("path"), array(e("dst"))).as("path"))
+        .select(stepCols: _*)
         .localCheckpoint()
+      frontierRows = frontier.count()
       if (len >= minLength) {
+        // shallow union of checkpointed levels — not re-checkpointed
         val withLen = frontier.withColumn("len", lit(len))
         results = Some(results.map(_.unionByName(withLen)).getOrElse(withLen))
       }
     }
+    val outCols = Seq(col("start_id"), col("end_id"), col("len"), col("path")) ++
+      (if (carryEdges) Seq(col("epath")) else Nil)
     val all = results.getOrElse(
       frontier.withColumn("len", lit(0)).limit(0))
-      .select(col("start_id"), col("end_id"), col("len"), col("path"))
+      .select(outCols: _*)
     maxPaths match {
       case Some(k) => all.orderBy(col("len"), col("path")).limit(k)
       case None    => all

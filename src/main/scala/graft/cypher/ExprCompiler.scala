@@ -224,7 +224,12 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
       case "rtrim" => rtrim(a0)
       case "reverse" => reverse(a0)
       case "replace" => regexp_replace(a0, compile(args(1)), compile(args(2)))
-      case "split" => split(a0, compile(args(1)).toString)
+      case "split" => args(1) match {
+        // Cypher split takes a LITERAL delimiter; Spark's split takes a
+        // regex, so quote it (\Q..\E)
+        case StrLit(d) => split(a0, java.util.regex.Pattern.quote(d))
+        case _ => sys.error("split() delimiter must be a string literal")
+      }
       case "substring" =>
         val start = compile(args(1)) + lit(1)
         if (args.length > 2) a0.substr(start, compile(args(2)))
@@ -275,9 +280,18 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
       case "-" => l - r
       case "*" => l * r
       case "/" =>
-        // Cypher/reference semantics: integer / integer = integer division
-        if (isIntegralT(l) && isIntegralT(r)) (l / r).cast("long") else l / r
-      case "%" => l % r
+        // Cypher/reference semantics: integer / integer = integer division,
+        // and integer division by zero is an ERROR (match_executor.rs:580-591)
+        // — Spark's silent NULL would diverge. Float division keeps Spark
+        // semantics (SURVEY §8).
+        if (isIntegralT(l) && isIntegralT(r)) {
+          val guarded = when(r === lit(0), raise_error(lit("division by zero"))).otherwise(r)
+          (l / guarded).cast("long")
+        } else l / r
+      case "%" =>
+        if (isIntegralT(l) && isIntegralT(r))
+          l % when(r === lit(0), raise_error(lit("modulo by zero"))).otherwise(r)
+        else l % r
       case "^" => pow(l, r)
       case other => sys.error(s"unknown operator: $other")
     }

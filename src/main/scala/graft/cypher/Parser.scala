@@ -104,16 +104,22 @@ final class Parser(tokens: Vector[Tok]) {
         while (tryOp("|")) { tryOp(":"); ts += ident() }
         types = ts.result()
       }
-      if (tryOp("*")) {
-        val lo = cur match { case IntTok(v, _) => p += 1; v.toInt; case _ => 1 }
-        val hi =
-          if (tryOp("..")) cur match {
-            case IntTok(v, _) => p += 1; v.toInt
-            case _ => lo.max(10) // open upper bound: default cap 10 (reference default max_length 10, vle.rs:68)
-          } else lo
-        varLength = Some((lo, hi))
+      // `*range` and `{props}` accepted in either order
+      var more = true
+      while (more) {
+        more = false
+        if (varLength.isEmpty && tryOp("*")) {
+          val lo = cur match { case IntTok(v, _) => p += 1; v.toInt; case _ => 1 }
+          val hi =
+            if (tryOp("..")) cur match {
+              case IntTok(v, _) => p += 1; v.toInt
+              case _ => lo.max(10) // open upper bound: default cap 10 (reference default max_length 10, vle.rs:68)
+            } else lo
+          varLength = Some((lo, hi))
+          more = true
+        }
+        if (props.isEmpty && isOp("{")) { props = parsePropMap(); more = true }
       }
-      if (isOp("{")) props = parsePropMap()
       eatOp("]")
     }
     val rightArrow = isOp("->")

@@ -60,7 +60,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
   private def prefixAll(df: DataFrame, v: String): DataFrame =
     df.select(df.columns.map(c => col(c).as(Scope.colName(v, c))).toIndexedSeq: _*)
 
-  private def nodeScan(np: NodePat, v: String): (DataFrame, VarInfo) = np.labels match {
+  private def nodeScan(np: NodePat, v: String): (DataFrame, VarInfo) = np.labels.distinct match {
     case Seq(l) =>
       val base = store.vertices(l)
       (prefixAll(base, v),
@@ -68,7 +68,14 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     case Nil =>
       val base = store.allVertices
       (prefixAll(base, v), VarInfo(VarKind.Node, None, Seq("label", "properties")))
-    case many => sys.error(s"multiple labels not supported: $many")
+    case many =>
+      // openCypher conjunction semantics: (n:A:B) matches nodes carrying
+      // ALL listed labels. This store (like the reference) is
+      // single-label-per-vertex, so distinct labels can never co-occur —
+      // the scan is statically empty (SURVEY §8 divergence note).
+      val base = store.vertices(many.head).limit(0)
+      (prefixAll(base, v),
+        VarInfo(VarKind.Node, Some(many.head), base.columns.filterNot(_ == "id").toSeq))
   }
 
   /** Typed union of edge tables (schema union, absent props null-filled). */
@@ -170,12 +177,35 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val dir = rel.dir match {
           case Dir.Out => Direction.Out; case Dir.In => Direction.In; case Dir.Both => Direction.Both
         }
-        val edges = edgeUnion(rel.types).select(col("src"), col("dst"))
+        // honor inline props on EVERY expansion step, like the reference's
+        // per-step edge filter (match_executor.rs:128-213): filter the edge
+        // relation once, before iteration — pushed to the scan
+        var eb = edgeUnion(rel.types)
+        rel.props.foreach { case (k, ex) =>
+          val target: Column =
+            if (eb.columns.contains(k)) eb(k)
+            else if (eb.columns.contains("properties"))
+              get_json_object(col("properties"), "$." + k)
+            else lit(null)
+          eb = eb.where(target === ec(sc0).compile(ex))
+        }
         val starts = sc0.df.select(col(prev).as("id")).distinct()
         val ev = fresh("vl")
-        val pairs = Traversals.vle(edges, starts, lo.max(1), hi, dir)
-          .select(col("start_id").as(s"${ev}__s"), col("end_id").as(s"${ev}__d"))
+        // a named relationship variable binds to the LIST of traversed edge
+        // ids (openCypher list-of-relationships semantics; ids are the
+        // entity handle here)
+        val carry = rel.variable.isDefined
+        val pairCols = Seq(col("start_id").as(s"${ev}__s"), col("end_id").as(s"${ev}__d")) ++
+          (if (carry) Seq(col("epath").as(rel.variable.get)) else Nil)
+        val pairs = Traversals.vle(eb.select(col("id"), col("src"), col("dst")),
+            starts, lo.max(1), hi, dir, carryEdges = carry)
+          .select(pairCols: _*)
         var sc = sc0.copy(df = sc0.df.join(pairs, col(prev) === col(s"${ev}__s")))
+        rel.variable.foreach { rv =>
+          require(!sc0.vars.contains(rv), s"relationship variable reused: $rv")
+          sc = sc.copy(vars = sc.vars + (rv -> VarInfo(VarKind.Value, None, Nil)),
+            order = sc.order :+ rv)
+        }
         val nv = node.variable.getOrElse(fresh("n"))
         sc = bindTargetVar(sc, s"${ev}__d", node, nv)
         sc = sc.copy(df = sc.df.drop(s"${ev}__s", s"${ev}__d"))
@@ -461,12 +491,15 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val base = if (nodeIds.contains(fromV) && nodeIds.contains(toV))
           spark.range(1).toDF() else sc.df
         val start = maxLocid(etabs, label)
-        val w = org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())
-        val rows = base.select(
-          (endpoint(fromV).as("src") +: endpoint(toV).as("dst") +:
-            rel.props.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
-          .withColumn("id", Graphid.packCol(labidOf(label),
-            lit(start) + row_number().over(w)))
+        // contiguous local ids via per-partition offsets (Ids.withSequence)
+        // — a global unpartitioned window would serialize every created
+        // edge through one task
+        val rows = graft.store.Ids.withSequence(
+          base.select(
+            (endpoint(fromV).as("src") +: endpoint(toV).as("dst") +:
+              rel.props.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*),
+          "__seq")
+          .withColumn("id", Graphid.packCol(labidOf(label), lit(start) + col("__seq")))
         val ordered = rows.select(
           (col("id") +: col("src") +: col("dst") +:
             rel.props.map { case (k, _) => col(k) }).toIndexedSeq: _*)
@@ -515,9 +548,37 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     }
   }
 
+  /** JSON-path write: set `path` inside a JSON-object string to the value
+    * carried (type-preserved) in `valJson` as {"v": ...}. Schemaless tables
+    * store properties as a JSON string like the reference
+    * (set_executor.rs:157-202 writes through JSON paths); this is the
+    * mutation-path analogue — a UDF is acceptable off the hot read path.
+    */
+  private def jsonSetUdf(path: Seq[String]) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    udf { (json: String, valJson: String) =>
+      val v: JValue =
+        if (valJson == null) JNull
+        else JsonMethods.parse(valJson) \ "v" match { case JNothing => JNull; case x => x }
+      def set(j: JValue, p: List[String]): JValue = p match {
+        case Nil => v
+        case h :: t =>
+          val fields = j match { case JObject(fs) => fs; case _ => Nil }
+          val cur = fields.find(_._1 == h).map(_._2).getOrElse(JObject(Nil))
+          JObject(fields.filterNot(_._1 == h) :+ (h -> set(cur, t)))
+      }
+      val root = if (json == null || json.isEmpty) JObject(Nil)
+        else JsonMethods.parse(json)
+      JsonMethods.compact(JsonMethods.render(set(root, path.toList)))
+    }
+  }
+
   /** SET n.prop = expr (reference set_executor.rs:29-202): per-entity
     * grouped read-modify-write becomes a join + conditional column rewrite.
-    * Nested paths write through struct columns via withField.
+    * Nested paths write through struct columns via withField; schemaless
+    * tables (JSON-string `properties`, e.g. GraphIO imports) get a
+    * JSON-path write for both flat and nested SET.
     */
   private def compileSet(scope: Scope, sclause: SetClause): Unit = {
     val compiler = ec(scope)
@@ -534,19 +595,28 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         .withColumn("__hit", lit(true))
       def rewrite(t: DataFrame): DataFrame = {
         val joined = t.join(updates, t("id") === col("__uid"), "left")
-        val newVal: Column =
-          if (item.path.size == 1) col("__uval")
-          else {
-            val cur = t.schema.find(_.name == prop)
-            cur match {
-              case Some(f) if f.dataType.isInstanceOf[StructType] =>
-                col(prop).withField(item.path.tail.mkString("."), col("__uval"))
-              case _ => sys.error(s"nested SET needs a struct column: ${item.path.mkString(".")}")
-            }
-          }
+        // {"v": <val>} round-trip preserves the value's JSON type
+        def valJson = to_json(struct(col("__uval").as("v")),
+          Map("ignoreNullFields" -> "false"))
+        val (targetCol, newVal): (String, Column) = t.schema.find(_.name == prop) match {
+          case Some(f) if item.path.size == 1 => (prop, col("__uval"))
+          case Some(f) if f.dataType.isInstanceOf[StructType] =>
+            (prop, col(prop).withField(item.path.tail.mkString("."), col("__uval")))
+          case Some(f) if f.dataType == org.apache.spark.sql.types.StringType =>
+            // prop column IS a JSON string: write the remaining path into it
+            (prop, jsonSetUdf(item.path.tail)(t(prop), valJson))
+          case Some(_) =>
+            sys.error(s"nested SET needs a struct or JSON column: ${item.path.mkString(".")}")
+          case None if t.columns.contains("properties") =>
+            // schemaless table: the whole path goes into the properties JSON
+            ("properties", jsonSetUdf(item.path)(t("properties"), valJson))
+          case None if item.path.size == 1 => (prop, col("__uval"))
+          case None =>
+            sys.error(s"nested SET on missing column: ${item.path.mkString(".")}")
+        }
         val updatedCol = when(col("__hit"), newVal)
-          .otherwise(if (t.columns.contains(prop)) t(prop) else lit(null))
-        joined.withColumn(prop, updatedCol).drop("__uid", "__uval", "__hit")
+          .otherwise(if (t.columns.contains(targetCol)) t(targetCol) else lit(null))
+        joined.withColumn(targetCol, updatedCol).drop("__uid", "__uval", "__hit")
       }
       def applyTo(tables: Map[String, DataFrame]): Map[String, DataFrame] =
         vi.label match {

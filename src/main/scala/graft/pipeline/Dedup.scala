@@ -90,8 +90,31 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Exact Jaccard restricted to a given (a, b) pair set: intersections are
+    * computed by joining each pair's two shingle sets, never corpus-wide.
+    * Cost is O(sum over pairs of shingle-set size) — linear in pairs × doc
+    * length, immune to the stop-word-shingle blowup of an open `h`-join.
+    * Pairs with an empty intersection are dropped (inter >= 1), matching
+    * `jaccardFromShingles` semantics.
+    */
+  def jaccardForPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.as("x"), pairs("a") === col("x.id"))
+      .join(sh.as("y"), pairs("b") === col("y.id") && col("x.h") === col("y.h"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "size_a"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "size_b"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+  }
+
   /** MinHash+LSH near-dup candidate pairs (a < b, distinct), verified with
-    * exact n-gram Jaccard. The all-pairs join is confined to LSH buckets.
+    * exact n-gram Jaccard. The all-pairs join is confined to LSH buckets,
+    * and verification is restricted to the candidate pairs (the all-pairs
+    * blowup LSH exists to avoid never happens here).
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
@@ -107,8 +130,7 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    val exactPairs = jaccardFromShingles(sh)
-    cands.join(exactPairs, Seq("a", "b"), "inner")
+    jaccardForPairs(cands, sh)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
@@ -128,5 +150,40 @@ object Dedup {
     toks.groupBy(col("id")).agg(sums.head, sums.tail.toIndexedSeq: _*)
       .withColumn("simhash", bits.reduce(_ + _))
       .select(col("id"), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs: (a, b, hamming) with a < b and
+    * hamming = bit_count(sig_a XOR sig_b) <= maxDist.
+    *
+    * Candidate generation via banded bit-prefix buckets (pigeonhole: two
+    * 32-bit signatures within hamming distance d agree exactly on at least
+    * one of d+1 disjoint bit bands), so the pair join is confined to
+    * same-band-value buckets — linear + a shuffle on band keys, never
+    * all-pairs. Completes `simhash` from a fingerprint into a dedup
+    * operator.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, "need 0 <= maxDist < 32")
+    val sig = simhash(df, idCol, textCol)
+    val bands = maxDist + 1
+    val bounds = (0 to bands).map(i => i * 32 / bands)
+    val bandCols = (0 until bands).map { b =>
+      val lo = bounds(b)
+      val w = bounds(b + 1) - lo
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("bits"))
+    }
+    val bk = sig.select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
   }
 }

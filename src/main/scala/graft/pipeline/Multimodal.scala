@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -53,13 +53,28 @@ object Multimodal {
     }
   }
 
+  /** Column-expression equivalent of `decodeStub` — same (length, feature)
+    * pair, but computed inside whole-stage codegen with no encoder
+    * round-trip. This is the hot-path form; `extractFeatures` stays as the
+    * documented plumbing pattern for codecs that genuinely need per-partition
+    * native state.
+    */
+  def decodeStubCols(payload: Column): (Column, Column) =
+    (length(payload).cast("long"), TextHash.h32(payload) % 251)
+
   /** Demo pipeline over documents: treat text bytes as a fake media payload,
     * decode, and aggregate per source — exercises binary columns end-to-end.
+    * Pure column expressions (codegen'd); the mapPartitions plumbing in
+    * `extractFeatures` is cross-validated against this in MultimodalSpec.
     */
-  def featureStats(docs: DataFrame): DataFrame =
-    extractFeatures(docs.withColumn("payload", col("text").cast("binary")), "payload")
+  def featureStats(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    val (mlen, feat) = decodeStubCols(payload)
+    docs
+      .select(col("source"), mlen.as("media_len"), feat.as("feature"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_media"),
-        sum(col("features.media_len")).as("total_bytes"),
-        sum(col("features.feature")).as("feature_sum"))
+        sum(col("media_len")).as("total_bytes"),
+        sum(col("feature")).as("feature_sum"))
+  }
 }

@@ -94,6 +94,14 @@ object CypherGateQueries {
             |ORDER BY nation""".stripMargin)
     }),
 
+    // var-length fidelity: inline edge-prop filter applied on EVERY
+    // expansion step + relationship variable bound to the edge-id list
+    // (reference match_executor.rs:128-213 filters per step).
+    "cy14_varlen_props" -> cy(
+      """MATCH (o:Order)-[r:CONTAINS {l_quantity: 5} *1..2]->(x)
+        |RETURN size(r) AS hops, count(*) AS n_paths
+        |ORDER BY hops""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -195,6 +203,12 @@ object CypherGateQueries {
       """SELECT CAST(n_nationkey * m AS BIGINT) AS v, COUNT(*) AS c
         |FROM nation CROSS JOIN (VALUES (1), (2), (3)) AS t(m)
         |GROUP BY 1 ORDER BY v""".stripMargin,
+    "cy14_varlen_props" ->
+      // CONTAINS edges with l_quantity = 5 run Order→Part only, so every
+      // qualifying path has exactly 1 hop (Part has no CONTAINS out-edges)
+      """SELECT CAST(1 AS BIGINT) AS hops, COUNT(*) AS n_paths
+        |FROM lineitem WHERE l_quantity = 5
+        |ORDER BY hops""".stripMargin,
     "cy13_params" ->
       """SELECT n_name AS nation, COUNT(*) AS n_rich
         |FROM customer JOIN nation ON n_nationkey = c_nationkey

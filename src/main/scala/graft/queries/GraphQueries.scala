@@ -158,6 +158,27 @@ object GraphQueries {
         .orderBy(col("degree"))
     }),
 
+    // G1 full shortest path with reconstruction: customer 1 → its region,
+    // lexicographically-minimal path via min-parent BFS (the reference
+    // returns the vertex sequence: shortest_path.rs:144-174).
+    "g12_shortest_path" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val start = graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)
+      def asLong(a: Any): Long = a match {
+        case i: Int => i.toLong; case l: Long => l
+        case o => o.toString.toLong
+      }
+      val nk = asLong(Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") === 1).select("c_nationkey").head.get(0))
+      val rk = asLong(Tables.load(s, dir, "nation")
+        .filter(col("n_nationkey") === nk).select("n_regionkey").head.get(0))
+      val dst = graft.model.Graphid.pack(GraphStore.Lab.Region, rk)
+      Traversals.shortestPath(srcDst(g.allEdges), start, dst, 6)
+        .select(col("start_id"), col("end_id"),
+          col("dist").cast("long").as("dist"),
+          concat_ws("-", transform(col("path"), _.cast("string"))).as("path_str"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -253,6 +274,38 @@ object GraphQueries {
       """SELECT degree, COUNT(*) AS n_orders FROM (
         |  SELECT l_orderkey, COUNT(*) AS degree FROM lineitem GROUP BY l_orderkey) x
         |GROUP BY degree ORDER BY degree""".stripMargin,
+    "g12_shortest_path" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |dstv AS (
+         |  SELECT (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) AS id
+         |  FROM nation JOIN customer ON n_nationkey = c_nationkey
+         |  WHERE c_custkey = 1
+         |),
+         |bfs(id, dist) AS (
+         |  SELECT $startCust1, 0
+         |  UNION ALL
+         |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.id
+         |  WHERE b.dist < 6
+         |),
+         |lvl AS (SELECT id, MIN(dist) AS dist FROM bfs GROUP BY id),
+         |par AS (
+         |  SELECT l.id AS id, MIN(p.id) AS parent
+         |  FROM lvl l JOIN edges e ON e.dst = l.id
+         |  JOIN lvl p ON p.id = e.src AND p.dist = l.dist - 1
+         |  GROUP BY l.id
+         |),
+         |walk(id, k) AS (
+         |  SELECT id, 0 FROM dstv
+         |  UNION ALL
+         |  SELECT par.parent, w.k + 1 FROM walk w JOIN par ON par.id = w.id
+         |),
+         |path AS (
+         |  SELECT string_agg(CAST(id AS VARCHAR), '-' ORDER BY k DESC) AS path_str,
+         |    CAST(MAX(k) AS BIGINT) AS dist
+         |  FROM walk
+         |)
+         |SELECT $startCust1 AS start_id, d.id AS end_id, p.dist, p.path_str
+         |FROM dstv d, path p""".stripMargin,
     "g11_timeline" ->
       """SELECT user_id, rk, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,

@@ -43,6 +43,10 @@ object PipelineQueries {
       Dedup.simhash(docs(s, dir), "doc_id", "text")
         .orderBy(col("id"))),
 
+    "d6_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", 3)
+        .orderBy(col("a"), col("b"))),
+
     "d5_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", -1.0)
         .orderBy(col("sim").desc, col("a"), col("b"))
@@ -191,6 +195,26 @@ object PipelineQueries {
          |FROM cands c JOIN jac j ON j.a = c.a AND j.b = c.b
          |ORDER BY c.a, c.b""".stripMargin,
     "d4_simhash" -> simhashSql,
+    "d6_simhash_pairs" ->
+      // oracle may go all-pairs (correctness only); the Spark side is banded
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, ${h32Sql("unnest($TOKS)")} AS h FROM documents
+         |),
+         |sums AS (
+         |  SELECT id, ${(0 until 32).map(b =>
+              s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")}
+         |  FROM toks GROUP BY id
+         |),
+         |sig AS (
+         |  SELECT id, ${(0 until 32).map(b =>
+              s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")} AS simhash
+         |  FROM sums
+         |)
+         |SELECT x.id AS a, y.id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sig x JOIN sig y ON x.id < y.id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin.replace("$TOKS", toksSql),
     "d5_embed_neardup" ->
       s"""SELECT x.vec_id AS a, y.vec_id AS b,
          |  ${cosSql("x.embedding", "y.embedding")} AS sim
@@ -262,6 +286,6 @@ object PipelineQueries {
       // binary)); strlen counts bytes, matching the decoded payload length.
       s"""SELECT source, COUNT(*) AS n_media,
          |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
-         |  SUM(${h32Sql("text")} % 251) AS feature_sum
+         |  CAST(SUM(${h32Sql("text")} % 251) AS BIGINT) AS feature_sum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -30,9 +30,23 @@ final class SocialGraph(spark: SparkSession, initial: GraphStore) {
   /** C1 follow: dup-check (anti-join) then edge insert — the reference's
     * check-then-create (social_graph.rs:21-49) without the read loop.
     */
+  /** 48-bit mix of an ordered pair (splitmix64 finalizer). Edge ids only
+    * need identity-uniqueness; a 48-bit hash is collision-safe to ~2^24
+    * edges (birthday bound) — bulk ingestion goes through GraphIO's
+    * partition-offset allocation instead, this path is the OLTP-ish
+    * single-edge API.
+    */
+  private def pairId48(a: Long, b: Long): Long = {
+    var x = a * 0x9E3779B97F4A7C15L + b
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^= (x >>> 31)
+    x & Graphid.LocalMask
+  }
+
   def follow(followerKey: Long, followeeKey: Long, at: Long): Unit = {
     import spark.implicits._
-    val row = Seq((Graphid.pack(FollowsLab, followerKey << 24 | followeeKey),
+    val row = Seq((Graphid.pack(FollowsLab, pairId48(followerKey, followeeKey)),
       userId(followerKey), userId(followeeKey), at))
       .toDF("id", "src", "dst", "followed_at")
     val existing = follows

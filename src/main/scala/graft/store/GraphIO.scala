@@ -1,7 +1,6 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Graphid
@@ -68,10 +67,12 @@ object GraphIO {
     val eLab = labelIds(eLabels, 1001)
 
     // string key -> packed id mapping: per-label dense local ids by key order
-    // (deterministic; the reference's counter allocation analogue)
-    val keyW = Window.partitionBy(col("label")).orderBy(col("key"))
-    val mapping = vRaw.select(col("key"), col("label"))
-      .withColumn("locid", row_number().over(keyW))
+    // (deterministic; the reference's counter allocation analogue). Dense
+    // ranks come from a range-partitioned sort + per-partition offsets
+    // (Ids.withSequencePerLabel) — a per-label window would funnel each
+    // label's whole vertex set through a single task.
+    val mapping = Ids.withSequencePerLabel(
+        vRaw.select(col("key"), col("label")), "label", Seq("key"), "locid")
       .withColumn("labid",
         coalesce(vLabels.map(l => when(col("label") === l, lit(vLab(l)))): _*))
       .withColumn("vid", Graphid.packCol(0, col("locid"))
@@ -84,12 +85,12 @@ object GraphIO {
         .select(col("vid").as("id"), col("properties"))
     }.toMap
 
-    val edgeW = Window.partitionBy(col("label")).orderBy(col("start"), col("end"))
     val edgeTables = eLabels.map { l =>
-      l -> eRaw.filter(col("label") === l)
+      val joined = eRaw.filter(col("label") === l)
         .join(mapping.withColumnRenamed("key", "start").withColumnRenamed("vid", "src"), "start")
         .join(mapping.withColumnRenamed("key", "end").withColumnRenamed("vid", "dst"), "end")
-        .withColumn("id", Graphid.packCol(eLab(l), row_number().over(edgeW)))
+      l -> Ids.withSequencePerLabel(joined, "label", Seq("start", "end"), "locid")
+        .withColumn("id", Graphid.packCol(eLab(l), col("locid")))
         .select(col("id"), col("src"), col("dst"), col("properties"))
     }.toMap
     new GraphStore(vertexTables, edgeTables)

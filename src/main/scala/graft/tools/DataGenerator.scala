@@ -69,13 +69,15 @@ object DataGenerator {
       (col("id") / cols).cast("int").as("x"),
       (col("id") % cols).cast("int").as("y"),
       concat(lit("node_"), col("id")).as("name"))
+    // closed-form unique edge ids (2*from+{1,2}) — no global window, stays
+    // inside whole-stage codegen at any grid size
     val right = spark.range(n).filter(col("id") % cols =!= (cols - 1))
-      .select(col("id").as("from"), (col("id") + 1).as("to"))
+      .select(col("id").as("from"), (col("id") + 1).as("to"),
+        (col("id") * 2 + 1).as("eid"))
     val down = spark.range(n).filter(col("id") < n - cols)
-      .select(col("id").as("from"), (col("id") + cols).as("to"))
+      .select(col("id").as("from"), (col("id") + cols).as("to"),
+        (col("id") * 2 + 2).as("eid"))
     val edges = right.unionByName(down)
-      .withColumn("eid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("from"), col("to"))))
       .select(
         Graphid.packCol(ConnLab, col("eid")).as("id"),
         Graphid.packCol(GridLab, col("from") + 1).as("src"),

@@ -190,4 +190,38 @@ class CypherSpec extends AnyFunSuite {
     val df = session.run("MATCH (n:Person) RETURN n.name AS name ORDER BY name SKIP 1 LIMIT 2")
     assert(rows(df) == Seq(Seq("Bob"), Seq("Charlie")))
   }
+
+  test("multi-label pattern = conjunction; empty on a single-label store") {
+    val df = session.run("MATCH (n:Person:Admin) RETURN n.name AS name")
+    assert(df.count() == 0)
+    // identical repeated labels degenerate to the plain scan
+    val df2 = session.run("MATCH (n:Person:Person) RETURN count(*) AS n")
+    assert(rows(df2) == Seq(Seq(4L)))
+  }
+
+  test("integer division by zero errors (reference semantics)") {
+    val ex = intercept[Exception] {
+      session.run("MATCH (n:Person) RETURN n.age / 0 AS x").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("division by zero")))
+  }
+
+  test("split() uses the literal delimiter") {
+    val df = session.run("MATCH (n:Person {name: 'Alice'}) RETURN split('a.b.c', '.') AS parts")
+    assert(rows(df) == Seq(Seq(Seq("a", "b", "c"))))
+  }
+
+  test("var-length binds the relationship list and filters props per step") {
+    val df = session.run(
+      """MATCH (a:Person {name: 'Alice'})-[r:KNOWS *1..2]->(b)
+        |RETURN b.name AS name, size(r) AS hops ORDER BY hops""".stripMargin)
+    assert(rows(df) == Seq(Seq("Bob", 1L), Seq("Charlie", 2L)))
+    // inline prop filters every expansion step: since=2021 kills hop 1
+    val df2 = session.run(
+      """MATCH (a:Person {name: 'Alice'})-[r:KNOWS {since: 2021} *1..2]->(b)
+        |RETURN b.name AS name""".stripMargin)
+    assert(df2.count() == 0)
+  }
 }

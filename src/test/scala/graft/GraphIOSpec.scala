@@ -74,4 +74,25 @@ class GraphIOSpec extends AnyFunSuite {
     val vs = store.vertices("Person").collect()
     assert(vs.map(_.getLong(0)).toSet.contains(e.getLong(1)))
   }
+
+  test("nested SET writes through JSON-string properties (schemaless store)") {
+    val f = Files.createTempFile("graph", ".json")
+    Files.writeString(f, jsonDoc)
+    val store = GraphIO.importJson(spark, f.toString)
+    val sess = new graft.cypher.CypherSession(spark, store)
+    // nested path materializes intermediate objects inside the JSON
+    sess.run("MATCH (n:Person {name: 'Alice'}) SET n.meta.score = 5")
+    val s = sess.run(
+      "MATCH (n:Person {name: 'Alice'}) RETURN toInteger(n.meta.score) AS s")
+    assert(s.collect()(0).getLong(0) == 5L)
+    // flat SET also lands in the JSON, visible to property reads
+    sess.run("MATCH (n:Person {name: 'Alice'}) SET n.age = 31")
+    val a = sess.run(
+      "MATCH (n:Person {name: 'Alice'}) RETURN toInteger(n.age) AS a")
+    assert(a.collect()(0).getLong(0) == 31L)
+    // untouched vertices keep their properties
+    val b = sess.run(
+      "MATCH (n:Person {name: 'Bob'}) RETURN toInteger(n.age) AS a")
+    assert(b.collect()(0).getLong(0) == 25L)
+  }
 }

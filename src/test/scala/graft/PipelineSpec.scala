@@ -99,4 +99,34 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(q(1L) > q(2L))
   }
+
+  test("SimHash banded pair extraction equals brute-force hamming filter") {
+    val maxDist = 8 // loose enough that the planted near-dups qualify
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= maxDist
+    } yield (a, b) -> h.toLong).toMap
+    assert(banded == brute)
+    assert(banded.contains((1L, 2L))) // the planted near-dup is found
+  }
+
+  test("multimodal column stats equal the mapPartitions decoder plumbing") {
+    import org.apache.spark.sql.functions._
+    val viaCols = graft.pipeline.Multimodal.featureStats(
+      docs.withColumn("source", lit("s")))
+      .collect().map(_.toSeq).toSet
+    val viaDecoder = graft.pipeline.Multimodal.extractFeatures(
+        docs.withColumn("source", lit("s"))
+          .withColumn("payload", col("text").cast("binary")), "payload")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("features.media_len")).as("total_bytes"),
+        sum(col("features.feature")).as("feature_sum"))
+      .collect().map(_.toSeq).toSet
+    assert(viaCols == viaDecoder)
+  }
 }

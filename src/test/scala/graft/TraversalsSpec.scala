@@ -88,4 +88,46 @@ class TraversalsSpec extends AnyFunSuite {
     val b = DataGenerator.uniform(spark, 100, 300, seed = 7)
     assert(a.edges("KNOWS").collect().toSeq == b.edges("KNOWS").collect().toSeq)
   }
+
+  test("shortestPath reconstructs the lexicographically-minimal path") {
+    // A→E via B (A,B,E) and via C (A,C,E); min-parent picks B (lower id)
+    val p = Traversals.shortestPath(dag.edges("LINK"), idOf("A"), idOf("E"), 5).collect()
+    assert(p.length == 1)
+    assert(p(0).getInt(2) == 2)
+    assert(p(0).getSeq[Long](3) == Seq(idOf("A"), idOf("B"), idOf("E")))
+  }
+
+  test("shortestPath returns 0 rows when unreachable") {
+    assert(Traversals.shortestPath(dag.edges("LINK"), idOf("D"), idOf("E"), 5).isEmpty)
+  }
+
+  test("pathsBetween enumerates all simple paths, errors when none") {
+    val ps = Traversals.pathsBetween(dag.edges("LINK"), idOf("A"), idOf("E"), 1, 3)
+      .collect().map(_.getSeq[Long](3)).toSet
+    assert(ps == Set(
+      Seq(idOf("A"), idOf("B"), idOf("E")),
+      Seq(idOf("A"), idOf("C"), idOf("E"))))
+    intercept[NoSuchElementException] {
+      Traversals.pathsBetween(dag.edges("LINK"), idOf("D"), idOf("E"), 1, 3)
+    }
+  }
+
+  test("vle carryEdges returns the traversed edge-id sequence") {
+    val out = Traversals.vle(dag.edges("LINK"), Seq(idOf("A")).toDF("id"), 2, 2,
+      carryEdges = true)
+      .filter($"end_id" === idOf("D")).collect()
+    assert(out.length == 1)
+    // A→B is edge 1, B→D is edge 3 (insertion order in the fixture)
+    assert(out(0).getSeq[Long](4) == Seq(Graphid.pack(2, 1), Graphid.pack(2, 3)))
+  }
+
+  test("large frontier falls back to a non-broadcast join (no forced hint)") {
+    // drop the ceiling check indirectly: BroadcastFrontierRows is a constant,
+    // so just assert the loop completes correctly on a graph whose frontier
+    // exceeds a tiny grid — functional guard for the gating logic
+    val g = DataGenerator.grid(spark, 20, 20)
+    val src = Graphid.pack(DataGenerator.GridLab, 1)
+    val d = Traversals.bfsDistances(g.edges("CONNECTED"), Seq(src).toDF("id"), 40)
+    assert(d.count() == 400)
+  }
 }
