@@ -22,7 +22,11 @@ object Bench {
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case t: Throwable => Some(t.toString.replaceAll("[\"\\\\\n]", " ").take(160)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries are independent: drop cached/checkpointed blocks so one
+      // query's state never pressures the next (measured outside the timer)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -78,12 +78,18 @@ object Traversals {
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint()
-      frontierRows = next.count() // cached-block scan of the checkpoint
+      // the count gates only the NEXT iteration — skip it on the last hop
+      // (the checkpoint above already materialized the level)
+      frontierRows = if (hop < maxHops) next.count() else 0L
       // visited is a shallow union of already-checkpointed levels — no
       // re-materialization needed per hop
       visited = visited.unionByName(next)
       frontier = next
     }
+    // the oriented edge checkpoint backs nothing in the result (levels are
+    // materialized) — release its blocks instead of pinning them for the
+    // session lifetime
+    e.unpersist()
     visited
   }
 
@@ -96,15 +102,16 @@ object Traversals {
     * memory at scale — parents are O(|V|)).
     */
   def bfsParents(edges: DataFrame, sources: DataFrame, maxHops: Int,
-      dir: Direction = Direction.Out): DataFrame = {
+      dir: Direction = Direction.Out, until: Option[Long] = None): DataFrame = {
     val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint()
     var visited = sources.select(col("id").cast("long").as("id"), lit(0).as("dist"),
       lit(null).cast("long").as("parent"))
       .distinct().localCheckpoint()
     var frontier = visited.select("id")
     var frontierRows = frontier.count()
+    var found = false
     var hop = 0
-    while (hop < maxHops && frontierRows > 0) {
+    while (hop < maxHops && frontierRows > 0 && !found) {
       hop += 1
       val f = if (frontierRows <= BroadcastFrontierRows) broadcast(frontier) else frontier
       val next = e.join(f, f("id") === e("src"))
@@ -114,10 +121,18 @@ object Traversals {
         .join(visited.select("id"), Seq("id"), "left_anti")
         .select(col("id"), lit(hop).as("dist"), col("parent"))
         .localCheckpoint()
-      frontierRows = next.count()
+      // one job yields both the loop condition and the early-exit signal;
+      // skipped entirely on the last hop (gates only the next iteration)
+      if (hop < maxHops) {
+        val stats = next.agg(count(lit(1)),
+          count(when(col("id") === until.getOrElse(Long.MinValue), 1))).collect()(0)
+        frontierRows = stats.getLong(0)
+        found = until.isDefined && stats.getLong(1) > 0
+      } else frontierRows = 0L
       visited = visited.unionByName(next)
       frontier = next.select("id")
     }
+    e.unpersist()
     visited
   }
 
@@ -136,7 +151,9 @@ object Traversals {
       dir: Direction = Direction.Out): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val parents = bfsParents(edges, Seq(srcId).toDF("id"), maxHops, dir)
+    // early-exit BFS: stops expanding once dstId is reached
+    val parents = bfsParents(edges, Seq(srcId).toDF("id"), maxHops, dir, Some(dstId))
+      .localCheckpoint()
     val endRow = parents.where(col("id") === dstId)
       .select("dist", "parent").collect()
     val out =
@@ -152,6 +169,7 @@ object Traversals {
         }
         Seq((srcId, dstId, dist, path.toSeq))
       }
+    parents.unpersist()
     out.toDF("start_id", "end_id", "dist", "path")
   }
 
@@ -226,13 +244,14 @@ object Traversals {
         .where(!array_contains(col("path"), e("dst")))
         .select(stepCols: _*)
         .localCheckpoint()
-      frontierRows = frontier.count()
+      frontierRows = if (len < maxLength) frontier.count() else 0L
       if (len >= minLength) {
         // shallow union of checkpointed levels — not re-checkpointed
         val withLen = frontier.withColumn("len", lit(len))
         results = Some(results.map(_.unionByName(withLen)).getOrElse(withLen))
       }
     }
+    e.unpersist()
     val outCols = Seq(col("start_id"), col("end_id"), col("len"), col("path")) ++
       (if (carryEdges) Seq(col("epath")) else Nil)
     val all = results.getOrElse(

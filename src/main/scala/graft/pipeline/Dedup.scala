@@ -134,6 +134,28 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** End-to-end near-dup deduplication: LSH candidate pairs above
+    * minJaccard become an undirected similarity graph; connected components
+    * (GraphX, min-id labeling) turn pairwise matches into clusters; the
+    * survivor is the minimum id. This is the full 100 TB dedup story —
+    * banded candidates, pair-restricted verification, distributed
+    * clustering — never an all-pairs step. Returns one row per cluster of
+    * size >= 2: (survivor_id, n_members, members) with members
+    * comma-joined in id order.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val pairs = minhashNearDupPairs(df, idCol, textCol, k, bands, n)
+      .where(col("jaccard") >= minJaccard)
+    val cc = graft.algorithms.GraphAlgorithms.connectedComponents(
+      spark, pairs.select(col("a").as("src"), col("b").as("dst")))
+    cc.groupBy(col("component").as("survivor_id"))
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))
+  }
+
   /** 32-bit SimHash per document over token multiset: bit b is the sign of
     * sum over tokens of ±1 according to bit b of the token hash.
     */

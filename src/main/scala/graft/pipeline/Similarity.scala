@@ -88,6 +88,34 @@ object Similarity {
       .select(col("pid"), col("rank"), col("cid"), col("sim"))
   }
 
+  /** Multi-probe ANN top-k: like annTopK but each probe also searches every
+    * bucket at hamming distance 1 from its own (flip one sign bit) —
+    * recovers most of the recall a single probe bucket loses at the cost of
+    * (nPlanes+1)× more probe rows, which stays tiny and broadcastable.
+    * The corpus side is untouched: still one bucket per vector, one
+    * equi-join, no cross join.
+    */
+  def annTopKMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, nPlanes: Int = 8): DataFrame = {
+    val bucketed = prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
+      .withColumn("bucket", lshBucket(col("cvec"), nPlanes))
+    val probes = bucketed.filter(col("cid").isin(probeIds: _*))
+      .select(col("cid").as("pid"), col("cvec").as("pvec"),
+        col("cnorm").as("pnorm"), col("bucket"))
+      // own bucket + all 1-bit-flip neighbors; each (pid, cid) pair can
+      // match at most once since a corpus vector lives in exactly one bucket
+      .withColumn("bucket", explode(array(
+        (col("bucket") +: (0 until nPlanes).map(m =>
+          col("bucket").bitwiseXOR(lit(1L << m)))).toIndexedSeq: _*)))
+    val scored = bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter(col("cid") =!= col("pid"))
+      .withColumn("sim", dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("cid"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, a < b. All-pairs
     * here; at scale, pre-bucket with lshBucket and join on bucket first.
     */
@@ -96,6 +124,24 @@ object Similarity {
     val a = prepared(corpus, idCol, vecCol, "a", "va", "na")
     val b = prepared(corpus, idCol, vecCol, "b", "vb", "nb")
     a.join(b, col("a") < col("b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Near-duplicate pairs, bucketed: the pair join is confined to vectors
+    * sharing an LSH bucket — the 100 TB path (high-cosine pairs land in the
+    * same bucket with probability (1 - θ/π)^nPlanes; fewer planes = higher
+    * recall, bigger buckets). Same output shape as nearDupPairs.
+    */
+  def nearDupPairsBucketed(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8): DataFrame = {
+    val bucketed = prepared(corpus, idCol, vecCol, "id", "v", "n")
+      .withColumn("bucket", lshBucket(col("v"), nPlanes))
+    bucketed.select(col("id").as("a"), col("v").as("va"), col("n").as("na"), col("bucket"))
+      .join(bucketed.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("a") < col("b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))

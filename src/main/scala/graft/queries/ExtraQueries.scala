@@ -28,6 +28,28 @@ object ExtraQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // multi-probe ANN (recall path for e2) — approximate, rows-only.
+    "x9_ann_multiprobe" -> ((s, dir) => {
+      graft.pipeline.Similarity.annTopKMultiProbe(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", Seq(0L, 1L, 2L), 5, 8)
+        .orderBy(col("pid"), col("rank"))
+    }),
+
+    // S9/bulk-load proof: save the whole store as per-label parquet, load
+    // it back, and count every label — oracle-checked against the raw
+    // tables, so the durable layout roundtrips losslessly.
+    "x10_store_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val tmp = "/tmp/graft_store_roundtrip"
+      g.save(tmp)
+      val loaded = GraphStore.load(s, tmp)
+      val counts =
+        loaded.vertexLabels.map(l => (l, loaded.vertices(l).count())) ++
+          loaded.edgeLabels.map(l => (l, loaded.edges(l).count()))
+      counts.toDF("label", "n_rows").orderBy(col("label"))
+    }),
+
     // HLL approximate distinct (A7) — rows-only check by design.
     "x1_approx_distinct" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
@@ -103,6 +125,22 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x10_store_roundtrip" ->
+      """SELECT * FROM (
+        |  SELECT 'Customer' AS label, COUNT(*) AS n_rows FROM customer
+        |  UNION ALL SELECT 'Order', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'Part', COUNT(*) FROM part
+        |  UNION ALL SELECT 'Supplier', COUNT(*) FROM supplier
+        |  UNION ALL SELECT 'Nation', COUNT(*) FROM nation
+        |  UNION ALL SELECT 'Region', COUNT(*) FROM region
+        |  UNION ALL SELECT 'PLACED', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'CONTAINS', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'SUPPLIED_BY', COUNT(*)
+        |    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |  UNION ALL SELECT 'CUST_NATION', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'SUPP_NATION', COUNT(*) FROM supplier
+        |  UNION ALL SELECT 'IN_REGION', COUNT(*) FROM nation
+        |) ORDER BY label""".stripMargin,
     "x8_degrees" ->
       s"""WITH ${GraphQueries.edgesCte},
          |outd AS (SELECT src AS id, COUNT(*) AS out_degree FROM edges GROUP BY src),

@@ -179,6 +179,15 @@ object GraphQueries {
           concat_ws("-", transform(col("path"), _.cast("string"))).as("path_str"))
     }),
 
+    // S3 point get: label pruned from the id's high bits, filter pushed to
+    // the one label scan (rocksdb_store.rs:499-509 analogue).
+    "g13_point_get" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      g.vertexById(graft.model.Graphid.pack(GraphStore.Lab.Customer, 42L),
+          GraphStore.Lab.byId.get)
+        .select(col("id"), col("c_custkey"), col("c_name"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -306,6 +315,10 @@ object GraphQueries {
          |)
          |SELECT $startCust1 AS start_id, d.id AS end_id, p.dist, p.path_str
          |FROM dstv d, path p""".stripMargin,
+    "g13_point_get" ->
+      """SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS id,
+        |  c_custkey, c_name
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
     "g11_timeline" ->
       """SELECT user_id, rk, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,

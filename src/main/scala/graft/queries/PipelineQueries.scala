@@ -43,6 +43,10 @@ object PipelineQueries {
       Dedup.simhash(docs(s, dir), "doc_id", "text")
         .orderBy(col("id"))),
 
+    "d7_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(docs(s, dir), "doc_id", "text", 0.5, K, BANDS, NGRAM)
+        .orderBy(col("survivor_id"))),
+
     "d6_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", 3)
         .orderBy(col("a"), col("b"))),
@@ -195,6 +199,27 @@ object PipelineQueries {
          |FROM cands c JOIN jac j ON j.a = c.a AND j.b = c.b
          |ORDER BY c.a, c.b""".stripMargin,
     "d4_simhash" -> simhashSql,
+    "d7_dedup_clusters" ->
+      // transitive closure over the >= 0.5 candidate pairs; component label
+      // = min reachable id, mirroring GraphX's min-id convention
+      s"""WITH RECURSIVE ${jaccardCtes(NGRAM)},
+         |$minhashSql,
+         |nd AS (
+         |  SELECT c.a, c.b FROM cands c JOIN jac j ON j.a = c.a AND j.b = c.b
+         |  WHERE j.jaccard >= 0.5
+         |),
+         |und AS (SELECT a AS x, b AS y FROM nd UNION SELECT b, a FROM nd),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM und
+         |  UNION
+         |  SELECT r.x, u.y FROM reach r JOIN und u ON u.x = r.y
+         |),
+         |comp AS (
+         |  SELECT x AS id, LEAST(x, MIN(y)) AS component FROM reach GROUP BY x
+         |)
+         |SELECT component AS survivor_id, COUNT(*) AS n_members,
+         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         |FROM comp GROUP BY component ORDER BY survivor_id""".stripMargin,
     "d6_simhash_pairs" ->
       // oracle may go all-pairs (correctness only); the Spark side is banded
       s"""WITH toks AS (

@@ -107,6 +107,18 @@ final class SocialGraph(spark: SparkSession, initial: GraphStore) {
     d.headOption.map(_.getInt(1))
   }
 
+  /** C5 with the connecting path, like the reference's social API surfaces
+    * (services/social_graph.rs + shortest_path.rs:144-174): the
+    * lexicographically-minimal shortest FOLLOWS chain a → … → b as user
+    * keys, or None if unconnected within maxHops.
+    */
+  def connectionPath(aKey: Long, bKey: Long, maxHops: Int = 6): Option[Seq[Long]] = {
+    val rows = Traversals.shortestPath(
+      follows.select(col("src"), col("dst")), userId(aKey), userId(bKey), maxHops,
+      Direction.Out).collect()
+    rows.headOption.map(_.getSeq[Long](3).map(Graphid.unpack(_)._2))
+  }
+
   /** C6 timeline: posts of followed users, newest first
     * (services/content.rs:65-100). posts: (id, src=user, dst=post) POSTED +
     * Post vertices with created_at.

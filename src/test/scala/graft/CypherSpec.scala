@@ -191,6 +191,17 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq("Bob"), Seq("Charlie")))
   }
 
+  test("CREATE over a binding set avoids a single-partition exchange") {
+    val sess = session
+    sess.run("MATCH (a:Person), (b:Person) CREATE (a)-[:ALL_PAIRS]->(b)")
+    val plan = sess.store.edges("ALL_PAIRS").queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"plan funnels through one task:\n$plan")
+    assert(rows(sess.run("MATCH ()-[r:ALL_PAIRS]->() RETURN count(*) AS n")) == Seq(Seq(16L)))
+    // ids are unique and dense within the label
+    val ids = sess.store.edges("ALL_PAIRS").select("id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == 16)
+  }
+
   test("multi-label pattern = conjunction; empty on a single-label store") {
     val df = session.run("MATCH (n:Person:Admin) RETURN n.name AS name")
     assert(df.count() == 0)

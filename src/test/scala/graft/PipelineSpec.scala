@@ -75,6 +75,18 @@ class PipelineSpec extends AnyFunSuite {
     // ANN candidates are a subset of the corpus sharing the bucket; its top
     // hit must appear among brute-force's top hits when recall is good
     assert(ann.nonEmpty && bf.contains(ann.head))
+    // multi-probe widens the candidate set: at least single-probe recall,
+    // never a result outside brute-force's full ranking universe
+    val mp = Similarity.annTopKMultiProbe(vecs, "vec_id", "embedding", Seq(0L), 5)
+      .collect().map(_.getLong(2))
+    assert(mp.length >= ann.length)
+    assert(mp.toSet.intersect(bf.toSet).size >= ann.toSet.intersect(bf.toSet).size)
+    // bucketed near-dup pairs are a subset of exact near-dup pairs
+    val exact = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.nearDupPairsBucketed(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact))
   }
 
   test("language ID picks the language whose stopwords dominate") {
@@ -98,6 +110,14 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id", "quality_score")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(q(1L) > q(2L))
+  }
+
+  test("near-dup clusters: pairwise matches become one cluster with min-id survivor") {
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 2 and 3 are both near-dups of 1 → one cluster, survivor 1
+    assert(out.length == 1)
+    assert(out(0)._1 == 1L && out(0)._2 == 3L && out(0)._3 == "1,2,3")
   }
 
   test("SimHash banded pair extraction equals brute-force hamming filter") {

@@ -70,6 +70,14 @@ class SocialGraphSpec extends AnyFunSuite {
     assert(g.degreesOfSeparation(4, 1).isEmpty) // directed
   }
 
+  test("connectionPath returns the minimal follow chain") {
+    val g = freshGraph
+    // 1→4 via 2 (user key 2 < 3): lexicographically-minimal shortest path
+    assert(g.connectionPath(1, 4).contains(Seq(1L, 2L, 4L)))
+    assert(g.connectionPath(1, 2).contains(Seq(1L, 2L)))
+    assert(g.connectionPath(4, 1).isEmpty)
+  }
+
   test("salted join equals plain join on skewed data") {
     val big = (1 to 10000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v")
