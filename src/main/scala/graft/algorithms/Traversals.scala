@@ -230,8 +230,10 @@ object Traversals {
     frontier = frontier.localCheckpoint()
     var frontierRows = frontier.count()
     var results: Option[DataFrame] = None
+    var resultRows = 0L
     var len = 0
-    while (len < maxLength && frontierRows > 0) {
+    while (len < maxLength && frontierRows > 0 &&
+        maxPaths.forall(k => resultRows < k)) {
       len += 1
       // path rows are wider than (id,dist) — lower broadcast ceiling; a
       // large path frontier falls back to a shuffle join
@@ -244,11 +246,16 @@ object Traversals {
         .where(!array_contains(col("path"), e("dst")))
         .select(stepCols: _*)
         .localCheckpoint()
-      frontierRows = if (len < maxLength) frontier.count() else 0L
+      frontierRows = if (len < maxLength || maxPaths.isDefined) frontier.count() else 0L
       if (len >= minLength) {
         // shallow union of checkpointed levels — not re-checkpointed
         val withLen = frontier.withColumn("len", lit(len))
         results = Some(results.map(_.unionByName(withLen)).getOrElse(withLen))
+        // maxPaths orders by (len, path): levels arrive in len order, so
+        // once k paths exist no longer level can displace them — stop
+        // enumerating instead of exhausting the (worst-case exponential)
+        // search space like the reference's max_paths option (vle.rs:124-127)
+        resultRows += frontierRows
       }
     }
     e.unpersist()

@@ -47,6 +47,27 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose normalized content
+    * fingerprint was already seen, with a watermark bounding the dedup
+    * state (the streaming face of Dedup.exact — the ingestion-time dedup a
+    * training-data pipeline runs before anything lands). State size is
+    * bounded by the watermark horizon, not the stream length.
+    */
+  def dedupStream(events: DataFrame, fingerprintCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(fingerprintCols)
+
+  /** Batch equivalent (first event per fingerprint) for comparison. */
+  def dedupBatch(events: DataFrame, fingerprintCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprintCols.map(col): _*)
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)

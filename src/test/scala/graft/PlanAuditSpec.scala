@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale properties the code comments promise
+  * must actually appear in the executed plan — filters pushed to the
+  * parquet scan, scans pruned to referenced columns, small dimensions
+  * broadcast, top-k as TakeOrderedAndProject, hot paths inside
+  * whole-stage codegen. A regression here is a silent 100×-scale problem
+  * long before it is a wrong answer.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan: execute first — before execution the
+    * AdaptiveSparkPlan prints isFinalPlan=false without join/codegen nodes.
+    */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: predicate pushdown and column pruning reach the part scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(p_size,40"), p)
+    assert(p.contains("StringStartsWith(p_type,STANDARD)"), p)
+    // scan schema carries only referenced columns, never the whole table
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("p_retailprice") && !readSchema.contains("p_comment"),
+      readSchema)
+  }
+
+  test("q3: customer side broadcast, top-k as TakeOrderedAndProject, codegen on") {
+    val p = plan("q3_join_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("*("), p) // whole-stage-codegen stages print as *(n)
+  }
+
+  test("g1: label scan prunes to the projected columns") {
+    val p = plan("g1_label_scan")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_name") && readSchema.contains("c_acctbal"), readSchema)
+    assert(!readSchema.contains("c_address") && !readSchema.contains("c_comment"),
+      readSchema)
+  }
+
+  test("g13: point get pushes the id-derived key filter into the scan") {
+    val p = plan("g13_point_get")
+    // label pruning keeps a single table scan; the equality filter reaches it
+    assert(p.contains("PushedFilters"), p)
+    assert(!p.contains("Exchange"), p) // a point get needs no shuffle before the filter
+  }
+
+  test("m1: multimodal stats stay inside whole-stage codegen (no encoder round-trip)") {
+    val p = plan("m1_multimodal")
+    assert(p.contains("*("), p) // whole-stage-codegen stages print as *(n)
+    assert(!p.contains("DeserializeToObject"), p)
+  }
+}

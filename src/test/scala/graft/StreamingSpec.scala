@@ -41,6 +41,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming dedup keeps one event per fingerprint, matching batch keys") {
+    val stage = java.nio.file.Files.createTempDirectory("events_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(sfDir, "events.parquet"),
+      stage.resolve("events.parquet"))
+    val stream = EventStreams.readStream(spark, stage.toString)
+    val deduped = EventStreams.dedupStream(stream, Seq("user_id", "event_type"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedKeys = spark.table("dedup_out")
+      .select("user_id", "event_type").collect().map(_.toSeq)
+    val batchKeys = EventStreams.dedupBatch(
+        Tables.load(spark, sfDir, "events"), Seq("user_id", "event_type"))
+      .select("user_id", "event_type").collect().map(_.toSeq)
+    // exactly one survivor per (user, type): same key set, no duplicates
+    assert(streamedKeys.length == streamedKeys.toSet.size)
+    assert(streamedKeys.toSet == batchKeys.toSet && streamedKeys.nonEmpty)
+  }
+
   test("sessionize groups events by gap") {
     import spark.implicits._
     val events = Seq(
