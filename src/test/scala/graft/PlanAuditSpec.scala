@@ -64,6 +64,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p) // a point get needs no shuffle before the filter
   }
 
+  test("cy1: Cypher WHERE predicates reach the parquet scans through the planner") {
+    val p = plan("cy1_match_where")
+    // c.c_acctbal > 5000 and o.o_orderstatus = 'F' must be pushed into the
+    // customer/orders file scans, not evaluated post-join
+    assert(p.contains("GreaterThan(c_acctbal,5000"), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+  }
+
   test("m1: multimodal stats stay inside whole-stage codegen (no encoder round-trip)") {
     val p = plan("m1_multimodal")
     assert(p.contains("*("), p) // whole-stage-codegen stages print as *(n)
