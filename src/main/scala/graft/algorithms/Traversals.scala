@@ -60,10 +60,11 @@ object Traversals {
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int,
       dir: Direction = Direction.Out): DataFrame = {
-    // one materialization of the oriented edge set for all hops
-    val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint()
+    // one materialization of the oriented edge set for all hops (lazy
+    // checkpoint: the first level's count writes its blocks)
+    val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint(false)
     var visited = sources.select(col("id").cast("long").as("id"), lit(0).as("dist"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var frontier = visited
     var frontierRows = frontier.count()
     var hop = 0
@@ -77,10 +78,10 @@ object Traversals {
         .select(e("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(hop))
-        .localCheckpoint()
-      // the count gates only the NEXT iteration — skip it on the last hop
-      // (the checkpoint above already materialized the level)
-      frontierRows = if (hop < maxHops) next.count() else 0L
+        .localCheckpoint(false)
+      // ONE job per level: the count materializes the lazy checkpoint and
+      // yields the loop condition
+      frontierRows = next.count()
       // visited is a shallow union of already-checkpointed levels — no
       // re-materialization needed per hop
       visited = visited.unionByName(next)
@@ -103,10 +104,10 @@ object Traversals {
     */
   def bfsParents(edges: DataFrame, sources: DataFrame, maxHops: Int,
       dir: Direction = Direction.Out, until: Option[Long] = None): DataFrame = {
-    val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint()
+    val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint(false)
     var visited = sources.select(col("id").cast("long").as("id"), lit(0).as("dist"),
       lit(null).cast("long").as("parent"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var frontier = visited.select("id")
     var frontierRows = frontier.count()
     var found = false
@@ -120,15 +121,13 @@ object Traversals {
         .groupBy(e("dst").as("id")).agg(min(e("src")).as("parent"))
         .join(visited.select("id"), Seq("id"), "left_anti")
         .select(col("id"), lit(hop).as("dist"), col("parent"))
-        .localCheckpoint()
-      // one job yields both the loop condition and the early-exit signal;
-      // skipped entirely on the last hop (gates only the next iteration)
-      if (hop < maxHops) {
-        val stats = next.agg(count(lit(1)),
-          count(when(col("id") === until.getOrElse(Long.MinValue), 1))).collect()(0)
-        frontierRows = stats.getLong(0)
-        found = until.isDefined && stats.getLong(1) > 0
-      } else frontierRows = 0L
+        .localCheckpoint(false)
+      // ONE job per level: materializes the lazy checkpoint and yields both
+      // the loop condition and the early-exit signal
+      val stats = next.agg(count(lit(1)),
+        count(when(col("id") === until.getOrElse(Long.MinValue), 1))).collect()(0)
+      frontierRows = stats.getLong(0)
+      found = until.isDefined && stats.getLong(1) > 0
       visited = visited.unionByName(next)
       frontier = next.select("id")
     }
@@ -220,14 +219,14 @@ object Traversals {
       "carryEdges needs an `id` column on the edge relation")
     val eCols = if (carryEdges) Seq("src", "dst", "id") else Seq("src", "dst")
     val e = Direction.orient(edges, dir)
-      .select(eCols.head, eCols.tail: _*).localCheckpoint()
+      .select(eCols.head, eCols.tail: _*).localCheckpoint(false)
     var frontier = starts.select(col("id").cast("long").as("start_id"))
       .distinct()
       .withColumn("end_id", col("start_id"))
       .withColumn("path", array(col("start_id")))
     if (carryEdges)
       frontier = frontier.withColumn("epath", array().cast("array<long>"))
-    frontier = frontier.localCheckpoint()
+    frontier = frontier.localCheckpoint(false)
     var frontierRows = frontier.count()
     var results: Option[DataFrame] = None
     var resultRows = 0L
@@ -245,8 +244,10 @@ object Traversals {
       frontier = e.join(f, f("end_id") === e("src"))
         .where(!array_contains(col("path"), e("dst")))
         .select(stepCols: _*)
-        .localCheckpoint()
-      frontierRows = if (len < maxLength || maxPaths.isDefined) frontier.count() else 0L
+        .localCheckpoint(false)
+      // ONE job per level: materializes the lazy checkpoint, yields the
+      // loop/broadcast/maxPaths bookkeeping
+      frontierRows = frontier.count()
       if (len >= minLength) {
         // shallow union of checkpointed levels — not re-checkpointed
         val withLen = frontier.withColumn("len", lit(len))

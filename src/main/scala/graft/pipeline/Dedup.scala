@@ -183,6 +183,13 @@ object Dedup {
     * same-band-value buckets — linear + a shuffle on band keys, never
     * all-pairs. Completes `simhash` from a fingerprint into a dedup
     * operator.
+    *
+    * Scale bound: a band of w bits has 2^w buckets, so expect ~n/2^w docs
+    * per bucket; with 32-bit signatures and maxDist=3 (8-bit bands) the
+    * within-bucket pair join grows quadratically past n ≈ millions. At that
+    * scale use a wider signature (64/128-bit, wider bands) — the banding
+    * structure here is signature-width-agnostic; AQE's skew-join handles
+    * residual hot buckets.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {

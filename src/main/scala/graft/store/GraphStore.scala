@@ -197,10 +197,17 @@ object GraphStore {
       packId(Lab.Order, col("l_orderkey")).as("src"),
       packId(Lab.Part, col("l_partkey")).as("dst"),
       col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-    val eSuppliedBy = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct().select(
-      packId(Lab.SuppliedBy, col("l_partkey") * 1000000 + col("l_suppkey")).as("id"),
-      packId(Lab.Part, col("l_partkey")).as("src"),
-      packId(Lab.Supplier, col("l_suppkey")).as("dst"))
+    // edge id = the pair's minimal lineitem provenance key: unique (each
+    // (part,supp) claims a distinct min), deterministic, and bounded by the
+    // lineitem keyspace — `partkey * 1e6 + suppkey` would overflow the
+    // 48-bit locid at large scale factors. Same shuffle as a distinct().
+    val eSuppliedBy = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_orderkey") * 8 + col("l_linenumber")).as("__prov"))
+      .select(
+        packId(Lab.SuppliedBy, col("__prov")).as("id"),
+        packId(Lab.Part, col("l_partkey")).as("src"),
+        packId(Lab.Supplier, col("l_suppkey")).as("dst"))
     val eCustNation = customer.select(
       packId(Lab.CustNation, col("c_custkey")).as("id"),
       packId(Lab.Customer, col("c_custkey")).as("src"),
