@@ -46,6 +46,8 @@ object Traversals {
 
   /** Frontier row-count ceiling for a broadcast hop join. ~1M (id,dist) rows
     * is tens of MB serialized — safely under executor memory anywhere.
+    * Overridable per call so the shuffle-join fallback is testable (and
+    * tunable for small executors).
     */
   val BroadcastFrontierRows: Long = 1L << 20
 
@@ -59,7 +61,8 @@ object Traversals {
     * 1 there: shortest_path.rs:108).
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int,
-      dir: Direction = Direction.Out): DataFrame = {
+      dir: Direction = Direction.Out,
+      maxBroadcastRows: Long = BroadcastFrontierRows): DataFrame = {
     // one materialization of the oriented edge set for all hops (lazy
     // checkpoint: the first level's count writes its blocks)
     val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint(false)
@@ -73,7 +76,7 @@ object Traversals {
       // Small frontier → broadcast: map-side scan of the (large) edge table,
       // no edge shuffle. Large frontier → regular shuffle join; never force
       // a broadcast of an unbounded relation.
-      val f = if (frontierRows <= BroadcastFrontierRows) broadcast(frontier) else frontier
+      val f = if (frontierRows <= maxBroadcastRows) broadcast(frontier) else frontier
       val next = e.join(f, f("id") === e("src"))
         .select(e("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")

@@ -269,7 +269,10 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
       case ">" => l > r
       case "<=" => l <= r
       case ">=" => l >= r
-      case "=~" => l.rlike(re match { case StrLit(s) => s; case _ => r.toString })
+      case "=~" => re match {
+        case StrLit(s) => l.rlike(s)
+        case _ => sys.error("=~ needs a string-literal regex")
+      }
       case "STARTS WITH" => l.startsWith(r)
       case "ENDS WITH" => l.endsWith(r)
       case "CONTAINS" => l.contains(r)

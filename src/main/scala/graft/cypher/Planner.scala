@@ -116,8 +116,16 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     }
 
   private def applyNodeConstraints(sc: Scope, v: String, np: NodePat): Scope = {
-    val withLabels = np.labels.foldLeft(sc) { (s, l) =>
-      s.copy(df = s.df.where(col(Scope.colName(v, "label")) === l))
+    val vi = sc.vars(v)
+    val withLabels = np.labels.distinct.foldLeft(sc) { (s, l) =>
+      vi.label match {
+        // label known statically (typed table, no label column): a matching
+        // re-label is a no-op, a different one can never match
+        case Some(known) =>
+          if (known == l) s else s.copy(df = s.df.where(lit(false)))
+        case None =>
+          s.copy(df = s.df.where(col(Scope.colName(v, "label")) === l))
+      }
     }
     applyProps(withLabels, v, np.props)
   }

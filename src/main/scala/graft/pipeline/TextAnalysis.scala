@@ -73,6 +73,36 @@ object TextAnalysis {
         sum(col("nd")).as("total_distinct_tokens"),
         max(col("n")).as("max_tokens"))
 
+  /** GPT-2-style BPE pre-tokenization regex: contractions, letter runs,
+    * digit runs, punctuation runs (each optionally space-prefixed) — the
+    * units a subword tokenizer splits further. RE2-compatible so the DuckDB
+    * oracle applies the identical pattern.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** Pieces from BPE pre-tokenization. */
+  def bpePieces(t: Column): Column =
+    regexp_extract_all(t, lit(bpePattern), lit(0))
+
+  /** Estimated subword count: each piece contributes ceil(chars/4) — the
+    * ~4-chars-per-token rule of thumb, cheap enough to run at scan speed
+    * over 100 TB where a real tokenizer would dominate the job.
+    */
+  def bpeTokenEstimate(t: Column): Column =
+    aggregate(bpePieces(t), lit(0L),
+      (acc, p) => acc + floor((length(p) + lit(3)) / lit(4)).cast("long"))
+
+  /** Per-group BPE token statistics (piece count + subword estimate). */
+  def bpeTokenStats(df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol),
+        size(bpePieces(col(textCol))).as("n_pieces"),
+        bpeTokenEstimate(col(textCol)).as("n_subwords"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_pieces")).as("total_pieces"),
+        sum(col("n_subwords")).as("total_subwords"))
+
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),
     * plus a min-shingle-hash (stable under small edits — rolling-hash
     * style document signature).

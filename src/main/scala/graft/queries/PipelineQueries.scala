@@ -86,6 +86,10 @@ object PipelineQueries {
 
     "m1_multimodal" -> ((s, dir) =>
       Multimodal.featureStats(docs(s, dir))
+        .orderBy(col("source"))),
+
+    "t5_bpe_tokens" -> ((s, dir) =>
+      TextAnalysis.bpeTokenStats(docs(s, dir), "text", "source")
         .orderBy(col("source"))))
 
   // ---------------- oracle SQL ----------------
@@ -306,6 +310,20 @@ object PipelineQueries {
          |    THEN list_min(list_transform(${shSql(5)}, s -> ${h32Sql("s")}))
          |    ELSE NULL END AS min_shingle_fp
          |FROM documents ORDER BY id""".stripMargin,
+    "t5_bpe_tokens" ->
+      // identical RE2-compatible regex; length() is char-based in both
+      // engines; list_sum([]) is NULL in DuckDB → coalesce
+      """WITH p AS (
+        |  SELECT source,
+        |    regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+') AS pieces
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(pieces)) AS BIGINT) AS total_pieces,
+        |  CAST(SUM(COALESCE(list_sum(list_transform(pieces,
+        |    x -> CAST(floor((length(x)+3)/4) AS BIGINT))), 0)) AS BIGINT) AS total_subwords
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "m1_multimodal" ->
       // DuckDB md5(VARCHAR) hashes UTF-8 bytes = Spark md5(cast(text AS
       // binary)); strlen counts bytes, matching the decoded payload length.

@@ -224,6 +224,22 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq(Seq("a", "b", "c"))))
   }
 
+  test("re-binding a typed variable under a different label matches nothing") {
+    val df = session.run(
+      "MATCH (n:Person) MATCH (n:Admin) RETURN count(*) AS c")
+    assert(rows(df) == Seq(Seq(0L)))
+    // same label re-bind is a no-op
+    val df2 = session.run(
+      "MATCH (n:Person) MATCH (n:Person) RETURN count(*) AS c")
+    assert(rows(df2) == Seq(Seq(4L)))
+  }
+
+  test("regex match requires a literal pattern and works") {
+    val df = session.run(
+      "MATCH (n:Person) WHERE n.name =~ '^[AB].*' RETURN n.name AS name ORDER BY name")
+    assert(rows(df) == Seq(Seq("Alice"), Seq("Bob")))
+  }
+
   test("var-length binds the relationship list and filters props per step") {
     val df = session.run(
       """MATCH (a:Person {name: 'Alice'})-[r:KNOWS *1..2]->(b)

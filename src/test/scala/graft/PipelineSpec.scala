@@ -120,6 +120,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0)._1 == 1L && out(0)._2 == 3L && out(0)._3 == "1,2,3")
   }
 
+  test("BPE pre-tokenization splits contractions, numbers and punctuation") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, "it's 2024, ok!")).toDF("doc_id", "text")
+    val pieces = d.select(TextAnalysis.bpePieces(col("text")).as("p"))
+      .collect()(0).getSeq[String](0)
+    assert(pieces == Seq("it", "'s", " 2024", ",", " ok", "!"))
+    val est = d.select(TextAnalysis.bpeTokenEstimate(col("text")).as("e"))
+      .collect()(0).getLong(0)
+    assert(est == 7L) // ceil(2/4)*2 + ceil(5/4) + 1 + ceil(3/4) + 1
+  }
+
   test("SimHash banded pair extraction equals brute-force hamming filter") {
     val maxDist = 8 // loose enough that the planted near-dups qualify
     val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist)

@@ -121,13 +121,16 @@ class TraversalsSpec extends AnyFunSuite {
     assert(out(0).getSeq[Long](4) == Seq(Graphid.pack(2, 1), Graphid.pack(2, 3)))
   }
 
-  test("large frontier falls back to a non-broadcast join (no forced hint)") {
-    // drop the ceiling check indirectly: BroadcastFrontierRows is a constant,
-    // so just assert the loop completes correctly on a graph whose frontier
-    // exceeds a tiny grid — functional guard for the gating logic
+  test("shuffle-join fallback (ceiling 0) computes the same distances as broadcast") {
     val g = DataGenerator.grid(spark, 20, 20)
     val src = Graphid.pack(DataGenerator.GridLab, 1)
-    val d = Traversals.bfsDistances(g.edges("CONNECTED"), Seq(src).toDF("id"), 40)
-    assert(d.count() == 400)
+    val viaBroadcast = Traversals.bfsDistances(g.edges("CONNECTED"), Seq(src).toDF("id"), 40)
+      .collect().map(_.toSeq).toSet
+    // ceiling 0 forces the non-broadcast path on every hop — the plan a
+    // |V|-sized frontier takes at cluster scale
+    val viaShuffle = Traversals.bfsDistances(g.edges("CONNECTED"), Seq(src).toDF("id"), 40,
+      maxBroadcastRows = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(viaBroadcast == viaShuffle && viaBroadcast.size == 400)
   }
 }
