@@ -116,6 +116,50 @@ object Similarity {
       .select(col("pid"), col("rank"), col("cid"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of nLists centroids
+    * partitions the corpus; probes search only the nProbe nearest lists.
+    *
+    * Centroids here are deterministic corpus samples (the nLists vectors
+    * with the smallest h32(id) — a seedless uniform sample), which is the
+    * standard bootstrap before k-means refinement; at 100 TB the centroid
+    * set stays tiny (√n ≈ 10k rows) and is broadcast, corpus assignment is
+    * one broadcast-join scan (n × nLists codegen'd dot products), and the
+    * probe join touches only nProbe/nLists of the data.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
+    val centroids = base
+      .withColumn("__h", TextHash.h32(col("cid").cast("string")))
+      .orderBy(col("__h"), col("cid")).limit(nLists)
+      .select(col("cid").as("centid"), col("cvec").as("centvec"),
+        col("cnorm").as("centnorm"))
+    // list assignment: nearest-centroid(s) by cosine (broadcast centroids,
+    // map-side scan; the per-row window partitions on the unique id)
+    def assign(df: DataFrame, idC: String, vec: String, nrm: String,
+        topN: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("__csim",
+          dot(col(vec), col("centvec")) / (col(nrm) * col("centnorm")))
+      val w = Window.partitionBy(col(idC)).orderBy(col("__csim").desc, col("centid"))
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= topN)
+        .select(df.columns.map(col).toIndexedSeq :+ col("centid").as("list_id"): _*)
+    }
+    val assigned = assign(base, "cid", "cvec", "cnorm", 1)
+    val probes = assign(
+      base.filter(col("cid").isin(probeIds: _*))
+        .select(col("cid").as("pid"), col("cvec").as("pvec"), col("cnorm").as("pnorm")),
+      "pid", "pvec", "pnorm", nProbe)
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("cid") =!= col("pid"))
+      .withColumn("sim", dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("cid"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, a < b. All-pairs
     * here; at scale, pre-bucket with lshBucket and join on bucket first.
     */

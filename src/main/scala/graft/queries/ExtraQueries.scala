@@ -50,6 +50,13 @@ object ExtraQueries {
       counts.toDF("label", "n_rows").orderBy(col("label"))
     }),
 
+    // IVF ANN (coarse-quantizer scale path) — approximate, rows-only.
+    "x11_ann_ivf" -> ((s, dir) => {
+      graft.pipeline.Similarity.ivfTopK(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", Seq(0L, 1L, 2L), 5, 16, 4)
+        .orderBy(col("pid"), col("rank"))
+    }),
+
     // HLL approximate distinct (A7) — rows-only check by design.
     "x1_approx_distinct" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")

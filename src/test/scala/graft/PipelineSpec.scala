@@ -81,6 +81,12 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(2))
     assert(mp.length >= ann.length)
     assert(mp.toSet.intersect(bf.toSet).size >= ann.toSet.intersect(bf.toSet).size)
+    // IVF with nProbe = nLists degenerates to exact search over all lists:
+    // its top hit must match brute force exactly
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", Seq(0L), 5,
+      nLists = 4, nProbe = 4)
+      .collect().map(_.getLong(2))
+    assert(ivf.toSeq == bf.toSeq)
     // bucketed near-dup pairs are a subset of exact near-dup pairs
     val exact = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
