@@ -224,6 +224,16 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq(Seq("a", "b", "c"))))
   }
 
+  test("OPTIONAL MATCH composes with var-length patterns") {
+    val df = session.run(
+      """MATCH (a:Person) OPTIONAL MATCH (a)-[r:KNOWS *1..2]->(b)
+        |RETURN a.name AS name, count(b) AS n ORDER BY name""".stripMargin)
+    // Alice reaches Bob (1 hop) and Charlie (2 hops); Bob reaches Charlie;
+    // Charlie and David reach nobody but still appear (left join)
+    assert(rows(df) == Seq(
+      Seq("Alice", 2L), Seq("Bob", 1L), Seq("Charlie", 0L), Seq("David", 0L)))
+  }
+
   test("re-binding a typed variable under a different label matches nothing") {
     val df = session.run(
       "MATCH (n:Person) MATCH (n:Admin) RETURN count(*) AS c")
