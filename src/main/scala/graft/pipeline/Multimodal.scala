@@ -62,6 +62,37 @@ object Multimodal {
   def decodeStubCols(payload: Column): (Column, Column) =
     (length(payload).cast("long"), TextHash.h32(payload) % 251)
 
+  /** Split a binary payload into fixed-size frames — the Spark-side shape
+    * of video frame extraction (a real codec replaces byte-slicing with
+    * decode, the chunk/explode plumbing is identical). Pure column
+    * expressions: sequence + transform + substring, all codegen'd.
+    */
+  def frames(payload: Column, frameBytes: Int): Column =
+    transform(
+      sequence(lit(0), greatest(ceil(length(payload) / lit(frameBytes.toDouble))
+        .cast("int") - 1, lit(0))),
+      i => substring(payload, i * frameBytes + 1, lit(frameBytes)))
+
+  /** Sample every `every`-th frame (frame ids 0, every, 2*every, …) and
+    * explode to one row per sampled frame with its index and byte length —
+    * the distribution shape a frame-level feature extractor consumes.
+    */
+  def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int,
+      every: Int): DataFrame =
+    df.select(col("*"), posexplode(frames(col(payloadCol), frameBytes)))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .where(col("frame_idx") % every === 0)
+      .withColumn("frame_bytes", length(col("frame")).cast("long"))
+
+  /** Deterministic "resize" stub: truncate the payload to 1/factor of its
+    * bytes and record the original length — stands in for a codec resize;
+    * swapping in a real implementation keeps the schema and plumbing.
+    */
+  def resizeStub(payload: Column, factor: Int): Column =
+    substring(payload, lit(1),
+      greatest((length(payload) / lit(factor)).cast("int"), lit(1)))
+
   /** Demo pipeline over documents: treat text bytes as a fake media payload,
     * decode, and aggregate per source — exercises binary columns end-to-end.
     * Pure column expressions (codegen'd); the mapPartitions plumbing in

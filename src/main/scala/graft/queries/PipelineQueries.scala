@@ -90,6 +90,15 @@ object PipelineQueries {
 
     "t5_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenStats(docs(s, dir), "text", "source")
+        .orderBy(col("source"))),
+
+    "m2_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          docs(s, dir).withColumn("payload", col("text").cast("binary")),
+          "payload", 16, 4)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_bytes")).as("frame_bytes_total"))
         .orderBy(col("source"))))
 
   // ---------------- oracle SQL ----------------
@@ -324,6 +333,17 @@ object PipelineQueries {
         |  CAST(SUM(COALESCE(list_sum(list_transform(pieces,
         |    x -> CAST(floor((length(x)+3)/4) AS BIGINT))), 0)) AS BIGINT) AS total_subwords
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "m2_frame_sample" ->
+      // 16-byte frames, every 4th sampled; strlen counts UTF-8 bytes = the
+      // binary payload length; the last frame is the byte remainder
+      """WITH f AS (
+        |  SELECT source, strlen(text) AS L,
+        |    unnest(range(0, CAST(ceil(strlen(text)/16.0) AS BIGINT), 4)) AS i
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_frames,
+        |  CAST(SUM(LEAST(16, L - i*16)) AS BIGINT) AS frame_bytes_total
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "m1_multimodal" ->
       // DuckDB md5(VARCHAR) hashes UTF-8 bytes = Spark md5(cast(text AS
       // binary)); strlen counts bytes, matching the decoded payload length.

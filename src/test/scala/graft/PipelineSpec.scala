@@ -151,6 +151,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(banded.contains((1L, 2L))) // the planted near-dup is found
   }
 
+  test("frame sampling chunks binary payloads and keeps every k-th frame") {
+    import org.apache.spark.sql.functions._
+    // 19 bytes → frames of 16: [16, 3]; every 1 keeps both
+    val d = Seq((1L, "0123456789abcdefXYZ")).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val all = graft.pipeline.Multimodal.sampleFrames(d, "payload", 16, 1)
+      .select("frame_idx", "frame_bytes").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(all.toSeq == Seq((0, 16L), (1, 3L)))
+    // every 2 keeps only frame 0
+    val sampled = graft.pipeline.Multimodal.sampleFrames(d, "payload", 16, 2)
+      .select("frame_idx").collect().map(_.getInt(0))
+    assert(sampled.toSeq == Seq(0))
+    // resize stub truncates to 1/factor bytes
+    val rs = d.select(length(graft.pipeline.Multimodal.resizeStub(col("payload"), 4))
+      .as("n")).collect()(0).getInt(0)
+    assert(rs == 4)
+  }
+
   test("multimodal column stats equal the mapPartitions decoder plumbing") {
     import org.apache.spark.sql.functions._
     val viaCols = graft.pipeline.Multimodal.featureStats(
