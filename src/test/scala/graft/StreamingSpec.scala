@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -59,6 +61,44 @@ class StreamingSpec extends AnyFunSuite {
     // exactly one survivor per (user, type): same key set, no duplicates
     assert(streamedKeys.length == streamedKeys.toSet.size)
     assert(streamedKeys.toSet == batchKeys.toSet && streamedKeys.nonEmpty)
+  }
+
+  test("watermark finalizes windows and drops late events (append mode)") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("events_late")
+    def nanos(hhmm: String): Long =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00").getTime * 1000000L
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      // the file stream source only sees FILES in the watched directory —
+      // write to a temp dir and move the part file in as a flat file
+      val tmp = java.nio.file.Files.createTempDirectory("late_batch")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
+      val part = java.nio.file.Files.list(tmp.resolve("out")).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, stage.resolve(name + ".parquet"))
+    }
+    // batch 1: two events in [10:00,11:00) + one at 13:30 that pushes the
+    // watermark (2h) to 11:30, finalizing the 10:00 window
+    writeBatch("b1", Seq(
+      (1L, nanos("10:00"), 1L, "a", 1.0, "{}"),
+      (2L, nanos("10:30"), 1L, "a", 1.0, "{}"),
+      (3L, nanos("13:30"), 1L, "a", 1.0, "{}")))
+    val stream = EventStreams.readStream(spark, stage.toString)
+    val agg = EventStreams.windowedStats(stream)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event for the already-finalized 10:00 window — the
+      // watermark must drop it, the emitted count must not change
+      writeBatch("b2", Seq((4L, nanos("10:15"), 1L, "a", 1.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w10 = spark.table("late_out")
+      .where($"window_start" === java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))
+      .select("n").collect()
+    assert(w10.length == 1 && w10(0).getLong(0) == 2L)
   }
 
   test("sessionize groups events by gap") {
