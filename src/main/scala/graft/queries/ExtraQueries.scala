@@ -50,6 +50,21 @@ object ExtraQueries {
       counts.toDF("label", "n_rows").orderBy(col("label"))
     }),
 
+    // as-of join (composed union+window operator): each click joined to
+    // the user's latest prior-or-equal purchase — oracle = DuckDB's native
+    // ASOF LEFT JOIN.
+    "x12_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.asof(clicks, purchases, "user_id", "ts", "ts")
+        .select(col("event_id"), col("r_event_id").as("purchase_event_id"),
+          col("r_value").as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // IVF ANN (coarse-quantizer scale path) — approximate, rows-only.
     "x11_ann_ivf" -> ((s, dir) => {
       graft.pipeline.Similarity.ivfTopK(
@@ -132,6 +147,14 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x12_asof_join" ->
+      """SELECT c.event_id, p.event_id AS purchase_event_id,
+        |  p.value AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "x10_store_roundtrip" ->
       """SELECT * FROM (
         |  SELECT 'Customer' AS label, COUNT(*) AS n_rows FROM customer
