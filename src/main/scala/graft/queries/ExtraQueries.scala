@@ -65,6 +65,24 @@ object ExtraQueries {
         .orderBy(col("event_id"))
     }),
 
+    // bucketed range join: clicks attributed to the purchase whose 1-hour
+    // window contains them (same user) — equi-join on time buckets +
+    // residual filter, never a broadcast-nested-loop.
+    "x13_range_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.operators.RangeJoin.intervalJoin(
+          clicks, "ts", purchases, "w_start", "w_end", Seq("user_id"), 3600L)
+        .groupBy(col("r_event_id").as("purchase_event_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy(col("purchase_event_id"))
+    }),
+
     // IVF ANN (coarse-quantizer scale path) — approximate, rows-only.
     "x11_ann_ivf" -> ((s, dir) => {
       graft.pipeline.Similarity.ivfTopK(
@@ -147,6 +165,13 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x13_range_join" ->
+      """SELECT p.event_id AS purchase_event_id, COUNT(*) AS n_clicks
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x12_asof_join" ->
       """SELECT c.event_id, p.event_id AS purchase_event_id,
         |  p.value AS purchase_value

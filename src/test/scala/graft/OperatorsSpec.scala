@@ -18,6 +18,24 @@ class OperatorsSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("range join equals a plain BETWEEN theta join") {
+    import org.apache.spark.sql.functions._
+    val points = (1 to 200).map(i => (i.toLong % 5, i.toLong * 13 % 997)).toDF("k", "t")
+      .withColumn("t", timestamp_seconds(col("t")))
+    val intervals = (1 to 40).map(i =>
+      (i.toLong % 5, i.toLong * 20 % 900, i.toLong * 20 % 900 + 50)).toDF("k", "s", "e")
+      .withColumn("s", timestamp_seconds(col("s")))
+      .withColumn("e", timestamp_seconds(col("e")))
+      .withColumn("iid", monotonically_increasing_id())
+    val viaBucket = graft.operators.RangeJoin
+      .intervalJoin(points, "t", intervals, "s", "e", Seq("k"), 30L)
+      .select(col("t"), col("r_iid")).collect().map(_.toSeq).toSet
+    val viaTheta = points.join(intervals,
+        points("k") === intervals("k") && points("t") >= col("s") && points("t") < col("e"))
+      .select(points("t"), col("iid")).collect().map(_.toSeq).toSet
+    assert(viaBucket == viaTheta && viaBucket.nonEmpty)
+  }
+
   test("asof join picks the latest at-or-before right row per key") {
     val trades = Seq(
       (1L, 100L, 10L), // key 1, ts 100
