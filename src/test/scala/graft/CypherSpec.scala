@@ -224,6 +224,22 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq(Seq("a", "b", "c"))))
   }
 
+  test("WITH applies ORDER BY/LIMIT before WHERE (openCypher clause order)") {
+    // top-2 by age = Charlie(35), Alice(30); WHERE then keeps Alice only
+    val df = session.run(
+      """MATCH (n:Person) WITH n ORDER BY n.age DESC LIMIT 2
+        |WHERE n.age < 35 RETURN n.name AS name""".stripMargin)
+    assert(rows(df) == Seq(Seq("Alice")))
+  }
+
+  test("CASE expression and aggregate-of-expression") {
+    val df = session.run(
+      """MATCH (n:Person)
+        |RETURN CASE WHEN n.age >= 30 THEN 'senior' ELSE 'junior' END AS band,
+        |  sum(n.age * 2) AS dbl ORDER BY band""".stripMargin)
+    assert(rows(df) == Seq(Seq("junior", 106L), Seq("senior", 130L)))
+  }
+
   test("OPTIONAL MATCH composes with var-length patterns") {
     val df = session.run(
       """MATCH (a:Person) OPTIONAL MATCH (a)-[r:KNOWS *1..2]->(b)
