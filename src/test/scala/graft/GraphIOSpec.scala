@@ -75,6 +75,19 @@ class GraphIOSpec extends AnyFunSuite {
     assert(vs.map(_.getLong(0)).toSet.contains(e.getLong(1)))
   }
 
+  test("import id allocation is deterministic across repeated imports") {
+    val f = Files.createTempFile("graph", ".json")
+    Files.writeString(f, jsonDoc)
+    def snapshot(): Seq[Seq[Any]] = {
+      val s = GraphIO.importJson(spark, f.toString)
+      (s.allVertices.orderBy("id").collect() ++
+        s.allEdges.orderBy("id").collect()).toSeq.map(_.toSeq)
+    }
+    // the range-partitioned sort + zipWithIndex allocation must yield the
+    // exact same packed ids every time
+    assert(snapshot() == snapshot())
+  }
+
   test("nested SET writes through JSON-string properties (schemaless store)") {
     val f = Files.createTempFile("graph", ".json")
     Files.writeString(f, jsonDoc)
