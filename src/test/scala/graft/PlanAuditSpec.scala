@@ -72,6 +72,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(o_orderstatus,F)"), p)
   }
 
+  test("bucketed edge tables self-join on the bucket key without an exchange") {
+    implicit val s: SparkSession = spark
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("bucketed").toString
+    new graft.store.GraphStore(Map.empty, Map("PLACED" -> g.edges("PLACED")))
+      .writeBucketed(tmp, buckets = 4)
+    try {
+      val placed = spark.table("edges_placed")
+      val j = placed.as("a").join(placed.as("b"),
+        org.apache.spark.sql.functions.col("a.src") ===
+          org.apache.spark.sql.functions.col("b.src"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      // both sides read pre-bucketed by src: the join key partitioning is
+      // already satisfied — no shuffle anywhere in the plan
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    } finally spark.sql("DROP TABLE IF EXISTS edges_placed")
+  }
+
   test("m1: multimodal stats stay inside whole-stage codegen (no encoder round-trip)") {
     val p = plan("m1_multimodal")
     assert(p.contains("*("), p) // whole-stage-codegen stages print as *(n)
