@@ -441,7 +441,19 @@ final class Planner(spark: SparkSession, store0: GraphStore,
 
     def labidOf(label: String): Int =
       GraphStore.Lab.byId.find(_._2 == label).map(_._1)
-        .getOrElse(math.abs(label.hashCode) % 60000 + 100)
+        .getOrElse {
+          val id = math.abs(label.hashCode) % 60000 + 100
+          // ids are embedded in rows, so the mapping must be stable — a
+          // dictionary hash collision with ANY other live label would
+          // conflate two labels' id spaces; fail loudly instead
+          val clash = (store.vertexTables.keySet ++ store.edgeTables.keySet)
+            .find(l => l != label && !GraphStore.Lab.byId.values.exists(_ == l) &&
+              math.abs(l.hashCode) % 60000 + 100 == id)
+          clash.foreach(c => sys.error(
+            s"label dictionary collision: '$label' and '$c' both map to labid $id; " +
+              "rename one label"))
+          id
+        }
 
     def maxLocid(tables: Map[String, DataFrame], label: String): Long =
       tables.get(label) match {
@@ -595,8 +607,11 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       require(item.path.nonEmpty, "SET needs a property path")
       val prop = item.path.head
       val idCol = Scope.colName(item.variable, "id")
-      // one update value per entity (reference groups updates per entity;
-      // with multiple binding rows the first value wins deterministically)
+      // one update value per entity (reference groups updates per entity).
+      // With multiple binding rows carrying DIFFERENT values the pick is
+      // arbitrary in both engines (the reference applies them in storage
+      // iteration order); `first` here mirrors that — callers needing a
+      // deterministic multi-row SET must make the value row-invariant.
       val updates = scope.df
         .select(col(idCol).as("__uid"), compiler.compile(item.value).as("__uval"))
         .groupBy("__uid").agg(first("__uval").as("__uval"))
