@@ -188,6 +188,19 @@ object GraphQueries {
         .select(col("id"), col("c_custkey"), col("c_name"))
     }),
 
+    // Weighted SSSP (Pregel): PLACED edges cost 1, CONTAINS edges cost
+    // l_quantity — min-cost distance from customer 1 to every reachable
+    // order/part. Exercises the weight column PregelSssp relaxes on.
+    "g14_weighted_sssp" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val weighted = g.edges("PLACED")
+        .select(col("src"), col("dst"), lit(1.0).as("weight"))
+        .unionByName(g.edges("CONTAINS")
+          .select(col("src"), col("dst"), col("l_quantity").cast("double").as("weight")))
+      PregelSssp.run(s, weighted, graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L))
+        .orderBy(col("id"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -315,6 +328,27 @@ object GraphQueries {
          |)
          |SELECT $startCust1 AS start_id, d.id AS end_id, p.dist, p.path_str
          |FROM dstv d, path p""".stripMargin,
+    "g14_weighted_sssp" ->
+      // bounded Bellman-Ford in SQL: the PLACED+CONTAINS projection is a
+      // depth-2 DAG, so enumerating <=3-hop walks and taking MIN(dist)
+      // equals the Pregel fixpoint; path sums accumulate left-to-right in
+      // both engines, keeping doubles bit-identical
+      s"""WITH RECURSIVE we AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+         |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst,
+         |         CAST(1.0 AS DOUBLE) AS w FROM orders
+         |  UNION ALL
+         |  SELECT (CAST(2 AS BIGINT)<<48)|CAST(l_orderkey AS BIGINT),
+         |         (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT),
+         |         CAST(l_quantity AS DOUBLE) FROM lineitem
+         |),
+         |walk(id, dist, len) AS (
+         |  SELECT $startCust1, CAST(0.0 AS DOUBLE), 0
+         |  UNION ALL
+         |  SELECT e.dst, w.dist + e.w, w.len + 1
+         |  FROM walk w JOIN we e ON e.src = w.id WHERE w.len < 3
+         |)
+         |SELECT id, MIN(dist) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "g13_point_get" ->
       """SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS id,
         |  c_custkey, c_name

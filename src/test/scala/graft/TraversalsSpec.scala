@@ -89,6 +89,18 @@ class TraversalsSpec extends AnyFunSuite {
     assert(a.edges("KNOWS").collect().toSeq == b.edges("KNOWS").collect().toSeq)
   }
 
+  test("Pregel SSSP honors edge weights") {
+    import org.apache.spark.sql.functions._
+    val g = DataGenerator.grid(spark, 5, 5)
+    val weighted = g.edges("CONNECTED")
+      .select($"src", $"dst", (col("distance") * 2.5).as("weight"))
+    val src = Graphid.pack(DataGenerator.GridLab, 1)
+    val dst = Graphid.pack(DataGenerator.GridLab, 25)
+    val d = PregelSssp.run(spark, weighted, src)
+      .filter($"id" === dst).collect()
+    assert(d.length == 1 && d(0).getDouble(1) == 8 * 2.5)
+  }
+
   test("shortestPath reconstructs the lexicographically-minimal path") {
     // A→E via B (A,B,E) and via C (A,C,E); min-parent picks B (lower id)
     val p = Traversals.shortestPath(dag.edges("LINK"), idOf("A"), idOf("E"), 5).collect()
