@@ -179,6 +179,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DEC6)).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // batch sessionization (gaps-and-islands; the batch face of
+    // EventStreams.sessionize): a >30-min gap starts a new session.
+    // Microsecond-exact gap comparison on both engines.
+    "q17_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("sid"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -293,5 +311,26 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY hour, event_type""".stripMargin)
+        |ORDER BY hour, event_type""".stripMargin,
+    "q17_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |),
+        |b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM x
+        |),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b
+        |)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin)
 }
