@@ -50,6 +50,28 @@ object ExtraQueries {
       counts.toDF("label", "n_rows").orderBy(col("label"))
     }),
 
+    // end-to-end interchange: JSON graph document → GraphIO import
+    // (distributed id remap) → Cypher over the schemaless store. The
+    // driver-visible proof that S6 import feeds the query engine.
+    "x14_graphio_cypher" -> ((s, dir) => {
+      val json =
+        """{"vertices":[
+          |  {"id":"1","label":"Person","properties":{"name":"Alice","age":30}},
+          |  {"id":"2","label":"Person","properties":{"name":"Bob","age":25}},
+          |  {"id":"3","label":"Person","properties":{"name":"Charlie","age":35}}],
+          |"edges":[
+          |  {"label":"KNOWS","start":"1","end":"2","properties":{"since":2020}},
+          |  {"label":"KNOWS","start":"2","end":"3","properties":{"since":2021}}]}"""
+          .stripMargin
+      val f = java.nio.file.Files.createTempFile("graft_io_gate", ".json")
+      java.nio.file.Files.writeString(f, json)
+      val store = graft.store.GraphIO.importJson(s, f.toString)
+      new graft.cypher.CypherSession(s, store).run(
+        """MATCH (a:Person)-[r:KNOWS]->(b:Person)
+          |RETURN a.name AS a, toInteger(r.since) AS y, b.name AS b
+          |ORDER BY a""".stripMargin)
+    }),
+
     // as-of join (composed union+window operator): each click joined to
     // the user's latest prior-or-equal purchase — oracle = DuckDB's native
     // ASOF LEFT JOIN.
@@ -165,6 +187,10 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x14_graphio_cypher" ->
+      """SELECT * FROM (VALUES ('Alice', CAST(2020 AS BIGINT), 'Bob'),
+        |  ('Bob', CAST(2021 AS BIGINT), 'Charlie')) t(a, y, b)
+        |ORDER BY a""".stripMargin,
     "x13_range_join" ->
       """SELECT p.event_id AS purchase_event_id, COUNT(*) AS n_clicks
         |FROM events p JOIN events c
