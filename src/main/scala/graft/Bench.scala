@@ -18,14 +18,20 @@ object Bench {
     // warmup: file-footer reads + JIT/codegen warm so per-query numbers
     // measure the query, not session startup
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for profiling single queries
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case t: Throwable => Some(t.toString.replaceAll("[\"\\\\\n]", " ").take(160)) }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop cached/checkpointed blocks so one
-      // query's state never pressures the next (measured outside the timer)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // query's state never pressures the next (measured outside the timer).
+      // Blocking so the next query starts from a clean BlockManager instead
+      // of racing an async removal.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

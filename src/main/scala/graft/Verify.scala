@@ -25,7 +25,7 @@ object Verify {
       }
       // queries are independent: drop any cached/checkpointed blocks so one
       // query's state never pressures the next
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -49,10 +49,19 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     jaccardFromShingles(explodedShingles(df, idCol, textCol, n).localCheckpoint())
 
+  /** Shingle-set row-count ceiling for broadcasting the build side of the
+    * all-pairs join: (id, h) rows are 16 bytes — 1M is a few tens of MB.
+    */
+  val BroadcastShingleRows: Long = 1L << 20
+
   /** Exact Jaccard from a pre-materialized hashed (id, h) shingle set. */
   def jaccardFromShingles(sh: DataFrame): DataFrame = {
+    // checkpointed relations expose no size stats, so AQE can't pick the
+    // broadcast itself; gate it on an explicit (cheap, cached-block) count
+    val shRows = sh.count()
+    val build = if (shRows <= BroadcastShingleRows) broadcast(sh.as("y")) else sh.as("y")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val inter = sh.as("x").join(build,
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))

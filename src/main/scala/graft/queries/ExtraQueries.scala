@@ -39,15 +39,16 @@ object ExtraQueries {
     // it back, and count every label — oracle-checked against the raw
     // tables, so the durable layout roundtrips losslessly.
     "x10_store_roundtrip" -> ((s, dir) => {
-      import s.implicits._
       val g = GraphStore.tpch(s, dir)
       val tmp = "/tmp/graft_store_roundtrip"
       g.save(tmp)
       val loaded = GraphStore.load(s, tmp)
-      val counts =
-        loaded.vertexLabels.map(l => (l, loaded.vertices(l).count())) ++
-          loaded.edgeLabels.map(l => (l, loaded.edges(l).count()))
-      counts.toDF("label", "n_rows").orderBy(col("label"))
+      // one distributed count job over every label (column pruning reads
+      // only parquet footers + label literal), not 12 serial count() jobs
+      loaded.allVertices.select(col("label"))
+        .unionByName(loaded.allEdges.select(col("label")))
+        .groupBy(col("label")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("label"))
     }),
 
     // end-to-end interchange: JSON graph document → GraphIO import

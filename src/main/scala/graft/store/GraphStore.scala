@@ -96,12 +96,18 @@ final class GraphStore(
     * one directory per label = the reference's per-label key prefix).
     */
   def save(dir: String): Unit = {
-    vertexTables.foreach { case (l, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/vertices/$l")
-    }
-    edgeTables.foreach { case (l, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/edges/$l")
-    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // independent per-label datasets: submit the write jobs concurrently so
+    // small labels overlap the big ones instead of serializing 12 jobs
+    val jobs =
+      vertexTables.toSeq.map { case (l, df) =>
+        Future(df.write.mode("overwrite").parquet(s"$dir/vertices/$l"))
+      } ++ edgeTables.toSeq.map { case (l, df) =>
+        Future(df.write.mode("overwrite").parquet(s"$dir/edges/$l"))
+      }
+    Await.result(Future.sequence(jobs), Duration.Inf)
   }
 
   /** Persist edges bucketed by src — at cluster scale this makes every hop
