@@ -103,6 +103,29 @@ object TextAnalysis {
         sum(col("n_pieces")).as("total_pieces"),
         sum(col("n_subwords")).as("total_subwords"))
 
+  /** Top-k TF-IDF terms per document. idf is the raw ratio N/df (no log):
+    * the ranking it induces per fixed document is identical to log-idf, and
+    * the score stays an exact small-integer ratio in doubles — so the DuckDB
+    * oracle matches bit-for-bit where a libm `ln` would not. Distributed
+    * shape: explode → two groupBys (map-side combinable) → broadcast-able
+    * doc-count join → per-doc window top-k; no all-pairs, no driver state.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (id, term): df = count per term
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double") * col("n_docs") / col("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),
     * plus a min-shingle-hash (stable under small edits — rolling-hash
     * style document signature).

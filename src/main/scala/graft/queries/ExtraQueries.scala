@@ -138,17 +138,43 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n_sampled"))
     }),
 
-    // VLE with full path enumeration + deterministic maxPaths cap — the
-    // path arrays are not SQL-comparable, rows-only.
+    // VLE with full path enumeration — every simple path of length 1..3
+    // from customer 1, as vertex-id strings. Oracle-checked: the recursive
+    // CTE enumerates the identical cycle-free walks.
     "x4_vle_paths" -> ((s, dir) => {
       import s.implicits._
       val g = GraphStore.tpch(s, dir)
       val starts = Seq(Graphid.pack(GraphStore.Lab.Customer, 1L)).toDF("id")
-      Traversals.vle(g.allEdges.select(col("src"), col("dst")), starts, 1, 3,
-          maxPaths = Some(100))
+      Traversals.vle(g.allEdges.select(col("src"), col("dst")), starts, 1, 3)
         .select(col("start_id"), col("end_id"), col("len"),
           concat_ws("->", col("path")).as("path_str"))
         .orderBy(col("len"), col("path_str"))
+    }),
+
+    // deterministic 1-in-20 hash sample (reproducible across engines and
+    // retries, unlike RNG-seeded sampling) — oracle applies the same hash.
+    "x15_hash_sample" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      graft.operators.Sampling.hashSample(
+          li, col("l_orderkey") * 8 + col("l_linenumber"), 20)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("l_quantity").cast(DEC)).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // salted skew join: lineitem (large, skewable l_suppkey) x supplier
+    // (small dim) with 8-way key salting — result identical to the plain
+    // join, hot keys spread over 8 reducers.
+    "x16_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val supp = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedJoin(li, supp, Seq("l_suppkey"), 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DEC)).cast("double").as("sum_qty"))
+        .orderBy(col("s_nationkey"))
     }),
 
     // GraphX PageRank over the TPC-H graph — FP iteration, rows-only.
@@ -188,6 +214,33 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x4_vle_paths" -> {
+      val start = "(CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT)"
+      s"""WITH RECURSIVE ${GraphQueries.edgesCte},
+         |walk(end_id, path, len) AS (
+         |  SELECT dst, [$start, dst], 1 FROM edges WHERE src = $start
+         |  UNION ALL
+         |  SELECT e.dst, list_append(w.path, e.dst), w.len + 1
+         |  FROM walk w JOIN edges e ON e.src = w.end_id
+         |  WHERE w.len < 3 AND NOT list_contains(w.path, e.dst)
+         |)
+         |SELECT $start AS start_id, end_id, CAST(len AS INT) AS len,
+         |  array_to_string(path, '->') AS path_str
+         |FROM walk ORDER BY len, path_str""".stripMargin
+    },
+    "x15_hash_sample" -> {
+      val h = graft.pipeline.TextHash.h32Sql(
+        "('' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR))")
+      s"""SELECT l_returnflag, COUNT(*) AS n_sampled,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem WHERE $h % 20 = 0
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+    "x16_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "x14_graphio_cypher" ->
       """SELECT * FROM (VALUES ('Alice', CAST(2020 AS BIGINT), 'Bob'),
         |  ('Bob', CAST(2021 AS BIGINT), 'Charlie')) t(a, y, b)

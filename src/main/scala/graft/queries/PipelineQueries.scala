@@ -92,6 +92,11 @@ object PipelineQueries {
       TextAnalysis.bpeTokenStats(docs(s, dir), "text", "source")
         .orderBy(col("source"))),
 
+    "t6_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", 5)
+        .where(col("id") < 20)
+        .orderBy(col("id"), col("rank"))),
+
     "m2_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
           docs(s, dir).withColumn("payload", col("text").cast("binary")),
@@ -344,6 +349,24 @@ object PipelineQueries {
         |SELECT source, COUNT(*) AS n_frames,
         |  CAST(SUM(LEAST(16, L - i*16)) AS BIGINT) AS frame_bytes_total
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "t6_tfidf" ->
+      // ratio-idf (N/df, no log): same per-doc ranking as log-idf, exact
+      // small-integer ratios in doubles → bit-identical across engines
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, unnest($toksSql) AS term FROM documents
+         |),
+         |tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |ranked AS (
+         |  SELECT id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * n_docs / df AS tfidf,
+         |    ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY CAST(tf AS DOUBLE) * n_docs / df DESC, term) AS rank
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+         |)
+         |SELECT id, rank, term, tf, df, tfidf FROM ranked
+         |WHERE rank <= 5 AND id < 20 ORDER BY id, rank""".stripMargin,
     "m1_multimodal" ->
       // DuckDB md5(VARCHAR) hashes UTF-8 bytes = Spark md5(cast(text AS
       // binary)); strlen counts bytes, matching the decoded payload length.

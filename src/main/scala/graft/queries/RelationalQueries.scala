@@ -197,9 +197,30 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
         .orderBy(col("user_id"), col("sid"))
+    }),
+
+    // exact interpolated quantiles (vs x2's approximate sketch): both
+    // engines use the standard (n-1)*p linear interpolation on the sorted
+    // values, so the doubles match exactly.
+    "q18_exact_quantiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr(
+          "percentile(CAST(o_totalprice AS DOUBLE), array(0.25D, 0.5D, 0.75D))").as("q"))
+        .select(col("o_orderpriority"),
+          element_at(col("q"), 1).as("p25"),
+          element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p75"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "q18_exact_quantiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -59,4 +59,39 @@ class OperatorsSpec extends AnyFunSuite {
       12L -> Some(4.0),
       13L -> None)) // no quote for key 3
   }
+
+  test("salted join equals the plain join, inner and left") {
+    import org.apache.spark.sql.functions._
+    // skewed large side: key 0 holds 80% of the rows; key 9 matches nothing
+    val large = (1 to 1000).map(i => (if (i % 5 == 0) i.toLong % 3 + 1 else 0L, i.toLong))
+      .toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (42L, "z")).toDF("k", "name")
+    for (how <- Seq("inner", "left")) {
+      val salted = graft.operators.SkewJoin.saltedJoin(large, small, Seq("k"), 8, how)
+        .select(col("k"), col("v"), col("name")).collect().map(_.toSeq).toSet
+      val plain = large.join(small, Seq("k"), how)
+        .select(col("k"), col("v"), col("name")).collect().map(_.toSeq).toSet
+      assert(salted == plain && plain.nonEmpty, s"mismatch for $how")
+    }
+  }
+
+  test("hash sample is deterministic, partitioning-invariant, and partitions the table") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 2000).map(_.toLong).toDF("id")
+    val m = 10
+    val s1 = graft.operators.Sampling.hashSample(df, col("id"), m).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = graft.operators.Sampling.hashSample(df.repartition(13), col("id"), m)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty) // reproducible under any layout
+    // the m buckets are disjoint and cover the table exactly
+    val all = (0 until m).flatMap(b =>
+      graft.operators.Sampling.hashSample(df, col("id"), m, b)
+        .select("id").collect().map(_.getLong(0)))
+    assert(all.length == 2000 && all.toSet.size == 2000)
+    // a different salt decorrelates the draw
+    val salted = graft.operators.Sampling.hashSample(df, col("id"), m, 0, "other")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(salted != s1)
+  }
 }

@@ -185,4 +185,19 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(viaCols == viaDecoder)
   }
+
+  test("tfidf ranks document-specific terms above corpus-wide ones") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "spark spark the engine"),
+      (1L, "the quick fox"),
+      (2L, "the lazy fox")).toDF("doc_id", "text")
+    val top = graft.pipeline.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // doc 0: 'spark' tf=2 df=1 → 6.0; 'engine' tf=1 df=1 → 3.0; 'the' df=3 → 1.0
+    assert(top((0L, 1)) == "spark" && top((0L, 2)) == "engine")
+    // docs 1/2: unique term beats 'fox' (df=2) beats 'the' (df=3)
+    assert(top((1L, 1)) == "quick" && top((1L, 2)) == "fox")
+    assert(top((2L, 1)) == "lazy" && top((2L, 2)) == "fox")
+  }
 }
