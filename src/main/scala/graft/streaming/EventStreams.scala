@@ -68,6 +68,47 @@ object EventStreams {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Label ids for the streamed event graph (own namespace, clear of the
+    * TPC-H projection's 1-22).
+    */
+  val UserLab = 201; val EventLab = 202; val DidLab = 212
+
+  /** Streaming graph ingestion — the streaming face of bulk import (S6/S9):
+    * each event becomes a User->Event DID edge row in the GraphStore edge
+    * schema (id, src, dst, props). Write with `edgeIngest(...).writeStream
+    * .format("parquet")` into `store/edges/DID` and `GraphStore.load` sees
+    * a continuously growing graph; the file sink's commit log gives
+    * exactly-once appends, so a crashed ingest never double-writes edges.
+    */
+  def edgeIngest(events: DataFrame): DataFrame =
+    events.select(
+      graft.model.Graphid.packCol(DidLab, col("event_id")).as("id"),
+      graft.model.Graphid.packCol(UserLab, col("user_id")).as("src"),
+      graft.model.Graphid.packCol(EventLab, col("event_id")).as("dst"),
+      col("event_type"), col("ts").as("at"))
+
+  /** Stream-stream interval join: clicks matched to the same user's
+    * purchases within the following hour — both sides watermarked so join
+    * state is bounded by the watermark horizon (the streaming face of
+    * operators.RangeJoin). Inner join; output arrives once both sides pass
+    * the watermark.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") >= col("purchase_ts") &&
+        col("click_ts") < col("purchase_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)

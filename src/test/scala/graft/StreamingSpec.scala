@@ -115,4 +115,53 @@ class StreamingSpec extends AnyFunSuite {
     val first = sessions.filter(_.user_id == 1).minBy(_.session_start.getTime)
     assert(first.n_events == 2)
   }
+
+  test("streaming edge ingest builds a loadable graph store") {
+    import org.apache.spark.sql.functions._
+    val stage = java.nio.file.Files.createTempDirectory("events_ingest")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(sfDir, "events.parquet"),
+      stage.resolve("events.parquet"))
+    val storeDir = java.nio.file.Files.createTempDirectory("ingest_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt")
+    val q = EventStreams.edgeIngest(EventStreams.readStream(spark, stage.toString))
+      .writeStream.format("parquet")
+      .option("path", s"$storeDir/edges/DID")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val store = graft.store.GraphStore.load(spark, storeDir.toString)
+    val batch = Tables.load(spark, sfDir, "events")
+    // every event became exactly one well-formed User->Event edge
+    assert(store.edges("DID").count() == batch.count())
+    val labs = store.edges("DID")
+      .select(shiftright(col("src"), 48).as("sl"), shiftright(col("dst"), 48).as("dl"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labs == Set((EventStreams.UserLab.toLong, EventStreams.EventLab.toLong)))
+  }
+
+  test("stream-stream interval join equals the batch theta join") {
+    import org.apache.spark.sql.functions._
+    val stage = java.nio.file.Files.createTempDirectory("events_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(sfDir, "events.parquet"),
+      stage.resolve("events.parquet"))
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.where(col("event_type") === "click"),
+        df.where(col("event_type") === "purchase"))
+    val (sc, sp) = split(EventStreams.readStream(spark, stage.toString))
+    val q = EventStreams.clickPurchaseJoin(sc, sp).writeStream
+      .outputMode("append").format("memory").queryName("ssj_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_out")
+      .select("click_id", "purchase_id").collect().map(_.toSeq).toSet
+    val (bc, bp) = split(Tables.load(spark, sfDir, "events"))
+    val batch = bc.select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      .join(bp.select(col("event_id").as("purchase_id"),
+          col("user_id").as("pu"), col("ts").as("pts")),
+        col("user_id") === col("pu") && col("ts") >= col("pts") &&
+          col("ts") < col("pts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "purchase_id").collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
