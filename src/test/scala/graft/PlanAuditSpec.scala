@@ -96,4 +96,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*("), p) // whole-stage-codegen stages print as *(n)
     assert(!p.contains("DeserializeToObject"), p)
   }
+
+  test("x16: salted join partitions on (key, salt), spreading each hot key") {
+    val p = plan("x16_salted_join")
+    // the join key must include the salt — that IS the skew spread; a
+    // join on the bare key re-concentrates the hot key. Catalyst may run it
+    // as a broadcast join (small dim side, salt keys intact) or a shuffle
+    // join partitioned on (key, salt).
+    val joinOrShuffle = p.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("hashpartitioning")).toSeq
+    assert(joinOrShuffle.exists(l => l.contains("l_suppkey") && l.contains("__salt")), p)
+  }
+
+  test("x15: hash sampling is a partition-local filter (no exchange before it)") {
+    val df = SparkEntry.queries("x15_hash_sample")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the sample filter sits directly on the scan: the only exchanges in
+    // the plan belong to the downstream aggregate, so exactly one
+    // shuffle boundary (plus AQE's final agg read) may exist
+    val scanSide = p.split("Exchange").last // deepest fragment holds the scan
+    assert(scanSide.contains("Filter") && scanSide.contains("Scan parquet"), p)
+  }
 }
