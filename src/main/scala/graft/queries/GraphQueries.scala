@@ -201,6 +201,26 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Triangle counting over the co-purchase projection: parts sharing an
+    // order are linked (undirected, a<b); a triangle is three mutually
+    // co-purchased parts. The part-key bound keeps the demo selective —
+    // the operator shape (pair join + wedge close) is the scalable one:
+    // every step is an equi-join/distinct, never an all-pairs product.
+    "g15_triangles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").where(col("l_partkey") < 2000)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val cp = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      cp.as("e1")
+        .join(cp.as("e2"), col("e1.b") === col("e2.a"))
+        .join(cp.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -353,6 +373,19 @@ object GraphQueries {
       """SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS id,
         |  c_custkey, c_name
         |FROM customer WHERE c_custkey = 42""".stripMargin,
+    "g15_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_partkey < 2000
+        |),
+        |cp AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM cp e1
+        |JOIN cp e2 ON e1.b = e2.a
+        |JOIN cp e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
     "g11_timeline" ->
       """SELECT user_id, rk, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
