@@ -177,6 +177,17 @@ object ExtraQueries {
         .orderBy(col("s_nationkey"))
     }),
 
+    // Deterministic DataFrame PageRank: decimal-summed mass makes the FP
+    // fixpoint reduction-order-independent — oracle-checked bit-for-bit
+    // (GraphX x6 stays as the rows-only cross-check).
+    "x17_pagerank_stable" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      graft.algorithms.GraphAlgorithms
+        .pageRankStable(g.allEdges.select(col("src"), col("dst")), 5)
+        .orderBy(col("pr").desc, col("id"))
+        .limit(20)
+    }),
+
     // GraphX PageRank over the TPC-H graph — FP iteration, rows-only.
     "x6_pagerank" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
@@ -214,6 +225,28 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x17_pagerank_stable" -> {
+      val iters = 5
+      // fixed-point mirror of GraphAlgorithms.pageRankStable: all-integer
+      // fixpoint (DuckDB SUM(BIGINT) is HUGEINT -> cast back), one
+      // long->double conversion at the end
+      val iterCtes = (1 to iters).map { i =>
+        s"""pr$i AS (
+           |  SELECT v.id, 150000000000 + (85 * COALESCE(m.mass, CAST(0 AS BIGINT))) // 100 AS prf
+           |  FROM verts v LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(SUM(p.prf // d.deg) AS BIGINT) AS mass
+           |    FROM pr${i - 1} p JOIN deg d ON d.id = p.id JOIN edges e ON e.src = p.id
+           |    GROUP BY e.dst) m ON m.id = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${GraphQueries.edgesCte},
+         |verts AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+         |pr0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS prf FROM verts),
+         |$iterCtes
+         |SELECT id, CAST(prf AS DOUBLE) / 1e12 AS pr FROM pr$iters
+         |ORDER BY pr DESC, id LIMIT 20""".stripMargin
+    },
     "x4_vle_paths" -> {
       val start = "(CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT)"
       s"""WITH RECURSIVE ${GraphQueries.edgesCte},
