@@ -145,4 +145,20 @@ class TraversalsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(viaBroadcast == viaShuffle && viaBroadcast.size == 400)
   }
+
+  test("fixed-point PageRank is deterministic and ranks the hub first") {
+    import org.apache.spark.sql.functions._
+    // star into 1 + ring 2->3->4->5->2, 1 feeds 2 (aperiodic, so 10
+    // iterations are near the fixpoint: 2 > 1 > 3 > 4 > 5)
+    val e = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 2L))
+      .toDF("src", "dst")
+    val pr = graft.algorithms.GraphAlgorithms.pageRankStable(e, 10)
+      .orderBy(col("pr").desc, col("id")).collect()
+    assert(pr.map(_.getLong(0)).toSeq == Seq(2L, 1L, 3L, 4L, 5L))
+    // repartitioning the input cannot change a single bit of the result
+    val pr2 = graft.algorithms.GraphAlgorithms.pageRankStable(e.repartition(7), 10)
+      .orderBy(col("pr").desc, col("id")).collect()
+    assert(pr.map(_.toSeq).toSeq == pr2.map(_.toSeq).toSeq)
+  }
 }
