@@ -73,6 +73,23 @@ object ExtraQueries {
           |ORDER BY a""".stripMargin)
     }),
 
+    // S7/S8 proof: CSV vertex+edge import (auto ids, JSON-folded props,
+    // distributed key remap) feeding Cypher — the CSV face of x14.
+    "x18_csv_cypher" -> ((s, dir) => {
+      val vCsv = "id,label,name,team\n1,Dev,Ana,core\n2,Dev,Bo,infra\n3,Dev,Cy,core\n"
+      val eCsv = "id,label,start,end,since\n,REVIEWS,1,2,2023\n,REVIEWS,2,3,2024\n,REVIEWS,3,1,2024\n"
+      val vf = java.nio.file.Files.createTempFile("graft_csv_v", ".csv")
+      val ef = java.nio.file.Files.createTempFile("graft_csv_e", ".csv")
+      java.nio.file.Files.writeString(vf, vCsv)
+      java.nio.file.Files.writeString(ef, eCsv)
+      val store = graft.store.GraphIO.importCsv(s, vf.toString, ef.toString)
+      new graft.cypher.CypherSession(s, store).run(
+        """MATCH (a:Dev)-[r:REVIEWS]->(b:Dev)
+          |WHERE toInteger(r.since) >= 2024
+          |RETURN a.name AS reviewer, b.name AS author, toInteger(r.since) AS y
+          |ORDER BY reviewer""".stripMargin)
+    }),
+
     // as-of join (composed union+window operator): each click joined to
     // the user's latest prior-or-equal purchase — oracle = DuckDB's native
     // ASOF LEFT JOIN.
@@ -274,6 +291,10 @@ object ExtraQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "x18_csv_cypher" ->
+      """SELECT * FROM (VALUES ('Bo', 'Cy', CAST(2024 AS BIGINT)),
+        |  ('Cy', 'Ana', CAST(2024 AS BIGINT))) t(reviewer, author, y)
+        |ORDER BY reviewer""".stripMargin,
     "x14_graphio_cypher" ->
       """SELECT * FROM (VALUES ('Alice', CAST(2020 AS BIGINT), 'Bob'),
         |  ('Bob', CAST(2021 AS BIGINT), 'Charlie')) t(a, y, b)

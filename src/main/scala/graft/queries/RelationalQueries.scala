@@ -199,6 +199,35 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("sid"))
     }),
 
+    // explicit GROUPING SETS (A7, beyond rollup/cube): per-flag, per-status
+    // and grand-total aggregates in one pass.
+    "q19_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(s"""
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS $DEC)) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """.stripMargin)
+    }),
+
+    // window frames (O5): running decimal-exact revenue, lag, and ntile
+    // over a per-customer frame — ROWS BETWEEN, ranking and analytic
+    // functions in one window chain.
+    "q20_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DEC))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("run_rev"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // exact interpolated quantiles (vs x2's approximate sketch): both
     // engines use the standard (n-1)*p linear interpolation on the sorted
     // values, so the doubles match exactly.
@@ -215,6 +244,24 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q19_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q20_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_rev,
+        |  LAG(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+        |  NTILE(4) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q18_exact_quantiles" ->
       """SELECT o_orderpriority,
         |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,
