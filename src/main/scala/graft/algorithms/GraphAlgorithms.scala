@@ -16,10 +16,14 @@ object GraphAlgorithms {
     Graph.fromEdges(edgeRdd, 0)
   }
 
-  /** Standard PageRank (damping 0.85), returns (id, rank). */
-  def pageRank(spark: SparkSession, edges: DataFrame, tol: Double = 1e-4): DataFrame = {
+  /** Standard PageRank (damping 0.85), returns (id, rank). Fixed iteration
+    * count: tolerance-based convergence runs an unbounded, data-dependent
+    * number of Pregel rounds — a bounded budget is the predictable choice
+    * for both a bench gate and a production job slot.
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, numIter: Int = 10): DataFrame = {
     import spark.implicits._
-    toGraph(spark, edges).pageRank(tol).vertices.toDF("id", "rank")
+    toGraph(spark, edges).staticPageRank(numIter).vertices.toDF("id", "rank")
   }
 
   /** Connected components (undirected): (id, component) where component is
