@@ -221,6 +221,28 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // G1 full weighted Dijkstra parity: min-cost path WITH the vertex
+    // sequence (the reference returns vertices+edges:
+    // shortest_path.rs:144-174). Target = the farthest reachable vertex
+    // (max min-cost, tie id) — data-derived, so the gate is meaningful at
+    // every scale factor. Parent ties resolve to the minimum id in both
+    // engines.
+    "g16_weighted_path" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val weighted = g.edges("PLACED")
+        .select(col("src"), col("dst"), lit(1.0).as("weight"))
+        .unionByName(g.edges("CONTAINS")
+          .select(col("src"), col("dst"), col("l_quantity").cast("double").as("weight")))
+      val start = graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)
+      val parents = PregelSssp.runWithParents(s, weighted, start).localCheckpoint()
+      val far = parents.where(col("id") =!= start)
+        .orderBy(col("dist").desc, col("id")).limit(1)
+        .select("id").head.getLong(0)
+      PregelSssp.reconstruct(parents, start, far)
+        .select(col("start_id"), col("end_id"), col("dist"),
+          concat_ws("-", transform(col("path"), _.cast("string"))).as("path_str"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -369,6 +391,47 @@ object GraphQueries {
          |  FROM walk w JOIN we e ON e.src = w.id WHERE w.len < 3
          |)
          |SELECT id, MIN(dist) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin,
+    "g16_weighted_path" ->
+      // weighted parent relation: parent(v) = MIN src among u with
+      // dist(u) + w(u,v) = dist(v) — the same tie-break Pregel's
+      // lexicographic (dist, parent) message combine converges to; path
+      // sums accumulate left-to-right in both engines so the double
+      // equality is exact
+      s"""WITH RECURSIVE we AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+         |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst,
+         |         CAST(1.0 AS DOUBLE) AS w FROM orders
+         |  UNION ALL
+         |  SELECT (CAST(2 AS BIGINT)<<48)|CAST(l_orderkey AS BIGINT),
+         |         (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT),
+         |         CAST(l_quantity AS DOUBLE) FROM lineitem
+         |),
+         |walk(id, dist, len) AS (
+         |  SELECT $startCust1, CAST(0.0 AS DOUBLE), 0
+         |  UNION ALL
+         |  SELECT e.dst, w.dist + e.w, w.len + 1
+         |  FROM walk w JOIN we e ON e.src = w.id WHERE w.len < 3
+         |),
+         |lvl AS (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id),
+         |far AS (SELECT id, dist FROM lvl WHERE id <> $startCust1
+         |        ORDER BY dist DESC, id LIMIT 1),
+         |par AS (
+         |  SELECT e.dst AS id, MIN(e.src) AS parent
+         |  FROM we e JOIN lvl u ON u.id = e.src JOIN lvl v ON v.id = e.dst
+         |  WHERE v.dist = u.dist + e.w
+         |  GROUP BY e.dst
+         |),
+         |pwalk(id, k) AS (
+         |  SELECT id, 0 FROM far
+         |  UNION ALL
+         |  SELECT par.parent, w.k + 1 FROM pwalk w JOIN par ON par.id = w.id
+         |),
+         |path AS (
+         |  SELECT string_agg(CAST(id AS VARCHAR), '-' ORDER BY k DESC) AS path_str
+         |  FROM pwalk
+         |)
+         |SELECT $startCust1 AS start_id, f.id AS end_id, f.dist, p.path_str
+         |FROM far f, path p""".stripMargin,
     "g13_point_get" ->
       """SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS id,
         |  c_custkey, c_name

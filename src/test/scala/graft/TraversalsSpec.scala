@@ -146,6 +146,21 @@ class TraversalsSpec extends AnyFunSuite {
     assert(viaBroadcast == viaShuffle && viaBroadcast.size == 400)
   }
 
+  test("weighted Pregel shortest path reconstructs the min-cost vertex sequence") {
+    import org.apache.spark.sql.functions._
+    // A→B→D costs 1+1=2; direct A→D costs 5 — the cheap detour must win
+    val e = Seq(
+      (idOf("A"), idOf("B"), 1.0), (idOf("B"), idOf("D"), 1.0),
+      (idOf("A"), idOf("D"), 5.0), (idOf("A"), idOf("C"), 1.0))
+      .toDF("src", "dst", "weight")
+    val p = PregelSssp.shortestPath(spark, e, idOf("A"), idOf("D")).collect()
+    assert(p.length == 1)
+    assert(p(0).getDouble(2) == 2.0)
+    assert(p(0).getSeq[Long](3) == Seq(idOf("A"), idOf("B"), idOf("D")))
+    // unreachable → 0 rows
+    assert(PregelSssp.shortestPath(spark, e, idOf("C"), idOf("A")).isEmpty)
+  }
+
   test("fixed-point PageRank is deterministic and ranks the hub first") {
     import org.apache.spark.sql.functions._
     // star into 1 + ring 2->3->4->5->2, 1 feeds 2 (aperiodic, so 10
