@@ -672,4 +672,20 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
 
   def withParams(p: Map[String, Any]): CypherSession =
     new CypherSession(spark, store, params ++ p)
+
+  /** Physical plan of a read query without executing it (the engine's
+    * EXPLAIN surface — the reference has no optimizer to explain, §4.1).
+    * Does not apply mutations: the plan is compiled against the current
+    * store and discarded.
+    */
+  def explain(cypher: String, extended: Boolean = false): String = {
+    val res = new Planner(spark, store, params).plan(Parser.parse(cypher))
+    res.df match {
+      case Some(df) =>
+        if (extended) df.queryExecution.toString
+        else df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+      case None => "(write-only statement: no result plan)"
+    }
+  }
 }

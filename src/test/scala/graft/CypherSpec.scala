@@ -277,4 +277,18 @@ class CypherSpec extends AnyFunSuite {
         |RETURN b.name AS name""".stripMargin)
     assert(df2.count() == 0)
   }
+
+  test("explain renders the physical plan without executing mutations") {
+    val s = session
+    val before = s.store
+    val p = s.explain(
+      "MATCH (a:Person)-[:KNOWS]->(b:Person) WHERE a.age > 25 RETURN a.name AS n")
+    assert(p.contains("Physical Plan"))
+    // the hop compiles to a join, not a loop
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+    // a write statement explains without mutating the session store
+    s.explain("CREATE (x:Person {name: 'Ghost', age: 1})")
+    assert(s.store eq before)
+    assert(s.run("MATCH (n:Person {name: 'Ghost'}) RETURN n.name").count() == 0)
+  }
 }
