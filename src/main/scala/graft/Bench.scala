@@ -32,6 +32,12 @@ object Bench {
       // Blocking so the next query starts from a clean BlockManager instead
       // of racing an async removal.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // Spark's ContextCleaner reclaims shuffle files / broadcasts only via
+      // weak references — with a 32g heap GC may not run for dozens of
+      // queries and the accumulated state slows later (GraphX-heavy)
+      // queries several-fold. One explicit GC per query keeps the session
+      // flat; it runs outside the timer.
+      System.gc()
       (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

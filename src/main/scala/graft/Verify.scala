@@ -26,6 +26,10 @@ object Verify {
       // queries are independent: drop any cached/checkpointed blocks so one
       // query's state never pressures the next
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // ContextCleaner is weak-ref (GC) driven: with a large heap, shuffle
+      // files/broadcasts from dozens of queries accumulate and slow later
+      // queries several-fold — force a collection per query
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -108,6 +108,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joinOrShuffle.exists(l => l.contains("l_suppkey") && l.contains("__salt")), p)
   }
 
+  test("g15: triangle closure is pure equi-joins — no nested-loop product") {
+    val p = plan("g15_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("x15: hash sampling is a partition-local filter (no exchange before it)") {
     val df = SparkEntry.queries("x15_hash_sample")(spark, sfDir)
     df.collect()
