@@ -73,26 +73,30 @@ object GraphAlgorithms {
     import org.apache.spark.sql.functions._
     val e = edges.select("src", "dst").localCheckpoint(false)
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
+    // vertex state carries the (static) out-degree so an iteration touches
+    // exactly one |V|-sized relation: broadcast pr, join edges, shuffle the
+    // mass groupBy, rebuild pr — ONE broadcast + ONE shuffle per iteration
     val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
-    // vertex-state relations (rank, degree, mass) are |V|-sized; when they
-    // fit the broadcast ceiling the edge set is never shuffled or sorted —
-    // each iteration costs ONE shuffle (the mass groupBy). A billion-vertex
-    // graph falls back to co-partitioned shuffle joins.
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint(false)
+    // when |V| fits the broadcast ceiling the edge set is never shuffled
+    // or sorted; a billion-vertex graph falls back to shuffle joins
     val nVerts = verts.count()
     def small(df: DataFrame): DataFrame =
       if (nVerts <= BroadcastVertexRows) broadcast(df) else df
     // prf = rank * 10^12; initial rank 1.0
     var pr = verts.withColumn("prf", lit(1000000000000L))
     for (_ <- 1 to iters) {
-      val mass = e.join(small(pr.join(small(deg), "id")
+      val mass = e.join(
+          small(pr.where(col("deg") > 0)
             .select(col("id"), expr("prf div deg").as("c"))),
           col("id") === e("src"))
         .groupBy(e("dst").as("id")).agg(sum(col("c")).as("mass"))
-      pr = verts.join(small(mass), Seq("id"), "left")
+      pr = verts.join(mass, Seq("id"), "left")
         // 0.15*10^12 + (0.85 * mass) in integer fixed-point
-        .select(col("id"),
+        .select(col("id"), col("deg"),
           expr("150000000000 + (85 * coalesce(mass, CAST(0 AS BIGINT))) div 100")
             .as("prf"))
         // lazy checkpoint: the next iteration's broadcast collect (or the
