@@ -165,6 +165,24 @@ object Dedup {
           transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))
   }
 
+  /** Benchmark decontamination: drop every document sharing at least one
+    * word n-gram with `evalSet` (the eval/blocklist corpus). The standard
+    * pre-training hygiene step: an eval question leaking into the training
+    * set inflates scores. Shape: blocklist shingles are distinct-hashed
+    * (small — eval sets are thousands of docs), the corpus shingle set
+    * semi-joins against them (AQE broadcasts the small side), and survivors
+    * come from an anti-join — linear in corpus size, no all-pairs.
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalTextCol: String, n: Int = 5): DataFrame = {
+    val blockSh = evalSet.select(explode(shingles(tokens(col(evalTextCol)), n)).as("shingle"))
+      .select(h32(col("shingle")).as("h")).distinct()
+    val contaminated = explodedShingles(df, idCol, textCol, n)
+      .join(blockSh, "h")
+      .select(col("id").as(idCol)).distinct()
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash per document over token multiset: bit b is the sign of
     * sum over tokens of ±1 according to bit b of the token hash.
     */

@@ -92,6 +92,17 @@ object PipelineQueries {
       TextAnalysis.bpeTokenStats(docs(s, dir), "text", "source")
         .orderBy(col("source"))),
 
+    // decontamination: docs 0..4 act as the leaked eval set; count the
+    // corpus that survives removing every doc sharing a 5-gram with them.
+    "d8_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, "doc_id", "text",
+          d.where(col("doc_id") < 5), "text", 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))
+    }),
+
     "t6_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", 5)
         .where(col("id") < 20)
@@ -349,6 +360,19 @@ object PipelineQueries {
         |SELECT source, COUNT(*) AS n_frames,
         |  CAST(SUM(LEAST(16, L - i*16)) AS BIGINT) AS frame_bytes_total
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "d8_decontaminate" ->
+      s"""WITH bl AS (
+         |  SELECT DISTINCT ${h32Sql(s"unnest(${shSql(5)})")} AS h
+         |  FROM documents WHERE doc_id < 5
+         |),
+         |sh5 AS (
+         |  SELECT DISTINCT doc_id AS id, ${h32Sql(s"unnest(${shSql(5)})")} AS h
+         |  FROM documents
+         |),
+         |bad AS (SELECT DISTINCT id FROM sh5 JOIN bl USING (h))
+         |SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+         |FROM documents WHERE doc_id NOT IN (SELECT id FROM bad)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "t6_tfidf" ->
       // ratio-idf (N/df, no log): same per-doc ranking as log-idf, exact
       // small-integer ratios in doubles → bit-identical across engines

@@ -186,6 +186,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaCols == viaDecoder)
   }
 
+  test("decontaminate removes exactly the docs sharing an n-gram with the eval set") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares the eval 5-gram
+      (2L, "alpha beta gamma delta zeta"), // 5-gram differs in last word
+      (3L, "totally unrelated text about spark engines here")).toDF("doc_id", "text")
+    val eval_ = Seq((99L, "alpha beta gamma delta epsilon trailing")).toDF("doc_id", "text")
+    val kept = graft.pipeline.Dedup.decontaminate(corpus, "doc_id", "text", eval_, "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("tfidf ranks document-specific terms above corpus-wide ones") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
