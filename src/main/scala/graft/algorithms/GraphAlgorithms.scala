@@ -106,6 +106,37 @@ object GraphAlgorithms {
     pr.select(col("id"), (col("prf").cast("double") / lit(1e12)).as("pr"))
   }
 
+  /** Connected components natively on DataFrames: undirected min-label
+    * propagation — each round every vertex takes the minimum component id
+    * among itself and its neighbors, iterated to fixpoint (O(diameter)
+    * rounds; same min-id labels as the GraphX version, cross-validated in
+    * AlgorithmsSpec). The checkpointed-loop shape matches Traversals: one
+    * groupBy shuffle per round, lineage cut per round, loop terminated by
+    * the same count that materializes the round.
+    */
+  def connectedComponentsDF(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false)
+    var comp = und.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(false)
+    var changed = 1L
+    while (changed > 0) {
+      val next = und.join(comp, und("src") === comp("id"))
+        .select(und("dst").as("id"), col("component"))
+        .unionByName(comp)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(false)
+      // one job: materializes the round and yields the fixpoint test
+      changed = next.as("n").join(comp.as("c"), col("n.id") === col("c.id"))
+        .where(col("n.component") =!= col("c.component")).count()
+      comp = next
+    }
+    und.unpersist()
+    comp
+  }
+
   /** Triangle count per vertex (GraphX canonical orientation). */
   def triangleCount(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._

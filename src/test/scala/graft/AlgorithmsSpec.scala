@@ -27,6 +27,16 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(cc(1L) != cc(10L))
   }
 
+  test("DataFrame connected components equals GraphX min-id labels") {
+    val g = graft.tools.DataGenerator.uniform(spark, 120, 150, seed = 13)
+    val e = g.allEdges.select($"src", $"dst")
+    val viaDf = GraphAlgorithms.connectedComponentsDF(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaGraphX = GraphAlgorithms.connectedComponents(spark, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDf == viaGraphX && viaDf.nonEmpty)
+  }
+
   test("degrees full-outer: sources, sinks, both") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val d = GraphAlgorithms.degrees(edges)
