@@ -103,6 +103,23 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // the full curation pipeline in one gate: language filter -> quality
+    // threshold -> exact dedup -> per-source stats. Every stage is one of
+    // the proven operators; the composition is what a real pre-training
+    // data run executes.
+    "d9_curation" -> ((s, dir) => {
+      val scored = TextAnalysis.quality(
+        TextAnalysis.langId(docs(s, dir), "text"), "text")
+      val filtered = scored.where(
+        col("predicted_lang") === "en" && col("quality_score") >= 0.5)
+      val keep = Dedup.exact(filtered, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      filtered.join(keep, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
     "t6_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", 5)
         .where(col("id") < 20)
@@ -360,6 +377,40 @@ object PipelineQueries {
         |SELECT source, COUNT(*) AS n_frames,
         |  CAST(SUM(LEAST(16, L - i*16)) AS BIGINT) AS frame_bytes_total
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "d9_curation" -> {
+      val votes = TextAnalysis.stopwords.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_intersect($toksSql, $list)) AS v_$lang"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = s"greatest(${langs.map(l => s"v_$l").mkString(", ")})"
+      val pred = langs.map(l => s"WHEN v_$l = best AND best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH v AS (SELECT doc_id, source, text, $votes FROM documents),
+         |w AS (SELECT *, $best AS best FROM v),
+         |p AS (SELECT doc_id, source, text, $pred AS predicted_lang FROM w),
+         |q AS (
+         |  SELECT doc_id, source, text, predicted_lang,
+         |    len($toksSql) AS n_tokens,
+         |    (CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / len(text)) AS alpha_ratio
+         |  FROM p
+         |),
+         |f AS (
+         |  SELECT *, least(1.0, n_tokens / 64.0) * alpha_ratio AS quality_score
+         |  FROM q
+         |  WHERE predicted_lang = 'en'
+         |),
+         |g AS (SELECT * FROM f WHERE quality_score >= 0.5),
+         |k AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM g
+         |  GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |)
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM g JOIN k USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
     "d8_decontaminate" ->
       s"""WITH bl AS (
          |  SELECT DISTINCT ${h32Sql(s"unnest(${shSql(5)})")} AS h
