@@ -89,18 +89,25 @@ object GraphAlgorithms {
     // prf = rank * 10^12; initial rank 1.0
     var pr = verts.withColumn("prf", lit(1000000000000L))
     for (_ <- 1 to iters) {
-      val mass = e.join(
+      val contrib = e.join(
           small(pr.where(col("deg") > 0)
-            .select(col("id"), expr("prf div deg").as("c"))),
+            .select(col("id"), expr("prf div deg").as("m"))),
           col("id") === e("src"))
-        .groupBy(e("dst").as("id")).agg(sum(col("c")).as("mass"))
-      pr = verts.join(mass, Seq("id"), "left")
+        .select(e("dst").as("id"), lit(0L).as("deg"), col("m"))
+      // the rank rebuild is folded into the mass shuffle: every vertex
+      // contributes one zero-mass self row carrying its (static) out-degree,
+      // so ONE partial-aggregated groupBy yields the next rank relation —
+      // no per-iteration join against verts (which, being checkpointed and
+      // statless, would sort-merge both sides every iteration)
+      pr = contrib
+        .unionByName(verts.select(col("id"), col("deg"), lit(0L).as("m")))
+        .groupBy(col("id"))
         // 0.15*10^12 + (0.85 * mass) in integer fixed-point
-        .select(col("id"), col("deg"),
-          expr("150000000000 + (85 * coalesce(mass, CAST(0 AS BIGINT))) div 100")
-            .as("prf"))
+        .agg(max(col("deg")).as("deg"),
+          expr("150000000000 + (85 * sum(m)) div 100").as("prf"))
         // lazy checkpoint: the next iteration's broadcast collect (or the
-        // caller's action) materializes it, cutting lineage per iteration
+        // caller's action) materializes it — exactly one materialization of
+        // exactly one shuffle per iteration
         .localCheckpoint(false)
     }
     pr.select(col("id"), (col("prf").cast("double") / lit(1e12)).as("pr"))
@@ -123,15 +130,20 @@ object GraphAlgorithms {
       .withColumn("component", col("id")).localCheckpoint(false)
     var changed = 1L
     while (changed > 0) {
+      // self rows are tagged so the round aggregate carries the previous
+      // label alongside the new minimum — the convergence test is a filter
+      // over this one relation, not a second join against the old comp
       val next = und.join(comp, und("src") === comp("id"))
-        .select(und("dst").as("id"), col("component"))
-        .unionByName(comp)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .select(und("dst").as("id"), col("component"), lit(false).as("own"))
+        .unionByName(comp.withColumn("own", lit(true)))
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("own"), col("component"))).as("prev"))
         .localCheckpoint(false)
-      // one job: materializes the round and yields the fixpoint test
-      changed = next.as("n").join(comp.as("c"), col("n.id") === col("c.id"))
-        .where(col("n.component") =!= col("c.component")).count()
-      comp = next
+      // one job per round: the count materializes the lazy checkpoint and
+      // yields the fixpoint test from the same aggregate
+      changed = next.where(col("component") < col("prev")).count()
+      comp = next.select(col("id"), col("component"))
     }
     und.unpersist()
     comp

@@ -8,11 +8,15 @@ import graft.functions.Aggregators
 import graft.model.Graphid
 import graft.store.{GraphStore, Tables}
 
-/** Coverage extensions: CUBE grouping sets (oracle-checked), plus the
-  * approximate/sketch/sampling/custom-UDAF surface. Approximate results are
-  * engine-specific by nature, so those entries deliberately have NO oracle
-  * SQL — the driver records its weaker rows-only check, which is the right
-  * contract for approximation operators.
+/** Coverage extensions: CUBE grouping sets, custom UDAFs, connected
+  * components and fixed-point PageRank (all oracle-checked), plus the
+  * approximate/sketch/sampling surface. Approximate results (HLL x1,
+  * t-digest x2, RNG sample x3, ANN recall x9/x11, double-summing GraphX
+  * PageRank x6) are engine-specific by nature, so those entries
+  * deliberately have NO oracle SQL — the driver records its weaker
+  * rows-only check, which is the right contract for approximation
+  * operators; each has a deterministic oracle-checked counterpart
+  * (x1→q14, x2→q18, x3→x15, x6→x17, x9/x11→e1).
   */
 object ExtraQueries {
 
@@ -213,8 +217,10 @@ object ExtraQueries {
         .limit(20)
     }),
 
-    // GraphX connected components (undirected reachability closure is too
-    // large for a SQL oracle) — rows-only.
+    // GraphX connected components, oracle-checked: min-label fixpoint
+    // unrolled as iteration CTEs (the x17 pattern) — GraphX labels each
+    // component with its minimum vertex id, exactly what the fixpoint
+    // computes once it has run >= eccentricity-of-min rounds.
     "x7_components" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
       graft.algorithms.GraphAlgorithms
@@ -230,7 +236,8 @@ object ExtraQueries {
         .orderBy(col("id"))
     }),
 
-    // custom typed Aggregator (UDAF) — geometric mean + top-k; rows-only.
+    // custom typed Aggregators (UDAF) — fixed-point geometric mean + exact
+    // frequency top-k, both reduction-order independent → oracle-checked.
     "x5_custom_udaf" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -242,6 +249,50 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x7_components" -> {
+      // min-label propagation unrolled for a fixed round budget; converged
+      // (= equal to GraphX's run-to-fixpoint labels) once rounds >= the
+      // eccentricity of each component's minimum-id vertex — the TPC-H
+      // graph's diameter is ~8, so 12 rounds has margin.
+      val rounds = 12
+      // MATERIALIZED: each round references its predecessor twice — inlined
+      // CTEs would expand 2^rounds times
+      val iterCtes = (1 to rounds).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT id, MIN(comp) AS comp FROM (
+           |    SELECT u.dst AS id, c.comp FROM und u JOIN c${i - 1} c ON c.id = u.src
+           |    UNION ALL SELECT id, comp FROM c${i - 1})
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${GraphQueries.edgesCte},
+         |und AS MATERIALIZED (SELECT src, dst FROM edges
+         |        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+         |c0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM und),
+         |$iterCtes
+         |SELECT comp AS component, COUNT(*) AS n_vertices FROM c$rounds
+         |GROUP BY comp ORDER BY component""".stripMargin
+    },
+    "x5_custom_udaf" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_suppkey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT l_returnflag, l_suppkey,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY cnt DESC, l_suppkey) AS rn
+        |  FROM counts),
+        |tops AS (
+        |  SELECT l_returnflag,
+        |    string_agg(CAST(l_suppkey AS VARCHAR), ',' ORDER BY rn) AS top_suppliers
+        |  FROM ranked WHERE rn <= 3 GROUP BY l_returnflag),
+        |geo AS (
+        |  SELECT l_returnflag,
+        |    ROUND(EXP(CAST(SUM(CAST(FLOOR(LN(l_extendedprice) * 1e9) AS BIGINT))
+        |                   // COUNT(*) AS DOUBLE) / 1e9), 2) AS geo_price
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY l_returnflag)
+        |SELECT g.l_returnflag, g.geo_price, t.top_suppliers
+        |FROM geo g JOIN tops t ON g.l_returnflag = t.l_returnflag
+        |ORDER BY g.l_returnflag""".stripMargin,
     "x17_pagerank_stable" -> {
       val iters = 5
       // fixed-point mirror of GraphAlgorithms.pageRankStable: all-integer
