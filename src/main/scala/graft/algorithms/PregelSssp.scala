@@ -39,11 +39,13 @@ object PregelSssp {
       .toDF("id", "dist")
   }
 
-  /** Weighted SSSP with predecessor tracking: (id, dist, parent), parent =
-    * the minimum-id neighbor among those achieving the minimal distance
-    * (deterministic; NULL for the source). The weighted counterpart of
-    * Traversals.bfsParents — walking parents backwards reconstructs the
-    * min-cost path like the reference's Dijkstra predecessor map
+  /** Weighted SSSP with predecessor tracking: (id, dist, parent, hops),
+    * parent = the minimum-id neighbor among those achieving the minimal
+    * distance (deterministic; NULL for the source), hops = the length of
+    * that min-cost parent chain (it rides along with the winning message so
+    * path reconstruction knows its round budget upfront). The weighted
+    * counterpart of Traversals.bfsParents — the parent chain reconstructs
+    * the min-cost path like the reference's Dijkstra predecessor map
     * (/root/reference/src/algorithms/shortest_path.rs:98-141).
     */
   def runWithParents(spark: SparkSession, edges: DataFrame, srcId: Long,
@@ -53,32 +55,34 @@ object PregelSssp {
     val edgeRdd = (if (hasW) edges.select("src", "dst", "weight").as[(Long, Long, Double)].rdd
       else edges.select("src", "dst").as[(Long, Long)].rdd.map(e => (e._1, e._2, 1.0)))
       .map { case (s, d, w) => Edge(s: VertexId, d: VertexId, w) }
-    // state/message = (dist, parent); order lexicographic so equal-cost
-    // paths resolve to the lowest parent id — run-to-run deterministic
-    val inf = (Double.PositiveInfinity, Long.MaxValue)
-    def better(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+    // state/message = (dist, parent, hops); order lexicographic on
+    // (dist, parent) so equal-cost paths resolve to the lowest parent id —
+    // run-to-run deterministic; hops is carried, never compared
+    val inf = (Double.PositiveInfinity, Long.MaxValue, 0)
+    def better(a: (Double, Long, Int), b: (Double, Long, Int)): (Double, Long, Int) =
       if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
     val graph = Graph.fromEdges(edgeRdd, inf)
-      .mapVertices((id, _) => if (id == srcId) (0.0, -1L) else inf)
+      .mapVertices((id, _) => if (id == srcId) (0.0, -1L, 0) else inf)
     val result = Pregel(graph, inf, maxIterations)(
       (_, st, msg) => better(st, msg),
       triplet =>
         if (triplet.srcAttr._1 + triplet.attr < triplet.dstAttr._1 ||
           (triplet.srcAttr._1 + triplet.attr == triplet.dstAttr._1 &&
             triplet.srcId < triplet.dstAttr._2))
-          Iterator((triplet.dstId, (triplet.srcAttr._1 + triplet.attr, triplet.srcId)))
+          Iterator((triplet.dstId,
+            (triplet.srcAttr._1 + triplet.attr, triplet.srcId, triplet.srcAttr._3 + 1)))
         else Iterator.empty,
       better)
     result.vertices.filter(_._2._1 != Double.PositiveInfinity)
-      .map { case (id, (d, p)) => (id, d, if (p < 0) None else Some(p)) }
-      .toDF("id", "dist", "parent")
+      .map { case (id, (d, p, h)) => (id, d, if (p < 0) None else Some(p), h) }
+      .toDF("id", "dist", "parent", "hops")
   }
 
   /** Full weighted shortest path src -> dst: one row (start_id, end_id,
     * dist, path) with the vertex-id sequence of the min-cost
-    * (lowest-parent-id tie-broken) path; 0 rows when unreachable. Pointer
-    * walk over the parents table — O(path length) point lookups, never a
-    * |V| driver materialization.
+    * (lowest-parent-id tie-broken) path; 0 rows when unreachable.
+    * Pointer-doubling over the parents table — O(log path-length) jobs,
+    * never a |V| driver materialization or an O(path-length) walk.
     */
   def shortestPath(spark: SparkSession, edges: DataFrame, srcId: Long,
       dstId: Long, maxIterations: Int = Int.MaxValue): DataFrame = {
@@ -88,27 +92,23 @@ object PregelSssp {
     out
   }
 
-  /** Pointer walk over a (id, dist, parent) relation from `runWithParents`:
-    * O(path length) point lookups against the (checkpointed) parents table.
+  /** Pointer-doubling reconstruction over a (id, dist, parent, hops)
+    * relation from `runWithParents`: the hops column gives the round budget
+    * upfront, so the chain assembles in O(log path-length) Spark jobs
+    * (Traversals.doublingChain) — never an O(path-length) driver walk.
     */
   def reconstruct(parents: DataFrame, srcId: Long, dstId: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = parents.sparkSession
     import spark.implicits._
     val endRow = parents.where(col("id") === dstId)
-      .select("dist", "parent").collect()
+      .select("dist", "hops").collect()
     val out =
       if (endRow.isEmpty) Seq.empty[(Long, Long, Double, Seq[Long])]
       else {
         val dist = endRow(0).getDouble(0)
-        val path = scala.collection.mutable.ArrayBuffer(dstId)
-        var cur = if (endRow(0).isNullAt(1)) None else Some(endRow(0).getLong(1))
-        while (cur.isDefined) {
-          path.prepend(cur.get)
-          val r = parents.where(col("id") === cur.get).select("parent").collect()
-          cur = if (r.isEmpty || r(0).isNullAt(0)) None else Some(r(0).getLong(0))
-        }
-        Seq((srcId, dstId, dist, path.toSeq))
+        val hops = endRow(0).getInt(1)
+        Seq((srcId, dstId, dist, Traversals.doublingChain(parents, dstId, hops)))
       }
     out.toDF("start_id", "end_id", "dist", "path")
   }

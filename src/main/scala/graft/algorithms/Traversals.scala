@@ -145,9 +145,8 @@ object Traversals {
     * shortest_path.rs:66-73 — we return 0 rows, the relational idiom;
     * `pathsBetween` restores the erroring surface).
     *
-    * Reconstruction walks parent pointers backwards: at most `dist` point
-    * lookups against the checkpointed parents table — O(path length) tiny
-    * jobs, never a |V|-sized driver materialization.
+    * Reconstruction is `doublingChain`: O(log pathLen) Spark jobs, never an
+    * O(pathLen) driver pointer walk.
     */
   def shortestPath(edges: DataFrame, srcId: Long, dstId: Long, maxHops: Int,
       dir: Direction = Direction.Out): DataFrame = {
@@ -162,17 +161,56 @@ object Traversals {
       if (endRow.isEmpty) Seq.empty[(Long, Long, Int, Seq[Long])]
       else {
         val dist = endRow(0).getInt(0)
-        val path = scala.collection.mutable.ArrayBuffer(dstId)
-        var cur = if (endRow(0).isNullAt(1)) None else Some(endRow(0).getLong(1))
-        while (cur.isDefined) {
-          path.prepend(cur.get)
-          val r = parents.where(col("id") === cur.get).select("parent").collect()
-          cur = if (r.isEmpty || r(0).isNullAt(0)) None else Some(r(0).getLong(0))
-        }
-        Seq((srcId, dstId, dist, path.toSeq))
+        Seq((srcId, dstId, dist, doublingChain(parents, dstId, dist)))
       }
     parents.unpersist()
     out.toDF("start_id", "end_id", "dist", "path")
+  }
+
+  /** Ancestor chain dst → … → src by pointer doubling over a
+    * (id, parent, dist) parents relation: the jump table J_k (id → its
+    * 2^k-th ancestor) is squared each round, and the known path prefix
+    * doubles by jumping 2^k from every node already on it. ceil(log2 L+1)
+    * rounds of bounded-size distributed joins — a 64-hop path costs ~7
+    * small jobs, where the naive driver pointer walk is 64 round-trips
+    * (and a 100-hop path 100). J is pruned to dist ≤ dist(dst): parent
+    * pointers never increase dist (BFS levels / nonnegative weights), so
+    * only potential ancestors of dst are ever shuffled.
+    *
+    * `pathLen` must be the exact hop count of dst (BFS dist, or the Pregel
+    * hop counter) — known upfront, so no per-round convergence job runs.
+    * Returns the id sequence src..dst (length pathLen + 1).
+    */
+  private[graft] def doublingChain(parents: DataFrame, dstId: Long,
+      pathLen: Int): Seq[Long] = {
+    val spark = parents.sparkSession
+    import spark.implicits._
+    if (pathLen <= 0) return Seq(dstId)
+    val endDist = parents.where(col("id") === dstId).select(col("dist")).head.get(0)
+    var jump = parents
+      .where(col("parent").isNotNull && col("dist") <= lit(endDist))
+      .select(col("id"), col("parent").as("anc"))
+      .localCheckpoint(false) // lazy: flat plan, materialized by the final action
+    // chain rows: (id, pos) with pos = #hops walked back from dst
+    var chain = Seq((dstId, 0L)).toDF("id", "pos")
+    var span = 1L
+    while (span <= pathLen) {
+      // jumping `span` back from every known chain node extends the covered
+      // prefix from [0, span) to [0, 2*span): doubling, not walking
+      val jumped = chain.join(jump, "id")
+        .select(col("anc").as("id"), (col("pos") + span).as("pos"))
+      // lazy checkpoint: flat plan per round, materialized by the final
+      // action (each round's blocks then serve both the union and the join)
+      chain = chain.unionByName(jumped.where(col("pos") <= pathLen))
+        .localCheckpoint(false)
+      span *= 2
+      if (span <= pathLen)
+        jump = jump.as("a").join(jump.as("b"), col("a.anc") === col("b.id"))
+          .select(col("a.id"), col("b.anc").as("anc"))
+          .localCheckpoint(false)
+    }
+    // ONE final action collects the (pathLen+1)-row chain, src-first
+    chain.orderBy(col("pos").desc).select(col("id")).as[Long].collect().toSeq
   }
 
   /** All simple paths between two vertices with length in [minLen, maxLen]

@@ -161,6 +161,49 @@ class TraversalsSpec extends AnyFunSuite {
     assert(PregelSssp.shortestPath(spark, e, idOf("C"), idOf("A")).isEmpty)
   }
 
+  test("doublingChain reconstructs a 64-hop path in O(log L) jobs, not O(L)") {
+    import org.apache.spark.sql.functions._
+    // line graph 1→2→…→65: the worst case for the old driver pointer walk
+    // (one collect per hop = 64 round-trips)
+    val e = (1 to 64).map(i => (Graphid.pack(1, i), Graphid.pack(1, i + 1)))
+      .toDF("src", "dst")
+    val src = Graphid.pack(1, 1)
+    val dst = Graphid.pack(1, 65)
+    val parents = Traversals.bfsParents(e, Seq(src).toDF("id"), 64).localCheckpoint()
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val chain =
+      try Traversals.doublingChain(parents, dst, 64)
+      finally {
+        Thread.sleep(500) // listener events post asynchronously
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    parents.unpersist()
+    assert(chain == (1 to 65).map(i => Graphid.pack(1, i)))
+    // ~13 round queries (2 log2 L: jump doubling + chain extension), each a
+    // constant few AQE stage-materialization jobs — grows with log L, where
+    // the old driver pointer walk is >= 65 strictly sequential collects and
+    // grows linearly (a 100-hop path: ~48 jobs here vs 100 round-trips)
+    assert(jobs <= 48, s"expected O(log L) jobs, saw $jobs")
+  }
+
+  test("doublingChain handles non-power-of-two and trivial lengths") {
+    val e = (1 to 5).map(i => (Graphid.pack(1, i), Graphid.pack(1, i + 1)))
+      .toDF("src", "dst")
+    val src = Graphid.pack(1, 1)
+    val parents = Traversals.bfsParents(e, Seq(src).toDF("id"), 10).localCheckpoint()
+    assert(Traversals.doublingChain(parents, Graphid.pack(1, 6), 5) ==
+      (1 to 6).map(i => Graphid.pack(1, i)))
+    assert(Traversals.doublingChain(parents, Graphid.pack(1, 2), 1) ==
+      Seq(Graphid.pack(1, 1), Graphid.pack(1, 2)))
+    assert(Traversals.doublingChain(parents, src, 0) == Seq(src))
+    parents.unpersist()
+  }
+
   test("fixed-point PageRank is deterministic and ranks the hub first") {
     import org.apache.spark.sql.functions._
     // star into 1 + ring 2->3->4->5->2, 1 feeds 2 (aperiodic, so 10
