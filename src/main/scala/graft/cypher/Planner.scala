@@ -477,17 +477,40 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     }
 
     val compiler = ec(sc)
-    // assign ids to new literal nodes (one row each — standalone CREATE)
+    // assign ids to new literal nodes (one row each — standalone CREATE).
+    // An explicit integer `id` property overrides counter allocation — the
+    // Cypher-script export (GraphIO.exportCypher) writes one so replay is
+    // id-exact and its `id(a) = N` edge bindings resolve.
     var vtabs = store.vertexTables
     val nodeIds = scala.collection.mutable.Map[String, Long]()
     val counters = scala.collection.mutable.Map[String, Long]()
+    // labels whose counter has consulted the table's max locid; explicit-id
+    // creates skip priming (a pure script replay never runs the collect),
+    // but a mixed statement still allocates clear of both worlds
+    val primed = scala.collection.mutable.Set[String]()
     createdNodes.foreach { case (v, (label, props)) =>
-      val next = counters.getOrElseUpdate(label, maxLocid(vtabs, label)) + 1
-      counters(label) = next
-      val id = Graphid.pack(labidOf(label), next)
+      val (idProp, rest) = props.partition(_._1 == "id")
+      val id = idProp.headOption.map(_._2) match {
+        case Some(IntLit(value)) =>
+          // keep later same-statement allocations clear of the explicit id
+          counters(label) = math.max(
+            counters.getOrElse(label, 0L), Graphid.unpack(value)._2)
+          value
+        case Some(other) =>
+          sys.error(s"explicit CREATE id must be an integer literal, got $other")
+        case None =>
+          if (!primed(label)) {
+            counters(label) = math.max(
+              counters.getOrElse(label, 0L), maxLocid(vtabs, label))
+            primed += label
+          }
+          val next = counters(label) + 1
+          counters(label) = next
+          Graphid.pack(labidOf(label), next)
+      }
       nodeIds(v) = id
       val row = spark.range(1).select(
-        (lit(id).as("id") +: props.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
+        (lit(id).as("id") +: rest.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
       vtabs = vtabs.get(label) match {
         case Some(t) => vtabs + (label -> t.unionByName(row, allowMissingColumns = true))
         case None => vtabs + (label -> row)
@@ -510,19 +533,32 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           else sys.error(s"CREATE edge endpoint not bound: $v")
         val base = if (nodeIds.contains(fromV) && nodeIds.contains(toV))
           spark.range(1).toDF() else sc.df
-        val start = maxLocid(etabs, label)
-        // contiguous local ids via per-partition offsets (Ids.withSequence)
-        // — a global unpartitioned window would serialize every created
-        // edge through one task
-        val rows = graft.store.Ids.withSequence(
-          base.select(
-            (endpoint(fromV).as("src") +: endpoint(toV).as("dst") +:
-              rel.props.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*),
-          "__seq")
-          .withColumn("id", Graphid.packCol(labidOf(label), lit(start) + col("__seq")))
+        // explicit integer `id` property (script replay, GraphIO
+        // .exportCypher) overrides allocation, like the vertex path
+        val (eIdProp, eRest) = rel.props.partition(_._1 == "id")
+        val rows = eIdProp.headOption.map(_._2) match {
+          case Some(IntLit(value)) =>
+            base.select(
+              (lit(value).as("id") +: endpoint(fromV).as("src") +:
+                endpoint(toV).as("dst") +:
+                eRest.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
+          case Some(other) =>
+            sys.error(s"explicit CREATE id must be an integer literal, got $other")
+          case None =>
+            val start = maxLocid(etabs, label)
+            // contiguous local ids via per-partition offsets
+            // (Ids.withSequence) — a global unpartitioned window would
+            // serialize every created edge through one task
+            graft.store.Ids.withSequence(
+              base.select(
+                (endpoint(fromV).as("src") +: endpoint(toV).as("dst") +:
+                  eRest.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*),
+              "__seq")
+              .withColumn("id", Graphid.packCol(labidOf(label), lit(start) + col("__seq")))
+        }
         val ordered = rows.select(
           (col("id") +: col("src") +: col("dst") +:
-            rel.props.map { case (k, _) => col(k) }).toIndexedSeq: _*)
+            eRest.map { case (k, _) => col(k) }).toIndexedSeq: _*)
         etabs = etabs.get(label) match {
           case Some(t) => etabs + (label -> t.unionByName(ordered, allowMissingColumns = true))
           case None => etabs + (label -> ordered)
@@ -673,6 +709,26 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
   def withParams(p: Map[String, Any]): CypherSession =
     new CypherSession(spark, store, params ++ p)
 
+  /** Replay a multi-statement Cypher script (e.g. GraphIO.exportCypher
+    * output, or the reference generator's graph.cypher): `--` comment
+    * lines are skipped, statements split on `;` outside string literals,
+    * each executed in order. The store is compacted every `compactEvery`
+    * statements so a long replay's per-statement planning time stays flat
+    * instead of growing with the union/filter lineage. Returns the number
+    * of statements executed.
+    */
+  def runScript(script: String, compactEvery: Int = 32): Int = {
+    val noComments = script.linesIterator
+      .filterNot(_.trim.startsWith("--")).mkString("\n")
+    var executed = 0
+    CypherSession.splitStatements(noComments).foreach { stmt =>
+      run(stmt)
+      executed += 1
+      if (executed % compactEvery == 0) store = store.compact()
+    }
+    executed
+  }
+
   /** Physical plan of a read query without executing it (the engine's
     * EXPLAIN surface — the reference has no optimizer to explain, §4.1).
     * Does not apply mutations: the plan is compiled against the current
@@ -687,5 +743,31 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
           org.apache.spark.sql.execution.SimpleMode)
       case None => "(write-only statement: no result plan)"
     }
+  }
+}
+
+object CypherSession {
+
+  /** Split a script on `;` outside single/double-quoted string literals
+    * (backslash escapes respected — mirrors the Lexer's string rules).
+    */
+  private[cypher] def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (quote != 0) {
+        sb += c
+        if (c == '\\' && i + 1 < script.length) { i += 1; sb += script.charAt(i) }
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') { quote = c; sb += c }
+      else if (c == ';') { out += sb.toString; sb.clear() }
+      else sb += c
+      i += 1
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 }

@@ -236,6 +236,30 @@ object ExtraQueries {
         .orderBy(col("id"))
     }),
 
+    // Cypher-script export → replay roundtrip (reference
+    // data_generator.rs:393-439 export_cypher): a Region+Nation subgraph is
+    // exported as CREATE statements, replayed through the parser/mutation
+    // path into an EMPTY session (explicit-id CREATE keeps ids exact, so
+    // the id(a)=N edge bindings resolve), then aggregated with Cypher —
+    // gates export format, script splitting, parser, CREATE and MATCH
+    // end-to-end against the relational oracle.
+    "x19_cypher_roundtrip" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val sub = new graft.store.GraphStore(
+        Map("Region" -> g.vertexTables("Region"),
+          "Nation" -> g.vertexTables("Nation")
+            .where(col("n_nationkey") < 10)),
+        Map("IN_REGION" -> g.edgeTables("IN_REGION")
+          .where(Graphid.locidCol(col("src")) < 10)))
+      val script = graft.store.GraphIO.exportCypherScript(sub)
+      val sess = new graft.cypher.CypherSession(s,
+        new graft.store.GraphStore(Map.empty, Map.empty))
+      sess.runScript(script)
+      sess.run("""MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        RETURN r.r_name AS region, count(*) AS n_nations
+        ORDER BY region""")
+    }),
+
     // custom typed Aggregators (UDAF) — fixed-point geometric mean + exact
     // frequency top-k, both reduction-order independent → oracle-checked.
     "x5_custom_udaf" -> ((s, dir) => {
@@ -249,6 +273,11 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x19_cypher_roundtrip" ->
+      """SELECT r.r_name AS region, COUNT(*) AS n_nations
+        |FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE n.n_nationkey < 10
+        |GROUP BY r.r_name ORDER BY region""".stripMargin,
     "x7_components" -> {
       // min-label propagation unrolled for a fixed round budget; converged
       // (= equal to GraphX's run-to-fixpoint labels) once rounds >= the

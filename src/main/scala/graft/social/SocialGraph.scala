@@ -16,6 +16,23 @@ import graft.store.GraphStore
 final class SocialGraph(spark: SparkSession, initial: GraphStore) {
   @volatile var store: GraphStore = initial
 
+  /** Mutations since the last lineage compaction. Each follow/unfollow
+    * wraps FOLLOWS in another union/anti-join; compacting every
+    * `CompactEvery` mutations keeps per-op planning time flat over long
+    * mutation sequences (SocialGraphSpec pins the bounded-plan invariant).
+    */
+  private var mutationsSinceCompact = 0
+  val CompactEvery = 16
+
+  private def afterMutation(next: GraphStore): Unit = {
+    mutationsSinceCompact += 1
+    store =
+      if (mutationsSinceCompact >= CompactEvery) {
+        mutationsSinceCompact = 0
+        next.compact()
+      } else next
+  }
+
   val UserLab = 200
   val PostLab = 201
   val FollowsLab = 210
@@ -52,14 +69,14 @@ final class SocialGraph(spark: SparkSession, initial: GraphStore) {
     val existing = follows
     val fresh = row.join(existing.select(col("src").as("esrc"), col("dst").as("edst")),
       col("src") === col("esrc") && col("dst") === col("edst"), "left_anti")
-    store = store.withEdgeTable("FOLLOWS", existing.unionByName(fresh))
+    afterMutation(store.withEdgeTable("FOLLOWS", existing.unionByName(fresh)))
   }
 
   /** C1 unfollow: anti-join delete (social_graph.rs:52-73). */
   def unfollow(followerKey: Long, followeeKey: Long): Unit = {
     val kept = follows.where(
       !(col("src") === userId(followerKey) && col("dst") === userId(followeeKey)))
-    store = store.withEdgeTable("FOLLOWS", kept)
+    afterMutation(store.withEdgeTable("FOLLOWS", kept))
   }
 
   /** C2 following / followers: one-hop expansion + limit. */

@@ -126,4 +126,91 @@ object GraphIO {
     store.allEdges.write.mode("overwrite").option("header", true)
       .csv(s"$outDir/edges")
   }
+
+  // ---- Cypher-script export (reference tools/data_generator.rs:393-439) ----
+
+  /** `{k: 'v', k2: 3}` fragment from a table's typed columns: strings/dates
+    * single-quoted with '/\ backslash-escaped, numerics and booleans raw,
+    * NULL properties omitted (the reference formats its JSON property map
+    * the same way; everything stays codegen'd — no driver formatting).
+    */
+  private def propsFragment(df: DataFrame, skip: Set[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val parts = df.schema.fields.filterNot(f => skip(f.name)).map { f =>
+      val v = f.dataType match {
+        case _: NumericType | BooleanType => col(f.name).cast("string")
+        case _ => concat(lit("'"),
+          regexp_replace(col(f.name).cast("string"), "(['\\\\])", "\\\\$1"), lit("'"))
+      }
+      when(col(f.name).isNotNull, concat(lit(f.name + ": "), v))
+    }
+    // NULL (not "") when no property survives, so outer concat_ws skips it
+    nullif(concat_ws(", ", parts.toIndexedSeq: _*), lit(""))
+  }
+
+  /** One `CREATE (n<id>:<label> {id: <id>, props…});` line per vertex —
+    * the reference's statement shape (data_generator.rs:400-416), plus an
+    * explicit `id` property so replay is id-exact: the reference's edge
+    * statements bind endpoints by `id(a) = N`, which only works if vertex
+    * ids survive the roundtrip; CypherSession's CREATE honors an explicit
+    * id property instead of allocating (Planner.compileCreate).
+    */
+  private def cypherVertexStmts(store: GraphStore): DataFrame =
+    store.vertexTables.toSeq.sortBy(_._1).map { case (label, df) =>
+      df.select(col("id"), concat(
+        lit("CREATE (n"), col("id").cast("string"), lit(s":$label {"),
+        concat_ws(", ", concat(lit("id: "), col("id").cast("string")),
+          propsFragment(df, Set("id"))),
+        lit("});")).as("stmt"))
+    }.reduceOption(_.unionByName(_))
+      .map(_.orderBy(col("id")).select("stmt"))
+      .getOrElse(emptyStmts(store))
+
+  /** One `MATCH (a), (b) WHERE id(a) = S AND id(b) = E CREATE
+    * (a)-[:LABEL {…}]->(b);` line per edge (data_generator.rs:419-439),
+    * with the edge's own id carried as an explicit property.
+    */
+  private def cypherEdgeStmts(store: GraphStore): DataFrame =
+    store.edgeTables.toSeq.sortBy(_._1).map { case (label, df) =>
+      df.select(col("id"), concat(
+        lit("MATCH (a), (b) WHERE id(a) = "), col("src").cast("string"),
+        lit(" AND id(b) = "), col("dst").cast("string"),
+        lit(s" CREATE (a)-[:$label {"),
+        concat_ws(", ", concat(lit("id: "), col("id").cast("string")),
+          propsFragment(df, Set("id", "src", "dst"))),
+        lit("}]->(b);")).as("stmt"))
+    }.reduceOption(_.unionByName(_))
+      .map(_.orderBy(col("id")).select("stmt"))
+      .getOrElse(emptyStmts(store))
+
+  private def emptyStmts(store: GraphStore): DataFrame = {
+    val spark = (store.vertexTables.values ++ store.edgeTables.values)
+      .headOption.map(_.sparkSession)
+      .getOrElse(SparkSession.active)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stmt",
+          org.apache.spark.sql.types.StringType))))
+  }
+
+  /** Scalable Cypher-script export: statement text files, vertices in
+    * `01_vertices`, edges in `02_edges` (lexicographic dir order = replay
+    * order). Distributed text writes — no driver materialization.
+    */
+  def exportCypher(store: GraphStore, outDir: String): Unit = {
+    cypherVertexStmts(store).write.mode("overwrite").text(s"$outDir/01_vertices")
+    cypherEdgeStmts(store).write.mode("overwrite").text(s"$outDir/02_edges")
+  }
+
+  /** Single-document Cypher script matching the reference's graph.cypher
+    * layout (section comments included). Driver-side collect — small
+    * graphs only, by design; large graphs use exportCypher.
+    */
+  def exportCypherScript(store: GraphStore): String = {
+    val vs = cypherVertexStmts(store).collect().map(_.getString(0))
+    val es = cypherEdgeStmts(store).collect().map(_.getString(0))
+    "-- Create Vertices\n" + vs.mkString("\n") +
+      "\n\n-- Create Edges\n" + es.mkString("\n") + "\n"
+  }
 }

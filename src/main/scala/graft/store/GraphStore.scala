@@ -92,6 +92,19 @@ final class GraphStore(
   def withEdgeTable(label: String, df: DataFrame): GraphStore =
     new GraphStore(vertexTables, edgeTables + (label -> df))
 
+  /** Truncate every table's lineage (lazy local checkpoint). Sequential
+    * mutations (CypherSession script replay, SocialGraph follow/unfollow)
+    * wrap tables in another union/filter per statement; without periodic
+    * compaction a thousand-mutation session pays O(mutations) planning
+    * time on every query. Callers compact every N mutations — planning
+    * stays flat, and the checkpoint is lazy so no job runs until the next
+    * action anyway.
+    */
+  def compact(): GraphStore =
+    new GraphStore(
+      vertexTables.map { case (l, df) => l -> df.localCheckpoint(false) },
+      edgeTables.map { case (l, df) => l -> df.localCheckpoint(false) })
+
   /** Persist the store as per-label parquet datasets (the durable layout:
     * one directory per label = the reference's per-label key prefix).
     */

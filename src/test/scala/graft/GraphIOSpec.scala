@@ -88,6 +88,63 @@ class GraphIOSpec extends AnyFunSuite {
     assert(snapshot() == snapshot())
   }
 
+  test("Cypher-script export follows the reference layout and replays id-exact") {
+    val f = Files.createTempFile("graph", ".json")
+    Files.writeString(f, jsonDoc)
+    val store = GraphIO.importJson(spark, f.toString)
+    val script = GraphIO.exportCypherScript(store)
+    // reference graph.cypher layout (data_generator.rs:393-439): section
+    // comments, CREATE per vertex, MATCH+CREATE per edge
+    assert(script.startsWith("-- Create Vertices\n"))
+    assert(script.contains("\n-- Create Edges\n"))
+    assert(script.linesIterator.count(_.startsWith("CREATE (n")) == 3)
+    assert(script.linesIterator.count(
+      _.startsWith("MATCH (a), (b) WHERE id(a) = ")) == 2)
+    // replay into an empty session: explicit id properties make the
+    // roundtrip id-exact, so the id(a)=N edge bindings resolve
+    val sess = new graft.cypher.CypherSession(spark,
+      new graft.store.GraphStore(Map.empty, Map.empty))
+    assert(sess.runScript(script) == 5)
+    val replayed = sess.store
+    assert(replayed.allVertices.select("id").collect().map(_.getLong(0)).toSet ==
+      store.allVertices.select("id").collect().map(_.getLong(0)).toSet)
+    assert(replayed.allEdges.count() == 2)
+    // edges resolve endpoints identically to the source store
+    val q = "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN id(a) AS a, id(b) AS b"
+    assert(sess.run(q).collect().map(_.toSeq).toSeq ==
+      new graft.cypher.CypherSession(spark, store).run(q).collect().map(_.toSeq).toSeq)
+  }
+
+  test("exportCypher writes replayable distributed text files") {
+    val f = Files.createTempFile("graph", ".json")
+    Files.writeString(f, jsonDoc)
+    val store = GraphIO.importJson(spark, f.toString)
+    val dir = Files.createTempDirectory("cy").toString
+    GraphIO.exportCypher(store, dir)
+    // replay the part files in directory order (01_vertices then 02_edges)
+    val script = spark.read.textFile(s"$dir/01_vertices").collect().mkString("\n") +
+      "\n" + spark.read.textFile(s"$dir/02_edges").collect().mkString("\n")
+    val sess = new graft.cypher.CypherSession(spark,
+      new graft.store.GraphStore(Map.empty, Map.empty))
+    assert(sess.runScript(script) == 5)
+    assert(sess.store.allVertices.count() == 3)
+    assert(sess.store.allEdges.count() == 2)
+  }
+
+  test("string properties with quotes and backslashes survive the Cypher roundtrip") {
+    import spark.implicits._
+    val v = Seq((graft.model.Graphid.pack(1, 1L), "it's a \\ test", 7L),
+        (graft.model.Graphid.pack(1, 2L), "plain", 8L))
+      .toDF("id", "name", "n")
+    val store = new graft.store.GraphStore(Map("Thing" -> v), Map.empty)
+    val sess = new graft.cypher.CypherSession(spark,
+      new graft.store.GraphStore(Map.empty, Map.empty))
+    sess.runScript(GraphIO.exportCypherScript(store))
+    val got = sess.run("MATCH (t:Thing) RETURN t.name AS name, t.n AS n ORDER BY n")
+      .collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq("it's a \\ test", 7L), Seq("plain", 8L)))
+  }
+
   test("nested SET writes through JSON-string properties (schemaless store)") {
     val f = Files.createTempFile("graph", ".json")
     Files.writeString(f, jsonDoc)

@@ -78,6 +78,28 @@ class SocialGraphSpec extends AnyFunSuite {
     assert(g.connectionPath(4, 1).isEmpty)
   }
 
+  test("100 sequential mutations keep the FOLLOWS plan bounded (compaction)") {
+    val g = freshGraph
+    def planNodes: Int =
+      g.store.edgeTables("FOLLOWS").queryExecution.logical.collect { case n => n }.length
+    // 100 follow/unfollow pairs across distinct user pairs; without the
+    // every-N compaction each op stacks union+anti-join nodes and the plan
+    // (and per-op planning time) grows without bound
+    // user keys 10+ are disjoint from the fixture's edges, so the churn
+    // can't delete fixture state
+    (1 to 50).foreach { i =>
+      g.follow(i % 6 + 10, (i + 2) % 6 + 10, 1000 + i)
+      g.unfollow(i % 6 + 10, (i + 2) % 6 + 10)
+    }
+    // ceiling = one compaction window (<= 16 mutations x ~8 plan nodes) +
+    // base; without compaction 100 mutations stack ~600 nodes
+    assert(planNodes <= 200,
+      s"FOLLOWS plan grew to $planNodes nodes — mutation lineage unbounded")
+    // correctness after churn: every synthetic edge removed, fixture intact
+    assert(g.following(1).count() == 2)
+    assert(g.followers(4).count() == 2)
+  }
+
   test("salted join equals plain join on skewed data") {
     val big = (1 to 10000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v")
