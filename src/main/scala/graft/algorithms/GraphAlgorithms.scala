@@ -72,20 +72,24 @@ object GraphAlgorithms {
   def pageRankStable(edges: DataFrame, iters: Int = 10): DataFrame = {
     import org.apache.spark.sql.functions._
     val e = edges.select("src", "dst").localCheckpoint(false)
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     // vertex state carries the (static) out-degree so an iteration touches
     // exactly one |V|-sized relation: broadcast pr, join edges, shuffle the
-    // mass groupBy, rebuild pr — ONE broadcast + ONE shuffle per iteration
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .join(deg, Seq("id"), "left")
-      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+    // mass groupBy, rebuild pr — ONE broadcast + ONE shuffle per iteration.
+    // (id, deg) in ONE partial-aggregated shuffle over 2|E| tagged rows:
+    // src rows count toward out-degree, dst rows only assert existence —
+    // replaces the groupBy + distinct + join (three shuffles) build.
+    val verts = e.select(col("src").as("id"), lit(1L).as("c"))
+      .unionByName(e.select(col("dst").as("id"), lit(0L).as("c")))
+      .groupBy(col("id")).agg(sum(col("c")).as("deg"))
       .localCheckpoint(false)
     // when |V| fits the broadcast ceiling the edge set is never shuffled
-    // or sorted; a billion-vertex graph falls back to shuffle joins
+    // or sorted; a billion-vertex graph falls back to a shuffle-HASH join
+    // (hinted: rank relations arrive hash-partitioned from the previous
+    // iteration's groupBy, and hashing beats re-sorting the edge set every
+    // iteration, which is what an unhinted sort-merge plan would do)
     val nVerts = verts.count()
     def small(df: DataFrame): DataFrame =
-      if (nVerts <= BroadcastVertexRows) broadcast(df) else df
+      if (nVerts <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
     // prf = rank * 10^12; initial rank 1.0
     var pr = verts.withColumn("prf", lit(1000000000000L))
     for (_ <- 1 to iters) {
