@@ -107,10 +107,17 @@ object Dedup {
     * `jaccardFromShingles` semantics.
     */
   def jaccardForPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // restrict the shingle relation to the candidate ids up front: the pair
+    // set is tiny next to the corpus, so the size aggregate and both
+    // intersection joins touch O(candidate-doc) shingles instead of
+    // shuffling the full corpus shingle set (the largest relation here)
+    val ids = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id"))).distinct()
+    val shc = sh.join(ids, Seq("id"), "left_semi").localCheckpoint(false)
+    val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = pairs
-      .join(sh.as("x"), pairs("a") === col("x.id"))
-      .join(sh.as("y"), pairs("b") === col("y.id") && col("x.h") === col("y.h"))
+      .join(shc.as("x"), pairs("a") === col("x.id"))
+      .join(shc.as("y"), pairs("b") === col("y.id") && col("x.h") === col("y.h"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -177,8 +184,16 @@ object Dedup {
       evalSet: DataFrame, evalTextCol: String, n: Int = 5): DataFrame = {
     val blockSh = evalSet.select(explode(shingles(tokens(col(evalTextCol)), n)).as("shingle"))
       .select(h32(col("shingle")).as("h")).distinct()
-    val contaminated = explodedShingles(df, idCol, textCol, n)
-      .join(blockSh, "h")
+    // the corpus shingle stream is NOT deduplicated: a semi-join needs no
+    // distinct (id, h), and skipping it means the corpus's 5-gram set —
+    // ~n-gram-count × corpus size, the largest relation in the query — is
+    // never shuffled; the broadcast semi-join probes it in place and only
+    // the contaminated id set (bounded by the corpus row count) shuffles
+    val corpusSh = df.select(col(idCol).as("id"),
+        explode(shingles(tokens(col(textCol)), n)).as("shingle"))
+      .select(col("id"), h32(col("shingle")).as("h"))
+    val contaminated = corpusSh
+      .join(blockSh, Seq("h"), "left_semi")
       .select(col("id").as(idCol)).distinct()
     df.join(contaminated, Seq(idCol), "left_anti")
   }

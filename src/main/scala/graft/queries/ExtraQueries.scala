@@ -210,9 +210,12 @@ object ExtraQueries {
     }),
 
     // GraphX PageRank over the TPC-H graph — FP iteration, rows-only.
+    // Same 5-iteration budget as the oracle-checked x17 so the two
+    // rankings cross-validate like-for-like (GraphX normalizes ranks
+    // differently, but the induced ordering agrees).
     "x6_pagerank" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
-      graft.algorithms.GraphAlgorithms.pageRank(s, g.allEdges.select(col("src"), col("dst")))
+      graft.algorithms.GraphAlgorithms.pageRank(s, g.allEdges.select(col("src"), col("dst")), 5)
         .orderBy(col("rank").desc, col("id"))
         .limit(20)
     }),
