@@ -126,6 +126,77 @@ object TextAnalysis {
       .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Repetition quality signals (the Gopher-filter family): documents
+    * dominated by a few repeated tokens or n-grams are low-quality for
+    * training. Per document:
+    *   - top_token / top_token_ratio: most frequent token and the fraction
+    *     of all tokens it accounts for (ties → lexicographically first);
+    *   - top_bigram / top_bigram_ratio: same over word 2-grams;
+    *   - dup_trigram_ratio: fraction of word 3-grams that are repeats
+    *     (1 − distinct/total).
+    * Distributed shape: explode → map-side-combinable groupBy → per-doc
+    * top-1 window (partitioned by doc, never global); the trigram ratio is
+    * a pure column expression. Ratios are single-division doubles of exact
+    * integers, so the DuckDB oracle matches bit-for-bit.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def top1(unit: DataFrame, unitCol: String): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(col("cnt").desc, col(unitCol))
+      unit.groupBy(col("id"), col(unitCol)).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .drop("rn")
+    }
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol).as("id"),
+      size(toks).as("n_tokens"),
+      size(shingles(toks, 2)).as("n_bigrams"),
+      size(shingles(toks, 3)).as("n_trigrams"),
+      size(array_distinct(shingles(toks, 3))).as("nd_trigrams"))
+    val topTok = top1(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok")), "tok")
+      .select(col("id"), col("tok").as("top_token"), col("cnt").as("top_token_cnt"))
+    val topBig = top1(
+      df.select(col(idCol).as("id"),
+        explode(shingles(tokens(col(textCol)), 2)).as("bigram")), "bigram")
+      .select(col("id"), col("bigram").as("top_bigram"), col("cnt").as("top_bigram_cnt"))
+    base.join(topTok, Seq("id"), "left").join(topBig, Seq("id"), "left")
+      .select(col("id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("top_token"),
+        (col("top_token_cnt").cast("double") / col("n_tokens")).as("top_token_ratio"),
+        col("top_bigram"),
+        (col("top_bigram_cnt").cast("double") / col("n_bigrams")).as("top_bigram_ratio"),
+        when(col("n_trigrams") > 0,
+          lit(1.0) - col("nd_trigrams").cast("double") / col("n_trigrams"))
+          .otherwise(lit(0.0)).as("dup_trigram_ratio"))
+  }
+
+  /** Domain-mixing weights under a global token budget — the sampling plan
+    * a multi-source pre-training run starts from. Per-source token totals
+    * are flattened with a 0.5-temperature power (floor(sqrt(T)), exact in
+    * both engines: sqrt of an exact integer is correctly rounded, floor is
+    * exact), normalized into weights, and the budget is allocated by
+    * integer arithmetic so the plan is bit-deterministic:
+    *   alloc_s = (budget * fs_s) div sum(fs), fs_s = floor(sqrt(T_s)).
+    * sample_rate = min(1, alloc/T); epochs = alloc/T (> 1 → the source
+    * repeats). The cross-source total rides a broadcast single-row join,
+    * not a global window.
+    */
+  def mixtureWeights(df: DataFrame, sourceCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    val perSource = df
+      .select(col(sourceCol).as("source"), size(tokens(col(textCol))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("total_tokens"))
+      .withColumn("fs", floor(sqrt(col("total_tokens"))).cast("long"))
+    val totals = perSource.agg(sum(col("fs")).as("sum_fs"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("total_tokens"),
+        (col("fs").cast("double") / col("sum_fs")).as("weight"),
+        expr(s"($budget * fs) div sum_fs").as("alloc_tokens"))
+      .withColumn("epochs", col("alloc_tokens").cast("double") / col("total_tokens"))
+      .withColumn("sample_rate", least(lit(1.0), col("epochs")))
+  }
+
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),
     * plus a min-shingle-hash (stable under small edits — rolling-hash
     * style document signature).

@@ -132,6 +132,14 @@ object PipelineQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_frames"),
           sum(col("frame_bytes")).as("frame_bytes_total"))
+        .orderBy(col("source"))),
+
+    "t7_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy(col("id")).limit(25)),
+
+    "t8_mixture" -> ((s, dir) =>
+      TextAnalysis.mixtureWeights(docs(s, dir), "source", "text", 1000000L)
         .orderBy(col("source"))))
 
   // ---------------- oracle SQL ----------------
@@ -448,5 +456,60 @@ object PipelineQueries {
       s"""SELECT source, COUNT(*) AS n_media,
          |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
          |  CAST(SUM(${h32Sql("text")} % 251) AS BIGINT) AS feature_sum
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t7_repetition" ->
+      // ratios are single divisions of exact integers → bit-identical;
+      // top-1 tie-break (count DESC, unit ASC) is binary collation in both
+      s"""WITH tc AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |),
+         |tcc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+         |topt AS (
+         |  SELECT doc_id, tok, c FROM (
+         |    SELECT doc_id, tok, c,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+         |    FROM tcc) WHERE rn = 1
+         |),
+         |bg AS (SELECT doc_id, unnest(${shSql(2)}) AS g FROM documents),
+         |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |topb AS (
+         |  SELECT doc_id, g, c FROM (
+         |    SELECT doc_id, g, c,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+         |    FROM bgc) WHERE rn = 1
+         |),
+         |base AS (
+         |  SELECT doc_id, len($toksSql) AS n_tokens, len(${shSql(2)}) AS n_bigrams,
+         |    len(${shSql(3)}) AS n_trigrams,
+         |    len(list_distinct(${shSql(3)})) AS nd_trigrams
+         |  FROM documents
+         |)
+         |SELECT b.doc_id AS id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  t.tok AS top_token,
+         |  CAST(t.c AS DOUBLE) / b.n_tokens AS top_token_ratio,
+         |  p.g AS top_bigram,
+         |  CAST(p.c AS DOUBLE) / b.n_bigrams AS top_bigram_ratio,
+         |  CASE WHEN b.n_trigrams > 0
+         |    THEN 1.0 - CAST(b.nd_trigrams AS DOUBLE) / b.n_trigrams
+         |    ELSE 0.0 END AS dup_trigram_ratio
+         |FROM base b
+         |LEFT JOIN topt t ON t.doc_id = b.doc_id
+         |LEFT JOIN topb p ON p.doc_id = b.doc_id
+         |ORDER BY id LIMIT 25""".stripMargin,
+    "t8_mixture" ->
+      // floor(sqrt(bigint)) is exact in both engines; allocation is pure
+      // integer arithmetic; weight/epochs are single double divisions
+      s"""WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
+         |ps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens
+         |       FROM t GROUP BY source),
+         |f AS (SELECT source, total_tokens,
+         |        CAST(floor(sqrt(total_tokens)) AS BIGINT) AS fs FROM ps),
+         |s AS (SELECT CAST(SUM(fs) AS BIGINT) AS sum_fs FROM f)
+         |SELECT source, total_tokens,
+         |  CAST(fs AS DOUBLE) / sum_fs AS weight,
+         |  (1000000 * fs) // sum_fs AS alloc_tokens,
+         |  CAST((1000000 * fs) // sum_fs AS DOUBLE) / total_tokens AS epochs,
+         |  least(1.0, CAST((1000000 * fs) // sum_fs AS DOUBLE) / total_tokens)
+         |    AS sample_rate
+         |FROM f, s ORDER BY source""".stripMargin)
 }

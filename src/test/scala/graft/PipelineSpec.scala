@@ -198,6 +198,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("repetition signals quantify token/n-gram repeats") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, "a a a b"),         // top token a 3/4; bigrams [a a, a a, a b]; trigrams [a a a, a a b] distinct
+      (2L, "x y x y x y"))     // trigrams [x y x, y x y, x y x, y x y] → 2 distinct of 4
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .orderBy(col("id")).collect()
+    val r1 = out(0)
+    assert(r1.getString(2) == "a" && r1.getDouble(3) == 0.75)
+    assert(r1.getString(4) == "a a" && r1.getDouble(5) == 2.0 / 3)
+    assert(r1.getDouble(6) == 0.0)
+    val r2 = out(1)
+    assert(r2.getString(2) == "x") // tie x=3, y=3 → lexicographically first
+    assert(r2.getDouble(6) == 0.5) // 2 distinct trigrams of 4
+  }
+
+  test("mixture weights flatten source sizes and respect the budget") {
+    import org.apache.spark.sql.functions._
+    // source A: 100 tokens, source B: 400 tokens → fs 10/20, weights 1/3, 2/3
+    val d = (Seq.fill(10)(("A", Seq.fill(10)("w").mkString(" "))) ++
+      Seq.fill(40)(("B", Seq.fill(10)("w").mkString(" "))))
+      .toDF("source", "text")
+    val out = TextAnalysis.mixtureWeights(d, "source", "text", 300L)
+      .orderBy(col("source")).collect()
+    val a = out(0); val b = out(1)
+    assert(a.getLong(1) == 100L && b.getLong(1) == 400L)
+    assert(a.getDouble(2) == 1.0 / 3 && b.getDouble(2) == 2.0 / 3)
+    assert(a.getLong(3) == 100L && b.getLong(3) == 200L)
+    assert(a.getDouble(5) == 1.0 && b.getDouble(5) == 0.5)  // sample_rate
+    assert(a.getDouble(4) == 1.0 && b.getDouble(4) == 0.5)  // epochs
+  }
+
   test("tfidf ranks document-specific terms above corpus-wide ones") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
