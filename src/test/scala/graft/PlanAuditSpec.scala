@@ -123,4 +123,33 @@ class PlanAuditSpec extends AnyFunSuite {
     val scanSide = p.split("Exchange").last // deepest fragment holds the scan
     assert(scanSide.contains("Filter") && scanSide.contains("Scan parquet"), p)
   }
+
+  test("d8: the corpus shingle stream is probed in place, never shuffled") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.store.Tables.load(spark, sfDir, "documents")
+    val df = graft.pipeline.Dedup.decontaminate(
+      docs, "doc_id", "text", docs.where(col("doc_id") < 5), "text", 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both the contamination probe and the survivor filter are broadcast
+    // joins: the exploded 5-gram relation (the largest in the query, ~n×
+    // corpus size) must appear on the streamed side of a BroadcastHashJoin
+    // with no Exchange between its generator and the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    val gen = p.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(gen.nonEmpty, p)
+    // the only shuffles allowed are the small relations: the blocklist
+    // hash distinct (h) and the contaminated id distinct (doc_id) — never
+    // the corpus (id, shingle/hash) stream itself
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => l.contains("doc_id#") || l.contains("h#")), p)
+  }
+
+  test("t8: mixture weights ride a broadcast single-row join, no global window") {
+    val df = SparkEntry.queries("t8_mixture")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
