@@ -160,6 +160,23 @@ object Similarity {
       .select(col("pid"), col("rank"), col("cid"), col("sim"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one. Both
+    * inputs carry (pid, rank, cid) rows (the bruteForceTopK/annTopK shape);
+    * returns one row per probe: (pid, hits, recall). Deterministic given
+    * deterministic inputs — this turns the ANN family's accuracy into an
+    * oracle-checkable number instead of a rows-only smoke check.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val ex = exact.where(col("rank") <= k).select(col("pid"), col("cid"))
+    val ap = approx.where(col("rank") <= k).select(col("pid"), col("cid"))
+    val hits = ex.join(ap, Seq("pid", "cid"), "left_semi")
+      .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
+    ex.select(col("pid")).distinct()
+      .join(hits, Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, a < b. All-pairs
     * here; at scale, pre-bucket with lshBucket and join on bucket first.
     */

@@ -197,6 +197,22 @@ object TextAnalysis {
       .withColumn("sample_rate", least(lit(1.0), col("epochs")))
   }
 
+  /** Execute a mixture plan: deterministic per-source hash sampling at the
+    * allocated rate — a document survives iff h32(id) mod total_tokens <
+    * alloc_tokens, i.e. with probability alloc/total (everything survives
+    * when the source is set to repeat, epochs >= 1). The tiny per-source
+    * plan rides a broadcast join and the predicate is partition-local (the
+    * x15 sampling pattern), so the corpus scan itself never shuffles.
+    */
+  def sampleByMixture(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    val w = mixtureWeights(df, sourceCol, textCol, budget)
+      .select(col("source").as(sourceCol), col("total_tokens"), col("alloc_tokens"))
+    df.join(broadcast(w), Seq(sourceCol))
+      .where(h32(col(idCol).cast("string")) % col("total_tokens") < col("alloc_tokens"))
+      .drop("total_tokens", "alloc_tokens")
+  }
+
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),
     * plus a min-shingle-hash (stable under small edits — rolling-hash
     * style document signature).

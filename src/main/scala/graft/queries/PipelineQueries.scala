@@ -140,6 +140,24 @@ object PipelineQueries {
 
     "t8_mixture" -> ((s, dir) =>
       TextAnalysis.mixtureWeights(docs(s, dir), "source", "text", 1000000L)
+        .orderBy(col("source"))),
+
+    // measured ANN quality: recall@5 of the LSH search vs brute force —
+    // deterministic on both sides, so the number itself is oracle-checked
+    "e3_ann_recall" -> ((s, dir) =>
+      Similarity.recallAtK(
+          Similarity.annTopK(embs(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L), 5, 8),
+          Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L), 5),
+          5)
+        .orderBy(col("pid"))),
+
+    // the mixture plan executed: deterministic hash sampling at the
+    // allocated per-source rate, then the realized per-source footprint
+    "t9_mixture_sample" -> ((s, dir) =>
+      TextAnalysis.sampleByMixture(docs(s, dir), "doc_id", "source", "text", 1000000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text")))).as("tokens_kept"))
         .orderBy(col("source"))))
 
   // ---------------- oracle SQL ----------------
@@ -511,5 +529,53 @@ object PipelineQueries {
          |  CAST((1000000 * fs) // sum_fs AS DOUBLE) / total_tokens AS epochs,
          |  least(1.0, CAST((1000000 * fs) // sum_fs AS DOUBLE) / total_tokens)
          |    AS sample_rate
-         |FROM f, s ORDER BY source""".stripMargin)
+         |FROM f, s ORDER BY source""".stripMargin,
+    "e3_ann_recall" ->
+      s"""WITH ex AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+         |    FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |    WHERE p.vec_id IN (0, 1, 2))
+         |  WHERE rank <= 5
+         |),
+         |bucketed AS (
+         |  SELECT vec_id AS cid, embedding AS cvec, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings
+         |),
+         |ap AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT p.cid AS pid, c.cid AS cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.cid
+         |        ORDER BY ${cosSql("p.cvec", "c.cvec")} DESC, c.cid) AS rank
+         |    FROM bucketed p JOIN bucketed c ON c.bucket = p.bucket AND c.cid <> p.cid
+         |    WHERE p.cid IN (0, 1, 2))
+         |  WHERE rank <= 5
+         |),
+         |hits AS (
+         |  SELECT ex.pid, COUNT(*) AS hits
+         |  FROM ex JOIN ap ON ap.pid = ex.pid AND ap.cid = ex.cid
+         |  GROUP BY ex.pid
+         |)
+         |SELECT p.pid, COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
+         |FROM (SELECT DISTINCT pid FROM ex) p LEFT JOIN hits h USING (pid)
+         |ORDER BY pid""".stripMargin,
+    "t9_mixture_sample" ->
+      s"""WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
+         |ps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens
+         |       FROM t GROUP BY source),
+         |f AS (SELECT source, total_tokens,
+         |        CAST(floor(sqrt(total_tokens)) AS BIGINT) AS fs FROM ps),
+         |s AS (SELECT CAST(SUM(fs) AS BIGINT) AS sum_fs FROM f),
+         |a AS (SELECT source, total_tokens,
+         |        (1000000 * fs) // sum_fs AS alloc FROM f, s),
+         |kept AS (
+         |  SELECT d.source, len(string_split_regex(lower(d.text), '\\s+')) AS n
+         |  FROM documents d JOIN a USING (source)
+         |  WHERE (${h32Sql("CAST(doc_id AS VARCHAR)")} % total_tokens) < alloc
+         |)
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tokens_kept
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin)
 }

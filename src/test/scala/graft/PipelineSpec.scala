@@ -231,6 +231,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.getDouble(4) == 1.0 && b.getDouble(4) == 0.5)  // epochs
   }
 
+  test("recall@k counts approximate hits against the exact top-k") {
+    import org.apache.spark.sql.functions._
+    val exact = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
+      (2L, 1, 40L), (2L, 2, 50L), (2L, 3, 60L)).toDF("pid", "rank", "cid")
+    val approx = Seq((1L, 1, 10L), (1L, 2, 99L), (1L, 3, 30L)).toDF("pid", "rank", "cid")
+    val out = Similarity.recallAtK(approx, exact, 3)
+      .orderBy(col("pid")).collect()
+    assert(out(0).getLong(1) == 2L && out(0).getDouble(2) == 2.0 / 3)
+    assert(out(1).getLong(1) == 0L && out(1).getDouble(2) == 0.0) // probe 2 missed entirely
+  }
+
+  test("mixture sampling is deterministic and keeps everything at epochs >= 1") {
+    import org.apache.spark.sql.functions._
+    val d = (Seq.tabulate(10)(i => (i.toLong, "A", Seq.fill(10)("w").mkString(" "))) ++
+      Seq.tabulate(40)(i => (100L + i, "B", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    // budget >= total tokens x flattening: source A allocates above its own
+    // size (epochs > 1) -> every A doc survives
+    val big = TextAnalysis.sampleByMixture(d, "doc_id", "source", "text", 1000L)
+    assert(big.where(col("source") === "A").count() == 10L)
+    // deterministic: two runs agree row-for-row
+    val s1 = TextAnalysis.sampleByMixture(d, "doc_id", "source", "text", 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = TextAnalysis.sampleByMixture(d, "doc_id", "source", "text", 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.subsetOf(d.select("doc_id").collect().map(_.getLong(0)).toSet))
+  }
+
   test("tfidf ranks document-specific terms above corpus-wide ones") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
