@@ -213,6 +213,35 @@ object TextAnalysis {
       .drop("total_tokens", "alloc_tokens")
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences. Documents are sharded deterministically (h32(id) mod
+    * nShards) and packed greedily in id order within each (source, shard):
+    * seq_id = (running token total before the doc) div seqLen — the
+    * standard "concat then cut every seqLen tokens" packing, computed with
+    * a cumulative-sum window. The window partitions on (source, shard),
+    * never globally: a 100 TB source splits across nShards independent
+    * partitions instead of serializing through one sort, and packing
+    * quality is unaffected because sequences never cross shards anyway.
+    * Output: (source, shard, id, n_tokens, seq_id, seq_offset) where
+    * seq_offset is the token position the doc starts at inside its shard's
+    * concatenation.
+    */
+  def packSequences(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, seqLen: Long, nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(sourceCol).as("source"),
+        pmod(h32(col(idCol).cast("string")), lit(nShards)).as("shard"),
+        col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("shard"), col("id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $seqLen").as("seq_id"),
+        ((col("cum") - col("n_tokens")) % lit(seqLen)).as("seq_offset"))
+  }
+
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),
     * plus a min-shingle-hash (stable under small edits — rolling-hash
     * style document signature).

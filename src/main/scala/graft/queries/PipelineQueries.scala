@@ -158,7 +158,14 @@ object PipelineQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(tokens(col("text")))).as("tokens_kept"))
-        .orderBy(col("source"))))
+        .orderBy(col("source"))),
+
+    // sequence packing: docs -> fixed-128-token training sequences inside
+    // (source, shard) partitions; the packing arithmetic is exact
+    "t10_packing" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id", "source", "text", 128L, 4)
+        .orderBy(col("source"), col("shard"), col("id"))
+        .limit(30)))
 
   // ---------------- oracle SQL ----------------
 
@@ -577,5 +584,23 @@ object PipelineQueries {
          |  WHERE (${h32Sql("CAST(doc_id AS VARCHAR)")} % total_tokens) < alloc
          |)
          |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tokens_kept
-         |FROM kept GROUP BY source ORDER BY source""".stripMargin)
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "t10_packing" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    ${h32Sql("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+         |    doc_id AS id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT source, shard, id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d
+         |)
+         |SELECT source, shard, id, n_tokens,
+         |  CAST((cum - n_tokens) // 128 AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tokens) % 128 AS BIGINT) AS seq_offset
+         |FROM c ORDER BY source, shard, id LIMIT 30""".stripMargin)
 }

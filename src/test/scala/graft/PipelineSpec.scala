@@ -259,6 +259,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.subsetOf(d.select("doc_id").collect().map(_.getLong(0)).toSet))
   }
 
+  test("sequence packing assigns cumulative token windows") {
+    import org.apache.spark.sql.functions._
+    // one shard: pure greedy concat-and-cut at 128 tokens
+    val d = Seq(
+      (1L, "s", Seq.fill(50)("w").mkString(" ")),
+      (2L, "s", Seq.fill(100)("w").mkString(" ")),
+      (3L, "s", Seq.fill(30)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(d, "doc_id", "source", "text", 128L, 1)
+      .orderBy(col("id")).collect()
+    // starts at 0, 50, 150 -> seq 0/0/1, offsets 0/50/22
+    assert(out.map(r => (r.getLong(4), r.getLong(5))).toSeq ==
+      Seq((0L, 0L), (0L, 50L), (1L, 22L)))
+  }
+
   test("tfidf ranks document-specific terms above corpus-wide ones") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
