@@ -140,13 +140,14 @@ object TextAnalysis {
     * integers, so the DuckDB oracle matches bit-for-bit.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def top1(unit: DataFrame, unitCol: String): DataFrame = {
-      val w = Window.partitionBy(col("id")).orderBy(col("cnt").desc, col(unitCol))
+    // top-1 via min(struct(-cnt, unit)): same (count DESC, unit ASC)
+    // tie-break as a row_number window, but fully map-side combinable —
+    // no per-doc sort, one partial-aggregated shuffle instead of a window
+    def top1(unit: DataFrame, unitCol: String): DataFrame =
       unit.groupBy(col("id"), col(unitCol)).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .drop("rn")
-    }
+        .groupBy(col("id"))
+        .agg(min(struct((-col("cnt")).as("neg"), col(unitCol).as("u"))).as("m"))
+        .select(col("id"), col("m.u").as(unitCol), (-col("m.neg")).as("cnt"))
     val toks = tokens(col(textCol))
     val base = df.select(col(idCol).as("id"),
       size(toks).as("n_tokens"),
