@@ -243,6 +243,47 @@ object TextAnalysis {
         ((col("cum") - col("n_tokens")) % lit(seqLen)).as("seq_offset"))
   }
 
+  /** PII scrubbing: replace emails and phone-number-shaped digit runs with
+    * typed placeholder tokens, and count what was found. Pure codegen'd
+    * regexp expressions (RE2-compatible so the DuckDB oracle applies the
+    * identical patterns) — runs at scan speed, no shuffle.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+?[0-9][0-9\\- ]{7,}[0-9]"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(emailPattern), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(
+          regexp_replace(t, emailPattern, "<EMAIL>"), lit(phonePattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+  }
+
+  /** Sliding-window chunking: split each document's token stream into
+    * overlapping context windows of `chunkTokens` tokens advancing by
+    * `stride` — the retrieval/context-window preparation step. One row per
+    * chunk: (id, chunk_idx, start_token, n_chunk_tokens, chunk_text).
+    * A pure per-row explode (no shuffle, no state): at 100 TB this is a
+    * map-only pass whose output feeds the embedding/packing stages.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens > 0, "chunkTokens and stride must be positive")
+    val toks = tokens(col(textCol))
+    val starts = sequence(lit(1), greatest(size(toks) - lit(chunkTokens - 1), lit(1)), lit(stride))
+    df.select(col(idCol).as("id"), toks.as("__toks"), explode(starts).as("start_token"))
+      .select(col("id"),
+        ((col("start_token") - 1) / stride).cast("long").as("chunk_idx"),
+        col("start_token").cast("long").as("start_token"),
+        size(slice(col("__toks"), col("start_token"), lit(chunkTokens))).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("start_token"), lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),
     * plus a min-shingle-hash (stable under small edits — rolling-hash
     * style document signature).

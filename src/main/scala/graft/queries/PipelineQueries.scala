@@ -165,7 +165,32 @@ object PipelineQueries {
     "t10_packing" -> ((s, dir) =>
       TextAnalysis.packSequences(docs(s, dir), "doc_id", "source", "text", 128L, 4)
         .orderBy(col("source"), col("shard"), col("id"))
-        .limit(30)))
+        .limit(30)),
+
+    // PII scrubbing: every 5th doc gets a deterministic injected email +
+    // phone; the per-source checksum over the redacted text proves the
+    // replacement output byte-for-byte, not just the match counts
+    "t11_redaction" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call +1 555-0100.")))
+          .otherwise(col("text")))
+      TextAnalysis.redactPii(d, "text2")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_emails")).as("emails_found"),
+          sum(col("n_phones")).as("phones_found"),
+          sum(h32(col("redacted"))).as("redacted_checksum"))
+        .orderBy(col("source"))
+    }),
+
+    // sliding-window chunking (32-token windows, stride 16) — exact detail
+    // rows including the chunk text itself
+    "t12_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(
+          docs(s, dir).where(col("doc_id") < 10), "doc_id", "text", 32, 16)
+        .orderBy(col("id"), col("chunk_idx"))))
 
   // ---------------- oracle SQL ----------------
 
@@ -602,5 +627,45 @@ object PipelineQueries {
          |SELECT source, shard, id, n_tokens,
          |  CAST((cum - n_tokens) // 128 AS BIGINT) AS seq_id,
          |  CAST((cum - n_tokens) % 128 AS BIGINT) AS seq_offset
-         |FROM c ORDER BY source, shard, id LIMIT 30""".stripMargin)
+         |FROM c ORDER BY source, shard, id LIMIT 30""".stripMargin,
+    "t11_redaction" -> {
+      val email = TextAnalysis.emailPattern
+      val phone = TextAnalysis.phonePattern
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com or call +1 555-0100.'
+         |      ELSE text END AS t2
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(t2, '$email')) AS n_emails,
+         |    len(regexp_extract_all(
+         |      regexp_replace(t2, '$email', '<EMAIL>', 'g'), '$phone')) AS n_phones,
+         |    regexp_replace(regexp_replace(t2, '$email', '<EMAIL>', 'g'),
+         |      '$phone', '<PHONE>', 'g') AS red
+         |  FROM d
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_emails) AS BIGINT) AS emails_found,
+         |  CAST(SUM(n_phones) AS BIGINT) AS phones_found,
+         |  CAST(SUM(${h32Sql("red")}) AS BIGINT) AS redacted_checksum
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+    "t12_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, $toksSql AS toks FROM documents WHERE doc_id < 10
+         |),
+         |st AS (
+         |  SELECT id, toks,
+         |    unnest(range(1, greatest(len(toks) - 31, 1) + 1, 16)) AS s
+         |  FROM t
+         |)
+         |SELECT id, CAST((s - 1) // 16 AS BIGINT) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_token,
+         |  CAST(len(list_slice(toks, s, s + 31)) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk_text
+         |FROM st ORDER BY id, chunk_idx""".stripMargin)
 }

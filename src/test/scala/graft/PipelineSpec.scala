@@ -274,6 +274,33 @@ class PipelineSpec extends AnyFunSuite {
       Seq((0L, 0L), (0L, 50L), (1L, 22L)))
   }
 
+  test("pii redaction replaces emails and phone runs with typed tokens") {
+    import org.apache.spark.sql.functions._
+    val d = Seq((1L, "mail a.b+c@sub.example.org and call +1 555-0100 now"),
+      (2L, "nothing to scrub here")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(d, "text").orderBy(col("doc_id")).collect()
+    assert(out(0).getInt(2) == 1 && out(0).getInt(3) == 1)
+    assert(out(0).getString(4) == "mail <EMAIL> and call <PHONE> now")
+    assert(out(1).getInt(2) == 0 && out(1).getInt(3) == 0)
+    assert(out(1).getString(4) == "nothing to scrub here")
+  }
+
+  test("chunking slides overlapping token windows, short docs get one chunk") {
+    import org.apache.spark.sql.functions._
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(d, "doc_id", "text", 4, 2)
+      .orderBy(col("id"), col("chunk_idx")).collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    // starts 1,3,5,7 (last full window starts at 10-4+1=7)
+    assert(doc1.map(_.getLong(2)).toSeq == Seq(1L, 3L, 5L, 7L))
+    assert(doc1.forall(_.getLong(3) == 4L))
+    assert(doc1.head.getString(4) == "w1 w2 w3 w4")
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2.head.getLong(3) == 2L &&
+      doc2.head.getString(4) == "a b")
+  }
+
   test("tfidf ranks document-specific terms above corpus-wide ones") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
