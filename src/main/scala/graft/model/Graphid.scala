@@ -23,7 +23,9 @@ object Graphid {
   def packCol(labid: Int, locid: Column): Column =
     lit(labid.toLong << LocalBits).bitwiseOR(locid.cast("long").bitwiseAND(lit(LocalMask)))
 
-  def labidCol(id: Column): Column = shiftright(id, LocalBits).cast("int")
+  // logical shift: labels >= 32768 set the sign bit, and an arithmetic
+  // shiftright would sign-extend them to negative label ids
+  def labidCol(id: Column): Column = shiftrightunsigned(id, LocalBits).cast("int")
   def locidCol(id: Column): Column = id.bitwiseAND(lit(LocalMask))
 
   def unpack(id: Long): (Int, Long) = ((id >>> LocalBits).toInt, id & LocalMask)
