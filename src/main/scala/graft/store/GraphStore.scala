@@ -123,9 +123,13 @@ final class GraphStore(
     Await.result(Future.sequence(jobs), Duration.Inf)
   }
 
-  /** Persist edges bucketed by src — at cluster scale this makes every hop
-    * join shuffle-free on the build side (SURVEY.md §1.2). Local tests use
-    * the in-memory tables directly.
+  /** Persist edges bucketed by src, plus a mirrored copy bucketed by dst —
+    * at cluster scale this makes every hop join shuffle-free in BOTH
+    * directions (out-expansion reads the src buckets, in-expansion the dst
+    * mirror; SURVEY.md §1.2). The 2× storage is the standard trade: edge
+    * data is a fraction of property data, and a per-hop shuffle of the
+    * full edge relation costs more than the mirror at every query.
+    * Local tests use the in-memory tables directly.
     */
   def writeBucketed(warehouseDir: String, buckets: Int = 64)(implicit spark: SparkSession): Unit = {
     edgeTables.foreach { case (label, df) =>
@@ -133,6 +137,10 @@ final class GraphStore(
         .bucketBy(buckets, "src").sortBy("src")
         .option("path", s"$warehouseDir/edges_$label")
         .saveAsTable(s"edges_${label.toLowerCase}")
+      df.write.mode("overwrite")
+        .bucketBy(buckets, "dst").sortBy("dst")
+        .option("path", s"$warehouseDir/edges_${label}_by_dst")
+        .saveAsTable(s"edges_${label.toLowerCase}_by_dst")
     }
   }
 }

@@ -88,7 +88,19 @@ class PlanAuditSpec extends AnyFunSuite {
       // both sides read pre-bucketed by src: the join key partitioning is
       // already satisfied — no shuffle anywhere in the plan
       assert(!p.contains("Exchange hashpartitioning"), p)
-    } finally spark.sql("DROP TABLE IF EXISTS edges_placed")
+      // the mirrored dst-bucketed copy serves the incoming direction the
+      // same way: an in-edge expansion joins on dst with no exchange
+      val mirror = spark.table("edges_placed_by_dst")
+      val jIn = mirror.as("a").join(mirror.as("b"),
+        org.apache.spark.sql.functions.col("a.dst") ===
+          org.apache.spark.sql.functions.col("b.dst"))
+      jIn.collect()
+      val pIn = jIn.queryExecution.executedPlan.toString
+      assert(!pIn.contains("Exchange hashpartitioning"), pIn)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS edges_placed")
+      spark.sql("DROP TABLE IF EXISTS edges_placed_by_dst")
+    }
   }
 
   test("m1: multimodal stats stay inside whole-stage codegen (no encoder round-trip)") {
