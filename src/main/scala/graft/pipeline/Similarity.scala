@@ -160,6 +160,47 @@ object Similarity {
       .select(col("pid"), col("rank"), col("cid"), col("sim"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * = max |component| (floored at 1e-30 so zero vectors stay zero), each
+    * component → floor(x·127/scale + 0.5). Quantized components are kept
+    * as integer-VALUED doubles: every value, product and 64-term sum is
+    * exactly representable, so downstream similarity arithmetic is
+    * order-independent and bit-identical across engines. At 100 TB this is
+    * the standard 4× (vs float32) embedding-store compression; `scale`
+    * rides along for dequantization.
+    */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vd = toDoubleArray(col(vecCol))
+    df.select(col(idCol).as("id"), vd.as("__v"))
+      .withColumn("scale", greatest(array_max(transform(col("__v"), x => abs(x))), lit(1e-30)))
+      .select(col("id"), col("scale"),
+        // Spark floor returns LONG; the kernels take array<double> —
+        // the values are integers either way, exactly representable
+        transform(col("__v"),
+          x => floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("double"))
+          .as("qvec"))
+  }
+
+  /** Exact-arithmetic top-k over the int8-quantized vectors: cosine on the
+    * quantized components (integer-valued doubles — every op exact). The
+    * quality loss vs full precision is measured by `recallAtK` in the e4
+    * gate, mirroring how a production int8 index is validated.
+    */
+  def quantizedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int): DataFrame = {
+    val q = quantize(corpus, idCol, vecCol)
+      .select(col("id").as("cid"), col("qvec").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+    val probes = q.filter(col("cid").isin(probeIds: _*))
+      .select(col("cid").as("pid"), col("cvec").as("pvec"), col("cnorm").as("pnorm"))
+    val scored = q.join(broadcast(probes), col("cid") =!= col("pid"))
+      .withColumn("sim", dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("cid"), col("sim"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one. Both
     * inputs carry (pid, rank, cid) rows (the bruteForceTopK/annTopK shape);
     * returns one row per probe: (pid, hits, recall). Deterministic given

@@ -190,7 +190,16 @@ object PipelineQueries {
     "t12_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(
           docs(s, dir).where(col("doc_id") < 10), "doc_id", "text", 32, 16)
-        .orderBy(col("id"), col("chunk_idx"))))
+        .orderBy(col("id"), col("chunk_idx"))),
+
+    // int8 quantization quality: recall@10 of the quantized index vs the
+    // full-precision exact search — all arithmetic exact, oracle-checked
+    "e4_quantized_recall" -> ((s, dir) =>
+      Similarity.recallAtK(
+          Similarity.quantizedTopK(embs(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L), 10),
+          Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L), 10),
+          10)
+        .orderBy(col("pid"))))
 
   // ---------------- oracle SQL ----------------
 
@@ -667,5 +676,44 @@ object PipelineQueries {
          |  CAST(s AS BIGINT) AS start_token,
          |  CAST(len(list_slice(toks, s, s + 31)) AS BIGINT) AS n_chunk_tokens,
          |  array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk_text
-         |FROM st ORDER BY id, chunk_idx""".stripMargin)
+         |FROM st ORDER BY id, chunk_idx""".stripMargin,
+    "e4_quantized_recall" -> {
+      val qdot = "list_sum(list_transform(range(1, 65), i -> a.qvec[i] * b.qvec[i]))"
+      val qnorm = (t: String) =>
+        s"sqrt(list_sum(list_transform(range(1, 65), i -> $t.qvec[i] * $t.qvec[i])))"
+      s"""WITH ex AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+         |    FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |    WHERE p.vec_id IN (0, 1, 2))
+         |  WHERE rank <= 10
+         |),
+         |q AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> floor(x::DOUBLE * 127 /
+         |      greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE))), 1e-30)
+         |      + 0.5)) AS qvec
+         |  FROM embeddings
+         |),
+         |ap AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT a.id AS pid, b.id AS cid,
+         |      ROW_NUMBER() OVER (PARTITION BY a.id
+         |        ORDER BY $qdot / (${qnorm("a")} * ${qnorm("b")}) DESC, b.id) AS rank
+         |    FROM q a JOIN q b ON b.id <> a.id
+         |    WHERE a.id IN (0, 1, 2))
+         |  WHERE rank <= 10
+         |),
+         |hits AS (
+         |  SELECT ex.pid, COUNT(*) AS hits
+         |  FROM ex JOIN ap ON ap.pid = ex.pid AND ap.cid = ex.cid
+         |  GROUP BY ex.pid
+         |)
+         |SELECT p.pid, COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall
+         |FROM (SELECT DISTINCT pid FROM ex) p LEFT JOIN hits h USING (pid)
+         |ORDER BY pid""".stripMargin
+    })
 }

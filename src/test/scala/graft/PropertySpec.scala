@@ -96,6 +96,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: components bounded, max maps to ±127, roundtrip within half-step") {
+    import org.apache.spark.sql.functions._
+    forAll(Gen.listOfN(8, Gen.chooseNum(-100.0f, 100.0f)),
+      Gen.chooseNum(0.1f, 50.0f)) { (vec: List[Float], boost: Float) =>
+      val v = (boost :: vec).toArray // ensure a nonzero max component
+      val df = Seq((1L, v)).toDF("vec_id", "embedding")
+      val row = Similarity.quantize(df, "vec_id", "embedding").collect().head
+      val scale = row.getDouble(1)
+      val q = row.getSeq[Double](2)
+      assert(scale == v.map(x => math.abs(x.toDouble)).max)
+      assert(q.forall(x => math.abs(x) <= 127.0))
+      // dequantization error is at most half a quantization step
+      v.zip(q).foreach { case (orig, qi) =>
+        assert(math.abs(qi * scale / 127.0 - orig.toDouble) <= scale / 254.0 + 1e-12)
+      }
+    }
+  }
+
   test("recall@k of a result against itself is 1.0") {
     import org.apache.spark.sql.functions._
     val exact = Seq((1L, 1, 10L), (1L, 2, 20L), (2L, 1, 30L), (2L, 2, 40L))
