@@ -69,7 +69,11 @@ object GraphAlgorithms {
     */
   val BroadcastVertexRows: Long = 4L << 20
 
-  def pageRankStable(edges: DataFrame, iters: Int = 10): DataFrame = {
+  /** `broadcastCeiling` exists for tests to force the large-graph
+    * shuffle-hash path; production callers keep the default.
+    */
+  def pageRankStable(edges: DataFrame, iters: Int = 10,
+      broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
     import org.apache.spark.sql.functions._
     val e = edges.select("src", "dst").localCheckpoint(false)
     // vertex state carries the (static) out-degree so an iteration touches
@@ -89,7 +93,7 @@ object GraphAlgorithms {
     // iteration, which is what an unhinted sort-merge plan would do)
     val nVerts = verts.count()
     def small(df: DataFrame): DataFrame =
-      if (nVerts <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
+      if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
     // prf = rank * 10^12; initial rank 1.0
     var pr = verts.withColumn("prf", lit(1000000000000L))
     for (_ <- 1 to iters) {
@@ -132,12 +136,19 @@ object GraphAlgorithms {
       .localCheckpoint(false)
     var comp = und.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(false)
+    // same gated propagation join as pageRankStable: broadcast the |V|
+    // label relation while it fits, shuffle-HASH past the ceiling (labels
+    // arrive hash-partitioned from the round aggregate; never re-sort the
+    // edge set per round)
+    val nVerts = comp.count()
+    def small(df: DataFrame): DataFrame =
+      if (nVerts <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
     var changed = 1L
     while (changed > 0) {
       // self rows are tagged so the round aggregate carries the previous
       // label alongside the new minimum — the convergence test is a filter
       // over this one relation, not a second join against the old comp
-      val next = und.join(comp, und("src") === comp("id"))
+      val next = und.join(small(comp), und("src") === comp("id"))
         .select(und("dst").as("id"), col("component"), lit(false).as("own"))
         .unionByName(comp.withColumn("own", lit(true)))
         .groupBy(col("id"))

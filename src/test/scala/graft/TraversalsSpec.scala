@@ -218,5 +218,13 @@ class TraversalsSpec extends AnyFunSuite {
     val pr2 = graft.algorithms.GraphAlgorithms.pageRankStable(e.repartition(7), 10)
       .orderBy(col("pr").desc, col("id")).collect()
     assert(pr.map(_.toSeq).toSeq == pr2.map(_.toSeq).toSeq)
+    // the past-the-broadcast-ceiling path (shuffle-hash joins) is the same
+    // fixed-point: bit-identical results through an entirely different plan
+    // (the per-iteration joins live behind checkpoints, so result parity is
+    // the observable contract — integer arithmetic guarantees it holds)
+    val pr3 = graft.algorithms.GraphAlgorithms
+      .pageRankStable(e, 10, broadcastCeiling = 0)
+      .orderBy(col("pr").desc, col("id")).collect()
+    assert(pr.map(_.toSeq).toSeq == pr3.map(_.toSeq).toSeq)
   }
 }
