@@ -172,4 +172,91 @@ object GraphAlgorithms {
       .partitionBy(PartitionStrategy.EdgePartition2D)
       .triangleCount().vertices.toDF("id", "triangles")
   }
+
+  /** k-core: iteratively peel vertices whose undirected distinct-neighbor
+    * degree is < k until a fixpoint; returns the surviving vertex ids.
+    * The k-core is the unique maximal subgraph of min-degree >= k, so the
+    * result is peel-order independent — oracle-checkable bit-for-bit.
+    * Per round: one degree shuffle over the surviving edges plus two
+    * semi-joins against the |V|-bounded survivor set (broadcast under the
+    * pageRankStable ceiling, shuffle-HASH past it — the checkpointed edge
+    * relation is never re-sorted). Round count is the graph's peel depth
+    * (O(tens) even on power-law graphs); `maxRounds` turns a pathological
+    * chain into a loud error instead of an unbounded job storm.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame =
+    kCoreRounds(edges, k, maxRounds)._1
+
+  /** kCore plus the number of peel rounds taken — specs pin the round
+    * budget so the unrolled-CTE oracle provably covers convergence.
+    */
+  def kCoreRounds(edges: DataFrame, k: Int, maxRounds: Int = 64): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, "k-core needs k >= 1")
+    val noLoops = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = noLoops
+      .unionByName(noLoops.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var cur = und
+    var nCur = cur.count()
+    def small(df: DataFrame): DataFrame =
+      if (nCur <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
+    var rounds = 0
+    var done = nCur == 0
+    while (!done) {
+      rounds += 1
+      require(rounds <= maxRounds, s"k-core did not converge in $maxRounds rounds")
+      val keep = cur.groupBy(col("src").as("kid")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("kid")).localCheckpoint(false)
+      // und is symmetric, so surviving edges are exactly the rows whose BOTH
+      // endpoints survive — two semi-joins against the same survivor set
+      val next = cur
+        .join(small(keep), cur("src") === col("kid"), "left_semi")
+        .join(small(keep.select(col("kid").as("kid2"))),
+          cur("dst") === col("kid2"), "left_semi")
+        .localCheckpoint(false)
+      val nNext = next.count()
+      done = nNext == nCur || nNext == 0
+      cur = next
+      nCur = nNext
+    }
+    und.unpersist()
+    (cur.select(col("src").as("id")).distinct(), rounds)
+  }
+
+  /** Node similarity (the Neo4j-GDS-style operator): Jaccard of
+    * out-neighbor sets for every source pair sharing >= 1 neighbor, top-k
+    * by (jaccard desc, a, b). Candidate pairs are generated per shared
+    * neighbor — a neighbor of in-degree d emits d(d-1)/2 pair rows — so hub
+    * neighbors dominate the cost at scale: neighbors with in-degree above
+    * `maxNeighborInDegree` are removed from the adjacency FIRST (a neighbor
+    * shared by everyone carries no signal), and both the pair counts and
+    * the degrees are computed over that filtered adjacency, keeping the
+    * semantics self-consistent and the SQL oracle exact. Jaccard is one
+    * integer-to-double division — bit-identical across engines.
+    */
+  def nodeSimilarity(edges: DataFrame, topK: Int,
+      maxNeighborInDegree: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val adj = edges.select(col("src"), col("dst")).distinct()
+    val nonHub = adj.groupBy(col("dst")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") <= maxNeighborInDegree).select(col("dst"))
+    val kept = adj.join(nonHub, Seq("dst"), "left_semi").localCheckpoint(false)
+    val deg = kept.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val common = kept.as("x").join(kept.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("id"), col("deg").as("deg_a")), col("a") === col("id"))
+      .drop("id")
+      .join(deg.select(col("id"), col("deg").as("deg_b")), col("b") === col("id"))
+      .drop("id")
+      .select(col("a"), col("b"), col("common"),
+        (col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.algorithms.{PregelSssp, Traversals}
+import graft.model.Graphid
 import graft.store.{GraphStore, Tables}
 
 /** Graph operator surface (SURVEY.md §2.1 scans, §2.3 pattern joins, §2.6
@@ -243,6 +244,28 @@ object GraphQueries {
           concat_ws("-", transform(col("path"), _.cast("string"))).as("path_str"))
     }),
 
+    // k-core decomposition (k=3) over the full TPC-H graph: peel until
+    // every surviving vertex keeps >= 3 distinct neighbors; report core
+    // membership per label. Peel depth measured at 4 rounds on sf0.01 AND
+    // sf0.1 (core structure is scale-invariant here); the 8-round oracle
+    // unroll is 2x margin and the Spark loop errors loudly past 32.
+    "g17_kcore" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      graft.algorithms.GraphAlgorithms
+        .kCore(g.allEdges.select(col("src"), col("dst")), 3, maxRounds = 32)
+        .groupBy(Graphid.labidCol(col("id")).as("labid"))
+        .agg(count(lit(1)).as("n_core"))
+        .orderBy(col("labid"))
+    }),
+
+    // Node similarity (GDS-style neighborhood Jaccard): parts ranked by
+    // how much their supplier sets overlap — top 20 pairs, total order.
+    "g18_node_similarity" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      graft.algorithms.GraphAlgorithms.nodeSimilarity(edges, 20)
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -455,5 +478,43 @@ object GraphQueries {
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
         |  FROM events WHERE user_id < 20) x
         |WHERE rk <= 3
-        |ORDER BY user_id, rk""".stripMargin)
+        |ORDER BY user_id, rk""".stripMargin,
+    "g17_kcore" -> {
+      // peel rounds unrolled (x7's pattern): measured depth is 4 at sf0.01
+      // and sf0.1, unrolled to 8 for margin — peeling past the fixpoint is
+      // the identity. MATERIALIZED: each round reads its predecessor thrice.
+      val rounds = 8
+      val iterCtes = (1 to rounds).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= 3),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON a.src = e.src JOIN k$i b ON b.src = e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${edgesCte},
+         |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM edges WHERE src <> dst
+         |  UNION ALL SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)),
+         |$iterCtes
+         |SELECT CAST(src >> 48 AS INTEGER) AS labid,
+         |       COUNT(DISTINCT src) AS n_core
+         |FROM e$rounds GROUP BY labid ORDER BY labid""".stripMargin
+    },
+    "g18_node_similarity" ->
+      """WITH adj AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |nonhub AS (SELECT dst FROM adj GROUP BY dst HAVING COUNT(*) <= 65536),
+        |kept AS (SELECT a.src, a.dst FROM adj a JOIN nonhub n ON n.dst = a.dst),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM kept GROUP BY src),
+        |common AS (
+        |  SELECT x.src AS a, y.src AS b, COUNT(*) AS common
+        |  FROM kept x JOIN kept y ON x.dst = y.dst AND x.src < y.src
+        |  GROUP BY 1, 2)
+        |SELECT a, b, common,
+        |  CAST(common AS DOUBLE) / CAST(da.deg + db.deg - common AS DOUBLE)
+        |    AS jaccard
+        |FROM common
+        |JOIN deg da ON da.id = a
+        |JOIN deg db ON db.id = b
+        |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin)
 }

@@ -53,6 +53,53 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(t == Map(1L -> 1, 2L -> 1, 3L -> 1))
   }
 
+  test("kCore peels tails, keeps the dense core, bounds its rounds") {
+    // K4 core {1,2,3,4} + a chain 4-5-6 hanging off it. k=2: the chain
+    // peels over two rounds (6 first, then 5), the K4 survives; k=3: only
+    // the K4 survives; k=4: nothing (K4 has min-degree 3).
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    def core(k: Int) = {
+      val (df, rounds) = GraphAlgorithms.kCoreRounds(edges, k)
+      (df.collect().map(_.getLong(0)).toSet, rounds)
+    }
+    assert(core(2) == ((Set(1L, 2L, 3L, 4L), 3))) // peel 6, peel 5, confirm
+    assert(core(3)._1 == Set(1L, 2L, 3L, 4L))
+    assert(core(4)._1 == Set.empty[Long])
+    // every survivor keeps >= k distinct surviving neighbors (the k-core
+    // invariant, independent of the peel schedule)
+    val surv = core(2)._1
+    val und = (k4 ++ Seq((4L, 5L), (5L, 6L))).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val degs = und.filter { case (a, b) => surv(a) && surv(b) }
+      .groupBy(_._1).map { case (_, es) => es.map(_._2).distinct.size }
+    assert(degs.forall(_ >= 2))
+  }
+
+  test("kCore: duplicate edges and self-loops do not inflate degrees") {
+    // 1-2 duplicated 3x plus self-loops: distinct-neighbor degree is 1,
+    // so the 2-core is empty
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(GraphAlgorithms.kCore(edges, 2).count() == 0)
+    assert(GraphAlgorithms.kCore(edges, 1).count() == 2)
+  }
+
+  test("nodeSimilarity: exact Jaccard, hub filter, total order") {
+    // a:{x,y}, b:{x,y}, c:{x,z} -> J(a,b)=1, J(a,c)=J(b,c)=1/3
+    val edges = Seq(
+      (1L, 10L), (1L, 11L),
+      (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 12L)).toDF("src", "dst")
+    val rows = GraphAlgorithms.nodeSimilarity(edges, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.head == ((1L, 2L, 2L, 1.0)))
+    assert(rows.toList.drop(1) == List((1L, 3L, 1L, 1.0 / 3), (2L, 3L, 1L, 1.0 / 3)))
+    // hub filter: neighbor 10 (in-degree 3) excluded -> degrees shrink with
+    // it, so J(a,b) stays 1 on the {11} sets and c pairs with nobody
+    val filtered = GraphAlgorithms.nodeSimilarity(edges, 10, maxNeighborInDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(filtered.toList == List((1L, 2L, 1.0)))
+  }
+
   test("pageRank: sink of a star ranks highest") {
     // 1..5 all point at 6
     val edges = (1L to 5L).map(i => (i, 6L)).toDF("src", "dst")
