@@ -177,20 +177,29 @@ object GraphAlgorithms {
     * degree is < k until a fixpoint; returns the surviving vertex ids.
     * The k-core is the unique maximal subgraph of min-degree >= k, so the
     * result is peel-order independent — oracle-checkable bit-for-bit.
-    * Per round: one degree shuffle over the surviving edges plus two
-    * semi-joins against the |V|-bounded survivor set (broadcast under the
-    * pageRankStable ceiling, shuffle-HASH past it — the checkpointed edge
-    * relation is never re-sorted). Round count is the graph's peel depth
-    * (O(tens) even on power-law graphs); `maxRounds` turns a pathological
-    * chain into a loud error instead of an unbounded job storm.
+    *
+    * Degree-message formulation (the pageRankStable shape): the symmetric
+    * edge relation is built once and never rewritten; per-round state is
+    * the |V|-bounded (id, deg) relation. Each round broadcasts the
+    * newly-peeled vertex set (gated: shuffle-HASH past the ceiling), counts
+    * the edges each survivor loses into them with ONE aggregate over the
+    * immutable edge relation, and rebuilds deg — so a round is one heavy
+    * scan + tiny |V| writes, vs re-filtering and re-checkpointing the whole
+    * edge set. Round count is the graph's peel depth (O(tens) even on
+    * power-law graphs); `maxRounds` turns a pathological chain into a loud
+    * error instead of an unbounded job storm.
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame =
     kCoreRounds(edges, k, maxRounds)._1
 
   /** kCore plus the number of peel rounds taken — specs pin the round
     * budget so the unrolled-CTE oracle provably covers convergence.
+    * `roundProbe` sees each round's degree-update relation pre-checkpoint
+    * (checkpointing hides per-round plans from the caller; PlanAudit uses
+    * this to pin the broadcast-join shape).
     */
-  def kCoreRounds(edges: DataFrame, k: Int, maxRounds: Int = 64): (DataFrame, Int) = {
+  def kCoreRounds(edges: DataFrame, k: Int, maxRounds: Int = 64,
+      roundProbe: DataFrame => Unit = _ => ()): (DataFrame, Int) = {
     import org.apache.spark.sql.functions._
     require(k >= 1, "k-core needs k >= 1")
     val noLoops = edges.select(col("src"), col("dst"))
@@ -198,31 +207,39 @@ object GraphAlgorithms {
     val und = noLoops
       .unionByName(noLoops.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(false)
-    var cur = und
-    var nCur = cur.count()
-    def small(df: DataFrame): DataFrame =
-      if (nCur <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
+    // eager checkpoints everywhere a relation is consumed twice (broadcast
+    // exchanges racing to materialize a lazy checkpoint duplicate its job)
+    var deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var nAlive = deg.count()
     var rounds = 0
-    var done = nCur == 0
-    while (!done) {
+    var survivors: DataFrame = null
+    while (survivors == null) {
       rounds += 1
       require(rounds <= maxRounds, s"k-core did not converge in $maxRounds rounds")
-      val keep = cur.groupBy(col("src").as("kid")).agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select(col("kid")).localCheckpoint(false)
-      // und is symmetric, so surviving edges are exactly the rows whose BOTH
-      // endpoints survive — two semi-joins against the same survivor set
-      val next = cur
-        .join(small(keep), cur("src") === col("kid"), "left_semi")
-        .join(small(keep.select(col("kid").as("kid2"))),
-          cur("dst") === col("kid2"), "left_semi")
-        .localCheckpoint(false)
-      val nNext = next.count()
-      done = nNext == nCur || nNext == 0
-      cur = next
-      nCur = nNext
+      val removed = deg.where(col("deg") < k).select(col("id"))
+        .localCheckpoint(true)
+      val nRemoved = removed.count()
+      if (nRemoved == 0) {
+        survivors = deg.select(col("id"))
+      } else {
+        nAlive -= nRemoved
+        def small(df: DataFrame): DataFrame =
+          if (nAlive <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
+        // edges each still-alive vertex loses into the newly-peeled set;
+        // und is symmetric, so dst-side membership covers both directions
+        val hits = und.join(small(removed), und("dst") === removed("id"))
+          .groupBy(und("src").as("id")).agg(count(lit(1)).as("hit"))
+        val next = deg.where(col("deg") >= k)
+          .join(small(hits), Seq("id"), "left")
+          .select(col("id"),
+            (col("deg") - coalesce(col("hit"), lit(0L))).as("deg"))
+        roundProbe(next) // pre-checkpoint: the round's real join plan
+        deg = next.localCheckpoint(true)
+      }
     }
     und.unpersist()
-    (cur.select(col("src").as("id")).distinct(), rounds)
+    (survivors, rounds)
   }
 
   /** Node similarity (the Neo4j-GDS-style operator): Jaccard of

@@ -260,8 +260,13 @@ object GraphQueries {
 
     // Node similarity (GDS-style neighborhood Jaccard): parts ranked by
     // how much their supplier sets overlap — top 20 pairs, total order.
+    // Source set bounded to 2000 parts (the g15 pattern): shared-neighbor
+    // pair volume grows quadratically in per-supplier density with SF, so
+    // an unbounded gate measures pair-explosion, not the operator. The
+    // operator's own scale lever is the hub in-degree cap.
     "g18_node_similarity" -> ((s, dir) => {
       val edges = Tables.load(s, dir, "lineitem")
+        .where(col("l_partkey") < 2000)
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
       graft.algorithms.GraphAlgorithms.nodeSimilarity(edges, 20)
     }),
@@ -502,7 +507,8 @@ object GraphQueries {
     },
     "g18_node_similarity" ->
       """WITH adj AS (
-        |  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem
+        |  WHERE l_partkey < 2000),
         |nonhub AS (SELECT dst FROM adj GROUP BY dst HAVING COUNT(*) <= 65536),
         |kept AS (SELECT a.src, a.dst FROM adj a JOIN nonhub n ON n.dst = a.dst),
         |deg AS (SELECT src AS id, COUNT(*) AS deg FROM kept GROUP BY src),

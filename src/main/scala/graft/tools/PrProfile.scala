@@ -42,6 +42,27 @@ object PrProfile {
       time("graphx connectedComponents") {
         graft.algorithms.GraphAlgorithms.connectedComponents(spark, edges).count()
       }
+      time("kCore k=3 (total)") {
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val listener = new SparkListener {
+          override def onJobStart(js: SparkListenerJobStart): Unit =
+            starts.put(js.jobId, System.nanoTime())
+          override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+            val t0 = Option(starts.get(je.jobId)).getOrElse(0L)
+            println(f"    job ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        var lastT = System.nanoTime()
+        var i = 0
+        try graft.algorithms.GraphAlgorithms.kCoreRounds(edges, 3, 32, roundProbe = { _ =>
+          i += 1
+          println(f"  kCore round $i built in ${(System.nanoTime() - lastT) / 1e9}%6.2f s")
+          lastT = System.nanoTime()
+        })._1.count()
+        finally spark.sparkContext.removeSparkListener(listener)
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
     }

@@ -164,4 +164,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("g18: node similarity is equi-join + top-k, never a nested-loop product") {
+    val df = SparkEntry.queries("g18_node_similarity")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("g17: k-core rounds broadcast the peeled set; edges never re-sorted") {
+    // under the vertex ceiling every round's degree update must ride
+    // broadcast joins (peeled set into the immutable edge relation, hits
+    // into the degree relation) — never a sort of the edge set (probed
+    // pre-checkpoint: each round's checkpoint erases its plan)
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val edges = g.allEdges.select(org.apache.spark.sql.functions.col("src"),
+      org.apache.spark.sql.functions.col("dst"))
+    var plans = List.empty[String]
+    graft.algorithms.GraphAlgorithms.kCoreRounds(edges, 3, maxRounds = 32,
+      roundProbe = { df => df.collect(); plans ::= df.queryExecution.executedPlan.toString })
+    assert(plans.nonEmpty)
+    plans.foreach { p =>
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+  }
 }
