@@ -39,6 +39,21 @@ object ExtraQueries {
         .orderBy(col("pid"), col("rank"))
     }),
 
+    // Batched point-get: the Spark idiom for a point-read burst (the
+    // README crossover vs the reference's embedded store) — a small probe
+    // id relation arrives from ANOTHER table, is broadcast, and resolves
+    // every lookup in ONE map-side join job instead of N point queries.
+    "x20_batched_pointget" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val probes = Tables.load(s, dir, "events")
+        .where(col("event_type") === "purchase" && col("value") > 250)
+        .select((col("user_id") + 1).as("c_custkey")).distinct()
+      g.vertices("Customer")
+        .join(broadcast(probes), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // S9/bulk-load proof: save the whole store as per-label parquet, load
     // it back, and count every label — oracle-checked against the raw
     // tables, so the durable layout roundtrips losslessly.
@@ -276,6 +291,12 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x20_batched_pointget" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT DISTINCT user_id + 1 FROM events
+        |  WHERE event_type = 'purchase' AND value > 250)
+        |ORDER BY c_custkey""".stripMargin,
     "x19_cypher_roundtrip" ->
       """SELECT r.r_name AS region, COUNT(*) AS n_nations
         |FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
