@@ -71,9 +71,16 @@ object GraphAlgorithms {
 
   /** `broadcastCeiling` exists for tests to force the large-graph
     * shuffle-hash path; production callers keep the default.
+    * `chainDepth` = iterations folded into one plan between checkpoints:
+    * each un-checkpointed iteration is one nested broadcast exchange (the
+    * chain is linear, nothing duplicates), trading job boundaries +
+    * |V|-relation materializations for plan depth. 1 = checkpoint every
+    * iteration (the cluster-safe default); small graphs profile fastest
+    * around 5.
     */
   def pageRankStable(edges: DataFrame, iters: Int = 10,
-      broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
+      broadcastCeiling: Long = BroadcastVertexRows,
+      chainDepth: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions._
     val e = edges.select("src", "dst").localCheckpoint(false)
     // vertex state carries the (static) out-degree so an iteration touches
@@ -96,7 +103,7 @@ object GraphAlgorithms {
       if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
     // prf = rank * 10^12; initial rank 1.0
     var pr = verts.withColumn("prf", lit(1000000000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(
           small(pr.where(col("deg") > 0)
             .select(col("id"), expr("prf div deg").as("m"))),
@@ -113,10 +120,10 @@ object GraphAlgorithms {
         // 0.15*10^12 + (0.85 * mass) in integer fixed-point
         .agg(max(col("deg")).as("deg"),
           expr("150000000000 + (85 * sum(m)) div 100").as("prf"))
-        // lazy checkpoint: the next iteration's broadcast collect (or the
-        // caller's action) materializes it — exactly one materialization of
-        // exactly one shuffle per iteration
-        .localCheckpoint(false)
+      // lazy checkpoint every chainDepth iterations: the next iteration's
+      // broadcast collect (or the caller's action) materializes it —
+      // exactly one materialization of exactly chainDepth shuffles
+      if (i % chainDepth == 0 || i == iters) pr = pr.localCheckpoint(false)
     }
     pr.select(col("id"), (col("prf").cast("double") / lit(1e12)).as("pr"))
   }

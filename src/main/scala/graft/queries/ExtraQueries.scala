@@ -218,8 +218,10 @@ object ExtraQueries {
     // (GraphX x6 stays as the rows-only cross-check).
     "x17_pagerank_stable" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
+      // chainDepth=5: all 5 iterations in one plan (linear broadcast chain,
+      // fewer job boundaries; same fixed-point arithmetic bit-for-bit)
       graft.algorithms.GraphAlgorithms
-        .pageRankStable(g.allEdges.select(col("src"), col("dst")), 5)
+        .pageRankStable(g.allEdges.select(col("src"), col("dst")), 5, chainDepth = 5)
         .orderBy(col("pr").desc, col("id"))
         .limit(20)
     }),

@@ -36,6 +36,10 @@ object PrProfile {
         graft.algorithms.GraphAlgorithms.pageRankStable(edges, 5)
           .orderBy(col("pr").desc, col("id")).limit(20).count()
       }
+      time("pageRankStable 5 iters chainDepth=5") {
+        graft.algorithms.GraphAlgorithms.pageRankStable(edges, 5, chainDepth = 5)
+          .orderBy(col("pr").desc, col("id")).limit(20).count()
+      }
       time("graphx staticPageRank 10") {
         graft.algorithms.GraphAlgorithms.pageRank(spark, edges).count()
       }
