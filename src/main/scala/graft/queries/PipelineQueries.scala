@@ -51,6 +51,19 @@ object PipelineQueries {
       Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", 3)
         .orderBy(col("a"), col("b"))),
 
+    // incremental dedup: absorb a "new batch" (doc_id % 10 = 3) into the
+    // existing corpus (the rest) — survivors are incoming docs with no
+    // >= 0.5-Jaccard LSH match in the corpus.
+    "d10_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupAgainstCorpus(
+          d.where(col("doc_id") % 10 === 3),
+          d.where(col("doc_id") % 10 =!= 3),
+          "doc_id", "text", 0.5, K, BANDS, NGRAM)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d5_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", -1.0)
         .orderBy(col("sim").desc, col("a"), col("b"))
@@ -311,6 +324,31 @@ object PipelineQueries {
          |SELECT c.a, c.b, j.jaccard
          |FROM cands c JOIN jac j ON j.a = c.a AND j.b = c.b
          |ORDER BY c.a, c.b""".stripMargin,
+    "d10_incremental_dedup" ->
+      // sided LSH candidates (incoming % 10 = 3 vs corpus) + pair-restricted
+      // exact Jaccard; survivors = incoming with no >= 0.5 match
+      s"""WITH ${jaccardCtes(NGRAM)},
+         |$minhashSql,
+         |xcands AS (
+         |  SELECT DISTINCT x.id AS a, y.id AS b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.id % 10 = 3 AND y.id % 10 <> 3
+         |),
+         |xinter AS (
+         |  SELECT c.a, c.b, COUNT(*) AS inter FROM xcands c
+         |  JOIN sh x ON x.id = c.a
+         |  JOIN sh y ON y.id = c.b AND y.h = x.h
+         |  GROUP BY 1, 2
+         |),
+         |dropped AS (
+         |  SELECT DISTINCT i.a FROM xinter i
+         |  JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+         |)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id % 10 = 3 AND doc_id NOT IN (SELECT a FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
     "d4_simhash" -> simhashSql,
     "d7_dedup_clusters" ->
       // transitive closure over the >= 0.5 candidate pairs; component label

@@ -198,6 +198,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("dedupAgainstCorpus drops only cross-side near-dups, keeps within-batch dups") {
+    import org.apache.spark.sql.functions._
+    val mk = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val corpus = Seq(
+      (1L, mk),
+      (2L, "completely different corpus text about distributed query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, mk),                                       // exact dup of corpus 1 -> dropped
+      (11L, mk + " extra"),                            // near-dup of corpus 1 -> dropped
+      (12L, "fresh unseen content with no overlap whatsoever in any shingle window"),
+      // 13/14 duplicate EACH OTHER but nothing in the corpus: incremental
+      // dedup must keep both (within-batch dedup is a separate pass)
+      (13L, "twin text inside the incoming batch only repeated verbatim for this spec"),
+      (14L, "twin text inside the incoming batch only repeated verbatim for this spec")
+    ).toDF("doc_id", "text")
+    val kept = graft.pipeline.Dedup
+      .dedupAgainstCorpus(incoming, corpus, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 13L, 14L))
+  }
+
   test("repetition signals quantify token/n-gram repeats") {
     import org.apache.spark.sql.functions._
     val d = Seq(
