@@ -266,7 +266,9 @@ object GraphAlgorithms {
     val adj = edges.select(col("src"), col("dst")).distinct()
     val nonHub = adj.groupBy(col("dst")).agg(count(lit(1)).as("nd"))
       .where(col("nd") <= maxNeighborInDegree).select(col("dst"))
-    val kept = adj.join(nonHub, Seq("dst"), "left_semi").localCheckpoint(false)
+    // eager: consumed by three scans (degree agg + both self-join sides) —
+    // lazy checkpoints materialize per racing consumer, duplicating the job
+    val kept = adj.join(nonHub, Seq("dst"), "left_semi").localCheckpoint(true)
     val deg = kept.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val common = kept.as("x").join(kept.as("y"),
         col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
