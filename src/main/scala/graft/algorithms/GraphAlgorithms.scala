@@ -82,6 +82,7 @@ object GraphAlgorithms {
       broadcastCeiling: Long = BroadcastVertexRows,
       chainDepth: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(chainDepth >= 1, "chainDepth must be >= 1")
     val e = edges.select("src", "dst").localCheckpoint(false)
     // vertex state carries the (static) out-degree so an iteration touches
     // exactly one |V|-sized relation: broadcast pr, join edges, shuffle the
@@ -221,7 +222,9 @@ object GraphAlgorithms {
     var nAlive = deg.count()
     var rounds = 0
     var survivors: DataFrame = null
-    while (survivors == null) {
+    // finally: release the cached edge relation even when maxRounds fires —
+    // a caller that catches the error must not inherit a pinned 2|E| block
+    try while (survivors == null) {
       rounds += 1
       require(rounds <= maxRounds, s"k-core did not converge in $maxRounds rounds")
       val removed = deg.where(col("deg") < k).select(col("id"))
@@ -244,8 +247,7 @@ object GraphAlgorithms {
         roundProbe(next) // pre-checkpoint: the round's real join plan
         deg = next.localCheckpoint(true)
       }
-    }
-    und.unpersist()
+    } finally und.unpersist()
     (survivors, rounds)
   }
 

@@ -57,21 +57,35 @@ object PregelSssp {
       .map { case (s, d, w) => Edge(s: VertexId, d: VertexId, w) }
     // state/message = (dist, parent, hops); order lexicographic on
     // (dist, parent) so equal-cost paths resolve to the lowest parent id —
-    // run-to-run deterministic; hops is carried, never compared
+    // run-to-run deterministic. hops is carried, never compared — BUT it
+    // must be REFRESHED: when a vertex later re-ties to a lower-id parent
+    // whose chain is a different length, its children hold a stale hop
+    // count for a parent pointer that did not change, and a stale
+    // (understated) hops budget would silently truncate path
+    // reconstruction. So sendMsg also fires on (same dist, same parent,
+    // different hops), and the vertex program adopts the fresher hops on a
+    // full (dist, parent) tie. Parallel equal-weight edges are the only way
+    // two messages tie on (dist, parent) inside one superstep, and those
+    // carry identical hops — the combiner tie-pick is deterministic.
     val inf = (Double.PositiveInfinity, Long.MaxValue, 0)
     def better(a: (Double, Long, Int), b: (Double, Long, Int)): (Double, Long, Int) =
       if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
     val graph = Graph.fromEdges(edgeRdd, inf)
       .mapVertices((id, _) => if (id == srcId) (0.0, -1L, 0) else inf)
     val result = Pregel(graph, inf, maxIterations)(
-      (_, st, msg) => better(st, msg),
-      triplet =>
-        if (triplet.srcAttr._1 + triplet.attr < triplet.dstAttr._1 ||
-          (triplet.srcAttr._1 + triplet.attr == triplet.dstAttr._1 &&
-            triplet.srcId < triplet.dstAttr._2))
-          Iterator((triplet.dstId,
-            (triplet.srcAttr._1 + triplet.attr, triplet.srcId, triplet.srcAttr._3 + 1)))
-        else Iterator.empty,
+      (_, st, msg) =>
+        if (msg._1 == st._1 && msg._2 == st._2) (st._1, st._2, msg._3) // hop refresh
+        else better(st, msg),
+      triplet => {
+        val cand = triplet.srcAttr._1 + triplet.attr
+        val hops = triplet.srcAttr._3 + 1
+        if (cand < triplet.dstAttr._1 ||
+          (cand == triplet.dstAttr._1 && triplet.srcId < triplet.dstAttr._2) ||
+          (cand == triplet.dstAttr._1 && triplet.srcId == triplet.dstAttr._2 &&
+            hops != triplet.dstAttr._3))
+          Iterator((triplet.dstId, (cand, triplet.srcId, hops)))
+        else Iterator.empty
+      },
       better)
     result.vertices.filter(_._2._1 != Double.PositiveInfinity)
       .map { case (id, (d, p, h)) => (id, d, if (p < 0) None else Some(p), h) }
@@ -108,7 +122,13 @@ object PregelSssp {
       else {
         val dist = endRow(0).getDouble(0)
         val hops = endRow(0).getInt(1)
-        Seq((srcId, dstId, dist, Traversals.doublingChain(parents, dstId, hops)))
+        val path = Traversals.doublingChain(parents, dstId, hops)
+        // a stale/understated hops budget must fail loudly, never return a
+        // "path" that does not actually begin at the source
+        require(path.headOption.contains(srcId),
+          s"path reconstruction truncated: budget $hops hops, chain starts at " +
+            s"${path.headOption.getOrElse("<empty>")} instead of $srcId")
+        Seq((srcId, dstId, dist, path))
       }
     out.toDF("start_id", "end_id", "dist", "path")
   }

@@ -538,10 +538,19 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val (eIdProp, eRest) = rel.props.partition(_._1 == "id")
         val rows = eIdProp.headOption.map(_._2) match {
           case Some(IntLit(value)) =>
-            base.select(
-              (lit(value).as("id") +: endpoint(fromV).as("src") +:
-                endpoint(toV).as("dst") +:
-                eRest.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
+            // explicit-id CREATE is single-row by construction (script
+            // replay binds endpoints by unique vertex id); a multi-row
+            // match would stamp the same id on every created edge — fail
+            // inside the plan instead of silently duplicating edge ids
+            graft.store.Ids.withSequence(
+              base.select(
+                (endpoint(fromV).as("src") +: endpoint(toV).as("dst") +:
+                  eRest.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*),
+              "__seq")
+              .withColumn("id", when(col("__seq") > 1,
+                expr("raise_error('explicit edge id CREATE matched more than one row')")
+                  .cast("long"))
+                .otherwise(lit(value)))
           case Some(other) =>
             sys.error(s"explicit CREATE id must be an integer literal, got $other")
           case None =>
@@ -718,10 +727,8 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
     * of statements executed.
     */
   def runScript(script: String, compactEvery: Int = 32): Int = {
-    val noComments = script.linesIterator
-      .filterNot(_.trim.startsWith("--")).mkString("\n")
     var executed = 0
-    CypherSession.splitStatements(noComments).foreach { stmt =>
+    CypherSession.splitStatements(script).foreach { stmt =>
       run(stmt)
       executed += 1
       if (executed % compactEvery == 0) store = store.compact()
@@ -750,11 +757,16 @@ object CypherSession {
 
   /** Split a script on `;` outside single/double-quoted string literals
     * (backslash escapes respected — mirrors the Lexer's string rules).
+    * `--` comment lines are stripped HERE, with the quote state in hand: a
+    * line-based pre-filter would delete "-- …" lines living inside a
+    * multi-line string literal. Comments are line-anchored (first
+    * non-whitespace on the line), so `()--(…)` patterns mid-line are safe.
     */
   private[cypher] def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
     var quote: Char = 0
+    var atLineStart = true
     var i = 0
     while (i < script.length) {
       val c = script.charAt(i)
@@ -762,9 +774,18 @@ object CypherSession {
         sb += c
         if (c == '\\' && i + 1 < script.length) { i += 1; sb += script.charAt(i) }
         else if (c == quote) quote = 0
-      } else if (c == '\'' || c == '"') { quote = c; sb += c }
-      else if (c == ';') { out += sb.toString; sb.clear() }
-      else sb += c
+      } else if (atLineStart && c == '-' &&
+          i + 1 < script.length && script.charAt(i + 1) == '-') {
+        // comment: swallow to (not including) the newline
+        while (i < script.length && script.charAt(i) != '\n') i += 1
+        i -= 1
+      } else if (c == '\'' || c == '"') { quote = c; sb += c; atLineStart = false }
+      else if (c == ';') { out += sb.toString; sb.clear(); atLineStart = false }
+      else {
+        sb += c
+        if (c == '\n') atLineStart = true
+        else if (!c.isWhitespace) atLineStart = false
+      }
       i += 1
     }
     out += sb.toString

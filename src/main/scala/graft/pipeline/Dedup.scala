@@ -115,7 +115,10 @@ object Dedup {
     // shuffling the full corpus shingle set (the largest relation here)
     val ids = pairs.select(col("a").as("id"))
       .unionByName(pairs.select(col("b").as("id"))).distinct()
-    val shc = sh.join(ids, Seq("id"), "left_semi").localCheckpoint(false)
+    // eager: consumed by three scans (size aggregate + both intersection
+    // join sides) — a lazy checkpoint materializes per racing consumer,
+    // re-running the corpus semi-join up to three times
+    val shc = sh.join(ids, Seq("id"), "left_semi").localCheckpoint(true)
     val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(shc.as("x"), pairs("a") === col("x.id"))

@@ -210,7 +210,10 @@ object TextAnalysis {
     val w = mixtureWeights(df, sourceCol, textCol, budget)
       .select(col("source").as(sourceCol), col("total_tokens"), col("alloc_tokens"))
     df.join(broadcast(w), Seq(sourceCol))
-      .where(h32(col(idCol).cast("string")) % col("total_tokens") < col("alloc_tokens"))
+      // h60, not h32: total_tokens exceeds 2^32 at production scale, and
+      // h32 % total would then degenerate to h32 (rate = alloc/2^32, not
+      // alloc/total)
+      .where(h60(col(idCol).cast("string")) % col("total_tokens") < col("alloc_tokens"))
       .drop("total_tokens", "alloc_tokens")
   }
 

@@ -21,6 +21,18 @@ object TextHash {
   /** DuckDB SQL rendering of h32 over expression `e`. */
   def h32Sql(e: String): String = s"(('0x' || substr(md5($e),1,8))::BIGINT)"
 
+  /** 60-bit hash (15 md5 hex chars) as a non-negative long — for modulo
+    * arithmetic against values that can exceed 2^32 (e.g. per-source token
+    * totals at 100 TB: `h32 % total` degenerates to `h32` once total >
+    * 2^32, silently breaking sampling rates; 2^60 ≈ 1.2e18 tokens of
+    * headroom). Fits a signed long, same cross-engine construction as h32.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL rendering of h60 over expression `e`. */
+  def h60Sql(e: String): String = s"(('0x' || substr(md5($e),1,15))::BIGINT)"
+
   /** Prime modulus > 2^32 for minhash permutations. */
   val P: Long = 4294967311L
 

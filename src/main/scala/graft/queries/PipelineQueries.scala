@@ -653,7 +653,7 @@ object PipelineQueries {
          |kept AS (
          |  SELECT d.source, len(string_split_regex(lower(d.text), '\\s+')) AS n
          |  FROM documents d JOIN a USING (source)
-         |  WHERE (${h32Sql("CAST(doc_id AS VARCHAR)")} % total_tokens) < alloc
+         |  WHERE (${h60Sql("CAST(doc_id AS VARCHAR)")} % total_tokens) < alloc
          |)
          |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tokens_kept
          |FROM kept GROUP BY source ORDER BY source""".stripMargin,

@@ -140,7 +140,14 @@ object GraphIO {
       val v = f.dataType match {
         case _: NumericType | BooleanType => col(f.name).cast("string")
         case _ => concat(lit("'"),
-          regexp_replace(col(f.name).cast("string"), "(['\\\\])", "\\\\$1"), lit("'"))
+          // escape quotes/backslashes, then fold newlines/tabs to \n \r \t
+          // escapes (the Lexer decodes them): statements stay one-line, so
+          // no string content can ever look like a line-anchored comment
+          // or confuse line-based tooling
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col(f.name).cast("string"),
+            "(['\\\\])", "\\\\$1"), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t"),
+          lit("'"))
       }
       when(col(f.name).isNotNull, concat(lit(f.name + ": "), v))
     }

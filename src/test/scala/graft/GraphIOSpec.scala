@@ -145,6 +145,65 @@ class GraphIOSpec extends AnyFunSuite {
     assert(got == Seq(Seq("it's a \\ test", 7L), Seq("plain", 8L)))
   }
 
+  test("newlines and comment-looking lines inside string properties roundtrip") {
+    import spark.implicits._
+    // "\n-- item" inside a value: a line-based comment stripper would
+    // delete it; export escapes newlines so statements stay one-line, and
+    // runScript's splitter is quote-aware either way
+    val tricky = "list:\n-- item 1\n-- item 2;\tend"
+    val v = Seq((graft.model.Graphid.pack(1, 1L), tricky, 1L))
+      .toDF("id", "name", "n")
+    val store = new graft.store.GraphStore(Map("Thing" -> v), Map.empty)
+    val script = GraphIO.exportCypherScript(store)
+    assert(!script.contains("list:\n"), "export must escape newlines")
+    val sess = new graft.cypher.CypherSession(spark,
+      new graft.store.GraphStore(Map.empty, Map.empty))
+    sess.runScript(script)
+    val got = sess.run("MATCH (t:Thing) RETURN t.name AS name")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(tricky))
+    // and a hand-written multi-line literal with an embedded "--" line,
+    // plus a real comment line, through runScript directly
+    val sess2 = new graft.cypher.CypherSession(spark,
+      new graft.store.GraphStore(Map.empty, Map.empty))
+    sess2.runScript(
+      "-- a real comment\nCREATE (x:Note {id: 281474976710657, body: 'a\n-- kept\nb'});")
+    val body = sess2.run("MATCH (x:Note) RETURN x.body AS b")
+      .collect().map(_.getString(0)).toSeq
+    assert(body == Seq("a\n-- kept\nb"))
+  }
+
+  test("explicit-id edge CREATE refuses a multi-row match") {
+    import spark.implicits._
+    val sess = new graft.cypher.CypherSession(spark,
+      new graft.store.GraphStore(Map.empty, Map.empty))
+    sess.runScript(
+      """CREATE (a:P {id: 281474976710657, g: 1});
+        |CREATE (b:P {id: 281474976710658, g: 1});
+        |CREATE (c:P {id: 281474976710659, g: 2});""".stripMargin)
+    // two (a, c) bindings -> stamping one literal edge id would duplicate
+    // it; mutations are lazy, so the in-plan guard fires at first read —
+    // duplicated ids can never be OBSERVED
+    val e = intercept[Exception] {
+      sess.run("MATCH (a:P), (c:P) WHERE a.g = 1 AND c.g = 2 " +
+        "CREATE (a)-[:R {id: 562949953421313}]->(c)")
+      sess.run("MATCH (:P)-[r:R]->(:P) RETURN id(r) AS i").collect()
+    }
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
+    // the single-row form still replays id-exact (fresh session: the
+    // poisoned CREATE above stays in the old store's lineage)
+    val sess2 = new graft.cypher.CypherSession(spark,
+      new graft.store.GraphStore(Map.empty, Map.empty))
+    sess2.runScript(
+      """CREATE (a:P {id: 281474976710657, g: 1});
+        |CREATE (c:P {id: 281474976710659, g: 2});""".stripMargin)
+    sess2.run("MATCH (a:P), (c:P) WHERE a.g = 1 AND c.g = 2 " +
+      "CREATE (a)-[:R {id: 562949953421313}]->(c)")
+    val ids = sess2.run("MATCH (:P)-[r:R]->(:P) RETURN id(r) AS i")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(562949953421313L))
+  }
+
   test("nested SET writes through JSON-string properties (schemaless store)") {
     val f = Files.createTempFile("graph", ".json")
     Files.writeString(f, jsonDoc)

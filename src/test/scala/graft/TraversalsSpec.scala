@@ -161,6 +161,28 @@ class TraversalsSpec extends AnyFunSuite {
     assert(PregelSssp.shortestPath(spark, e, idOf("C"), idOf("A")).isEmpty)
   }
 
+  test("hops refresh: a late lower-id parent re-tie cannot truncate the path") {
+    import org.apache.spark.sql.functions._
+    // vertex 5 first reaches dist 2 via parent 2 (2 hops, arrives superstep
+    // 2), then RE-TIES to the lower-id parent 1 whose equal-cost chain is 4
+    // hops (arrives superstep 4). Child 6 adopted hops=3 from the first
+    // state; without the hop-refresh message its budget understates the
+    // real 5-hop chain 10→3→4→1→5→6 and reconstruction truncates.
+    val e = Seq(
+      (10L, 2L, 1.0), (2L, 5L, 1.0),                        // short, higher-id parent
+      (10L, 3L, 0.5), (3L, 4L, 0.25), (4L, 1L, 0.25), (1L, 5L, 1.0), // long, lower-id
+      (5L, 6L, 1.0))
+      .toDF("src", "dst", "weight")
+    val parents = PregelSssp.runWithParents(spark, e, 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3)))).toMap
+    assert(parents(5L) == ((2.0, 1L, 4)))  // re-tied to parent 1, 4-hop chain
+    assert(parents(6L) == ((3.0, 5L, 5)))  // child's hops refreshed to 5
+    val p = PregelSssp.shortestPath(spark, e, 10L, 6L).collect()
+    assert(p.length == 1 && p(0).getDouble(2) == 3.0)
+    assert(p(0).getSeq[Long](3) == Seq(10L, 3L, 4L, 1L, 5L, 6L))
+  }
+
   test("doublingChain reconstructs a 64-hop path in O(log L) jobs, not O(L)") {
     import org.apache.spark.sql.functions._
     // line graph 1→2→…→65: the worst case for the old driver pointer walk
