@@ -219,7 +219,7 @@ object GraphAlgorithms {
     // exchanges racing to materialize a lazy checkpoint duplicate its job)
     var deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    var nAlive = deg.count()
+    var nAlive = 0L // set by each round's stats aggregate before first use
     var rounds = 0
     var survivors: DataFrame = null
     // finally: release the cached edge relation even when maxRounds fires —
@@ -227,15 +227,20 @@ object GraphAlgorithms {
     try while (survivors == null) {
       rounds += 1
       require(rounds <= maxRounds, s"k-core did not converge in $maxRounds rounds")
-      val removed = deg.where(col("deg") < k).select(col("id"))
-        .localCheckpoint(true)
-      val nRemoved = removed.count()
+      // ONE tiny job over the checkpointed deg relation yields both the
+      // fixpoint test and the broadcast-gate size; the peeled set itself is
+      // never checkpointed or counted — it is a cheap filter over deg's
+      // cached blocks, re-read by the broadcast
+      val stats = deg.agg(count(lit(1)).as("n"),
+        count(when(col("deg") < k, lit(1))).as("r")).head
+      val nRemoved = stats.getLong(1)
       if (nRemoved == 0) {
         survivors = deg.select(col("id"))
       } else {
-        nAlive -= nRemoved
+        nAlive = stats.getLong(0) - nRemoved
         def small(df: DataFrame): DataFrame =
           if (nAlive <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
+        val removed = deg.where(col("deg") < k).select(col("id"))
         // edges each still-alive vertex loses into the newly-peeled set;
         // und is symmetric, so dst-side membership covers both directions
         val hits = und.join(small(removed), und("dst") === removed("id"))

@@ -53,6 +53,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("h32/h60 hashes: bounded, deterministic, and h60 covers past 2^32") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.TextHash
+    val seeded = new scala.util.Random(7)
+    val inputs = Seq.fill(200)(seeded.nextLong().toString)
+    val rows = inputs.toDF("s")
+      .select(TextHash.h32(col("s")).as("h32"), TextHash.h60(col("s")).as("h60"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (h32, h60) =>
+      assert(h32 >= 0L && h32 < (1L << 32))
+      assert(h60 >= 0L && h60 < (1L << 60))
+      // same md5, h32 is the 8-hex-char prefix of h60's 15
+      assert((h60 >> 28) == h32)
+    }
+    // a 60-bit hash must actually exercise the range a 2^32 hash cannot:
+    // with 200 draws the chance every h60 lands under 2^32 is ~0
+    assert(rows.exists(_._2 > (1L << 32)))
+    // determinism: same inputs -> identical hashes on a fresh plan
+    val again = inputs.toDF("s")
+      .select(TextHash.h32(col("s")).as("h32"), TextHash.h60(col("s")).as("h60"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("shingle count is max(0, n - k + 1) and every shingle has k tokens") {
     import org.apache.spark.sql.functions._
     forAll(Gen.chooseNum(0, 12), Gen.chooseNum(1, 5)) { (n: Int, k: Int) =>
