@@ -107,23 +107,33 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
       val b = compile(base)
       val i = compile(idx)
       if (dtype(b).isInstanceOf[MapType]) element_at(b, i)
-      else element_at(b, (i + lit(1)).cast("int")) // Cypher 0-based, Spark 1-based
+      else {
+        // Cypher 0-based with negative-from-the-end; Spark 1-based where
+        // negatives already count from the end and 0 is an error
+        val ii = i.cast("int")
+        element_at(b, when(ii >= 0, ii + lit(1)).otherwise(ii))
+      }
     case CountStar => count(lit(1))
     case f: FnCall => compileFn(f)
     case Bin(op, l, r) => compileBin(op, l, r)
-    case Un("NOT", x) => !truthy(compile(x))
+    case Un("NOT", x) => !truthyExpr(x)
     case Un("-", x) => -compile(x)
     case Un(op, x) => sys.error(s"unknown unary op $op")
     case IsNull(x, negated) =>
-      val c = compile(x)
+      // an unmatched OPTIONAL entity is a struct of all-null FIELDS, never a
+      // null struct — its existence test is the id column (as count() does)
+      val c = x match {
+        case Variable(v) if entityVar(v).isDefined => idOf(v)
+        case _ => compile(x)
+      }
       if (negated) c.isNotNull else c.isNull
     case InList(x, list, negated) =>
       val c = array_contains(compile(list), compile(x))
       if (negated) !c else c
     case CaseExpr(whens, otherwise) =>
-      val first = when(truthy(compile(whens.head._1)), compile(whens.head._2))
+      val first = when(truthyExpr(whens.head._1), compile(whens.head._2))
       val chained = whens.tail.foldLeft(first) { case (acc, (w, t)) =>
-        acc.when(truthy(compile(w)), compile(t))
+        acc.when(truthyExpr(w), compile(t))
       }
       otherwise.map(o => chained.otherwise(compile(o))).getOrElse(chained)
   }
@@ -187,13 +197,15 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
         case Variable(v) if entityVar(v).isDefined => col(Scope.colName(v, "label"))
         case _ => a0.getField("label")
       }
+      // __start/__end carry the edge's STORED orientation — src/dst are
+      // traversal-oriented and arrive swapped for incoming/undirected hops
       case "startnode" => args.head match {
-        case Variable(v) => col(Scope.colName(v, "src"))
-        case _ => a0.getField("src")
+        case Variable(v) => col(Scope.colName(v, "__start"))
+        case _ => a0.getField("__start")
       }
       case "endnode" => args.head match {
-        case Variable(v) => col(Scope.colName(v, "dst"))
-        case _ => a0.getField("dst")
+        case Variable(v) => col(Scope.colName(v, "__end"))
+        case _ => a0.getField("__end")
       }
       case "properties" => args.head match {
         case Variable(v) if entityVar(v).isDefined =>
@@ -223,7 +235,8 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
       case "ltrim" => ltrim(a0)
       case "rtrim" => rtrim(a0)
       case "reverse" => reverse(a0)
-      case "replace" => regexp_replace(a0, compile(args(1)), compile(args(2)))
+      // LITERAL string replacement (not regex — '.' must not match-all)
+      case "replace" => replace(a0, compile(args(1)), compile(args(2)))
       case "split" => args(1) match {
         // Cypher split takes a LITERAL delimiter; Spark's split takes a
         // regex, so quote it (\Q..\E)
@@ -260,9 +273,9 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
     lazy val l = compile(le)
     lazy val r = compile(re)
     op match {
-      case "AND" => truthy(l) && truthy(r)
-      case "OR" => truthy(l) || truthy(r)
-      case "XOR" => truthy(l) =!= truthy(r)
+      case "AND" => truthyExpr(le) && truthyExpr(re)
+      case "OR" => truthyExpr(le) || truthyExpr(re)
+      case "XOR" => truthyExpr(le) =!= truthyExpr(re)
       case "=" => l === r
       case "<>" => l =!= r
       case "<" => l < r
@@ -289,7 +302,9 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
         // semantics (SURVEY §8).
         if (isIntegralT(l) && isIntegralT(r)) {
           val guarded = when(r === lit(0), raise_error(lit("division by zero"))).otherwise(r)
-          (l / guarded).cast("long")
+          // SQL `div`, not (l / r).cast: Spark's `/` on longs goes through a
+          // double, losing exactness past 2^53
+          call_function("div", l, guarded)
         } else l / r
       case "%" =>
         if (isIntegralT(l) && isIntegralT(r))
@@ -298,6 +313,28 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
       case "^" => pow(l, r)
       case other => sys.error(s"unknown operator: $other")
     }
+  }
+
+  /** Truthiness with the AST in hand: a schemaless (JSON-backed) property
+    * arrives as the JSON scalar's TEXT (get_json_object), where the typed
+    * truthy() would call 'false' and '0' truthy. The reference parses JSON
+    * properties into typed values before is_truthy (match_executor.rs
+    * Value::Boolean/Integer/Float), so decode the text the same way:
+    * boolean words, numeric text compared to zero, empty list/map/string
+    * false, any other non-empty text true.
+    */
+  def truthyExpr(e: Expr): Column = e match {
+    case p @ Prop(Variable(v), key) if entityVar(v).exists(vi =>
+        !vi.props.contains(key) && vi.props.contains("properties")) =>
+      val c = compile(p)
+      when(c.isNull, lit(null).cast("boolean"))
+        .when(c === "true", lit(true))
+        .when(c === "false", lit(false))
+        .when(c.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
+          c.cast("double") =!= 0)
+        .when(c === "[]" || c === "{}", lit(false)) // empty list/map
+        .otherwise(length(c) > 0)
+    case _ => truthy(compile(e))
   }
 
   /** Cypher truthiness for WHERE on non-boolean values (reference

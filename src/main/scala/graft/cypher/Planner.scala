@@ -89,7 +89,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     * reference's Both handling, match_executor.rs:149-177).
     */
   private def edgeScan(rp: RelPat, v: String): (DataFrame, VarInfo) = {
+    // __start/__end pin the STORED orientation before any traversal swap —
+    // startNode()/endNode() must report the edge as stored, not as walked
     val base = edgeUnion(rp.types)
+      .withColumn("__start", col("src")).withColumn("__end", col("dst"))
     val oriented = rp.dir match {
       case Dir.Out => base
       case Dir.In =>
@@ -103,7 +106,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     }
     val label = rp.types match { case Seq(t) => Some(t); case _ => None }
     (prefixAll(oriented, v),
-      VarInfo(VarKind.Edge, label, oriented.columns.filterNot(_ == "id").toSeq))
+      VarInfo(VarKind.Edge, label,
+        oriented.columns.filterNot(c => c == "id" || c == "__start" || c == "__end").toSeq))
   }
 
   // ---------------- pattern compilation ----------------
@@ -205,9 +209,22 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val carry = rel.variable.isDefined
         val pairCols = Seq(col("start_id").as(s"${ev}__s"), col("end_id").as(s"${ev}__d")) ++
           (if (carry) Seq(col("epath").as(rel.variable.get)) else Nil)
-        val pairs = Traversals.vle(eb.select(col("id"), col("src"), col("dst")),
+        // openCypher *0: the zero-length match binds the target to the start
+        // vertex itself with an empty relationship list (edge-type and
+        // -property constraints are vacuous on zero edges; target node
+        // constraints still apply via bindTargetVar below). The reference's
+        // grammar has no var-length at all (cypher.pest:89-94), so this
+        // extension follows openCypher.
+        val zeroRows = starts.select(
+          (Seq(col("id").as(s"${ev}__s"), col("id").as(s"${ev}__d")) ++
+            (if (carry) Seq(expr("CAST(array() AS ARRAY<BIGINT>)").as(rel.variable.get))
+             else Nil)): _*)
+        val walked =
+          if (hi >= 1) Traversals.vle(eb.select(col("id"), col("src"), col("dst")),
             starts, lo.max(1), hi, dir, carryEdges = carry)
-          .select(pairCols: _*)
+            .select(pairCols: _*)
+          else zeroRows.where(lit(false))
+        val pairs = if (lo == 0) walked.unionByName(zeroRows) else walked
         var sc = sc0.copy(df = sc0.df.join(pairs, col(prev) === col(s"${ev}__s")))
         rel.variable.foreach { rv =>
           require(!sc0.vars.contains(rv), s"relationship variable reused: $rv")
@@ -274,7 +291,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       m.where match {
         case Some(w) =>
           val compiler = ec(s)
-          s.copy(df = s.df.where(compiler.truthy(compiler.compile(w))))
+          s.copy(df = s.df.where(compiler.truthyExpr(w)))
         case None => s
       }
     } else {
@@ -289,7 +306,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       sub = m.where match {
         case Some(w) =>
           val compiler = ec(sub)
-          sub.copy(df = sub.df.where(compiler.truthy(compiler.compile(w))))
+          sub.copy(df = sub.df.where(compiler.truthyExpr(w)))
         case None => sub
       }
       // join back on entity ids only (they functionally determine the rest
@@ -423,7 +440,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     wc.where match {
       case Some(w) =>
         val oc = ec(out)
-        out.copy(df = out.df.where(oc.truthy(oc.compile(w))))
+        out.copy(df = out.df.where(oc.truthyExpr(w)))
       case None => out
     }
   }

@@ -31,12 +31,24 @@ object GraphIO {
     def propsOf(df: DataFrame, field: String): org.apache.spark.sql.Column =
       if (df.schema(field).dataType == org.apache.spark.sql.types.StringType) col(field)
       else to_json(col(field))
-    val v0 = doc.select(explode(col("vertices")).as("v")).select(col("v.*"))
-    val vRaw = v0.select(col("id").cast("string").as("key"), col("label"),
-      propsOf(v0, "properties").as("properties"))
-    val e0 = doc.select(explode(col("edges")).as("e")).select(col("e.*"))
-    val eRaw = e0.select(col("label"), col("start").cast("string").as("start"),
-      col("end").cast("string").as("end"), propsOf(e0, "properties").as("properties"))
+    // an empty or absent section infers as array<string>/missing, where the
+    // struct star-expansion would fail — treat it as zero rows
+    def section(field: String): Option[DataFrame] =
+      doc.schema.fields.find(_.name == field).map(_.dataType).collect {
+        case org.apache.spark.sql.types.ArrayType(
+            _: org.apache.spark.sql.types.StructType, _) =>
+          doc.select(explode(col(field)).as("x")).select(col("x.*"))
+      }
+    import spark.implicits._
+    val vRaw = section("vertices").map { v0 =>
+      v0.select(col("id").cast("string").as("key"), col("label"),
+        propsOf(v0, "properties").as("properties"))
+    }.getOrElse(Seq.empty[(String, String, String)].toDF("key", "label", "properties"))
+    val eRaw = section("edges").map { e0 =>
+      e0.select(col("label"), col("start").cast("string").as("start"),
+        col("end").cast("string").as("end"), propsOf(e0, "properties").as("properties"))
+    }.getOrElse(Seq.empty[(String, String, String, String)]
+      .toDF("label", "start", "end", "properties"))
     buildStore(spark, vRaw, eRaw)
   }
 

@@ -278,6 +278,71 @@ class CypherSpec extends AnyFunSuite {
     assert(df2.count() == 0)
   }
 
+  test("replace is literal, list index handles negatives, integer / is exact") {
+    val df = session.run(
+      "RETURN replace('1.2.3', '.', '-') AS r, [1,2,3][-1] AS l, " +
+        "9007199254740993 / 1 AS d")
+    assert(rows(df) == Seq(Seq("1-2-3", 3L, 9007199254740993L)))
+  }
+
+  test("IS NULL on an unmatched OPTIONAL entity variable") {
+    // Charlie and David know nobody: their OPTIONAL rows bind b to an
+    // all-null entity, and `b IS NULL` must see that (id test, not struct)
+    val df = session.run(
+      """MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b:Person)
+        |WITH a, b WHERE b IS NULL
+        |RETURN a.name AS name ORDER BY name""".stripMargin)
+    assert(rows(df) == Seq(Seq("Charlie"), Seq("David")))
+    val df2 = session.run(
+      """MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b:Person)
+        |WITH a, b WHERE b IS NOT NULL
+        |RETURN a.name AS name ORDER BY name""".stripMargin)
+    assert(rows(df2) == Seq(Seq("Alice"), Seq("Bob")))
+  }
+
+  test("startNode/endNode report the stored orientation on incoming patterns") {
+    // Alice-[KNOWS]->Bob walked from Bob's side: start must still be Alice
+    val df = session.run(
+      """MATCH (b:Person)<-[r:KNOWS]-(a:Person) WHERE b.name = 'Bob'
+        |RETURN startNode(r) AS s, endNode(r) AS e""".stripMargin)
+    assert(rows(df) == Seq(Seq(Graphid.pack(100, 1), Graphid.pack(100, 2))))
+    // undirected: both rows report the one stored orientation
+    val df2 = session.run(
+      """MATCH (x:Person)-[r:KNOWS]-(y:Person) WHERE x.name = 'Bob'
+        |RETURN startNode(r) AS s, endNode(r) AS e ORDER BY s""".stripMargin)
+    assert(rows(df2) == Seq(
+      Seq(Graphid.pack(100, 1), Graphid.pack(100, 2)),
+      Seq(Graphid.pack(100, 2), Graphid.pack(100, 3))))
+  }
+
+  test("zero-length var-length matches the start vertex itself") {
+    val df = session.run(
+      """MATCH (a:Person {name: 'Alice'})-[r:KNOWS*0..1]->(b)
+        |RETURN b.name AS name, size(r) AS hops ORDER BY hops""".stripMargin)
+    assert(rows(df) == Seq(Seq("Alice", 0L), Seq("Bob", 1L)))
+    // *0..0 binds only the vertex itself, and target constraints apply
+    val df2 = session.run(
+      "MATCH (a:Person {name: 'Alice'})-[:KNOWS*0..0]->(b:Person) RETURN b.name AS n")
+    assert(rows(df2) == Seq(Seq("Alice")))
+  }
+
+  test("JSON-backed false/zero properties are falsy in WHERE (schemaless store)") {
+    val json =
+      """{"vertices":[
+        |  {"id":"1","label":"Flag","properties":{"name":"t","active":true}},
+        |  {"id":"2","label":"Flag","properties":{"name":"f","active":false}},
+        |  {"id":"3","label":"Flag","properties":{"name":"z","active":0}},
+        |  {"id":"4","label":"Flag","properties":{"name":"s","active":"yes"}}],
+        |"edges":[]}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_truthy", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val store = graft.store.GraphIO.importJson(spark, f.toString)
+    val sess = new CypherSession(spark, store)
+    val got = rows(sess.run(
+      "MATCH (n:Flag) WHERE n.active RETURN n.name AS name ORDER BY name"))
+    assert(got == Seq(Seq("s"), Seq("t")))
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store
