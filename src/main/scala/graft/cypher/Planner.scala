@@ -383,8 +383,36 @@ final class Planner(spark: SparkSession, store0: GraphStore,
             .agg(aggCols.head, aggCols.tail.toIndexedSeq: _*)
             .select(named.map(i => col(i.name)).toIndexedSeq: _*)
         }
-      } else scope.df.select(
-        named.map(i => compiler.compile(i.expr).as(i.name)).toIndexedSeq: _*)
+      } else {
+        // non-aggregating RETURN: a sort key may reference non-projected
+        // scope expressions (`RETURN n.name ORDER BY n.age` is legal
+        // Cypher). Carry unmatched sort keys as hidden columns, sort, then
+        // drop them. DISTINCT/aggregation keep the projected-only rule
+        // (openCypher: the sort key must be in scope after those).
+        // output-side resolution first (structural match or alias
+        // reference); anything else is a scope expression to carry hidden
+        def fromOutput(e: Expr): Option[Column] =
+          named.find(_.expr == e).map(i => col(i.name)).orElse(e match {
+            case Variable(n) if named.exists(_.name == n) => Some(col(n))
+            case _ => None
+          })
+        val extras = rc.orderBy.map(_.expr)
+          .filterNot(e => fromOutput(e).isDefined).distinct
+          .zipWithIndex.map { case (e, i) => e -> s"__sort$i" }
+        if (extras.nonEmpty && !rc.distinct) {
+          val proj = named.map(i => compiler.compile(i.expr).as(i.name)) ++
+            extras.map { case (e, n) => compiler.compile(e).as(n) }
+          val sorted = orderAndSlice(scope.df.select(proj.toIndexedSeq: _*),
+            rc.orderBy, rc.skip, rc.limit, { e =>
+              fromOutput(e)
+                .orElse(extras.collectFirst { case (ex, n) if ex == e => col(n) })
+                .getOrElse(sys.error(s"unresolvable ORDER BY expression: $e"))
+            })
+          return sorted.select(named.map(i => col(i.name)).toIndexedSeq: _*)
+        }
+        scope.df.select(
+          named.map(i => compiler.compile(i.expr).as(i.name)).toIndexedSeq: _*)
+      }
     if (rc.distinct) df = df.distinct()
     orderAndSlice(df, rc.orderBy, rc.skip, rc.limit, outputResolver(named, df))
   }

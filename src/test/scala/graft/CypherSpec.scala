@@ -343,6 +343,17 @@ class CypherSpec extends AnyFunSuite {
     assert(got == Seq(Seq("s"), Seq("t")))
   }
 
+  test("ORDER BY an expression that is not projected") {
+    val df = session.run(
+      "MATCH (n:Person) RETURN n.name AS name ORDER BY n.age DESC LIMIT 2")
+    assert(rows(df) == Seq(Seq("Charlie"), Seq("Alice")))
+    // mixed: one projected key, one hidden key
+    val df2 = session.run(
+      "MATCH (n:Person) RETURN n.city AS city ORDER BY n.city, n.age DESC")
+    assert(rows(df2) == Seq(Seq("Beijing"), Seq("Beijing"),
+      Seq("Shanghai"), Seq("Shenzhen")))
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store
