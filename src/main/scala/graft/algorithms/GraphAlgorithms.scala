@@ -139,11 +139,11 @@ object GraphAlgorithms {
     */
   def connectedComponentsDF(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(false)
-    var comp = und.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(false)
+    val (und, releaseUnd) = trackedCheckpoint(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))),
+      eager = false)
+    var (comp, releaseComp) = trackedCheckpoint(und.select(col("src").as("id"))
+      .distinct().withColumn("component", col("id")), eager = false)
     // same gated propagation join as pageRankStable: broadcast the |V|
     // label relation while it fits, shuffle-HASH past the ceiling (labels
     // arrive hash-partitioned from the round aggregate; never re-sort the
@@ -156,19 +156,24 @@ object GraphAlgorithms {
       // self rows are tagged so the round aggregate carries the previous
       // label alongside the new minimum — the convergence test is a filter
       // over this one relation, not a second join against the old comp
-      val next = und.join(small(comp), und("src") === comp("id"))
-        .select(und("dst").as("id"), col("component"), lit(false).as("own"))
-        .unionByName(comp.withColumn("own", lit(true)))
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"),
-          min(when(col("own"), col("component"))).as("prev"))
-        .localCheckpoint(false)
+      val (next, releaseNext) = trackedCheckpoint(
+        und.join(small(comp), und("src") === comp("id"))
+          .select(und("dst").as("id"), col("component"), lit(false).as("own"))
+          .unionByName(comp.withColumn("own", lit(true)))
+          .groupBy(col("id"))
+          .agg(min(col("component")).as("component"),
+            min(when(col("own"), col("component"))).as("prev")),
+        eager = false)
       // one job per round: the count materializes the lazy checkpoint and
       // yields the fixpoint test from the same aggregate
       changed = next.where(col("component") < col("prev")).count()
+      releaseComp() // superseded round's |V| blocks freed once next is live
       comp = next.select(col("id"), col("component"))
+      releaseComp = releaseNext
     }
-    und.unpersist()
+    // the 2|E| relation is done; the final comp checkpoint stays pinned —
+    // the returned frame reads it (callers sweep after consumption)
+    releaseUnd()
     comp
   }
 
@@ -200,6 +205,23 @@ object GraphAlgorithms {
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame =
     kCoreRounds(edges, k, maxRounds)._1
 
+  /** Dataset.unpersist does NOT release localCheckpoint blocks — it only
+    * uncaches CacheManager entries, while checkpoint RDD blocks live in
+    * sparkContext.getPersistentRDDs. This captures the delta of persistent
+    * RDD ids around a checkpoint call (registration happens at call time
+    * for both eager and lazy) and returns a release thunk that actually
+    * frees the blocks. Single-threaded callers only: a concurrent job
+    * registering its own RDDs in the window would be swept into the delta.
+    */
+  private def trackedCheckpoint(df: DataFrame, eager: Boolean): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager)
+    val mine = sc.getPersistentRDDs.keySet -- before
+    (out, () => mine.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+  }
+
   /** kCore plus the number of peel rounds taken — specs pin the round
     * budget so the unrolled-CTE oracle provably covers convergence.
     * `roundProbe` sees each round's degree-update relation pre-checkpoint
@@ -212,47 +234,79 @@ object GraphAlgorithms {
     require(k >= 1, "k-core needs k >= 1")
     val noLoops = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    val und = noLoops
+    val (und, releaseUnd) = trackedCheckpoint(noLoops
       .unionByName(noLoops.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+      .distinct(), eager = false)
+    // The (n, peelable) stats each round needs are folded into the job
+    // that materializes the deg relation itself via observe() — zero extra
+    // scans or jobs for the fixpoint test. The stats thunk only runs after
+    // the eager checkpoint returns, i.e. after the observed action has
+    // finished, so obs.get either answers immediately or (if a Spark
+    // version's checkpoint action ever stops driving the metric listener)
+    // never — the short Await turns "never" into a fallback agg job over
+    // the checkpointed blocks instead of a hang.
+    import org.apache.spark.sql.Observation
+    def statsObs(df: DataFrame): (DataFrame, () => Option[(Long, Long)]) = {
+      val obs = Observation()
+      val observed = df.observe(obs, count(lit(1)).as("n"),
+        count(when(col("deg") < k, lit(1))).as("r"))
+      (observed, () =>
+        try {
+          val m = scala.concurrent.Await.result(
+            scala.concurrent.Future(obs.get)(scala.concurrent.ExecutionContext.global),
+            scala.concurrent.duration.Duration(1500, "ms"))
+          Some((m("n").asInstanceOf[Long], m("r").asInstanceOf[Long]))
+        } catch { case _: java.util.concurrent.TimeoutException =>
+          System.err.println("[kCore] observation metric timed out; falling back to agg job")
+          None })
+    }
+    def statsFallback(df: DataFrame): (Long, Long) = {
+      val s = df.agg(count(lit(1)).as("n"),
+        count(when(col("deg") < k, lit(1))).as("r")).head
+      (s.getLong(0), s.getLong(1))
+    }
     // eager checkpoints everywhere a relation is consumed twice (broadcast
     // exchanges racing to materialize a lazy checkpoint duplicate its job)
-    var deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    var nAlive = 0L // set by each round's stats aggregate before first use
+    val (deg0obs, deg0stats) = statsObs(
+      und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    var (deg, releaseDeg) = trackedCheckpoint(deg0obs, eager = true)
+    var pendingStats: () => Option[(Long, Long)] = deg0stats
     var rounds = 0
     var survivors: DataFrame = null
-    // finally: release the cached edge relation even when maxRounds fires —
-    // a caller that catches the error must not inherit a pinned 2|E| block
+    // finally: release the 2|E| edge blocks even when maxRounds fires — a
+    // caller that catches the error must not inherit them. The final deg
+    // checkpoint stays pinned: the returned survivors frame reads it (the
+    // caller's getPersistentRDDs sweep reclaims it after consumption).
     try while (survivors == null) {
       rounds += 1
       require(rounds <= maxRounds, s"k-core did not converge in $maxRounds rounds")
-      // ONE tiny job over the checkpointed deg relation yields both the
-      // fixpoint test and the broadcast-gate size; the peeled set itself is
-      // never checkpointed or counted — it is a cheap filter over deg's
-      // cached blocks, re-read by the broadcast
-      val stats = deg.agg(count(lit(1)).as("n"),
-        count(when(col("deg") < k, lit(1))).as("r")).head
-      val nRemoved = stats.getLong(1)
+      val (n, nRemoved) = pendingStats().getOrElse(statsFallback(deg))
       if (nRemoved == 0) {
         survivors = deg.select(col("id"))
       } else {
-        nAlive = stats.getLong(0) - nRemoved
-        def small(df: DataFrame): DataFrame =
-          if (nAlive <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
+        // each relation gets its own broadcast gate sized by its own row
+        // bound: a mass-peel round (few survivors, huge peeled set) must
+        // not ride the survivor count into broadcasting an arbitrarily
+        // large removed set. removed has exactly nRemoved rows; hits is
+        // grouped by src over the symmetric edge relation, so <= n rows.
+        def small(df: DataFrame, bound: Long): DataFrame =
+          if (bound <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
         val removed = deg.where(col("deg") < k).select(col("id"))
         // edges each still-alive vertex loses into the newly-peeled set;
         // und is symmetric, so dst-side membership covers both directions
-        val hits = und.join(small(removed), und("dst") === removed("id"))
+        val hits = und.join(small(removed, nRemoved), und("dst") === removed("id"))
           .groupBy(und("src").as("id")).agg(count(lit(1)).as("hit"))
         val next = deg.where(col("deg") >= k)
-          .join(small(hits), Seq("id"), "left")
+          .join(small(hits, n), Seq("id"), "left")
           .select(col("id"),
             (col("deg") - coalesce(col("hit"), lit(0L))).as("deg"))
         roundProbe(next) // pre-checkpoint: the round's real join plan
-        deg = next.localCheckpoint(true)
+        val (observed, nextStats) = statsObs(next)
+        val (ckpt, release) = trackedCheckpoint(observed, eager = true)
+        releaseDeg() // superseded round's |V| blocks freed immediately
+        deg = ckpt; releaseDeg = release; pendingStats = nextStats
       }
-    } finally und.unpersist()
+    } finally releaseUnd()
     (survivors, rounds)
   }
 
