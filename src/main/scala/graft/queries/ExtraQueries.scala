@@ -237,6 +237,54 @@ object ExtraQueries {
         .limit(20)
     }),
 
+    // Hard signal for the rows-only GraphX x6: its top-20 id SET must
+    // match the oracle-checked fixed-point x17 ranking's top-20. Set (not
+    // position) agreement: GraphX sums doubles in shuffle-reduction order,
+    // which may swap near-tied adjacent positions run-to-run, while the
+    // membership boundary is wide (the #20/#21 rank gap is orders of
+    // magnitude at every SF). The oracle pins the agreement count as the
+    // constant 20 — a GraphX wiring regression or a fixpoint bug that
+    // reshuffles the ranking breaks this gate deterministically.
+    // Streaming executed for REAL (not its batch twin): the q15 hourly
+    // windowed aggregate run through the micro-batch engine — events
+    // staged as 4 parquet files, maxFilesPerTrigger=1 forcing 4 separate
+    // micro-batches through the stateful window operator, complete-mode
+    // memory sink — then hashed against the SAME DuckDB oracle as q15.
+    // windowedStats accumulates in decimal, so the result is independent
+    // of the batch cut points and must match the batch oracle bit-exact.
+    "x22_stream_hourly" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = java.nio.file.Files.createTempDirectory("graft_x22_src")
+      s.read.schema(EventStreams.rawSchema).parquet(s"$dir/events.parquet")
+        .repartition(4)
+        .write.mode("overwrite").parquet(src.toString)
+      val sink = "x22_stream_hourly_sink"
+      val q = EventStreams.windowedStats(
+          EventStreams.readStream(s, src.toString, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    "x21_pagerank_crosscheck" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      // eager: both PageRank variants consume the edge relation
+      val edges = g.allEdges.select(col("src"), col("dst")).localCheckpoint(true)
+      val stable = graft.algorithms.GraphAlgorithms
+        .pageRankStable(edges, 5, chainDepth = 5)
+        .orderBy(col("pr").desc, col("id")).limit(20).select(col("id"))
+      val gx = graft.algorithms.GraphAlgorithms.pageRank(s, edges, 5)
+        .orderBy(col("rank").desc, col("id")).limit(20).select(col("id"))
+      stable.join(gx, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_agree"))
+    }),
+
     // GraphX connected components, oracle-checked: min-label fixpoint
     // unrolled as iteration CTEs (the x17 pattern) — GraphX labels each
     // component with its minimum vertex id, exactly what the fixpoint
@@ -293,6 +341,18 @@ object ExtraQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the agreement count is pinned as a constant: full set-agreement of
+    // the GraphX and fixed-point top-20 (see the gate's comment for why
+    // set, not position)
+    "x21_pagerank_crosscheck" -> "SELECT CAST(20 AS BIGINT) AS n_agree",
+    // the streaming gate answers to the SAME oracle as its batch twin q15
+    "x22_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
     "x20_batched_pointget" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey IN (

@@ -23,19 +23,33 @@ object EventStreams {
 
   /** `dir` must be a DIRECTORY of parquet files (Spark's file stream source
     * rejects bare file paths) — stage the events file into one.
+    * `maxFilesPerTrigger` > 0 caps files per micro-batch (0 = unlimited),
+    * forcing a multi-file directory through multiple batches — the way to
+    * prove an aggregate's result is independent of batch cut points.
     */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
-      .parquet(dir)
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream.schema(rawSchema)
+    val limited = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else reader
+    limited.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
-  /** Watermarked tumbling-window aggregate per event type. */
+  /** Watermarked tumbling-window aggregate per event type. The sum
+    * accumulates in decimal so the result is independent of both the
+    * shuffle reduction order AND the micro-batch cut points — a stream
+    * sliced into any number of batches produces bit-identical windows
+    * (doubles would drift with batch boundaries; exact accumulation is
+    * what makes the streaming result oracle-checkable at all).
+    */
   def windowedStats(events: DataFrame, window_ : String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -43,7 +57,8 @@ object EventStreams {
   def windowedStatsBatch(events: DataFrame, window_ : String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
