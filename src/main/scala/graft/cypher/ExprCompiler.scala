@@ -316,24 +316,29 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
   }
 
   /** Truthiness with the AST in hand: a schemaless (JSON-backed) property
-    * arrives as the JSON scalar's TEXT (get_json_object), where the typed
-    * truthy() would call 'false' and '0' truthy. The reference parses JSON
+    * must be decoded by its JSON type, exactly as the reference parses JSON
     * properties into typed values before is_truthy (match_executor.rs
-    * Value::Boolean/Integer/Float), so decode the text the same way:
-    * boolean words, numeric text compared to zero, empty list/map/string
-    * false, any other non-empty text true.
+    * Value::Boolean/Integer/Float/String). A text decode (get_json_object)
+    * cannot do this — it strips quotes, so JSON `false` and the non-empty
+    * (hence truthy) string `"false"` become the same text. VARIANT keeps
+    * the JSON type: boolean passes through, numbers compare to zero,
+    * string/list/map are truthy iff non-empty, null/missing stay NULL.
     */
   def truthyExpr(e: Expr): Column = e match {
-    case p @ Prop(Variable(v), key) if entityVar(v).exists(vi =>
+    case Prop(Variable(v), key) if entityVar(v).exists(vi =>
         !vi.props.contains(key) && vi.props.contains("properties")) =>
-      val c = compile(p)
-      when(c.isNull, lit(null).cast("boolean"))
-        .when(c === "true", lit(true))
-        .when(c === "false", lit(false))
-        .when(c.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
-          c.cast("double") =!= 0)
-        .when(c === "[]" || c === "{}", lit(false)) // empty list/map
-        .otherwise(length(c) > 0)
+      val vcol = try_parse_json(col(Scope.colName(v, "properties")))
+      val path = "$." + key
+      val node = try_variant_get(vcol, path, "variant")
+      val typ = schema_of_variant(node)
+      val asStr = try_variant_get(vcol, path, "string")
+      when(node.isNull || is_variant_null(node), lit(null).cast("boolean"))
+        .when(typ === "BOOLEAN", try_variant_get(vcol, path, "boolean"))
+        .when(typ === "BIGINT" || typ === "DOUBLE" || typ.startsWith("DECIMAL"),
+          try_variant_get(vcol, path, "double") =!= 0)
+        .when(typ.startsWith("ARRAY"), asStr =!= "[]")
+        .when(typ.startsWith("OBJECT"), asStr =!= "{}")
+        .otherwise(length(asStr) > 0) // STRING: non-empty truthy, even "false"/"0"
     case _ => truthy(compile(e))
   }
 

@@ -25,30 +25,38 @@ object GraphIO {
     * reference); use fromJsonTyped to project a typed table.
     */
   def importJson(spark: SparkSession, path: String): GraphStore = {
-    val doc = spark.read.option("multiLine", true).json(path)
-    // properties may arrive as an inferred struct (fresh import) or as an
-    // already-serialized JSON string (re-import of our own export)
-    def propsOf(df: DataFrame, field: String): org.apache.spark.sql.Column =
-      if (df.schema(field).dataType == org.apache.spark.sql.types.StringType) col(field)
-      else to_json(col(field))
-    // an empty or absent section infers as array<string>/missing, where the
-    // struct star-expansion would fail — treat it as zero rows
-    def section(field: String): Option[DataFrame] =
-      doc.schema.fields.find(_.name == field).map(_.dataType).collect {
-        case org.apache.spark.sql.types.ArrayType(
-            _: org.apache.spark.sql.types.StructType, _) =>
-          doc.select(explode(col(field)).as("x")).select(col("x.*"))
-      }
-    import spark.implicits._
-    val vRaw = section("vertices").map { v0 =>
-      v0.select(col("id").cast("string").as("key"), col("label"),
-        propsOf(v0, "properties").as("properties"))
-    }.getOrElse(Seq.empty[(String, String, String)].toDF("key", "label", "properties"))
-    val eRaw = section("edges").map { e0 =>
-      e0.select(col("label"), col("start").cast("string").as("start"),
-        col("end").cast("string").as("end"), propsOf(e0, "properties").as("properties"))
-    }.getOrElse(Seq.empty[(String, String, String, String)]
-      .toDF("label", "start", "end", "properties"))
+    import org.apache.spark.sql.types._
+    // Explicit schema with VARIANT properties: schema inference would unify
+    // a property key holding different JSON types across vertices (e.g.
+    // boolean false on one, string "false" on another) into one string
+    // column, destroying the type distinction the reference keeps (its
+    // import parses each value to a typed serde_json::Value). VARIANT
+    // preserves the per-row JSON type end-to-end, and skipping inference
+    // also saves the extra full read of the file.
+    val schema = StructType(Seq(
+      StructField("vertices", ArrayType(StructType(Seq(
+        StructField("id", StringType), StructField("label", StringType),
+        StructField("properties", VariantType))))),
+      StructField("edges", ArrayType(StructType(Seq(
+        StructField("id", StringType), StructField("label", StringType),
+        StructField("start", StringType), StructField("end", StringType),
+        StructField("properties", VariantType)))))))
+    val doc = spark.read.option("multiLine", true).schema(schema).json(path)
+    // properties may arrive as a JSON object (fresh import) or as an
+    // already-serialized JSON string (re-import of our own export) — a
+    // VARIANT of STRING type unwraps to the serialized text itself
+    def propsOf: org.apache.spark.sql.Column =
+      when(schema_of_variant(col("properties")) === "STRING",
+        try_variant_get(col("properties"), "$", "string"))
+        .otherwise(to_json(col("properties")))
+    def section(field: String): DataFrame =
+      doc.select(explode(col(field)).as("x")).select(col("x.*"))
+    val v0 = section("vertices")
+    val vRaw = v0.select(col("id").cast("string").as("key"), col("label"),
+      propsOf.as("properties"))
+    val e0 = section("edges")
+    val eRaw = e0.select(col("label"), col("start").cast("string").as("start"),
+      col("end").cast("string").as("end"), propsOf.as("properties"))
     buildStore(spark, vRaw, eRaw)
   }
 

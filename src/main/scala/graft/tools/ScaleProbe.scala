@@ -10,10 +10,12 @@ import graft.pipeline.Dedup
   * Near-linear growth = the banded/pair-restricted/frontier design holds;
   * quadratic growth would flag a hidden all-pairs stage.
   *
-  * `SPARK_GRAFT_PROBE=dedup|kcore` picks the pipeline (default dedup,
-  * which replicates the MinHash-LSH near-dup path; kcore replicates the
-  * TPC-H graph edge list — replicas are disjoint components, so the peel
-  * work per replica is constant and total work should grow linearly).
+  * `SPARK_GRAFT_PROBE=dedup|kcore|incdedup|nodesim` picks the pipeline
+  * (default dedup, which replicates the MinHash-LSH near-dup path; kcore
+  * and nodesim replicate the TPC-H graph edge list — replicas are disjoint
+  * components, so per-replica work is constant and total work should grow
+  * linearly; incdedup grows the CORPUS side against a fixed incoming
+  * batch, the amortized-streaming axis d10 cares about).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -25,8 +27,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") match {
-      case "kcore" => kcoreProbe(spark, sfDir)
-      case _       => dedupProbe(spark, sfDir)
+      case "kcore"    => kcoreProbe(spark, sfDir)
+      case "incdedup" => incDedupProbe(spark, sfDir)
+      case "nodesim"  => nodeSimProbe(spark, sfDir)
+      case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
   }
@@ -47,6 +51,62 @@ object ScaleProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"SCALE k=$k docs=${n0 * k} pairs=$pairs time=$dt%.2f s")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
+
+  /** d10's scale axis: a FIXED incoming batch deduped against a corpus
+    * replicated Kx. The candidate join is restricted to incoming x corpus
+    * bucket pairs, so time should grow linearly with corpus size (the
+    * signature/shingle pass) — superlinear growth would flag a hidden
+    * corpus x corpus stage.
+    */
+  private def incDedupProbe(spark: SparkSession, sfDir: String): Unit = {
+    val base = graft.store.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n0 = base.count()
+    // incoming: a ~10% slice, id-shifted clear of every corpus replica
+    val incoming = base.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(1L << 40)).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val nInc = incoming.count()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    for (k <- Seq(1, 2, 4)) {
+      val corpus = (0 until k).map(i =>
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(" r" + i)).as("text")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val kept = Dedup.dedupAgainstCorpus(incoming, corpus,
+        "doc_id", "text", minJaccard = 0.7).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE k=$k corpus=${n0 * k} incoming=$nInc kept=$kept time=$dt%.2f s")
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+    }
+  }
+
+  /** g18's scale axis: disjoint graph replicas, pair generation bounded by
+    * the hub cap — linear growth expected, quadratic would flag the
+    * shared-neighbor join exploding.
+    */
+  private def nodeSimProbe(spark: SparkSession, sfDir: String): Unit = {
+    val base = graft.store.GraphStore.tpch(spark, sfDir)
+      .allEdges.select(col("src"), col("dst")).localCheckpoint()
+    val n0 = base.count()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    for (k <- Seq(1, 2, 4)) {
+      val df = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong << 28)).as("src"),
+          (col("dst") + lit(i.toLong << 28)).as("dst")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val n = graft.algorithms.GraphAlgorithms.nodeSimilarity(df, topK = 10).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE k=$k edges=${n0 * k} rows=$n time=$dt%.2f s")
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
     }
   }
 

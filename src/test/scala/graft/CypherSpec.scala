@@ -343,6 +343,33 @@ class CypherSpec extends AnyFunSuite {
     assert(got == Seq(Seq("s"), Seq("t")))
   }
 
+  test("JSON truthiness is typed: string 'false'/'0' are truthy, empties/null are not") {
+    // the reference parses JSON properties into typed values before
+    // is_truthy (match_executor.rs), so the STRING "false" is a non-empty
+    // string (truthy) while the BOOLEAN false is falsy — a text-level
+    // decode cannot tell them apart (r4 ADVICE); VARIANT typing can
+    val json =
+      """{"vertices":[
+        |  {"id":"1","label":"F","properties":{"name":"sf","active":"false"}},
+        |  {"id":"2","label":"F","properties":{"name":"sz","active":"0"}},
+        |  {"id":"3","label":"F","properties":{"name":"es","active":""}},
+        |  {"id":"4","label":"F","properties":{"name":"ea","active":[]}},
+        |  {"id":"5","label":"F","properties":{"name":"fa","active":[1,2]}},
+        |  {"id":"6","label":"F","properties":{"name":"nu","active":null}},
+        |  {"id":"7","label":"F","properties":{"name":"mi"}},
+        |  {"id":"8","label":"F","properties":{"name":"eo","active":{}}},
+        |  {"id":"9","label":"F","properties":{"name":"fo","active":{"k":1}}},
+        |  {"id":"10","label":"F","properties":{"name":"nf","active":2.5}}],
+        |"edges":[]}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_truthy2", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val store = graft.store.GraphIO.importJson(spark, f.toString)
+    val sess = new CypherSession(spark, store)
+    val got = rows(sess.run(
+      "MATCH (n:F) WHERE n.active RETURN n.name AS name ORDER BY name"))
+    assert(got == Seq(Seq("fa"), Seq("fo"), Seq("nf"), Seq("sf"), Seq("sz")))
+  }
+
   test("ORDER BY an expression that is not projected") {
     val df = session.run(
       "MATCH (n:Person) RETURN n.name AS name ORDER BY n.age DESC LIMIT 2")
