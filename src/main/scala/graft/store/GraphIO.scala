@@ -62,22 +62,53 @@ object GraphIO {
 
   /** CSV import: vertices.csv has header id,label,<prop cols>; edges.csv has
     * id,label,start,end,<prop cols> (reference import.rs:109-274). Empty ids
-    * are auto-generated. Property columns fold into a JSON string.
+    * are auto-generated. Property columns fold into a JSON string with the
+    * reference's per-cell type inference (import.rs:64-70 deserializes each
+    * cell into a serde_json::Value through the csv crate, which tries
+    * integer, then float, then string — booleans are NOT inferred): a cell
+    * of digits becomes a JSON number, a float literal a JSON double, and
+    * anything else a JSON string. A flat struct+to_json cannot express this
+    * (one type per column, not per cell), so the JSON text is assembled
+    * per cell.
     */
   def importCsv(spark: SparkSession, vertexCsv: String, edgeCsv: String): GraphStore = {
-    val v = spark.read.option("header", true).csv(vertexCsv)
+    // escape=" selects RFC-4180 doubled-quote escaping — the format the
+    // reference's csv crate reads and our exportCsv writes
+    val v = spark.read.option("header", true).option("escape", "\"").csv(vertexCsv)
     val vProps = v.columns.filterNot(Set("id", "label"))
     val vRaw = v.select(
       coalesce(col("id").cast("string"), concat(lit("__auto_"), monotonically_increasing_id()))
         .as("key"),
-      col("label"),
-      to_json(struct(vProps.map(col).toIndexedSeq: _*)).as("properties"))
-    val e = spark.read.option("header", true).csv(edgeCsv)
+      col("label"), typedPropsJson(vProps).as("properties"))
+    val e = spark.read.option("header", true).option("escape", "\"").csv(edgeCsv)
     val eProps = e.columns.filterNot(Set("id", "label", "start", "end"))
     val eRaw = e.select(col("label"), col("start").cast("string"),
-      col("end").cast("string"),
-      to_json(struct(eProps.map(col).toIndexedSeq: _*)).as("properties"))
+      col("end").cast("string"), typedPropsJson(eProps).as("properties"))
     buildStore(spark, vRaw, eRaw)
+  }
+
+  /** {"k":v,...} over the given string columns, each cell typed by the
+    * reference's inference order: 18-digit-bounded integers stay integer
+    * text (the bound keeps cast("long") exact — the reference accepts up
+    * to u64, a documented sliver of divergence past 2^59), float literals
+    * normalize through double, everything else is a JSON-escaped string.
+    * NULL cells (absent in the CSV) are omitted — concat_ws skips them.
+    */
+  private def typedPropsJson(cols: Seq[String]): org.apache.spark.sql.Column = {
+    def cellJson(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.rlike("^-?[0-9]{1,18}$"), c.cast("long").cast("string"))
+        .when(c.rlike("^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$") &&
+            c.cast("double").isNotNull,
+          c.cast("double").cast("string"))
+        .otherwise(concat(lit("\""),
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+            "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t"),
+          lit("\"")))
+    val entries = cols.sorted.map { k =>
+      when(col(k).isNotNull, concat(lit("\"" + k + "\":"), cellJson(col(k))))
+    }
+    concat(lit("{"), concat_ws(",", entries.toIndexedSeq: _*), lit("}"))
   }
 
   private def buildStore(spark: SparkSession, vRaw: DataFrame, eRaw: DataFrame): GraphStore = {
@@ -141,10 +172,12 @@ object GraphIO {
 
   /** CSV export, properties as a JSON string column (export.rs:45-158). */
   def exportCsv(store: GraphStore, outDir: String): Unit = {
+    // escape=" writes RFC-4180 doubled quotes — what the reference's csv
+    // crate writes and reads, and what importCsv expects back
     store.allVertices.write.mode("overwrite").option("header", true)
-      .csv(s"$outDir/vertices")
+      .option("escape", "\"").csv(s"$outDir/vertices")
     store.allEdges.write.mode("overwrite").option("header", true)
-      .csv(s"$outDir/edges")
+      .option("escape", "\"").csv(s"$outDir/edges")
   }
 
   // ---- Cypher-script export (reference tools/data_generator.rs:393-439) ----

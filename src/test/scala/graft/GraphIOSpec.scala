@@ -75,6 +75,29 @@ class GraphIOSpec extends AnyFunSuite {
     assert(vs.map(_.getLong(0)).toSet.contains(e.getLong(1)))
   }
 
+  test("CSV cells are typed like the reference: int/float to numbers, rest strings") {
+    // reference import.rs deserializes each CSV cell into a
+    // serde_json::Value via the csv crate: integer, then float, then
+    // string — booleans are NOT inferred ("true" stays a string)
+    val vf = Files.createTempFile("verts", ".csv")
+    Files.writeString(vf,
+      "id,label,name,age,score,flag,quote\n" +
+      "a,P,Alice,30,1.5,true,\"say \"\"hi\"\"\"\n" +
+      "b,P,Bob,007,1e3,false,plain\n")
+    val ef = Files.createTempFile("edges", ".csv")
+    Files.writeString(ef, "id,label,start,end\n,K,a,b\n")
+    val store = GraphIO.importCsv(spark, vf.toString, ef.toString)
+    val props = store.vertices("P").orderBy("id").collect()
+      .map(_.getString(1)).toSeq
+    assert(props == Seq(
+      """{"age":30,"flag":"true","name":"Alice","quote":"say \"hi\"","score":1.5}""",
+      """{"age":7,"flag":"false","name":"Bob","quote":"plain","score":1000.0}"""))
+    // and the typed values flow through Cypher predicates without casts
+    val sess = new graft.cypher.CypherSession(spark, store)
+    val got = sess.run("MATCH (n:P) WHERE n.age > 25 RETURN n.name AS name")
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("Alice"))
+  }
+
   test("import id allocation is deterministic across repeated imports") {
     val f = Files.createTempFile("graph", ".json")
     Files.writeString(f, jsonDoc)
