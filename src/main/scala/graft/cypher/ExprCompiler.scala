@@ -47,7 +47,7 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
 
   def isAggregate(e: Expr): Boolean = e match {
     case CountStar => true
-    case FnCall(n, args, _) => aggNames.contains(n) || args.exists(isAggregate)
+    case FnCall(n, args, _) => aggNames.contains(n.toLowerCase) || args.exists(isAggregate)
     case Bin(_, l, r) => isAggregate(l) || isAggregate(r)
     case Un(_, x) => isAggregate(x)
     case Prop(b, _) => isAggregate(b)
@@ -170,7 +170,10 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
   }
 
   private def compileFn(f: FnCall): Column = {
-    val FnCall(name, args, distinct) = f
+    // the AST keeps the user's spelling for output naming; openCypher
+    // function names are case-insensitive, so dispatch on lowercase
+    val FnCall(rawName, args, distinct) = f
+    val name = rawName.toLowerCase
     def a0 = compile(args.head)
     /** aggregate arg: a bare entity var aggregates over its id (null for
       * unmatched OPTIONAL rows, so count(n) skips them correctly).

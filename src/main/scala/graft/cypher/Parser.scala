@@ -342,7 +342,9 @@ final class Parser(tokens: Vector[Tok]) {
     val args = Seq.newBuilder[Expr]
     if (!isOp(")")) { args += parseExpr(); while (tryOp(",")) args += parseExpr() }
     eatOp(")")
-    FnCall(name.toLowerCase, args.result(), distinct)
+    // keep the user's spelling: un-aliased RETURN column names carry it
+    // (reference get_return_key); dispatch lowercases at the match sites
+    FnCall(name, args.result(), distinct)
   }
 
   private def parseCase(): Expr = {

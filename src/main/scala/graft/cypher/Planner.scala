@@ -331,6 +331,30 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     case _ => s"col$i"
   }
 
+  /** The reference's column name for an un-aliased RETURN item
+    * (executor/mod.rs get_return_key, :627-645): a property chain keeps
+    * its dotted text, a function call becomes `name()`/`name(...)`,
+    * anything else is `expr`. These names may contain dots, so they are
+    * applied as a single terminal rename (toDF) AFTER all internal
+    * by-name resolution — col("p.name") would parse as a struct access.
+    * (Where the reference's HashMap silently overwrites colliding
+    * un-aliased keys, Spark keeps both columns — strictly more faithful
+    * to the query than dropping one.)
+    */
+  private def referenceName(e: Expr, i: Int): String = e match {
+    case Variable(n) => n
+    case p: Prop =>
+      def chain(x: Expr): Option[List[String]] = x match {
+        case Prop(b, k) => chain(b).map(_ :+ k)
+        case Variable(v) => Some(List(v))
+        case _ => None
+      }
+      chain(p).map(_.mkString(".")).getOrElse("expr")
+    case CountStar => "count(*)"
+    case FnCall(n, args, _) => if (args.isEmpty) s"$n()" else s"$n(...)"
+    case _ => "expr"
+  }
+
   private def nameItems(items: Seq[ReturnItem], compiler: ExprCompiler): Seq[NamedItem] =
     items.zipWithIndex.map { case (it, i) =>
       NamedItem(it.alias.getOrElse(defaultName(it.expr, i)), it.expr,
@@ -368,6 +392,17 @@ final class Planner(spark: SparkSession, store0: GraphStore,
   }
 
   private def compileReturn(scope: Scope, rc: ReturnClause): DataFrame = {
+    val df = compileReturn0(scope, rc)
+    // reference-faithful output column names (aliases win; un-aliased
+    // items take get_return_key text) — one rename at the very end, after
+    // every internal by-name lookup is done
+    val refNames = rc.items.zipWithIndex.map { case (it, i) =>
+      it.alias.getOrElse(referenceName(it.expr, i))
+    }
+    if (refNames == df.columns.toSeq) df else df.toDF(refNames.toIndexedSeq: _*)
+  }
+
+  private def compileReturn0(scope: Scope, rc: ReturnClause): DataFrame = {
     val compiler = ec(scope)
     val named = nameItems(rc.items, compiler)
     val hasAgg = named.exists(_.agg)

@@ -370,6 +370,20 @@ class CypherSpec extends AnyFunSuite {
     assert(got == Seq(Seq("fa"), Seq("fo"), Seq("nf"), Seq("sf"), Seq("sz")))
   }
 
+  test("un-aliased RETURN items take the reference's column names") {
+    // reference get_return_key (executor/mod.rs:627-645): property chains
+    // keep their dotted text, function calls become name(...), variables
+    // stay themselves; aliases always win
+    val df = session.run(
+      "MATCH (n:Person) RETURN n.name, toUpper(n.name), n.age AS a LIMIT 1")
+    assert(df.columns.toSeq == Seq("n.name", "toUpper(...)", "a"))
+    // dotted names select cleanly with backticks (terminal rename only —
+    // nothing internal resolves through them)
+    assert(df.select(df("`n.name`")).count() == 1)
+    val agg = session.run("MATCH (n:Person) RETURN count(*), max(n.age)")
+    assert(agg.columns.toSeq == Seq("count(*)", "max(...)"))
+  }
+
   test("ORDER BY an expression that is not projected") {
     val df = session.run(
       "MATCH (n:Person) RETURN n.name AS name ORDER BY n.age DESC LIMIT 2")
