@@ -218,10 +218,13 @@ object ExtraQueries {
     // (GraphX x6 stays as the rows-only cross-check).
     "x17_pagerank_stable" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
-      // chainDepth=5: all 5 iterations in one plan (linear broadcast chain,
-      // fewer job boundaries; same fixed-point arithmetic bit-for-bit)
+      // chainDepth=2: two iterations per materialized plan — measured the
+      // sweet spot at sf0.1 (A/B reps, quiet host: depth 2 ~4.4 s vs
+      // depth 5 ~4.9 s vs depth 1 ~4.4 s with one more job; the deep
+      // chain's planning/codegen outgrows the job boundaries it saves).
+      // Same fixed-point arithmetic bit-for-bit at every depth.
       graft.algorithms.GraphAlgorithms
-        .pageRankStable(g.allEdges.select(col("src"), col("dst")), 5, chainDepth = 5)
+        .pageRankStable(g.allEdges.select(col("src"), col("dst")), 5, chainDepth = 2)
         .orderBy(col("pr").desc, col("id"))
         .limit(20)
     }),
