@@ -77,11 +77,18 @@ object Bench {
     // lands on an outlier too often. Median-of-5 needs 3 bad draws to lie.
     val nRep = sys.env.get("SPARK_GRAFT_REPEATS").map(_.trim.toInt).getOrElse(5)
     val qmap = selected.toMap
+    // a repeat that ERRORS must not contribute its fast failure time as a
+    // legitimate sample (a median of quick crashes would read as a 60x
+    // speedup) — failed samples are dropped and the error surfaces in the
+    // errors map like a first-pass failure would
+    val repErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     val repeats = if (nRep <= 0) Seq.empty else
       RepeatSet.filter(qmap.contains).map { name =>
-        val samples = (1 to nRep).map(_ => run1(qmap(name))._1).sorted
-        (name, samples)
-      }
+        val runs = (1 to nRep).map(_ => run1(qmap(name)))
+        runs.collectFirst { case (_, Some(e)) => e }
+          .foreach(e => repErrors(name + "__repeat") = e)
+        (name, runs.collect { case (t, None) => t }.sorted)
+      }.filter(_._2.nonEmpty)
     val repJson = repeats.map { case (name, s) =>
       val med = s(s.length / 2)
       s"\"" + name + s"\":{\"median\":$med,\"min\":${s.head},\"max\":${s.last}," +
@@ -91,7 +98,8 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a broken query must surface as an error, not a fast green number
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = (results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" } ++
+      repErrors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" })
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =

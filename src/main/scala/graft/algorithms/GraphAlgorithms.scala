@@ -243,22 +243,29 @@ object GraphAlgorithms {
     // the eager checkpoint returns, i.e. after the observed action has
     // finished, so obs.get either answers immediately or (if a Spark
     // version's checkpoint action ever stops driving the metric listener)
-    // never — the short Await turns "never" into a fallback agg job over
-    // the checkpointed blocks instead of a hang.
+    // never — the bounded wait turns "never" into a fallback agg job over
+    // the checkpointed blocks instead of a hang. The waiter is a DAEMON
+    // thread, not a global-ExecutionContext Future: on timeout the
+    // abandoned blocked thread must not pin a shared pool slot forever
+    // (one leak per peel round would starve every other Future user).
     import org.apache.spark.sql.Observation
     def statsObs(df: DataFrame): (DataFrame, () => Option[(Long, Long)]) = {
       val obs = Observation()
       val observed = df.observe(obs, count(lit(1)).as("n"),
         count(when(col("deg") < k, lit(1))).as("r"))
-      (observed, () =>
-        try {
-          val m = scala.concurrent.Await.result(
-            scala.concurrent.Future(obs.get)(scala.concurrent.ExecutionContext.global),
-            scala.concurrent.duration.Duration(1500, "ms"))
-          Some((m("n").asInstanceOf[Long], m("r").asInstanceOf[Long]))
-        } catch { case _: java.util.concurrent.TimeoutException =>
-          System.err.println("[kCore] observation metric timed out; falling back to agg job")
-          None })
+      (observed, () => {
+        val slot = new java.util.concurrent.SynchronousQueue[Map[String, Any]]()
+        val t = new Thread(() => { try slot.put(obs.get) catch { case _: Throwable => () } },
+          "kcore-observation-wait")
+        t.setDaemon(true)
+        t.start()
+        Option(slot.poll(1500, java.util.concurrent.TimeUnit.MILLISECONDS))
+          .map(m => (m("n").asInstanceOf[Long], m("r").asInstanceOf[Long]))
+          .orElse {
+            System.err.println("[kCore] observation metric timed out; falling back to agg job")
+            None
+          }
+      })
     }
     def statsFallback(df: DataFrame): (Long, Long) = {
       val s = df.agg(count(lit(1)).as("n"),
@@ -284,22 +291,28 @@ object GraphAlgorithms {
       if (nRemoved == 0) {
         survivors = deg.select(col("id"))
       } else {
-        // each relation gets its own broadcast gate sized by its own row
-        // bound: a mass-peel round (few survivors, huge peeled set) must
-        // not ride the survivor count into broadcasting an arbitrarily
-        // large removed set. removed has exactly nRemoved rows; hits is
-        // grouped by src over the symmetric edge relation, so <= n rows.
+        // the one broadcast candidate is `removed`, gated on its OWN row
+        // count (a mass-peel round must not ride the survivor count into
+        // broadcasting an arbitrarily large peeled set). The degree
+        // rebuild is folded into one partial-aggregated shuffle, PageRank
+        // style: alive vertices contribute their current degree, each
+        // edge lost into the peeled set contributes -1, and the groupBy's
+        // own-flag drops src rows of already-dead vertices — there is no
+        // per-src `hits` relation whose size would need a bound it cannot
+        // know (und keeps peeled vertices on its src side, so such a
+        // relation is NOT bounded by the alive count).
         def small(df: DataFrame, bound: Long): DataFrame =
           if (bound <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
         val removed = deg.where(col("deg") < k).select(col("id"))
-        // edges each still-alive vertex loses into the newly-peeled set;
         // und is symmetric, so dst-side membership covers both directions
-        val hits = und.join(small(removed, nRemoved), und("dst") === removed("id"))
-          .groupBy(und("src").as("id")).agg(count(lit(1)).as("hit"))
+        val lost = und.join(small(removed, nRemoved), und("dst") === removed("id"))
+          .select(und("src").as("id"), lit(-1L).as("delta"), lit(false).as("own"))
         val next = deg.where(col("deg") >= k)
-          .join(small(hits, n), Seq("id"), "left")
-          .select(col("id"),
-            (col("deg") - coalesce(col("hit"), lit(0L))).as("deg"))
+          .select(col("id"), col("deg").as("delta"), lit(true).as("own"))
+          .unionByName(lost)
+          .groupBy(col("id"))
+          .agg(sum(col("delta")).as("deg"), max(col("own")).as("own"))
+          .where(col("own")).select(col("id"), col("deg"))
         roundProbe(next) // pre-checkpoint: the round's real join plan
         val (observed, nextStats) = statsObs(next)
         val (ckpt, release) = trackedCheckpoint(observed, eager = true)

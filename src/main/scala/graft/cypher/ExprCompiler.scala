@@ -318,6 +318,25 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
     }
   }
 
+  /** A property chain a.k1.k2... rooted at a schemaless entity variable —
+    * the whole chain lives in the JSON properties column, any depth.
+    * (If the FIRST key is a typed column, navigation goes through Spark
+    * types instead and the typed truthy() handles it.)
+    */
+  private object JsonPropChain {
+    def unapply(e: Expr): Option[(String, List[String])] = {
+      def chain(x: Expr): Option[(String, List[String])] = x match {
+        case Prop(b, k) => chain(b).map { case (v, ks) => (v, ks :+ k) }
+        case Variable(v) => Some((v, Nil))
+        case _ => None
+      }
+      chain(e).filter { case (v, keys) =>
+        keys.nonEmpty && entityVar(v).exists(vi =>
+          !vi.props.contains(keys.head) && vi.props.contains("properties"))
+      }
+    }
+  }
+
   /** Truthiness with the AST in hand: a schemaless (JSON-backed) property
     * must be decoded by its JSON type, exactly as the reference parses JSON
     * properties into typed values before is_truthy (match_executor.rs
@@ -326,12 +345,13 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
     * (hence truthy) string `"false"` become the same text. VARIANT keeps
     * the JSON type: boolean passes through, numbers compare to zero,
     * string/list/map are truthy iff non-empty, null/missing stay NULL.
+    * Applies to chains of any depth (n.meta.enabled) — the whole chain
+    * is one variant path.
     */
   def truthyExpr(e: Expr): Column = e match {
-    case Prop(Variable(v), key) if entityVar(v).exists(vi =>
-        !vi.props.contains(key) && vi.props.contains("properties")) =>
+    case JsonPropChain(v, keys) =>
       val vcol = try_parse_json(col(Scope.colName(v, "properties")))
-      val path = "$." + key
+      val path = "$." + keys.mkString(".")
       val node = try_variant_get(vcol, path, "variant")
       val typ = schema_of_variant(node)
       val asStr = try_variant_get(vcol, path, "string")

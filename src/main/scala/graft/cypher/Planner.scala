@@ -331,6 +331,28 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     case _ => s"col$i"
   }
 
+  /** Structural equality up to function-name case: the AST preserves the
+    * user's spelling for output naming (openCypher function names are
+    * case-insensitive), so `Count(n)` in RETURN must still match
+    * `count(n)` in ORDER BY. Canonicalize before comparing.
+    */
+  private def canon(e: Expr): Expr = e match {
+    case FnCall(n, args, d) => FnCall(n.toLowerCase, args.map(canon), d)
+    case Prop(b, k) => Prop(canon(b), k)
+    case Index(b, i) => Index(canon(b), canon(i))
+    case Bin(op, l, r) => Bin(op, canon(l), canon(r))
+    case Un(op, x) => Un(op, canon(x))
+    case IsNull(x, neg) => IsNull(canon(x), neg)
+    case InList(x, l, neg) => InList(canon(x), canon(l), neg)
+    case CaseExpr(ws, o) =>
+      CaseExpr(ws.map { case (c, v) => (canon(c), canon(v)) }, o.map(canon))
+    case ListLit(xs) => ListLit(xs.map(canon))
+    case MapLit(entries) => MapLit(entries.map { case (k, v) => (k, canon(v)) })
+    case other => other
+  }
+
+  private def sameExpr(a: Expr, b: Expr): Boolean = canon(a) == canon(b)
+
   /** The reference's column name for an un-aliased RETURN item
     * (executor/mod.rs get_return_key, :627-645): a property chain keeps
     * its dotted text, a function call becomes `name()`/`name(...)`,
@@ -387,7 +409,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       items.map(i => i.name -> VarInfo(VarKind.Value, None, Nil)).toMap,
       items.map(_.name))
     val oec = ec(outScope)
-    (e: Expr) => items.find(_.expr == e).map(i => col(i.name))
+    (e: Expr) => items.find(it => sameExpr(it.expr, e)).map(i => col(i.name))
       .getOrElse(oec.compile(e))
   }
 
@@ -427,7 +449,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         // output-side resolution first (structural match or alias
         // reference); anything else is a scope expression to carry hidden
         def fromOutput(e: Expr): Option[Column] =
-          named.find(_.expr == e).map(i => col(i.name)).orElse(e match {
+          named.find(it => sameExpr(it.expr, e)).map(i => col(i.name)).orElse(e match {
             case Variable(n) if named.exists(_.name == n) => Some(col(n))
             case _ => None
           })
@@ -493,7 +515,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
 
     // ORDER BY / SKIP / LIMIT on the projected relation
     val resolve: Expr => Column = { e =>
-      named.find(_.expr == e).map(i => i.expr match {
+      named.find(it => sameExpr(it.expr, e)).map(i => i.expr match {
         case Variable(v) if out.vars(i.name).kind != VarKind.Value =>
           col(Scope.colName(i.name, "id"))
         case _ => col(i.name)

@@ -268,7 +268,14 @@ object ExtraQueries {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      try q.awaitTermination()
+      finally {
+        // the memory sink holds the result; the staged source files are
+        // dead weight after termination — repeated runs must not fill /tmp
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       s.table(sink)
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("sum_value"))
@@ -280,7 +287,7 @@ object ExtraQueries {
       // eager: both PageRank variants consume the edge relation
       val edges = g.allEdges.select(col("src"), col("dst")).localCheckpoint(true)
       val stable = graft.algorithms.GraphAlgorithms
-        .pageRankStable(edges, 5, chainDepth = 5)
+        .pageRankStable(edges, 5, chainDepth = 2) // same A/B-measured depth as x17
         .orderBy(col("pr").desc, col("id")).limit(20).select(col("id"))
       val gx = graft.algorithms.GraphAlgorithms.pageRank(s, edges, 5)
         .orderBy(col("rank").desc, col("id")).limit(20).select(col("id"))

@@ -97,8 +97,11 @@ object GraphIO {
   private def typedPropsJson(cols: Seq[String]): org.apache.spark.sql.Column = {
     def cellJson(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(c.rlike("^-?[0-9]{1,18}$"), c.cast("long").cast("string"))
+        // the finite guard keeps overflowing literals (1e999 -> Infinity,
+        // a bare token that would corrupt the whole JSON string) on the
+        // string branch; serde's f64 path can't represent them either
         .when(c.rlike("^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$") &&
-            c.cast("double").isNotNull,
+            c.cast("double").between(-Double.MaxValue, Double.MaxValue),
           c.cast("double").cast("string"))
         .otherwise(concat(lit("\""),
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(

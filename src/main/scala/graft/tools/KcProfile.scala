@@ -24,14 +24,20 @@ object KcProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // boxed value type: with [Int, Long] args, get/remove auto-unbox a
+    // missing entry's null to 0L before any null check can see it
+    val starts = new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         starts.put(js.jobId, System.nanoTime())
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        val t0 = Option(starts.get(je.jobId)).getOrElse(0L)
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (dt > 0.2) println(f"    job ${je.jobId}%4d ${dt}%6.2f s")
+        // null = start event missed (listener registered mid-job); skip
+        // instead of printing a bogus nanoTime-sized duration
+        val t0 = starts.remove(Integer.valueOf(je.jobId))
+        if (t0 != null) {
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt > 0.2) println(f"    job ${je.jobId}%4d ${dt}%6.2f s")
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)

@@ -370,6 +370,26 @@ class CypherSpec extends AnyFunSuite {
     assert(got == Seq(Seq("fa"), Seq("fo"), Seq("nf"), Seq("sf"), Seq("sz")))
   }
 
+  test("typed truthiness reaches nested schemaless properties") {
+    val json =
+      """{"vertices":[
+        |  {"id":"1","label":"N","properties":{"name":"on","meta":{"enabled":true}}},
+        |  {"id":"2","label":"N","properties":{"name":"off","meta":{"enabled":false}}},
+        |  {"id":"3","label":"N","properties":{"name":"zero","meta":{"enabled":0}}},
+        |  {"id":"4","label":"N","properties":{"name":"str","meta":{"enabled":"false"}}},
+        |  {"id":"5","label":"N","properties":{"name":"none","meta":{}}}],
+        |"edges":[]}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_truthy3", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val sess = new CypherSession(spark,
+      graft.store.GraphIO.importJson(spark, f.toString))
+    val got = rows(sess.run(
+      "MATCH (n:N) WHERE n.meta.enabled RETURN n.name AS name ORDER BY name"))
+    // boolean false and 0 are falsy even two levels deep; the non-empty
+    // STRING "false" is truthy (reference typed is_truthy)
+    assert(got == Seq(Seq("on"), Seq("str")))
+  }
+
   test("un-aliased RETURN items take the reference's column names") {
     // reference get_return_key (executor/mod.rs:627-645): property chains
     // keep their dotted text, function calls become name(...), variables
@@ -382,6 +402,19 @@ class CypherSpec extends AnyFunSuite {
     assert(df.select(df("`n.name`")).count() == 1)
     val agg = session.run("MATCH (n:Person) RETURN count(*), max(n.age)")
     assert(agg.columns.toSeq == Seq("count(*)", "max(...)"))
+  }
+
+  test("ORDER BY matches RETURN items up to function-name case") {
+    // function names are case-insensitive in openCypher; the AST keeps
+    // the user's spelling for output naming, so structural resolution
+    // must canonicalize before comparing (Count(n) == count(n))
+    val df = session.run(
+      "MATCH (n:Person) RETURN n.city AS city, Count(n) ORDER BY count(n) DESC, city")
+    assert(df.columns.toSeq == Seq("city", "Count(...)"))
+    assert(rows(df).map(_.head) == Seq("Beijing", "Shanghai", "Shenzhen"))
+    val df2 = session.run(
+      "MATCH (n:Person) RETURN DISTINCT toUpper(n.city) AS c ORDER BY TOUPPER(n.city)")
+    assert(rows(df2) == Seq(Seq("BEIJING"), Seq("SHANGHAI"), Seq("SHENZHEN")))
   }
 
   test("ORDER BY an expression that is not projected") {

@@ -92,6 +92,17 @@ class GraphIOSpec extends AnyFunSuite {
     assert(props == Seq(
       """{"age":30,"flag":"true","name":"Alice","quote":"say \"hi\"","score":1.5}""",
       """{"age":7,"flag":"false","name":"Bob","quote":"plain","score":1000.0}"""))
+    // a float literal overflowing double (1e999 -> Infinity) must fall to
+    // the string branch, not emit a bare Infinity token that would corrupt
+    // the JSON; a 19-digit integer exceeds the bounded-exact window and
+    // normalizes through double instead
+    val vf3 = Files.createTempFile("verts3", ".csv")
+    Files.writeString(vf3, "id,label,big,huge\nc,Q,1e999,9999999999999999999\n")
+    val ef3 = Files.createTempFile("edges3", ".csv")
+    Files.writeString(ef3, "id,label,start,end\n")
+    val store3 = GraphIO.importCsv(spark, vf3.toString, ef3.toString)
+    assert(store3.vertices("Q").collect().map(_.getString(1)).toSeq ==
+      Seq("""{"big":"1e999","huge":1.0E19}"""))
     // and the typed values flow through Cypher predicates without casts
     val sess = new graft.cypher.CypherSession(spark, store)
     val got = sess.run("MATCH (n:P) WHERE n.age > 25 RETURN n.name AS name")
