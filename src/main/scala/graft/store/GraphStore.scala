@@ -46,18 +46,27 @@ final class GraphStore(
     * string). Used only for label-free scans and export; typed per-label
     * tables are the hot path.
     */
+  /** Typed prop columns fold into a JSON string; a table whose only prop
+    * column IS `properties` (the schemaless shape) passes it through —
+    * wrapping it again would nest the JSON one level deeper on every
+    * export/reimport roundtrip and break unlabeled-scan property reads.
+    */
+  private def propsJson(df: DataFrame, props: Seq[String]): Column =
+    if (props == Seq("properties")) col("properties")
+    else to_json(struct(props.map(col).toIndexedSeq: _*))
+
   def allVertices: DataFrame =
     vertexTables.toSeq.sortBy(_._1).map { case (label, df) =>
-      val props = df.columns.filterNot(_ == "id")
+      val props = df.columns.filterNot(_ == "id").toSeq
       df.select(col("id"), lit(label).as("label"),
-        to_json(struct(props.map(col).toIndexedSeq: _*)).as("properties"))
+        propsJson(df, props).as("properties"))
     }.reduce(_.unionByName(_))
 
   def allEdges: DataFrame =
     edgeTables.toSeq.sortBy(_._1).map { case (label, df) =>
-      val props = df.columns.filterNot(Set("id", "src", "dst"))
+      val props = df.columns.filterNot(Set("id", "src", "dst")).toSeq
       df.select(col("id"), col("src"), col("dst"), lit(label).as("label"),
-        to_json(struct(props.map(col).toIndexedSeq: _*)).as("properties"))
+        propsJson(df, props).as("properties"))
     }.reduce(_.unionByName(_))
 
   /** Point get (rocksdb_store.rs:499-509): id carries the label in its high

@@ -109,6 +109,35 @@ class GraphIOSpec extends AnyFunSuite {
     assert(got.collect().map(_.getString(0)).toSeq == Seq("Alice"))
   }
 
+  test("typed JSON properties survive an export/reimport roundtrip") {
+    // booleans/numbers/arrays/nested objects keep their JSON types through
+    // importJson -> exportJsonDoc -> importJson: the first import
+    // normalizes through to_json(variant) (sorted keys), the export emits
+    // the properties string verbatim as a JSON string token, and the
+    // re-import's STRING-variant unwrap passes it through unchanged
+    val json =
+      """{"vertices":[
+        |  {"id":"1","label":"T","properties":{"b":false,"n":0,"s":"false","f":2.5}},
+        |  {"id":"2","label":"T","properties":{"a":[1,2],"o":{"k":true},"e":""}}],
+        |"edges":[{"label":"E","start":"1","end":"2","properties":{"w":1.5}}]}""".stripMargin
+    val f = Files.createTempFile("typed", ".json")
+    Files.writeString(f, json)
+    val s1 = GraphIO.importJson(spark, f.toString)
+    def propSet(s: graft.store.GraphStore) =
+      (s.allVertices.collect().map(_.getAs[String]("properties")) ++
+        s.allEdges.collect().map(_.getAs[String]("properties"))).toSet
+    val f2 = Files.createTempFile("typed2", ".json")
+    Files.writeString(f2, GraphIO.exportJsonDoc(s1))
+    val s2 = GraphIO.importJson(spark, f2.toString)
+    val p1 = propSet(s1)
+    assert(p1 == propSet(s2))
+    // and the types are actually in the text (unquoted scalars, quoted strings)
+    assert(p1.exists(_.contains(""""b":false""")), p1)
+    assert(p1.exists(_.contains(""""s":"false"""")), p1)
+    assert(p1.exists(_.contains(""""a":[1,2]""")), p1)
+    assert(p1.exists(_.contains(""""o":{"k":true}""")), p1)
+  }
+
   test("import id allocation is deterministic across repeated imports") {
     val f = Files.createTempFile("graph", ".json")
     Files.writeString(f, jsonDoc)
