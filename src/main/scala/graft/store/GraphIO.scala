@@ -75,17 +75,27 @@ object GraphIO {
     // escape=" selects RFC-4180 doubled-quote escaping — the format the
     // reference's csv crate reads and our exportCsv writes
     val v = spark.read.option("header", true).option("escape", "\"").csv(vertexCsv)
-    val vProps = v.columns.filterNot(Set("id", "label"))
+    val vProps = v.columns.filterNot(Set("id", "label")).toSeq
     val vRaw = v.select(
       coalesce(col("id").cast("string"), concat(lit("__auto_"), monotonically_increasing_id()))
         .as("key"),
-      col("label"), typedPropsJson(vProps).as("properties"))
+      col("label"), csvProps(vProps).as("properties"))
     val e = spark.read.option("header", true).option("escape", "\"").csv(edgeCsv)
-    val eProps = e.columns.filterNot(Set("id", "label", "start", "end"))
+    val eProps = e.columns.filterNot(Set("id", "label", "start", "end")).toSeq
     val eRaw = e.select(col("label"), col("start").cast("string"),
-      col("end").cast("string"), typedPropsJson(eProps).as("properties"))
+      col("end").cast("string"), csvProps(eProps).as("properties"))
     buildStore(spark, vRaw, eRaw)
   }
+
+  /** A lone prop column literally named `properties` is the exportCsv
+    * shape (id,label,properties-as-JSON — the same layout the reference's
+    * export_vertices_to_csv writes, export.rs:60-69): its cells are
+    * already the JSON blob, so pass them through instead of escaping the
+    * text into a nested string. The reference's own importer cannot
+    * re-read its exporter's layout at all; here the roundtrip closes.
+    */
+  private def csvProps(props: Seq[String]): org.apache.spark.sql.Column =
+    if (props == Seq("properties")) col("properties") else typedPropsJson(props)
 
   /** {"k":v,...} over the given string columns, each cell typed by the
     * reference's inference order: 18-digit-bounded integers stay integer
@@ -173,13 +183,16 @@ object GraphIO {
     s"""{"vertices":[${vs.mkString(",")}],"edges":[${es.mkString(",")}]}"""
   }
 
-  /** CSV export, properties as a JSON string column (export.rs:45-158). */
+  /** CSV export, properties as a JSON string column (export.rs:45-158).
+    * Edges go out in interchange shape (start/end) so importCsv reads the
+    * files back directly — edge ids are re-allocated on import either way.
+    */
   def exportCsv(store: GraphStore, outDir: String): Unit = {
     // escape=" writes RFC-4180 doubled quotes — what the reference's csv
     // crate writes and reads, and what importCsv expects back
     store.allVertices.write.mode("overwrite").option("header", true)
       .option("escape", "\"").csv(s"$outDir/vertices")
-    store.allEdges.write.mode("overwrite").option("header", true)
+    interchangeEdges(store).write.mode("overwrite").option("header", true)
       .option("escape", "\"").csv(s"$outDir/edges")
   }
 

@@ -138,6 +138,34 @@ class GraphIOSpec extends AnyFunSuite {
     assert(p1.exists(_.contains(""""o":{"k":true}""")), p1)
   }
 
+  test("typed properties survive a CSV export/reimport roundtrip") {
+    // exportCsv writes the reference's layout (id,label,properties-JSON;
+    // edges in start/end interchange shape); importCsv recognizes the
+    // lone properties column and passes the JSON through un-escaped —
+    // the roundtrip the reference's own importer cannot do
+    val json =
+      """{"vertices":[
+        |  {"id":"1","label":"T","properties":{"b":false,"s":"say \"hi\"","n":7}},
+        |  {"id":"2","label":"T","properties":{"a":[1,2]}}],
+        |"edges":[{"label":"E","start":"1","end":"2","properties":{"w":1.5}}]}""".stripMargin
+    val f = Files.createTempFile("csvr", ".json")
+    Files.writeString(f, json)
+    val s1 = GraphIO.importJson(spark, f.toString)
+    val out = Files.createTempDirectory("csvr_out")
+    GraphIO.exportCsv(s1, out.toString)
+    def part(d: String) = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        .iterator().asScala.filter(_.toString.endsWith(".csv")).next().toString
+    }
+    val s2 = GraphIO.importCsv(spark, part(s"$out/vertices"), part(s"$out/edges"))
+    def propSet(s: graft.store.GraphStore) =
+      (s.allVertices.collect().map(_.getAs[String]("properties")) ++
+        s.allEdges.collect().map(_.getAs[String]("properties"))).toSet
+    assert(propSet(s1) == propSet(s2))
+    assert(s2.allEdges.count() == 1)
+  }
+
   test("import id allocation is deterministic across repeated imports") {
     val f = Files.createTempFile("graph", ".json")
     Files.writeString(f, jsonDoc)
