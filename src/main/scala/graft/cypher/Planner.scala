@@ -611,8 +611,22 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           Graphid.pack(labidOf(label), next)
       }
       nodeIds(v) = id
-      val row = spark.range(1).select(
-        (lit(id).as("id") +: rest.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
+      // a CREATE into a schemaless (JSON-imported) label must fold its
+      // props into the properties JSON string, not union typed columns
+      // beside it — a mixed table would split property reads by row
+      // origin (typed column null for imported rows, JSON key null for
+      // created rows)
+      val schemaless = vtabs.get(label)
+        .exists(_.columns.toSet == Set("id", "properties"))
+      val row =
+        if (schemaless) {
+          val propsJson =
+            if (rest.isEmpty) lit("{}")
+            else to_json(struct(rest.sortBy(_._1).map { case (k, e) =>
+              compiler.compile(e).as(k) }.toIndexedSeq: _*))
+          spark.range(1).select(lit(id).as("id"), propsJson.as("properties"))
+        } else spark.range(1).select(
+          (lit(id).as("id") +: rest.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
       vtabs = vtabs.get(label) match {
         case Some(t) => vtabs + (label -> t.unionByName(row, allowMissingColumns = true))
         case None => vtabs + (label -> row)
@@ -667,9 +681,21 @@ final class Planner(spark: SparkSession, store0: GraphStore,
               "__seq")
               .withColumn("id", Graphid.packCol(labidOf(label), lit(start) + col("__seq")))
         }
-        val ordered = rows.select(
-          (col("id") +: col("src") +: col("dst") +:
-            eRest.map { case (k, _) => col(k) }).toIndexedSeq: _*)
+        // same schemaless fold as the vertex path: an edge CREATE into a
+        // JSON-imported edge table keeps the uniform properties shape
+        val eSchemaless = etabs.get(label)
+          .exists(_.columns.toSet == Set("id", "src", "dst", "properties"))
+        val ordered =
+          if (eSchemaless) {
+            val propsJson =
+              if (eRest.isEmpty) lit("{}")
+              else to_json(struct(eRest.sortBy(_._1).map { case (k, _) =>
+                col(k) }.toIndexedSeq: _*))
+            rows.select(col("id"), col("src"), col("dst"),
+              propsJson.as("properties"))
+          } else rows.select(
+            (col("id") +: col("src") +: col("dst") +:
+              eRest.map { case (k, _) => col(k) }).toIndexedSeq: _*)
         etabs = etabs.get(label) match {
           case Some(t) => etabs + (label -> t.unionByName(ordered, allowMissingColumns = true))
           case None => etabs + (label -> ordered)

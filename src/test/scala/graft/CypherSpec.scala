@@ -370,6 +370,36 @@ class CypherSpec extends AnyFunSuite {
     assert(got == Seq(Seq("fa"), Seq("fo"), Seq("nf"), Seq("sf"), Seq("sz")))
   }
 
+  test("CREATE into a JSON-imported label folds props into the properties JSON") {
+    // a mixed table (typed columns beside a properties JSON column) would
+    // split property reads by row origin; the fold keeps the schemaless
+    // shape uniform so one MATCH reads imported and created rows alike
+    val json =
+      """{"vertices":[
+        |  {"id":"1","label":"City","properties":{"name":"Oslo","pop":700000}},
+        |  {"id":"2","label":"City","properties":{"name":"Tromso","pop":77000}}],
+        |"edges":[{"label":"ROAD","start":"1","end":"2","properties":{"km":1640}}]}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_mixed", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val sess = new CypherSession(spark,
+      graft.store.GraphIO.importJson(spark, f.toString))
+    sess.run("CREATE (c:City {name: 'Bergen', pop: 280000})")
+    assert(sess.store.vertexTables("City").columns.toSet == Set("id", "properties"))
+    val got = rows(sess.run(
+      "MATCH (c:City) WHERE c.pop > 100000 RETURN c.name AS name ORDER BY name"))
+    assert(got == Seq(Seq("Bergen"), Seq("Oslo")))
+    // an edge CREATE into the imported ROAD table folds the same way,
+    // and one MATCH reads imported and created edges alike
+    sess.run("MATCH (a:City {name: 'Oslo'}), (b:City {name: 'Bergen'}) " +
+      "CREATE (a)-[:ROAD {km: 463}]->(b)")
+    assert(sess.store.edgeTables("ROAD").columns.toSet ==
+      Set("id", "src", "dst", "properties"))
+    val road = rows(sess.run(
+      "MATCH (:City)-[r:ROAD]->(b:City) " +
+        "RETURN toInteger(r.km) AS km, b.name AS to_city ORDER BY km"))
+    assert(road == Seq(Seq(463L, "Bergen"), Seq(1640L, "Tromso")))
+  }
+
   test("typed truthiness reaches nested schemaless properties") {
     val json =
       """{"vertices":[
