@@ -620,10 +620,15 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         .exists(_.columns.toSet == Set("id", "properties"))
       val row =
         if (schemaless) {
-          val propsJson =
-            if (rest.isEmpty) lit("{}")
-            else to_json(struct(rest.sortBy(_._1).map { case (k, e) =>
+          val propsJson = rest match {
+            case Seq() => lit("{}")
+            // a lone `properties` prop IS the JSON blob (the
+            // exportCypher replay shape) — wrapping it would nest one
+            // level deeper per statement
+            case Seq(("properties", e)) => compiler.compile(e)
+            case _ => to_json(struct(rest.sortBy(_._1).map { case (k, e) =>
               compiler.compile(e).as(k) }.toIndexedSeq: _*))
+          }
           spark.range(1).select(lit(id).as("id"), propsJson.as("properties"))
         } else spark.range(1).select(
           (lit(id).as("id") +: rest.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
@@ -687,10 +692,13 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           .exists(_.columns.toSet == Set("id", "src", "dst", "properties"))
         val ordered =
           if (eSchemaless) {
-            val propsJson =
-              if (eRest.isEmpty) lit("{}")
-              else to_json(struct(eRest.sortBy(_._1).map { case (k, _) =>
+            val propsJson = eRest match {
+              case Seq() => lit("{}")
+              // lone `properties` prop = the JSON blob (replay shape)
+              case Seq(("properties", _)) => col("properties")
+              case _ => to_json(struct(eRest.sortBy(_._1).map { case (k, _) =>
                 col(k) }.toIndexedSeq: _*))
+            }
             rows.select(col("id"), col("src"), col("dst"),
               propsJson.as("properties"))
           } else rows.select(

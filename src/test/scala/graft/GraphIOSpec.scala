@@ -166,6 +166,31 @@ class GraphIOSpec extends AnyFunSuite {
     assert(s2.allEdges.count() == 1)
   }
 
+  test("schemaless Cypher-script export replays with properties intact") {
+    // the export writes `properties: '<json>'` as one quoted prop; replay
+    // must store that blob AS the properties column for every statement —
+    // the second-and-later CREATEs of a label hit the schemaless fold,
+    // which must pass the lone properties prop through un-wrapped
+    val json =
+      """{"vertices":[
+        |  {"id":"1","label":"T","properties":{"b":false,"n":7}},
+        |  {"id":"2","label":"T","properties":{"s":"x"}},
+        |  {"id":"3","label":"T","properties":{"a":[1]}}],
+        |"edges":[{"label":"E","start":"1","end":"2","properties":{"w":1}},
+        |  {"label":"E","start":"2","end":"3","properties":{"v":2}}]}""".stripMargin
+    val f = Files.createTempFile("cyr", ".json")
+    Files.writeString(f, json)
+    val s1 = GraphIO.importJson(spark, f.toString)
+    val script = GraphIO.exportCypherScript(s1)
+    val sess = new graft.cypher.CypherSession(spark,
+      new graft.store.GraphStore(Map.empty, Map.empty))
+    sess.runScript(script)
+    def propSet(s: graft.store.GraphStore) =
+      (s.allVertices.collect().map(_.getAs[String]("properties")) ++
+        s.allEdges.collect().map(_.getAs[String]("properties"))).toSet
+    assert(propSet(s1) == propSet(sess.store))
+  }
+
   test("import id allocation is deterministic across repeated imports") {
     val f = Files.createTempFile("graph", ".json")
     Files.writeString(f, jsonDoc)
