@@ -254,8 +254,12 @@ object GraphAlgorithms {
       val observed = df.observe(obs, count(lit(1)).as("n"),
         count(when(col("deg") < k, lit(1))).as("r"))
       (observed, () => {
-        val slot = new java.util.concurrent.SynchronousQueue[Map[String, Any]]()
-        val t = new Thread(() => { try slot.put(obs.get) catch { case _: Throwable => () } },
+        // capacity-1 buffer, not a SynchronousQueue: offer() deposits the
+        // value (or drops it) without ever blocking, so a waiter whose
+        // consumer timed out and left still terminates instead of sitting
+        // in put() forever — one leaked thread per timed-out round adds up
+        val slot = new java.util.concurrent.ArrayBlockingQueue[Map[String, Any]](1)
+        val t = new Thread(() => { try slot.offer(obs.get) catch { case _: Throwable => () } },
           "kcore-observation-wait")
         t.setDaemon(true)
         t.start()

@@ -64,6 +64,8 @@ object Ast {
       orderBy: Seq[OrderItem], skip: Option[Long], limit: Option[Long],
       where: Option[Expr]) extends Clause
   final case class CreateClause(patterns: Seq[PathPat]) extends Clause
+  /** MERGE takes exactly one pattern part (openCypher grammar). */
+  final case class MergeClause(pattern: PathPat) extends Clause
   /** SET target path (variable + property chain) = value. */
   final case class SetItem(variable: String, path: Seq[String], value: Expr)
   final case class SetClause(items: Seq[SetItem]) extends Clause

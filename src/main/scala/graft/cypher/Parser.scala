@@ -40,6 +40,7 @@ final class Parser(tokens: Vector[Tok]) {
         case Kw("RETURN", _) => clauses += parseReturn()
         case Kw("WITH", _) => clauses += parseWith()
         case Kw("CREATE", _) => clauses += parseCreate()
+        case Kw("MERGE", _) => p += 1; clauses += MergeClause(parsePathPat())
         case Kw("SET", _) => clauses += parseSet()
         case Kw("DELETE", _) | Kw("DETACH", _) => clauses += parseDelete()
         case Kw("UNWIND", _) => clauses += parseUnwind()

@@ -44,6 +44,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       case r: ReturnClause =>
         result = Some(compileReturn(scope.getOrElse(emptyScope), r))
       case c: CreateClause => scope = Some(compileCreate(scope, c))
+      case m: MergeClause => scope = Some(compileMerge(scope, m))
       case s: SetClause => compileSet(scope.getOrElse(sys.error("SET requires MATCH")), s)
       case d: DeleteClause => compileDelete(scope.getOrElse(sys.error("DELETE requires MATCH")), d)
     }
@@ -713,6 +714,98 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     }
     store = new GraphStore(vtabs, etabs)
     sc
+  }
+
+  /** MERGE — match-or-create (openCypher; absent from the reference's
+    * grammar, cypher.pest:1-160 — a reach extension, not a parity item).
+    * Reduced to "create exactly the missing rows, then re-MATCH the
+    * pattern": run-twice idempotency is structural (the second run finds
+    * nothing missing and re-binds the same rows), and the re-match gives
+    * created entities their bindings with the normal MATCH machinery
+    * instead of a parallel binding path. Two forms, mirroring the C1
+    * follow-with-dup-check workload (SocialGraph.follow):
+    *  - node form `MERGE (n:L {props})`: n unbound; if any node matches
+    *    the whole pattern every match binds, else ONE node is created
+    *    (the CREATE-under-bound-scope rule, SURVEY §8.1 — literal
+    *    patterns are row-invariant here because props must not reference
+    *    scope variables).
+    *  - relationship form `MERGE (a)-[r:T {props}]->(b)`: a and b bound
+    *    by earlier clauses; per DISTINCT (a, b) pair the edge is created
+    *    iff no T-edge with the given props connects the pair.
+    * The existence probes are driver-side actions — acceptable on the
+    * mutation path (CREATE's maxLocid does the same); the per-pair
+    * existence test itself is one distributed anti-join, not a loop.
+    * ON CREATE SET / ON MATCH SET are not implemented (loud parse error).
+    */
+  private def compileMerge(scope: Option[Scope], mc: MergeClause): Scope = {
+    val pat = mc.pattern
+    def bound(v: String): Boolean = scope.exists(_.vars.contains(v))
+    if (pat.hops.isEmpty) {
+      val np = pat.start
+      require(np.variable.forall(v => !bound(v)),
+        "MERGE node form needs an unbound variable")
+      require(np.labels.size == 1, s"MERGE node needs exactly one label: $np")
+      // props must be scope-independent (compiled against the empty scope,
+      // so a scope-variable reference fails loudly): the match-or-create
+      // decision is global, not per binding row
+      val exists = store.vertexTables.contains(np.labels.head) &&
+        !compilePath(None, pat).df.isEmpty
+      if (!exists) compileCreate(None, CreateClause(Seq(pat)))
+    } else {
+      val sc0 = scope.getOrElse(
+        sys.error("MERGE relationship form requires bound endpoints"))
+      require(pat.hops.size == 1, "MERGE supports a single relationship hop")
+      val (rel, endNp) = pat.hops.head
+      val aV = pat.start.variable.getOrElse(
+        sys.error("MERGE relationship form needs node variables"))
+      val bV = endNp.variable.getOrElse(
+        sys.error("MERGE relationship form needs node variables"))
+      require(bound(aV) && bound(bV),
+        "MERGE relationship form requires both endpoints bound by an earlier MATCH")
+      require(pat.start.labels.isEmpty && pat.start.props.isEmpty &&
+        endNp.labels.isEmpty && endNp.props.isEmpty,
+        "MERGE bound endpoints take no inline labels/props")
+      require(rel.types.size == 1, "MERGE relationship needs exactly one type")
+      require(rel.dir != Dir.Both, "MERGE relationship cannot be undirected")
+      require(rel.varLength.isEmpty, "MERGE relationship cannot be var-length")
+      val label = rel.types.head
+      val (fromV, toV) = if (rel.dir == Dir.In) (bV, aV) else (aV, bV)
+      val pairs = sc0.df.select(
+        col(Scope.colName(fromV, "id")).as("__ms"),
+        col(Scope.colName(toV, "id")).as("__md")).distinct()
+      val missing = store.edgeTables.get(label) match {
+        case Some(t) =>
+          // edge-prop constraints narrow the existence test (typed column
+          // or schemaless JSON key, same lookup as the var-length path);
+          // values compile against the empty scope — scope-independent
+          var existing = t
+          rel.props.foreach { case (k, ex) =>
+            val target: Column =
+              if (existing.columns.contains(k)) existing(k)
+              else if (existing.columns.contains("properties"))
+                get_json_object(col("properties"), "$." + k)
+              else lit(null)
+            existing = existing.where(target === ec(emptyScope).compile(ex))
+          }
+          pairs.join(existing.select(col("src"), col("dst")),
+            pairs("__ms") === col("src") && pairs("__md") === col("dst"),
+            "left_anti")
+        case None => pairs
+      }
+      if (!missing.isEmpty) {
+        // hand compileCreate a scope of ONLY the missing pairs: it then
+        // creates one edge per pair through its normal bound-endpoint path
+        // (id allocation, schemaless fold, Both-dir guard all shared)
+        val createScope = Scope(
+          missing.select(col("__ms").as(Scope.colName(fromV, "id")),
+            col("__md").as(Scope.colName(toV, "id"))),
+          Map(fromV -> VarInfo(VarKind.Node, None, Nil),
+            toV -> VarInfo(VarKind.Node, None, Nil)),
+          Seq(fromV, toV))
+        compileCreate(Some(createScope), CreateClause(Seq(pat)))
+      }
+    }
+    compileMatch(scope, MatchClause(Seq(pat), optional = false, where = None))
   }
 
   /** DELETE / DETACH DELETE (reference delete_executor.rs:42-129): victims

@@ -284,15 +284,29 @@ object ExtraQueries {
 
     "x21_pagerank_crosscheck" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
-      // eager: both PageRank variants consume the edge relation
+      // eager: both PageRank variants consume the edge relation. The
+      // checkpoint's persistent-RDD delta is captured so the 2|E| blocks
+      // can be released HERE, after the one-row agreement count has been
+      // materialized — hosts that run queries without a Bench-style
+      // getPersistentRDDs sweep must not leak blocks per invocation. The
+      // count runs inside the builder (Bench times builder + count, so
+      // nothing escapes the timer); the returned literal row is the result.
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val edges = g.allEdges.select(col("src"), col("dst")).localCheckpoint(true)
-      val stable = graft.algorithms.GraphAlgorithms
-        .pageRankStable(edges, 5, chainDepth = 2) // same A/B-measured depth as x17
-        .orderBy(col("pr").desc, col("id")).limit(20).select(col("id"))
-      val gx = graft.algorithms.GraphAlgorithms.pageRank(s, edges, 5)
-        .orderBy(col("rank").desc, col("id")).limit(20).select(col("id"))
-      stable.join(gx, Seq("id"), "left_semi")
-        .agg(count(lit(1)).as("n_agree"))
+      val mine = sc.getPersistentRDDs.keySet -- before
+      val nAgree =
+        try {
+          val stable = graft.algorithms.GraphAlgorithms
+            .pageRankStable(edges, 5, chainDepth = 2) // same A/B-measured depth as x17
+            .orderBy(col("pr").desc, col("id")).limit(20).select(col("id"))
+          val gx = graft.algorithms.GraphAlgorithms.pageRank(s, edges, 5)
+            .orderBy(col("rank").desc, col("id")).limit(20).select(col("id"))
+          stable.join(gx, Seq("id"), "left_semi")
+            .agg(count(lit(1)).as("n_agree")).head.getLong(0)
+        } finally mine.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      s.range(1).select(lit(nAgree).as("n_agree"))
     }),
 
     // GraphX connected components, oracle-checked: min-label fixpoint

@@ -44,11 +44,20 @@ object GraphIO {
     val doc = spark.read.option("multiLine", true).schema(schema).json(path)
     // properties may arrive as a JSON object (fresh import) or as an
     // already-serialized JSON string (re-import of our own export) — a
-    // VARIANT of STRING type unwraps to the serialized text itself
+    // VARIANT of STRING type unwraps to the serialized text itself. An
+    // absent/null properties field normalizes to the empty object: the
+    // reference's import stores an empty map for such rows (import.rs:
+    // 339-345 unwrap_or_default), and a NULL here would make toJSON-based
+    // exports silently drop the properties key.
     def propsOf: org.apache.spark.sql.Column =
-      when(schema_of_variant(col("properties")) === "STRING",
-        try_variant_get(col("properties"), "$", "string"))
-        .otherwise(to_json(col("properties")))
+      coalesce(
+        when(schema_of_variant(col("properties")) === "STRING",
+          try_variant_get(col("properties"), "$", "string"))
+          // an explicit JSON null is a variant-null VALUE (not SQL NULL),
+          // which to_json would render as the text "null"
+          .when(schema_of_variant(col("properties")) === "VOID", lit("{}"))
+          .otherwise(to_json(col("properties"))),
+        lit("{}"))
     def section(field: String): DataFrame =
       doc.select(explode(col(field)).as("x")).select(col("x.*"))
     val v0 = section("vertices")
@@ -69,7 +78,10 @@ object GraphIO {
     * of digits becomes a JSON number, a float literal a JSON double, and
     * anything else a JSON string. A flat struct+to_json cannot express this
     * (one type per column, not per cell), so the JSON text is assembled
-    * per cell.
+    * per cell. Empty cells (which Spark's CSV reader surfaces as NULL,
+    * quoted or not) become present empty-string properties — the csv
+    * crate deserializes an empty cell to String(""), so the reference
+    * keeps the key; dropping it would flip existence checks.
     */
   def importCsv(spark: SparkSession, vertexCsv: String, edgeCsv: String): GraphStore = {
     // escape=" selects RFC-4180 doubled-quote escaping — the format the
@@ -102,11 +114,13 @@ object GraphIO {
     * text (the bound keeps cast("long") exact — the reference accepts up
     * to u64, a documented sliver of divergence past 2^59), float literals
     * normalize through double, everything else is a JSON-escaped string.
-    * NULL cells (absent in the CSV) are omitted — concat_ws skips them.
+    * NULL (= empty) cells become "" string properties (see importCsv doc).
     */
   private def typedPropsJson(cols: Seq[String]): org.apache.spark.sql.Column = {
     def cellJson(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(c.rlike("^-?[0-9]{1,18}$"), c.cast("long").cast("string"))
+      // optional leading + on the integer branch: the reference's i64
+      // parse accepts "+5" as the integer 5 (cast("long") handles the sign)
+      when(c.rlike("^[+-]?[0-9]{1,18}$"), c.cast("long").cast("string"))
         // the finite guard keeps overflowing literals (1e999 -> Infinity,
         // a bare token that would corrupt the whole JSON string) on the
         // string branch; serde's f64 path can't represent them either
@@ -119,7 +133,7 @@ object GraphIO {
             "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t"),
           lit("\"")))
     val entries = cols.sorted.map { k =>
-      when(col(k).isNotNull, concat(lit("\"" + k + "\":"), cellJson(col(k))))
+      concat(lit("\"" + k + "\":"), cellJson(coalesce(col(k), lit(""))))
     }
     concat(lit("{"), concat_ws(",", entries.toIndexedSeq: _*), lit("}"))
   }

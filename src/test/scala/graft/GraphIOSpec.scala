@@ -109,6 +109,42 @@ class GraphIOSpec extends AnyFunSuite {
     assert(got.collect().map(_.getString(0)).toSeq == Seq("Alice"))
   }
 
+  test("absent JSON properties normalize to the empty object, like the reference") {
+    // the reference's import stores an empty map for a vertex without a
+    // properties field (import.rs unwrap_or_default); a NULL here would
+    // make toJSON-based exports drop the properties key for such rows
+    val json =
+      """{"vertices":[
+        |  {"id":"1","label":"T"},
+        |  {"id":"2","label":"T","properties":null},
+        |  {"id":"3","label":"T","properties":{"k":1}}],
+        |"edges":[{"label":"E","start":"1","end":"2"}]}""".stripMargin
+    val f = Files.createTempFile("noprops", ".json")
+    Files.writeString(f, json)
+    val s = GraphIO.importJson(spark, f.toString)
+    assert(s.allVertices.collect().map(_.getAs[String]("properties")).sorted.toSeq ==
+      Seq("{\"k\":1}", "{}", "{}"))
+    assert(s.allEdges.collect().map(_.getAs[String]("properties")).toSeq == Seq("{}"))
+    // and the export keeps the properties key on every row
+    val doc = GraphIO.exportJsonDoc(s)
+    assert(doc.sliding("\"properties\"".length).count(_ == "\"properties\"") == 4, doc)
+  }
+
+  test("empty CSV cells become present empty-string properties; +5 parses integer") {
+    // the csv crate deserializes an empty cell to String("") — the key
+    // stays present (import.rs:64-70); and its i64 parse accepts a leading
+    // '+', so "+5" is the integer 5, not the float 5.0
+    val vf = Files.createTempFile("verts", ".csv")
+    Files.writeString(vf,
+      "id,label,name,age\na,P,,30\nb,P,\"\",+5\nc,P,x,-7\n")
+    val ef = Files.createTempFile("edges", ".csv")
+    Files.writeString(ef, "id,label,start,end\n")
+    val store = GraphIO.importCsv(spark, vf.toString, ef.toString)
+    assert(store.vertices("P").orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("""{"age":30,"name":""}""", """{"age":5,"name":""}""",
+        """{"age":-7,"name":"x"}"""))
+  }
+
   test("typed JSON properties survive an export/reimport roundtrip") {
     // booleans/numbers/arrays/nested objects keep their JSON types through
     // importJson -> exportJsonDoc -> importJson: the first import
