@@ -102,6 +102,23 @@ object CypherGateQueries {
         |RETURN size(r) AS hops, count(*) AS n_paths
         |ORDER BY hops""".stripMargin),
 
+    // MERGE match-or-create (openCypher verb absent from the reference's
+    // grammar): node form run twice must create once; relationship form
+    // over pre-seeded edges must create exactly the missing pairs and be
+    // a no-op on the second run. A duplicate hub doubles the count, a
+    // duplicated seeded edge inflates it — either breaks the oracle hash.
+    "cy15_merge" -> ((s, dir) => {
+      val sess = new CypherSession(s, GraphStore.tpch(s, dir))
+      sess.run("MERGE (h:Hub {name: 'hub'})")
+      sess.run("MERGE (h:Hub {name: 'hub'})") // idempotent: matches, no create
+      sess.run("MATCH (h:Hub), (n:Nation) WHERE n.n_nationkey < 5 CREATE (h)-[:LINKS]->(n)")
+      sess.run("MATCH (h:Hub), (n:Nation) MERGE (h)-[:LINKS]->(n)") // fills the missing 20
+      sess.run("MATCH (h:Hub), (n:Nation) MERGE (h)-[:LINKS]->(n)") // no-op
+      sess.run(
+        """MATCH (h:Hub)-[:LINKS]->(n:Nation)
+          |RETURN h.name AS hub, count(n) AS n_linked""".stripMargin)
+    }),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -199,6 +216,8 @@ object CypherGateQueries {
     "cy11_mutation" ->
       """SELECT 'HUB' AS hub, COUNT(*) AS n_linked
         |FROM nation WHERE n_nationkey <> 0""".stripMargin,
+    "cy15_merge" ->
+      """SELECT 'hub' AS hub, COUNT(*) AS n_linked FROM nation""".stripMargin,
     "cy12_unwind" ->
       """SELECT CAST(n_nationkey * m AS BIGINT) AS v, COUNT(*) AS c
         |FROM nation CROSS JOIN (VALUES (1), (2), (3)) AS t(m)

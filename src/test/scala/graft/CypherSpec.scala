@@ -458,6 +458,76 @@ class CypherSpec extends AnyFunSuite {
       Seq("Shanghai"), Seq("Shenzhen")))
   }
 
+  /** Deterministic content snapshot of a store (ids + every prop column,
+    * sorted) — run-twice idempotency compares these, a store "hash".
+    */
+  private def storeSnapshot(s: GraphStore): Seq[String] = {
+    def dump(df: DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    }
+    (s.vertexTables.toSeq.sortBy(_._1) ++ s.edgeTables.toSeq.sortBy(_._1))
+      .flatMap { case (l, t) => dump(t).map(l + ":" + _) }
+  }
+
+  test("MERGE node form: creates once, matches thereafter (idempotent)") {
+    val s = session
+    s.run("MERGE (n:Person {name: 'Eve', age: 22, city: 'Wuhan'})")
+    val after1 = storeSnapshot(s.store)
+    s.run("MERGE (n:Person {name: 'Eve', age: 22, city: 'Wuhan'})")
+    assert(storeSnapshot(s.store) == after1, "second MERGE must be a no-op")
+    assert(s.run("MATCH (n:Person {name: 'Eve'}) RETURN n.age AS a")
+      .collect().map(_.getLong(0)).toSeq == Seq(22L))
+    // existing node: MERGE binds it instead of creating
+    val n0 = s.store.vertexTables("Person").count()
+    val got = s.run("MERGE (n:Person {name: 'Alice'}) RETURN n.age AS a")
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(30L))
+    assert(s.store.vertexTables("Person").count() == n0)
+    // a label absent from the store creates table + node
+    s.run("MERGE (t:Tag {name: 'x'}) ")
+    assert(s.store.vertexTables("Tag").count() == 1)
+  }
+
+  test("MERGE relationship form: creates exactly the missing pairs") {
+    val s = session
+    // Alice->Bob exists; MERGE over all (a,b) with a.city='Beijing', b='Bob'
+    // must add only Charlie->Bob
+    val q = "MATCH (a:Person), (b:Person {name: 'Bob'}) " +
+      "WHERE a.city = 'Beijing' MERGE (a)-[:KNOWS {since: 2022}]->(b)"
+    // note: the existing Alice->Bob edge has since=2020, so with the prop
+    // constraint BOTH pairs are missing wrt {since: 2022}
+    s.run(q)
+    val after1 = storeSnapshot(s.store)
+    s.run(q) // idempotent
+    assert(storeSnapshot(s.store) == after1)
+    assert(s.store.edgeTables("KNOWS").count() == 4) // 2 seed + 2 created
+    // prop-free MERGE sees any existing edge as a match: no new edges
+    s.run("MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) " +
+      "MERGE (a)-[:KNOWS]->(b)")
+    assert(s.store.edgeTables("KNOWS").count() == 4)
+    // and a fresh edge label creates its table
+    s.run("MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'David'}) " +
+      "MERGE (a)-[:LIKES]->(b) ")
+    s.run("MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'David'}) " +
+      "MERGE (a)-[:LIKES]->(b) ")
+    assert(s.store.edgeTables("LIKES").count() == 1)
+  }
+
+  test("MERGE binds the merged entities for later clauses") {
+    val s = session
+    val got = s.run(
+      "MATCH (a:Person {name: 'Charlie'}), (b:Person {name: 'David'}) " +
+        "MERGE (a)-[r:KNOWS {since: 2023}]->(b) RETURN a.name AS an, r.since AS y, b.name AS bn")
+    assert(rows(got) == Seq(Seq("Charlie", 2023L, "David")))
+    // guards: unbound endpoints / undirected / var-length fail loudly
+    intercept[Exception](s.run("MERGE (x)-[:KNOWS]->(y)"))
+    intercept[Exception](s.run(
+      "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) MERGE (a)-[:KNOWS]-(b)"))
+    intercept[Exception](s.run(
+      "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) MERGE (a)-[:KNOWS *1..2]->(b)"))
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store
