@@ -56,6 +56,13 @@ object Ast {
   sealed trait Clause
   final case class MatchClause(patterns: Seq[PathPat], optional: Boolean,
       where: Option[Expr]) extends Clause
+  /** MATCH p = shortestPath((a)-[*..k]->(b)) — surfaces the standalone
+    * shortest-path algorithm (reference src/algorithms/shortest_path.rs,
+    * which likewise exists only as an API call, not grammar) through the
+    * query language. `pathVar` binds the vertex-id list of the path.
+    */
+  final case class ShortestPathClause(pathVar: Option[String],
+      pattern: PathPat) extends Clause
   final case class ReturnItem(expr: Expr, alias: Option[String])
   final case class OrderItem(expr: Expr, asc: Boolean)
   final case class ReturnClause(distinct: Boolean, items: Seq[ReturnItem],

@@ -54,9 +54,29 @@ final class Parser(tokens: Vector[Tok]) {
     q
   }
 
-  private def parseMatch(): MatchClause = {
+  private def parseMatch(): Clause = {
     val optional = tryKw("OPTIONAL")
     eatKw("MATCH")
+    // `p = shortestPath((a)-[..]->(b))` or bare `shortestPath(...)`: an
+    // identifier in pattern position only occurs for this syntax (node
+    // patterns start with '('), so one token of lookahead disambiguates
+    def identAt(k: Int)(pred: String => Boolean): Boolean =
+      tokens.lift(p + k) match { case Some(Ident(v, _)) => pred(v); case _ => false }
+    def opAt(k: Int, o: String): Boolean =
+      tokens.lift(p + k) match { case Some(Op(v, _)) => v == o; case _ => false }
+    val pathVar =
+      if (identAt(0)(_ => true) && opAt(1, "=") &&
+          identAt(2)(_.equalsIgnoreCase("shortestPath"))) {
+        val v = ident(); eatOp("="); Some(v)
+      } else None
+    if (identAt(0)(_.equalsIgnoreCase("shortestPath")) && opAt(1, "(")) {
+      if (optional) fail("OPTIONAL MATCH shortestPath is not supported")
+      ident(); eatOp("(")
+      val pat = parsePathPat()
+      eatOp(")")
+      return ShortestPathClause(pathVar, pat)
+    }
+    if (pathVar.isDefined) fail("path assignment requires shortestPath(...)")
     val pats = Seq.newBuilder[PathPat]
     pats += parsePathPat()
     while (tryOp(",")) pats += parsePathPat()

@@ -34,6 +34,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     var result: Option[DataFrame] = None
     q.clauses.foreach {
       case m: MatchClause => scope = Some(compileMatch(scope, m))
+      case sp: ShortestPathClause => scope = Some(compileShortestPath(scope, sp))
       case w: WithClause => scope = Some(compileWith(scope.getOrElse(emptyScope), w))
       case u: UnwindClause =>
         val s = scope.getOrElse(emptyScope)
@@ -714,6 +715,82 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     }
     store = new GraphStore(vtabs, etabs)
     sc
+  }
+
+  /** MATCH p = shortestPath((a)-[:T*..k]->(b)) — the proven single-pair
+    * shortest-path operator (Traversals.shortestPath, g12-oracle-checked)
+    * surfaced through the query language, with `[*..k]`'s upper bound as
+    * the hop-cap cost knob (the reference exposes the same algorithm only
+    * as an API call with a max_hops argument, shortest_path.rs:20-35).
+    * Endpoints must resolve to exactly ONE vertex each (bound earlier, or
+    * pinned by inline props) — the single-pair contract of the underlying
+    * operator; a multi-source surface would be a different algorithm
+    * (bfsFrom), not a silent generalization. Unreachable within the cap
+    * → zero rows (MATCH semantics; pathsBetween keeps the erroring
+    * surface). `p` binds the vertex-id list src..dst; `size(p) - 1` is
+    * the hop count. Edge-type and inline-prop constraints filter the edge
+    * relation before the BFS, like the var-length path.
+    */
+  private def compileShortestPath(scope: Option[Scope],
+      spc: ShortestPathClause): Scope = {
+    val pat = spc.pattern
+    require(pat.hops.size == 1, "shortestPath takes a single relationship pattern")
+    val (rel, endNp) = pat.hops.head
+    require(rel.variable.isEmpty,
+      "shortestPath: bind the path variable (p = ...) instead of the relationship")
+    val dir = rel.dir match {
+      case Dir.Out => Direction.Out; case Dir.In => Direction.In
+      case Dir.Both => Direction.Both
+    }
+    // [*..k] caps the BFS depth; a plain relationship means one hop; open
+    // ranges take the vle default cap (parser default, reference vle.rs:68)
+    val maxHops = rel.varLength.map(_._2).getOrElse(1)
+    var eb = edgeUnion(rel.types)
+    rel.props.foreach { case (k, ex) =>
+      val target: Column =
+        if (eb.columns.contains(k)) eb(k)
+        else if (eb.columns.contains("properties"))
+          get_json_object(col("properties"), "$." + k)
+        else lit(null)
+      eb = eb.where(target === ec(emptyScope).compile(ex))
+    }
+    def resolve(np: NodePat): Long = {
+      val boundV = np.variable.filter(v => scope.exists(_.vars.contains(v)))
+      val (df, idCol) = boundV match {
+        case Some(v) =>
+          // constraints on an already-bound endpoint re-check label/props
+          (applyNodeConstraints(scope.get, v, np).df, Scope.colName(v, "id"))
+        case None =>
+          val v = np.variable.getOrElse(fresh("sp"))
+          (compilePath(None, PathPat(np.copy(variable = Some(v)), Nil)).df,
+            Scope.colName(v, "id"))
+      }
+      val ids = df.select(col(idCol)).distinct().limit(2).collect()
+      require(ids.length == 1,
+        s"shortestPath endpoint must resolve to exactly one vertex, got ${ids.length}: $np")
+      ids(0).getLong(0)
+    }
+    val srcId = resolve(pat.start)
+    val dstId = resolve(endNp)
+    val res = Traversals.shortestPath(
+      eb.select(col("src"), col("dst")), srcId, dstId, maxHops, dir)
+      .select(col("start_id").as("__sp_s"), col("end_id").as("__sp_d"),
+        col("path").as(spc.pathVar.getOrElse("__sp_path")))
+    val base = scope.getOrElse(emptyScope)
+    // 0-row result (unreachable) empties the scope — MATCH semantics
+    var sc = base.copy(df = base.df.crossJoin(res))
+    spc.pathVar.foreach { pv =>
+      require(!base.vars.contains(pv), s"path variable reused: $pv")
+      sc = sc.copy(vars = sc.vars + (pv -> VarInfo(VarKind.Value, None, Nil)),
+        order = sc.order :+ pv)
+    }
+    val aV = pat.start.variable.getOrElse(fresh("n"))
+    sc = bindTargetVar(sc, "__sp_s", pat.start, aV)
+    val bV = endNp.variable.getOrElse(fresh("n"))
+    sc = bindTargetVar(sc, "__sp_d", endNp, bV)
+    sc.copy(df = sc.df.drop(
+      Seq("__sp_s", "__sp_d") ++
+        (if (spc.pathVar.isEmpty) Seq("__sp_path") else Nil): _*))
   }
 
   /** MERGE — match-or-create (openCypher; absent from the reference's

@@ -119,6 +119,27 @@ object CypherGateQueries {
           |RETURN h.name AS hub, count(n) AS n_linked""".stripMargin)
     }),
 
+    // shortestPath() surfaced through the query language (the reference
+    // has the algorithm only as an API, shortest_path.rs): customer 1 to
+    // its region, path variable bound, hop cap from [*..6]. The region is
+    // pinned via $rk (endpoints must resolve to one vertex — the
+    // single-pair contract); the oracle recomputes dist with the same
+    // recursive-CTE BFS as g12.
+    "cy16_shortest_cypher" -> ((s, dir) => {
+      def asLong(a: Any): Long = a match {
+        case i: Int => i.toLong; case l: Long => l; case o => o.toString.toLong
+      }
+      import org.apache.spark.sql.functions.col
+      val nk = asLong(graft.store.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") === 1).select("c_nationkey").head.get(0))
+      val rk = asLong(graft.store.Tables.load(s, dir, "nation")
+        .filter(col("n_nationkey") === nk).select("n_regionkey").head.get(0))
+      new CypherSession(s, GraphStore.tpch(s, dir), Map("rk" -> rk)).run(
+        """MATCH p = shortestPath(
+          |  (c:Customer {c_custkey: 1})-[*..6]->(r:Region {r_regionkey: $rk}))
+          |RETURN id(c) AS start_id, id(r) AS end_id, size(p) - 1 AS dist""".stripMargin)
+    }),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -218,6 +239,23 @@ object CypherGateQueries {
         |FROM nation WHERE n_nationkey <> 0""".stripMargin,
     "cy15_merge" ->
       """SELECT 'hub' AS hub, COUNT(*) AS n_linked FROM nation""".stripMargin,
+    "cy16_shortest_cypher" ->
+      s"""WITH RECURSIVE ${GraphQueries.edgesCte},
+         |dstv AS (
+         |  SELECT (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) AS id
+         |  FROM nation JOIN customer ON n_nationkey = c_nationkey
+         |  WHERE c_custkey = 1
+         |),
+         |bfs(id, dist) AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT), 0
+         |  UNION ALL
+         |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.id
+         |  WHERE b.dist < 6
+         |)
+         |SELECT (CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT) AS start_id,
+         |  d.id AS end_id, CAST(MIN(b.dist) AS BIGINT) AS dist
+         |FROM dstv d JOIN bfs b ON b.id = d.id
+         |GROUP BY d.id""".stripMargin,
     "cy12_unwind" ->
       """SELECT CAST(n_nationkey * m AS BIGINT) AS v, COUNT(*) AS c
         |FROM nation CROSS JOIN (VALUES (1), (2), (3)) AS t(m)

@@ -528,6 +528,33 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) MERGE (a)-[:KNOWS *1..2]->(b)"))
   }
 
+  test("shortestPath() plans to the traversal operator and binds p/endpoints") {
+    val s = session
+    // Alice -KNOWS-> Bob -KNOWS-> Charlie: dist 2, path = the id chain
+    val got = s.run(
+      "MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS *..5]->(b:Person {name: 'Charlie'})) " +
+        "RETURN a.name AS an, b.name AS bn, size(p) - 1 AS dist, p AS path")
+    val r = got.collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "Alice" && r(0).getString(1) == "Charlie")
+    assert(r(0).getLong(2) == 2L)
+    assert(r(0).getSeq[Long](3) == Seq(Graphid.pack(100, 1), Graphid.pack(100, 2),
+      Graphid.pack(100, 3)))
+    // bound-endpoint form: earlier MATCH pins the vertices
+    val got2 = s.run(
+      "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) " +
+        "MATCH p = shortestPath((a)-[*..3]->(b)) RETURN size(p) - 1 AS d")
+    assert(got2.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // unreachable within the cap -> zero rows (MATCH semantics)
+    assert(s.run(
+      "MATCH p = shortestPath((a:Person {name: 'Charlie'})-[:KNOWS *..4]->(b:Person {name: 'Alice'})) " +
+        "RETURN size(p) AS n").count() == 0)
+    // a multi-vertex endpoint fails loudly (single-pair contract)
+    val e = intercept[Exception](s.run(
+      "MATCH p = shortestPath((a:Person {name: 'Alice'})-[*..2]->(b:Person)) RETURN p"))
+    assert(e.getMessage.contains("exactly one vertex"), e.getMessage)
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store
