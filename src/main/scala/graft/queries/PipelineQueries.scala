@@ -164,6 +164,29 @@ object PipelineQueries {
           5)
         .orderBy(col("pid"))),
 
+    // measured ANN quality for the multi-probe scale path (r5 verdict ask
+    // #3): recall@5 vs brute force, deterministic on both sides — the
+    // recall constant itself is oracle-checked, closing x9's rows-only gap
+    "e5_multiprobe_recall" -> ((s, dir) =>
+      Similarity.recallAtK(
+          Similarity.annTopKMultiProbe(embs(s, dir), "vec_id", "embedding",
+            Seq(0L, 1L, 2L), 5, 8),
+          Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
+            Seq(0L, 1L, 2L), 5),
+          5)
+        .orderBy(col("pid"))),
+
+    // measured ANN quality for the IVF scale path — closes x11's
+    // rows-only gap the same way
+    "e6_ivf_recall" -> ((s, dir) =>
+      Similarity.recallAtK(
+          Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding",
+            Seq(0L, 1L, 2L), 5, 16, 4),
+          Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
+            Seq(0L, 1L, 2L), 5),
+          5)
+        .orderBy(col("pid"))),
+
     // the mixture plan executed: deterministic hash sampling at the
     // allocated per-source rate, then the realized per-source footprint
     "t9_mixture_sample" -> ((s, dir) =>
@@ -284,6 +307,32 @@ object PipelineQueries {
        | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
        |  sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))"""
       .stripMargin.replace("\n", " ")
+
+  /** Exact brute-force top-5 CTE for probes 0/1/2 (the recallAtK "exact"
+    * side) and the recall tail that scores an `ap` CTE against it — shared
+    * by the e3/e5/e6 ANN-quality oracles.
+    */
+  private def exactTop5Cte: String =
+    s"""ex AS (
+       |  SELECT pid, cid FROM (
+       |    SELECT p.vec_id AS pid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |    FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |    WHERE p.vec_id IN (0, 1, 2))
+       |  WHERE rank <= 5
+       |)""".stripMargin
+
+  private def recallTailSql: String =
+    s"""hits AS (
+       |  SELECT ex.pid, COUNT(*) AS hits
+       |  FROM ex JOIN ap ON ap.pid = ex.pid AND ap.cid = ex.cid
+       |  GROUP BY ex.pid
+       |)
+       |SELECT p.pid, COALESCE(h.hits, 0) AS hits,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
+       |FROM (SELECT DISTINCT pid FROM ex) p LEFT JOIN hits h USING (pid)
+       |ORDER BY p.pid""".stripMargin
 
   /** LSH bucket in SQL: sign bits of dot(vec, ±1-plane m), m = 0..7. */
   private def bucketSql(v: String): String =
@@ -641,6 +690,63 @@ object PipelineQueries {
          |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
          |FROM (SELECT DISTINCT pid FROM ex) p LEFT JOIN hits h USING (pid)
          |ORDER BY pid""".stripMargin,
+    "e5_multiprobe_recall" ->
+      // multi-probe = own bucket + every 1-bit-flip bucket: the join
+      // condition is hamming(bucket_p, bucket_c) <= 1 over the 8 plane bits
+      s"""WITH $exactTop5Cte,
+         |bucketed AS (
+         |  SELECT vec_id AS cid, embedding AS cvec, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings
+         |),
+         |ap AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT p.cid AS pid, c.cid AS cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.cid
+         |        ORDER BY ${cosSql("p.cvec", "c.cvec")} DESC, c.cid) AS rank
+         |    FROM bucketed p JOIN bucketed c
+         |      ON bit_count(xor(c.bucket, p.bucket)) <= 1 AND c.cid <> p.cid
+         |    WHERE p.cid IN (0, 1, 2))
+         |  WHERE rank <= 5
+         |),
+         |$recallTailSql""".stripMargin,
+    "e6_ivf_recall" ->
+      // IVF: 16 centroids = the vec_ids with the smallest h32, corpus
+      // assigned to its nearest centroid, probes search their 4 nearest
+      // lists — the exact computation ivfTopK runs, in SQL
+      s"""WITH $exactTop5Cte,
+         |cent AS (
+         |  SELECT vec_id AS centid, embedding AS centvec
+         |  FROM embeddings
+         |  ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 16
+         |),
+         |assigned AS (
+         |  SELECT cid, cvec, list_id FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS cvec, c.centid AS list_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.centvec")} DESC, c.centid) AS rk
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rk = 1
+         |),
+         |probes AS (
+         |  SELECT pid, pvec, list_id FROM (
+         |    SELECT e.vec_id AS pid, e.embedding AS pvec, c.centid AS list_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.centvec")} DESC, c.centid) AS rk
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id IN (0, 1, 2))
+         |  WHERE rk <= 4
+         |),
+         |ap AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT p.pid AS pid, a.cid AS cid,
+         |      ROW_NUMBER() OVER (PARTITION BY p.pid
+         |        ORDER BY ${cosSql("p.pvec", "a.cvec")} DESC, a.cid) AS rank
+         |    FROM probes p JOIN assigned a
+         |      ON a.list_id = p.list_id AND a.cid <> p.pid)
+         |  WHERE rank <= 5
+         |),
+         |$recallTailSql""".stripMargin,
     "t9_mixture_sample" ->
       s"""WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
          |ps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens
