@@ -227,9 +227,25 @@ object GraphAlgorithms {
     * `roundProbe` sees each round's degree-update relation pre-checkpoint
     * (checkpointing hides per-round plans from the caller; PlanAudit uses
     * this to pin the broadcast-join shape).
+    *
+    * `layersPerRound` collapses that many peel layers into ONE materialized
+    * round (one job, one checkpoint, one observe): a long low-degree tail
+    * that would peel one layer per synchronous round peels L layers per
+    * job, so a single scheduler stall burns 1/L as much of the fixpoint —
+    * the r5 burst-variance fix. Work is unchanged (each layer still scans
+    * the immutable edge relation once, inside the same lazy plan); only
+    * job count and stall exposure drop. Extra layers engage ONLY while the
+    * whole alive relation is under the broadcast ceiling: an inner layer's
+    * peeled set has no cheap count to gate on, but it is a subset of the
+    * alive rows, whose count n the round's stats already carry — that
+    * makes the inner broadcast sound, and past the ceiling the loop
+    * degrades to the proven one-layer-per-round shape. Default 2: plan
+    * depth beyond ~2 chained aggregates backfires (A/B-measured; same
+    * finding as the x17 chainDepth knob).
     */
   def kCoreRounds(edges: DataFrame, k: Int, maxRounds: Int = 64,
-      roundProbe: DataFrame => Unit = _ => ()): (DataFrame, Int) = {
+      roundProbe: DataFrame => Unit = _ => (),
+      layersPerRound: Int = 2): (DataFrame, Int) = {
     import org.apache.spark.sql.functions._
     require(k >= 1, "k-core needs k >= 1")
     val noLoops = edges.select(col("src"), col("dst"))
@@ -307,16 +323,29 @@ object GraphAlgorithms {
         // relation is NOT bounded by the alive count).
         def small(df: DataFrame, bound: Long): DataFrame =
           if (bound <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
-        val removed = deg.where(col("deg") < k).select(col("id"))
-        // und is symmetric, so dst-side membership covers both directions
-        val lost = und.join(small(removed, nRemoved), und("dst") === removed("id"))
-          .select(und("src").as("id"), lit(-1L).as("delta"), lit(false).as("own"))
-        val next = deg.where(col("deg") >= k)
-          .select(col("id"), col("deg").as("delta"), lit(true).as("own"))
-          .unionByName(lost)
-          .groupBy(col("id"))
-          .agg(sum(col("delta")).as("deg"), max(col("own")).as("own"))
-          .where(col("own")).select(col("id"), col("deg"))
+        // one peel layer: drop cur's below-k rows, subtract each survivor's
+        // edges into them. und is symmetric, so dst-side membership covers
+        // both directions; the own-flag drops src rows of dead vertices.
+        def peel(cur: DataFrame, gate: DataFrame => DataFrame): DataFrame = {
+          val removed = cur.where(col("deg") < k).select(col("id"))
+          val lost = und.join(gate(removed), und("dst") === removed("id"))
+            .select(und("src").as("id"), lit(-1L).as("delta"), lit(false).as("own"))
+          cur.where(col("deg") >= k)
+            .select(col("id"), col("deg").as("delta"), lit(true).as("own"))
+            .unionByName(lost)
+            .groupBy(col("id"))
+            .agg(sum(col("delta")).as("deg"), max(col("own")).as("own"))
+            .where(col("own")).select(col("id"), col("deg"))
+        }
+        // layer 1 gated on the observed peeled-set count, as before
+        var next = peel(deg, r => small(r, nRemoved))
+        // inner layers: peeled set ⊆ alive rows (count n) — broadcast is
+        // sound under the ceiling; above it, stay one layer per round
+        var layer = 1
+        while (layer < layersPerRound && n <= BroadcastVertexRows) {
+          next = peel(next, broadcast)
+          layer += 1
+        }
         roundProbe(next) // pre-checkpoint: the round's real join plan
         val (observed, nextStats) = statsObs(next)
         val (ckpt, release) = trackedCheckpoint(observed, eager = true)

@@ -59,11 +59,15 @@ class AlgorithmsSpec extends AnyFunSuite {
     // the K4 survives; k=4: nothing (K4 has min-degree 3).
     val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
     val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
-    def core(k: Int) = {
-      val (df, rounds) = GraphAlgorithms.kCoreRounds(edges, k)
+    def core(k: Int, layers: Int = 2) = {
+      val (df, rounds) = GraphAlgorithms.kCoreRounds(edges, k, layersPerRound = layers)
       (df.collect().map(_.getLong(0)).toSet, rounds)
     }
-    assert(core(2) == ((Set(1L, 2L, 3L, 4L), 3))) // peel 6, peel 5, confirm
+    // multi-layer peel collapses the 6-then-5 tail into one materialized
+    // round: 3 rounds at one layer each, 2 at the default two layers —
+    // same core either way (the r5 burst-tolerance round-count drop)
+    assert(core(2, layers = 1) == ((Set(1L, 2L, 3L, 4L), 3))) // peel 6, peel 5, confirm
+    assert(core(2) == ((Set(1L, 2L, 3L, 4L), 2))) // peel 6+5, confirm
     assert(core(3)._1 == Set(1L, 2L, 3L, 4L))
     assert(core(4)._1 == Set.empty[Long])
     // every survivor keeps >= k distinct surviving neighbors (the k-core
