@@ -82,17 +82,33 @@ object Bench {
     // speedup) — failed samples are dropped and the error surfaces in the
     // errors map like a first-pass failure would
     val repErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // A single q1 median can certify the session start as quiet yet miss a
+    // burst that lands mid-artifact (r5 recorded g17 samples of 6-22 s
+    // beside a 0.27 s q1). Interleaving one q1 sample immediately BEFORE
+    // every heavy repeat stamps each sample with the host speed at that
+    // moment, so a slow sample is attributable: q1_ref quiet -> the query,
+    // q1_ref loaded -> the host. q1 itself needs no interleave (it IS the
+    // reference).
+    val hostRef = qmap.get("q1_agg")
+    def q1Sample(): Double = hostRef.map(run1(_)._1).getOrElse(-1.0)
     val repeats = if (nRep <= 0) Seq.empty else
       RepeatSet.filter(qmap.contains).map { name =>
-        val runs = (1 to nRep).map(_ => run1(qmap(name)))
-        runs.collectFirst { case (_, Some(e)) => e }
+        val runs = (1 to nRep).map { _ =>
+          val ref = if (name == "q1_agg") -1.0 else q1Sample()
+          val (t, err) = run1(qmap(name))
+          (t, err, ref)
+        }
+        runs.collectFirst { case (_, Some(e), _) => e }
           .foreach(e => repErrors(name + "__repeat") = e)
-        (name, runs.collect { case (t, None) => t }.sorted)
+        val good = runs.collect { case (t, None, ref) => (t, ref) }
+        (name, good.map(_._1).sorted, good.map(_._2))
       }.filter(_._2.nonEmpty)
-    val repJson = repeats.map { case (name, s) =>
+    val repJson = repeats.map { case (name, s, refs) =>
       val med = s(s.length / 2)
+      val refJson = if (refs.forall(_ < 0)) ""
+        else refs.mkString(",\"q1_refs\":[", ",", "]")
       s"\"" + name + s"\":{\"median\":$med,\"min\":${s.head},\"max\":${s.last}," +
-        s.mkString("\"samples\":[", ",", "]}")
+        s.mkString("\"samples\":[", ",", "]") + refJson + "}"
     }.mkString("{", ",", "}")
 
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -102,8 +118,10 @@ object Bench {
       repErrors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" })
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // session stamp so two committed artifacts are provably separate runs
+    val stamp = java.time.Instant.now().toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$repJson,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","recorded_at":"$stamp","queries":$qs,"repeats":$repJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // stdout capture has truncated the per-query tail two rounds running —
     // the artifact is ALSO written to a repo file so the full map and the

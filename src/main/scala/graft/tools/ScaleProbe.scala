@@ -10,26 +10,51 @@ import graft.pipeline.Dedup
   * Near-linear growth = the banded/pair-restricted/frontier design holds;
   * quadratic growth would flag a hidden all-pairs stage.
   *
-  * `SPARK_GRAFT_PROBE=dedup|kcore|incdedup|nodesim` picks the pipeline
-  * (default dedup, which replicates the MinHash-LSH near-dup path; kcore
-  * and nodesim replicate the TPC-H graph edge list — replicas are disjoint
-  * components, so per-replica work is constant and total work should grow
-  * linearly; incdedup grows the CORPUS side against a fixed incoming
-  * batch, the amortized-streaming axis d10 cares about).
+  * `SPARK_GRAFT_PROBE=dedup|kcore|incdedup|nodesim|pagerank|vle` picks the
+  * pipeline (default dedup, which replicates the MinHash-LSH near-dup path;
+  * kcore, nodesim and pagerank replicate the TPC-H graph edge list —
+  * replicas are disjoint components, so per-replica work is constant and
+  * total work should grow linearly; incdedup grows the CORPUS side against
+  * a fixed incoming batch, the amortized-streaming axis d10 cares about;
+  * vle sweeps the path-enumeration DEPTH and FAN-OUT axes, whose cost is
+  * inherently the number of paths enumerated — the probe verifies time
+  * tracks output size and that the maxPaths cap bounds both).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // same bench-host deployment setting as Bench.scala: /tmp is a
+      // virtio disk with bursty write latency, and the probe's top rungs
+      // shuffle GBs — without tmpfs the disk's stall distribution, not
+      // the operator, dominates the measured growth curve
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROBE_JOBS=1: per-job wall times, for attributing a
+    // superlinear rung to a specific stage of the operator under probe
+    if (sys.env.get("SPARK_GRAFT_PROBE_JOBS").contains("1")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          starts.put(js.jobId, System.nanoTime())
+        override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+          val t0 = Option(starts.get(je.jobId)).getOrElse(0L)
+          println(f"  job ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+      })
+    }
     sys.env.getOrElse("SPARK_GRAFT_PROBE", "dedup") match {
       case "kcore"    => kcoreProbe(spark, sfDir)
       case "incdedup" => incDedupProbe(spark, sfDir)
       case "nodesim"  => nodeSimProbe(spark, sfDir)
+      case "pagerank" => pageRankProbe(spark, sfDir)
+      case "vle"      => vleProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -113,6 +138,108 @@ object ScaleProbe {
       println(f"SCALE k=$k edges=${n0 * k} rows=$n time=$dt%.2f s")
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+    }
+  }
+
+  /** x17's scale axis: disjoint replicas of the TPC-H graph edge list at
+    * x17's exact configuration (5 iterations, chainDepth=2). Per iteration
+    * the cost is one gated broadcast (or shuffle-hash) join over K*2|E|
+    * tagged rows plus one partial-aggregated shuffle over K*|V| ranks, so
+    * time should grow linearly with K at fixed iteration count —
+    * superlinear growth would flag a per-iteration stage whose cost is not
+    * proportional to the edge relation (e.g. a sort-merge re-sorting the
+    * edge set every iteration).
+    */
+  private def pageRankProbe(spark: SparkSession, sfDir: String): Unit = {
+    val base = graft.store.GraphStore.tpch(spark, sfDir)
+      .allEdges.select(col("src"), col("dst")).localCheckpoint()
+    val n0 = base.count()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val ks = sys.env.get("SPARK_GRAFT_PROBE_KS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+    // the host's stall distribution is bimodal (KcProfile r5: 10x swings
+    // on identical jobs) and the top rung's jobs are long enough to eat
+    // multi-second stalls repeatedly — a single sample per rung can read
+    // 5x over quiet. MIN over a few repeats is the right statistic for a
+    // growth curve: stalls are strictly additive, so the min is the
+    // closest observable to the operator's own cost.
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    for (k <- ks) {
+      val df = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong << 28)).as("src"),
+          (col("dst") + lit(i.toLong << 28)).as("dst")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val ceiling = sys.env.get("SPARK_GRAFT_PR_CEILING").map(_.toLong)
+        .getOrElse(graft.algorithms.GraphAlgorithms.BroadcastVertexRows)
+      // the sweep between repeats must spare the replica checkpoint itself
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.algorithms.GraphAlgorithms
+          .pageRankStable(df, iters = 5, chainDepth = 2,
+            broadcastCeiling = ceiling).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        dt
+      }
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+      val n = n0 * k
+      println(f"SCALE k=$k edges=$n ceiling=$ceiling min=${times.min}%.2f s " +
+        times.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
+    }
+  }
+
+  /** x4's scale axes. Path enumeration is worst-case exponential in depth
+    * by DEFINITION (the output IS the paths), so unlike the other probes
+    * the expectation is not linear time in an input axis — it is that
+    * (a) time tracks the number of paths enumerated (output-bound, no
+    * hidden blowup beyond the output itself), and (b) the maxPaths cap
+    * bounds both rows and time via level-order early stop, which is the
+    * documented scale path when the search space explodes.
+    *
+    * Depth axis: same start set, maxLength 2/3/4, uncapped — rows grow
+    * roughly by the graph's branching factor per level and time follows.
+    * Then maxLength=4 WITH the cap: rows plateau at ~cap and time drops
+    * back to the shallow-depth regime (the enumeration stops as soon as
+    * a level boundary satisfies the cap).
+    *
+    * Fan-out axis: fixed depth 3, the edge relation thinned to 1/F of
+    * dst ids (F=4/2/1, so average branching scales x1/x2/x4) — uncapped
+    * rows grow ~F^depth while capped rows and time stay bounded.
+    */
+  private def vleProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val edges = g.allEdges.select(col("src"), col("dst")).localCheckpoint()
+    edges.count()
+    val starts = (1L to 100L)
+      .map(graft.model.Graphid.pack(graft.store.GraphStore.Lab.Customer, _))
+      .toDF("id").localCheckpoint()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    def run(tag: String, e: org.apache.spark.sql.DataFrame, maxLen: Int,
+        cap: Option[Int]): Unit = {
+      val t0 = System.nanoTime()
+      val rows = graft.algorithms.Traversals
+        .vle(e, starts, 1, maxLen, maxPaths = cap).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val capStr = cap.map(_.toString).getOrElse("none")
+      println(f"SCALE axis=$tag maxLen=$maxLen cap=$capStr paths=$rows time=$dt%.2f s")
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+    }
+    for (d <- Seq(2, 3, 4)) run("depth", edges, d, None)
+    run("depth", edges, 4, Some(10000))
+    // 2^48 is divisible by F in {2,4}, so dst % F partitions on the local
+    // id and thins every label's out-neighborhood uniformly
+    for (f <- Seq(4, 2, 1)) {
+      val thinned = edges.where(col("dst") % f === 0).localCheckpoint()
+      val ne = thinned.count()
+      println(s"SCALE axis=fanout F=$f edges=$ne")
+      run(s"fanout-F$f", thinned, 3, None)
+      run(s"fanout-F$f", thinned, 3, Some(10000))
     }
   }
 
