@@ -90,7 +90,11 @@ object Bench {
     // q1_ref loaded -> the host. q1 itself needs no interleave (it IS the
     // reference).
     val hostRef = qmap.get("q1_agg")
-    def q1Sample(): Double = hostRef.map(run1(_)._1).getOrElse(-1.0)
+    // a failed reference run's elapsed time is not a host-speed reading —
+    // emit the same -1.0 sentinel as "no reference taken"
+    def q1Sample(): Double = hostRef.map { fn =>
+      val (t, err) = run1(fn); if (err.isDefined) -1.0 else t
+    }.getOrElse(-1.0)
     val repeats = if (nRep <= 0) Seq.empty else
       RepeatSet.filter(qmap.contains).map { name =>
         val runs = (1 to nRep).map { _ =>
@@ -101,14 +105,19 @@ object Bench {
         runs.collectFirst { case (_, Some(e), _) => e }
           .foreach(e => repErrors(name + "__repeat") = e)
         val good = runs.collect { case (t, None, ref) => (t, ref) }
-        (name, good.map(_._1).sorted, good.map(_._2))
+        (name, good.map(_._1), good.map(_._2))
       }.filter(_._2.nonEmpty)
-    val repJson = repeats.map { case (name, s, refs) =>
+    // samples stay in RUN ORDER so samples[i] pairs with q1_refs[i] (that
+    // pairing is the whole point of the interleave: a slow sample beside a
+    // loaded ref is the host, beside a quiet ref is the query). The order
+    // stats come from a sorted copy.
+    val repJson = repeats.map { case (name, samples, refs) =>
+      val s = samples.sorted
       val med = s(s.length / 2)
       val refJson = if (refs.forall(_ < 0)) ""
         else refs.mkString(",\"q1_refs\":[", ",", "]")
       s"\"" + name + s"\":{\"median\":$med,\"min\":${s.head},\"max\":${s.last}," +
-        s.mkString("\"samples\":[", ",", "]") + refJson + "}"
+        samples.mkString("\"samples\":[", ",", "]") + refJson + "}"
     }.mkString("{", ",", "}")
 
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

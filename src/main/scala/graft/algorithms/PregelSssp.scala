@@ -100,10 +100,13 @@ object PregelSssp {
     */
   def shortestPath(spark: SparkSession, edges: DataFrame, srcId: Long,
       dstId: Long, maxIterations: Int = Int.MaxValue): DataFrame = {
-    val parents = runWithParents(spark, edges, srcId, maxIterations).localCheckpoint()
-    val out = reconstruct(parents, srcId, dstId)
-    parents.unpersist()
-    out
+    // reconstruct's result is built from a driver-side Seq, so the whole
+    // delta — the parents snapshot, GraphX Pregel's cached graph RDDs, and
+    // doublingChain's rounds — is dead on return and released (r6 audit)
+    graft.util.Checkpoints.sweepingDelta(spark) {
+      val parents = runWithParents(spark, edges, srcId, maxIterations).localCheckpoint()
+      reconstruct(parents, srcId, dstId)
+    }
   }
 
   /** Pointer-doubling reconstruction over a (id, dist, parent, hops)

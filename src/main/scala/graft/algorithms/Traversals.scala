@@ -152,18 +152,22 @@ object Traversals {
       dir: Direction = Direction.Out): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // early-exit BFS: stops expanding once dstId is reached
-    val parents = bfsParents(edges, Seq(srcId).toDF("id"), maxHops, dir, Some(dstId))
-      .localCheckpoint()
-    val endRow = parents.where(col("id") === dstId)
-      .select("dist", "parent").collect()
-    val out =
+    // the result is a driver-side Seq — every checkpoint created along the
+    // way (bfsParents levels, the parents snapshot, doublingChain's
+    // jump/chain rounds) is dead once it exists, so the whole delta is
+    // released rather than only the parents snapshot (r6 audit)
+    val out = graft.util.Checkpoints.sweepingDelta(spark) {
+      // early-exit BFS: stops expanding once dstId is reached
+      val parents = bfsParents(edges, Seq(srcId).toDF("id"), maxHops, dir, Some(dstId))
+        .localCheckpoint()
+      val endRow = parents.where(col("id") === dstId)
+        .select("dist", "parent").collect()
       if (endRow.isEmpty) Seq.empty[(Long, Long, Int, Seq[Long])]
       else {
         val dist = endRow(0).getInt(0)
         Seq((srcId, dstId, dist, doublingChain(parents, dstId, dist)))
       }
-    parents.unpersist()
+    }
     out.toDF("start_id", "end_id", "dist", "path")
   }
 
@@ -222,9 +226,16 @@ object Traversals {
       minLen: Int, maxLen: Int, dir: Direction = Direction.Out): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val res = vle(edges, Seq(srcId).toDF("id"), minLen, maxLen, dir)
+    val sc = spark.sparkContext
+    // vle's per-level checkpoints back only the lazy result; once the
+    // eager snapshot below materializes they are lineage-dead and released
+    // here (r6 audit). The snapshot itself is caller-owned.
+    val before = sc.getPersistentRDDs.keySet
+    val lazyRes = vle(edges, Seq(srcId).toDF("id"), minLen, maxLen, dir)
       .where(col("end_id") === dstId)
-      .localCheckpoint()
+    val vleInternals = sc.getPersistentRDDs.keySet -- before
+    val res = lazyRes.localCheckpoint()
+    graft.util.Checkpoints.release(spark, vleInternals)
     if (res.isEmpty)
       throw new NoSuchElementException(
         s"no path of length [$minLen,$maxLen] from $srcId to $dstId")

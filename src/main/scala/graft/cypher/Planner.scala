@@ -743,8 +743,16 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       case Dir.Both => Direction.Both
     }
     // [*..k] caps the BFS depth; a plain relationship means one hop; open
-    // ranges take the vle default cap (parser default, reference vle.rs:68)
+    // ranges take the vle default cap (parser default, reference vle.rs:68).
+    // A lower bound > 1 contradicts "shortest" (the shortest path may be
+    // shorter than min, and silently returning it would not match the
+    // written pattern) — rejected loudly, as Neo4j does; use a var-length
+    // MATCH for min-hop constraints.
     val maxHops = rel.varLength.map(_._2).getOrElse(1)
+    rel.varLength.map(_._1).foreach { min =>
+      require(min <= 1,
+        s"shortestPath: lower bound must be 0 or 1, got $min — use MATCH (a)-[*$min..]->(b) for min-hop patterns")
+    }
     var eb = edgeUnion(rel.types)
     rel.props.foreach { case (k, ex) =>
       val target: Column =
@@ -1033,11 +1041,25 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
     * of statements executed.
     */
   def runScript(script: String, compactEvery: Int = 32): Int = {
+    val sc = spark.sparkContext
+    // RDDs persisted before the script (a previous compact's live
+    // generation, unrelated session state) are not ours to free
+    val baseline = sc.getPersistentRDDs.keySet
     var executed = 0
     CypherSession.splitStatements(script).foreach { stmt =>
       run(stmt)
       executed += 1
-      if (executed % compactEvery == 0) store = store.compact()
+      if (executed % compactEvery == 0) {
+        // EAGER compaction so the new generation's blocks exist before the
+        // old generation is released: once they do, every block persisted
+        // since the script began (the previous compact generation + any
+        // statement-internal checkpoints) is lineage-dead. A lazy compact
+        // here would pin one dead generation per compactEvery statements
+        // for the session lifetime (the x21 leak family, r6 audit).
+        val before = sc.getPersistentRDDs.keySet
+        store = store.compact(eager = true)
+        graft.util.Checkpoints.release(spark, before -- baseline)
+      }
     }
     executed
   }

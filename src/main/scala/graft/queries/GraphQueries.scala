@@ -235,12 +235,17 @@ object GraphQueries {
         .unionByName(g.edges("CONTAINS")
           .select(col("src"), col("dst"), col("l_quantity").cast("double").as("weight")))
       val start = graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)
-      val parents = PregelSssp.runWithParents(s, weighted, start).localCheckpoint()
-      val far = parents.where(col("id") =!= start)
-        .orderBy(col("dist").desc, col("id")).limit(1)
-        .select("id").head.getLong(0)
-      PregelSssp.reconstruct(parents, start, far)
-        .select(col("start_id"), col("end_id"), col("dist"),
+      // reconstruct returns a driver-Seq-backed DF, so the parents
+      // snapshot + GraphX cached RDDs + doublingChain rounds are all dead
+      // on return — released here instead of waiting for a Bench-style
+      // sweep (r6 audit)
+      graft.util.Checkpoints.sweepingDelta(s) {
+        val parents = PregelSssp.runWithParents(s, weighted, start).localCheckpoint()
+        val far = parents.where(col("id") =!= start)
+          .orderBy(col("dist").desc, col("id")).limit(1)
+          .select("id").head.getLong(0)
+        PregelSssp.reconstruct(parents, start, far)
+      }.select(col("start_id"), col("end_id"), col("dist"),
           concat_ws("-", transform(col("path"), _.cast("string"))).as("path_str"))
     }),
 

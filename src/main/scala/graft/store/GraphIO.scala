@@ -45,10 +45,14 @@ object GraphIO {
     // properties may arrive as a JSON object (fresh import) or as an
     // already-serialized JSON string (re-import of our own export) — a
     // VARIANT of STRING type unwraps to the serialized text itself. An
-    // absent/null properties field normalizes to the empty object: the
-    // reference's import stores an empty map for such rows (import.rs:
-    // 339-345 unwrap_or_default), and a NULL here would make toJSON-based
-    // exports silently drop the properties key.
+    // absent/null properties field normalizes to the empty object. This is
+    // a DOCUMENTED DIVERGENCE, not parity: the reference's JsonVertex/
+    // JsonEdge declare `properties: HashMap<...>` with no #[serde(default)]
+    // (import.rs:95,104), so serde REJECTS rows whose properties field is
+    // absent or null — the reference drops/errors such rows. We accept
+    // them as `{}` deliberately (lenient ingest beats row loss for a bulk
+    // importer), and a NULL here would make toJSON-based exports silently
+    // drop the properties key.
     def propsOf: org.apache.spark.sql.Column =
       coalesce(
         when(schema_of_variant(col("properties")) === "STRING",

@@ -106,13 +106,20 @@ final class GraphStore(
     * wrap tables in another union/filter per statement; without periodic
     * compaction a thousand-mutation session pays O(mutations) planning
     * time on every query. Callers compact every N mutations — planning
-    * stays flat, and the checkpoint is lazy so no job runs until the next
-    * action anyway.
+    * stays flat, and the default checkpoint is lazy so no job runs until
+    * the next action anyway.
+    *
+    * `eager = true` materializes every table's checkpoint NOW (one small
+    * job per table): callers that release the previous generation's blocks
+    * right after compacting (CypherSession.runScript) need the new
+    * generation independent of them first — releasing a block a LAZY
+    * checkpoint still depends on would fail recomputation, because
+    * localCheckpoint truncates the lineage it would recompute through.
     */
-  def compact(): GraphStore =
+  def compact(eager: Boolean = false): GraphStore =
     new GraphStore(
-      vertexTables.map { case (l, df) => l -> df.localCheckpoint(false) },
-      edgeTables.map { case (l, df) => l -> df.localCheckpoint(false) })
+      vertexTables.map { case (l, df) => l -> df.localCheckpoint(eager) },
+      edgeTables.map { case (l, df) => l -> df.localCheckpoint(eager) })
 
   /** Persist the store as per-label parquet datasets (the durable layout:
     * one directory per label = the reference's per-label key prefix).

@@ -553,6 +553,11 @@ class CypherSpec extends AnyFunSuite {
     val e = intercept[Exception](s.run(
       "MATCH p = shortestPath((a:Person {name: 'Alice'})-[*..2]->(b:Person)) RETURN p"))
     assert(e.getMessage.contains("exactly one vertex"), e.getMessage)
+    // a lower bound > 1 contradicts "shortest" — rejected loudly instead
+    // of silently returning a path shorter than the written pattern
+    val e2 = intercept[Exception](s.run(
+      "MATCH p = shortestPath((a:Person {name: 'Alice'})-[*3..6]->(b:Person {name: 'Charlie'})) RETURN p"))
+    assert(e2.getMessage.contains("lower bound"), e2.getMessage)
   }
 
   test("explain renders the physical plan without executing mutations") {

@@ -325,6 +325,29 @@ class GraphIOSpec extends AnyFunSuite {
     assert(body == Seq("a\n-- kept\nb"))
   }
 
+  test("runScript of 100 statements leaves only the live compact generation persisted") {
+    val sess = new graft.cypher.CypherSession(spark,
+      new graft.store.GraphStore(Map.empty, Map.empty))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val script = (1 to 100)
+      .map(i => s"CREATE (n:P {k: $i});").mkString("\n")
+    assert(sess.runScript(script) == 100)
+    // 3 compactions happened (every 32) — each must have released its
+    // predecessor's blocks, so the persisted delta is bounded by the LIVE
+    // generation (one checkpoint per table), independent of script length
+    val delta = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val tables = 1 // single vertex label, no edges
+    assert(delta.size <= tables,
+      s"expected <= $tables live checkpoint(s), leaked: $delta")
+    // and releasing the dead generations must not have broken the store
+    val n = sess.run("MATCH (n:P) RETURN count(n) AS c")
+      .collect()(0).getLong(0)
+    assert(n == 100L)
+    val ks = sess.run("MATCH (n:P) WHERE toInteger(n.k) > 98 RETURN toInteger(n.k) AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks == Seq(99L, 100L))
+  }
+
   test("explicit-id edge CREATE refuses a multi-row match") {
     import spark.implicits._
     val sess = new graft.cypher.CypherSession(spark,

@@ -226,6 +226,35 @@ class TraversalsSpec extends AnyFunSuite {
     parents.unpersist()
   }
 
+  test("shortestPath releases every persistent RDD it creates (r6 audit)") {
+    val e = dag.edges("LINK")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Traversals.shortestPath(e, idOf("A"), idOf("D"), 5).collect()
+    assert(res.length == 1)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
+  test("weighted PregelSssp.shortestPath releases its whole delta (r6 audit)") {
+    val e = dag.edges("LINK").withColumn("weight",
+      org.apache.spark.sql.functions.lit(1.0))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = PregelSssp.shortestPath(spark, e, idOf("A"), idOf("E")).collect()
+    assert(res.length == 1)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs (incl. GraphX): $leaked")
+  }
+
+  test("pathsBetween keeps only the caller-owned snapshot persisted (r6 audit)") {
+    val e = dag.edges("LINK")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Traversals.pathsBetween(e, idOf("A"), idOf("E"), 1, 3)
+    assert(res.count() == 2) // A→B→E, A→C→E
+    val delta = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(delta.size <= 1, s"expected only the result snapshot, got: $delta")
+    res.unpersist()
+  }
+
   test("fixed-point PageRank is deterministic and ranks the hub first") {
     import org.apache.spark.sql.functions._
     // star into 1 + ring 2->3->4->5->2, 1 feeds 2 (aperiodic, so 10
