@@ -97,6 +97,47 @@ object Traversals {
     visited
   }
 
+  /** Per-source BFS distances: like `bfsDistances`, but each source keeps
+    * its own distance field instead of collapsing to min-over-any-source —
+    * the multi-source twin of the reference's ≤k-hop collection
+    * (/root/reference/src/algorithms/shortest_path.rs:185-254, which returns every
+    * vertex reachable within k from ONE source; here a batch of sources
+    * shares the level sweep). Returns (start_id, id, dist).
+    *
+    * Scale shape: the frontier is keyed by (start_id, id), so the level
+    * join fans out by |sources| in the worst case — the broadcast gate
+    * accounts for that (row count measured per level, not assumed), and
+    * a large multi-source frontier falls back to a shuffle join keyed on
+    * the vertex id.
+    */
+  def bfsDistancesPerSource(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      dir: Direction = Direction.Out,
+      maxBroadcastRows: Long = BroadcastFrontierRows): DataFrame = {
+    val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint(false)
+    var visited = sources.select(col("id").cast("long").as("start_id")).distinct()
+      .select(col("start_id"), col("start_id").as("id"), lit(0).as("dist"))
+      .localCheckpoint(false)
+    var frontier = visited
+    var frontierRows = frontier.count()
+    var hop = 0
+    while (hop < maxHops && frontierRows > 0) {
+      hop += 1
+      val f = if (frontierRows <= maxBroadcastRows) broadcast(frontier) else frontier
+      val next = e.join(f, f("id") === e("src"))
+        .select(f("start_id"), e("dst").as("id")).distinct()
+        .join(visited.select("start_id", "id"), Seq("start_id", "id"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(false)
+      // ONE job per level: materializes the lazy checkpoint and yields the
+      // loop condition
+      frontierRows = next.count()
+      visited = visited.unionByName(next)
+      frontier = next
+    }
+    e.unpersist()
+    visited
+  }
+
   /** BFS with deterministic predecessor tracking: returns
     * (id, dist, parent) where parent is the minimum-id neighbor at dist-1
     * (NULL for sources). Walking parents backwards reconstructs the unique

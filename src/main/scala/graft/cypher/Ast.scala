@@ -60,6 +60,8 @@ object Ast {
     * shortest-path algorithm (reference src/algorithms/shortest_path.rs,
     * which likewise exists only as an API call, not grammar) through the
     * query language. `pathVar` binds the vertex-id list of the path.
+    * A `{weight: 'prop'}` entry in the relationship props is the weighted
+    * cost knob (SURVEY §8.1), routing to PregelSssp instead of BFS.
     */
   final case class ShortestPathClause(pathVar: Option[String],
       pattern: PathPat) extends Clause

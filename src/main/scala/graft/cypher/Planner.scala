@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import Ast._
-import graft.algorithms.{Direction, Traversals}
+import graft.algorithms.{Direction, PregelSssp, Traversals}
 import graft.store.GraphStore
 
 final case class PlanResult(df: Option[DataFrame], store: GraphStore)
@@ -753,8 +753,21 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       require(min <= 1,
         s"shortestPath: lower bound must be 0 or 1, got $min — use MATCH (a)-[*$min..]->(b) for min-hop patterns")
     }
+    // {weight: 'prop'} is a KNOB, not a filter: the string names the edge
+    // property holding the cost and switches the search to weighted
+    // min-cost (PregelSssp, g16-proven) instead of BFS. Neither openCypher
+    // nor the reference has a weighted shortestPath surface, so the key is
+    // free to claim; edges missing the property cost 1.0 (documented —
+    // exactly the g16 PLACED/CONTAINS construction). All other props
+    // filter the edge relation as usual.
+    val (weightProps, filterProps) = rel.props.partition(_._1 == "weight")
+    val weightKey: Option[String] = weightProps.headOption.map {
+      case (_, StrLit(p)) => p
+      case _ => throw new IllegalArgumentException(
+        "shortestPath: {weight: ...} must be a string literal naming the edge cost property")
+    }
     var eb = edgeUnion(rel.types)
-    rel.props.foreach { case (k, ex) =>
+    filterProps.foreach { case (k, ex) =>
       val target: Column =
         if (eb.columns.contains(k)) eb(k)
         else if (eb.columns.contains("properties"))
@@ -780,8 +793,31 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     }
     val srcId = resolve(pat.start)
     val dstId = resolve(endNp)
-    val res = Traversals.shortestPath(
-      eb.select(col("src"), col("dst")), srcId, dstId, maxHops, dir)
+    val raw = weightKey match {
+      case None =>
+        Traversals.shortestPath(
+          eb.select(col("src"), col("dst")), srcId, dstId, maxHops, dir)
+      case Some(wk) =>
+        val wcol: Column =
+          if (eb.columns.contains(wk)) eb(wk).cast("double")
+          else if (eb.columns.contains("properties"))
+            get_json_object(col("properties"), "$." + wk).cast("double")
+          else lit(null).cast("double")
+        val we0 = eb.select(col("src"), col("dst"),
+          coalesce(wcol, lit(1.0)).as("weight"))
+        // orient per the pattern arrow (Direction.orient drops non-id
+        // columns, so the weight rides an inline orient)
+        val we = dir match {
+          case Direction.Out => we0
+          case Direction.In => we0.select(col("dst").as("src"),
+            col("src").as("dst"), col("weight"))
+          case Direction.Both => we0.unionByName(we0.select(
+            col("dst").as("src"), col("src").as("dst"), col("weight")))
+        }
+        // [*..k] caps the Pregel supersteps = the max hop count considered
+        PregelSssp.shortestPath(spark, we, srcId, dstId, maxHops)
+    }
+    val res = raw
       .select(col("start_id").as("__sp_s"), col("end_id").as("__sp_d"),
         col("path").as(spc.pathVar.getOrElse("__sp_path")))
     val base = scope.getOrElse(emptyScope)

@@ -140,6 +140,57 @@ object CypherGateQueries {
           |RETURN id(c) AS start_id, id(r) AS end_id, size(p) - 1 AS dist""".stripMargin)
     }),
 
+    // WEIGHTED shortestPath() through Cypher (the {weight: 'prop'} knob):
+    // min-cost path from customer 1 to the farthest reachable vertex over
+    // PLACED (cost 1.0, no l_quantity property) + CONTAINS (cost
+    // l_quantity) — exactly g16's relation, now driven from the query
+    // language. The target is data-derived (computed by the g16-proven
+    // API) so the gate is meaningful at every scale factor; the oracle
+    // recomputes the farthest vertex AND the min-cost min-parent path
+    // independently in SQL. The path vertex sequence is the checked
+    // output: it encodes every weighted choice the search made.
+    "cy17_weighted_shortest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat_ws, lit, transform}
+      val g = GraphStore.tpch(s, dir)
+      val weighted = g.edges("PLACED")
+        .select(col("src"), col("dst"), lit(1.0).as("weight"))
+        .unionByName(g.edges("CONTAINS")
+          .select(col("src"), col("dst"), col("l_quantity").cast("double").as("weight")))
+      val start = graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)
+      val far = graft.util.Checkpoints.sweepingDelta(s) {
+        val parents = graft.algorithms.PregelSssp
+          .runWithParents(s, weighted, start).localCheckpoint()
+        parents.where(col("id") =!= start)
+          .orderBy(col("dist").desc, col("id")).limit(1)
+          .select("id").head.getLong(0)
+      }
+      val farKey = graft.model.Graphid.unpack(far)._2
+      new CypherSession(s, g, Map("pk" -> farKey)).run(
+        """MATCH p = shortestPath((c:Customer {c_custkey: 1})
+          |  -[:PLACED|CONTAINS *..6 {weight: 'l_quantity'}]->
+          |  (b:Part {p_partkey: $pk}))
+          |RETURN id(c) AS start_id, id(b) AS end_id, p AS path""".stripMargin)
+        .select(col("start_id"), col("end_id"),
+          concat_ws("-", transform(col("path"), _.cast("string"))).as("path_str"))
+    }),
+
+    // LDBC-SNB-interactive-shaped composite read (the reference defers
+    // LDBC entirely, README.md:400-403): friends-of-friends over the
+    // co-purchase graph with an attribute filter and an aggregation.
+    // "Friends" of customer 1 = customers sharing a purchased part
+    // (2-hop out + 2-hop back), filtered to customer 1's market segment,
+    // grouped by nation, top-10. Exercises correlated multi-MATCH (join
+    // on p, then on f), cross-variable WHERE, count(DISTINCT node),
+    // ORDER BY + LIMIT — one query through the whole planner.
+    "g20_ldbc_fof" -> cy(
+      """MATCH (c:Customer {c_custkey: 1})-[:PLACED]->(:Order)-[:CONTAINS]->(p:Part)
+        |MATCH (f:Customer)-[:PLACED]->(:Order)-[:CONTAINS]->(p)
+        |MATCH (f)-[:CUST_NATION]->(n:Nation)
+        |WHERE f.c_custkey <> 1 AND f.c_mktsegment = c.c_mktsegment
+        |RETURN n.n_name AS nation, count(DISTINCT f) AS n_friends
+        |ORDER BY n_friends DESC, nation
+        |LIMIT 10""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -256,6 +307,72 @@ object CypherGateQueries {
          |  d.id AS end_id, CAST(MIN(b.dist) AS BIGINT) AS dist
          |FROM dstv d JOIN bfs b ON b.id = d.id
          |GROUP BY d.id""".stripMargin,
+    "g20_ldbc_fof" ->
+      """WITH cseg AS (SELECT c_mktsegment AS seg FROM customer WHERE c_custkey = 1),
+        |cparts AS (
+        |  SELECT DISTINCT l_partkey AS pk
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_custkey = 1
+        |),
+        |friends AS (
+        |  SELECT DISTINCT o.o_custkey AS fk
+        |  FROM orders o
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN cparts p ON p.pk = l.l_partkey
+        |  JOIN customer f ON f.c_custkey = o.o_custkey
+        |  JOIN cseg s ON f.c_mktsegment = s.seg
+        |  WHERE o.o_custkey <> 1
+        |)
+        |SELECT n_name AS nation, COUNT(*) AS n_friends
+        |FROM friends
+        |JOIN customer f ON f.c_custkey = friends.fk
+        |JOIN nation ON n_nationkey = f.c_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_friends DESC, nation
+        |LIMIT 10""".stripMargin,
+
+    "cy17_weighted_shortest" ->
+      // g16's weighted min-cost min-parent oracle (bounded Bellman-Ford on
+      // the depth-2 PLACED+CONTAINS DAG + parent walk), emitting the path
+      // only — the Cypher surface binds p but does not expose the cost
+      """WITH RECURSIVE we AS (
+        |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+        |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst,
+        |         CAST(1.0 AS DOUBLE) AS w FROM orders
+        |  UNION ALL
+        |  SELECT (CAST(2 AS BIGINT)<<48)|CAST(l_orderkey AS BIGINT),
+        |         (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT),
+        |         CAST(l_quantity AS DOUBLE) FROM lineitem
+        |),
+        |walk(id, dist, len) AS (
+        |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE), 0
+        |  UNION ALL
+        |  SELECT e.dst, w.dist + e.w, w.len + 1
+        |  FROM walk w JOIN we e ON e.src = w.id WHERE w.len < 3
+        |),
+        |lvl AS (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id),
+        |far AS (SELECT id, dist FROM lvl
+        |        WHERE id <> (CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT)
+        |        ORDER BY dist DESC, id LIMIT 1),
+        |par AS (
+        |  SELECT e.dst AS id, MIN(e.src) AS parent
+        |  FROM we e JOIN lvl u ON u.id = e.src JOIN lvl v ON v.id = e.dst
+        |  WHERE v.dist = u.dist + e.w
+        |  GROUP BY e.dst
+        |),
+        |pwalk(id, k) AS (
+        |  SELECT id, 0 FROM far
+        |  UNION ALL
+        |  SELECT par.parent, w.k + 1 FROM pwalk w JOIN par ON par.id = w.id
+        |),
+        |path AS (
+        |  SELECT string_agg(CAST(id AS VARCHAR), '-' ORDER BY k DESC) AS path_str
+        |  FROM pwalk
+        |)
+        |SELECT (CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT) AS start_id,
+        |  f.id AS end_id, p.path_str
+        |FROM far f, path p""".stripMargin,
+
     "cy12_unwind" ->
       """SELECT CAST(n_nationkey * m AS BIGINT) AS v, COUNT(*) AS c
         |FROM nation CROSS JOIN (VALUES (1), (2), (3)) AS t(m)

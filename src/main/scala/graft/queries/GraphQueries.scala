@@ -276,6 +276,19 @@ object GraphQueries {
       graft.algorithms.GraphAlgorithms.nodeSimilarity(edges, 20)
     }),
 
+    // G2 multi-source twin: per-source ≤k-hop distances from customers
+    // 1..3 in ONE batched level sweep (the reference runs its ≤k-hop
+    // Dijkstra collection once per source, shortest_path.rs:185-254 —
+    // batching shares every level's edge scan across sources).
+    "g19_multi_source_bfs" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val starts = (1L to 3L)
+        .map(graft.model.Graphid.pack(GraphStore.Lab.Customer, _)).toDF("id")
+      Traversals.bfsDistancesPerSource(srcDst(g.allEdges), starts, 4)
+        .orderBy(col("start_id"), col("id"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -527,5 +540,21 @@ object GraphQueries {
         |FROM common
         |JOIN deg da ON da.id = a
         |JOIN deg db ON db.id = b
-        |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin)
+        |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
+    "g19_multi_source_bfs" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |starts(id) AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT)
+         |  FROM customer WHERE c_custkey IN (1, 2, 3)
+         |),
+         |bfs(start_id, id, dist) AS (
+         |  SELECT id, id, 0 FROM starts
+         |  UNION ALL
+         |  SELECT b.start_id, e.dst, b.dist + 1
+         |  FROM bfs b JOIN edges e ON e.src = b.id
+         |  WHERE b.dist < 4
+         |)
+         |SELECT start_id, id, CAST(MIN(dist) AS INT) AS dist
+         |FROM bfs GROUP BY start_id, id
+         |ORDER BY start_id, id""".stripMargin)
 }

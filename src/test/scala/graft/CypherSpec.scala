@@ -560,6 +560,33 @@ class CypherSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("lower bound"), e2.getMessage)
   }
 
+  test("weighted shortestPath {weight: 'prop'} picks min-cost over min-hops") {
+    import spark.implicits._
+    // 1→4 direct costs 10; 1→2→3→4 costs 3 — BFS and weighted disagree
+    val v = (1 to 4).map(i => (Graphid.pack(7, i), s"v$i")).toDF("id", "name")
+    val e = Seq(
+      (Graphid.pack(8, 1), Graphid.pack(7, 1), Graphid.pack(7, 4), 10.0),
+      (Graphid.pack(8, 2), Graphid.pack(7, 1), Graphid.pack(7, 2), 1.0),
+      (Graphid.pack(8, 3), Graphid.pack(7, 2), Graphid.pack(7, 3), 1.0),
+      (Graphid.pack(8, 4), Graphid.pack(7, 3), Graphid.pack(7, 4), 1.0))
+      .toDF("id", "src", "dst", "w")
+    val sess = new CypherSession(spark,
+      new graft.store.GraphStore(Map("N" -> v), Map("E" -> e)))
+    val bfs = sess.run(
+      "MATCH p = shortestPath((a:N {name: 'v1'})-[:E *..4]->(b:N {name: 'v4'})) " +
+        "RETURN size(p) - 1 AS d")
+    assert(rows(bfs) == Seq(Seq(1L))) // unweighted: the direct hop
+    val w = sess.run(
+      "MATCH p = shortestPath((a:N {name: 'v1'})-[:E *..4 {weight: 'w'}]->(b:N {name: 'v4'})) " +
+        "RETURN p AS path")
+    assert(w.collect()(0).getSeq[Long](0) ==
+      Seq(Graphid.pack(7, 1), Graphid.pack(7, 2), Graphid.pack(7, 3), Graphid.pack(7, 4)))
+    // the knob must be a string literal naming the property
+    val err = intercept[Exception](sess.run(
+      "MATCH p = shortestPath((a:N {name: 'v1'})-[:E *..2 {weight: 1}]->(b:N {name: 'v4'})) RETURN p"))
+    assert(err.getMessage.contains("string literal"), err.getMessage)
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store

@@ -173,6 +173,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("g20: LDBC composite joins on shared vars — no cartesian; anchor pushed") {
+    val p = plan("g20_ldbc_fof")
+    // correlated multi-MATCH must become equi-joins on p and f, never a
+    // cartesian product re-filtered later
+    assert(!p.contains("CartesianProduct"), p)
+    // the {c_custkey: 1} anchor reaches the customer parquet scan
+    assert(p.contains("EqualTo(c_custkey,1"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("g17: k-core rounds broadcast the peeled set; edges never re-sorted") {
     // under the vertex ceiling every round's degree update must ride
     // broadcast joins (peeled set into the immutable edge relation, hits

@@ -226,6 +226,24 @@ class TraversalsSpec extends AnyFunSuite {
     parents.unpersist()
   }
 
+  test("per-source BFS distances keep each source's own frontier") {
+    val e = dag.edges("LINK")
+    val starts = Seq(idOf("A"), idOf("B")).toDF("id")
+    val got = Traversals.bfsDistancesPerSource(e, starts, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // A sees the whole DAG at its own distances; B sees only its subtree —
+    // a collapsed (min-over-any-source) result would lose A's D/E at 2
+    val exp = Set(
+      (idOf("A"), idOf("A"), 0), (idOf("A"), idOf("B"), 1), (idOf("A"), idOf("C"), 1),
+      (idOf("A"), idOf("D"), 2), (idOf("A"), idOf("E"), 2),
+      (idOf("B"), idOf("B"), 0), (idOf("B"), idOf("D"), 1), (idOf("B"), idOf("E"), 1))
+    assert(got == exp)
+    // hop cap truncates per source
+    val capped = Traversals.bfsDistancesPerSource(e, starts, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == exp.filter(_._3 <= 1))
+  }
+
   test("shortestPath releases every persistent RDD it creates (r6 audit)") {
     val e = dag.edges("LINK")
     val before = spark.sparkContext.getPersistentRDDs.keySet
