@@ -295,6 +295,68 @@ object Traversals {
     bfsDistances(edges, sources, maxHops, dir).where(col("id") === dstId)
   }
 
+  /** ALL shortest paths between two vertices (unweighted): every distinct
+    * minimum-length vertex sequence as (start_id, end_id, path) — the
+    * openCypher `allShortestPaths`, absent from both the reference grammar
+    * (cypher.pest) and its algorithm API (shortest_path.rs returns one
+    * path). Two phases, both confined to the shortest-path DAG rather than
+    * the whole graph: a forward BFS fixes dist(v), then a backward walk
+    * from the target enumerates predecessors through edges with
+    * dist(v) = dist(u) + 1 only. Every intermediate row is the suffix of
+    * some shortest path (each DAG vertex at level l is reachable from the
+    * source in exactly l hops by construction), so the enumeration never
+    * expands a non-optimal edge. Output size is the path count — can be
+    * combinatorial in pathological graphs — so `maxPaths` caps it
+    * deterministically (ordered by path), same convention as `vle`.
+    */
+  def allShortestPaths(edges: DataFrame, srcId: Long, dstId: Long, maxHops: Int,
+      dir: Direction = Direction.Out, maxPaths: Option[Int] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    def done(res: DataFrame): DataFrame = {
+      val internals = sc.getPersistentRDDs.keySet -- before
+      val out = res.localCheckpoint()
+      graft.util.Checkpoints.release(spark, internals)
+      out
+    }
+    if (srcId == dstId)
+      return Seq((srcId, dstId, Seq(srcId))).toDF("start_id", "end_id", "path")
+    val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint(false)
+    val dists = bfsDistances(e, Seq(srcId).toDF("id"), maxHops, Direction.Out)
+      .localCheckpoint(false)
+    val lRow = dists.where(col("id") === dstId).select(col("dist")).take(1)
+    if (lRow.isEmpty)
+      return done(Seq.empty[(Long, Long, Seq[Long])].toDF("start_id", "end_id", "path"))
+    val L = lRow(0).getInt(0)
+    // the DAG keeps only optimal edges: |dag| <= |E|, usually far smaller
+    val du = dists.where(col("dist") < L)
+      .select(col("id").as("src"), col("dist").as("du"))
+    val dv = dists.where(col("dist") <= L && col("dist") > 0)
+      .select(col("id").as("dst"), col("dist").as("dv"))
+    // distinct: parallel edges (same src/dst, different edge identity) must
+    // not multiply VERTEX-sequence paths
+    val dag = e.join(du, "src").join(dv, "dst")
+      .where(col("dv") === col("du") + 1)
+      .select(col("src"), col("dst"), col("du")).distinct().localCheckpoint(false)
+    var paths = Seq((dstId, Seq(dstId))).toDF("head", "path")
+    var lvl = L
+    while (lvl > 0) {
+      val dagL = dag.where(col("du") === lvl - 1)
+      paths = dagL.join(paths, dagL("dst") === paths("head"))
+        .select(dagL("src").as("head"),
+          concat(array(dagL("src")), col("path")).as("path"))
+      // cap INSIDE the loop: a blowup is stopped at the level it happens,
+      // not after materializing the full cross product
+      maxPaths.foreach { k => paths = paths.orderBy(col("path")).limit(k) }
+      paths = paths.localCheckpoint(false)
+      lvl -= 1
+    }
+    done(paths.select(lit(srcId).as("start_id"), lit(dstId).as("end_id"),
+      col("path")))
+  }
+
   /** Variable-length expansion: enumerate all simple paths (cycle-free, as
     * the reference checks via path.contains_vertex: vle.rs:117-121) of length
     * in [minLength, maxLength] starting from `starts` (an `id` column).

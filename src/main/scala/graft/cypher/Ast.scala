@@ -32,6 +32,12 @@ object Ast {
   final case class CaseExpr(whens: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class InList(e: Expr, list: Expr, negated: Boolean) extends Expr
+  /** `EXISTS((a)-[:T]->(b))` pattern predicate — openCypher surface absent
+    * from the reference grammar (cypher.pest has no EXISTS). Not a scalar:
+    * the planner compiles top-level WHERE conjuncts of this shape to a
+    * left-semi join (left-anti under NOT) against the pattern's matches.
+    */
+  final case class PatternPred(pattern: PathPat) extends Expr
 
   // ---- patterns ----
   sealed trait Dir
@@ -62,9 +68,11 @@ object Ast {
     * query language. `pathVar` binds the vertex-id list of the path.
     * A `{weight: 'prop'}` entry in the relationship props is the weighted
     * cost knob (SURVEY §8.1), routing to PregelSssp instead of BFS.
+    * `all = true` is openCypher's `allShortestPaths(...)`: every
+    * minimum-length path, one row each (unweighted only).
     */
   final case class ShortestPathClause(pathVar: Option[String],
-      pattern: PathPat) extends Clause
+      pattern: PathPat, all: Boolean = false) extends Clause
   final case class ReturnItem(expr: Expr, alias: Option[String])
   final case class OrderItem(expr: Expr, asc: Boolean)
   final case class ReturnClause(distinct: Boolean, items: Seq[ReturnItem],

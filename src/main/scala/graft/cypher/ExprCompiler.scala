@@ -130,6 +130,10 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
     case InList(x, list, negated) =>
       val c = array_contains(compile(list), compile(x))
       if (negated) !c else c
+    case _: PatternPred => sys.error(
+      "EXISTS pattern predicates are only supported as top-level WHERE " +
+        "conjuncts (optionally under NOT) — they compile to semi/anti " +
+        "joins, not scalar columns")
     case CaseExpr(whens, otherwise) =>
       val first = when(truthyExpr(whens.head._1), compile(whens.head._2))
       val chained = whens.tail.foldLeft(first) { case (acc, (w, t)) =>

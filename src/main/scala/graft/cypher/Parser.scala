@@ -64,17 +64,19 @@ final class Parser(tokens: Vector[Tok]) {
       tokens.lift(p + k) match { case Some(Ident(v, _)) => pred(v); case _ => false }
     def opAt(k: Int, o: String): Boolean =
       tokens.lift(p + k) match { case Some(Op(v, _)) => v == o; case _ => false }
+    def isSp(v: String): Boolean =
+      v.equalsIgnoreCase("shortestPath") || v.equalsIgnoreCase("allShortestPaths")
     val pathVar =
-      if (identAt(0)(_ => true) && opAt(1, "=") &&
-          identAt(2)(_.equalsIgnoreCase("shortestPath"))) {
+      if (identAt(0)(_ => true) && opAt(1, "=") && identAt(2)(isSp)) {
         val v = ident(); eatOp("="); Some(v)
       } else None
-    if (identAt(0)(_.equalsIgnoreCase("shortestPath")) && opAt(1, "(")) {
+    if (identAt(0)(isSp) && opAt(1, "(")) {
       if (optional) fail("OPTIONAL MATCH shortestPath is not supported")
-      ident(); eatOp("(")
+      val fn = ident(); eatOp("(")
       val pat = parsePathPat()
       eatOp(")")
-      return ShortestPathClause(pathVar, pat)
+      return ShortestPathClause(pathVar, pat,
+        all = fn.equalsIgnoreCase("allShortestPaths"))
     }
     if (pathVar.isDefined) fail("path assignment requires shortestPath(...)")
     val pats = Seq.newBuilder[PathPat]
@@ -341,7 +343,10 @@ final class Parser(tokens: Vector[Tok]) {
     case ParamTok(v, _) => p += 1; Param(v)
     case Ident(name, _) =>
       p += 1
-      if (isOp("(")) parseFnCall(name) else Variable(name)
+      if (isOp("(")) {
+        if (name.equalsIgnoreCase("exists")) parseExists()
+        else parseFnCall(name)
+      } else Variable(name)
     case Op("(", _) => p += 1; val e = parseExpr(); eatOp(")"); e
     case Op("[", _) =>
       p += 1
@@ -366,6 +371,30 @@ final class Parser(tokens: Vector[Tok]) {
     // keep the user's spelling: un-aliased RETURN column names carry it
     // (reference get_return_key); dispatch lowercases at the match sites
     FnCall(name, args.result(), distinct)
+  }
+
+  /** EXISTS(...) — two openCypher forms share the name: the pattern
+    * predicate `EXISTS((a)-[:T]->(b))` and the legacy property/value test
+    * `EXISTS(n.prop)` (≡ IS NOT NULL). A `(` that starts a node pattern is
+    * ambiguous with a parenthesized expression, so the pattern parse is
+    * attempted with backtracking; a "pattern" with no hops (`EXISTS((a))`)
+    * is really the value form and reparses as an expression.
+    */
+  private def parseExists(): Expr = {
+    eatOp("(")
+    val save = p
+    val pat: Option[PathPat] =
+      if (isOp("(")) {
+        try {
+          val pp = parsePathPat()
+          if (pp.hops.nonEmpty) Some(pp) else { p = save; None }
+        } catch { case _: ParseError => p = save; None }
+      } else None
+    pat match {
+      case Some(pp) => eatOp(")"); PatternPred(pp)
+      case None =>
+        val e = parseExpr(); eatOp(")"); IsNull(e, negated = true)
+    }
   }
 
   private def parseCase(): Expr = {

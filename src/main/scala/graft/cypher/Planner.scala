@@ -285,15 +285,63 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         p.hops.flatMap { case (r, n) => r.variable.toSeq ++ n.variable.toSeq })
     }.distinct
 
+  /** WHERE application shared by MATCH / OPTIONAL MATCH / WITH: splits the
+    * expression into AND-conjuncts, compiles EXISTS pattern predicates
+    * (optionally under NOT) to left-semi/left-anti joins, and the scalar
+    * remainder to one Column filter. EXISTS anywhere else (under OR, in a
+    * CASE, …) fails loudly in ExprCompiler rather than guessing.
+    */
+  private def applyWhere(s0: Scope, w: Expr): Scope = {
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    var s = s0
+    val plain = Seq.newBuilder[Expr]
+    conjuncts(w).foreach {
+      case PatternPred(p) => s = compilePatternPred(s, p, negated = false)
+      case Un("NOT", PatternPred(p)) => s = compilePatternPred(s, p, negated = true)
+      case other => plain += other
+    }
+    val rest = plain.result()
+    if (rest.isEmpty) s
+    else {
+      val compiler = ec(s)
+      s.copy(df = s.df.where(rest.map(compiler.truthyExpr).reduce(_ && _)))
+    }
+  }
+
+  /** EXISTS/NOT EXISTS pattern predicate: the pattern runs in its own
+    * scope seeded by the DISTINCT shared-variable rows (the OPTIONAL MATCH
+    * seeding) and joins back left-semi/left-anti on the entity-id keys —
+    * a correlated subquery as ONE hash join, never per-row execution. The
+    * semi side is key-distinct, so its size is bounded by the outer key
+    * cardinality regardless of the pattern's fan-out.
+    */
+  private def compilePatternPred(s: Scope, pat: PathPat, negated: Boolean): Scope = {
+    val shared = patternVars(Seq(pat)).filter(s.vars.contains)
+    require(shared.nonEmpty,
+      "EXISTS pattern must reference at least one variable bound by the enclosing MATCH")
+    val seedCols = shared.flatMap(s.varCols)
+    val seed = s.df.select(seedCols.map(col).toIndexedSeq: _*).distinct()
+    var sub = Scope(seed, shared.map(v => v -> s.vars(v)).toMap, shared)
+    sub = compilePath(Some(sub), pat)
+    val keyCols = shared.map { v =>
+      if (s.vars(v).kind == VarKind.Value) v else Scope.colName(v, "id")
+    }
+    val joined = s.df.join(
+      sub.df.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
+      keyCols, if (negated) "left_anti" else "left_semi")
+    s.copy(df = joined)
+  }
+
   private def compileMatch(outer: Option[Scope], m: MatchClause): Scope = {
     if (!m.optional || outer.isEmpty) {
       var sc = outer
       m.patterns.foreach { pat => sc = Some(compilePath(sc, pat)) }
       val s = sc.get
       m.where match {
-        case Some(w) =>
-          val compiler = ec(s)
-          s.copy(df = s.df.where(compiler.truthyExpr(w)))
+        case Some(w) => applyWhere(s, w)
         case None => s
       }
     } else {
@@ -306,9 +354,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       var sub = Scope(seed, shared.map(v => v -> o.vars(v)).toMap, shared)
       m.patterns.foreach { pat => sub = compilePath(Some(sub), pat) }
       sub = m.where match {
-        case Some(w) =>
-          val compiler = ec(sub)
-          sub.copy(df = sub.df.where(compiler.truthyExpr(w)))
+        case Some(w) => applyWhere(sub, w)
         case None => sub
       }
       // join back on entity ids only (they functionally determine the rest
@@ -525,9 +571,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     }
     out = out.copy(df = orderAndSlice(out.df, wc.orderBy, wc.skip, wc.limit, resolve))
     wc.where match {
-      case Some(w) =>
-        val oc = ec(out)
-        out.copy(df = out.df.where(oc.truthyExpr(w)))
+      case Some(w) => applyWhere(out, w)
       case None => out
     }
   }
@@ -794,6 +838,14 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     val srcId = resolve(pat.start)
     val dstId = resolve(endNp)
     val raw = weightKey match {
+      case None if spc.all =>
+        Traversals.allShortestPaths(
+          eb.select(col("src"), col("dst")), srcId, dstId, maxHops, dir)
+      case Some(_) if spc.all =>
+        throw new IllegalArgumentException(
+          "allShortestPaths does not take a {weight: ...} knob — " +
+            "minimum-cost path multiplicity is not defined here; use " +
+            "shortestPath for the weighted single path")
       case None =>
         Traversals.shortestPath(
           eb.select(col("src"), col("dst")), srcId, dstId, maxHops, dir)
@@ -1156,3 +1208,4 @@ object CypherSession {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 }
+

@@ -191,6 +191,40 @@ object CypherGateQueries {
         |ORDER BY n_friends DESC, nation
         |LIMIT 10""".stripMargin),
 
+    // allShortestPaths (r7): EVERY minimum-length path c1 → supplier, one
+    // row each. The target supplier is data-derived (most 3-hop routes
+    // from customer 1, ties broken by key) so the gate has guaranteed
+    // path multiplicity at every scale factor; the oracle re-derives the
+    // target AND enumerates the distinct vertex sequences independently.
+    "cy19_all_shortest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat_ws, transform}
+      val g = GraphStore.tpch(s, dir)
+      val sk = new CypherSession(s, g).run(
+        """MATCH (c:Customer {c_custkey: 1})-[:PLACED]->(:Order)
+          |  -[:CONTAINS]->(:Part)-[:SUPPLIED_BY]->(sp:Supplier)
+          |RETURN sp.s_suppkey AS sk, count(*) AS n
+          |ORDER BY n DESC, sk LIMIT 1""".stripMargin)
+        .select(col("sk").cast("long")).head.getLong(0)
+      new CypherSession(s, g, Map("sk" -> sk)).run(
+        """MATCH p = allShortestPaths((c:Customer {c_custkey: 1})
+          |  -[:PLACED|CONTAINS|SUPPLIED_BY *..5]->(b:Supplier {s_suppkey: $sk}))
+          |RETURN id(c) AS start_id, id(b) AS end_id, p AS path""".stripMargin)
+        .select(col("start_id"), col("end_id"),
+          concat_ws("-", transform(col("path"), _.cast("string"))).as("path_str"))
+        .orderBy(col("path_str"))
+    }),
+
+    // EXISTS / NOT EXISTS pattern predicates (r7): one semi + one anti
+    // join compiled from WHERE conjuncts — the inline {o_orderstatus}
+    // props inside the NOT EXISTS pattern exercise filtered anti-join
+    // compilation. Neither engine had this surface before.
+    "cy18_exists" -> cy(
+      """MATCH (c:Customer)-[:CUST_NATION]->(n:Nation)
+        |WHERE c.c_acctbal > 9000 AND EXISTS((c)-[:PLACED]->(:Order))
+        |  AND NOT EXISTS((c)-[:PLACED]->(:Order {o_orderstatus: 'F'}))
+        |RETURN n.n_name AS nation, count(c) AS n_cust
+        |ORDER BY n_cust DESC, nation""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -307,6 +341,51 @@ object CypherGateQueries {
          |  d.id AS end_id, CAST(MIN(b.dist) AS BIGINT) AS dist
          |FROM dstv d JOIN bfs b ON b.id = d.id
          |GROUP BY d.id""".stripMargin,
+    "cy19_all_shortest" ->
+      // suppliers are first reachable from a customer at hop 3 (the only
+      // out-chain is PLACED→CONTAINS→SUPPLIED_BY), so ALL shortest paths
+      // are the distinct (order, part) routes into the target supplier;
+      // SUPPLIED_BY is the DISTINCT (part, supplier) projection of lineitem
+      """WITH sb AS (
+        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+        |),
+        |target AS (
+        |  SELECT sb.sk AS s
+        |  FROM orders o
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN sb ON sb.pk = l.l_partkey
+        |  WHERE o.o_custkey = 1
+        |  GROUP BY sb.sk
+        |  ORDER BY COUNT(*) DESC, sb.sk
+        |  LIMIT 1
+        |),
+        |routes AS (
+        |  SELECT DISTINCT o.o_orderkey AS ok, l.l_partkey AS pk, t.s AS s
+        |  FROM orders o
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN sb ON sb.pk = l.l_partkey
+        |  JOIN target t ON t.s = sb.sk
+        |  WHERE o.o_custkey = 1
+        |)
+        |SELECT (CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT) AS start_id,
+        |  (CAST(4 AS BIGINT)<<48)|CAST(s AS BIGINT) AS end_id,
+        |  CAST((CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT) AS VARCHAR) || '-' ||
+        |  CAST((CAST(2 AS BIGINT)<<48)|CAST(ok AS BIGINT) AS VARCHAR) || '-' ||
+        |  CAST((CAST(3 AS BIGINT)<<48)|CAST(pk AS BIGINT) AS VARCHAR) || '-' ||
+        |  CAST((CAST(4 AS BIGINT)<<48)|CAST(s AS BIGINT) AS VARCHAR) AS path_str
+        |FROM routes
+        |ORDER BY path_str""".stripMargin,
+
+    "cy18_exists" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_acctbal > 9000
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY n_name
+        |ORDER BY n_cust DESC, nation""".stripMargin,
+
     "g20_ldbc_fof" ->
       """WITH cseg AS (SELECT c_mktsegment AS seg FROM customer WHERE c_custkey = 1),
         |cparts AS (

@@ -587,6 +587,57 @@ class CypherSpec extends AnyFunSuite {
     assert(err.getMessage.contains("string literal"), err.getMessage)
   }
 
+  test("EXISTS pattern predicate compiles to semi/anti joins") {
+    val s = session
+    // semi: who has an outgoing KNOWS edge
+    assert(rows(s.run(
+      "MATCH (a:Person) WHERE EXISTS((a)-[:KNOWS]->()) RETURN a.name AS n ORDER BY n"))
+      == Seq(Seq("Alice"), Seq("Bob")))
+    // anti: who has none
+    assert(rows(s.run(
+      "MATCH (a:Person) WHERE NOT EXISTS((a)-[:KNOWS]->()) RETURN a.name AS n ORDER BY n"))
+      == Seq(Seq("Charlie"), Seq("David")))
+    // incoming direction inside the pattern
+    assert(rows(s.run(
+      "MATCH (a:Person) WHERE EXISTS((a)<-[:KNOWS]-()) RETURN a.name AS n ORDER BY n"))
+      == Seq(Seq("Bob"), Seq("Charlie")))
+    // inline props inside a NOT EXISTS pattern (filtered anti-join)
+    assert(rows(s.run(
+      "MATCH (a:Person) WHERE NOT EXISTS((a)-[:KNOWS {since: 2021}]->()) " +
+        "RETURN a.name AS n ORDER BY n"))
+      == Seq(Seq("Alice"), Seq("Charlie"), Seq("David")))
+    // mixes with scalar conjuncts
+    assert(rows(s.run(
+      "MATCH (a:Person) WHERE a.age >= 28 AND EXISTS((a)-[:KNOWS]->()) " +
+        "RETURN a.name AS n"))
+      == Seq(Seq("Alice")))
+    // WITH ... WHERE EXISTS goes through the projection path too
+    assert(rows(s.run(
+      "MATCH (a:Person) WITH a WHERE EXISTS((a)-[:KNOWS]->(:Person)) " +
+        "RETURN a.name AS n ORDER BY n"))
+      == Seq(Seq("Alice"), Seq("Bob")))
+  }
+
+  test("EXISTS value form and misuse errors") {
+    val s = session
+    // legacy EXISTS(expr) is IS NOT NULL; unmatched OPTIONAL b is null
+    assert(rows(s.run(
+      "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b:Person) " +
+        "WITH a, b WHERE EXISTS(b.name) RETURN a.name AS n ORDER BY n"))
+      == Seq(Seq("Alice"), Seq("Bob")))
+    // EXISTS((a)) with no hops is the value form on the variable
+    assert(s.run(
+      "MATCH (a:Person) WHERE EXISTS((a)) RETURN a.name AS n").count() == 4)
+    // a pattern predicate under OR cannot become a scalar column — loud error
+    val err = intercept[Exception](s.run(
+      "MATCH (a:Person) WHERE a.age > 100 OR EXISTS((a)-[:KNOWS]->()) RETURN a.name"))
+    assert(err.getMessage.contains("top-level WHERE conjuncts"), err.getMessage)
+    // a pattern sharing no bound variable is rejected, not cross-joined
+    val err2 = intercept[Exception](s.run(
+      "MATCH (a:Person) WHERE EXISTS((x:Person)-[:KNOWS]->()) RETURN a.name"))
+    assert(err2.getMessage.contains("bound"), err2.getMessage)
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store

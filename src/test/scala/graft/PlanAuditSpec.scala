@@ -183,6 +183,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("cy18: EXISTS compiles to one semi + one anti hash join, no subquery loop") {
+    val p = plan("cy18_exists")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the acctbal filter still reaches the customer parquet scan
+    assert(p.contains("GreaterThan(c_acctbal,9000"), p)
+  }
+
   test("g17: k-core rounds broadcast the peeled set; edges never re-sorted") {
     // under the vertex ceiling every round's degree update must ride
     // broadcast joins (peeled set into the immutable edge relation, hits

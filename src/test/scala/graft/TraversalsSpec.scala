@@ -244,6 +244,42 @@ class TraversalsSpec extends AnyFunSuite {
     assert(capped == exp.filter(_._3 <= 1))
   }
 
+  test("allShortestPaths enumerates every minimum-length path (A→E via B and C)") {
+    val got = Traversals.allShortestPaths(dag.edges("LINK"), idOf("A"), idOf("E"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(got == Set(
+      (idOf("A"), idOf("E"), Seq(idOf("A"), idOf("B"), idOf("E"))),
+      (idOf("A"), idOf("E"), Seq(idOf("A"), idOf("C"), idOf("E")))))
+  }
+
+  test("allShortestPaths: parallel edges don't duplicate vertex paths") {
+    val dup = dag.edges("LINK").select("id", "src", "dst").unionByName(
+      Seq((Graphid.pack(2, 99), idOf("B"), idOf("E"))).toDF("id", "src", "dst"))
+    val got = Traversals.allShortestPaths(dup, idOf("A"), idOf("E"), 5)
+    assert(got.count() == 2)
+  }
+
+  test("allShortestPaths: deterministic cap, unreachable, and self cases") {
+    val capped = Traversals.allShortestPaths(
+      dag.edges("LINK"), idOf("A"), idOf("E"), 5, maxPaths = Some(1)).collect()
+    assert(capped.length == 1 &&
+      capped(0).getSeq[Long](2) == Seq(idOf("A"), idOf("B"), idOf("E")))
+    assert(Traversals.allShortestPaths(
+      dag.edges("LINK"), idOf("D"), idOf("A"), 5).count() == 0)
+    val self = Traversals.allShortestPaths(
+      dag.edges("LINK"), idOf("A"), idOf("A"), 5).collect()
+    assert(self.length == 1 && self(0).getSeq[Long](2) == Seq(idOf("A")))
+  }
+
+  test("allShortestPaths releases every persistent RDD except the snapshot") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Traversals.allShortestPaths(dag.edges("LINK"), idOf("A"), idOf("E"), 5)
+    res.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked RDDs: $leaked") // caller-owned snapshot only
+    res.unpersist()
+  }
+
   test("shortestPath releases every persistent RDD it creates (r6 audit)") {
     val e = dag.edges("LINK")
     val before = spark.sparkContext.getPersistentRDDs.keySet
