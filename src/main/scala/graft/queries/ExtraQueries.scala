@@ -258,7 +258,9 @@ object ExtraQueries {
     "x22_stream_hourly" -> ((s, dir) => {
       import graft.streaming.EventStreams
       val src = java.nio.file.Files.createTempDirectory("graft_x22_src")
-      s.read.schema(EventStreams.rawSchema).parquet(s"$dir/events.parquet")
+      // batch staging infers the file's own schema (long nanos or
+      // timestamp[us] — readStream sniffs and normalizes either)
+      s.read.parquet(s"$dir/events.parquet")
         .repartition(4)
         .write.mode("overwrite").parquet(src.toString)
       val sink = "x22_stream_hourly_sink"

@@ -14,14 +14,25 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) which Spark's parquet reader only
-    // surfaces as a long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    // Verify/Bench sessions). Normalize to a micros TimestampType column.
-    // `div` (integer division) keeps full precision; `/` would go through
-    // double and lose sub-ms precision past 2^53.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts normalizes to a micros TimestampType column whatever the
+    // generator wrote:
+    //  - TIMESTAMP(NANOS) parquet surfaces as a long
+    //    (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench
+    //    sessions); `div` (integer division) keeps full precision — `/`
+    //    would go through double and lose sub-ms precision past 2^53
+    //  - timestamp[us] with isAdjustedToUTC=false (pandas-written) reads
+    //    as TIMESTAMP_NTZ; the cast to TIMESTAMP interprets the naive
+    //    value in the session timezone, which is UTC on the driver host,
+    //    so the instant equals the stored micros (DuckDB's oracle reads
+    //    the same naive value)
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Register every table as a temp view (for spark.sql paths / tests). */

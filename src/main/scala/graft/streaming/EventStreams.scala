@@ -13,13 +13,18 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw parquet schema of the events table: ts is TIMESTAMP(NANOS), which
-    * Spark reads as long (nanosAsLong) — converted to a micros timestamp.
+  /** Raw parquet schema of the events table with `tsType` as written by
+    * the generator: TIMESTAMP(NANOS) surfaces as long (nanosAsLong),
+    * timestamp[us] without UTC adjustment as TIMESTAMP_NTZ. A streaming
+    * source needs the schema declared up front, so the batch reader
+    * sniffs the actual file type first (one footer read) — declaring
+    * long against a timestamp[us] file silently corrupts the column.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** `dir` must be a DIRECTORY of parquet files (Spark's file stream source
     * rejects bare file paths) — stage the events file into one.
@@ -29,11 +34,18 @@ object EventStreams {
     */
   def readStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 0): DataFrame = {
-    val reader = spark.readStream.schema(rawSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val reader = spark.readStream.schema(rawSchema(tsType))
     val limited = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else reader
-    limited.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = limited.parquet(dir)
+    // same normalization as Tables.load: micros TimestampType either way
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregate per event type. The sum
