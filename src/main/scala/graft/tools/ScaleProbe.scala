@@ -219,8 +219,14 @@ object ScaleProbe {
       .map(graft.model.Graphid.pack(graft.store.GraphStore.Lab.Customer, _))
       .toDF("id").localCheckpoint()
     val keep = spark.sparkContext.getPersistentRDDs.keySet
+    // the sweep after each run must spare every checkpoint alive BEFORE the
+    // run (the shared edges/starts AND a fanout iteration's thinned copy,
+    // which is reused by the capped run) — sweeping against the outer keep
+    // set would free the thinned checkpoint's blocks between its two runs,
+    // and a localCheckpoint cannot recompute after unpersist
     def run(tag: String, e: org.apache.spark.sql.DataFrame, maxLen: Int,
         cap: Option[Int]): Unit = {
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val rows = graft.algorithms.Traversals
         .vle(e, starts, 1, maxLen, maxPaths = cap).count()
@@ -228,7 +234,7 @@ object ScaleProbe {
       val capStr = cap.map(_.toString).getOrElse("none")
       println(f"SCALE axis=$tag maxLen=$maxLen cap=$capStr paths=$rows time=$dt%.2f s")
       spark.sparkContext.getPersistentRDDs
-        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+        .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
     }
     for (d <- Seq(2, 3, 4)) run("depth", edges, d, None)
     run("depth", edges, 4, Some(10000))
@@ -240,6 +246,8 @@ object ScaleProbe {
       println(s"SCALE axis=fanout F=$f edges=$ne")
       run(s"fanout-F$f", thinned, 3, None)
       run(s"fanout-F$f", thinned, 3, Some(10000))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
     }
   }
 
