@@ -30,6 +30,21 @@ object Ast {
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr // + - * / % = <> < > <= >= AND OR
   final case class Un(op: String, e: Expr) extends Expr // - + NOT
   final case class CaseExpr(whens: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+  /** [x IN list WHERE pred | proj] — openCypher list comprehension; WHERE
+    * and the projection are each optional ([x IN l] copies the list).
+    */
+  final case class ListComp(variable: String, list: Expr,
+      where: Option[Expr], proj: Option[Expr]) extends Expr
+  /** reduce(acc = init, x IN list | body) — openCypher fold; the body's
+    * value is cast back to the accumulator's type each step.
+    */
+  final case class ReduceExpr(acc: String, init: Expr, variable: String,
+      list: Expr, body: Expr) extends Expr
+  /** any/all/none/single(x IN list WHERE pred) — openCypher list
+    * quantifiers. `kind` is the lowercased quantifier name.
+    */
+  final case class ListPred(kind: String, variable: String, list: Expr,
+      pred: Expr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class InList(e: Expr, list: Expr, negated: Boolean) extends Expr
   /** `EXISTS((a)-[:T]->(b))` pattern predicate — openCypher surface absent
@@ -82,12 +97,30 @@ object Ast {
       where: Option[Expr]) extends Clause
   final case class CreateClause(patterns: Seq[PathPat]) extends Clause
   /** MERGE takes exactly one pattern part (openCypher grammar). */
-  final case class MergeClause(pattern: PathPat) extends Clause
+  /** MERGE with optional ON CREATE SET / ON MATCH SET branches: the
+    * branch applies only to the entities the merge created (resp. found).
+    */
+  final case class MergeClause(pattern: PathPat,
+      onCreate: Option[SetClause] = None,
+      onMatch: Option[SetClause] = None) extends Clause
   /** SET target path (variable + property chain) = value. */
   final case class SetItem(variable: String, path: Seq[String], value: Expr)
   final case class SetClause(items: Seq[SetItem]) extends Clause
   final case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
   final case class UnwindClause(expr: Expr, alias: String) extends Clause
+  /** FOREACH (x IN list | update...) — openCypher list-driven mutation
+    * (beyond the reference grammar, cypher.pest has no write loop). The
+    * body may only hold update clauses; the outer row cardinality is
+    * unchanged. `nodes(p)` as the list marks the loop variable as a NODE
+    * binding (elements are vertex ids), enabling SET/REMOVE/DELETE on it.
+    */
+  final case class ForeachClause(variable: String, list: Expr,
+      updates: Seq[Clause]) extends Clause
+  /** REMOVE n.prop — property removal (openCypher; the reference's SET
+    * cannot delete a key). Typed columns null out; schemaless JSON
+    * properties drop the key entirely; a missing property is a no-op.
+    */
+  final case class RemoveClause(items: Seq[(String, Seq[String])]) extends Clause
 
   /** A whole query = ordered clause pipeline (generalizes the reference's
     * Read/Write/Mixed split, ast.rs:10-37).

@@ -1,6 +1,6 @@
 package graft.cypher
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,7 +40,11 @@ object Scope {
   * missing properties evaluate to NULL (openCypher semantics — deliberate
   * divergence from the reference's PropertyNotFound error, SURVEY.md §1.4).
   */
-final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
+final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty,
+    // lambda-bound variables (list comprehension / reduce / quantifiers):
+    // name -> (the HOF argument Column, its element type). Checked before
+    // scope resolution, so a lambda variable shadows a scope column.
+    locals: Map[String, (Column, DataType)] = Map.empty) {
 
   private val aggNames = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "percentilecont")
@@ -58,11 +62,26 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
       ws.exists(w => isAggregate(w._1) || isAggregate(w._2)) || o.exists(isAggregate)
     case ListLit(xs) => xs.exists(isAggregate)
     case MapLit(es) => es.exists(e => isAggregate(e._2))
+    // lambda bodies cannot hold aggregates; the LIST side can (e.g.
+    // reduce over a collect())
+    case ListComp(_, l, _, _) => isAggregate(l)
+    case ReduceExpr(_, i, _, l, _) => isAggregate(i) || isAggregate(l)
+    case ListPred(_, _, l, _) => isAggregate(l)
     case _ => false
   }
 
+  /** Analysis-time typing. Lambda-bound variables cannot resolve outside
+    * their HOF, so the probe select replaces each lambda argument
+    * expression with a typed null literal first — the element type is
+    * known at comprehension-compile time.
+    */
   private def dtype(c: Column): DataType =
-    scope.df.select(c).schema.head.dataType
+    if (locals.isEmpty) scope.df.select(c).schema.head.dataType
+    else {
+      val args = locals.values.flatMap { case (ac, t) =>
+        GraftColumnBridge.lambdaArgName(ac).map(_ -> t) }.toSeq
+      GraftColumnBridge.typeUnderLambdas(scope.df, c, args)
+    }
 
   private def isStringT(c: Column): Boolean = dtype(c) == StringType
   private def isArrayT(c: Column): Boolean = dtype(c).isInstanceOf[ArrayType]
@@ -97,10 +116,13 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
       params.get(name).map(lit).getOrElse(
         sys.error(s"unbound parameter: $$$name (bind via CypherSession.withParams)"))
     case Variable(name) =>
-      scope.vars.get(name) match {
-        case Some(vi) if vi.kind == VarKind.Value => col(name)
-        case Some(_) => entityStruct(name)
-        case None => sys.error(s"unbound variable: $name")
+      locals.get(name) match {
+        case Some((argCol, _)) => argCol
+        case None => scope.vars.get(name) match {
+          case Some(vi) if vi.kind == VarKind.Value => col(name)
+          case Some(_) => entityStruct(name)
+          case None => sys.error(s"unbound variable: $name")
+        }
       }
     case p: Prop => compileProp(p)
     case Index(base, idx) =>
@@ -140,6 +162,48 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
         acc.when(truthyExpr(w), compile(t))
       }
       otherwise.map(o => chained.otherwise(compile(o))).getOrElse(chained)
+    case ListComp(v, listE, whereE, projE) =>
+      val (base, elemT) = listAndElemType(listE, "list comprehension")
+      val filtered = whereE match {
+        case Some(w) => filter(base, x => withLocal(v, x, elemT).truthyExpr(w))
+        case None => base
+      }
+      projE match {
+        case Some(pe) => transform(filtered, x => withLocal(v, x, elemT).compile(pe))
+        case None => filtered
+      }
+    case ReduceExpr(accV, initE, v, listE, bodyE) =>
+      val (base, elemT) = listAndElemType(listE, "reduce")
+      val init = compile(initE)
+      val accT = dtype(init)
+      // the merge lambda must return the accumulator's type (Spark
+      // aggregate() contract) — the body casts back each step, so an
+      // integer accumulator stays integral (Cypher promotes instead;
+      // start from a float init for float accumulation)
+      aggregate(base, init, (acc, x) =>
+        new ExprCompiler(scope, params,
+          locals + (accV -> (acc, accT)) + (v -> (x, elemT)))
+          .compile(bodyE).cast(accT))
+    case ListPred(kind, v, listE, predE) =>
+      val (base, elemT) = listAndElemType(listE, kind)
+      def pred(x: Column) = withLocal(v, x, elemT).truthyExpr(predE)
+      kind match {
+        case "any" => exists(base, x => pred(x))
+        case "all" => forall(base, x => pred(x))
+        case "none" => !exists(base, x => pred(x))
+        case "single" => size(filter(base, x => pred(x))) === 1
+      }
+  }
+
+  private def withLocal(name: String, arg: Column, t: DataType): ExprCompiler =
+    new ExprCompiler(scope, params, locals + (name -> (arg, t)))
+
+  private def listAndElemType(listE: Expr, what: String): (Column, DataType) = {
+    val base = compile(listE)
+    dtype(base) match {
+      case ArrayType(t, _) => (base, t)
+      case other => sys.error(s"$what needs a list, got $other")
+    }
   }
 
   /** Property access a.b.c — typed column for labeled entities, JSON path
@@ -261,6 +325,10 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty) {
         else sequence(compile(args(0)), compile(args(1)))
       case "head" => element_at(a0, 1)
       case "last" => element_at(a0, -1)
+      // a path variable IS its vertex-id sequence in this engine, so
+      // nodes(p) is the identity on the bound array (openCypher surface;
+      // relationships(p) has no stored-id analogue here and stays absent)
+      case "nodes" => a0
       case "keys" =>
         if (isStringT(a0)) json_object_keys(a0)
         else map_keys(a0)

@@ -40,10 +40,12 @@ final class Parser(tokens: Vector[Tok]) {
         case Kw("RETURN", _) => clauses += parseReturn()
         case Kw("WITH", _) => clauses += parseWith()
         case Kw("CREATE", _) => clauses += parseCreate()
-        case Kw("MERGE", _) => p += 1; clauses += MergeClause(parsePathPat())
+        case Kw("MERGE", _) => clauses += parseMerge()
         case Kw("SET", _) => clauses += parseSet()
         case Kw("DELETE", _) | Kw("DETACH", _) => clauses += parseDelete()
         case Kw("UNWIND", _) => clauses += parseUnwind()
+        case Kw("FOREACH", _) => clauses += parseForeach()
+        case Kw("REMOVE", _) => clauses += parseRemove()
         case Eof(_) => done = true
         case Op(";", _) => p += 1
         case _ => fail("expected clause keyword")
@@ -221,6 +223,31 @@ final class Parser(tokens: Vector[Tok]) {
     CreateClause(pats.result())
   }
 
+  /** MERGE <pattern> [ON CREATE SET ...] [ON MATCH SET ...] — the two
+    * branches may appear in either order, each at most once.
+    */
+  private def parseMerge(): MergeClause = {
+    eatKw("MERGE")
+    val pat = parsePathPat()
+    var onCreate: Option[SetClause] = None
+    var onMatch: Option[SetClause] = None
+    while (isKw("ON")) {
+      p += 1
+      cur match {
+        case Kw("CREATE", _) =>
+          p += 1
+          if (onCreate.nonEmpty) fail("duplicate ON CREATE SET")
+          onCreate = Some(parseSet())
+        case Kw("MATCH", _) =>
+          p += 1
+          if (onMatch.nonEmpty) fail("duplicate ON MATCH SET")
+          onMatch = Some(parseSet())
+        case _ => fail("expected CREATE or MATCH after ON")
+      }
+    }
+    MergeClause(pat, onCreate, onMatch)
+  }
+
   private def parseSet(): SetClause = {
     eatKw("SET")
     val items = Seq.newBuilder[SetItem]
@@ -250,6 +277,53 @@ final class Parser(tokens: Vector[Tok]) {
     val e = parseExpr()
     eatKw("AS")
     UnwindClause(e, ident())
+  }
+
+  /** FOREACH (x IN <expr> | <update clauses>) — body restricted to update
+    * clauses (openCypher rule; a read clause inside the loop has no
+    * defined cardinality semantics).
+    */
+  private def parseForeach(): ForeachClause = {
+    eatKw("FOREACH")
+    eatOp("(")
+    val v = ident()
+    eatKw("IN")
+    val list = parseExpr()
+    eatOp("|")
+    val updates = Seq.newBuilder[Clause]
+    var done = false
+    while (!done) {
+      cur match {
+        case Kw("CREATE", _) => updates += parseCreate()
+        case Kw("MERGE", _) => updates += parseMerge()
+        case Kw("SET", _) => updates += parseSet()
+        case Kw("DELETE", _) | Kw("DETACH", _) => updates += parseDelete()
+        case Kw("REMOVE", _) => updates += parseRemove()
+        case Kw("FOREACH", _) => updates += parseForeach()
+        case Op(")", _) => done = true
+        case _ => fail("FOREACH body allows only CREATE/MERGE/SET/DELETE/REMOVE/FOREACH")
+      }
+    }
+    eatOp(")")
+    val us = updates.result()
+    if (us.isEmpty) fail("empty FOREACH body")
+    ForeachClause(v, list, us)
+  }
+
+  private def parseRemove(): RemoveClause = {
+    eatKw("REMOVE")
+    val items = Seq.newBuilder[(String, Seq[String])]
+    def item(): Unit = {
+      val v = ident()
+      val path = Seq.newBuilder[String]
+      while (tryOp(".")) path += ident()
+      val ps = path.result()
+      if (ps.isEmpty) fail("REMOVE needs a property path (labels are fixed in this store)")
+      items += ((v, ps))
+    }
+    item()
+    while (tryOp(",")) item()
+    RemoveClause(items.result())
   }
 
   // ---- expressions (precedence climbing) ----
@@ -341,21 +415,72 @@ final class Parser(tokens: Vector[Tok]) {
     case FloatTok(v, _) => p += 1; FloatLit(v)
     case StrTok(v, _) => p += 1; StrLit(v)
     case ParamTok(v, _) => p += 1; Param(v)
+    // ALL is a lexer keyword (UNION ALL) but also the list quantifier
+    // all(x IN l WHERE p) — a following `(` disambiguates
+    case Kw("ALL", _) if p + 1 < tokens.length && tokens(p + 1).isInstanceOf[Op]
+        && tokens(p + 1).asInstanceOf[Op].v == "(" =>
+      p += 1
+      parseListPred("all")
     case Ident(name, _) =>
       p += 1
       if (isOp("(")) {
         if (name.equalsIgnoreCase("exists")) parseExists()
+        else if (name.equalsIgnoreCase("reduce")) parseReduce()
+        else if (Seq("any", "all", "none", "single").exists(name.equalsIgnoreCase))
+          parseListPred(name.toLowerCase)
         else parseFnCall(name)
       } else Variable(name)
     case Op("(", _) => p += 1; val e = parseExpr(); eatOp(")"); e
     case Op("[", _) =>
       p += 1
-      val items = Seq.newBuilder[Expr]
-      if (!isOp("]")) { items += parseExpr(); while (tryOp(",")) items += parseExpr() }
-      eatOp("]")
-      ListLit(items.result())
+      // `[x IN ...]` is a list comprehension, not a literal — the two-token
+      // lookahead (identifier then IN) disambiguates, like openCypher
+      (cur, if (p + 1 < tokens.length) tokens(p + 1) else tokens.last) match {
+        case (Ident(v, _), Kw("IN", _)) =>
+          p += 2
+          val listE = parseExpr()
+          val whereE = if (tryKw("WHERE")) Some(parseExpr()) else None
+          val projE = if (tryOp("|")) Some(parseExpr()) else None
+          eatOp("]")
+          ListComp(v, listE, whereE, projE)
+        case _ =>
+          val items = Seq.newBuilder[Expr]
+          if (!isOp("]")) { items += parseExpr(); while (tryOp(",")) items += parseExpr() }
+          eatOp("]")
+          ListLit(items.result())
+      }
     case Op("{", _) => MapLit(parsePropMap())
     case _ => fail("expected expression atom")
+  }
+
+  /** reduce(acc = init, x IN list | body) — openCypher fold syntax. */
+  private def parseReduce(): Expr = {
+    eatOp("(")
+    val acc = ident()
+    eatOp("=")
+    val init = parseExpr()
+    eatOp(",")
+    val v = ident()
+    eatKw("IN")
+    val listE = parseExpr()
+    eatOp("|")
+    val body = parseExpr()
+    eatOp(")")
+    ReduceExpr(acc, init, v, listE, body)
+  }
+
+  /** any/all/none/single(x IN list WHERE pred) — the WHERE is mandatory
+    * in the quantifier forms (openCypher grammar).
+    */
+  private def parseListPred(kind: String): Expr = {
+    eatOp("(")
+    val v = ident()
+    eatKw("IN")
+    val listE = parseExpr()
+    eatKw("WHERE")
+    val pred = parseExpr()
+    eatOp(")")
+    ListPred(kind, v, listE, pred)
   }
 
   private def parseFnCall(name: String): Expr = {

@@ -48,6 +48,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       case m: MergeClause => scope = Some(compileMerge(scope, m))
       case s: SetClause => compileSet(scope.getOrElse(sys.error("SET requires MATCH")), s)
       case d: DeleteClause => compileDelete(scope.getOrElse(sys.error("DELETE requires MATCH")), d)
+      case f: ForeachClause => compileForeach(scope.getOrElse(emptyScope), f)
+      case r: RemoveClause => compileRemove(scope.getOrElse(sys.error("REMOVE requires MATCH")), r)
     }
     PlanResult(result, store)
   }
@@ -625,12 +627,25 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     }
 
     val compiler = ec(sc)
-    // assign ids to new literal nodes (one row each — standalone CREATE).
-    // An explicit integer `id` property overrides counter allocation — the
+    // assign ids to new literal nodes. A standalone CREATE (unit scope)
+    // takes the single-row literal-id path: one node per variable, with an
+    // explicit integer `id` property overriding counter allocation — the
     // Cypher-script export (GraphIO.exportCypher) writes one so replay is
-    // id-exact and its `id(a) = N` edge bindings resolve.
+    // id-exact and its `id(a) = N` edge bindings resolve. A CREATE under a
+    // non-unit scope (after MATCH/UNWIND, or inside FOREACH) creates ONE
+    // NODE PER SCOPE ROW — openCypher cardinality — with ids allocated by
+    // per-partition sequence (the edge path's allocator) and props
+    // compiled against the scope row, so they may reference matched
+    // variables or the FOREACH loop variable.
     var vtabs = store.vertexTables
+    val scopeIsUnit = sc.df.columns.sameElements(Array("__unit"))
+    // scope cardinality, needed once per multi-row statement to advance
+    // the id counter between same-label creates; lazy so the single-row
+    // path never runs the count
+    lazy val scopeRows = sc.df.count()
+    var baseDf = sc.df
     val nodeIds = scala.collection.mutable.Map[String, Long]()
+    val perRowIds = scala.collection.mutable.Set[String]()
     val counters = scala.collection.mutable.Map[String, Long]()
     // labels whose counter has consulted the table's max locid; explicit-id
     // creates skip priming (a pure script replay never runs the collect),
@@ -638,25 +653,6 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     val primed = scala.collection.mutable.Set[String]()
     createdNodes.foreach { case (v, (label, props)) =>
       val (idProp, rest) = props.partition(_._1 == "id")
-      val id = idProp.headOption.map(_._2) match {
-        case Some(IntLit(value)) =>
-          // keep later same-statement allocations clear of the explicit id
-          counters(label) = math.max(
-            counters.getOrElse(label, 0L), Graphid.unpack(value)._2)
-          value
-        case Some(other) =>
-          sys.error(s"explicit CREATE id must be an integer literal, got $other")
-        case None =>
-          if (!primed(label)) {
-            counters(label) = math.max(
-              counters.getOrElse(label, 0L), maxLocid(vtabs, label))
-            primed += label
-          }
-          val next = counters(label) + 1
-          counters(label) = next
-          Graphid.pack(labidOf(label), next)
-      }
-      nodeIds(v) = id
       // a CREATE into a schemaless (JSON-imported) label must fold its
       // props into the properties JSON string, not union typed columns
       // beside it — a mixed table would split property reads by row
@@ -664,20 +660,59 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       // created rows)
       val schemaless = vtabs.get(label)
         .exists(_.columns.toSet == Set("id", "properties"))
-      val row =
-        if (schemaless) {
-          val propsJson = rest match {
-            case Seq() => lit("{}")
-            // a lone `properties` prop IS the JSON blob (the
-            // exportCypher replay shape) — wrapping it would nest one
-            // level deeper per statement
-            case Seq(("properties", e)) => compiler.compile(e)
-            case _ => to_json(struct(rest.sortBy(_._1).map { case (k, e) =>
-              compiler.compile(e).as(k) }.toIndexedSeq: _*))
-          }
+      def propsJson = rest match {
+        case Seq() => lit("{}")
+        // a lone `properties` prop IS the JSON blob (the
+        // exportCypher replay shape) — wrapping it would nest one
+        // level deeper per statement
+        case Seq(("properties", e)) => compiler.compile(e)
+        case _ => to_json(struct(rest.sortBy(_._1).map { case (k, e) =>
+          compiler.compile(e).as(k) }.toIndexedSeq: _*))
+      }
+      val row: DataFrame = if (scopeIsUnit) {
+        val id = idProp.headOption.map(_._2) match {
+          case Some(IntLit(value)) =>
+            // keep later same-statement allocations clear of the explicit id
+            counters(label) = math.max(
+              counters.getOrElse(label, 0L), Graphid.unpack(value)._2)
+            value
+          case Some(other) =>
+            sys.error(s"explicit CREATE id must be an integer literal, got $other")
+          case None =>
+            if (!primed(label)) {
+              counters(label) = math.max(
+                counters.getOrElse(label, 0L), maxLocid(vtabs, label))
+              primed += label
+            }
+            val next = counters(label) + 1
+            counters(label) = next
+            Graphid.pack(labidOf(label), next)
+        }
+        nodeIds(v) = id
+        if (schemaless)
           spark.range(1).select(lit(id).as("id"), propsJson.as("properties"))
-        } else spark.range(1).select(
+        else spark.range(1).select(
           (lit(id).as("id") +: rest.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
+      } else {
+        require(idProp.isEmpty,
+          "explicit CREATE id needs a standalone single-row statement (multi-row CREATE would stamp one id on every row)")
+        if (!primed(label)) {
+          counters(label) = math.max(
+            counters.getOrElse(label, 0L), maxLocid(vtabs, label))
+          primed += label
+        }
+        val start = counters(label)
+        counters(label) = start + scopeRows
+        val vidCol = Scope.colName(v, "id")
+        baseDf = graft.store.Ids.withSequence(baseDf, "__seq")
+          .withColumn(vidCol, Graphid.packCol(labidOf(label), lit(start) + col("__seq")))
+          .drop("__seq")
+        perRowIds += v
+        if (schemaless)
+          baseDf.select(col(vidCol).as("id"), propsJson.as("properties"))
+        else baseDf.select(
+          (col(vidCol).as("id") +: rest.map { case (k, e) => compiler.compile(e).as(k) }).toIndexedSeq: _*)
+      }
       vtabs = vtabs.get(label) match {
         case Some(t) => vtabs + (label -> t.unionByName(row, allowMissingColumns = true))
         case None => vtabs + (label -> row)
@@ -686,7 +721,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
 
     // edges: endpoints are either freshly created or bound scope vars
     var etabs = store.edgeTables
-    cc.patterns.foreach { p =>
+    cc.patterns.filter(_.hops.nonEmpty).foreach { p =>
       var prevVar = p.start.variable.getOrElse(sys.error("CREATE pattern needs node variables"))
       p.hops.foreach { case (rel, node) =>
         val nv = node.variable.getOrElse(sys.error("CREATE pattern needs node variables"))
@@ -696,10 +731,12 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val (fromV, toV) = if (rel.dir == Dir.In) (nv, prevVar) else (prevVar, nv)
         def endpoint(v: String): Column =
           if (nodeIds.contains(v)) lit(nodeIds(v))
+          // per-row created node: its allocated id rides baseDf as a column
+          else if (perRowIds.contains(v)) col(Scope.colName(v, "id"))
           else if (sc.vars.contains(v)) col(Scope.colName(v, "id"))
           else sys.error(s"CREATE edge endpoint not bound: $v")
         val base = if (nodeIds.contains(fromV) && nodeIds.contains(toV))
-          spark.range(1).toDF() else sc.df
+          spark.range(1).toDF() else baseDf
         // explicit integer `id` property (script replay, GraphIO
         // .exportCypher) overrides allocation, like the vertex path
         val (eIdProp, eRest) = rel.props.partition(_._1 == "id")
@@ -908,7 +945,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     * The existence probes are driver-side actions — acceptable on the
     * mutation path (CREATE's maxLocid does the same); the per-pair
     * existence test itself is one distributed anti-join, not a loop.
-    * ON CREATE SET / ON MATCH SET are not implemented (loud parse error).
+    * ON CREATE SET / ON MATCH SET (r7): node form branches on the merge's
+    * own global match/create boolean; relationship form splits the
+    * re-matched rows per pair by semi/anti-joining the pre-create
+    * `missing` set.
     */
   private def compileMerge(scope: Option[Scope], mc: MergeClause): Scope = {
     val pat = mc.pattern
@@ -924,6 +964,14 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       val exists = store.vertexTables.contains(np.labels.head) &&
         !compilePath(None, pat).df.isEmpty
       if (!exists) compileCreate(None, CreateClause(Seq(pat)))
+      val matched = compileMatch(scope,
+        MatchClause(Seq(pat), optional = false, where = None))
+      // the branch decision is the merge's own global boolean: a node-form
+      // merge either found matches (all pre-existing) or created the one
+      // node the re-match now binds
+      (if (exists) mc.onMatch else mc.onCreate)
+        .foreach(s => compileSet(matched, s))
+      matched
     } else {
       val sc0 = scope.getOrElse(
         sys.error("MERGE relationship form requires bound endpoints"))
@@ -977,8 +1025,20 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           Seq(fromV, toV))
         compileCreate(Some(createScope), CreateClause(Seq(pat)))
       }
+      val matched = compileMatch(scope,
+        MatchClause(Seq(pat), optional = false, where = None))
+      // ON CREATE / ON MATCH split per (from, to) pair: `missing` still
+      // references the PRE-create store snapshot (DataFrames are
+      // immutable), so a semi-join restricts the re-matched rows to the
+      // pairs this merge created and an anti-join to the found ones
+      def pairScope(joinType: String): Scope = matched.copy(
+        df = matched.df.join(missing,
+          matched.df(Scope.colName(fromV, "id")) === missing("__ms") &&
+            matched.df(Scope.colName(toV, "id")) === missing("__md"), joinType))
+      mc.onCreate.foreach(s => compileSet(pairScope("left_semi"), s))
+      mc.onMatch.foreach(s => compileSet(pairScope("left_anti"), s))
+      matched
     }
-    compileMatch(scope, MatchClause(Seq(pat), optional = false, where = None))
   }
 
   /** DELETE / DETACH DELETE (reference delete_executor.rs:42-129): victims
@@ -1098,6 +1158,111 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         case VarKind.Node => new GraphStore(applyTo(store.vertexTables), store.edgeTables)
         case VarKind.Edge => new GraphStore(store.vertexTables, applyTo(store.edgeTables))
         case VarKind.Value => sys.error(s"cannot SET on value ${item.variable}")
+      }
+    }
+  }
+
+  /** FOREACH (x IN list | updates): the loop body runs against the outer
+    * scope row-joined with one row per list element (`explode`, so a NULL
+    * or empty list contributes zero iterations — openCypher semantics);
+    * the outer scope's cardinality and bindings are untouched. `nodes(p)`
+    * as the list marks the loop variable as a node binding over the
+    * path's vertex-id sequence, which is what lets SET/REMOVE/DELETE
+    * inside the body address stored vertices (a path variable IS its id
+    * sequence in this engine).
+    */
+  private def compileForeach(scope: Scope, fc: ForeachClause): Unit = {
+    val (listExpr, kind) = fc.list match {
+      case FnCall(n, Seq(e), _) if n.equalsIgnoreCase("nodes") => (e, VarKind.Node)
+      case other => (other, VarKind.Value)
+    }
+    val exploded = ec(scope).compile(listExpr)
+    val loopCol =
+      if (kind == VarKind.Node) Scope.colName(fc.variable, "id") else fc.variable
+    val inner0 = Scope(scope.df.withColumn(loopCol, explode(exploded)),
+      scope.vars + (fc.variable -> VarInfo(kind, None, Nil)),
+      scope.order :+ fc.variable)
+    var inner: Option[Scope] = Some(inner0)
+    fc.updates.foreach {
+      case c: CreateClause => inner = Some(compileCreate(inner, c))
+      case m: MergeClause => inner = Some(compileMerge(inner, m))
+      case s: SetClause => compileSet(inner.get, s)
+      case d: DeleteClause => compileDelete(inner.get, d)
+      case r: RemoveClause => compileRemove(inner.get, r)
+      case f: ForeachClause => compileForeach(inner.get, f)
+      case other => sys.error(s"FOREACH body cannot hold ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** JSON-path delete: the removal analogue of jsonSetUdf — drops the key
+    * at `path` from a JSON-object string; intermediate non-objects and
+    * missing keys leave the document unchanged (REMOVE of an absent
+    * property is a no-op, like openCypher).
+    */
+  private def jsonRemoveUdf(path: Seq[String]) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    udf { (json: String) =>
+      if (json == null || json.isEmpty) json
+      else {
+        def rm(j: JValue, p: List[String]): JValue = (j, p) match {
+          case (JObject(fs), h :: Nil) => JObject(fs.filterNot(_._1 == h))
+          case (JObject(fs), h :: t) =>
+            JObject(fs.map { case (k, v) => if (k == h) (k, rm(v, t)) else (k, v) })
+          case (other, _) => other
+        }
+        JsonMethods.compact(JsonMethods.render(
+          rm(JsonMethods.parse(json), path.toList)))
+      }
+    }
+  }
+
+  /** REMOVE n.prop: same join-then-conditional-rewrite shape as SET, but
+    * the new value is a deletion — typed columns go NULL for the victim
+    * rows, struct columns drop the nested field, schemaless JSON
+    * properties drop the key entirely (so a later read sees ABSENT, not
+    * null-valued). A property that exists nowhere on the variable's
+    * tables is a no-op, matching openCypher.
+    */
+  private def compileRemove(scope: Scope, rc: RemoveClause): Unit = {
+    rc.items.foreach { case (v, path) =>
+      val vi = scope.vars.getOrElse(v, sys.error(s"REMOVE of unbound variable $v"))
+      val prop = path.head
+      val idCol = Scope.colName(v, "id")
+      val victims = scope.df.select(col(idCol).as("__rid")).distinct()
+        .withColumn("__hit", lit(true))
+      def rewrite(t: DataFrame): DataFrame = {
+        val target: Option[(String, Column)] = t.schema.find(_.name == prop) match {
+          case Some(f) if path.size == 1 => Some((prop, lit(null).cast(f.dataType)))
+          case Some(f) if f.dataType.isInstanceOf[StructType] =>
+            Some((prop, col(prop).dropFields(path.tail.mkString("."))))
+          case Some(f) if f.dataType == org.apache.spark.sql.types.StringType =>
+            // prop column IS a JSON string: delete the remaining path in it
+            Some((prop, jsonRemoveUdf(path.tail)(t(prop))))
+          case Some(_) =>
+            sys.error(s"nested REMOVE needs a struct or JSON column: ${path.mkString(".")}")
+          case None if t.columns.contains("properties") =>
+            Some(("properties", jsonRemoveUdf(path)(t("properties"))))
+          case None => None // property absent from this table: no-op
+        }
+        target match {
+          case None => t
+          case Some((targetCol, newVal)) =>
+            val joined = t.join(victims, t("id") === col("__rid"), "left")
+            val updatedCol = when(col("__hit"), newVal).otherwise(t(targetCol))
+            joined.withColumn(targetCol, updatedCol).drop("__rid", "__hit")
+        }
+      }
+      def applyTo(tables: Map[String, DataFrame]): Map[String, DataFrame] =
+        vi.label match {
+          case Some(l) if tables.contains(l) => tables + (l -> rewrite(tables(l)))
+          case Some(_) => tables
+          case None => tables.map { case (l, t) => l -> rewrite(t) }
+        }
+      store = vi.kind match {
+        case VarKind.Node => new GraphStore(applyTo(store.vertexTables), store.edgeTables)
+        case VarKind.Edge => new GraphStore(store.vertexTables, applyTo(store.edgeTables))
+        case VarKind.Value => sys.error(s"cannot REMOVE on value $v")
       }
     }
   }

@@ -225,6 +225,37 @@ object CypherGateQueries {
         |RETURN n.n_name AS nation, count(c) AS n_cust
         |ORDER BY n_cust DESC, nation""".stripMargin),
 
+    // FOREACH + REMOVE (r7; both beyond the reference grammar): a
+    // collect-driven CREATE loop materializes one Depot per region key
+    // (per-row CREATE cardinality — one node per loop element), then
+    // REMOVE nulls the flag of the dkey>=3 depots — count(d.flag) must
+    // drop exactly those. A FOREACH that loops wrong, a CREATE that
+    // misreads the loop variable, or a REMOVE that nulls the wrong rows
+    // each shifts a row of the per-depot output.
+    "cy20_foreach" -> ((s, dir) => {
+      val sess = new CypherSession(s, GraphStore.tpch(s, dir))
+      sess.run(
+        """MATCH (r:Region) WITH collect(r.r_regionkey) AS rks
+          |FOREACH (k IN rks | CREATE (:Depot {dkey: k, flag: 1}))""".stripMargin)
+      sess.run("MATCH (d:Depot) WHERE d.dkey >= 3 REMOVE d.flag")
+      sess.run(
+        """MATCH (d:Depot)
+          |RETURN toInteger(d.dkey) AS dkey, count(d.flag) AS flagged
+          |ORDER BY dkey""".stripMargin)
+    }),
+
+    // list expressions (r7; all beyond the reference grammar): a
+    // comprehension, a reduce() fold, and two quantifiers over the same
+    // collected key list, each independently recomputable as plain SQL
+    // aggregation — a wrong filter, fold step, or quantifier boundary
+    // shifts its column.
+    "cy21_listexpr" -> cy(
+      """MATCH (n:Nation) WITH collect(n.n_nationkey) AS ks
+        |RETURN size([k IN ks WHERE k >= 10]) AS n_big,
+        |       reduce(s = 0, k IN ks | s + k) AS total,
+        |       toInteger(any(k IN ks WHERE k = 0)) AS has_zero,
+        |       toInteger(none(k IN ks WHERE k > 100)) AS none_big""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -322,6 +353,16 @@ object CypherGateQueries {
     "cy11_mutation" ->
       """SELECT 'HUB' AS hub, COUNT(*) AS n_linked
         |FROM nation WHERE n_nationkey <> 0""".stripMargin,
+    "cy20_foreach" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS dkey,
+        |  CAST(CASE WHEN r_regionkey < 3 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM region ORDER BY dkey""".stripMargin,
+    "cy21_listexpr" ->
+      """SELECT CAST(COUNT(CASE WHEN n_nationkey >= 10 THEN 1 END) AS BIGINT) AS n_big,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS total,
+        |  CAST(CASE WHEN BOOL_OR(n_nationkey = 0) THEN 1 ELSE 0 END AS BIGINT) AS has_zero,
+        |  CAST(CASE WHEN BOOL_OR(n_nationkey > 100) THEN 0 ELSE 1 END AS BIGINT) AS none_big
+        |FROM nation""".stripMargin,
     "cy15_merge" ->
       """SELECT 'hub' AS hub, COUNT(*) AS n_linked FROM nation""".stripMargin,
     "cy16_shortest_cypher" ->

@@ -651,4 +651,164 @@ class CypherSpec extends AnyFunSuite {
     assert(s.store eq before)
     assert(s.run("MATCH (n:Person {name: 'Ghost'}) RETURN n.name").count() == 0)
   }
+
+  test("FOREACH creates one node per list element") {
+    val s = session
+    s.run("FOREACH (k IN [1, 2, 3] | CREATE (:Tag {k: k}))")
+    assert(s.run("MATCH (t:Tag) RETURN count(*) AS n").head.getLong(0) == 3L)
+    assert(s.run("MATCH (t:Tag) WHERE t.k = 2 RETURN count(*) AS n").head.getLong(0) == 1L)
+  }
+
+  test("FOREACH over a collected list from the data") {
+    val s = session
+    s.run(
+      """MATCH (n:Person) WITH collect(n.age) AS ages
+        |FOREACH (a IN ages | CREATE (:AgeTag {v: a}))""".stripMargin)
+    assert(s.run("MATCH (t:AgeTag) RETURN count(*) AS n").head.getLong(0) == 4L)
+    assert(s.run("MATCH (t:AgeTag) WHERE t.v = 30 RETURN count(*) AS n").head.getLong(0) == 1L)
+  }
+
+  test("FOREACH over an empty list is a no-op") {
+    val s = session
+    s.run("FOREACH (k IN [] | CREATE (:Never {k: k}))")
+    assert(s.run("MATCH (n:Person) RETURN count(*) AS n").head.getLong(0) == 4L)
+    s.store.vertexTables.get("Never").foreach(t => assert(t.count() == 0))
+  }
+
+  test("FOREACH (n IN nodes(p) | SET ...) flags the path's vertices") {
+    val s = session
+    s.run(
+      """MATCH p = shortestPath((a:Person {name: 'Alice'})-[*..4]->(c:Person {name: 'Charlie'}))
+        |FOREACH (n IN nodes(p) | SET n.flag = 1)""".stripMargin)
+    val flagged = s.run(
+      "MATCH (m:Person) WHERE m.flag = 1 RETURN m.name AS name ORDER BY name")
+    assert(rows(flagged) == Seq(Seq("Alice"), Seq("Bob"), Seq("Charlie")))
+  }
+
+  test("nested FOREACH multiplies iterations") {
+    val s = session
+    s.run("FOREACH (i IN [1, 2] | FOREACH (j IN [10, 20] | CREATE (:Cell {v: i + j})))")
+    assert(s.run("MATCH (c:Cell) RETURN count(*) AS n").head.getLong(0) == 4L)
+    assert(s.run("MATCH (c:Cell) WHERE c.v = 22 RETURN count(*) AS n").head.getLong(0) == 1L)
+  }
+
+  test("FOREACH body rejects read clauses") {
+    val e = intercept[Exception](session.run("FOREACH (k IN [1] | RETURN k)"))
+    assert(e.getMessage.toLowerCase.contains("foreach"))
+  }
+
+  test("REMOVE nulls a typed property on the matched rows only") {
+    val s = session
+    s.run("MATCH (n:Person {name: 'Alice'}) REMOVE n.city")
+    val r = s.run("MATCH (n:Person) WHERE n.city IS NULL RETURN n.name AS name")
+    assert(rows(r) == Seq(Seq("Alice")))
+    assert(s.run("MATCH (n:Person) WHERE n.city = 'Beijing' RETURN count(*) AS n")
+      .head.getLong(0) == 1L) // Charlie keeps Beijing
+  }
+
+  test("REMOVE drops the key from a schemaless properties JSON") {
+    val json =
+      """{"vertices":[
+        |  {"id":"1","label":"Doc","properties":{"k":1,"w":5}},
+        |  {"id":"2","label":"Doc","properties":{"k":2,"w":7}}],
+        |"edges":[]}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_remove", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val s = new CypherSession(spark, graft.store.GraphIO.importJson(spark, f.toString))
+    s.run("MATCH (d:Doc) WHERE d.k = 1 REMOVE d.w")
+    assert(s.run("MATCH (d:Doc) WHERE d.w IS NULL RETURN count(*) AS n").head.getLong(0) == 1L)
+    assert(s.run("MATCH (d:Doc) WHERE d.w = 7 RETURN count(*) AS n").head.getLong(0) == 1L)
+    // the key is ABSENT from the victim's stored JSON, not null-valued
+    val props = s.store.vertexTables("Doc")
+      .orderBy("id").select("properties").collect().map(_.getString(0))
+    assert(!props(0).contains("\"w\""), props(0))
+    assert(props(1).contains("\"w\""), props(1))
+  }
+
+  test("REMOVE of a property that exists nowhere is a no-op") {
+    val s = session
+    s.run("MATCH (n:Person) REMOVE n.nonexistent")
+    assert(s.run("MATCH (n:Person) RETURN count(*) AS n").head.getLong(0) == 4L)
+    assert(!s.store.vertexTables("Person").columns.contains("nonexistent"))
+  }
+
+  test("list comprehension filters and projects") {
+    val df = session.run(
+      "MATCH (a:Person {name: 'Alice'}) RETURN [x IN [1, 2, 3, 4] WHERE x % 2 = 0 | x * 10] AS evens")
+    assert(df.head.getSeq[Long](0) == Seq(20L, 40L))
+  }
+
+  test("list comprehension without projection copies the filtered list") {
+    val df = session.run(
+      "MATCH (a:Person {name: 'Alice'}) RETURN [x IN [1, 2, 3] WHERE x > 1] AS xs, [y IN [5, 6]] AS ys")
+    val r = df.head
+    assert(r.getSeq[Long](0) == Seq(2L, 3L))
+    assert(r.getSeq[Long](1) == Seq(5L, 6L))
+  }
+
+  test("lambda variable shadows a scope variable of the same name") {
+    val df = session.run(
+      "MATCH (n:Person {name: 'Alice'}) RETURN [n IN [1, 2] | n * 2] AS doubled")
+    assert(df.head.getSeq[Long](0) == Seq(2L, 4L))
+  }
+
+  test("comprehension over scope data with scope columns in the body") {
+    val df = session.run(
+      """MATCH (n:Person) WITH collect(n.age) AS ages
+        |RETURN [a IN ages WHERE a >= 30 | a + 1] AS bumped""".stripMargin)
+    assert(df.head.getSeq[Long](0).sorted == Seq(31L, 36L))
+  }
+
+  test("reduce folds a collected list") {
+    val df = session.run(
+      """MATCH (n:Person) WITH collect(n.age) AS ages
+        |RETURN reduce(s = 0, a IN ages | s + a) AS total""".stripMargin)
+    assert(df.head.getLong(0) == 118L) // 30+25+35+28
+  }
+
+  test("MERGE ON CREATE SET / ON MATCH SET: node form branches per run") {
+    val s = session
+    s.run("MERGE (h:Hub {name: 'hub'}) ON CREATE SET h.born = 1 ON MATCH SET h.seen = 1")
+    val after1 = s.run(
+      "MATCH (h:Hub) RETURN toInteger(h.born) AS born, h.seen IS NULL AS noseen").head
+    assert(after1.getLong(0) == 1L && after1.getBoolean(1))
+    s.run("MERGE (h:Hub {name: 'hub'}) ON CREATE SET h.born = 99 ON MATCH SET h.seen = 2")
+    val after2 = s.run(
+      "MATCH (h:Hub) RETURN toInteger(h.born) AS born, toInteger(h.seen) AS seen").head
+    assert(after2.getLong(0) == 1L && after2.getLong(1) == 2L)
+  }
+
+  test("MERGE ON CREATE/ON MATCH: relationship form splits per pair") {
+    val s = session
+    // pre-seed Alice->Bob; the merge adds Alice->Charlie and Alice->David
+    val seeded = s.run(
+      """MATCH (a:Person {name: 'Alice'}), (b:Person)
+        |WHERE b.name <> 'Alice'
+        |MERGE (a)-[r:KNOWS]->(b)
+        |ON CREATE SET r.fresh = 1
+        |ON MATCH SET r.old = 1
+        |RETURN count(*) AS n""".stripMargin)
+    assert(seeded.head.getLong(0) == 3L)
+    val fresh = s.run(
+      """MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->(b)
+        |WHERE r.fresh = 1 RETURN b.name AS n ORDER BY n""".stripMargin)
+    assert(rows(fresh) == Seq(Seq("Charlie"), Seq("David")))
+    val old = s.run(
+      """MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->(b)
+        |WHERE r.old = 1 RETURN b.name AS n""".stripMargin)
+    assert(rows(old) == Seq(Seq("Bob")))
+  }
+
+  test("list quantifiers any/all/none/single") {
+    val df = session.run(
+      """MATCH (n:Person) WITH collect(n.age) AS ages
+        |RETURN any(x IN ages WHERE x > 30) AS a,
+        |       all(x IN ages WHERE x > 20) AS b,
+        |       none(x IN ages WHERE x > 100) AS c,
+        |       single(x IN ages WHERE x = 30) AS d,
+        |       single(x IN ages WHERE x > 26) AS e""".stripMargin)
+    val r = df.head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    assert(!r.getBoolean(4)) // three ages > 26
+  }
 }
