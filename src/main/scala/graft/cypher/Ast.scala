@@ -125,5 +125,12 @@ object Ast {
   /** A whole query = ordered clause pipeline (generalizes the reference's
     * Read/Write/Mixed split, ast.rs:10-37).
     */
-  final case class Query(clauses: Seq[Clause])
+  /** `union` chains a following UNION [ALL] query part (openCypher query
+    * combinator; the reference grammar has no union rule): the boolean is
+    * true for UNION ALL. Parts must be read-only and return identical
+    * column lists; plain UNION applies set-distinct over the combined
+    * rows.
+    */
+  final case class Query(clauses: Seq[Clause],
+      union: Option[(Boolean, Query)] = None)
 }

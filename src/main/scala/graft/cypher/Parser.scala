@@ -46,12 +46,18 @@ final class Parser(tokens: Vector[Tok]) {
         case Kw("UNWIND", _) => clauses += parseUnwind()
         case Kw("FOREACH", _) => clauses += parseForeach()
         case Kw("REMOVE", _) => clauses += parseRemove()
+        case Kw("UNION", _) => done = true
         case Eof(_) => done = true
         case Op(";", _) => p += 1
         case _ => fail("expected clause keyword")
       }
     }
-    val q = Query(clauses.result())
+    val union =
+      if (tryKw("UNION")) {
+        val all = tryKw("ALL")
+        Some((all, parseQuery()))
+      } else None
+    val q = Query(clauses.result(), union)
     if (q.clauses.isEmpty) fail("empty query")
     q
   }

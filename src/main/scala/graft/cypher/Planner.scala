@@ -29,7 +29,43 @@ final class Planner(spark: SparkSession, store0: GraphStore,
   private def fresh(p: String): String = { anon += 1; s"__$p$anon" }
   private def ec(s: Scope) = new ExprCompiler(s, params)
 
-  def plan(q: Query): PlanResult = {
+  def plan(q: Query): PlanResult =
+    if (q.union.isDefined) planUnion(q) else planBody(q)
+
+  /** UNION [ALL] chain (openCypher combinator, beyond the reference's
+    * grammar): every part must be read-only and RETURN the same column
+    * list; plain UNION applies set-distinct across the combined rows.
+    * Mixed UNION / UNION ALL in one chain is rejected, like Neo4j.
+    */
+  private def planUnion(q: Query): PlanResult = {
+    val parts = scala.collection.mutable.ArrayBuffer[Query]()
+    val alls = scala.collection.mutable.ArrayBuffer[Boolean]()
+    var curQ = q
+    while (curQ.union.isDefined) {
+      val (all, next) = curQ.union.get
+      parts += curQ.copy(union = None); alls += all
+      curQ = next
+    }
+    parts += curQ
+    require(alls.distinct.size == 1,
+      "cannot mix UNION and UNION ALL in one chain")
+    val mutating = parts.exists(_.clauses.exists {
+      case _: CreateClause | _: MergeClause | _: SetClause | _: DeleteClause |
+          _: RemoveClause | _: ForeachClause => true
+      case _ => false
+    })
+    require(!mutating, "UNION parts must be read-only queries")
+    val results = parts.map { part =>
+      planBody(part).df.getOrElse(sys.error("every UNION part needs a RETURN"))
+    }
+    val names = results.head.columns.toSeq
+    results.tail.foreach(r => require(r.columns.toSeq == names,
+      s"UNION parts must return the same columns: $names vs ${r.columns.toSeq}"))
+    val combined = results.reduce(_ unionByName _)
+    PlanResult(Some(if (alls.head) combined else combined.distinct()), store)
+  }
+
+  private def planBody(q: Query): PlanResult = {
     var scope: Option[Scope] = None
     var result: Option[DataFrame] = None
     q.clauses.foreach {

@@ -256,6 +256,24 @@ object CypherGateQueries {
         |       toInteger(any(k IN ks WHERE k = 0)) AS has_zero,
         |       toInteger(none(k IN ks WHERE k > 100)) AS none_big""".stripMargin),
 
+    // UNION / UNION ALL query combinator (r7; the reference grammar has
+    // no union rule): nations hosting a rich customer OR a rich supplier
+    // — plain UNION must dedupe nations that have both, and the ALL twin
+    // must keep them, so the pair of gates pins both the combine and the
+    // distinct step against SQL UNION / UNION ALL.
+    "cy22_union" -> cy(
+      """MATCH (c:Customer)-[:CUST_NATION]->(n:Nation) WHERE c.c_acctbal > 9900
+        |RETURN n.n_name AS name
+        |UNION
+        |MATCH (s:Supplier)-[:SUPP_NATION]->(n:Nation) WHERE s.s_acctbal > 9900
+        |RETURN n.n_name AS name""".stripMargin),
+    "cy23_union_all" -> cy(
+      """MATCH (c:Customer)-[:CUST_NATION]->(n:Nation) WHERE c.c_acctbal > 9900
+        |RETURN n.n_name AS name
+        |UNION ALL
+        |MATCH (s:Supplier)-[:SUPP_NATION]->(n:Nation) WHERE s.s_acctbal > 9900
+        |RETURN n.n_name AS name""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -357,6 +375,18 @@ object CypherGateQueries {
       """SELECT CAST(r_regionkey AS BIGINT) AS dkey,
         |  CAST(CASE WHEN r_regionkey < 3 THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM region ORDER BY dkey""".stripMargin,
+    "cy22_union" ->
+      """SELECT n_name AS name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9900
+        |UNION
+        |SELECT n_name AS name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 9900""".stripMargin,
+    "cy23_union_all" ->
+      """SELECT n_name AS name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9900
+        |UNION ALL
+        |SELECT n_name AS name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 9900""".stripMargin,
     "cy21_listexpr" ->
       """SELECT CAST(COUNT(CASE WHEN n_nationkey >= 10 THEN 1 END) AS BIGINT) AS n_big,
         |  CAST(SUM(n_nationkey) AS BIGINT) AS total,

@@ -799,6 +799,35 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(old) == Seq(Seq("Bob")))
   }
 
+  test("UNION distinct and UNION ALL combine read-only query parts") {
+    val s = session
+    val u = s.run(
+      """MATCH (n:Person) WHERE n.city = 'Beijing' RETURN n.name AS name
+        |UNION
+        |MATCH (n:Person) WHERE n.age > 28 RETURN n.name AS name""".stripMargin)
+    assert(rows(u.orderBy("name")) == Seq(Seq("Alice"), Seq("Charlie")))
+    val ua = s.run(
+      """MATCH (n:Person) WHERE n.city = 'Beijing' RETURN n.name AS name
+        |UNION ALL
+        |MATCH (n:Person) WHERE n.age > 28 RETURN n.name AS name""".stripMargin)
+    assert(ua.count() == 4)
+  }
+
+  test("UNION guards: column mismatch, mutation parts, mixed ALL") {
+    val s = session
+    val e1 = intercept[Exception](s.run(
+      "MATCH (n:Person) RETURN n.name AS a UNION MATCH (n:Person) RETURN n.name AS b"))
+    assert(e1.getMessage.contains("same columns"))
+    val e2 = intercept[Exception](s.run(
+      "CREATE (:T {x: 1}) UNION MATCH (n:Person) RETURN n.name AS name"))
+    assert(e2.getMessage.toLowerCase.contains("read-only"))
+    val e3 = intercept[Exception](s.run(
+      """MATCH (n:Person) RETURN n.name AS name
+        |UNION ALL MATCH (n:Person) RETURN n.name AS name
+        |UNION MATCH (n:Person) RETURN n.name AS name""".stripMargin))
+    assert(e3.getMessage.contains("mix"))
+  }
+
   test("list quantifiers any/all/none/single") {
     val df = session.run(
       """MATCH (n:Person) WITH collect(n.age) AS ages
