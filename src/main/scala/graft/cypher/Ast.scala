@@ -30,6 +30,15 @@ object Ast {
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr // + - * / % = <> < > <= >= AND OR
   final case class Un(op: String, e: Expr) extends Expr // - + NOT
   final case class CaseExpr(whens: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+  /** Map projection n {.prop, .*, key: expr} — openCypher sugar building
+    * a map (struct) from an entity's properties and computed entries.
+    */
+  sealed trait MapProjItem
+  final case class MapProjProp(key: String) extends MapProjItem
+  final case class MapProjKV(key: String, value: Expr) extends MapProjItem
+  case object MapProjAll extends MapProjItem
+  final case class MapProjection(variable: String,
+      items: Seq[MapProjItem]) extends Expr
   /** [x IN list WHERE pred | proj] — openCypher list comprehension; WHERE
     * and the projection are each optional ([x IN l] copies the list).
     */
@@ -90,11 +99,15 @@ object Ast {
       pattern: PathPat, all: Boolean = false) extends Clause
   final case class ReturnItem(expr: Expr, alias: Option[String])
   final case class OrderItem(expr: Expr, asc: Boolean)
+  /** `star` = a leading `*` item (RETURN * / WITH *): every named scope
+    * variable projects, before any additional explicit items.
+    */
   final case class ReturnClause(distinct: Boolean, items: Seq[ReturnItem],
-      orderBy: Seq[OrderItem], skip: Option[Long], limit: Option[Long]) extends Clause
+      orderBy: Seq[OrderItem], skip: Option[Long], limit: Option[Long],
+      star: Boolean = false) extends Clause
   final case class WithClause(distinct: Boolean, items: Seq[ReturnItem],
       orderBy: Seq[OrderItem], skip: Option[Long], limit: Option[Long],
-      where: Option[Expr]) extends Clause
+      where: Option[Expr], star: Boolean = false) extends Clause
   final case class CreateClause(patterns: Seq[PathPat]) extends Clause
   /** MERGE takes exactly one pattern part (openCypher grammar). */
   /** MERGE with optional ON CREATE SET / ON MATCH SET branches: the

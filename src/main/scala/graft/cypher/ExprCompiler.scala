@@ -67,6 +67,10 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty,
     case ListComp(_, l, _, _) => isAggregate(l)
     case ReduceExpr(_, i, _, l, _) => isAggregate(i) || isAggregate(l)
     case ListPred(_, _, l, _) => isAggregate(l)
+    case MapProjection(_, items) => items.exists {
+      case MapProjKV(_, e) => isAggregate(e)
+      case _ => false
+    }
     case _ => false
   }
 
@@ -162,6 +166,20 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty,
         acc.when(truthyExpr(w), compile(t))
       }
       otherwise.map(o => chained.otherwise(compile(o))).getOrElse(chained)
+    case MapProjection(v, items) =>
+      val vi = scope.vars.getOrElse(v, sys.error(s"unbound variable: $v"))
+      require(vi.kind != VarKind.Value,
+        s"map projection needs a node or edge variable: $v")
+      val fields = items.flatMap {
+        case MapProjProp(k) => Seq(compileProp(Prop(Variable(v), k)).as(k))
+        case MapProjKV(k, e) => Seq(compile(e).as(k))
+        case MapProjAll =>
+          if (vi.props == Seq("properties")) sys.error(
+            "map projection .* needs typed properties; use properties(n) on a schemaless entity")
+          else vi.props.filterNot(_ == "label")
+            .map(pr => col(Scope.colName(v, pr)).as(pr))
+      }
+      struct(fields.toIndexedSeq: _*)
     case ListComp(v, listE, whereE, projE) =>
       val (base, elemT) = listAndElemType(listE, "list comprehension")
       val filtered = whereE match {
@@ -258,7 +276,17 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty,
       case "avg" => avg(aggArg)
       case "min" => min(aggArg)
       case "max" => max(aggArg)
-      case "collect" => if (distinct) collect_set(aggArg) else collect_list(aggArg)
+      case "collect" =>
+        // collect of a bare entity gathers the entity as a STRUCT of its
+        // columns (openCypher returns nodes, not ids); the id-null guard
+        // keeps unmatched OPTIONAL rows out (an unmatched entity is a
+        // struct of null FIELDS, which collect_list would keep)
+        val collectArg = args.headOption match {
+          case Some(Variable(v)) if entityVar(v).isDefined =>
+            when(idOf(v).isNotNull, entityStruct(v))
+          case _ => aggArg
+        }
+        if (distinct) collect_set(collectArg) else collect_list(collectArg)
       case "stdev" => stddev_samp(aggArg)
       case "id" => args.head match {
         case Variable(v) if entityVar(v).isDefined => idOf(v)

@@ -171,17 +171,19 @@ final class Parser(tokens: Vector[Tok]) {
     entries.result()
   }
 
-  private def parseReturnItems(): (Boolean, Seq[ReturnItem]) = {
+  private def parseReturnItems(): (Boolean, Boolean, Seq[ReturnItem]) = {
     val distinct = tryKw("DISTINCT")
+    // `*` projects every named scope variable; `*, extra` appends items
+    val star = tryOp("*")
     val items = Seq.newBuilder[ReturnItem]
     def item(): Unit = {
       val e = parseExpr()
       val alias = if (tryKw("AS")) Some(ident()) else None
       items += ReturnItem(e, alias)
     }
-    item()
-    while (tryOp(",")) item()
-    (distinct, items.result())
+    if (!star) { item(); while (tryOp(",")) item() }
+    else while (tryOp(",")) item()
+    (distinct, star, items.result())
   }
 
   private def parseOrderSkipLimit(): (Seq[OrderItem], Option[Long], Option[Long]) = {
@@ -208,17 +210,17 @@ final class Parser(tokens: Vector[Tok]) {
 
   private def parseReturn(): ReturnClause = {
     eatKw("RETURN")
-    val (distinct, items) = parseReturnItems()
+    val (distinct, star, items) = parseReturnItems()
     val (order, skip, limit) = parseOrderSkipLimit()
-    ReturnClause(distinct, items, order, skip, limit)
+    ReturnClause(distinct, items, order, skip, limit, star)
   }
 
   private def parseWith(): WithClause = {
     eatKw("WITH")
-    val (distinct, items) = parseReturnItems()
+    val (distinct, star, items) = parseReturnItems()
     val (order, skip, limit) = parseOrderSkipLimit()
     val where = if (tryKw("WHERE")) Some(parseExpr()) else None
-    WithClause(distinct, items, order, skip, limit, where)
+    WithClause(distinct, items, order, skip, limit, where, star)
   }
 
   private def parseCreate(): CreateClause = {
@@ -403,6 +405,12 @@ final class Parser(tokens: Vector[Tok]) {
 
   private def parsePostfix(): Expr = {
     var e = parseAtom()
+    // map projection: `n {.prop, .*, key: expr}` — a `{` directly after a
+    // variable is never a map literal (those only start an atom)
+    e match {
+      case Variable(v) if isOp("{") => e = parseMapProjection(v)
+      case _ =>
+    }
     var done = false
     while (!done) {
       if (tryOp(".")) e = Prop(e, ident())
@@ -410,6 +418,23 @@ final class Parser(tokens: Vector[Tok]) {
       else done = true
     }
     e
+  }
+
+  private def parseMapProjection(v: String): Expr = {
+    eatOp("{")
+    val items = Seq.newBuilder[MapProjItem]
+    def item(): Unit =
+      if (tryOp(".")) {
+        if (tryOp("*")) items += MapProjAll
+        else items += MapProjProp(ident())
+      } else {
+        val k = ident()
+        eatOp(":")
+        items += MapProjKV(k, parseExpr())
+      }
+    if (!isOp("}")) { item(); while (tryOp(",")) item() }
+    eatOp("}")
+    MapProjection(v, items.result())
   }
 
   private def parseAtom(): Expr = cur match {

@@ -71,14 +71,21 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     q.clauses.foreach {
       case m: MatchClause => scope = Some(compileMatch(scope, m))
       case sp: ShortestPathClause => scope = Some(compileShortestPath(scope, sp))
-      case w: WithClause => scope = Some(compileWith(scope.getOrElse(emptyScope), w))
+      case w0: WithClause =>
+        val w = if (w0.star) w0.copy(items = starItems(scope) ++ w0.items,
+          star = false) else w0
+        require(w.items.nonEmpty, "WITH * needs at least one variable in scope")
+        scope = Some(compileWith(scope.getOrElse(emptyScope), w))
       case u: UnwindClause =>
         val s = scope.getOrElse(emptyScope)
         val c = ec(s).compile(u.expr)
         scope = Some(Scope(s.df.withColumn(u.alias, explode(c)),
           s.vars + (u.alias -> VarInfo(VarKind.Value, None, Nil)),
           s.order :+ u.alias))
-      case r: ReturnClause =>
+      case r0: ReturnClause =>
+        val r = if (r0.star) r0.copy(items = starItems(scope) ++ r0.items,
+          star = false) else r0
+        require(r.items.nonEmpty, "RETURN * needs at least one variable in scope")
         result = Some(compileReturn(scope.getOrElse(emptyScope), r))
       case c: CreateClause => scope = Some(compileCreate(scope, c))
       case m: MergeClause => scope = Some(compileMerge(scope, m))
@@ -89,6 +96,14 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     }
     PlanResult(result, store)
   }
+
+  /** RETURN * / WITH * expansion: every USER-named scope variable in
+    * binding order (planner-internal fresh vars carry the `__` prefix and
+    * stay hidden, openCypher behavior for anonymous pattern parts).
+    */
+  private def starItems(scope: Option[Scope]): Seq[ReturnItem] =
+    scope.toSeq.flatMap(_.order).filterNot(_.startsWith("__"))
+      .map(v => ReturnItem(Variable(v), None))
 
   private def emptyScope: Scope = {
     import spark.implicits._

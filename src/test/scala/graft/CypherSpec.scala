@@ -828,6 +828,48 @@ class CypherSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("mix"))
   }
 
+  test("RETURN * and WITH * project every named variable") {
+    val s = session
+    val df = s.run(
+      "MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->(b) RETURN *")
+    assert(df.columns.toSet == Set("a", "b", "r"))
+    val chained = s.run(
+      """MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->(b)
+        |WITH * RETURN b.name AS n, r.since AS y""".stripMargin)
+    assert(rows(chained) == Seq(Seq("Bob", 2020L)))
+    val extra = s.run(
+      "MATCH (a:Person {name: 'Alice'}) RETURN *, a.age * 2 AS dbl")
+    assert(extra.columns.toSet == Set("a", "dbl"))
+    assert(extra.head.getAs[Long]("dbl") == 60L)
+  }
+
+  test("map projection selects, computes, and splats properties") {
+    val s = session
+    val r = s.run(
+      """MATCH (n:Person {name: 'Alice'})
+        |RETURN n {.name, .age, doubled: n.age * 2} AS m""".stripMargin).head
+    val m = r.getStruct(0)
+    assert(m.getAs[String]("name") == "Alice")
+    assert(m.getAs[Long]("age") == 30L)
+    assert(m.getAs[Long]("doubled") == 60L)
+    val all = s.run(
+      "MATCH (n:Person {name: 'Bob'}) RETURN n {.*} AS m").head.getStruct(0)
+    assert(all.getAs[String]("name") == "Bob")
+    assert(all.getAs[String]("city") == "Shanghai")
+  }
+
+  test("collect of a bare entity gathers structs and skips unmatched OPTIONAL rows") {
+    val s = session
+    val collected = s.run(
+      """MATCH (a:Person {name: 'Alice'}) OPTIONAL MATCH (a)-[:KNOWS]->(b:Person)
+        |RETURN collect(b) AS bs""".stripMargin).head.getSeq[org.apache.spark.sql.Row](0)
+    assert(collected.map(_.getAs[String]("name")) == Seq("Bob"))
+    val none = s.run(
+      """MATCH (d:Person {name: 'David'}) OPTIONAL MATCH (d)-[:KNOWS]->(b:Person)
+        |RETURN collect(b) AS bs, count(b) AS n""".stripMargin).head
+    assert(none.getSeq[Any](0).isEmpty && none.getLong(1) == 0L)
+  }
+
   test("list quantifiers any/all/none/single") {
     val df = session.run(
       """MATCH (n:Person) WITH collect(n.age) AS ages

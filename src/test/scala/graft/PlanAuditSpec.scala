@@ -183,6 +183,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("cy22: UNION = pushed filters + Union + one distinct aggregate, no cartesian") {
+    val p = plan("cy22_union")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both parts' acctbal filters reach their parquet scans
+    assert(p.contains("GreaterThan(c_acctbal,9900"), p)
+    assert(p.contains("GreaterThan(s_acctbal,9900"), p)
+    // the distinct step is one hash aggregate over the union, not a join
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("cy18: EXISTS compiles to one semi + one anti hash join, no subquery loop") {
     val p = plan("cy18_exists")
     assert(p.contains("LeftSemi"), p)
