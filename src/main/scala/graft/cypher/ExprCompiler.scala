@@ -357,9 +357,21 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty,
       // nodes(p) is the identity on the bound array (openCypher surface;
       // relationships(p) has no stored-id analogue here and stays absent)
       case "nodes" => a0
-      case "keys" =>
-        if (isStringT(a0)) json_object_keys(a0)
-        else map_keys(a0)
+      case "keys" => args.head match {
+        // keys(n) on an entity = names of its PRESENT properties: typed
+        // columns that are non-null on this row (a REMOVE nulls the
+        // column, so null = absent, matching openCypher), or the JSON
+        // keys for a schemaless entity
+        case Variable(v) if entityVar(v).isDefined =>
+          val vi = scope.vars(v)
+          if (vi.props == Seq("properties"))
+            json_object_keys(col(Scope.colName(v, "properties")))
+          else array_compact(array(vi.props.filterNot(_ == "label").map(pr =>
+            when(col(Scope.colName(v, pr)).isNotNull, lit(pr))).toIndexedSeq: _*))
+        case _ =>
+          if (isStringT(a0)) json_object_keys(a0)
+          else map_keys(a0)
+      }
       case "exists" => compile(args.head).isNotNull
       case other => sys.error(s"unknown function: $other (reference rejects unknown functions too, match_executor.rs:458-462)")
     }

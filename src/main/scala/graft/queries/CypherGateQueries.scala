@@ -274,6 +274,19 @@ object CypherGateQueries {
         |MATCH (s:Supplier)-[:SUPP_NATION]->(n:Nation) WHERE s.s_acctbal > 9900
         |RETURN n.n_name AS name""".stripMargin),
 
+    // composite of the r7 surfaces in ONE statement — EXISTS pattern
+    // predicate, collect, list comprehension, and reduce chained through
+    // WITH: a regression in any one of them shifts a column of the
+    // per-nation output.
+    "cy24_composite" -> cy(
+      """MATCH (c:Customer)-[:CUST_NATION]->(n:Nation)
+        |WHERE c.c_acctbal > 9000 AND EXISTS((c)-[:PLACED]->(:Order))
+        |WITH n, collect(c.c_custkey) AS cks
+        |RETURN n.n_name AS nation, size(cks) AS n_cust,
+        |       size([k IN cks WHERE k % 2 = 0]) AS n_even,
+        |       reduce(s = 0, k IN cks | s + k) AS key_sum
+        |ORDER BY nation""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -375,6 +388,15 @@ object CypherGateQueries {
       """SELECT CAST(r_regionkey AS BIGINT) AS dkey,
         |  CAST(CASE WHEN r_regionkey < 3 THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM region ORDER BY dkey""".stripMargin,
+    "cy24_composite" ->
+      """SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(COUNT(CASE WHEN c_custkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_even,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9000
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name
+        |ORDER BY nation""".stripMargin,
     "cy22_union" ->
       """SELECT n_name AS name FROM nation JOIN customer ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 9900

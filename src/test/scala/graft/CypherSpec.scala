@@ -843,6 +843,17 @@ class CypherSpec extends AnyFunSuite {
     assert(extra.head.getAs[Long]("dbl") == 60L)
   }
 
+  test("keys(n) lists present properties and tracks REMOVE") {
+    val s = session
+    val ks = s.run("MATCH (n:Person {name: 'Alice'}) RETURN keys(n) AS ks")
+      .head.getSeq[String](0)
+    assert(ks.toSet == Set("name", "age", "city"))
+    s.run("MATCH (n:Person {name: 'Alice'}) REMOVE n.city")
+    val ks2 = s.run("MATCH (n:Person {name: 'Alice'}) RETURN keys(n) AS ks")
+      .head.getSeq[String](0)
+    assert(ks2.toSet == Set("name", "age"))
+  }
+
   test("map projection selects, computes, and splats properties") {
     val s = session
     val r = s.run(
