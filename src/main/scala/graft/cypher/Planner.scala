@@ -695,6 +695,19 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     // path never runs the count
     lazy val scopeRows = sc.df.count()
     var baseDf = sc.df
+    // Per-row allocation reads baseDf many times — the vertex-table row,
+    // every edge-endpoint select, and each later store read recompute the
+    // plan independently. zipWithIndex is only deterministic for a pinned
+    // partition order; a shuffle in the scope lineage (MATCH ... CREATE,
+    // MERGE's distinct createScope) may reorder rows between
+    // recomputations and silently rebind id↔row pairings (edges to wrong
+    // endpoints, drifting id(n)). Sequence ONCE and localCheckpoint so
+    // every consumer reads a single materialized id assignment; created
+    // vertices reuse the shared __seq column with per-label offsets.
+    val perRowWork = !scopeIsUnit &&
+      (createdNodes.nonEmpty || cc.patterns.exists(_.hops.nonEmpty))
+    if (perRowWork)
+      baseDf = graft.store.Ids.withSequence(baseDf, "__seq").localCheckpoint()
     val nodeIds = scala.collection.mutable.Map[String, Long]()
     val perRowIds = scala.collection.mutable.Set[String]()
     val counters = scala.collection.mutable.Map[String, Long]()
@@ -755,9 +768,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val start = counters(label)
         counters(label) = start + scopeRows
         val vidCol = Scope.colName(v, "id")
-        baseDf = graft.store.Ids.withSequence(baseDf, "__seq")
+        baseDf = baseDf
           .withColumn(vidCol, Graphid.packCol(labidOf(label), lit(start) + col("__seq")))
-          .drop("__seq")
         perRowIds += v
         if (schemaless)
           baseDf.select(col(vidCol).as("id"), propsJson.as("properties"))

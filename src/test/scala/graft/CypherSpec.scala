@@ -881,6 +881,33 @@ class CypherSpec extends AnyFunSuite {
     assert(none.getSeq[Any](0).isEmpty && none.getLong(1) == 0L)
   }
 
+  test("per-row CREATE pins id allocation under a shuffled scope") {
+    // DISTINCT puts a shuffle in the scope lineage; without the
+    // localCheckpoint pin, each recomputation could reorder rows and
+    // rebind id↔row pairings between reads
+    val s = session
+    s.run("MATCH (p:Person) WITH DISTINCT p.city AS c CREATE (m:City {name: c})")
+    val read1 = rows(s.run("MATCH (m:City) RETURN id(m) AS i, m.name AS n ORDER BY i"))
+    val read2 = rows(s.run("MATCH (m:City) RETURN id(m) AS i, m.name AS n ORDER BY i"))
+    assert(read1 == read2)
+    assert(read1.map(_(1)).map(_.toString).sorted ==
+      Seq("Beijing", "Shanghai", "Shenzhen"))
+    assert(read1.map(_(0)).distinct.size == 3)
+  }
+
+  test("per-row CREATE binds edges to the matched row's created node") {
+    // one created node + edge per scope row: the ORIG edge must connect
+    // each person to the Copy carrying THAT person's name, and the
+    // binding must be identical across repeated store reads
+    val s = session
+    s.run("MATCH (p:Person) CREATE (p)-[:ORIG]->(c:Copy {name: p.name})")
+    val q = "MATCH (p:Person)-[:ORIG]->(c:Copy) RETURN p.name AS pn, c.name AS cn ORDER BY pn"
+    val read1 = rows(s.run(q))
+    assert(read1.size == 4)
+    read1.foreach { r => assert(r(0) == r(1), s"edge bound to wrong copy: $r") }
+    assert(rows(s.run(q)) == read1)
+  }
+
   test("list quantifiers any/all/none/single") {
     val df = session.run(
       """MATCH (n:Person) WITH collect(n.age) AS ages
