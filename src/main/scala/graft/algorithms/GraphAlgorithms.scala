@@ -250,9 +250,16 @@ object GraphAlgorithms {
     require(k >= 1, "k-core needs k >= 1")
     val noLoops = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    val (und, releaseUnd) = trackedCheckpoint(noLoops
-      .unionByName(noLoops.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct(), eager = false)
+    // symmetric closure via canonical (min,max) pairs: distinct shuffles
+    // |E| rows instead of 2|E| (distinct-then-mirror ≡ mirror-then-distinct
+    // for a symmetric relation; the mirror union is a narrow map). und's
+    // 2|E| rows land in the checkpoint either way — only shuffle work halves.
+    val canon = noLoops.select(
+      least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst")).distinct()
+    val (und, releaseUnd) = trackedCheckpoint(canon
+      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst"))),
+      eager = false)
     // The (n, peelable) stats each round needs are folded into the job
     // that materializes the deg relation itself via observe() — zero extra
     // scans or jobs for the fixpoint test. The stats thunk only runs after

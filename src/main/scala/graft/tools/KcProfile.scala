@@ -43,6 +43,9 @@ object KcProfile {
     spark.sparkContext.addSparkListener(listener)
     graft.store.Tables.all.foreach(t => graft.store.Tables.load(spark, sfDir, t).count())
     val reps = sys.env.getOrElse("SPARK_GRAFT_KC_REPS", "5").toInt
+    // A/B the r6 layer-collapse knob: 1 = one peel layer per materialized
+    // round (the r5 shape), 2 = collapsed (the default)
+    val layers = sys.env.getOrElse("SPARK_GRAFT_KC_LAYERS", "2").toInt
     (1 to reps).foreach { rep =>
       val t0 = System.nanoTime()
       val g = GraphStore.tpch(spark, sfDir)
@@ -55,7 +58,7 @@ object KcProfile {
           i += 1
           println(f"  round $i built in ${(System.nanoTime() - lastT) / 1e9}%6.2f s")
           lastT = System.nanoTime()
-        })
+        }, layersPerRound = layers)
       val n = surv.groupBy(graft.model.Graphid.labidCol(col("id"))).count().count()
       println(f"rep $rep total ${(System.nanoTime() - t0) / 1e9}%6.2f s ($rounds rounds, $n label groups)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
