@@ -297,17 +297,42 @@ object ExtraQueries {
       val before = sc.getPersistentRDDs.keySet
       val edges = g.allEdges.select(col("src"), col("dst")).localCheckpoint(true)
       val mine = sc.getPersistentRDDs.keySet -- before
+      // the two variants are independent reads of the pinned edge
+      // checkpoint and each underfills the executor at this partition
+      // count, so they run CONCURRENTLY from two driver threads (Spark's
+      // documented multi-threaded job submission) — wall time is
+      // max(half, half), not the sum. Each half's top-20 is a bounded
+      // driver collect with a (rank desc, id) total order, so the
+      // intersection count is deterministic. The RDD-delta capture
+      // stays single-threaded: it closed over `mine` before the threads
+      // start, and the halves' own checkpoints are swept by the caller.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => { val t = new Thread(r, "x21-half"); t.setDaemon(true); t })
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
       val nAgree =
         try {
-          val stable = graft.algorithms.GraphAlgorithms
-            .pageRankStable(edges, 5, chainDepth = 2) // same A/B-measured depth as x17
-            .orderBy(col("pr").desc, col("id")).limit(20).select(col("id"))
-          val gx = graft.algorithms.GraphAlgorithms.pageRank(s, edges, 5)
-            .orderBy(col("rank").desc, col("id")).limit(20).select(col("id"))
-          stable.join(gx, Seq("id"), "left_semi")
-            .agg(count(lit(1)).as("n_agree")).head.getLong(0)
-        } finally mine.foreach(id =>
-          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+          val fStable = Future {
+            graft.algorithms.GraphAlgorithms
+              .pageRankStable(edges, 5, chainDepth = 2) // same A/B-measured depth as x17
+              .orderBy(col("pr").desc, col("id")).limit(20).select(col("id"))
+              .collect().map(_.getLong(0)).toSet
+          }
+          val fGx = Future {
+            graft.algorithms.GraphAlgorithms.pageRank(s, edges, 5)
+              .orderBy(col("rank").desc, col("id")).limit(20).select(col("id"))
+              .collect().map(_.getLong(0)).toSet
+          }
+          val (stableTop, gxTop) =
+            (Await.result(fStable, 10.minutes), Await.result(fGx, 10.minutes))
+          (stableTop intersect gxTop).size.toLong
+        } finally {
+          pool.shutdown()
+          mine.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        }
       s.range(1).select(lit(nAgree).as("n_agree"))
     }),
 

@@ -236,6 +236,12 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
     }
+    // warmup: the first vle invocation in a fresh JVM absorbs Catalyst
+    // planning + codegen JIT (the r7 axis recorded depth 2 at 3x depth 3's
+    // time with 24x fewer paths — pure warmup masquerading as data); one
+    // untimed shallow pass first makes the recorded axis measure the
+    // operator
+    run("warmup", edges, 2, None)
     for (d <- Seq(2, 3, 4)) run("depth", edges, d, None)
     run("depth", edges, 4, Some(10000))
     // 2^48 is divisible by F in {2,4}, so dst % F partitions on the local
