@@ -587,6 +587,45 @@ class CypherSpec extends AnyFunSuite {
     assert(err.getMessage.contains("string literal"), err.getMessage)
   }
 
+  test("weighted shortestPath reads weights off schemaless JSON properties") {
+    // same topology as the typed test (direct hop costs 10, the 3-hop
+    // detour costs 3) but imported from JSON, so the edge table has only
+    // (id, src, dst, properties) and the {weight:'w'} knob must take the
+    // get_json_object fallback — the reference reads weights off JSON
+    // properties too (shortest_path.rs:77-141)
+    val json =
+      """{"vertices":[
+        |  {"id":"1","label":"W","properties":{"name":"v1"}},
+        |  {"id":"2","label":"W","properties":{"name":"v2"}},
+        |  {"id":"3","label":"W","properties":{"name":"v3"}},
+        |  {"id":"4","label":"W","properties":{"name":"v4"}}],
+        |"edges":[
+        |  {"label":"E","start":"1","end":"4","properties":{"w":10}},
+        |  {"label":"E","start":"1","end":"2","properties":{"w":1}},
+        |  {"label":"E","start":"2","end":"3","properties":{"w":1}},
+        |  {"label":"E","start":"3","end":"4","properties":{"w":1}}]}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_wjson", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val sess = new CypherSession(spark,
+      graft.store.GraphIO.importJson(spark, f.toString))
+    // unweighted control: BFS takes the direct hop
+    val bfs = sess.run(
+      "MATCH p = shortestPath((a:W {name: 'v1'})-[:E *..4]->(b:W {name: 'v4'})) " +
+        "RETURN size(p) - 1 AS d")
+    assert(rows(bfs) == Seq(Seq(1L)))
+    // weighted: the JSON-string weight routes the path through the detour
+    val w = sess.run(
+      "MATCH p = shortestPath((a:W {name: 'v1'})-[:E *..4 {weight: 'w'}]->(b:W {name: 'v4'})) " +
+        "RETURN size(p) - 1 AS d")
+    assert(rows(w) == Seq(Seq(3L)))
+    // a key absent from the JSON falls back to weight 1.0 per edge — the
+    // min-cost path degenerates to the min-hop one
+    val missing = sess.run(
+      "MATCH p = shortestPath((a:W {name: 'v1'})-[:E *..4 {weight: 'nope'}]->(b:W {name: 'v4'})) " +
+        "RETURN size(p) - 1 AS d")
+    assert(rows(missing) == Seq(Seq(1L)))
+  }
+
   test("EXISTS pattern predicate compiles to semi/anti joins") {
     val s = session
     // semi: who has an outgoing KNOWS edge
