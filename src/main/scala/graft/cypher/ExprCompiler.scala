@@ -174,7 +174,11 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty,
         case MapProjProp(k) => Seq(compileProp(Prop(Variable(v), k)).as(k))
         case MapProjKV(k, e) => Seq(compile(e).as(k))
         case MapProjAll =>
-          if (vi.props == Seq("properties")) sys.error(
+          // schemaless = the only real property column is the JSON blob;
+          // an unlabeled scan adds "label" beside it, which must not
+          // bypass the guard (it would splat the raw JSON string as one
+          // field named "properties")
+          if (vi.props.filterNot(_ == "label") == Seq("properties")) sys.error(
             "map projection .* needs typed properties; use properties(n) on a schemaless entity")
           else vi.props.filterNot(_ == "label")
             .map(pr => col(Scope.colName(v, pr)).as(pr))
@@ -355,8 +359,18 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty,
       case "last" => element_at(a0, -1)
       // a path variable IS its vertex-id sequence in this engine, so
       // nodes(p) is the identity on the bound array (openCypher surface;
-      // relationships(p) has no stored-id analogue here and stays absent)
-      case "nodes" => a0
+      // relationships(p) has no stored-id analogue here and stays absent).
+      // Restricted to array-valued arguments: nodes(n) on a node variable
+      // (or any scalar) must fail loudly like every other type error here,
+      // not silently return its argument
+      case "nodes" =>
+        args.head match {
+          case Variable(v) if entityVar(v).isDefined =>
+            sys.error(s"nodes() takes a path, not a node/relationship variable: $v")
+          case _ => ()
+        }
+        if (!isArrayT(a0)) sys.error("nodes() takes a path (vertex-id array) argument")
+        a0
       case "keys" => args.head match {
         // keys(n) on an entity = names of its PRESENT properties: typed
         // columns that are non-null on this row (a REMOVE nulls the

@@ -1031,7 +1031,19 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         MatchClause(Seq(pat), optional = false, where = None))
       // the branch decision is the merge's own global boolean: a node-form
       // merge either found matches (all pre-existing) or created the one
-      // node the re-match now binds
+      // node the re-match now binds. Under a BOUND scope openCypher
+      // decides per input row instead (the first row creates, later rows
+      // match, so ON CREATE fires once and ON MATCH n-1 times on the same
+      // node) — a global branch would silently fire the wrong SET for
+      // some rows, so that combination is rejected loudly (documented at
+      // the MERGE surface in SURVEY.md §2.8)
+      if (mc.onCreate.nonEmpty || mc.onMatch.nonEmpty)
+        require(scope.forall(_.df.columns.sameElements(Array("__unit"))),
+          "node-form MERGE ON CREATE/ON MATCH under a bound scope is not " +
+            "supported: openCypher fires the branches per input row " +
+            "(first row creates, later rows match) while this merge's " +
+            "decision is global; run the MERGE standalone or use the " +
+            "relationship form, whose branches split per pair")
       (if (exists) mc.onMatch else mc.onCreate)
         .foreach(s => compileSet(matched, s))
       matched

@@ -21,16 +21,22 @@ object Tables {
     //    sessions); `div` (integer division) keeps full precision — `/`
     //    would go through double and lose sub-ms precision past 2^53
     //  - timestamp[us] with isAdjustedToUTC=false (pandas-written) reads
-    //    as TIMESTAMP_NTZ; the cast to TIMESTAMP interprets the naive
-    //    value in the session timezone, which is UTC on the driver host,
-    //    so the instant equals the stored micros (DuckDB's oracle reads
-    //    the same naive value)
+    //    as TIMESTAMP_NTZ; the naive value must become the instant with
+    //    the SAME UTC wall clock on any session timezone (DuckDB's oracle
+    //    reads the naive value as-is). The bare cast alone interprets it
+    //    in the session zone (instant = W - offset(zone)) — correct only
+    //    on UTC sessions — so from_utc_timestamp adds the same session
+    //    offset back (it renders its input's UTC wall clock in the target
+    //    zone, i.e. +offset), leaving the session-independent instant
+    //    whose UTC wall clock is the stored naive value. Pinned by the
+    //    StreamingSpec three-zone test.
     if (name == "events") df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts",
-          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+        df.withColumn("ts", org.apache.spark.sql.functions.from_utc_timestamp(
+          df("ts").cast(org.apache.spark.sql.types.TimestampType),
+          spark.conf.get("spark.sql.session.timeZone")))
       case _ => df
     } else df
   }

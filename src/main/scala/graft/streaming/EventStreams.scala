@@ -39,11 +39,16 @@ object EventStreams {
     val limited = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else reader
     val raw = limited.parquet(dir)
-    // same normalization as Tables.load: micros TimestampType either way
+    // same normalization as Tables.load: micros TimestampType either way,
+    // session-zone-independent (the bare cast subtracts the session
+    // offset; from_utc_timestamp adds it back, leaving the instant whose
+    // UTC wall clock is the stored naive value)
     tsType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        raw.withColumn("ts", from_utc_timestamp(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType),
+          spark.conf.get("spark.sql.session.timeZone")))
       case _ => raw
     }
   }

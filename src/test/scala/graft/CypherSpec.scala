@@ -920,6 +920,52 @@ class CypherSpec extends AnyFunSuite {
     assert(none.getSeq[Any](0).isEmpty && none.getLong(1) == 0L)
   }
 
+  test("nodes() rejects non-path arguments loudly") {
+    val s = session
+    val e1 = intercept[Exception](s.run(
+      "MATCH (n:Person) RETURN nodes(n) AS x"))
+    assert(e1.getMessage.contains("path"), e1.getMessage)
+    val e2 = intercept[Exception](s.run(
+      "MATCH (n:Person) RETURN nodes(n.age) AS x"))
+    assert(e2.getMessage.contains("path"), e2.getMessage)
+    // the legitimate use keeps working
+    val ok = s.run(
+      "MATCH p = shortestPath((a:Person {name: 'Alice'})-[*..3]->(b:Person {name: 'Charlie'})) " +
+        "RETURN size(nodes(p)) AS n")
+    assert(rows(ok) == Seq(Seq(3L)))
+  }
+
+  test("map projection .* guards schemaless entities on unlabeled scans too") {
+    val json =
+      """{"vertices":[{"id":"1","label":"Doc","properties":{"k":"v"}}],
+        |"edges":[]}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_mapproj", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val s = new CypherSession(spark,
+      graft.store.GraphIO.importJson(spark, f.toString))
+    // labeled scan: props = [properties] — guarded before r8
+    val e1 = intercept[Exception](s.run("MATCH (n:Doc) RETURN n {.*} AS m"))
+    assert(e1.getMessage.contains("properties(n)"), e1.getMessage)
+    // unlabeled scan: props = [label, properties] — must hit the same
+    // guard, not splat the raw JSON string as a field named 'properties'
+    val e2 = intercept[Exception](s.run("MATCH (n) RETURN n {.*} AS m"))
+    assert(e2.getMessage.contains("properties(n)"), e2.getMessage)
+  }
+
+  test("node-form MERGE ON CREATE/ON MATCH is rejected under a bound scope") {
+    val s = session
+    val e = intercept[Exception](s.run(
+      "MATCH (p:Person) MERGE (c:City {name: 'X'}) ON CREATE SET c.fresh = true"))
+    assert(e.getMessage.contains("bound scope"), e.getMessage)
+    // without branches the bound-scope node MERGE stays allowed
+    s.run("MATCH (p:Person) MERGE (c:City {name: 'X'})")
+    assert(rows(s.run("MATCH (c:City) RETURN count(*) AS n")) == Seq(Seq(1L)))
+    // and the standalone (unit-scope) branch form stays allowed
+    s.run("MERGE (c:City {name: 'Y'}) ON CREATE SET c.fresh = true")
+    assert(rows(s.run("MATCH (c:City {name: 'Y'}) RETURN c.fresh AS f")) ==
+      Seq(Seq(true)))
+  }
+
   test("per-row CREATE pins id allocation under a shuffled scope") {
     // DISTINCT puts a shuffle in the scope lineage; without the
     // localCheckpoint pin, each recomputation could reorder rows and

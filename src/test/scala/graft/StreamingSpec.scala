@@ -24,6 +24,33 @@ class StreamingSpec extends AnyFunSuite {
 
   val sfDir = "/root/testdata/sf0.001"
 
+  test("NTZ events.ts normalizes to the same instant on any session timezone") {
+    import org.apache.spark.sql.functions._
+    // write a TIMESTAMP_NTZ events file (the pandas-written shape), then
+    // load it under UTC and under a +8 zone: the ingested instant must be
+    // identical — the naive value read as a UTC wall clock — not shifted
+    // by the session zone
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz")
+    val out = s"$dir/events.parquet"
+    spark.range(1).select(
+      lit(1L).as("event_id"),
+      expr("timestamp_ntz '2024-03-01 12:00:00'").as("ts"),
+      lit(7L).as("user_id"), lit("click").as("event_type"),
+      lit(1.5).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(out)
+    def micros(zone: String): Long = {
+      val prev = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", zone)
+      try Tables.load(spark, dir.toString, "events")
+        .select(unix_micros(col("ts"))).head.getLong(0)
+      finally spark.conf.set("spark.sql.session.timeZone", prev)
+    }
+    val utc = micros("UTC")
+    assert(utc == java.time.Instant.parse("2024-03-01T12:00:00Z").toEpochMilli * 1000L)
+    assert(micros("Asia/Shanghai") == utc)
+    assert(micros("America/New_York") == utc)
+  }
+
   test("streaming windowed agg equals batch on one file batch") {
     val stage = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
