@@ -63,6 +63,22 @@ object Ast {
     */
   final case class PatternPred(pattern: PathPat) extends Expr
 
+  /** `[(a)-[:T]->(b) WHERE pred | proj]` pattern comprehension — the list
+    * of `proj` values over the pattern's matches, per outer row. Not a
+    * scalar either: the planner hoists occurrences inside projection items
+    * into ONE aggregating left join per distinct subquery (collect_list
+    * over the pattern matches grouped by the shared-variable keys).
+    */
+  final case class PatternComp(pattern: PathPat, where: Option[Expr],
+      proj: Expr) extends Expr
+
+  /** `COUNT { (a)-[:T]->(b) WHERE pred }` subquery (modern openCypher /
+    * GQL; absent from the reference grammar) — the number of pattern
+    * matches per outer row. Hoisted like PatternComp, with count(*) as
+    * the aggregate and 0 for rows with no matches.
+    */
+  final case class CountSub(pattern: PathPat, where: Option[Expr]) extends Expr
+
   // ---- patterns ----
   sealed trait Dir
   object Dir { case object Out extends Dir; case object In extends Dir; case object Both extends Dir }

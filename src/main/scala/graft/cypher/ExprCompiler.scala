@@ -160,6 +160,10 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty,
       "EXISTS pattern predicates are only supported as top-level WHERE " +
         "conjuncts (optionally under NOT) — they compile to semi/anti " +
         "joins, not scalar columns")
+    case _: PatternComp | _: CountSub => sys.error(
+      "pattern comprehensions and COUNT {} subqueries are only supported " +
+        "inside RETURN/WITH projection items — the planner hoists them " +
+        "into aggregating joins, not scalar columns")
     case CaseExpr(whens, otherwise) =>
       val first = when(truthyExpr(whens.head._1), compile(whens.head._2))
       val chained = whens.tail.foldLeft(first) { case (acc, (w, t)) =>

@@ -460,7 +460,8 @@ final class Parser(tokens: Vector[Tok]) {
         else if (Seq("any", "all", "none", "single").exists(name.equalsIgnoreCase))
           parseListPred(name.toLowerCase)
         else parseFnCall(name)
-      } else Variable(name)
+      } else if (name.equalsIgnoreCase("count") && isOp("{")) parseCountSub()
+      else Variable(name)
     case Op("(", _) => p += 1; val e = parseExpr(); eatOp(")"); e
     case Op("[", _) =>
       p += 1
@@ -475,13 +476,48 @@ final class Parser(tokens: Vector[Tok]) {
           eatOp("]")
           ListComp(v, listE, whereE, projE)
         case _ =>
-          val items = Seq.newBuilder[Expr]
-          if (!isOp("]")) { items += parseExpr(); while (tryOp(",")) items += parseExpr() }
-          eatOp("]")
-          ListLit(items.result())
+          // `[(a)-[:T]->(b) WHERE p | e]` is a pattern comprehension; a
+          // leading `(` is ambiguous with a parenthesized first list
+          // element, so the pattern parse is attempted with backtracking
+          // (the parseExists shape) and must see at least one hop AND the
+          // mandatory `| proj` (after an optional WHERE) to commit
+          patternCompTail().getOrElse {
+            val items = Seq.newBuilder[Expr]
+            if (!isOp("]")) { items += parseExpr(); while (tryOp(",")) items += parseExpr() }
+            eatOp("]")
+            ListLit(items.result())
+          }
       }
     case Op("{", _) => MapLit(parsePropMap())
     case _ => fail("expected expression atom")
+  }
+
+  /** Body of a pattern comprehension, cursor just past the `[`. Returns
+    * None (cursor restored) when the bracket is really a list literal.
+    */
+  private def patternCompTail(): Option[Expr] = {
+    if (!isOp("(")) return None
+    val save = p
+    try {
+      val pp = parsePathPat()
+      if (pp.hops.isEmpty) { p = save; return None }
+      val whereE = if (tryKw("WHERE")) Some(parseExpr()) else None
+      if (!tryOp("|")) { p = save; return None }
+      val projE = parseExpr()
+      eatOp("]")
+      Some(PatternComp(pp, whereE, projE))
+    } catch { case _: ParseError => p = save; None }
+  }
+
+  /** COUNT { (a)-[:T]->(b) [WHERE pred] } — the modern openCypher COUNT
+    * subquery, pattern form only (no full inner MATCH statement).
+    */
+  private def parseCountSub(): Expr = {
+    eatOp("{")
+    val pp = parsePathPat()
+    val whereE = if (tryKw("WHERE")) Some(parseExpr()) else None
+    eatOp("}")
+    CountSub(pp, whereE)
   }
 
   /** reduce(acc = init, x IN list | body) — openCypher fold syntax. */

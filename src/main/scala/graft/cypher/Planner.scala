@@ -388,6 +388,80 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     s.copy(df = joined)
   }
 
+  /** Hoist pattern comprehensions and COUNT {} subqueries out of
+    * projection item expressions: each DISTINCT subquery becomes a hidden
+    * Value column computed by ONE aggregating left join (the EXISTS
+    * machinery's seeding — the pattern runs in its own scope seeded by the
+    * DISTINCT shared-variable rows — with a groupBy on the shared keys
+    * before the join-back; never per-row execution), and the item
+    * expression references the column instead. The semi-join-side group
+    * relation is key-distinct, so its size is bounded by the outer key
+    * cardinality regardless of pattern fan-out.
+    */
+  private def hoistPatternSubqueries(scope: Scope,
+      items: Seq[ReturnItem]): (Scope, Seq[ReturnItem]) = {
+    var s = scope
+    val seen = scala.collection.mutable.Map[Expr, String]()
+    def hoist(sub: Expr, pat: PathPat, whereE: Option[Expr],
+        proj: Option[Expr]): Expr = Variable(seen.getOrElseUpdate(sub, {
+      val outName = fresh("subq")
+      s = compilePatternSubquery(s, pat, whereE, proj, outName)
+      outName
+    }))
+    // recursion covers the scalar wrappers a subquery realistically sits
+    // under (size(...), arithmetic, CASE, lists); lambda-scoped constructs
+    // (list comprehension/reduce bodies) are left alone — a subquery there
+    // still fails loudly in ExprCompiler
+    def walk(e: Expr): Expr = e match {
+      case pc @ PatternComp(p, w, pr) => hoist(pc, p, w, Some(pr))
+      case cs @ CountSub(p, w) => hoist(cs, p, w, None)
+      case FnCall(n, args, d) => FnCall(n, args.map(walk), d)
+      case Prop(b, k) => Prop(walk(b), k)
+      case Index(b, i) => Index(walk(b), walk(i))
+      case Bin(op, l, r) => Bin(op, walk(l), walk(r))
+      case Un(op, x) => Un(op, walk(x))
+      case IsNull(x, neg) => IsNull(walk(x), neg)
+      case InList(x, l, neg) => InList(walk(x), walk(l), neg)
+      case CaseExpr(ws, o) =>
+        CaseExpr(ws.map { case (c, v) => (walk(c), walk(v)) }, o.map(walk))
+      case ListLit(xs) => ListLit(xs.map(walk))
+      case other => other
+    }
+    val rewritten = items.map(it => it.copy(expr = walk(it.expr)))
+    (s, rewritten)
+  }
+
+  private def compilePatternSubquery(s: Scope, pat: PathPat,
+      whereE: Option[Expr], proj: Option[Expr], outName: String): Scope = {
+    val shared = patternVars(Seq(pat)).filter(s.vars.contains)
+    require(shared.nonEmpty,
+      "pattern subquery must reference at least one variable bound by the enclosing MATCH")
+    val seedCols = shared.flatMap(s.varCols)
+    val seed = s.df.select(seedCols.map(col).toIndexedSeq: _*).distinct()
+    var sub = Scope(seed, shared.map(v => v -> s.vars(v)).toMap, shared)
+    sub = compilePath(Some(sub), pat)
+    whereE.foreach(w => sub = applyWhere(sub, w))
+    val keyCols = shared.map { v =>
+      if (s.vars(v).kind == VarKind.Value) v else Scope.colName(v, "id")
+    }
+    val agg = proj match {
+      case Some(pe) => collect_list(ec(sub).compile(pe)).as(outName)
+      case None => count(lit(1)).as(outName)
+    }
+    val grouped = sub.df.groupBy(keyCols.map(col).toIndexedSeq: _*).agg(agg)
+    // unmatched outer rows: empty list / 0, never NULL (openCypher)
+    val fill = proj match {
+      case Some(_) => array().cast(grouped.schema(outName).dataType)
+      case None => lit(0L)
+    }
+    val joined = s.df.join(grouped, keyCols, "left_outer")
+      .withColumn(outName, coalesce(col(outName), fill))
+    // hidden Value var: resolvable by name, absent from `order` so
+    // RETURN * / WITH * never surface it
+    s.copy(df = joined,
+      vars = s.vars + (outName -> VarInfo(VarKind.Value, None, Nil)))
+  }
+
   private def compileMatch(outer: Option[Scope], m: MatchClause): Scope = {
     if (!m.optional || outer.isEmpty) {
       var sc = outer
@@ -525,7 +599,9 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     if (refNames == df.columns.toSeq) df else df.toDF(refNames.toIndexedSeq: _*)
   }
 
-  private def compileReturn0(scope: Scope, rc: ReturnClause): DataFrame = {
+  private def compileReturn0(scope0: Scope, rc0: ReturnClause): DataFrame = {
+    val (scope, items) = hoistPatternSubqueries(scope0, rc0.items)
+    val rc = rc0.copy(items = items)
     val compiler = ec(scope)
     val named = nameItems(rc.items, compiler)
     val hasAgg = named.exists(_.agg)
@@ -575,7 +651,9 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     orderAndSlice(df, rc.orderBy, rc.skip, rc.limit, outputResolver(named, df))
   }
 
-  private def compileWith(scope: Scope, wc: WithClause): Scope = {
+  private def compileWith(scope1: Scope, wc0: WithClause): Scope = {
+    val (scope, witems) = hoistPatternSubqueries(scope1, wc0.items)
+    val wc = wc0.copy(items = witems)
     val compiler = ec(scope)
     val named = nameItems(wc.items, compiler)
     val hasAgg = named.exists(_.agg)

@@ -287,6 +287,21 @@ object CypherGateQueries {
         |       reduce(s = 0, k IN cks | s + k) AS key_sum
         |ORDER BY nation""".stripMargin),
 
+    // pattern comprehension + COUNT {} subquery (r8; both beyond the
+    // reference grammar): per nation, the COUNT subquery counts its
+    // customers and a size()-wrapped comprehension counts the rich subset
+    // — each hoisted into ONE aggregating left join keyed on the nation
+    // id (PlanAudit pins no cartesian / no per-row subquery loop). A
+    // wrong seed, group key, or coalesce-fill shifts a row (Kenya/Jordan
+    // style nations with zero rich customers exercise the empty fill).
+    "cy25_subqueries" -> cy(
+      """MATCH (n:Nation)
+        |RETURN n.n_name AS nation,
+        |       COUNT { (c:Customer)-[:CUST_NATION]->(n) } AS n_cust,
+        |       size([(c:Customer)-[:CUST_NATION]->(n)
+        |             WHERE c.c_acctbal > 5000 | c.c_custkey]) AS n_rich
+        |ORDER BY nation""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -396,6 +411,14 @@ object CypherGateQueries {
         |WHERE c_acctbal > 9000
         |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY n_name
+        |ORDER BY nation""".stripMargin,
+    "cy25_subqueries" ->
+      """SELECT n_name AS nation,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        |   WHERE c_nationkey = n_nationkey) AS n_cust,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        |   WHERE c_nationkey = n_nationkey AND c_acctbal > 5000) AS n_rich
+        |FROM nation
         |ORDER BY nation""".stripMargin,
     "cy22_union" ->
       """SELECT n_name AS name FROM nation JOIN customer ON c_nationkey = n_nationkey

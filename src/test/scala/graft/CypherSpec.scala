@@ -920,6 +920,50 @@ class CypherSpec extends AnyFunSuite {
     assert(none.getSeq[Any](0).isEmpty && none.getLong(1) == 0L)
   }
 
+  test("pattern comprehension collects per-row match projections") {
+    val s = session
+    val df = s.run(
+      "MATCH (a:Person) RETURN a.name AS name, " +
+        "[(a)-[:KNOWS]->(b) | b.name] AS knows ORDER BY name")
+    val got = df.collect().map(r => (r.getString(0), r.getSeq[String](1).sorted))
+    assert(got.toSeq == Seq(
+      ("Alice", Seq("Bob")), ("Bob", Seq("Charlie")),
+      ("Charlie", Nil), ("David", Nil)))
+    // WHERE inside the comprehension filters matches; size() wraps fine
+    val sized = s.run(
+      "MATCH (a:Person) RETURN a.name AS name, " +
+        "size([(a)-[r:KNOWS]->(b) WHERE r.since >= 2021 | b.name]) AS n ORDER BY name")
+    assert(rows(sized) == Seq(
+      Seq("Alice", 0L), Seq("Bob", 1L), Seq("Charlie", 0L), Seq("David", 0L)))
+  }
+
+  test("COUNT {} subquery counts pattern matches per row") {
+    val s = session
+    val df = s.run(
+      "MATCH (a:Person) RETURN a.name AS name, " +
+        "COUNT { (a)-[:KNOWS]-(x) } AS deg ORDER BY name")
+    assert(rows(df) == Seq(
+      Seq("Alice", 1L), Seq("Bob", 2L), Seq("Charlie", 1L), Seq("David", 0L)))
+    // usable in WITH, and arithmetic over the count works
+    val via = s.run(
+      "MATCH (a:Person) WITH a, COUNT { (a)-[:KNOWS]->(b) } + 10 AS d " +
+        "WHERE d > 10 RETURN a.name AS name, d ORDER BY name")
+    assert(rows(via) == Seq(Seq("Alice", 11L), Seq("Bob", 11L)))
+    // a subquery in WHERE stays a loud error (only projections hoist)
+    val e = intercept[Exception](s.run(
+      "MATCH (a:Person) WHERE COUNT { (a)-->(b) } > 1 RETURN a.name AS n"))
+    assert(e.getMessage.contains("projection"), e.getMessage)
+  }
+
+  test("pattern comprehension and count subquery do not break list literals") {
+    val s = session
+    // bracketed expression starting with ( is still a list literal
+    val lit = s.run("RETURN [(1 + 2), 4] AS xs")
+    assert(lit.head.getSeq[Long](0) == Seq(3L, 4L))
+    val empty = s.run("RETURN size([]) AS n")
+    assert(rows(empty) == Seq(Seq(0L)))
+  }
+
   test("nodes() rejects non-path arguments loudly") {
     val s = session
     val e1 = intercept[Exception](s.run(

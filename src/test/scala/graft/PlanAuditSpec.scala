@@ -194,6 +194,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("cy25: pattern subqueries hoist to aggregating joins, no cartesian") {
+    val p = plan("cy25_subqueries")
+    // each subquery = one aggregate over the pattern match joined back
+    // left-outer on the nation key — never a per-row subquery loop or a
+    // nested-loop join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+    // the comprehension's acctbal filter reaches the customer scan
+    assert(p.contains("GreaterThan(c_acctbal,5000"), p)
+  }
+
   test("cy18: EXISTS compiles to one semi + one anti hash join, no subquery loop") {
     val p = plan("cy18_exists")
     assert(p.contains("LeftSemi"), p)
