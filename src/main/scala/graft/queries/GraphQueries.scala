@@ -289,6 +289,45 @@ object GraphQueries {
         .orderBy(col("start_id"), col("id"))
     }),
 
+    // LDBC-interactive-complex-9-shaped composite (r8; the reference
+    // defers LDBC entirely): the 20 most recent events BEFORE timestamp T
+    // posted by customer 1's friends-of-friends — friendship = same-
+    // segment co-purchase (the g20 relation), expanded to 2 hops, then
+    // joined into the events timeline with the ts filter pushed to the
+    // scan and the top-k as TakeOrderedAndProject. 100 TB shape: every
+    // expansion is a key join whose dimension side is bounded by
+    // |part| / |customer| (parts1 broadcast explicitly, the rest
+    // AQE-gated); timestamps compare as integer micros end to end.
+    "g21_ldbc_recent_fof" -> ((s, dir) => {
+      val customer = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val seg = customer.where(col("c_custkey") === 1)
+        .select(col("c_mktsegment").as("seg"))
+      val sameSeg = customer.join(broadcast(seg), col("c_mktsegment") === col("seg"))
+        .select(col("c_custkey"))
+      def coPurchasers(parts: DataFrame): DataFrame =
+        lineitem.join(parts, col("l_partkey") === col("pk"))
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("ck")).where(col("ck") =!= 1).distinct()
+          .join(sameSeg, col("ck") === col("c_custkey"), "left_semi")
+      def partsOf(custs: DataFrame): DataFrame =
+        orders.join(custs, col("o_custkey") === col("ck"), "left_semi")
+          .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey").as("pk")).distinct()
+      val parts1 = orders.where(col("o_custkey") === 1)
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("pk")).distinct()
+      val f1 = coPurchasers(broadcast(parts1))
+      val fof = f1.unionByName(coPurchasers(partsOf(f1))).distinct()
+      Tables.loadEventsBefore(s, dir, "2024-01-15 00:00:00")
+        .join(fof, col("user_id") === col("ck"), "left_semi")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("ts_us").desc, col("event_id"))
+        .limit(20)
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -495,6 +534,32 @@ object GraphQueries {
         |FROM cp e1
         |JOIN cp e2 ON e1.b = e2.a
         |JOIN cp e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "g21_ldbc_recent_fof" ->
+      """WITH cseg AS (SELECT c_mktsegment AS seg FROM customer WHERE c_custkey = 1),
+        |p1 AS (SELECT DISTINCT l_partkey AS pk
+        |       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |       WHERE o_custkey = 1),
+        |f1 AS (SELECT DISTINCT o.o_custkey AS ck
+        |       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |       JOIN p1 ON p1.pk = l.l_partkey
+        |       JOIN customer c ON c.c_custkey = o.o_custkey
+        |       JOIN cseg s ON c.c_mktsegment = s.seg
+        |       WHERE o.o_custkey <> 1),
+        |p2 AS (SELECT DISTINCT l.l_partkey AS pk
+        |       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |       JOIN f1 ON f1.ck = o.o_custkey),
+        |f2 AS (SELECT DISTINCT o.o_custkey AS ck
+        |       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |       JOIN p2 ON p2.pk = l.l_partkey
+        |       JOIN customer c ON c.c_custkey = o.o_custkey
+        |       JOIN cseg s ON c.c_mktsegment = s.seg
+        |       WHERE o.o_custkey <> 1),
+        |fof AS (SELECT ck FROM f1 UNION SELECT ck FROM f2)
+        |SELECT e.user_id, e.event_id, e.event_type, epoch_us(e.ts) AS ts_us
+        |FROM events e JOIN fof ON fof.ck = e.user_id
+        |WHERE e.ts < TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY ts_us DESC, e.event_id
+        |LIMIT 20""".stripMargin,
     "g11_timeline" ->
       """SELECT user_id, rk, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,

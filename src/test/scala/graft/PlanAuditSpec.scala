@@ -194,6 +194,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("g21: LDBC recent-FOF pushes the ts filter and takes top-k, no cartesian") {
+    val p = plan("g21_ldbc_recent_fof")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the ts predicate reaches the events parquet scan as a pushed filter
+    // in the file's own encoding (loadEventsBefore)
+    assert(p.contains("LessThan(ts,"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("cy25: pattern subqueries hoist to aggregating joins, no cartesian") {
     val p = plan("cy25_subqueries")
     // each subquery = one aggregate over the pattern match joined back
