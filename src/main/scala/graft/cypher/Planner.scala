@@ -1432,7 +1432,35 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
   def run(cypher: String): DataFrame = {
     val res = new Planner(spark, store, params).plan(Parser.parse(cypher))
     store = res.store
+    maybeCompact()
     res.df.getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Auto-compaction on lineage growth. A SET-style rewrite references the
+    * previous table twice (anti-join victims + updated rows), so a chain
+    * of such mutations DOUBLES the logical plan per statement — Catalyst
+    * walks plans as trees, and a 100-statement MERGE..ON CREATE SET replay
+    * goes exponential without a cut (measured: statement 14 alone took
+    * 85 s). Compacting whenever the store's total plan size crosses
+    * `CompactPlanNodes` bounds every statement's plan to ~2x the threshold
+    * and makes long mutation chains linear; the superseded generation's
+    * checkpoint blocks are released once the new one is live. The probe
+    * reads `queryExecution.logical` (the raw plan — no analysis), and the
+    * threshold check itself stays cheap BECAUSE it runs every statement:
+    * plans never exceed ~2x threshold before being cut.
+    */
+  private var ownedGen: scala.collection.Set[Int] = Set.empty
+  private def maybeCompact(): Unit = {
+    val nodes = (store.vertexTables.values ++ store.edgeTables.values)
+      .map(df => df.queryExecution.logical.map(_ => 1).sum).sum
+    if (nodes > CypherSession.CompactPlanNodes) {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      store = store.compact(eager = true)
+      val added = sc.getPersistentRDDs.keySet -- before
+      graft.util.Checkpoints.release(spark, ownedGen -- added)
+      ownedGen = added
+    }
   }
 
   def withParams(p: Map[String, Any]): CypherSession =
@@ -1488,6 +1516,13 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
 }
 
 object CypherSession {
+
+  /** Total logical-plan nodes across the store's tables above which a
+    * mutation auto-compacts (the SocialGraph lineage-compaction bound).
+    * Base stores (parquet scans) sit far under it; only long mutation
+    * chains cross it.
+    */
+  val CompactPlanNodes: Int = 200
 
   /** Split a script on `;` outside single/double-quoted string literals
     * (backslash escapes respected — mirrors the Lexer's string rules).

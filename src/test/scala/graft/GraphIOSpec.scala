@@ -325,6 +325,46 @@ class GraphIOSpec extends AnyFunSuite {
     assert(body == Seq("a\n-- kept\nb"))
   }
 
+  test("MERGE-heavy replay stays bounded: jobs per statement and persisted blocks") {
+    // pins the replay cost model the r7 verdict asked for: each node-form
+    // MERGE runs a bounded number of driver actions (the existence probe
+    // + first-statement id priming), so a 100-statement MERGE script costs
+    // O(statements) jobs with a small constant — not O(statements^2) from
+    // re-scanning a growing lineage — and compaction keeps the persisted
+    // set at the live generation
+    val sess = new graft.cypher.CypherSession(spark,
+      new graft.store.GraphStore(Map.empty, Map.empty))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      // keys wrap at 50: the second half re-merges existing nodes (match
+      // path), the first half creates — both paths under the one ceiling
+      val script = (1 to 100)
+        .map(i => s"MERGE (n:P {k: ${i % 50}}) ON CREATE SET n.fresh = 1;")
+        .mkString("\n")
+      assert(sess.runScript(script) == 100)
+      // let the queued listener events drain before reading the counter
+      Thread.sleep(1000)
+      val total = jobs.get()
+      assert(total <= 100 * 6,
+        s"MERGE replay ran $total jobs for 100 statements (> 6/stmt ceiling)")
+      val delta = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(delta.size <= 1, s"expected <= 1 live checkpoint, leaked: $delta")
+      val n = sess.run("MATCH (n:P) RETURN count(n) AS c").collect()(0).getLong(0)
+      assert(n == 50L)
+      // every node was created by the first pass over its key
+      val fresh = sess.run(
+        "MATCH (n:P) WHERE n.fresh = 1 RETURN count(n) AS c").collect()(0).getLong(0)
+      assert(fresh == 50L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("runScript of 100 statements leaves only the live compact generation persisted") {
     val sess = new graft.cypher.CypherSession(spark,
       new graft.store.GraphStore(Map.empty, Map.empty))
