@@ -1075,21 +1075,21 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     * created entities their bindings with the normal MATCH machinery
     * instead of a parallel binding path. Two forms, mirroring the C1
     * follow-with-dup-check workload (SocialGraph.follow):
-    *  - node form `MERGE (n:L {props})`: n unbound; if any node matches
-    *    the whole pattern every match binds, else ONE node is created
-    *    (the CREATE-under-bound-scope rule, SURVEY §8.1 — literal
-    *    patterns are row-invariant here because props must not reference
-    *    scope variables).
+    *  - node form `MERGE (n:L {props})`: n unbound. Standalone (unit
+    *    scope) the decision is the single global match-or-create. Under a
+    *    bound scope (r8) the decision is PER DISTINCT merge-key tuple —
+    *    props may reference scope variables (`UNWIND rows AS r MERGE
+    *    (n:L {k: r.k})`), one node is created per missing tuple, and the
+    *    re-match binds per row; NULL merge values error like openCypher.
     *  - relationship form `MERGE (a)-[r:T {props}]->(b)`: a and b bound
     *    by earlier clauses; per DISTINCT (a, b) pair the edge is created
     *    iff no T-edge with the given props connects the pair.
     * The existence probes are driver-side actions — acceptable on the
-    * mutation path (CREATE's maxLocid does the same); the per-pair
+    * mutation path (CREATE's maxLocid does the same); the per-tuple
     * existence test itself is one distributed anti-join, not a loop.
-    * ON CREATE SET / ON MATCH SET (r7): node form branches on the merge's
-    * own global match/create boolean; relationship form splits the
-    * re-matched rows per pair by semi/anti-joining the pre-create
-    * `missing` set.
+    * ON CREATE SET / ON MATCH SET: both forms split the re-matched rows
+    * by semi/anti-joining the pre-create `missing` snapshot (node form
+    * per key tuple, relationship form per endpoint pair).
     */
   private def compileMerge(scope: Option[Scope], mc: MergeClause): Scope = {
     val pat = mc.pattern
@@ -1099,32 +1099,99 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       require(np.variable.forall(v => !bound(v)),
         "MERGE node form needs an unbound variable")
       require(np.labels.size == 1, s"MERGE node needs exactly one label: $np")
-      // props must be scope-independent (compiled against the empty scope,
-      // so a scope-variable reference fails loudly): the match-or-create
-      // decision is global, not per binding row
-      val exists = store.vertexTables.contains(np.labels.head) &&
-        !compilePath(None, pat).df.isEmpty
-      if (!exists) compileCreate(None, CreateClause(Seq(pat)))
-      val matched = compileMatch(scope,
-        MatchClause(Seq(pat), optional = false, where = None))
-      // the branch decision is the merge's own global boolean: a node-form
-      // merge either found matches (all pre-existing) or created the one
-      // node the re-match now binds. Under a BOUND scope openCypher
-      // decides per input row instead (the first row creates, later rows
-      // match, so ON CREATE fires once and ON MATCH n-1 times on the same
-      // node) — a global branch would silently fire the wrong SET for
-      // some rows, so that combination is rejected loudly (documented at
-      // the MERGE surface in SURVEY.md §2.8)
-      if (mc.onCreate.nonEmpty || mc.onMatch.nonEmpty)
-        require(scope.forall(_.df.columns.sameElements(Array("__unit"))),
-          "node-form MERGE ON CREATE/ON MATCH under a bound scope is not " +
-            "supported: openCypher fires the branches per input row " +
-            "(first row creates, later rows match) while this merge's " +
-            "decision is global; run the MERGE standalone or use the " +
-            "relationship form, whose branches split per pair")
-      (if (exists) mc.onMatch else mc.onCreate)
-        .foreach(s => compileSet(matched, s))
-      matched
+      val label = np.labels.head
+      val scopeIsUnit = scope.forall(_.df.columns.sameElements(Array("__unit")))
+      if (scopeIsUnit) {
+        // standalone MERGE: ONE input row, so match-or-create is a single
+        // global decision and the branch SETs fire off that same boolean
+        val exists = store.vertexTables.contains(label) &&
+          !compilePath(None, pat).df.isEmpty
+        if (!exists) compileCreate(None, CreateClause(Seq(pat)))
+        val matched = compileMatch(scope,
+          MatchClause(Seq(pat), optional = false, where = None))
+        (if (exists) mc.onMatch else mc.onCreate)
+          .foreach(s => compileSet(matched, s))
+        matched
+      } else {
+        // bound scope: openCypher decides match-or-create PER INPUT ROW,
+        // and props may reference scope variables (`UNWIND rows AS r
+        // MERGE (n:L {k: r.k})` — the upsert-ETL idiom). Set-based
+        // reduction, mirroring the relationship form: evaluate the
+        // merge-key tuple per row, DISTINCT it, anti-join against the
+        // label's nodes to find the missing tuples, create ONE node per
+        // missing tuple, then re-MATCH the pattern (inline props compile
+        // against the scope, so the re-match IS the per-row binding
+        // join). ON CREATE / ON MATCH split per key tuple by
+        // semi/anti-joining the pre-create `missing` snapshot. Duplicate
+        // scope rows of a created tuple all take the ON CREATE branch
+        // (openCypher's row-at-a-time replay would fire ON MATCH for the
+        // later duplicates, but set-based SET collapses that replay
+        // anyway — same divergence as the relationship form, documented
+        // in SURVEY.md §2.8).
+        val sc0 = scope.get
+        // merge keys evaluate per row; a NULL merge value is an error
+        // (openCypher: "cannot merge using null property value")
+        val keyNames =
+          if (np.props.isEmpty) Seq("__mk") else np.props.map("__mk_" + _._1)
+        def keyCols(c: ExprCompiler): Seq[(String, Column)] =
+          if (np.props.isEmpty) Seq("__mk" -> lit(1L))
+          else np.props.map { case (k, e) =>
+            val v = c.compile(e)
+            s"__mk_$k" -> when(v.isNull, raise_error(
+              lit(s"cannot MERGE using null property value for '$k'")))
+              .otherwise(v)
+          }
+        val keys = sc0.df
+          .select(keyCols(ec(sc0)).map { case (n, c) => c.as(n) }: _*)
+          .distinct()
+        val missing = store.vertexTables.get(label) match {
+          case Some(t) =>
+            // per key: typed column, or schemaless JSON lookup (same
+            // resolution as the var-length edge filter), cast to the key
+            // expression's type so the anti-join compares exactly
+            val existing =
+              if (np.props.isEmpty) t.limit(1).select(lit(1L).as("__mk"))
+              else t.select(keyNames.zip(np.props).map { case (n, (k, _)) =>
+                val raw: Column =
+                  if (t.columns.contains(k)) t(k)
+                  else if (t.columns.contains("properties"))
+                    get_json_object(col("properties"), "$." + k)
+                  else lit(null)
+                raw.cast(keys.schema(n).dataType).as(n)
+              }: _*)
+            keys.join(existing, keyNames, "left_anti")
+          case None => keys
+        }
+        if (!missing.isEmpty) {
+          // hand compileCreate a scope of ONLY the missing key tuples; it
+          // creates one node per tuple through its normal per-row path
+          // (pinned sequence allocation, schemaless fold all shared)
+          val createScope = Scope(missing,
+            keyNames.map(_ -> VarInfo(VarKind.Value, None, Nil)).toMap,
+            keyNames)
+          val createProps =
+            np.props.map { case (k, _) => k -> (Variable(s"__mk_$k"): Expr) }
+          compileCreate(Some(createScope),
+            CreateClause(Seq(PathPat(np.copy(props = createProps), Nil))))
+        }
+        val matched = compileMatch(scope,
+          MatchClause(Seq(pat), optional = false, where = None))
+        if (mc.onCreate.nonEmpty || mc.onMatch.nonEmpty) {
+          // `missing` references the PRE-create store snapshot (DataFrames
+          // are immutable): semi = rows whose tuple this merge created,
+          // anti = rows whose tuple pre-existed
+          def branch(joinType: String): Scope = {
+            val withKeys = keyCols(ec(matched)).foldLeft(matched.df) {
+              case (d, (n, c)) => d.withColumn(n, c)
+            }
+            matched.copy(
+              df = withKeys.join(missing, keyNames, joinType).drop(keyNames: _*))
+          }
+          mc.onCreate.foreach(s => compileSet(branch("left_semi"), s))
+          mc.onMatch.foreach(s => compileSet(branch("left_anti"), s))
+        }
+        matched
+      }
     } else {
       val sc0 = scope.getOrElse(
         sys.error("MERGE relationship form requires bound endpoints"))

@@ -302,6 +302,27 @@ object CypherGateQueries {
         |             WHERE c.c_acctbal > 5000 | c.c_custkey]) AS n_rich
         |ORDER BY nation""".stripMargin),
 
+    // per-row node-form MERGE (r8): scope-dependent merge keys — one Seg
+    // node per DISTINCT customer market segment, with ON CREATE / ON MATCH
+    // splitting per key against the pre-merge store (BUILDING is
+    // pre-seeded, so it alone takes the ON MATCH branch). The replay run
+    // must match every key: if its ON CREATE fired anywhere, fresh flips
+    // to 2 and the hash breaks; a duplicate Seg node doubles a row.
+    "cy26_merge_perrow" -> ((s, dir) => {
+      val sess = new CypherSession(s, GraphStore.tpch(s, dir))
+      sess.run("CREATE (g:Seg {name: 'BUILDING', pre: 1})")
+      sess.run(
+        """MATCH (c:Customer) MERGE (g:Seg {name: c.c_mktsegment})
+          |ON CREATE SET g.fresh = 1 ON MATCH SET g.seen = 1""".stripMargin)
+      sess.run(
+        """MATCH (c:Customer) MERGE (g:Seg {name: c.c_mktsegment})
+          |ON CREATE SET g.fresh = 2""".stripMargin)
+      sess.run(
+        """MATCH (g:Seg)
+          |RETURN g.name AS name, g.pre AS pre, g.fresh AS fresh, g.seen AS seen
+          |ORDER BY name""".stripMargin)
+    }),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -412,6 +433,13 @@ object CypherGateQueries {
         |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY n_name
         |ORDER BY nation""".stripMargin,
+    "cy26_merge_perrow" ->
+      """SELECT seg AS name,
+        |  CAST(CASE WHEN seg = 'BUILDING' THEN 1 END AS BIGINT) AS pre,
+        |  CAST(CASE WHEN seg <> 'BUILDING' THEN 1 END AS BIGINT) AS fresh,
+        |  CAST(CASE WHEN seg = 'BUILDING' THEN 1 END AS BIGINT) AS seen
+        |FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+        |ORDER BY name""".stripMargin,
     "cy25_subqueries" ->
       """SELECT n_name AS nation,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer

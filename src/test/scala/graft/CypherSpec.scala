@@ -996,18 +996,59 @@ class CypherSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("properties(n)"), e2.getMessage)
   }
 
-  test("node-form MERGE ON CREATE/ON MATCH is rejected under a bound scope") {
+  test("node-form MERGE with scope-dependent props creates per distinct key") {
+    val s = session
+    // one City per DISTINCT person city (3 of the 4 rows are distinct)
+    s.run("MATCH (p:Person) MERGE (c:City {name: p.city})")
+    assert(rows(s.run("MATCH (c:City) RETURN c.name AS n ORDER BY n")) ==
+      Seq(Seq("Beijing"), Seq("Shanghai"), Seq("Shenzhen")))
+    // replay is idempotent: everything matches, nothing new is created
+    s.run("MATCH (p:Person) MERGE (c:City {name: p.city})")
+    assert(rows(s.run("MATCH (c:City) RETURN count(*) AS n")) == Seq(Seq(3L)))
+    // the re-match binds per row: each person pairs with exactly their city
+    val pairs = s.run(
+      "MATCH (p:Person) MERGE (c:City {name: p.city}) " +
+        "RETURN p.name AS p, c.name AS c ORDER BY p")
+    assert(rows(pairs) == Seq(
+      Seq("Alice", "Beijing"), Seq("Bob", "Shanghai"),
+      Seq("Charlie", "Beijing"), Seq("David", "Shenzhen")))
+  }
+
+  test("node-form MERGE ON CREATE/ON MATCH splits per key under a bound scope") {
+    val s = session
+    s.run("CREATE (c:City {name: 'Beijing', pre: 1})")
+    s.run("MATCH (p:Person) MERGE (c:City {name: p.city}) " +
+      "ON CREATE SET c.fresh = 1 ON MATCH SET c.seen = 1")
+    // Beijing pre-existed → ON MATCH; Shanghai/Shenzhen created → ON CREATE
+    assert(rows(s.run(
+      "MATCH (c:City) RETURN c.name AS n, c.pre AS p, c.fresh AS f, c.seen AS s ORDER BY n")) ==
+      Seq(Seq("Beijing", 1L, null, 1L),
+        Seq("Shanghai", null, 1L, null),
+        Seq("Shenzhen", null, 1L, null)))
+    // replay: every key now matches, ON CREATE must fire nowhere
+    s.run("MATCH (p:Person) MERGE (c:City {name: p.city}) ON CREATE SET c.fresh = 99")
+    assert(rows(s.run("MATCH (c:City) WHERE c.fresh = 99 RETURN count(*) AS n")) ==
+      Seq(Seq(0L)))
+    // the standalone (unit-scope) branch form keeps the global decision
+    s.run("MERGE (c:City {name: 'Y'}) ON CREATE SET c.fresh = 1")
+    assert(rows(s.run("MATCH (c:City {name: 'Y'}) RETURN c.fresh AS f")) ==
+      Seq(Seq(1L)))
+  }
+
+  test("node-form MERGE errors on a NULL merge value") {
     val s = session
     val e = intercept[Exception](s.run(
-      "MATCH (p:Person) MERGE (c:City {name: 'X'}) ON CREATE SET c.fresh = true"))
-    assert(e.getMessage.contains("bound scope"), e.getMessage)
-    // without branches the bound-scope node MERGE stays allowed
-    s.run("MATCH (p:Person) MERGE (c:City {name: 'X'})")
-    assert(rows(s.run("MATCH (c:City) RETURN count(*) AS n")) == Seq(Seq(1L)))
-    // and the standalone (unit-scope) branch form stays allowed
-    s.run("MERGE (c:City {name: 'Y'}) ON CREATE SET c.fresh = true")
-    assert(rows(s.run("MATCH (c:City {name: 'Y'}) RETURN c.fresh AS f")) ==
-      Seq(Seq(true)))
+      "MATCH (p:Person) MERGE (c:City {name: p.nosuch}) RETURN count(*) AS n").collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("null property value")), chain(e).mkString(" | "))
+  }
+
+  test("MERGE inside FOREACH may reference the loop variable") {
+    val s = session
+    s.run("FOREACH (x IN [1, 2, 2, 3] | MERGE (k:Num {v: x}))")
+    assert(rows(s.run("MATCH (k:Num) RETURN k.v AS v ORDER BY v")) ==
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
   }
 
   test("per-row CREATE pins id allocation under a shuffled scope") {
