@@ -129,6 +129,63 @@ object GraphAlgorithms {
     pr.select(col("id"), (col("prf").cast("double") / lit(1e12)).as("pr"))
   }
 
+  /** Synchronous label propagation (community detection), deterministic:
+    * labels start as the vertex id; each round every vertex adopts the most
+    * frequent label among its distinct undirected neighbors (parallel edges
+    * vote once; self-loops vote nothing), ties broken by the SMALLEST
+    * label; a vertex with no neighbors keeps its current label. Fixed
+    * iteration budget: sync LPA oscillates on bipartite structure, so a
+    * bounded budget is the deterministic, oracle-checkable choice — the
+    * same rationale as pageRankStable's fixed iters (the reference ships
+    * no community detection at all; this follows Raghavan et al. 2007,
+    * "Near linear time algorithm to detect community structures").
+    * Per round: the frequency aggregation partially combines on
+    * (dst, lbl) in ONE message shuffle over the 2|E| relation; the argmax
+    * folds into a second |distinct pairs|-sized aggregate via
+    * max(struct(cnt, -lbl)) — no window function, so no single-partition
+    * sort anywhere. Label relations are (id, long) rows and join the edge
+    * relation under the same gated broadcast as pageRankStable (count
+    * measured once; billion-vertex graphs fall back to shuffle-hash).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 4,
+      broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(iters >= 1, "labelPropagation needs at least one iteration")
+    val e0 = edges.select("src", "dst").where(col("src") =!= col("dst"))
+    val und = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    val verts = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(false)
+    val nVerts = verts.count()
+    def small(df: DataFrame): DataFrame =
+      if (nVerts <= broadcastCeiling) broadcast(df)
+      else df.hint("shuffle_hash")
+    var lbl = verts.withColumn("lbl", col("id"))
+    for (_ <- 1 to iters) {
+      // neighbor votes, counted per (vertex, label) with map-side combine;
+      // each vertex also casts a ZERO-count self-vote carrying its current
+      // label — it loses to any real vote (c >= 1) and cannot perturb ties
+      // between real votes, but wins when no neighbor votes arrive, so the
+      // keep-own-label rule folds into the same aggregation instead of a
+      // separate coalesce join (one broadcast + one join per round saved)
+      val freq = und.join(small(lbl), col("id") === und("src"))
+        .groupBy(und("dst").as("vid"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .unionByName(lbl.select(col("id").as("vid"), col("lbl"), lit(0L).as("c")))
+      lbl = freq.groupBy(col("vid"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("b"))
+        .select(col("vid").as("id"), (-col("b.nl")).as("lbl"))
+        // lineage cut per round, lazily materialized by the next round's
+        // broadcast collect (or the caller's action) — pageRankStable's shape
+        .localCheckpoint(false)
+    }
+    lbl
+  }
+
   /** Connected components natively on DataFrames: undirected min-label
     * propagation — each round every vertex takes the minimum component id
     * among itself and its neighbors, iterated to fixpoint (O(diameter)

@@ -289,6 +289,26 @@ object GraphQueries {
         .orderBy(col("start_id"), col("id"))
     }),
 
+    // Synchronous label propagation (r8; no reference analogue — the
+    // reference ships no community detection): 4 fixed rounds, communities
+    // reported as a size histogram. Deterministic by construction
+    // (min-label tie-break, fixed budget), so the unrolled-SQL oracle must
+    // agree bit-for-bit; a wrong tie-break, a lost isolated vertex, or an
+    // extra round each shift the histogram. Domain bounded to the
+    // non-lineitem subgraph (the g18 pattern — the lineitem fan-out
+    // measures message volume, not the operator; the operator's own scale
+    // levers are the gated broadcast + per-round checkpoint).
+    "g22_label_propagation" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val edges = Seq("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")
+        .map(l => g.edges(l).select(col("src"), col("dst")))
+        .reduce(_.unionByName(_))
+      graft.algorithms.GraphAlgorithms.labelPropagation(edges, iters = 4)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_communities"))
+        .orderBy(col("sz"))
+    }),
+
     // LDBC-interactive-complex-9-shaped composite (r8; the reference
     // defers LDBC entirely): the 20 most recent events BEFORE timestamp T
     // posted by customer 1's friends-of-friends — friendship = same-
@@ -587,6 +607,51 @@ object GraphQueries {
          |SELECT CAST(src >> 48 AS INTEGER) AS labid,
          |       COUNT(DISTINCT src) AS n_core
          |FROM e$rounds GROUP BY labid ORDER BY labid""".stripMargin
+    },
+    "g22_label_propagation" -> {
+      // 4 LPA rounds unrolled (g17's pattern): per round, the neighbor
+      // label frequencies, the (count DESC, label ASC) argmax, and the
+      // coalesce-keep for message-less vertices — exactly the Spark
+      // operator's semantics in plain SQL.
+      val rounds = 4
+      val iterCtes = (1 to rounds).map { i =>
+        s"""f$i AS MATERIALIZED (
+           |  SELECT u.dst AS id, l.lbl, COUNT(*) AS c
+           |  FROM und u JOIN l${i - 1} l ON l.id = u.src
+           |  GROUP BY u.dst, l.lbl),
+           |b$i AS MATERIALIZED (
+           |  SELECT id, lbl FROM (
+           |    SELECT id, lbl,
+           |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+           |    FROM f$i) x WHERE rn = 1),
+           |l$i AS MATERIALIZED (
+           |  SELECT p.id, COALESCE(b.lbl, p.lbl) AS lbl
+           |  FROM l${i - 1} p LEFT JOIN b$i b ON b.id = p.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lpa_edges AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+         |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst FROM orders
+         |  UNION ALL
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT),
+         |         (CAST(5 AS BIGINT)<<48)|CAST(c_nationkey AS BIGINT) FROM customer
+         |  UNION ALL
+         |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT),
+         |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT) FROM supplier
+         |  UNION ALL
+         |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
+         |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) FROM nation
+         |),
+         |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM lpa_edges WHERE src <> dst
+         |  UNION ALL SELECT dst AS src, src AS dst FROM lpa_edges WHERE src <> dst)),
+         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM (
+         |  SELECT DISTINCT src AS id FROM lpa_edges
+         |  UNION SELECT DISTINCT dst AS id FROM lpa_edges)),
+         |$iterCtes
+         |SELECT CAST(sz AS BIGINT) AS sz,
+         |       CAST(COUNT(*) AS BIGINT) AS n_communities
+         |FROM (SELECT lbl, COUNT(*) AS sz FROM l$rounds GROUP BY lbl)
+         |GROUP BY sz ORDER BY sz""".stripMargin
     },
     "g18_node_similarity" ->
       """WITH adj AS (

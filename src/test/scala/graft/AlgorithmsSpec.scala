@@ -104,6 +104,31 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(filtered.toList == List((1L, 2L, 1.0)))
   }
 
+  test("labelPropagation: hand-computed rounds, tie-breaks, oscillation, loners") {
+    // triangle {1,2,3} converges to label 1 by round 3; the isolated pair
+    // {4,5} oscillates with period 2 (round 4 lands on swapped-back own
+    // labels); a self-loop-only vertex {6} never receives a vote and keeps
+    // its own label. All three behaviors are fixed by the deterministic
+    // min-label tie-break + fixed budget.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (6L, 6L))
+      .toDF("src", "dst")
+    val l4 = GraphAlgorithms.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l4 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
+    // round 1 alone: each triangle vertex adopts its smallest neighbor,
+    // the pair swaps labels
+    val l1 = GraphAlgorithms.labelPropagation(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 4L, 6L -> 6L))
+    // parallel edges vote once: duplicating 2->3 must not double 2's vote
+    // on vertex 3 — 3's round-1 frequencies stay {1: 1, 2: 1}, and the tie
+    // still breaks to label 1 (a multiplicity-counting bug would yield 2)
+    val dup = edges.unionByName(Seq((2L, 3L), (3L, 2L)).toDF("src", "dst"))
+    val d1 = GraphAlgorithms.labelPropagation(dup, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1(3L) == 1L && d1(1L) == 2L)
+  }
+
   test("pageRank: sink of a star ranks highest") {
     // 1..5 all point at 6
     val edges = (1L to 5L).map(i => (i, 6L)).toDF("src", "dst")
