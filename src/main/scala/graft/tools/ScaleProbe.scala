@@ -55,6 +55,7 @@ object ScaleProbe {
       case "nodesim"  => nodeSimProbe(spark, sfDir)
       case "pagerank" => pageRankProbe(spark, sfDir)
       case "vle"      => vleProbe(spark, sfDir)
+      case "lpa"      => lpaProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -254,6 +255,45 @@ object ScaleProbe {
       run(s"fanout-F$f", thinned, 3, Some(10000))
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+    }
+  }
+
+  /** g22's scale axis: disjoint replicas of the FULL TPC-H graph (the gate
+    * bounds its domain to the non-lineitem subgraph for suite budget; the
+    * probe runs the operator on the whole thing). Per round the cost is
+    * one gated broadcast join over K*2|E| symmetric rows plus two
+    * partial-aggregated shuffles, so time should grow linearly with K at
+    * the fixed 4-round budget — superlinear growth would flag a
+    * per-round stage not proportional to the message relation. MIN over
+    * repeats, same bimodal-stall rationale as the pagerank probe.
+    */
+  private def lpaProbe(spark: SparkSession, sfDir: String): Unit = {
+    val base = graft.store.GraphStore.tpch(spark, sfDir)
+      .allEdges.select(col("src"), col("dst")).localCheckpoint()
+    val n0 = base.count()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val ks = sys.env.get("SPARK_GRAFT_PROBE_KS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    for (k <- ks) {
+      val df = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong << 28)).as("src"),
+          (col("dst") + lit(i.toLong << 28)).as("dst")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.algorithms.GraphAlgorithms.labelPropagation(df, iters = 4).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        dt
+      }
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+      println(f"SCALE k=$k edges=${n0 * k} min=${times.min}%.2f s " +
+        times.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
     }
   }
 
