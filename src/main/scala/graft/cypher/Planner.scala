@@ -1082,8 +1082,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     *    (n:L {k: r.k})`), one node is created per missing tuple, and the
     *    re-match binds per row; NULL merge values error like openCypher.
     *  - relationship form `MERGE (a)-[r:T {props}]->(b)`: a and b bound
-    *    by earlier clauses; per DISTINCT (a, b) pair the edge is created
-    *    iff no T-edge with the given props connects the pair.
+    *    by earlier clauses; per DISTINCT (a, b, props) key tuple the edge
+    *    is created iff no T-edge with those prop values connects the pair
+    *    (r8: prop values may reference scope variables, evaluated per
+    *    row like the node form).
     * The existence probes are driver-side actions — acceptable on the
     * mutation path (CREATE's maxLocid does the same); the per-tuple
     * existence test itself is one distributed anti-join, not a loop.
@@ -1211,50 +1213,76 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       require(rel.varLength.isEmpty, "MERGE relationship cannot be var-length")
       val label = rel.types.head
       val (fromV, toV) = if (rel.dir == Dir.In) (bV, aV) else (aV, bV)
+      // merge key = the endpoint pair PLUS the edge-prop tuple, evaluated
+      // per row like the node form (r8: props may reference scope
+      // variables — `MATCH ... MERGE (a)-[r:T {w: row.w}]->(b)`); a NULL
+      // merge value errors like openCypher
+      val propNames = rel.props.map("__mp_" + _._1)
+      def propCols(c: ExprCompiler): Seq[(String, Column)] =
+        rel.props.map { case (k, e) =>
+          val v = c.compile(e)
+          s"__mp_$k" -> when(v.isNull, raise_error(
+            lit(s"cannot MERGE using null property value for '$k'")))
+            .otherwise(v)
+        }
       val pairs = sc0.df.select(
-        col(Scope.colName(fromV, "id")).as("__ms"),
-        col(Scope.colName(toV, "id")).as("__md")).distinct()
+        col(Scope.colName(fromV, "id")).as("__ms") +:
+          col(Scope.colName(toV, "id")).as("__md") +:
+          propCols(ec(sc0)).map { case (n, c) => c.as(n) }: _*).distinct()
+      val keyNames = Seq("__ms", "__md") ++ propNames
       val missing = store.edgeTables.get(label) match {
         case Some(t) =>
-          // edge-prop constraints narrow the existence test (typed column
-          // or schemaless JSON key, same lookup as the var-length path);
-          // values compile against the empty scope — scope-independent
-          var existing = t
-          rel.props.foreach { case (k, ex) =>
-            val target: Column =
-              if (existing.columns.contains(k)) existing(k)
-              else if (existing.columns.contains("properties"))
+          // per prop key: typed column or schemaless JSON lookup (same
+          // resolution as the var-length path), cast to the key
+          // expression's type so the anti-join compares exactly
+          val lookups = propNames.zip(rel.props).map { case (n, (k, _)) =>
+            val raw: Column =
+              if (t.columns.contains(k)) t(k)
+              else if (t.columns.contains("properties"))
                 get_json_object(col("properties"), "$." + k)
               else lit(null)
-            existing = existing.where(target === ec(emptyScope).compile(ex))
+            raw.cast(pairs.schema(n).dataType).as(n)
           }
-          pairs.join(existing.select(col("src"), col("dst")),
-            pairs("__ms") === col("src") && pairs("__md") === col("dst"),
-            "left_anti")
+          pairs.join(
+            t.select(col("src").as("__ms") +: col("dst").as("__md") +: lookups: _*),
+            keyNames, "left_anti")
         case None => pairs
       }
       if (!missing.isEmpty) {
-        // hand compileCreate a scope of ONLY the missing pairs: it then
-        // creates one edge per pair through its normal bound-endpoint path
-        // (id allocation, schemaless fold, Both-dir guard all shared)
+        // hand compileCreate a scope of ONLY the missing key tuples: it
+        // creates one edge per tuple through its normal bound-endpoint
+        // path (id allocation, schemaless fold, Both-dir guard all
+        // shared); prop values ride the scope as value columns
         val createScope = Scope(
-          missing.select(col("__ms").as(Scope.colName(fromV, "id")),
-            col("__md").as(Scope.colName(toV, "id"))),
+          missing.select(
+            col("__ms").as(Scope.colName(fromV, "id")) +:
+              col("__md").as(Scope.colName(toV, "id")) +:
+              propNames.map(col): _*),
           Map(fromV -> VarInfo(VarKind.Node, None, Nil),
-            toV -> VarInfo(VarKind.Node, None, Nil)),
-          Seq(fromV, toV))
-        compileCreate(Some(createScope), CreateClause(Seq(pat)))
+            toV -> VarInfo(VarKind.Node, None, Nil)) ++
+            propNames.map(_ -> VarInfo(VarKind.Value, None, Nil)),
+          Seq(fromV, toV) ++ propNames)
+        val createPat = PathPat(pat.start, Seq((rel.copy(props =
+          rel.props.map { case (k, _) => k -> (Variable(s"__mp_$k"): Expr) }),
+          endNp)))
+        compileCreate(Some(createScope), CreateClause(Seq(createPat)))
       }
       val matched = compileMatch(scope,
         MatchClause(Seq(pat), optional = false, where = None))
-      // ON CREATE / ON MATCH split per (from, to) pair: `missing` still
+      // ON CREATE / ON MATCH split per key tuple: `missing` still
       // references the PRE-create store snapshot (DataFrames are
       // immutable), so a semi-join restricts the re-matched rows to the
-      // pairs this merge created and an anti-join to the found ones
-      def pairScope(joinType: String): Scope = matched.copy(
-        df = matched.df.join(missing,
-          matched.df(Scope.colName(fromV, "id")) === missing("__ms") &&
-            matched.df(Scope.colName(toV, "id")) === missing("__md"), joinType))
+      // tuples this merge created and an anti-join to the found ones
+      def pairScope(joinType: String): Scope = {
+        val withKeys = propCols(ec(matched)).foldLeft(
+          matched.df
+            .withColumn("__ms", col(Scope.colName(fromV, "id")))
+            .withColumn("__md", col(Scope.colName(toV, "id")))) {
+          case (d, (n, c)) => d.withColumn(n, c)
+        }
+        matched.copy(df = withKeys.join(missing, keyNames, joinType)
+          .drop(keyNames: _*))
+      }
       mc.onCreate.foreach(s => compileSet(pairScope("left_semi"), s))
       mc.onMatch.foreach(s => compileSet(pairScope("left_anti"), s))
       matched

@@ -996,6 +996,34 @@ class CypherSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("properties(n)"), e2.getMessage)
   }
 
+  test("relationship-form MERGE with scope-dependent edge props") {
+    val s = session
+    // Alice->Bob KNOWS {since: 2020} exists. Merging with since = a.age - 10
+    // gives Alice->Bob since 20 (missing: 2020 != 20 -> CREATE a second
+    // edge) and Bob->Charlie since 15 (missing -> CREATE); the edge-prop
+    // value participates in the merge key per row.
+    s.run("MATCH (a:Person)-[:KNOWS]->(b:Person) " +
+      "MERGE (a)-[r:KNOWS {since: a.age - 10}]->(b)")
+    assert(rows(s.run(
+      "MATCH (a)-[r:KNOWS]->(b) RETURN a.name AS a, r.since AS y ORDER BY a, y")) ==
+      Seq(Seq("Alice", 20L), Seq("Alice", 2020L), Seq("Bob", 15L), Seq("Bob", 2021L)))
+    // replay: every (pair, value) tuple now exists -> no new edges
+    s.run("MATCH (a:Person)-[:KNOWS {since: 2020}]->(b:Person) " +
+      "MERGE (a)-[r:KNOWS {since: a.age - 10}]->(b)")
+    assert(rows(s.run("MATCH ()-[r:KNOWS]->() RETURN count(*) AS n")) ==
+      Seq(Seq(4L)))
+    // branch split honors the prop key: since 20 pre-exists now, since 25
+    // does not -> ON MATCH marks the former, ON CREATE the latter
+    s.run("MATCH (a:Person {name: 'Alice'})-[:KNOWS {since: 2020}]->(b:Person) " +
+      "MERGE (a)-[r:KNOWS {since: 20}]->(b) ON MATCH SET r.old = 1")
+    s.run("MATCH (a:Person {name: 'Alice'})-[:KNOWS {since: 2020}]->(b:Person) " +
+      "MERGE (a)-[r:KNOWS {since: 25}]->(b) ON CREATE SET r.fresh = 1")
+    assert(rows(s.run(
+      "MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->() " +
+        "RETURN r.since AS y, r.old AS o, r.fresh AS f ORDER BY y")) ==
+      Seq(Seq(20L, 1L, null), Seq(25L, null, 1L), Seq(2020L, null, null)))
+  }
+
   test("node-form MERGE with scope-dependent props creates per distinct key") {
     val s = session
     // one City per DISTINCT person city (3 of the 4 rows are distinct)
