@@ -45,6 +45,44 @@ object GraphQueries {
 
   private def srcDst(df: DataFrame): DataFrame = df.select(col("src"), col("dst"))
 
+  /** Co-supply graph for the triangle gates (g23/g24): suppliers linked iff
+    * they supply the same part, domain-bounded like g18. Pair generation is
+    * per-part (a part with s suppliers emits s(s-1)/2 pairs — bounded by
+    * TPC-H's ~4 suppliers/part), then distinct over the pair relation.
+    */
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.load(s, dir, "lineitem")
+      .where(col("l_partkey") < 2000)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    ps.as("x").join(ps.as("y"),
+        col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+  }
+
+  /** Shared oracle prelude for g23/g24: the co-supply undirected edge list
+    * (canonical a<b) and per-vertex degrees, mirroring coSupplyEdges +
+    * triangleCountDF's normalization exactly.
+    */
+  private val coSupplyCte: String =
+    """ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      |       FROM lineitem WHERE l_partkey < 2000),
+      |und AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+      |        FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk),
+      |deg AS (SELECT id, COUNT(*) AS deg FROM (
+      |          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+      |        GROUP BY id),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM und e1
+      |        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+      |        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |cnt AS (SELECT id, COUNT(*) AS triangles FROM (
+      |          SELECT x AS id FROM tri
+      |          UNION ALL SELECT y FROM tri
+      |          UNION ALL SELECT z FROM tri)
+      |        GROUP BY id),
+      |pervertex AS (SELECT d.id, d.deg, COALESCE(c.triangles, 0) AS triangles
+      |              FROM deg d LEFT JOIN cnt c USING (id))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 label scan: per-label dataset = the v:{label} prefix scan analogue.
     "g1_label_scan" -> ((s, dir) => {
@@ -307,6 +345,32 @@ object GraphQueries {
         .groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_communities"))
         .orderBy(col("sz"))
+    }),
+
+    // Triangle counting (degree-ordered, DataFrame-native — deterministic,
+    // exact, codegen'd end to end; no GraphX round-trip). Graph = suppliers
+    // co-supplying a part (the g18 domain bound: l_partkey < 2000 keeps the
+    // co-supply density a property of the operator test, not of lineitem's
+    // SF-quadratic fan-in). Per-vertex (deg, triangles), total order by id.
+    "g23_triangles" -> ((s, dir) => {
+      graft.algorithms.GraphAlgorithms.triangleCountDF(coSupplyEdges(s, dir))
+        .orderBy(col("id"))
+    }),
+
+    // Clustering summary over the same graph: closed wedge-ends (= 3 x
+    // triangle count), total wedges sum(d*(d-1)/2), vertex/edge counts, and
+    // global transitivity = closed/wedges — exact integers plus ONE
+    // int-to-double division (the nodeSimilarity precedent: bit-identical
+    // across engines).
+    "g24_clustering" -> ((s, dir) => {
+      val tc = graft.algorithms.GraphAlgorithms.triangleCountDF(coSupplyEdges(s, dir))
+      tc.agg(
+        count(lit(1)).as("n_vertices"),
+        expr("sum(deg) DIV 2").as("n_edges"),
+        sum(col("triangles")).as("closed_wedge_ends"),
+        expr("sum(deg * (deg - 1) DIV 2)").as("n_wedges"))
+        .withColumn("transitivity",
+          col("closed_wedge_ends").cast("double") / col("n_wedges").cast("double"))
     }),
 
     // LDBC-interactive-complex-9-shaped composite (r8; the reference
@@ -653,6 +717,22 @@ object GraphQueries {
          |FROM (SELECT lbl, COUNT(*) AS sz FROM l$rounds GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin
     },
+    "g23_triangles" ->
+      // id-ordered three-way self-join (a<b<c) — enumerates the same
+      // triangle set as the degree-ordered Spark operator, each exactly once
+      s"""WITH $coSupplyCte
+         |SELECT id, CAST(deg AS BIGINT) AS deg,
+         |       CAST(triangles AS BIGINT) AS triangles
+         |FROM pervertex ORDER BY id""".stripMargin,
+    "g24_clustering" ->
+      s"""WITH $coSupplyCte
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         |       CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+         |       CAST(SUM(triangles) AS BIGINT) AS closed_wedge_ends,
+         |       CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+         |       CAST(SUM(triangles) AS DOUBLE) /
+         |         CAST(SUM(deg * (deg - 1) // 2) AS DOUBLE) AS transitivity
+         |FROM pervertex""".stripMargin,
     "g18_node_similarity" ->
       """WITH adj AS (
         |  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem

@@ -53,6 +53,37 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(t == Map(1L -> 1, 2L -> 1, 3L -> 1))
   }
 
+  test("triangleCountDF: known counts, normalization, zero rows") {
+    // two triangles sharing edge 2-3, plus a pendant 5 and duplicate /
+    // reversed / self-loop noise the normalization must collapse
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),            // triangle A
+      (2L, 4L), (4L, 3L),                       // triangle B shares 2-3
+      (3L, 2L), (1L, 2L), (2L, 2L),             // reverse dup, dup, loop
+      (4L, 5L)                                  // pendant — 0 triangles
+    ).toDF("src", "dst")
+    val t = GraphAlgorithms.triangleCountDF(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(t == Map(
+      1L -> ((2L, 1L)), 2L -> ((3L, 2L)), 3L -> ((3L, 2L)),
+      4L -> ((3L, 1L)), 5L -> ((1L, 0L))))
+  }
+
+  test("triangleCountDF equals GraphX triangleCount on a generated graph") {
+    val g = DataGenerator.uniform(spark, 150, 400, seed = 29)
+    val e = g.allEdges.select($"src", $"dst")
+    val viaDf = GraphAlgorithms.triangleCountDF(e)
+      .select($"id", $"triangles")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // GraphX counts over the same canonicalized simple graph; it emits
+    // vertices of the directed relation, ours emits vertices of the
+    // undirected simple graph — identical sets once loops are dropped
+    val viaGraphX = GraphAlgorithms.triangleCount(spark,
+        e.where($"src" =!= $"dst"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    assert(viaDf == viaGraphX && viaDf.exists(_._2 > 0L))
+  }
+
   test("kCore peels tails, keeps the dense core, bounds its rounds") {
     // K4 core {1,2,3,4} + a chain 4-5-6 hanging off it. k=2: the chain
     // peels over two rounds (6 first, then 5), the K4 survives; k=3: only
