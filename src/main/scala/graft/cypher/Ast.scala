@@ -150,6 +150,16 @@ object Ast {
     * properties drop the key entirely; a missing property is a no-op.
     */
   final case class RemoveClause(items: Seq[(String, Seq[String])]) extends Clause
+  /** CALL graft.<procedure>(args) [YIELD col [AS alias], ...] [WHERE ...]
+    * — the Neo4j-GDS-style procedure surface over the whole-graph
+    * algorithm library (beyond the reference grammar; its algorithms are
+    * reachable only through a REST layer, social-network-api/src/main.rs).
+    * Args are literal integers; YIELD selects/renames the procedure's
+    * output columns (all of them when absent); WHERE filters the yielded
+    * rows before the rest of the pipeline sees them.
+    */
+  final case class CallClause(proc: String, args: Seq[Expr],
+      yields: Seq[(String, Option[String])], where: Option[Expr]) extends Clause
 
   /** A whole query = ordered clause pipeline (generalizes the reference's
     * Read/Write/Mixed split, ast.rs:10-37).

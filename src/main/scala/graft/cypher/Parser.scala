@@ -46,6 +46,7 @@ final class Parser(tokens: Vector[Tok]) {
         case Kw("UNWIND", _) => clauses += parseUnwind()
         case Kw("FOREACH", _) => clauses += parseForeach()
         case Kw("REMOVE", _) => clauses += parseRemove()
+        case Kw("CALL", _) => clauses += parseCall()
         case Kw("UNION", _) => done = true
         case Eof(_) => done = true
         case Op(";", _) => p += 1
@@ -285,6 +286,32 @@ final class Parser(tokens: Vector[Tok]) {
     val e = parseExpr()
     eatKw("AS")
     UnwindClause(e, ident())
+  }
+
+  /** CALL ns.name(args) [YIELD a [AS b], ...] [WHERE expr] */
+  private def parseCall(): CallClause = {
+    eatKw("CALL")
+    val name = Seq.newBuilder[String]
+    name += ident()
+    while (tryOp(".")) name += ident()
+    eatOp("(")
+    val args = Seq.newBuilder[Expr]
+    if (!isOp(")")) {
+      args += parseExpr()
+      while (tryOp(",")) args += parseExpr()
+    }
+    eatOp(")")
+    val yields = Seq.newBuilder[(String, Option[String])]
+    if (tryKw("YIELD")) {
+      def item(): (String, Option[String]) = {
+        val c = ident()
+        (c, if (tryKw("AS")) Some(ident()) else None)
+      }
+      yields += item()
+      while (tryOp(",")) yields += item()
+    }
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    CallClause(name.result().mkString("."), args.result(), yields.result(), where)
   }
 
   /** FOREACH (x IN <expr> | <update clauses>) — body restricted to update

@@ -93,8 +93,63 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       case d: DeleteClause => compileDelete(scope.getOrElse(sys.error("DELETE requires MATCH")), d)
       case f: ForeachClause => compileForeach(scope.getOrElse(emptyScope), f)
       case r: RemoveClause => compileRemove(scope.getOrElse(sys.error("REMOVE requires MATCH")), r)
+      case c: CallClause =>
+        require(scope.isEmpty && result.isEmpty,
+          "CALL is supported as the first clause of a query part")
+        scope = Some(compileCall(c))
     }
     PlanResult(result, store)
+  }
+
+  /** CALL graft.<proc>(...) — whole-graph procedures over the bound store
+    * (the GDS idiom). The procedure runs ONCE on unit cardinality (hence
+    * the first-clause restriction: openCypher's per-input-row CALL
+    * semantics on an analytics procedure would re-run a whole-graph job
+    * per row — a scale hazard with no legitimate use here). Yielded
+    * columns enter scope as plain value variables, so WHERE / WITH /
+    * RETURN / ORDER BY compose on top unchanged.
+    */
+  private def compileCall(c: CallClause): Scope = {
+    import graft.algorithms.GraphAlgorithms
+    def intArg(i: Int, default: Option[Int] = None): Int =
+      if (i < c.args.length) c.args(i) match {
+        case IntLit(v) => v.toInt
+        case other => sys.error(s"CALL arguments must be integer literals, got $other")
+      } else default.getOrElse(sys.error(s"${c.proc} requires argument ${i + 1}"))
+    def nargs(max: Int): Unit = require(c.args.length <= max,
+      s"${c.proc} takes at most $max argument(s)")
+    val edges = store.allEdges.select(col("src"), col("dst"))
+    val out: DataFrame = c.proc.toLowerCase match {
+      case "graft.pagerank" => nargs(1)
+        GraphAlgorithms.pageRankStable(edges, intArg(0, Some(10)))
+      case "graft.connectedcomponents" => nargs(0)
+        GraphAlgorithms.connectedComponentsDF(edges)
+      case "graft.kcore" => nargs(1)
+        GraphAlgorithms.kCore(edges, intArg(0))
+      case "graft.labelpropagation" => nargs(1)
+        GraphAlgorithms.labelPropagation(edges, intArg(0, Some(4)))
+      case "graft.triangles" => nargs(0)
+        GraphAlgorithms.triangleCountDF(edges)
+      case "graft.degrees" => nargs(0)
+        GraphAlgorithms.degrees(edges)
+      case other => sys.error(s"unknown procedure '$other' — available: " +
+        "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
+        "graft.labelPropagation(iters), graft.triangles(), graft.degrees()")
+    }
+    val available = out.columns.toSeq
+    val items = if (c.yields.nonEmpty) c.yields
+      else available.map(n => (n, Option.empty[String]))
+    items.foreach { case (n, _) => require(available.contains(n),
+      s"${c.proc} does not yield '$n' (yields: ${available.mkString(", ")})") }
+    val names = items.map { case (n, a) => a.getOrElse(n) }
+    require(names.distinct.size == names.size, "duplicate YIELD column names")
+    val projected = out.select(items.map { case (n, a) =>
+      col(n).as(a.getOrElse(n)) }.toIndexedSeq: _*)
+    val sc = Scope(projected,
+      names.map(n => n -> VarInfo(VarKind.Value, None, Nil)).toMap,
+      names)
+    c.where.map(w => sc.copy(df = sc.df.where(ec(sc).truthyExpr(w))))
+      .getOrElse(sc)
   }
 
   /** RETURN * / WITH * expansion: every USER-named scope variable in

@@ -323,6 +323,26 @@ object CypherGateQueries {
           |ORDER BY name""".stripMargin)
     }),
 
+    // CALL procedure surface (r8): whole-graph algorithms invoked from
+    // Cypher, GDS style. Each gate composes CALL + YIELD (+ aliasing /
+    // WHERE) with the ordinary pipeline — proof the procedure results are
+    // first-class scope rows, and that the procedures themselves agree
+    // with the same relational oracles that check the direct-API gates.
+    "cy27_call_components" -> cy(
+      """CALL graft.connectedComponents() YIELD id, component
+        |RETURN component, count(*) AS n_vertices
+        |ORDER BY component""".stripMargin),
+
+    "cy28_call_kcore" -> cy(
+      """CALL graft.kCore(3) YIELD id
+        |RETURN count(*) AS n_core""".stripMargin),
+
+    "cy29_call_degrees" -> cy(
+      """CALL graft.degrees() YIELD id, in_degree AS ind, out_degree AS outd
+        |WHERE outd > 20
+        |RETURN id, ind, outd
+        |ORDER BY id""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -440,6 +460,17 @@ object CypherGateQueries {
         |  CAST(CASE WHEN seg = 'BUILDING' THEN 1 END AS BIGINT) AS seen
         |FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer)
         |ORDER BY name""".stripMargin,
+    // the CALL gates reuse the already-proven algorithm oracles: identical
+    // semantics, reshaped only where the Cypher query aggregates further
+    "cy27_call_components" -> ExtraQueries.oracle("x7_components"),
+    "cy28_call_kcore" ->
+      s"""SELECT CAST(SUM(n_core) AS BIGINT) AS n_core
+         |FROM (${GraphQueries.oracle("g17_kcore")})""".stripMargin,
+    "cy29_call_degrees" ->
+      s"""SELECT id, in_degree AS ind, out_degree AS outd
+         |FROM (${ExtraQueries.oracle("x8_degrees")})
+         |WHERE out_degree > 20
+         |ORDER BY id""".stripMargin,
     "cy25_subqueries" ->
       """SELECT n_name AS nation,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer

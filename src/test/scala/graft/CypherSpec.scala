@@ -1118,4 +1118,53 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
     assert(!r.getBoolean(4)) // three ages > 26
   }
+
+  test("CALL graft.degrees composes with YIELD aliasing, WHERE, RETURN") {
+    // KNOWS: 1->2, 2->3 — only vertex 2 has both an in- and an out-edge
+    val df = session.run(
+      """CALL graft.degrees() YIELD id, in_degree AS ind, out_degree AS outd
+        |WHERE ind > 0 AND outd > 0
+        |RETURN id, ind, outd""".stripMargin)
+    assert(rows(df) == Seq(Seq(Graphid.pack(100, 2), 1L, 1L)))
+  }
+
+  test("CALL graft.connectedComponents labels the chain with its min id") {
+    val df = session.run(
+      """CALL graft.connectedComponents() YIELD id, component
+        |RETURN component, count(*) AS n ORDER BY component""".stripMargin)
+    assert(rows(df) == Seq(Seq(Graphid.pack(100, 1), 3L)))
+  }
+
+  test("CALL graft.triangles from Cypher counts the KNOWS triangle") {
+    import spark.implicits._
+    val persons = Seq((Graphid.pack(100, 1), "a"), (Graphid.pack(100, 2), "b"),
+      (Graphid.pack(100, 3), "c")).toDF("id", "name")
+    val knows = Seq(
+      (Graphid.pack(101, 1), Graphid.pack(100, 1), Graphid.pack(100, 2)),
+      (Graphid.pack(101, 2), Graphid.pack(100, 2), Graphid.pack(100, 3)),
+      (Graphid.pack(101, 3), Graphid.pack(100, 3), Graphid.pack(100, 1)))
+      .toDF("id", "src", "dst")
+    val s = new CypherSession(spark,
+      new GraphStore(Map("Person" -> persons), Map("KNOWS" -> knows)))
+    val df = s.run(
+      "CALL graft.triangles() YIELD id, triangles RETURN sum(triangles) AS t")
+    assert(rows(df) == Seq(Seq(3L)))
+  }
+
+  test("CALL surface fails loud: position, placement, yield, args") {
+    val s = session
+    val e1 = intercept[Exception](s.run("CALL graft.nope() YIELD id RETURN id"))
+    assert(e1.getMessage.contains("unknown procedure"))
+    val e2 = intercept[Exception](s.run(
+      "MATCH (n:Person) CALL graft.degrees() YIELD id RETURN id"))
+    assert(e2.getMessage.contains("first clause"))
+    val e3 = intercept[Exception](s.run(
+      "CALL graft.degrees() YIELD rank RETURN rank"))
+    assert(e3.getMessage.contains("does not yield"))
+    val e4 = intercept[Exception](s.run(
+      "CALL graft.kCore(1 + 2) YIELD id RETURN id"))
+    assert(e4.getMessage.contains("integer literals"))
+    val e5 = intercept[Exception](s.run("CALL graft.kCore() YIELD id RETURN id"))
+    assert(e5.getMessage.contains("requires argument"))
+  }
 }
