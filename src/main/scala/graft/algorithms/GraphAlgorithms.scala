@@ -129,6 +129,52 @@ object GraphAlgorithms {
     pr.select(col("id"), (col("prf").cast("double") / lit(1e12)).as("pr"))
   }
 
+  /** Personalized PageRank (single- or multi-source teleport), in the same
+    * 10^-12 fixed-point LONG arithmetic as pageRankStable — deterministic
+    * across runs/engines, oracle-checkable bit-for-bit. Differences from
+    * the global variant: initial mass and the per-iteration teleport land
+    * ONLY on the source set (CASE on the grouping key — no extra join), so
+    * rank measures proximity to the sources rather than global centrality.
+    * Dangling mass is dropped, like pageRankStable (documented
+    * simplification, mirrored in the oracle). Per-iteration cost is
+    * identical: one gated-broadcast (or shuffle-hash) join over the edge
+    * relation + one partial-aggregated |V| shuffle.
+    */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
+      iters: Int = 10, broadcastCeiling: Long = BroadcastVertexRows,
+      chainDepth: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(sources.nonEmpty, "personalizedPageRank needs at least one source")
+    require(chainDepth >= 1, "chainDepth must be >= 1")
+    val e = edges.select("src", "dst").localCheckpoint(false)
+    val verts = e.select(col("src").as("id"), lit(1L).as("c"))
+      .unionByName(e.select(col("dst").as("id"), lit(0L).as("c")))
+      .groupBy(col("id")).agg(sum(col("c")).as("deg"))
+      .localCheckpoint(false)
+    val nVerts = verts.count()
+    def small(df: DataFrame): DataFrame =
+      if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
+    val isSrc = col("id").isInCollection(sources)
+    // initial mass 1.0 per source; teleport 0.15 per source per iteration
+    var pr = verts.withColumn("prf",
+      when(isSrc, lit(1000000000000L)).otherwise(lit(0L)))
+    for (i <- 1 to iters) {
+      val contrib = e.join(
+          small(pr.where(col("deg") > 0 && col("prf") > 0)
+            .select(col("id"), expr("prf div deg").as("m"))),
+          col("id") === e("src"))
+        .select(e("dst").as("id"), lit(0L).as("deg"), col("m"))
+      pr = contrib
+        .unionByName(verts.select(col("id"), col("deg"), lit(0L).as("m")))
+        .groupBy(col("id"))
+        .agg(max(col("deg")).as("deg"),
+          (when(isSrc, lit(150000000000L)).otherwise(lit(0L)) +
+            expr("(85 * sum(m)) div 100")).as("prf"))
+      if (i % chainDepth == 0 || i == iters) pr = pr.localCheckpoint(false)
+    }
+    pr.select(col("id"), (col("prf").cast("double") / lit(1e12)).as("ppr"))
+  }
+
   /** Synchronous label propagation (community detection), deterministic:
     * labels start as the vertex id; each round every vertex adopts the most
     * frequent label among its distinct undirected neighbors (parallel edges

@@ -111,11 +111,13 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     */
   private def compileCall(c: CallClause): Scope = {
     import graft.algorithms.GraphAlgorithms
-    def intArg(i: Int, default: Option[Int] = None): Int =
+    def longArg(i: Int, default: Option[Long] = None): Long =
       if (i < c.args.length) c.args(i) match {
-        case IntLit(v) => v.toInt
+        case IntLit(v) => v
         case other => sys.error(s"CALL arguments must be integer literals, got $other")
       } else default.getOrElse(sys.error(s"${c.proc} requires argument ${i + 1}"))
+    def intArg(i: Int, default: Option[Int] = None): Int =
+      longArg(i, default.map(_.toLong)).toInt
     def nargs(max: Int): Unit = require(c.args.length <= max,
       s"${c.proc} takes at most $max argument(s)")
     val edges = store.allEdges.select(col("src"), col("dst"))
@@ -132,9 +134,13 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         GraphAlgorithms.triangleCountDF(edges)
       case "graft.degrees" => nargs(0)
         GraphAlgorithms.degrees(edges)
+      case "graft.ppr" => nargs(2)
+        GraphAlgorithms.personalizedPageRank(edges, Seq(longArg(0)),
+          intArg(1, Some(10)))
       case other => sys.error(s"unknown procedure '$other' — available: " +
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
-        "graft.labelPropagation(iters), graft.triangles(), graft.degrees()")
+        "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
+        "graft.ppr(sourceId, iters)")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

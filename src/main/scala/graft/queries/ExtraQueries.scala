@@ -229,6 +229,20 @@ object ExtraQueries {
         .limit(20)
     }),
 
+    // Personalized PageRank from customer 1 (r8) — proximity ranking, the
+    // same all-integer fixpoint as x17 with teleport restricted to the
+    // source; top-20 by (ppr DESC, id). Zero-mass vertices are pruned from
+    // the per-iteration broadcast side (exact: they contribute nothing),
+    // so early iterations ship only the reached frontier.
+    "x23_ppr" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      graft.algorithms.GraphAlgorithms
+        .personalizedPageRank(g.allEdges.select(col("src"), col("dst")),
+          Seq(graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)), 5, chainDepth = 2)
+        .orderBy(col("ppr").desc, col("id"))
+        .limit(20)
+    }),
+
     // GraphX PageRank over the TPC-H graph — FP iteration, rows-only.
     // Same 5-iteration budget as the oracle-checked x17 so the two
     // rankings cross-validate like-for-like (GraphX normalizes ranks
@@ -480,6 +494,33 @@ object ExtraQueries {
          |$iterCtes
          |SELECT id, CAST(prf AS DOUBLE) / 1e12 AS pr FROM pr$iters
          |ORDER BY pr DESC, id LIMIT 20""".stripMargin
+    },
+    "x23_ppr" -> {
+      val iters = 5
+      val src = "(CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT)"
+      // fixed-point mirror of personalizedPageRank: source-only initial
+      // mass and teleport, otherwise identical to the x17 oracle
+      val iterCtes = (1 to iters).map { i =>
+        s"""pr$i AS (
+           |  SELECT v.id,
+           |    (CASE WHEN v.id = $src THEN 150000000000 ELSE 0 END)
+           |      + (85 * COALESCE(m.mass, CAST(0 AS BIGINT))) // 100 AS prf
+           |  FROM verts v LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(SUM(p.prf // d.deg) AS BIGINT) AS mass
+           |    FROM pr${i - 1} p JOIN deg d ON d.id = p.id JOIN edges e ON e.src = p.id
+           |    WHERE p.prf > 0
+           |    GROUP BY e.dst) m ON m.id = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${GraphQueries.edgesCte},
+         |verts AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+         |pr0 AS (SELECT id,
+         |  CAST(CASE WHEN id = $src THEN 1000000000000 ELSE 0 END AS BIGINT) AS prf
+         |  FROM verts),
+         |$iterCtes
+         |SELECT id, CAST(prf AS DOUBLE) / 1e12 AS ppr FROM pr$iters
+         |ORDER BY ppr DESC, id LIMIT 20""".stripMargin
     },
     "x4_vle_paths" -> {
       val start = "(CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT)"

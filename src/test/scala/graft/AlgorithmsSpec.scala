@@ -69,6 +69,25 @@ class AlgorithmsSpec extends AnyFunSuite {
       4L -> ((3L, 1L)), 5L -> ((1L, 0L))))
   }
 
+  test("personalizedPageRank: hand-computed 2-cycle, source-restricted teleport") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    // source 1, two iterations of the 10^-12 fixpoint:
+    //   i1: pr1 = 0.15, pr2 = 0.85
+    //   i2: pr1 = 0.15 + 0.85*0.85 = 0.8725, pr2 = 0.85*0.15 = 0.1275
+    val p = GraphAlgorithms.personalizedPageRank(edges, Seq(1L), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p == Map(1L -> 0.8725, 2L -> 0.1275))
+    // multi-source: teleport and initial mass land on both sources
+    val p2 = GraphAlgorithms.personalizedPageRank(edges, Seq(1L, 2L), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p2 == Map(1L -> 1.0, 2L -> 1.0))
+    // a vertex unreachable from the source holds rank exactly 0
+    val p3 = GraphAlgorithms.personalizedPageRank(
+      Seq((1L, 2L), (3L, 1L)).toDF("src", "dst"), Seq(1L), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p3(3L) == 0.0 && p3(1L) == 0.15 && p3(2L) > 0.0)
+  }
+
   test("triangleCountDF equals GraphX triangleCount on a generated graph") {
     val g = DataGenerator.uniform(spark, 150, 400, seed = 29)
     val e = g.allEdges.select($"src", $"dst")

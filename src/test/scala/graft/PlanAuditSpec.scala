@@ -240,4 +240,11 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin"), p)
     }
   }
+
+  test("g23: triangle wedges close via equi-joins only — no nested-loop product") {
+    // the wedge join keys on the pivot u and the closer keys on (v, w);
+    // the rank comparison rides as a join filter, never a cartesian
+    val p = plan("g23_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
