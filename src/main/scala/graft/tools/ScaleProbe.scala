@@ -56,6 +56,7 @@ object ScaleProbe {
       case "pagerank" => pageRankProbe(spark, sfDir)
       case "vle"      => vleProbe(spark, sfDir)
       case "lpa"      => lpaProbe(spark, sfDir)
+      case "triangles" => trianglesProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -317,6 +318,81 @@ object ScaleProbe {
       val n = core.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"SCALE k=$k edges=${n0 * k} core=$n rounds=$rounds time=$dt%.2f s")
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+    }
+  }
+
+  /** g23's scale axes.
+    *
+    * Replication axis: the co-supply graph replicated Kx as DISJOINT
+    * copies (vertex ids shifted per replica) — wedges and triangles scale
+    * exactly xK, so time should track K; superlinear growth would flag a
+    * hidden cross-copy stage.
+    *
+    * Hub axis: a star of N leaves plus one fixed triangle. An unoriented
+    * node-iterator enumerates C(N,2) wedges at the hub (quadratic — 10^10
+    * candidate pairs at N=10^5); the degree-ordered orientation emits
+    * ZERO wedges from the hub (every star edge orients leaf->hub and
+    * stops there), so time must stay linear in N while triangles stay
+    * exactly 1. This axis is the orientation claim, measured.
+    */
+  private def trianglesProbe(spark: SparkSession, sfDir: String): Unit = {
+    val ps = graft.store.Tables.load(spark, sfDir, "lineitem")
+      .where(col("l_partkey") < 2000)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    // the raw sf0.1 co-supply graph is a near-clique (410k of the 500k
+    // possible edges on 1k suppliers, 92.6M triangles) — cubic OUTPUT, so
+    // replicating it measures output materialization, not the operator's
+    // growth. Deterministically thin to ~10% of edges (hash-based, keeps
+    // the degree distribution's shape) for a base whose wedge volume is
+    // the dominant cost, as it is on real sparse graphs.
+    val base = ps.as("x").join(ps.as("y"),
+        col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+      .distinct()
+      .where(pmod(hash(col("src"), col("dst")), lit(10)) === 0)
+      .localCheckpoint()
+    val n0 = base.count()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    def run(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val r = graft.algorithms.GraphAlgorithms.triangleCountDF(df)
+          .agg(sum(col("triangles")).as("t3"), count(lit(1)).as("nv")).head
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, r.getLong(0) / 3, r.getLong(1))
+      }
+      val (tri, nv) = (times.head._2, times.head._3)
+      println(f"SCALE axis=$tag vertices=$nv triangles=$tri " +
+        f"min=${times.map(_._1).min}%.2f s " +
+        times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+    run("warmup", base)
+    for (k <- Seq(1, 4, 16)) {
+      val df = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong << 28)).as("src"),
+          (col("dst") + lit(i.toLong << 28)).as("dst")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      println(s"SCALE axis=replicate k=$k edges=${n0 * k}")
+      run(s"replicate-k$k", df)
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+    }
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      import spark.implicits._
+      val star = spark.range(1, n + 1)
+        .select((col("id") + 10L).as("src"), lit(1L).as("dst"))
+      val tri = Seq((2L, 3L), (3L, 4L), (2L, 4L)).toDF("src", "dst")
+      val df = star.unionByName(tri).localCheckpoint()
+      df.count()
+      println(s"SCALE axis=hub leaves=$n")
+      run(s"hub-n$n", df)
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
     }
