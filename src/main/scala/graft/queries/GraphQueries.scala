@@ -357,6 +357,25 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Stress centrality (Brandes two-phase, all-integer) from a bounded
+    // source set: number of shortest s->t paths through each vertex as an
+    // interior, summed over 50 customer sources and all targets. The
+    // all-integer member of the centrality family — float betweenness'
+    // sigma-ratio accumulation is FP-order-dependent, stress is exact.
+    "g25_stress" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val srcs = (1L to 50L)
+        .map(Graphid.pack(GraphStore.Lab.Customer, _)).toDF("id")
+      graft.algorithms.GraphAlgorithms
+        // depth 6 covers the DAG: the longest shortest path from a
+        // customer is 5 hops (order-part-supplier-nation-region); the
+        // oracle's 8 unrolled rounds are a superset (empty CTEs past the
+        // frontier's end)
+        .stressCentrality(g.allEdges.select(col("src"), col("dst")), srcs, 6)
+        .orderBy(col("id"))
+    }),
+
     // Clustering summary over the same graph: closed wedge-ends (= 3 x
     // triangle count), total wedges sum(d*(d-1)/2), vertex/edge counts, and
     // global transitivity = closed/wedges — exact integers plus ONE
@@ -716,6 +735,53 @@ object GraphQueries {
          |       CAST(COUNT(*) AS BIGINT) AS n_communities
          |FROM (SELECT lbl, COUNT(*) AS sz FROM l$rounds GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin
+    },
+    "g25_stress" -> {
+      // the two Brandes sweeps unrolled: forward sigma per level (anti-
+      // joined against the cumulative visited set), backward integer tau
+      // (successor counts through the shortest-path DAG), then
+      // sum(sigma * tau) over interior levels. 8 rounds covers the TPC-H
+      // graph's diameter (the x7 rationale).
+      val rounds = 8
+      val fwd = (1 to rounds).map { i =>
+        s"""f$i AS MATERIALIZED (
+           |  SELECT t.s, t.id, t.sigma FROM (
+           |    SELECT f.s, e.dst AS id, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |    FROM f${i - 1} f JOIN und e ON e.src = f.id
+           |    GROUP BY 1, 2) t
+           |  LEFT JOIN vis${i - 1} v ON v.s = t.s AND v.id = t.id
+           |  WHERE v.id IS NULL),
+           |vis$i AS MATERIALIZED (
+           |  SELECT s, id FROM vis${i - 1} UNION ALL SELECT s, id FROM f$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      val bwd = ((rounds - 1) to 1 by -1).map { i =>
+        s"""t$i AS MATERIALIZED (
+           |  SELECT f.s, f.id, CAST(SUM(1 + COALESCE(t.tau, 0)) AS BIGINT) AS tau
+           |  FROM f$i f JOIN und e ON e.src = f.id
+           |  JOIN f${i + 1} w ON w.s = f.s AND w.id = e.dst
+           |  LEFT JOIN t${i + 1} t ON t.s = f.s AND t.id = e.dst
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val contribs = (1 until rounds).map { i =>
+        s"SELECT f.id, f.sigma * t.tau AS c FROM f$i f JOIN t$i t ON t.s = f.s AND t.id = f.id"
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${edgesCte},
+         |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |srcs AS (SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS s
+         |         FROM customer WHERE c_custkey BETWEEN 1 AND 50),
+         |f0 AS (SELECT s, s AS id, CAST(1 AS BIGINT) AS sigma FROM srcs),
+         |vis0 AS (SELECT s, id FROM f0),
+         |$fwd,
+         |t$rounds AS (SELECT s, id, CAST(0 AS BIGINT) AS tau FROM f$rounds),
+         |$bwd,
+         |cont AS ($contribs),
+         |allv AS (SELECT DISTINCT src AS id FROM und
+         |         UNION SELECT DISTINCT dst FROM und)
+         |SELECT a.id, CAST(COALESCE(st.st, 0) AS BIGINT) AS stress
+         |FROM allv a LEFT JOIN
+         |  (SELECT id, SUM(c) AS st FROM cont GROUP BY id) st ON st.id = a.id
+         |ORDER BY a.id""".stripMargin
     },
     "g23_triangles" ->
       // id-ordered three-way self-join (a<b<c) — enumerates the same

@@ -88,6 +88,28 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(p3(3L) == 0.0 && p3(1L) == 0.15 && p3(2L) > 0.0)
   }
 
+  test("stressCentrality: diamond DAG, multi-source, parallel-edge collapse") {
+    // 1->2, 1->3, 2->4, 3->4, 4->5 (diamond + tail), duplicated edge 1->2
+    // must not double path counts (simple-graph sigma)
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    // from s=1: sigma = (1,1,1,2,2); tau = (6,2,2,1,0)
+    //   stress: v2 = 1*2 = 2 (1-2-4, 1-2-4-5), v3 = 2, v4 = 2*1 = 2, v5 = 0
+    val s1 = GraphAlgorithms.stressCentrality(edges, Seq(1L).toDF("id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 0L))
+    // adding source 2 contributes one more path through 4 (2-4-5)
+    val s12 = GraphAlgorithms.stressCentrality(edges, Seq(1L, 2L).toDF("id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s12 == Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 5L -> 0L))
+    // maxDepth truncation: depth 2 sees only paths of <= 2 hops from 1
+    //   through v2/v3: only 1-2-4 / 1-3-4 -> stress 1 each; v4 interior
+    //   needs 3 hops -> 0
+    val d2 = GraphAlgorithms.stressCentrality(edges, Seq(1L).toDF("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+  }
+
   test("triangleCountDF equals GraphX triangleCount on a generated graph") {
     val g = DataGenerator.uniform(spark, 150, 400, seed = 29)
     val e = g.allEdges.select($"src", $"dst")
