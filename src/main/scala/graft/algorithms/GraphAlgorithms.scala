@@ -387,7 +387,26 @@ object GraphAlgorithms {
     * per-source sweep never materializes paths.
     */
   def stressCentrality(edges: DataFrame, sources: DataFrame, maxDepth: Int,
-      broadcastRows: Long = 1L << 20): DataFrame = {
+      broadcastRows: Long = 1L << 20): DataFrame =
+    brandesCore(edges, sources, maxDepth, broadcastRows, integerStress = true)
+      .withColumnRenamed("value", "stress")
+
+  /** Betweenness centrality (Brandes 2001) from a bounded source set —
+    * the float member of the family: δ_s(v) = Σ_{w ∈ DAG-succ(v)}
+    * (σ_sv/σ_sw)·(1 + δ_s(w)), bc(v) = Σ_s δ_s(v). The σ-ratio division
+    * makes the accumulation FP-rounded, so unlike stressCentrality this is
+    * NOT bit-reproducible across engines (it IS deterministic across runs
+    * of this engine up to double-sum ordering inside each (s,v) group) —
+    * gate it rows-only and let the exact stress twin carry the oracle, the
+    * HLL/t-digest pairing pattern. Identical sweeps and cost shape.
+    */
+  def betweennessCentrality(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      broadcastRows: Long = 1L << 20): DataFrame =
+    brandesCore(edges, sources, maxDepth, broadcastRows, integerStress = false)
+      .withColumnRenamed("value", "betweenness")
+
+  private def brandesCore(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      broadcastRows: Long, integerStress: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     // e stays pinned to the end — the returned frame derives its vertex
     // relation from it; the caller's per-query sweep reclaims (kCore
@@ -423,9 +442,12 @@ object GraphAlgorithms {
         frontier = next
       }
     }
-    // backward: tau(L) keyed (s, id); deepest level has no successors
+    // backward: acc(L) keyed (s, id) — integer τ (stress) or double δ
+    // (betweenness); deepest level has no successors
+    val zero = if (integerStress) lit(0L) else lit(0.0)
+    val one = if (integerStress) lit(1L) else lit(1.0)
     val maxL = levels.length - 1
-    var tauNext: Option[DataFrame] = None
+    var accNext: Option[DataFrame] = None
     val contribs = Vector.newBuilder[DataFrame]
     for (l <- (maxL - 1) to 0 by -1) {
       val (vl, vRows) = levels(l)
@@ -440,36 +462,43 @@ object GraphAlgorithms {
       val out = e.join(gate(vl.select(col("s"), col("id").as("vid"),
             col("sigma")), vRows), col("vid") === e("src"))
         .select(col("s"), col("vid"), col("sigma"), e("dst").as("wid"))
-      val dag = out.join(gate(wl.select(col("s").as("ws"),
-            col("id").as("wid2")), wRows),
+      val dag = out.join(gate(wl.select(col("s").as("ws"), col("id").as("wid2"),
+            col("sigma").as("wsigma")), wRows),
           col("s") === col("ws") && col("wid") === col("wid2"))
-        .select(col("s"), col("vid"), col("sigma"), col("wid"))
-      val withTau = tauNext match {
+        .select(col("s"), col("vid"), col("sigma"), col("wid"), col("wsigma"))
+      val joined = accNext match {
         case Some(t) => dag.join(
-            t.select(col("s").as("ts"), col("id").as("tid"), col("tau").as("wtau")),
+            t.select(col("s").as("ts"), col("id").as("tid"), col("acc").as("wacc")),
             col("ts") === col("s") && col("tid") === col("wid"), "left")
-          .select(col("s"), col("vid"), col("sigma"),
-            (lit(1L) + coalesce(col("wtau"), lit(0L))).as("m"))
-        case None => dag.select(col("s"), col("vid"), col("sigma"), lit(1L).as("m"))
+        case None => dag.withColumn("wacc", zero)
       }
-      val tau = withTau
+      // stress: m = 1 + τ_w (Long, exact). betweenness: m = σ_v/σ_w ·
+      // (1 + δ_w) — the one FP division/sum of the float variant.
+      val m =
+        if (integerStress) one + coalesce(col("wacc"), zero)
+        else (col("sigma").cast("double") / col("wsigma").cast("double")) *
+          (one + coalesce(col("wacc"), zero))
+      val acc = joined
+        .select(col("s"), col("vid"), col("sigma"), m.as("m"))
         .groupBy(col("s"), col("vid"))
-        .agg(sum(col("m")).as("tau"), max(col("sigma")).as("sigma"))
+        .agg(sum(col("m")).as("acc"), max(col("sigma")).as("sigma"))
         .withColumnRenamed("vid", "id")
         .localCheckpoint(true)
-      if (l > 0) // v = s rows are endpoints, not interior — excluded
-        contribs += tau.select(col("id"), (col("sigma") * col("tau")).as("c"))
-      tauNext = Some(tau.select(col("s"), col("id"), col("tau")))
+      if (l > 0) { // v = s rows are endpoints, not interior — excluded
+        val c = if (integerStress) col("sigma") * col("acc") else col("acc")
+        contribs += acc.select(col("id"), c.as("c"))
+      }
+      accNext = Some(acc.select(col("s"), col("id"), col("acc")))
     }
     val verts = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
     val agg = contribs.result() match {
-      case Vector() => verts.limit(0).withColumn("c", lit(0L))
+      case Vector() => verts.limit(0).withColumn("c", zero)
       case cs => cs.reduce(_ unionByName _)
     }
-    verts.join(agg.groupBy(col("id")).agg(sum(col("c")).as("stress")),
+    verts.join(agg.groupBy(col("id")).agg(sum(col("c")).as("value")),
         Seq("id"), "left")
-      .select(col("id"), coalesce(col("stress"), lit(0L)).as("stress"))
+      .select(col("id"), coalesce(col("value"), zero).as("value"))
   }
 
   /** k-core: iteratively peel vertices whose undirected distinct-neighbor

@@ -243,6 +243,22 @@ object ExtraQueries {
         .limit(20)
     }),
 
+    // Betweenness centrality (r8) — rows-only by design: the sigma-ratio
+    // accumulation is FP-rounded, so the exact stress twin (g25, identical
+    // sweeps, integer arithmetic) carries the oracle — the HLL/x1-vs-q14
+    // pairing. Top-20 by (betweenness DESC, id) from the same 50 customer
+    // sources.
+    "x24_betweenness" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val srcs = (1L to 50L)
+        .map(k => graft.model.Graphid.pack(GraphStore.Lab.Customer, k)).toDF("id")
+      graft.algorithms.GraphAlgorithms
+        .betweennessCentrality(g.allEdges.select(col("src"), col("dst")), srcs, 6)
+        .orderBy(col("betweenness").desc, col("id"))
+        .limit(20)
+    }),
+
     // GraphX PageRank over the TPC-H graph — FP iteration, rows-only.
     // Same 5-iteration budget as the oracle-checked x17 so the two
     // rankings cross-validate like-for-like (GraphX normalizes ranks

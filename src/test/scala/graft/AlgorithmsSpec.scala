@@ -110,6 +110,21 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
   }
 
+  test("betweennessCentrality: diamond DAG, hand-computed Brandes deltas") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    // from s=1: pair (1,4) splits 1/2 through each of v2/v3; pair (1,5)
+    // adds 1/2 through each of v2/v3 and 1 through v4
+    val b1 = GraphAlgorithms.betweennessCentrality(edges, Seq(1L).toDF("id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b1 == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0, 5L -> 0.0))
+    // source 2 adds one more unit through v4 (2-4-5); v2 as source of its
+    // own sweep is an endpoint, not interior
+    val b12 = GraphAlgorithms.betweennessCentrality(edges, Seq(1L, 2L).toDF("id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b12 == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 2.0, 5L -> 0.0))
+  }
+
   test("triangleCountDF equals GraphX triangleCount on a generated graph") {
     val g = DataGenerator.uniform(spark, 150, 400, seed = 29)
     val e = g.allEdges.select($"src", $"dst")
