@@ -57,6 +57,7 @@ object ScaleProbe {
       case "vle"      => vleProbe(spark, sfDir)
       case "lpa"      => lpaProbe(spark, sfDir)
       case "triangles" => trianglesProbe(spark, sfDir)
+      case "stress"   => stressProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -321,6 +322,44 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
     }
+  }
+
+  /** g25's scale axis: source-set size. Both Brandes sweeps carry state
+    * keyed (source, vertex), so cost should grow ~linearly in |S| at a
+    * fixed graph — the per-level join/aggregate shapes are |S|-independent
+    * and the level count is the graph's (fixed) eccentricity. Superlinear
+    * growth would flag a hidden cross-source stage.
+    */
+  private def stressProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val edges = g.allEdges.select(col("src"), col("dst")).localCheckpoint()
+    edges.count()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    def run(tag: String, nSrc: Int, warm: Boolean = false): Unit = {
+      val srcs = (1L to nSrc.toLong)
+        .map(graft.model.Graphid.pack(graft.store.GraphStore.Lab.Customer, _))
+        .toDF("id")
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to (if (warm) 1 else reps)).map { _ =>
+        val t0 = System.nanoTime()
+        graft.algorithms.GraphAlgorithms
+          .stressCentrality(edges, srcs, 6)
+          .agg(sum(col("stress"))).head
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        dt
+      }
+      if (!warm)
+        println(f"SCALE axis=$tag sources=$nSrc min=${times.min}%.2f s " +
+          times.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+    }
+    run("warmup", 25, warm = true)
+    for (n <- Seq(25, 100, 400)) run(s"sources-$n", n)
   }
 
   /** g23's scale axes.
