@@ -327,6 +327,24 @@ object GraphQueries {
         .orderBy(col("start_id"), col("id"))
     }),
 
+    // Harmonic closeness centrality (r8) from the 50-customer source
+    // sample, EXACT: dist <= 6 and 840 = lcm(1..8), so every 840/dist is
+    // an integer and the sum is bit-checkable — the standard float
+    // harmonic sum is this divided by 840 once. Rides the shared
+    // multi-source BFS sweep (one level pass for all sources).
+    "g26_harmonic" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val starts = (1L to 50L)
+        .map(graft.model.Graphid.pack(GraphStore.Lab.Customer, _)).toDF("id")
+      Traversals.bfsDistancesPerSource(srcDst(g.allEdges), starts, 6)
+        .where(col("dist") > 0)
+        .groupBy(col("id"))
+        .agg(sum(expr("840 div dist")).as("h840"),
+          count(lit(1)).as("n_reached"))
+        .orderBy(col("id"))
+    }),
+
     // Synchronous label propagation (r8; no reference analogue — the
     // reference ships no community detection): 4 fixed rounds, communities
     // reported as a size histogram. Deterministic by construction
@@ -832,5 +850,24 @@ object GraphQueries {
          |)
          |SELECT start_id, id, CAST(MIN(dist) AS INT) AS dist
          |FROM bfs GROUP BY start_id, id
-         |ORDER BY start_id, id""".stripMargin)
+         |ORDER BY start_id, id""".stripMargin,
+    "g26_harmonic" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |starts(id) AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT)
+         |  FROM customer WHERE c_custkey BETWEEN 1 AND 50
+         |),
+         |bfs(start_id, id, dist) AS (
+         |  SELECT id, id, 0 FROM starts
+         |  UNION ALL
+         |  SELECT b.start_id, e.dst, b.dist + 1
+         |  FROM bfs b JOIN edges e ON e.src = b.id
+         |  WHERE b.dist < 6
+         |),
+         |md AS (SELECT start_id, id, MIN(dist) AS dist
+         |       FROM bfs GROUP BY start_id, id)
+         |SELECT id, CAST(SUM(840 // dist) AS BIGINT) AS h840,
+         |       CAST(COUNT(*) AS BIGINT) AS n_reached
+         |FROM md WHERE dist > 0
+         |GROUP BY id ORDER BY id""".stripMargin)
 }
