@@ -387,8 +387,10 @@ object GraphAlgorithms {
     * per-source sweep never materializes paths.
     */
   def stressCentrality(edges: DataFrame, sources: DataFrame, maxDepth: Int,
-      broadcastRows: Long = 1L << 20): DataFrame =
-    brandesCore(edges, sources, maxDepth, broadcastRows, integerStress = true)
+      broadcastRows: Long = 1L << 20,
+      levelProbe: DataFrame => Unit = _ => ()): DataFrame =
+    brandesCore(edges, sources, maxDepth, broadcastRows, integerStress = true,
+      levelProbe)
       .withColumnRenamed("value", "stress")
 
   /** Betweenness centrality (Brandes 2001) from a bounded source set —
@@ -405,8 +407,13 @@ object GraphAlgorithms {
     brandesCore(edges, sources, maxDepth, broadcastRows, integerStress = false)
       .withColumnRenamed("value", "betweenness")
 
+  /** `levelProbe` sees each level's join plan pre-checkpoint (checkpoints
+    * erase plans from the returned frame; PlanAudit pins the broadcast
+    * shape through this hook — the kCoreRounds roundProbe pattern).
+    */
   private def brandesCore(edges: DataFrame, sources: DataFrame, maxDepth: Int,
-      broadcastRows: Long, integerStress: Boolean): DataFrame = {
+      broadcastRows: Long, integerStress: Boolean,
+      levelProbe: DataFrame => Unit = _ => ()): DataFrame = {
     import org.apache.spark.sql.functions._
     // e stays pinned to the end — the returned frame derives its vertex
     // relation from it; the caller's per-query sweep reclaims (kCore
@@ -425,17 +432,24 @@ object GraphAlgorithms {
     levels :+= ((visited, visited.count()))
     var frontier = visited
     var frontierRows = levels.head._2
+    var visitedRows = frontierRows
     var hop = 0
     while (hop < maxDepth && frontierRows > 0) {
       hop += 1
-      val next = e.join(gate(frontier, frontierRows), frontier("id") === e("src"))
+      // the visited side of the anti-join is a stats-less union of
+      // checkpoint scans — gate it on its tracked row sum or late levels
+      // fall back to sorting the aggregated frontier
+      val level = e.join(gate(frontier, frontierRows), frontier("id") === e("src"))
         .groupBy(frontier("s"), e("dst").as("id"))
         .agg(sum(frontier("sigma")).as("sigma"))
-        .join(visited.select("s", "id"), Seq("s", "id"), "left_anti")
-        .localCheckpoint(true)
+        .join(gate(visited.select("s", "id"), visitedRows),
+          Seq("s", "id"), "left_anti")
+      levelProbe(level)
+      val next = level.localCheckpoint(true)
       frontierRows = next.count()
       if (frontierRows > 0) {
         levels :+= ((next, frontierRows))
+        visitedRows += frontierRows
         // visited is a union of already-checkpointed level frames — a
         // shallow plan; re-checkpointing it would burn one job per level
         visited = visited.unionByName(next)
@@ -447,7 +461,7 @@ object GraphAlgorithms {
     val zero = if (integerStress) lit(0L) else lit(0.0)
     val one = if (integerStress) lit(1L) else lit(1.0)
     val maxL = levels.length - 1
-    var accNext: Option[DataFrame] = None
+    var accNext: Option[(DataFrame, Long)] = None
     val contribs = Vector.newBuilder[DataFrame]
     for (l <- (maxL - 1) to 0 by -1) {
       val (vl, vRows) = levels(l)
@@ -466,9 +480,14 @@ object GraphAlgorithms {
             col("sigma").as("wsigma")), wRows),
           col("s") === col("ws") && col("wid") === col("wid2"))
         .select(col("s"), col("vid"), col("sigma"), col("wid"), col("wsigma"))
+      // the deeper level's acc relation is bounded by that level's row
+      // count — gate it like every other per-level relation (ungated, AQE
+      // occasionally leaves this left join as a sort-merge of the DAG
+      // relation)
       val joined = accNext match {
-        case Some(t) => dag.join(
-            t.select(col("s").as("ts"), col("id").as("tid"), col("acc").as("wacc")),
+        case Some((t, tRows)) => dag.join(
+            gate(t.select(col("s").as("ts"), col("id").as("tid"),
+              col("acc").as("wacc")), tRows),
             col("ts") === col("s") && col("tid") === col("wid"), "left")
         case None => dag.withColumn("wacc", zero)
       }
@@ -478,17 +497,18 @@ object GraphAlgorithms {
         if (integerStress) one + coalesce(col("wacc"), zero)
         else (col("sigma").cast("double") / col("wsigma").cast("double")) *
           (one + coalesce(col("wacc"), zero))
-      val acc = joined
+      val accPlan = joined
         .select(col("s"), col("vid"), col("sigma"), m.as("m"))
         .groupBy(col("s"), col("vid"))
         .agg(sum(col("m")).as("acc"), max(col("sigma")).as("sigma"))
         .withColumnRenamed("vid", "id")
-        .localCheckpoint(true)
+      levelProbe(accPlan)
+      val acc = accPlan.localCheckpoint(true)
       if (l > 0) { // v = s rows are endpoints, not interior — excluded
         val c = if (integerStress) col("sigma") * col("acc") else col("acc")
         contribs += acc.select(col("id"), c.as("c"))
       }
-      accNext = Some(acc.select(col("s"), col("id"), col("acc")))
+      accNext = Some((acc.select(col("s"), col("id"), col("acc")), vRows))
     }
     val verts = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()

@@ -247,4 +247,36 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("g23_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("g25: both Brandes sweeps ride gated broadcasts — no cartesian, no edge re-sort") {
+    // per-level plans are erased by checkpoints, so audit them through the
+    // levelProbe hook (the g17 roundProbe pattern): levels are far under
+    // the ceiling at spec scale, so every per-level join — frontier
+    // expansion forward, level intersection backward — must be a broadcast
+    // hash join against the pinned edge relation, never a re-sort of it
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val srcs = (1L to 10L)
+      .map(graft.model.Graphid.pack(graft.store.GraphStore.Lab.Customer, _))
+      .toDF("id")
+    var plans = List.empty[String]
+    graft.algorithms.GraphAlgorithms.stressCentrality(
+        g.allEdges.select(col("src"), col("dst")), srcs, 6,
+        levelProbe = { df => df.collect(); plans ::= df.queryExecution.executedPlan.toString })
+      .collect()
+    assert(plans.nonEmpty)
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+  }
+
+  test("g26: harmonic closeness is one shared BFS sweep + one aggregate") {
+    val p = plan("g26_harmonic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
