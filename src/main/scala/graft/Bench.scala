@@ -11,7 +11,8 @@ object Bench {
     * far above that marks the whole artifact as contention-loaded.
     */
   val RepeatSet: Seq[String] = Seq(
-    "q1_agg", "g16_weighted_path", "g17_kcore", "x17_pagerank_stable", "x6_pagerank")
+    "q1_agg", "g16_weighted_path", "g17_kcore", "x17_pagerank_stable",
+    "x6_pagerank", "g25_stress")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

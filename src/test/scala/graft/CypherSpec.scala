@@ -1151,6 +1151,20 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq(3L)))
   }
 
+  test("CALL results correlate with a following MATCH as an equi-join") {
+    // procedure output joins back onto the store through an id predicate;
+    // Catalyst rewrites the cross + equality filter into a hash join, so
+    // the composition carries no cartesian at scale
+    val df = session.run(
+      """CALL graft.degrees() YIELD id AS did, out_degree
+        |MATCH (n:Person) WHERE id(n) = did AND out_degree > 0
+        |RETURN n.name AS name, out_degree ORDER BY name""".stripMargin)
+    assert(rows(df) == Seq(Seq("Alice", 1L), Seq("Bob", 1L)))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("CALL surface fails loud: position, placement, yield, args") {
     val s = session
     val e1 = intercept[Exception](s.run("CALL graft.nope() YIELD id RETURN id"))
