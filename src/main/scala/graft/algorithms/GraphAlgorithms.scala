@@ -175,6 +175,71 @@ object GraphAlgorithms {
     pr.select(col("id"), (col("prf").cast("double") / lit(1e12)).as("ppr"))
   }
 
+  /** Katz centrality index, all-integer and exact: with attenuation
+    * alpha = 1/beta and a fixed horizon L, the standard
+    * katz(v) = sum_l alpha^l * paths_l(v) (paths_l = directed walks of
+    * length l ENDING at v) rescaled by beta^L is
+    * sum_l beta^(L-l) * paths_l(v) — pure BIGINT arithmetic, so the sum
+    * is shuffle-order-independent and oracle-checkable bit-for-bit
+    * (the float katz divides once at the surface, the x17 precedent).
+    * The truncated-horizon form is the textbook power-series
+    * approximation (Katz 1953; Newman, Networks §7.3) — exact on a DAG
+    * once L reaches the longest path.
+    *
+    * Per level: ONE gated-broadcast (or shuffle-hash) join of the
+    * |V|-bounded path-count relation against the immutable edge
+    * checkpoint plus ONE partial-aggregated shuffle keyed on the head
+    * vertex — the pageRankStable cost shape, terminating early when the
+    * level empties (DAGs) rather than burning the full budget.
+    */
+  def katzIndex(edges: DataFrame, maxLen: Int = 6, beta: Long = 4L,
+      broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxLen >= 1, "katzIndex needs at least one level")
+    require(beta >= 2, "beta must be >= 2 (alpha = 1/beta < 1)")
+    val e = edges.select("src", "dst").localCheckpoint(false)
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(false)
+    val nVerts = verts.count()
+    def small(df: DataFrame): DataFrame =
+      if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
+    var paths = verts.withColumn("c", lit(1L)) // paths_0: the empty walk
+    var acc: DataFrame = null // running sum_l beta^(L-l) * paths_l
+    var level = 0
+    var live = nVerts
+    while (level < maxLen && live > 0) {
+      level += 1
+      paths = e.join(small(paths), col("id") === e("src"))
+        .groupBy(e("dst").as("id")).agg(sum(col("c")).as("c"))
+        .localCheckpoint(false)
+      live = paths.count() // materializes the level + terminates on empty
+      // fold the level in at its weight; the weight ladder multiplies the
+      // ACCUMULATOR by beta each level, so level l ends up at beta^(L-l)
+      // without knowing in advance where the DAG's frontier dies
+      val weighted = paths.select(col("id"), col("c").as("k"))
+      acc = if (acc == null) weighted
+      else acc.select(col("id"), (col("k") * lit(beta)).as("k"))
+        .unionByName(weighted)
+        .groupBy(col("id")).agg(sum(col("k")).as("k"))
+        .localCheckpoint(false)
+    }
+    e.unpersist()
+    // early frontier death (level T < maxLen): the remaining empty levels
+    // contribute nothing but still climb the weight ladder, so the
+    // accumulated weights must finish at beta^(maxLen-l) — one constant
+    // multiply, keeping the result identical to a full-budget run (and to
+    // the oracle's statically-unrolled maxLen levels)
+    val deficit = maxLen - level
+    val scores =
+      if (acc == null) verts.withColumn("k", lit(0L))
+      else if (deficit == 0) acc
+      else acc.select(col("id"),
+        (col("k") * lit(Seq.fill(deficit)(beta).product)).as("k"))
+    verts.join(scores, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("k"), lit(0L)).as("katz"))
+  }
+
   /** Synchronous label propagation (community detection), deterministic:
     * labels start as the vertex id; each round every vertex adopts the most
     * frequent label among its distinct undirected neighbors (parallel edges

@@ -137,10 +137,20 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       case "graft.ppr" => nargs(2)
         GraphAlgorithms.personalizedPageRank(edges, Seq(longArg(0)),
           intArg(1, Some(10)))
+      case "graft.katz" => nargs(2)
+        GraphAlgorithms.katzIndex(edges, intArg(0, Some(6)),
+          longArg(1, Some(4L)))
+      case "graft.walks" =>
+        nargs(3)
+        import spark.implicits._
+        graft.algorithms.RandomWalks.hashWalks(edges,
+          Seq(longArg(0)).toDF("id"), intArg(2, Some(6)),
+          intArg(1, Some(1)))
       case other => sys.error(s"unknown procedure '$other' — available: " +
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
-        "graft.ppr(sourceId, iters)")
+        "graft.ppr(sourceId, iters), graft.katz(maxLen, beta), " +
+        "graft.walks(sourceId, walksPerStart, steps)")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

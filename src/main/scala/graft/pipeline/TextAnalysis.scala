@@ -287,6 +287,56 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Duplicated-substring span detection — the distributed shape of
+    * suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": drop verbatim repeats
+    * >= n tokens): a token n-gram occurring more than once ANYWHERE in
+    * the corpus (cross-doc or self-repeat) marks its n positions
+    * duplicated; per document, marked n-gram starts whose distance is
+    * <= n overlap or touch and merge into one maximal span (classic
+    * gaps-and-islands). Output per doc: span count, duplicated-token
+    * total (sum of merged span lengths), and the first span's 1-based
+    * start — the numbers a removal/filter stage keys on.
+    *
+    * Scale shape: the corpus-wide frequency pass is ONE partial-combined
+    * groupBy on the n-gram; the mark-back is a semi join against the
+    * (usually small — AQE broadcasts it) duplicated-gram set; the island
+    * window partitions BY DOCUMENT, so no global sort exists anywhere —
+    * per-partition state is bounded by one document's marked positions
+    * (the packSequences per-shard-window precedent).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "span n-gram order must be >= 2")
+    val grams = df.select(col(idCol).as("doc_id"),
+        posexplode(shingles(tokens(col(textCol)), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select(col("gram"))
+    val marked = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      // NULL lag (first marked position) falls to otherwise(1): a new span
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("span", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) - min(col("pos")) + lit(n)).as("len"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("len")).as("dup_tokens"),
+        min(col("start")).as("first_start"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        coalesce(col("first_start"), lit(0)).cast("long").as("first_start"))
+  }
+
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),
     * plus a min-shingle-hash (stable under small edits — rolling-hash
     * style document signature).

@@ -343,6 +343,16 @@ object CypherGateQueries {
         |RETURN id, ind, outd
         |ORDER BY id""".stripMargin),
 
+    // CALL surface over the r8 walk sampler: 2 hash-guided walks of 6
+    // steps from customer 1 (packed id literal — (1<<48)|1), the walk
+    // corpus replayed bit-for-bit by the same unrolled-argmin oracle as
+    // g27. 281474976710657 = Graphid.pack(Customer, 1).
+    "cy30_call_walks" -> cy(
+      """CALL graft.walks(281474976710657, 2, 6)
+        |YIELD start_id, walk, step, id
+        |RETURN start_id, walk, step, id
+        |ORDER BY walk, step""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -471,6 +481,7 @@ object CypherGateQueries {
          |FROM (${ExtraQueries.oracle("x8_degrees")})
          |WHERE out_degree > 20
          |ORDER BY id""".stripMargin,
+    "cy30_call_walks" -> GraphQueries.walkOracle("c_custkey = 1", 2, 6),
     "cy25_subqueries" ->
       """SELECT n_name AS nation,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer

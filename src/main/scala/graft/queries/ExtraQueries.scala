@@ -243,6 +243,22 @@ object ExtraQueries {
         .limit(20)
     }),
 
+    // Katz centrality index (r8), all-integer: beta^(L-l)-weighted directed
+    // walk counts (alpha = 1/4, horizon 6 — exact on the TPC-H DAG whose
+    // longest path is 5). Rolled up per label so the oracle checks EVERY
+    // vertex's score through the per-label (n, sum, max) triple, not just
+    // a top-k slice.
+    "x25_katz" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      graft.algorithms.GraphAlgorithms
+        .katzIndex(g.allEdges.select(col("src"), col("dst")), maxLen = 6, beta = 4L)
+        .groupBy(shiftright(col("id"), 48).cast("int").as("labid"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("katz")).as("sum_katz"),
+          max(col("katz")).as("max_katz"))
+        .orderBy(col("labid"))
+    }),
+
     // Betweenness centrality (r8) — rows-only by design: the sigma-ratio
     // accumulation is FP-rounded, so the exact stress twin (g25, identical
     // sweeps, integer arithmetic) carries the oracle — the HLL/x1-vs-q14
@@ -537,6 +553,35 @@ object ExtraQueries {
          |$iterCtes
          |SELECT id, CAST(prf AS DOUBLE) / 1e12 AS ppr FROM pr$iters
          |ORDER BY ppr DESC, id LIMIT 20""".stripMargin
+    },
+    "x25_katz" -> {
+      val maxLen = 6
+      val beta = 4L
+      // walk counts per length, statically unrolled; weights beta^(L-l)
+      // match katzIndex's accumulator ladder exactly (all BIGINT)
+      val levelCtes = (1 to maxLen).map { l =>
+        s"""p$l AS MATERIALIZED (
+           |  SELECT e.dst AS id, CAST(SUM(p.c) AS BIGINT) AS c
+           |  FROM p${l - 1} p JOIN edges e ON e.src = p.id GROUP BY 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val weighted = (1 to maxLen).map { l =>
+        val w = Seq.fill(maxLen - l)(beta).product
+        s"SELECT id, c * CAST($w AS BIGINT) AS k FROM p$l"
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${GraphQueries.edgesCte},
+         |allv AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |p0 AS (SELECT id, CAST(1 AS BIGINT) AS c FROM allv),
+         |$levelCtes,
+         |k AS (SELECT id, CAST(SUM(k) AS BIGINT) AS katz
+         |      FROM ($weighted) GROUP BY id)
+         |SELECT CAST(a.id >> 48 AS INTEGER) AS labid,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(COALESCE(k.katz, 0)) AS BIGINT) AS sum_katz,
+         |       CAST(MAX(COALESCE(k.katz, 0)) AS BIGINT) AS max_katz
+         |FROM allv a LEFT JOIN k ON k.id = a.id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "x4_vle_paths" -> {
       val start = "(CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT)"

@@ -43,6 +43,39 @@ object GraphQueries {
 
   private val startCust1 = "(CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT)"
 
+  /** Oracle for RandomWalks.hashWalks, statically unrolled: per step the
+    * candidate set with its h32 draw, then the (h, dst)-ordered pick —
+    * exactly the Spark argmin (min(struct(h, dst))) replayed in SQL. The
+    * hash text "s|w|t|dst" renders integers as plain decimal digits in
+    * both engines, so the md5 inputs are byte-identical.
+    */
+  private[queries] def walkOracle(custFilter: String, walks: Int,
+      steps: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT p.s, p.w, e.dst,
+         |    (('0x' || substr(md5(p.s || '|' || p.w || '|' || $t || '|' || e.dst),1,8))::BIGINT) AS h
+         |  FROM w${t - 1} p JOIN edges e ON e.src = p.id),
+         |w$t AS MATERIALIZED (
+         |  SELECT s, w, dst AS id FROM (
+         |    SELECT s, w, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY s, w ORDER BY h, dst) AS rn
+         |    FROM c$t) x WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps)
+      .map(t => s"SELECT s, w, $t AS step, id FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH $edgesCte,
+       |starts AS (SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS s
+       |           FROM customer WHERE $custFilter),
+       |w0 AS (SELECT s, CAST(v.w AS INT) AS w, s AS id
+       |       FROM starts CROSS JOIN (SELECT UNNEST(range(1, ${walks + 1})) AS w) v),
+       |$stepCtes
+       |SELECT s AS start_id, w AS walk, CAST(step AS INT) AS step, id
+       |FROM ($union)
+       |ORDER BY start_id, walk, step""".stripMargin
+  }
+
   private def srcDst(df: DataFrame): DataFrame = df.select(col("src"), col("dst"))
 
   /** Co-supply graph for the triangle gates (g23/g24): suppliers linked iff
@@ -343,6 +376,22 @@ object GraphQueries {
         .agg(sum(expr("840 div dist")).as("h840"),
           count(lit(1)).as("n_reached"))
         .orderBy(col("id"))
+    }),
+
+    // Deterministic hash-guided random walks (r8) — the DeepWalk/node2vec
+    // corpus-sampling primitive: 3 walks x 6 steps from each of 20
+    // customers, next hop = argmin h32("start|walk|step|neighbor") over
+    // the out-neighbors (ties to the smaller id). Zero RNG state, so the
+    // full walk corpus is oracle-replayable bit-for-bit; walks truncate at
+    // DAG sinks exactly like DeepWalk corpora do.
+    "g27_hash_walks" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val starts = (1L to 20L)
+        .map(Graphid.pack(GraphStore.Lab.Customer, _)).toDF("id")
+      graft.algorithms.RandomWalks
+        .hashWalks(srcDst(g.allEdges), starts, steps = 6, walksPerStart = 3)
+        .orderBy(col("start_id"), col("walk"), col("step"))
     }),
 
     // Synchronous label propagation (r8; no reference analogue — the
@@ -754,6 +803,7 @@ object GraphQueries {
          |FROM (SELECT lbl, COUNT(*) AS sz FROM l$rounds GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin
     },
+    "g27_hash_walks" -> walkOracle("c_custkey BETWEEN 1 AND 20", 3, 6),
     "g25_stress" -> {
       // the two Brandes sweeps unrolled: forward sigma per level (anti-
       // joined against the cumulative visited set), backward integer tau

@@ -228,6 +228,15 @@ object PipelineQueries {
           docs(s, dir).where(col("doc_id") < 10), "doc_id", "text", 32, 16)
         .orderBy(col("id"), col("chunk_idx"))),
 
+    // duplicated-substring spans (r8) — the distributed shape of
+    // suffix-array exact-substring dedup (Lee et al. 2022): corpus-wide
+    // duplicated 4-grams, merged per doc into maximal spans
+    // (gaps-and-islands), reported as per-doc (span count, duplicated
+    // tokens, first span start) over EVERY document
+    "t13_dupspans" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpans(docs(s, dir), "doc_id", "text", 4)
+        .orderBy(col("doc_id"))),
+
     // int8 quantization quality: recall@10 of the quantized index vs the
     // full-precision exact search — all arithmetic exact, oracle-checked
     "e4_quantized_recall" -> ((s, dir) =>
@@ -821,6 +830,45 @@ object PipelineQueries {
          |  CAST(len(list_slice(toks, s, s + 31)) AS BIGINT) AS n_chunk_tokens,
          |  array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk_text
          |FROM st ORDER BY id, chunk_idx""".stripMargin,
+    "t13_dupspans" -> {
+      val n = 4
+      // mirror of TextAnalysis.duplicatedSpans: lateral-unnest positions
+      // (the shinglesSql slice construction), corpus-wide >=2 filter,
+      // LAG-based islands with gap tolerance n, per-doc rollup over all
+      // docs. NULL lag (first marked position) falls to ELSE 1 exactly
+      // like Spark's when(...).otherwise(1).
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(list_slice(toks, i, i + ${n - 1}), ' ') AS gram
+         |  FROM t, UNNEST(range(1, len(toks) - ${n - 2})) AS r(i)
+         |  WHERE len(toks) >= $n),
+         |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+         |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gram)),
+         |brks AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM marked),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+         |  FROM brks),
+         |spans AS (
+         |  SELECT doc_id, span, MIN(pos) AS start,
+         |    MAX(pos) - MIN(pos) + $n AS len
+         |  FROM isl GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, COUNT(*) AS n_spans, SUM(len) AS dup_tokens,
+         |    MIN(start) AS first_start
+         |  FROM spans GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(COALESCE(p.first_start, 0) AS BIGINT) AS first_start
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "e4_quantized_recall" -> {
       val qdot = "list_sum(list_transform(range(1, 65), i -> a.qvec[i] * b.qvec[i]))"
       val qnorm = (t: String) =>

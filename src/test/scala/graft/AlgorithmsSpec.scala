@@ -125,6 +125,55 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(b12 == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 2.0, 5L -> 0.0))
   }
 
+  test("katzIndex: hand-computed weights, multigraph mass, early-stop rescale") {
+    // chain 1->2->3 plus shortcut 1->3: walks ending at 3 are
+    // {1-3, 2-3} (len 1) and {1-2-3} (len 2); at 2 just {1-2}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    def katz(maxLen: Int) = GraphAlgorithms.katzIndex(edges, maxLen, beta = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // L=3: weights 4^(3-l) = 16, 4, 1 -> v2 = 1*16, v3 = 2*16 + 1*4
+    assert(katz(3) == Map(1L -> 0L, 2L -> 16L, 3L -> 36L))
+    // L=4: the frontier dies at level 3, so the accumulator must be
+    // rescaled by the remaining 4^1 — identical to a full-budget run
+    assert(katz(4) == Map(1L -> 0L, 2L -> 64L, 3L -> 144L))
+    // multigraph: a parallel 1->2 edge doubles every walk through it
+    val dup = edges.unionByName(Seq((1L, 2L)).toDF("src", "dst"))
+    val k = GraphAlgorithms.katzIndex(dup, 3, beta = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k == Map(1L -> 0L, 2L -> 32L, 3L -> 40L))
+  }
+
+  test("hashWalks: chain following, sink truncation, edge validity, determinism") {
+    import graft.algorithms.RandomWalks
+    // deterministic on a chain: the only neighbor is always chosen
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val w = RandomWalks.hashWalks(chain, Seq(1L).toDF("id"), steps = 5)
+      .orderBy("step").collect().map(r => (r.getInt(2), r.getLong(3)))
+    assert(w.toSeq == Seq((0, 1L), (1, 2L), (2, 3L))) // truncates at sink 3
+    // branching graph: every consecutive pair must be a real edge, every
+    // walk present, and the corpus identical across runs (zero RNG state)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L), (4L, 5L))
+      .toDF("src", "dst")
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L), (4L, 5L))
+    def corpus() = RandomWalks
+      .hashWalks(g, Seq(1L, 4L).toDF("id"), steps = 6, walksPerStart = 3)
+      .orderBy("start_id", "walk", "step").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    val c1 = corpus()
+    assert(c1 == corpus())
+    assert(c1.map(t => (t._1, t._2)).distinct.size == 6) // 2 starts x 3 walks
+    c1.groupBy(t => (t._1, t._2)).values.foreach { walk =>
+      val sorted = walk.sortBy(_._3)
+      assert(sorted.head._3 == 0 && sorted.head._4 == sorted.head._1)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._3 == a._3 + 1, s"gap in steps: $sorted")
+          assert(edgeSet((a._4, b._4)), s"non-edge hop ${a._4}->${b._4}")
+        case _ =>
+      }
+    }
+  }
+
   test("triangleCountDF equals GraphX triangleCount on a generated graph") {
     val g = DataGenerator.uniform(spark, 150, 400, seed = 29)
     val e = g.allEdges.select($"src", $"dst")

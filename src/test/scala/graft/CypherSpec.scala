@@ -1165,6 +1165,28 @@ class CypherSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("CALL graft.walks follows the KNOWS chain; graft.katz weights walk counts") {
+    // KNOWS: 1->2, 2->3 — a chain, so the hash draw has one candidate per
+    // step and the walk is forced: 1, 2, 3, then sink truncation
+    val start = Graphid.pack(100, 1)
+    val df = session.run(
+      s"""CALL graft.walks($start, 1, 5) YIELD walk, step, id
+         |RETURN walk, step, id ORDER BY step""".stripMargin)
+    assert(rows(df) == Seq(
+      Seq(1, 0, Graphid.pack(100, 1)),
+      Seq(1, 1, Graphid.pack(100, 2)),
+      Seq(1, 2, Graphid.pack(100, 3))))
+    // katz over the chain, beta 4, L=2: walks into 2 = {1-2} (w 4),
+    // into 3 = {2-3} (w 4) + {1-2-3} (w 1)
+    val k = session.run(
+      """CALL graft.katz(2, 4) YIELD id, katz
+        |RETURN id, katz ORDER BY id""".stripMargin)
+    assert(rows(k) == Seq(
+      Seq(Graphid.pack(100, 1), 0L),
+      Seq(Graphid.pack(100, 2), 4L),
+      Seq(Graphid.pack(100, 3), 5L)))
+  }
+
   test("CALL surface fails loud: position, placement, yield, args") {
     val s = session
     val e1 = intercept[Exception](s.run("CALL graft.nope() YIELD id RETURN id"))

@@ -323,6 +323,26 @@ class PipelineSpec extends AnyFunSuite {
       doc2.head.getString(4) == "a b")
   }
 
+  test("duplicated spans: cross-doc + self-repeat marks, island merge, clean docs") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, "a b c d e"),       // shares "a b", "b c" with doc 2
+      (2L, "a b c x y"),
+      (3L, "z z z q a b"),     // self-repeat "z z" (pos 1,2) + "a b" (pos 5)
+      (4L, "unique tokens only here")) // no duplicated 2-gram
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedSpans(d, "doc_id", "text", n = 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 1/2: marked positions 1,2 (gap 1 <= n) merge into ONE span of
+    // length 2-1+2 = 3 tokens ("a b c")
+    // doc 3: positions 1,2 merge (span len 3, "z z z"); position 5 is > n
+    // away -> its own span of len 2 -> 2 spans, 5 dup tokens, first at 1
+    // doc 4: zero spans, sentinel first_start 0
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 1L), (2L, 1L, 3L, 1L), (3L, 2L, 5L, 1L), (4L, 0L, 0L, 0L)))
+  }
+
   test("tfidf ranks document-specific terms above corpus-wide ones") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
