@@ -205,7 +205,7 @@ object GraphAlgorithms {
     def small(df: DataFrame): DataFrame =
       if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
     var paths = verts.withColumn("c", lit(1L)) // paths_0: the empty walk
-    var acc: DataFrame = null // running sum_l beta^(L-l) * paths_l
+    val levels = scala.collection.mutable.ArrayBuffer.empty[(Int, DataFrame)]
     var level = 0
     var live = nVerts
     while (level < maxLen && live > 0) {
@@ -214,28 +214,21 @@ object GraphAlgorithms {
         .groupBy(e("dst").as("id")).agg(sum(col("c")).as("c"))
         .localCheckpoint(false)
       live = paths.count() // materializes the level + terminates on empty
-      // fold the level in at its weight; the weight ladder multiplies the
-      // ACCUMULATOR by beta each level, so level l ends up at beta^(L-l)
-      // without knowing in advance where the DAG's frontier dies
-      val weighted = paths.select(col("id"), col("c").as("k"))
-      acc = if (acc == null) weighted
-      else acc.select(col("id"), (col("k") * lit(beta)).as("k"))
-        .unionByName(weighted)
-        .groupBy(col("id")).agg(sum(col("k")).as("k"))
-        .localCheckpoint(false)
+      if (live > 0) levels += ((level, paths))
     }
     e.unpersist()
-    // early frontier death (level T < maxLen): the remaining empty levels
-    // contribute nothing but still climb the weight ladder, so the
-    // accumulated weights must finish at beta^(maxLen-l) — one constant
-    // multiply, keeping the result identical to a full-budget run (and to
-    // the oracle's statically-unrolled maxLen levels)
-    val deficit = maxLen - level
+    // ONE weighted union-aggregate over the checkpointed levels (instead
+    // of a per-level |V| accumulator shuffle): level l enters at its final
+    // beta^(maxLen-l) weight — levels past an early frontier death are
+    // empty and contribute nothing, so the result equals the full-budget
+    // run (and the oracle's statically-unrolled maxLen levels)
     val scores =
-      if (acc == null) verts.withColumn("k", lit(0L))
-      else if (deficit == 0) acc
-      else acc.select(col("id"),
-        (col("k") * lit(Seq.fill(deficit)(beta).product)).as("k"))
+      if (levels.isEmpty) verts.withColumn("k", lit(0L))
+      else levels.map { case (l, df) =>
+        df.select(col("id"),
+          (col("c") * lit(Seq.fill(maxLen - l)(beta).product)).as("k"))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("id")).agg(sum(col("k")).as("k"))
     verts.join(scores, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("k"), lit(0L)).as("katz"))
   }
