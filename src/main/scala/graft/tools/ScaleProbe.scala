@@ -58,6 +58,7 @@ object ScaleProbe {
       case "lpa"      => lpaProbe(spark, sfDir)
       case "triangles" => trianglesProbe(spark, sfDir)
       case "stress"   => stressProbe(spark, sfDir)
+      case "walks"    => walksProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -360,6 +361,51 @@ object ScaleProbe {
     }
     run("warmup", 25, warm = true)
     for (n <- Seq(25, 100, 400)) run(s"sources-$n", n)
+  }
+
+  /** g27's scale axis: concurrent-walk count (fixed 1000 starts, walks
+    * per start swept 1/4/16/64) at fixed 6 steps. Walk state is one row
+    * per live walk and each step is one frontier join + one argmin
+    * shuffle whose width is the frontier's out-edge fan-out, so time
+    * should be flat-to-linear in the walk count (overhead-dominated at
+    * this SF). The top rung re-runs with the broadcast gate forced off —
+    * the shuffle-fallback path a node2vec-scale frontier (|V| x r walks)
+    * would take — which must be comparable, not cliff-shaped.
+    */
+  private def walksProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val edges = g.allEdges.select(col("src"), col("dst")).localCheckpoint()
+    edges.count()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    def run(tag: String, r: Int, gate: Long, warm: Boolean = false): Unit = {
+      val starts = (1L to 1000L)
+        .map(graft.model.Graphid.pack(graft.store.GraphStore.Lab.Customer, _))
+        .toDF("id")
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      var rows = 0L
+      val times = (1 to (if (warm) 1 else reps)).map { _ =>
+        val t0 = System.nanoTime()
+        rows = graft.algorithms.RandomWalks
+          .hashWalks(edges, starts, steps = 6, walksPerStart = r,
+            maxBroadcastRows = gate)
+          .count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        dt
+      }
+      if (!warm)
+        println(f"SCALE axis=$tag walks=${1000 * r} rows=$rows min=${times.min}%.2f s " +
+          times.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+    }
+    val bigGate = graft.algorithms.Traversals.BroadcastFrontierRows
+    run("warmup", 1, bigGate, warm = true)
+    for (r <- Seq(1, 4, 16, 64)) run(s"walks-x$r", r, bigGate)
+    run("walks-x64-shuffle", 64, 0L)
   }
 
   /** g23's scale axes.
