@@ -279,4 +279,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("g27: walk steps are gated-broadcast joins + partial argmin aggregates") {
+    val p = plan("g27_hash_walks")
+    // the per-step frontier joins ride the broadcast gate at this scale,
+    // and the per-(start,walk) argmin is a hash aggregate (map-side
+    // partial_min of the (h, dst) struct), never a window sort
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x25: katz levels are gated-broadcast joins; one final weighted aggregate") {
+    val p = plan("x25_katz")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the checkpointed sides carry no stats, so the INITIAL plan guesses
+    // sort-merge for the |V|-vs-|V| outer join; what must hold is the
+    // runtime decision — AQE's final plan replans it as a broadcast join
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+    assert(finalPlan.contains("HashAggregate"), finalPlan)
+  }
+
+  test("t13: duplicated-span islands window per document, never globally") {
+    val df = SparkEntry.queries("t13_dupspans")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the islands window partitions by doc_id: a global (empty-partition)
+    // window would surface as an Exchange SinglePartition before a Sort
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
