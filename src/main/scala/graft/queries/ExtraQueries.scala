@@ -330,6 +330,48 @@ object ExtraQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Streaming dedup executed for REAL through the micro-batch engine
+    // (r8; the ingestion-time dedup a training-data pipeline runs before
+    // anything lands): events plus a planted duplicate subset — every
+    // 10th event re-delivered a minute later under a fresh event_id, the
+    // at-least-once retry shape — staged as 4 files, maxFilesPerTrigger=1
+    // forcing 4 micro-batches through dropDuplicatesWithinWatermark
+    // state. The watermark horizon exceeds the whole replay, so state
+    // never evicts and the survivor set is exactly the distinct
+    // fingerprint set; the output aggregate reads ONLY fingerprint
+    // columns, so the engine's arbitrary within-batch survivor pick
+    // cannot perturb it — bit-exact against the batch DISTINCT oracle
+    // (decimal accumulation, the x22 pattern).
+    "x26_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = java.nio.file.Files.createTempDirectory("graft_x26_src")
+      val ev = Tables.load(s, dir, "events")
+      val planted = ev.where(col("event_id") % 10 === 0)
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE"))
+      ev.unionByName(planted).repartition(4)
+        .write.mode("overwrite").parquet(src.toString)
+      val sink = "x26_stream_dedup_sink"
+      val q = EventStreams.dedupStream(
+          EventStreams.readStream(s, src.toString, maxFilesPerTrigger = 1),
+          Seq("user_id", "event_type", "value"), watermark = "10000 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     "x21_pagerank_crosscheck" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
       // eager: both PageRank variants consume the edge relation. The
@@ -554,6 +596,14 @@ object ExtraQueries {
          |SELECT id, CAST(prf AS DOUBLE) / 1e12 AS ppr FROM pr$iters
          |ORDER BY ppr DESC, id LIMIT 20""".stripMargin
     },
+    "x26_stream_dedup" ->
+      // the batch face of the streamed dedup: first-per-fingerprint =
+      // DISTINCT on the fingerprint columns (planted re-deliveries add no
+      // new fingerprint, so they must all be dropped by the stream)
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x25_katz" -> {
       val maxLen = 6
       val beta = 4L

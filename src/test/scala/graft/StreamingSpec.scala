@@ -90,6 +90,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedKeys.toSet == batchKeys.toSet && streamedKeys.nonEmpty)
   }
 
+  test("streaming dedup drops re-deliveries arriving in LATER micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two parquet files staged separately + maxFilesPerTrigger=1: the
+    // duplicated fingerprint (7, click, 1.0) spans the batch boundary, so
+    // only the cross-batch dedup STATE can drop the re-delivery — a
+    // within-batch dropDuplicates would pass both
+    val stage = java.nio.file.Files.createTempDirectory("events_dedup2")
+    def put(rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", to_timestamp(col("ts")))
+        .coalesce(1).write.mode("append").parquet(stage.toString)
+    put(Seq((1L, "2024-01-01 10:00:00", 7L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 10:05:00", 8L, "view", 2.0, "{}")))
+    put(Seq((3L, "2024-01-01 10:10:00", 7L, "click", 1.0, "{}"),
+      (4L, "2024-01-01 10:15:00", 9L, "click", 3.0, "{}")))
+    val q = EventStreams.dedupStream(
+        EventStreams.readStream(spark, stage.toString, maxFilesPerTrigger = 1),
+        Seq("user_id", "event_type", "value"), watermark = "10 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_xbatch").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("dedup_xbatch")
+      .select("user_id", "event_type", "value").collect().map(_.toSeq)
+    assert(out.length == 3, out.toSeq)
+    assert(out.toSet == Set(Seq(7L, "click", 1.0), Seq(8L, "view", 2.0),
+      Seq(9L, "click", 3.0)))
+  }
+
   test("watermark finalizes windows and drops late events (append mode)") {
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("events_late")
