@@ -161,6 +161,13 @@ object Ast {
   final case class CallClause(proc: String, args: Seq[Expr],
       yields: Seq[(String, Option[String])], where: Option[Expr]) extends Clause
 
+  /** `CALL { <subquery> }` (openCypher CALL subquery — beyond the
+    * reference grammar): an optional leading `WITH a, b` of bare variables
+    * imports outer bindings; the inner part is read-only and ends in
+    * RETURN, whose items join back onto the enclosing pipeline.
+    */
+  final case class CallSubqueryClause(inner: Query) extends Clause
+
   /** A whole query = ordered clause pipeline (generalizes the reference's
     * Read/Write/Mixed split, ast.rs:10-37).
     */

@@ -31,6 +31,14 @@ final class Parser(tokens: Vector[Tok]) {
     case _ => fail("expected identifier")
   }
 
+  /** Top-level entry guard: the clause loop stops at '}' for subquery
+    * recursion, so the public parse must reject trailing tokens itself.
+    */
+  def requireEof(): Unit = cur match {
+    case Eof(_) => ()
+    case _ => fail("unexpected trailing input after query")
+  }
+
   def parseQuery(): Query = {
     val clauses = Seq.newBuilder[Clause]
     var done = false
@@ -48,6 +56,9 @@ final class Parser(tokens: Vector[Tok]) {
         case Kw("REMOVE", _) => clauses += parseRemove()
         case Kw("CALL", _) => clauses += parseCall()
         case Kw("UNION", _) => done = true
+        // subquery close: CALL { <query> } recursion returns here; the
+        // top-level entry rejects a stray '}' via its trailing-token check
+        case Op("}", _) => done = true
         case Eof(_) => done = true
         case Op(";", _) => p += 1
         case _ => fail("expected clause keyword")
@@ -289,8 +300,13 @@ final class Parser(tokens: Vector[Tok]) {
   }
 
   /** CALL ns.name(args) [YIELD a [AS b], ...] [WHERE expr] */
-  private def parseCall(): CallClause = {
+  private def parseCall(): Clause = {
     eatKw("CALL")
+    if (tryOp("{")) {
+      val inner = parseQuery()
+      eatOp("}")
+      return CallSubqueryClause(inner)
+    }
     val name = Seq.newBuilder[String]
     name += ident()
     while (tryOp(".")) name += ident()
@@ -634,8 +650,12 @@ final class Parser(tokens: Vector[Tok]) {
 }
 
 object Parser {
-  def parse(cypher: String): Ast.Query =
-    new Parser(Lexer.tokenize(cypher)).parseQuery()
+  def parse(cypher: String): Ast.Query = {
+    val p = new Parser(Lexer.tokenize(cypher))
+    val q = p.parseQuery()
+    p.requireEof()
+    q
+  }
 
   def parseExpression(s: String): Ast.Expr =
     new Parser(Lexer.tokenize(s)).parseExpr()

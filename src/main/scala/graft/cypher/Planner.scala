@@ -97,6 +97,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         require(scope.isEmpty && result.isEmpty,
           "CALL is supported as the first clause of a query part")
         scope = Some(compileCall(c))
+      case cs: CallSubqueryClause =>
+        scope = Some(compileCallSubquery(scope, cs))
     }
     PlanResult(result, store)
   }
@@ -457,6 +459,142 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       sub.df.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
       keyCols, if (negated) "left_anti" else "left_semi")
     s.copy(df = joined)
+  }
+
+  /** CALL { <subquery> } — openCypher CALL subquery compiled as ONE join,
+    * never per-row execution (the EXISTS/COUNT{} seeding pattern
+    * generalized to arbitrary returned columns): the inner part runs once
+    * against the DISTINCT imported rows, every WITH (and the final
+    * RETURN, compiled as a WITH) carries hidden import-key columns, and
+    * the result joins back onto the outer relation null-safe on those
+    * keys. Cardinality follows openCypher: each outer row multiplies by
+    * its invocation's result rows; an all-aggregate RETURN yields exactly
+    * one row per invocation (empty matches fill count with 0, sum with 0,
+    * collect with [] — so the outer row survives with the aggregate's
+    * empty value). ORDER BY / SKIP / LIMIT inside the subquery RETURN
+    * would be per-invocation top-k — rejected loudly (apply them after
+    * the CALL); the inner part is read-only, and UNION inside the
+    * subquery is not supported.
+    */
+  private def compileCallSubquery(outer: Option[Scope],
+      c: CallSubqueryClause): Scope = {
+    val q = c.inner
+    require(q.union.isEmpty, "UNION inside CALL { } is not supported")
+    require(q.clauses.nonEmpty && q.clauses.last.isInstanceOf[ReturnClause],
+      "CALL { } must end in RETURN")
+    q.clauses.foreach {
+      case _: MatchClause | _: WithClause | _: UnwindClause |
+          _: ShortestPathClause | _: ReturnClause => ()
+      case _ => sys.error(
+        "CALL { } subqueries are read-only (MATCH/WITH/UNWIND/RETURN only)")
+    }
+    val ret = q.clauses.last.asInstanceOf[ReturnClause]
+    require(ret.orderBy.isEmpty && ret.skip.isEmpty && ret.limit.isEmpty &&
+      !ret.star, "ORDER BY / SKIP / LIMIT / * in a CALL { } RETURN have " +
+      "per-invocation semantics — apply them after the CALL instead")
+    ret.items.foreach { it =>
+      require(it.alias.isDefined || it.expr.isInstanceOf[Variable],
+        "CALL { } RETURN items must be variables or aliased expressions")
+    }
+    // leading import WITH: bare outer variables, nothing else (openCypher
+    // importing-WITH rule). A first-clause WITH of non-outer names would
+    // have no bindings to read anyway.
+    val (imports, body) = q.clauses.head match {
+      case w: WithClause if !w.star && !w.distinct && w.where.isEmpty &&
+          w.orderBy.isEmpty && w.skip.isEmpty && w.limit.isEmpty &&
+          w.items.nonEmpty && w.items.forall { it =>
+            it.expr match {
+              case Variable(v) => it.alias.forall(_ == v) &&
+                outer.exists(_.vars.contains(v))
+              case _ => false
+            }
+          } =>
+        (w.items.map(_.expr.asInstanceOf[Variable].name), q.clauses.tail)
+      case _ => (Nil, q.clauses)
+    }
+    val keyAliases = imports.map(v => fresh(s"ck_$v"))
+    val keyItems = keyAliases.map(k => ReturnItem(Variable(k), Some(k)))
+    def withKeys(w: WithClause): WithClause =
+      if (keyItems.isEmpty) w else w.copy(items = w.items ++ keyItems)
+    var sub: Option[Scope] = imports match {
+      case Nil => None
+      case vs =>
+        val s = outer.get
+        val seedCols = vs.flatMap(s.varCols)
+        val seed0 = s.df.select(seedCols.map(col).toIndexedSeq: _*).distinct()
+        // hidden key columns computed ONCE on the seed (entity -> id,
+        // value -> itself); every subsequent WITH carries them forward
+        val seed = vs.zip(keyAliases).foldLeft(seed0) { case (df, (v, k)) =>
+          df.withColumn(k,
+            if (s.vars(v).kind == VarKind.Value) col(v)
+            else col(Scope.colName(v, "id")))
+        }
+        Some(Scope(seed,
+          vs.map(v => v -> s.vars(v)).toMap ++
+            keyAliases.map(_ -> VarInfo(VarKind.Value, None, Nil)),
+          vs))
+    }
+    body.init.foreach {
+      case m: MatchClause => sub = Some(compileMatch(sub, m))
+      case sp: ShortestPathClause => sub = Some(compileShortestPath(sub, sp))
+      case w0: WithClause =>
+        val w1 = if (w0.star) w0.copy(items = starItems(sub) ++ w0.items,
+          star = false) else w0
+        sub = Some(compileWith(sub.getOrElse(emptyScope), withKeys(w1)))
+      case u: UnwindClause =>
+        val ss = sub.getOrElse(emptyScope)
+        val cc = ec(ss).compile(u.expr)
+        sub = Some(Scope(ss.df.withColumn(u.alias, explode(cc)),
+          ss.vars + (u.alias -> VarInfo(VarKind.Value, None, Nil)),
+          ss.order :+ u.alias))
+      case _ => sys.error("CALL { } must end in RETURN")
+    }
+    val asWith = WithClause(ret.distinct, ret.items, Nil, None, None, None)
+    val subF = compileWith(sub.getOrElse(emptyScope), withKeys(asWith))
+    val outputs = subF.order.filterNot(keyAliases.contains)
+    outer.foreach { s =>
+      outputs.foreach(o => require(!s.vars.contains(o),
+        s"CALL { } returns '$o', which is already bound in the outer scope"))
+    }
+    val outVars = outputs.map(o => o -> subF.vars(o)).toMap
+    val allAgg = ret.items.forall(it => ec(subF).isAggregate(it.expr))
+    outer match {
+      case None =>
+        Scope(subF.df.drop(keyAliases: _*), outVars, outputs)
+      case Some(s) if imports.isEmpty =>
+        // uncorrelated under a bound scope: every outer row pairs with
+        // every invocation row (the invocation is outer-independent, so
+        // this cross product IS the openCypher cardinality)
+        Scope(s.df.crossJoin(subF.df), s.vars ++ outVars, s.order ++ outputs)
+      case Some(s) =>
+        val cond = imports.zip(keyAliases).map { case (v, k) =>
+          val ocName = if (s.vars(v).kind == VarKind.Value) v
+          else Scope.colName(v, "id")
+          s.df(ocName) <=> subF.df(k)
+        }.reduce(_ && _)
+        val joinType = if (allAgg) "left_outer" else "inner"
+        var joined = s.df.join(subF.df, cond, joinType).drop(keyAliases: _*)
+        if (allAgg) {
+          // per-invocation aggregate semantics on an empty match: the row
+          // survives with the aggregate's empty value
+          val types = subF.df.schema.fields.map(f => f.name -> f.dataType).toMap
+          ret.items.foreach { it =>
+            val name = it.alias.getOrElse(defaultName(it.expr, 0))
+            val fill: Option[Column] = it.expr match {
+              case CountStar => Some(lit(0L))
+              case FnCall(n, _, _) if n.equalsIgnoreCase("count") => Some(lit(0L))
+              case FnCall(n, _, _) if n.equalsIgnoreCase("sum") =>
+                Some(lit(0).cast(types(name)))
+              case FnCall(n, _, _) if n.equalsIgnoreCase("collect") =>
+                Some(array().cast(types(name)))
+              case _ => None // min/max/avg over empty stay NULL (openCypher)
+            }
+            fill.foreach(f =>
+              joined = joined.withColumn(name, coalesce(col(name), f)))
+          }
+        }
+        Scope(joined, s.vars ++ outVars, s.order ++ outputs)
+    }
   }
 
   /** Hoist pattern comprehensions and COUNT {} subqueries out of

@@ -353,6 +353,26 @@ object CypherGateQueries {
         |RETURN start_id, walk, step, id
         |ORDER BY walk, step""".stripMargin),
 
+    // CALL { } subqueries (r8): the correlated-aggregate form — one row
+    // per outer nation, empty invocations surviving with count 0 / NULL
+    // max (the left-outer + fill path) — and the multiplying form (each
+    // region row fans out by its invocation's rows, inner-join path).
+    // Compiled as ONE seeded join each, never per-row execution.
+    "cy31_call_subquery_agg" -> cy(
+      """MATCH (n:Nation)
+        |CALL { WITH n MATCH (c:Customer)-[:CUST_NATION]->(n)
+        |       WHERE c.c_acctbal > 5000
+        |       RETURN count(c) AS n_rich, max(c.c_acctbal) AS top_bal }
+        |RETURN n.n_name AS nation, n_rich, top_bal
+        |ORDER BY nation""".stripMargin),
+
+    "cy32_call_subquery_rows" -> cy(
+      """MATCH (r:Region)
+        |CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+        |       RETURN n.n_name AS nation }
+        |RETURN r.r_name AS region, nation
+        |ORDER BY region, nation""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -482,6 +502,18 @@ object CypherGateQueries {
          |WHERE out_degree > 20
          |ORDER BY id""".stripMargin,
     "cy30_call_walks" -> GraphQueries.walkOracle("c_custkey = 1", 2, 6),
+    "cy31_call_subquery_agg" ->
+      """SELECT n_name AS nation,
+        |  CAST(COALESCE(x.n_rich, 0) AS BIGINT) AS n_rich, x.top_bal
+        |FROM nation LEFT JOIN (
+        |  SELECT c_nationkey, COUNT(*) AS n_rich, MAX(c_acctbal) AS top_bal
+        |  FROM customer WHERE c_acctbal > 5000 GROUP BY 1) x
+        |  ON x.c_nationkey = n_nationkey
+        |ORDER BY nation""".stripMargin,
+    "cy32_call_subquery_rows" ->
+      """SELECT r_name AS region, n_name AS nation
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |ORDER BY region, nation""".stripMargin,
     "cy25_subqueries" ->
       """SELECT n_name AS nation,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer

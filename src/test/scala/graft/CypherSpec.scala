@@ -1187,6 +1187,62 @@ class CypherSpec extends AnyFunSuite {
       Seq(Graphid.pack(100, 3), 5L)))
   }
 
+  test("CALL { } correlated aggregate: one row per outer row, empty fills") {
+    val df = session.run(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:KNOWS]->(q)
+        |       RETURN count(q) AS nk, collect(q.name) AS names }
+        |RETURN p.name AS name, nk, names ORDER BY name""".stripMargin)
+    assert(rows(df) == Seq(
+      Seq("Alice", 1L, Seq("Bob")),
+      Seq("Bob", 1L, Seq("Charlie")),
+      Seq("Charlie", 0L, Seq()),
+      Seq("David", 0L, Seq())))
+  }
+
+  test("CALL { } non-aggregate multiplies rows and drops empty invocations") {
+    val df = session.run(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:KNOWS]->(q) RETURN q.name AS friend }
+        |RETURN p.name AS name, friend ORDER BY name""".stripMargin)
+    assert(rows(df) == Seq(Seq("Alice", "Bob"), Seq("Bob", "Charlie")))
+  }
+
+  test("CALL { } uncorrelated: runs once, cross-joins; works as first clause") {
+    val df = session.run(
+      """MATCH (p:Person {name: 'Alice'})
+        |CALL { MATCH (q:Person) RETURN max(q.age) AS oldest }
+        |RETURN p.name AS name, oldest""".stripMargin)
+    assert(rows(df) == Seq(Seq("Alice", 35L)))
+    val first = session.run("CALL { MATCH (q:Person) RETURN count(*) AS n } RETURN n")
+    assert(rows(first) == Seq(Seq(4L)))
+  }
+
+  test("CALL { } chains with the outer pipeline after the join-back") {
+    // subquery output feeds a later WHERE + aggregate like any value var
+    val df = session.run(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:KNOWS]->(q) RETURN count(q) AS nk }
+        |WITH p, nk WHERE nk > 0
+        |RETURN count(*) AS with_friends, sum(nk) AS total""".stripMargin)
+    assert(rows(df) == Seq(Seq(2L, 2L)))
+  }
+
+  test("CALL { } fails loud: order-by, mutation, collision, trailing input") {
+    val s = session
+    val e1 = intercept[Exception](s.run(
+      "MATCH (p:Person) CALL { WITH p MATCH (p)-[:KNOWS]->(q) RETURN q.name AS f ORDER BY f } RETURN f"))
+    assert(e1.getMessage.contains("per-invocation"), e1.getMessage)
+    val e2 = intercept[Exception](s.run(
+      "MATCH (p:Person) CALL { CREATE (x:Y) RETURN 1 AS one } RETURN one"))
+    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+    val e3 = intercept[Exception](s.run(
+      "MATCH (p:Person) CALL { WITH p MATCH (p)-[:KNOWS]->(q) RETURN q.name AS p } RETURN p"))
+    assert(e3.getMessage.contains("already bound"), e3.getMessage)
+    val e4 = intercept[Exception](s.run("MATCH (p:Person) RETURN p.name AS n }"))
+    assert(e4.getMessage.contains("trailing"), e4.getMessage)
+  }
+
   test("CALL surface fails loud: position, placement, yield, args") {
     val s = session
     val e1 = intercept[Exception](s.run("CALL graft.nope() YIELD id RETURN id"))

@@ -280,6 +280,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("cy31: CALL { } compiles to one seeded join — no cartesian, no per-row loop") {
+    val p = plan("cy31_call_subquery_agg")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the invocation join-back is a real join over the grouped subquery
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("g27: walk steps are gated-broadcast joins + partial argmin aggregates") {
     val p = plan("g27_hash_walks")
     // the per-step frontier joins ride the broadcast gate at this scale,
