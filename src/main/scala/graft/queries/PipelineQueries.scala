@@ -237,6 +237,54 @@ object PipelineQueries {
       TextAnalysis.duplicatedSpans(docs(s, dir), "doc_id", "text", 4)
         .orderBy(col("doc_id"))),
 
+    // per-source corpus profile (r8) — the pipeline-report composite a
+    // curation run keys on: doc/token/char totals, alpha ratio (ONE
+    // int-to-double division — everything else exact integers), short-doc
+    // count, dominant language (mode of per-doc lang-ID, ties to the
+    // smaller language code via min(struct(-c, lang)) — no window),
+    // exact-dup membership count (corpus-wide normalized-text fingerprint
+    // seen >= 2), and duplicated-span token total (the t13 operator)
+    "t14_corpus_profile" -> ((s, dir) => {
+      import graft.pipeline.TextHash
+      val d = docs(s, dir)
+      val toks = TextHash.tokens(col("text"))
+      val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+      val base = d.select(col("source"), col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast("long").as("n_alpha"),
+        h32(norm).as("fp"))
+      val dupFp = base.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select(col("fp")).withColumn("dup", lit(1L))
+      val perSrc = base.join(dupFp, Seq("fp"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_alpha")).as("alpha_chars"),
+          sum(when(col("n_toks") < 32, 1L).otherwise(0L)).as("n_short"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_exact_dup"))
+      val domLang = TextAnalysis.langId(d, "text")
+        .groupBy(col("source"), col("predicted_lang"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(min(struct((-col("c")).as("nc"),
+          col("predicted_lang").as("l"))).as("m"))
+        .select(col("source"), col("m.l").as("dominant_lang"))
+      val spans = TextAnalysis.duplicatedSpans(d, "doc_id", "text", 4)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source")).agg(sum(col("dup_tokens")).as("dupspan_tokens"))
+      perSrc.join(domLang, Seq("source")).join(spans, Seq("source"))
+        .withColumn("alpha_ratio",
+          col("alpha_chars").cast("double") / col("total_chars").cast("double"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("total_chars"), col("alpha_chars"), col("alpha_ratio"),
+          col("n_short"), col("dominant_lang"), col("n_exact_dup"),
+          col("dupspan_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // int8 quantization quality: recall@10 of the quantized index vs the
     // full-precision exact search — all arithmetic exact, oracle-checked
     "e4_quantized_recall" -> ((s, dir) =>
@@ -365,6 +413,54 @@ object PipelineQueries {
        |w AS (SELECT lang, $best AS best, * FROM v)
        |SELECT lang, $pred AS predicted_lang, COUNT(*) AS n
        |FROM w GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin
+  }
+
+  /** Duplicated-span CTE chain (t13's oracle, reused by t14): positions
+    * via lateral unnest (the shinglesSql slice construction), corpus-wide
+    * >=2 filter, LAG-based islands with gap tolerance n. NULL lag (first
+    * marked position) falls to ELSE 1 exactly like Spark's
+    * when(...).otherwise(1). Ends at `spans(doc_id, span, start, len)`.
+    */
+  private def dupSpanCtes(n: Int): String =
+    s"""t13t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(toks, i, i + ${n - 1}), ' ') AS gram
+       |  FROM t13t, UNNEST(range(1, len(toks) - ${n - 2})) AS r(i)
+       |  WHERE len(toks) >= $n),
+       |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+       |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gram)),
+       |brks AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM marked),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+       |  FROM brks),
+       |spans AS (
+       |  SELECT doc_id, span, MIN(pos) AS start,
+       |    MAX(pos) - MIN(pos) + $n AS len
+       |  FROM isl GROUP BY 1, 2)""".stripMargin
+
+  /** Per-doc language prediction CTEs (t1's vote/CASE construction with
+    * doc_id + source carried): ends at `lp(doc_id, source,
+    * predicted_lang)`.
+    */
+  private def langPredCtes: String = {
+    val votes = TextAnalysis.stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect($toksSql, $list)) AS v_$lang"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val best = s"greatest(${langs.map(l => s"v_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN v_$l = best AND best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""lv AS (SELECT doc_id, source, $votes FROM documents),
+       |lw AS (SELECT doc_id, source, $best AS best, * FROM lv),
+       |lp AS (SELECT doc_id, source, $pred AS predicted_lang FROM lw)"""
+      .stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -830,34 +926,10 @@ object PipelineQueries {
          |  CAST(len(list_slice(toks, s, s + 31)) AS BIGINT) AS n_chunk_tokens,
          |  array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk_text
          |FROM st ORDER BY id, chunk_idx""".stripMargin,
-    "t13_dupspans" -> {
-      val n = 4
-      // mirror of TextAnalysis.duplicatedSpans: lateral-unnest positions
-      // (the shinglesSql slice construction), corpus-wide >=2 filter,
-      // LAG-based islands with gap tolerance n, per-doc rollup over all
-      // docs. NULL lag (first marked position) falls to ELSE 1 exactly
-      // like Spark's when(...).otherwise(1).
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |grams AS (
-         |  SELECT doc_id, i AS pos,
-         |    array_to_string(list_slice(toks, i, i + ${n - 1}), ' ') AS gram
-         |  FROM t, UNNEST(range(1, len(toks) - ${n - 2})) AS r(i)
-         |  WHERE len(toks) >= $n),
-         |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
-         |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gram)),
-         |brks AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
-         |         THEN 0 ELSE 1 END AS brk
-         |  FROM marked),
-         |isl AS (
-         |  SELECT doc_id, pos,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
-         |  FROM brks),
-         |spans AS (
-         |  SELECT doc_id, span, MIN(pos) AS start,
-         |    MAX(pos) - MIN(pos) + $n AS len
-         |  FROM isl GROUP BY 1, 2),
+    "t13_dupspans" ->
+      // mirror of TextAnalysis.duplicatedSpans (CTE chain shared with the
+      // t14 composite): per-doc rollup over all docs, zero-filled.
+      s"""WITH ${dupSpanCtes(4)},
          |perdoc AS (
          |  SELECT doc_id, COUNT(*) AS n_spans, SUM(len) AS dup_tokens,
          |    MIN(start) AS first_start
@@ -867,7 +939,49 @@ object PipelineQueries {
          |  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
          |  CAST(COALESCE(p.first_start, 0) AS BIGINT) AS first_start
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+    "t14_corpus_profile" -> {
+      val fpSql =
+        h32Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")
+      s"""WITH base AS (
+         |  SELECT source, doc_id, len($toksSql) AS n_toks,
+         |    len(text) AS n_chars,
+         |    len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+         |    $fpSql AS fp
+         |  FROM documents),
+         |dupfp AS (SELECT fp FROM base GROUP BY fp HAVING COUNT(*) >= 2),
+         |persrc AS (
+         |  SELECT source, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens,
+         |    SUM(n_chars) AS total_chars, SUM(n_alpha) AS alpha_chars,
+         |    SUM(CASE WHEN n_toks < 32 THEN 1 ELSE 0 END) AS n_short,
+         |    SUM(CASE WHEN fp IN (SELECT fp FROM dupfp) THEN 1 ELSE 0 END)
+         |      AS n_exact_dup
+         |  FROM base GROUP BY 1),
+         |$langPredCtes,
+         |domc AS (SELECT source, predicted_lang, COUNT(*) AS c
+         |         FROM lp GROUP BY 1, 2),
+         |dom AS (SELECT source, predicted_lang AS dominant_lang FROM (
+         |  SELECT source, predicted_lang,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY c DESC, predicted_lang) AS rn
+         |  FROM domc) WHERE rn = 1),
+         |${dupSpanCtes(4)},
+         |sp AS (
+         |  SELECT d.source, SUM(s.len) AS dupspan_tokens
+         |  FROM spans s JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT p.source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(total_tokens AS BIGINT) AS total_tokens,
+         |  CAST(total_chars AS BIGINT) AS total_chars,
+         |  CAST(alpha_chars AS BIGINT) AS alpha_chars,
+         |  CAST(alpha_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+         |    AS alpha_ratio,
+         |  CAST(n_short AS BIGINT) AS n_short, dom.dominant_lang,
+         |  CAST(n_exact_dup AS BIGINT) AS n_exact_dup,
+         |  CAST(COALESCE(sp.dupspan_tokens, 0) AS BIGINT) AS dupspan_tokens
+         |FROM persrc p
+         |JOIN dom USING (source)
+         |LEFT JOIN sp ON sp.source = p.source
+         |ORDER BY p.source""".stripMargin
     },
     "e4_quantized_recall" -> {
       val qdot = "list_sum(list_transform(range(1, 65), i -> a.qvec[i] * b.qvec[i]))"
