@@ -418,6 +418,84 @@ object GraphAlgorithms {
       .select(col("id"), col("deg"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** Per-edge triangle support of the canonical simple graph `und`
+    * (columns a < b): the triangleCountDF degree-ordered orientation and
+    * wedge closure, with each triangle's three edges unioned back to
+    * canonical pairs and counted — same O(E^1.5) worst-case bound, all
+    * joins/aggregates.
+    */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val ranked = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val rankA = struct(col("da").as("d"), col("a").as("i"))
+    val rankB = struct(col("db").as("d"), col("b").as("i"))
+    val flip = rankB < rankA
+    val oriented = ranked.select(
+        when(flip, col("b")).otherwise(col("a")).as("u"),
+        when(flip, rankA).otherwise(rankB).as("rv"))
+      .select(col("u"), col("rv"), col("rv").getField("i").as("v"))
+    val o1 = oriented.select(col("u"), col("v").as("wv"), col("rv").as("r1"))
+    val o2 = oriented.select(col("u"), col("v").as("ww"), col("rv").as("r2"))
+    val wedges = o1.join(o2, o1("u") === o2("u") && col("r1") < col("r2"))
+      .select(o1("u").as("tu"), col("wv"), col("ww"))
+    val closer = oriented.select(col("u").as("cu"), col("v").as("cv"))
+    val tris = wedges
+      .join(closer, col("wv") === col("cu") && col("ww") === col("cv"))
+      .select(col("tu"), col("wv"), col("ww"))
+    def pair(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      Seq(least(x, y).as("a"), greatest(x, y).as("b"))
+    tris.select(pair(col("tu"), col("wv")): _*)
+      .unionByName(tris.select(pair(col("tu"), col("ww")): _*))
+      .unionByName(tris.select(pair(col("wv"), col("ww")): _*))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+  }
+
+  /** k-truss (Cohen 2008): the maximal subgraph in which every edge
+    * closes at least k-2 triangles — the edge-cohesion sibling of k-core
+    * (which bounds vertex degrees). Peels by FULL support recount per
+    * round against the current edge checkpoint: simple, stateless, and
+    * exactly equivalent to incremental support maintenance (the at-scale
+    * refinement, which subtracts the triangles each removed edge closed
+    * instead of recounting). Each round is one compact-forward triangle
+    * pass + one edge filter; the cascade converges in a handful of
+    * rounds on real graphs (the oracle unrolls a superset and the
+    * removed-count fixpoint test ends the loop exactly). Returns the
+    * canonical (a < b) truss edge set; k >= 3 (the 2-truss is the whole
+    * simple graph, and zero-support edges drop via the inner support
+    * join, sound only when k-2 >= 1).
+    */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 3, "k-truss needs k >= 3")
+    var (und, release) = trackedCheckpoint(
+      edges.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct(),
+      eager = true)
+    var n = und.count()
+    var rounds = 0
+    var converged = n == 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val (kept, releaseKept) = trackedCheckpoint(
+        und.join(edgeSupport(und), Seq("a", "b"))
+          .where(col("sup") >= k - 2)
+          .select(col("a"), col("b")),
+        eager = false)
+      val nk = kept.count() // one job: materializes + tests the fixpoint
+      converged = nk == n || nk == 0
+      release(); und = kept; release = releaseKept
+      n = nk
+    }
+    und
+  }
+
   /** Stress centrality (Shimbel 1953) from a bounded source set — the
     * all-integer member of the Brandes centrality family: stress(v) =
     * number of shortest s→t paths passing through v as an interior vertex,

@@ -443,6 +443,22 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // k-truss (r8) — edge-cohesion peeling on a deterministically thinned
+    // co-supply graph (h32 keeps ~20% of edges: the raw co-supply relation
+    // is near-clique at every SF, where any small truss threshold keeps
+    // everything — thinning makes the cascade actually peel, 5 rounds at
+    // sf0.01). Output: per-vertex degree within the 4-truss.
+    "g28_ktruss" -> ((s, dir) => {
+      import graft.pipeline.TextHash
+      val thin = coSupplyEdges(s, dir)
+        .where(TextHash.h32(concat_ws("|", col("src"), col("dst"))) % 10 < 2)
+      val truss = graft.algorithms.GraphAlgorithms.kTruss(thin, 4)
+      truss.select(col("a").as("id"))
+        .unionByName(truss.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("truss_deg"))
+        .orderBy(col("id"))
+    }),
+
     // Clustering summary over the same graph: closed wedge-ends (= 3 x
     // triangle count), total wedges sum(d*(d-1)/2), vertex/edge counts, and
     // global transitivity = closed/wedges — exact integers plus ONE
@@ -804,6 +820,37 @@ object GraphQueries {
          |GROUP BY sz ORDER BY sz""".stripMargin
     },
     "g27_hash_walks" -> walkOracle("c_custkey BETWEEN 1 AND 20", 3, 6),
+    "g28_ktruss" -> {
+      // support-peel rounds unrolled (8 >= the measured 5-round cascade at
+      // sf0.01; converged rounds are no-ops, the g17/g22 pattern); support
+      // threshold k-2 = 2 for the 4-truss
+      val rounds = 8
+      val iter = (1 to rounds).map { i =>
+        s"""tri$i AS MATERIALIZED (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e${i - 1} e1
+           |  JOIN e${i - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+           |  JOIN e${i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |sup$i AS MATERIALIZED (
+           |  SELECT a, b, COUNT(*) AS c FROM (
+           |    SELECT x AS a, y AS b FROM tri$i
+           |    UNION ALL SELECT x, z FROM tri$i
+           |    UNION ALL SELECT y, z FROM tri$i) GROUP BY 1, 2),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN sup$i s ON s.a = e.a AND s.b = e.b
+           |  WHERE s.c >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+         |            FROM lineitem WHERE l_partkey < 2000),
+         |und AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+         |        FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk),
+         |e0 AS MATERIALIZED (SELECT a, b FROM und
+         |  WHERE (('0x' || substr(md5(a || '|' || b),1,8))::BIGINT) % 10 < 2),
+         |$iter
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS truss_deg FROM (
+         |  SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |GROUP BY id ORDER BY id""".stripMargin
+    },
     "g25_stress" -> {
       // the two Brandes sweeps unrolled: forward sigma per level (anti-
       // joined against the cumulative visited set), backward integer tau

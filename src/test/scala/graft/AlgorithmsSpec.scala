@@ -125,6 +125,25 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(b12 == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 2.0, 5L -> 0.0))
   }
 
+  test("kTruss: support threshold, multi-round cascade, duplicate collapse") {
+    import org.apache.spark.sql.functions._
+    // two triangles sharing edge (2,3), plus a tail (4,5); duplicate and
+    // reversed edges must collapse before support counting
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    def truss(k: Int) = GraphAlgorithms.kTruss(edges, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k=3 (support >= 1): only the tail edge lacks a triangle
+    assert(truss(3) == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // k=4 (support >= 2): round 1 keeps only (2,3) (support 2), round 2
+    // finds it support-less -> empty; the CASCADE is what this pins
+    assert(truss(4) == Set.empty)
+    // a 4-clique is a 4-truss: every edge closes 2 triangles
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    assert(GraphAlgorithms.kTruss(clique, 4).count() == 6L)
+  }
+
   test("katzIndex: hand-computed weights, multigraph mass, early-stop rescale") {
     // chain 1->2->3 plus shortcut 1->3: walks ending at 3 are
     // {1-3, 2-3} (len 1) and {1-2-3} (len 2); at 2 just {1-2}
