@@ -142,6 +142,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       case "graft.katz" => nargs(2)
         GraphAlgorithms.katzIndex(edges, intArg(0, Some(6)),
           longArg(1, Some(4L)))
+      case "graft.ktruss" => nargs(1)
+        GraphAlgorithms.kTruss(edges, intArg(0))
       case "graft.walks" =>
         nargs(3)
         import spark.implicits._
@@ -152,7 +154,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
         "graft.ppr(sourceId, iters), graft.katz(maxLen, beta), " +
-        "graft.walks(sourceId, walksPerStart, steps)")
+        "graft.kTruss(k), graft.walks(sourceId, walksPerStart, steps)")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

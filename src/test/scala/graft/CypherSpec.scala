@@ -1185,6 +1185,9 @@ class CypherSpec extends AnyFunSuite {
       Seq(Graphid.pack(100, 1), 0L),
       Seq(Graphid.pack(100, 2), 4L),
       Seq(Graphid.pack(100, 3), 5L)))
+    // the KNOWS chain has no triangles: its 3-truss is empty
+    val t = session.run("CALL graft.kTruss(3) YIELD a RETURN count(*) AS n")
+    assert(rows(t) == Seq(Seq(0L)))
   }
 
   test("CALL { } correlated aggregate: one row per outer row, empty fills") {
