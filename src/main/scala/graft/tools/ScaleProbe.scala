@@ -59,6 +59,7 @@ object ScaleProbe {
       case "triangles" => trianglesProbe(spark, sfDir)
       case "stress"   => stressProbe(spark, sfDir)
       case "walks"    => walksProbe(spark, sfDir)
+      case "ktruss"   => ktrussProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -361,6 +362,54 @@ object ScaleProbe {
     }
     run("warmup", 25, warm = true)
     for (n <- Seq(25, 100, 400)) run(s"sources-$n", n)
+  }
+
+  /** g28's scale axis: the g28 gate graph (h32-thinned co-supply, 20%)
+    * replicated Kx as DISJOINT copies — per-replica truss structure is
+    * identical, peel-round count is constant, so time should track K;
+    * superlinear growth would flag a cross-copy stage in the per-round
+    * support recount.
+    */
+  private def ktrussProbe(spark: SparkSession, sfDir: String): Unit = {
+    import graft.pipeline.TextHash
+    val ps = graft.store.Tables.load(spark, sfDir, "lineitem")
+      .where(col("l_partkey") < 2000)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val base = ps.as("x").join(ps.as("y"),
+        col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+      .where(TextHash.h32(concat_ws("|", col("src"), col("dst"))) % 10 < 2)
+      .localCheckpoint()
+    val n0 = base.count()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    def run(tag: String, df: org.apache.spark.sql.DataFrame, warm: Boolean = false): Unit = {
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to (if (warm) 1 else reps)).map { _ =>
+        val t0 = System.nanoTime()
+        val nEdges = graft.algorithms.GraphAlgorithms.kTruss(df, 4).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, nEdges)
+      }
+      if (!warm)
+        println(f"SCALE axis=$tag truss_edges=${times.head._2} " +
+          f"min=${times.map(_._1).min}%.2f s " +
+          times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+    run("warmup", base, warm = true)
+    for (k <- Seq(1, 4, 16)) {
+      val df = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong << 28)).as("src"),
+          (col("dst") + lit(i.toLong << 28)).as("dst")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      println(s"SCALE axis=replicate k=$k edges=${n0 * k}")
+      run(s"replicate-k$k", df)
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+    }
   }
 
   /** g27's scale axis: concurrent-walk count (fixed 1000 starts, walks
