@@ -61,7 +61,11 @@ object Ast {
     * the planner compiles top-level WHERE conjuncts of this shape to a
     * left-semi join (left-anti under NOT) against the pattern's matches.
     */
-  final case class PatternPred(pattern: PathPat) extends Expr
+  /** The r8 braces form `EXISTS { [MATCH] (a)-[:T]->(b) [WHERE pred] }`
+    * carries the inner predicate; the paren form leaves it None.
+    */
+  final case class PatternPred(pattern: PathPat,
+      where: Option[Expr] = None) extends Expr
 
   /** `[(a)-[:T]->(b) WHERE pred | proj]` pattern comprehension — the list
     * of `proj` values over the pattern's matches, per outer row. Not a

@@ -504,6 +504,7 @@ final class Parser(tokens: Vector[Tok]) {
           parseListPred(name.toLowerCase)
         else parseFnCall(name)
       } else if (name.equalsIgnoreCase("count") && isOp("{")) parseCountSub()
+      else if (name.equalsIgnoreCase("exists") && isOp("{")) parseExistsSub()
       else Variable(name)
     case Op("(", _) => p += 1; val e = parseExpr(); eatOp(")"); e
     case Op("[", _) =>
@@ -557,10 +558,24 @@ final class Parser(tokens: Vector[Tok]) {
     */
   private def parseCountSub(): Expr = {
     eatOp("{")
+    tryKw("MATCH") // the full-statement spelling COUNT { MATCH ... }
     val pp = parsePathPat()
     val whereE = if (tryKw("WHERE")) Some(parseExpr()) else None
     eatOp("}")
     CountSub(pp, whereE)
+  }
+
+  /** `EXISTS { [MATCH] (a)-[:T]->(b) [WHERE pred] }` — the modern
+    * openCypher existential subquery (braces form). Single pattern +
+    * predicate only; a multi-clause inner query fails loudly at the '}'.
+    */
+  private def parseExistsSub(): Expr = {
+    eatOp("{")
+    tryKw("MATCH")
+    val pp = parsePathPat()
+    val whereE = if (tryKw("WHERE")) Some(parseExpr()) else None
+    eatOp("}")
+    PatternPred(pp, whereE)
   }
 
   /** reduce(acc = init, x IN list | body) — openCypher fold syntax. */

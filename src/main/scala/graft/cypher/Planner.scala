@@ -427,8 +427,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     var s = s0
     val plain = Seq.newBuilder[Expr]
     conjuncts(w).foreach {
-      case PatternPred(p) => s = compilePatternPred(s, p, negated = false)
-      case Un("NOT", PatternPred(p)) => s = compilePatternPred(s, p, negated = true)
+      case PatternPred(p, w) =>
+        s = compilePatternPred(s, p, w, negated = false)
+      case Un("NOT", PatternPred(p, w)) =>
+        s = compilePatternPred(s, p, w, negated = true)
       case other => plain += other
     }
     val rest = plain.result()
@@ -446,7 +448,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     * semi side is key-distinct, so its size is bounded by the outer key
     * cardinality regardless of the pattern's fan-out.
     */
-  private def compilePatternPred(s: Scope, pat: PathPat, negated: Boolean): Scope = {
+  private def compilePatternPred(s: Scope, pat: PathPat, whereE: Option[Expr],
+      negated: Boolean): Scope = {
     val shared = patternVars(Seq(pat)).filter(s.vars.contains)
     require(shared.nonEmpty,
       "EXISTS pattern must reference at least one variable bound by the enclosing MATCH")
@@ -454,6 +457,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     val seed = s.df.select(seedCols.map(col).toIndexedSeq: _*).distinct()
     var sub = Scope(seed, shared.map(v => v -> s.vars(v)).toMap, shared)
     sub = compilePath(Some(sub), pat)
+    // the braces form's inner WHERE filters the sub-match before the
+    // key-distinct join-back; recursion through applyWhere means a nested
+    // EXISTS inside it compiles to its own semi join
+    whereE.foreach(w => sub = applyWhere(sub, w))
     val keyCols = shared.map { v =>
       if (s.vars(v).kind == VarKind.Value) v else Scope.colName(v, "id")
     }

@@ -373,6 +373,18 @@ object CypherGateQueries {
         |RETURN r.r_name AS region, nation
         |ORDER BY region, nation""".stripMargin),
 
+    // EXISTS { } existential subquery (r8, braces form with inner WHERE):
+    // nations having a high-balance supplier AND lacking a low-balance
+    // customer — the inner predicates filter the sub-match BEFORE the
+    // key-distinct semi/anti join-back.
+    "cy33_exists_subquery" -> cy(
+      """MATCH (n:Nation)
+        |WHERE EXISTS { MATCH (s:Supplier)-[:SUPP_NATION]->(n)
+        |               WHERE s.s_acctbal > 9000 }
+        |  AND NOT EXISTS { MATCH (c:Customer)-[:CUST_NATION]->(n)
+        |                   WHERE c.c_acctbal < -900 }
+        |RETURN n.n_name AS nation ORDER BY nation""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -502,6 +514,13 @@ object CypherGateQueries {
          |WHERE out_degree > 20
          |ORDER BY id""".stripMargin,
     "cy30_call_walks" -> GraphQueries.walkOracle("c_custkey = 1", 2, 6),
+    "cy33_exists_subquery" ->
+      """SELECT n_name AS nation FROM nation
+        |WHERE EXISTS (SELECT 1 FROM supplier
+        |              WHERE s_nationkey = n_nationkey AND s_acctbal > 9000)
+        |  AND NOT EXISTS (SELECT 1 FROM customer
+        |                  WHERE c_nationkey = n_nationkey AND c_acctbal < -900)
+        |ORDER BY nation""".stripMargin,
     "cy31_call_subquery_agg" ->
       """SELECT n_name AS nation,
         |  CAST(COALESCE(x.n_rich, 0) AS BIGINT) AS n_rich, x.top_bal

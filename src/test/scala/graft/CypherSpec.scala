@@ -1190,6 +1190,28 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(t) == Seq(Seq(0L)))
   }
 
+  test("EXISTS { } braces form: inner WHERE, NOT form, COUNT { MATCH }") {
+    // KNOWS: 1->2 (2020), 2->3 (2021); only Bob's outgoing edge is 2021
+    val df = session.run(
+      """MATCH (p:Person)
+        |WHERE EXISTS { MATCH (p)-[r:KNOWS]->(q) WHERE r.since >= 2021 }
+        |RETURN p.name AS name""".stripMargin)
+    assert(rows(df) == Seq(Seq("Bob")))
+    val not = session.run(
+      """MATCH (p:Person)
+        |WHERE NOT EXISTS { (p)-[:KNOWS]->(q) WHERE q.age > 30 }
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+    // only Bob knows someone over 30 (Charlie, 35)
+    assert(rows(not) == Seq(Seq("Alice"), Seq("Charlie"), Seq("David")))
+    val cnt = session.run(
+      """MATCH (p:Person)
+        |RETURN p.name AS name,
+        |       COUNT { MATCH (p)-[:KNOWS]->(q) } AS nk
+        |ORDER BY name""".stripMargin)
+    assert(rows(cnt) == Seq(Seq("Alice", 1L), Seq("Bob", 1L),
+      Seq("Charlie", 0L), Seq("David", 0L)))
+  }
+
   test("CALL { } correlated aggregate: one row per outer row, empty fills") {
     val df = session.run(
       """MATCH (p:Person)
