@@ -129,6 +129,57 @@ object GraphAlgorithms {
     pr.select(col("id"), (col("prf").cast("double") / lit(1e12)).as("pr"))
   }
 
+  /** Weighted PageRank in the same 10^-12 fixed-point LONG arithmetic as
+    * pageRankStable: each out-edge carries an integer weight column `w`
+    * and ships mass (prf * w) div W_src, where W_src is the vertex's
+    * total out-weight — the standard weighted-transition generalization
+    * (uniform w = 1 degenerates to pageRankStable exactly). All
+    * arithmetic stays in Long (prf <= ~10^12 and integer weights keep
+    * prf * w far from overflow for any realistic weight scale), so the
+    * fixpoint is shuffle-order independent and oracle-checkable
+    * bit-for-bit. Dangling vertices drop their mass (the pageRankStable
+    * convention, mirrored in the oracle). Per-iteration cost is identical
+    * to the unweighted variant: one gated-broadcast (or shuffle-hash)
+    * join over the weighted edge checkpoint + one partial-aggregated |V|
+    * shuffle.
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 10,
+      broadcastCeiling: Long = BroadcastVertexRows,
+      chainDepth: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(chainDepth >= 1, "chainDepth must be >= 1")
+    val e = edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w")).localCheckpoint(false)
+    // (id, total out-weight) in ONE partial-aggregated shuffle over the
+    // tagged 2|E| rows — the pageRankStable degree build with w as the
+    // src-side tag
+    val verts = e.select(col("src").as("id"), col("w").as("c"))
+      .unionByName(e.select(col("dst").as("id"), lit(0L).as("c")))
+      .groupBy(col("id")).agg(sum(col("c")).as("wsum"))
+      .localCheckpoint(false)
+    val nVerts = verts.count()
+    def small(df: DataFrame): DataFrame =
+      if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
+    var pr = verts.withColumn("prf", lit(1000000000000L))
+    for (i <- 1 to iters) {
+      // pr carries wsum (static per vertex), so ONE join computes the
+      // per-edge mass — the pageRankStable shape with the weight ratio
+      val contrib = e.join(
+          small(pr.where(col("wsum") > 0)
+            .select(col("id"), col("prf"), col("wsum").as("ws"))),
+          col("id") === e("src"))
+        .select(e("dst").as("id"), lit(0L).as("wsum"),
+          expr("(prf * w) div ws").as("m"))
+      pr = contrib
+        .unionByName(verts.select(col("id"), col("wsum"), lit(0L).as("m")))
+        .groupBy(col("id"))
+        .agg(max(col("wsum")).as("wsum"),
+          expr("150000000000 + (85 * sum(m)) div 100").as("prf"))
+      if (i % chainDepth == 0 || i == iters) pr = pr.localCheckpoint(false)
+    }
+    pr.select(col("id"), (col("prf").cast("double") / lit(1e12)).as("wpr"))
+  }
+
   /** Personalized PageRank (single- or multi-source teleport), in the same
     * 10^-12 fixed-point LONG arithmetic as pageRankStable — deterministic
     * across runs/engines, oracle-checkable bit-for-bit. Differences from

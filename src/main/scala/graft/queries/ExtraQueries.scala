@@ -259,6 +259,21 @@ object ExtraQueries {
         .orderBy(col("labid"))
     }),
 
+    // Weighted PageRank (r8) — the g16 weighted relation (PLACED weight 1,
+    // CONTAINS weight = quantity), mass split by integer weight ratio in
+    // the same 10^-12 fixed-point arithmetic as x17: bit-exact, top-20.
+    "x27_weighted_pagerank" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val weighted = g.edges("PLACED")
+        .select(col("src"), col("dst"), lit(1L).as("w"))
+        .unionByName(g.edges("CONTAINS")
+          .select(col("src"), col("dst"), col("l_quantity").cast("long").as("w")))
+      graft.algorithms.GraphAlgorithms
+        .pageRankWeighted(weighted, 5, chainDepth = 2)
+        .orderBy(col("wpr").desc, col("id"))
+        .limit(20)
+    }),
+
     // Betweenness centrality (r8) — rows-only by design: the sigma-ratio
     // accumulation is FP-rounded, so the exact stress twin (g25, identical
     // sweeps, integer arithmetic) carries the oracle — the HLL/x1-vs-q14
@@ -595,6 +610,38 @@ object ExtraQueries {
          |$iterCtes
          |SELECT id, CAST(prf AS DOUBLE) / 1e12 AS ppr FROM pr$iters
          |ORDER BY ppr DESC, id LIMIT 20""".stripMargin
+    },
+    "x27_weighted_pagerank" -> {
+      val iters = 5
+      // x17's fixed-point mirror with the weight ratio: mass per edge is
+      // (prf * w) // wsum; quantities are integral so the BIGINT cast is
+      // exact in both engines
+      val iterCtes = (1 to iters).map { i =>
+        s"""wpr$i AS (
+           |  SELECT v.id, v.wsum,
+           |    150000000000 + (85 * COALESCE(m.mass, CAST(0 AS BIGINT))) // 100 AS prf
+           |  FROM wverts v LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(SUM((p.prf * e.w) // p.wsum) AS BIGINT) AS mass
+           |    FROM wpr${i - 1} p JOIN wedges e ON e.src = p.id
+           |    WHERE p.wsum > 0
+           |    GROUP BY e.dst) m ON m.id = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wedges AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+         |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst,
+         |         CAST(1 AS BIGINT) AS w FROM orders
+         |  UNION ALL
+         |  SELECT (CAST(2 AS BIGINT)<<48)|CAST(l_orderkey AS BIGINT),
+         |         (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT),
+         |         CAST(l_quantity AS BIGINT) FROM lineitem),
+         |wverts AS (SELECT id, CAST(SUM(c) AS BIGINT) AS wsum FROM (
+         |  SELECT src AS id, w AS c FROM wedges
+         |  UNION ALL SELECT dst, CAST(0 AS BIGINT) FROM wedges) GROUP BY id),
+         |wpr0 AS (SELECT id, wsum, CAST(1000000000000 AS BIGINT) AS prf
+         |         FROM wverts),
+         |$iterCtes
+         |SELECT id, CAST(prf AS DOUBLE) / 1e12 AS wpr FROM wpr$iters
+         |ORDER BY wpr DESC, id LIMIT 20""".stripMargin
     },
     "x26_stream_dedup" ->
       // the batch face of the streamed dedup: first-per-fingerprint =

@@ -125,6 +125,22 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(b12 == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 2.0, 5L -> 0.0))
   }
 
+  test("pageRankWeighted: uniform weights = pageRankStable; weights steer mass") {
+    import org.apache.spark.sql.functions._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val stable = GraphAlgorithms.pageRankStable(edges, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val uni = GraphAlgorithms.pageRankWeighted(edges.withColumn("w", lit(1L)), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stable == uni) // w=1 degenerates bit-exactly
+    // 1 splits mass 9:1 between 2 and 3; one fixed-point iteration:
+    // pr(2) = 0.15 + 0.85 * 0.9 = 0.915, pr(3) = 0.15 + 0.85 * 0.1 = 0.235
+    val w = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val pr = GraphAlgorithms.pageRankWeighted(w, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(2L) == 0.915 && pr(3L) == 0.235 && pr(1L) == 0.15)
+  }
+
   test("kTruss: support threshold, multi-round cascade, duplicate collapse") {
     import org.apache.spark.sql.functions._
     // two triangles sharing edge (2,3), plus a tail (4,5); duplicate and
