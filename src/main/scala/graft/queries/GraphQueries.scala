@@ -443,6 +443,36 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Ego-net extraction (r8) — the GDS-style induced-subgraph projection:
+    // the undirected 2-hop neighborhood of each seed plus the count of
+    // ORIGINAL directed edges induced on it (both endpoints reached by the
+    // same ego). Rides the shared multi-source BFS sweep; the induced-edge
+    // count is two equi-joins of the edge relation against the
+    // (ego, vertex) reach set keyed on the ego — no per-seed re-traversal.
+    "g29_egonet" -> ((s, dir) => {
+      import s.implicits._
+      import graft.algorithms.Direction
+      val g = GraphStore.tpch(s, dir)
+      val e = srcDst(g.allEdges)
+      val seeds = (1L to 10L)
+        .map(Graphid.pack(GraphStore.Lab.Customer, _)).toDF("id")
+      val reach = Traversals
+        .bfsDistancesPerSource(e, seeds, 2, Direction.Both)
+        .select(col("start_id"), col("id"))
+      val nV = reach.groupBy(col("start_id"))
+        .agg(count(lit(1)).as("n_vertices"))
+      val rs = reach.select(col("start_id").as("es"), col("id").as("src"))
+      val rd = reach.select(col("start_id").as("ed"), col("id").as("dst"))
+      val induced = e.join(rs, Seq("src")).join(rd,
+          col("ed") === col("es") && rd("dst") === e("dst"))
+        .groupBy(col("es").as("start_id"))
+        .agg(count(lit(1)).as("n_edges"))
+      nV.join(induced, Seq("start_id"), "left_outer")
+        .select(col("start_id"), col("n_vertices"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+        .orderBy(col("start_id"))
+    }),
+
     // k-truss (r8) — edge-cohesion peeling on a deterministically thinned
     // co-supply graph (h32 keeps ~20% of edges: the raw co-supply relation
     // is near-clique at every SF, where any small truss threshold keeps
@@ -820,6 +850,29 @@ object GraphQueries {
          |GROUP BY sz ORDER BY sz""".stripMargin
     },
     "g27_hash_walks" -> walkOracle("c_custkey BETWEEN 1 AND 20", 3, 6),
+    "g29_egonet" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |und AS (SELECT src, dst FROM edges
+         |        UNION ALL SELECT dst, src FROM edges),
+         |starts(id) AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT)
+         |  FROM customer WHERE c_custkey BETWEEN 1 AND 10),
+         |bfs(start_id, id, dist) AS (
+         |  SELECT id, id, 0 FROM starts
+         |  UNION ALL
+         |  SELECT b.start_id, u.dst, b.dist + 1
+         |  FROM bfs b JOIN und u ON u.src = b.id WHERE b.dist < 2),
+         |md AS (SELECT DISTINCT start_id, id FROM bfs),
+         |nv AS (SELECT start_id, COUNT(*) AS n_vertices FROM md GROUP BY 1),
+         |ie AS (SELECT a.start_id, COUNT(*) AS n_edges
+         |       FROM edges e
+         |       JOIN md a ON a.id = e.src
+         |       JOIN md b ON b.id = e.dst AND b.start_id = a.start_id
+         |       GROUP BY 1)
+         |SELECT n.start_id, CAST(n.n_vertices AS BIGINT) AS n_vertices,
+         |       CAST(COALESCE(ie.n_edges, 0) AS BIGINT) AS n_edges
+         |FROM nv n LEFT JOIN ie ON ie.start_id = n.start_id
+         |ORDER BY n.start_id""".stripMargin,
     "g28_ktruss" -> {
       // support-peel rounds unrolled (8 >= the measured 5-round cascade at
       // sf0.01; converged rounds are no-ops, the g17/g22 pattern); support
