@@ -305,9 +305,12 @@ object TextAnalysis {
     * per-partition state is bounded by one document's marked positions
     * (the packSequences per-shard-window precedent).
     */
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Corpus-wide duplicated n-gram start positions: (doc_id, pos), the
+    * shared first stage of span DETECTION (duplicatedSpans) and span
+    * REMOVAL (removeDuplicatedSpans).
+    */
+  private def dupMarkedPositions(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     require(n >= 2, "span n-gram order must be >= 2")
     val grams = df.select(col(idCol).as("doc_id"),
         posexplode(shingles(tokens(col(textCol)), n)).as(Seq("pos0", "gram")))
@@ -315,7 +318,14 @@ object TextAnalysis {
     val dupGrams = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       .select(col("gram"))
-    val marked = grams.join(dupGrams, Seq("gram"), "left_semi")
+    grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+  }
+
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val marked = dupMarkedPositions(df, idCol, textCol, n)
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = marked
       // NULL lag (first marked position) falls to otherwise(1): a new span
@@ -335,6 +345,43 @@ object TextAnalysis {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
         coalesce(col("first_start"), lit(0)).cast("long").as("first_start"))
+  }
+
+  /** Duplicated-span REMOVAL — the output side of ExactSubstr dedup
+    * (Lee et al. 2022 drop the duplicated substrings, not the documents):
+    * every token position covered by a corpus-duplicated n-gram is
+    * deleted and the remaining tokens are rejoined in order. Returns one
+    * row per input doc: (doc_id, n_tokens_before, n_tokens_after,
+    * clean_text) — a fully-removed doc comes back with empty text, ready
+    * for a min-length filter downstream.
+    *
+    * Scale shape: covered positions are a bounded explode of the marked
+    * starts (n rows each); the rebuild is ONE anti join plus ONE per-doc
+    * aggregate whose sort is array_sort over a single document's kept
+    * tokens — no window, no global sort.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val marked = dupMarkedPositions(df, idCol, textCol, n)
+    val covered = marked.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens_after"))
+    df.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens_before"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens_before"),
+        coalesce(col("n_tokens_after"), lit(0L)).as("n_tokens_after"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),

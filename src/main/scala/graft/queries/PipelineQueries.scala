@@ -237,6 +237,22 @@ object PipelineQueries {
       TextAnalysis.duplicatedSpans(docs(s, dir), "doc_id", "text", 4)
         .orderBy(col("doc_id"))),
 
+    // duplicated-span REMOVAL (r8) — ExactSubstr dedup's output side: the
+    // per-source checksum over the CLEANED text proves the surgery
+    // byte-for-byte (the t11 redaction pattern), alongside the token
+    // delta; docs can come back empty (fully duplicated)
+    "t15_despan" -> ((s, dir) =>
+      TextAnalysis.removeDuplicatedSpans(docs(s, dir), "doc_id", "text", 4)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens_before") - col("n_tokens_after"))
+            .as("tokens_removed"),
+          sum(when(col("n_tokens_after") < col("n_tokens_before"), 1L)
+            .otherwise(0L)).as("n_docs_changed"),
+          sum(h32(col("clean_text"))).as("clean_checksum"))
+        .orderBy(col("source"))),
+
     // per-source corpus profile (r8) — the pipeline-report composite a
     // curation run keys on: doc/token/char totals, alpha ratio (ONE
     // int-to-double division — everything else exact integers), short-doc
@@ -940,6 +956,35 @@ object PipelineQueries {
          |  CAST(COALESCE(p.first_start, 0) AS BIGINT) AS first_start
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "t15_despan" -> {
+      val n = 4
+      s"""WITH ${dupSpanCtes(n)},
+         |covered AS (
+         |  SELECT DISTINCT m.doc_id, u.p AS pos
+         |  FROM marked m, UNNEST(range(m.pos, m.pos + $n)) AS u(p)),
+         |tk AS (
+         |  SELECT t.doc_id, u.i AS pos, t.toks[u.i] AS tok
+         |  FROM t13t t, UNNEST(range(1, len(t.toks) + 1)) AS u(i)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM tk t
+         |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |  WHERE c.pos IS NULL),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |    COUNT(*) AS after
+         |  FROM kept GROUP BY 1),
+         |perdoc AS (
+         |  SELECT d.doc_id, d.source, len($toksSql) AS before,
+         |    COALESCE(r.after, 0) AS after,
+         |    COALESCE(r.clean_text, '') AS clean_text
+         |  FROM documents d LEFT JOIN rebuilt r USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(before - after) AS BIGINT) AS tokens_removed,
+         |  CAST(SUM(CASE WHEN after < before THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_changed,
+         |  CAST(SUM(${h32Sql("clean_text")}) AS BIGINT) AS clean_checksum
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+    },
     "t14_corpus_profile" -> {
       val fpSql =
         h32Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")

@@ -343,6 +343,24 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 1L, 3L, 1L), (2L, 1L, 3L, 1L), (3L, 2L, 5L, 1L), (4L, 0L, 0L, 0L)))
   }
 
+  test("duplicated-span removal excises covered tokens, keeps order, empties fully-dup docs") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, "a b c d e"),              // covered 1..3 -> "d e"
+      (2L, "a b c x y"),              // covered 1..3 -> "x y"
+      (3L, "z z z q a b"),            // covered {1,2,3,5,6} -> "q"
+      (4L, "unique tokens only here")) // untouched
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicatedSpans(d, "doc_id", "text", n = 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 2L, "d e"),
+      (2L, 5L, 2L, "x y"),
+      (3L, 6L, 1L, "q"),
+      (4L, 4L, 4L, "unique tokens only here")))
+  }
+
   test("tfidf ranks document-specific terms above corpus-wide ones") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
