@@ -275,8 +275,23 @@ final class Parser(tokens: Vector[Tok]) {
       val v = ident()
       val path = Seq.newBuilder[String]
       while (tryOp(".")) path += ident()
-      eatOp("=")
-      items += SetItem(v, path.result(), parseExpr())
+      val ps = path.result()
+      // SET n += {k: v, ...}: the literal-map merge form desugars to one
+      // SetItem per entry — identical semantics (existing keys overwrite,
+      // others keep) with zero new planner surface. Non-literal maps and
+      // the replace-all form `SET n = {map}` stay loud errors.
+      if (ps.isEmpty && tryOp("+")) {
+        eatOp("=")
+        parseExpr() match {
+          case MapLit(entries) if entries.nonEmpty =>
+            entries.foreach { case (k, ve) => items += SetItem(v, Seq(k), ve) }
+          case MapLit(_) => fail("SET += needs a non-empty map literal")
+          case _ => fail("SET += supports map literals only")
+        }
+      } else {
+        eatOp("=")
+        items += SetItem(v, ps, parseExpr())
+      }
     }
     item()
     while (tryOp(",")) item()

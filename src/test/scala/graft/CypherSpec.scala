@@ -1190,6 +1190,18 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(t) == Seq(Seq(0L)))
   }
 
+  test("SET += merges a literal map: overwrites named keys, keeps the rest") {
+    val s = session
+    s.run("MATCH (p:Person {name: 'Alice'}) SET p += {age: 31, vip: true}")
+    val df = s.run(
+      """MATCH (p:Person {name: 'Alice'})
+        |RETURN p.age AS age, p.vip AS vip, p.city AS city""".stripMargin)
+    assert(rows(df) == Seq(Seq(31L, true, "Beijing")))
+    val e = intercept[Exception](
+      s.run("MATCH (p:Person) SET p += p"))
+    assert(e.getMessage.contains("map literals only"), e.getMessage)
+  }
+
   test("EXISTS { } braces form: inner WHERE, NOT form, COUNT { MATCH }") {
     // KNOWS: 1->2 (2020), 2->3 (2021); only Bob's outgoing edge is 2021
     val df = session.run(

@@ -308,6 +308,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(finalPlan.contains("HashAggregate"), finalPlan)
   }
 
+  test("g29: ego-net induced edges are equi-joins on the reach set, no cartesian") {
+    val p = plan("g29_egonet")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t13: duplicated-span islands window per document, never globally") {
     val df = SparkEntry.queries("t13_dupspans")(spark, sfDir)
     df.collect()
