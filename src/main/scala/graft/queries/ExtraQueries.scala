@@ -387,6 +387,73 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming sessionization executed for REAL (r8): events staged as 4
+    // chronological time-range files (ascending mtimes force the file
+    // source's batch order) + one far-future flush-sentinel file per user
+    // (the punctuation pattern that closes still-open sessions at replay
+    // end), maxFilesPerTrigger=1 -> 5 micro-batches through the
+    // flatMapGroupsWithState operator with CROSS-BATCH state: a session
+    // spanning a batch boundary must come out as ONE session, micros-
+    // exact against the q17-family SQL sessionization oracle. Sentinel
+    // sessions are never closed, so they stay in state and never reach
+    // the sink - the output is exactly the real session set.
+    "x28_stream_sessions" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      import s.implicits._
+      val src = java.nio.file.Files.createTempDirectory("graft_x28_src")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / 4 + 1
+      val sentinelUs = hi + 10L * 86400L * 1000000L
+      val batches = (0 until 4).map { i =>
+        ev.where(unix_micros(col("ts")) >= lo + i * width &&
+          unix_micros(col("ts")) < lo + (i + 1) * width)
+      } :+ ev.select(col("user_id")).distinct()
+        .select((col("user_id") + lit(1000000000L)).as("event_id"),
+          timestamp_micros(lit(sentinelUs)).as("ts"), col("user_id"),
+          lit("__flush").as("event_type"), lit(0.0).as("value"))
+      // flat staging dir, one parquet file per chronological batch with
+      // ascending mtimes: the file source's modification-time order IS the
+      // replay order, which cross-batch session state depends on
+      batches.zipWithIndex.foreach { case (df, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_x28_b$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        val target = src.resolve(f"b$i%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val sink = "x28_stream_sessions_sink"
+      val stream = EventStreams.readStream(s, src.toString, maxFilesPerTrigger = 1)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val q = EventStreams.sessionizeStream(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      s.table(sink)
+        .select(col("user_id"), col("n_events"),
+          col("session_start"), col("session_end"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "x21_pagerank_crosscheck" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
       // eager: both PageRank variants consume the edge relation. The
@@ -611,6 +678,31 @@ object ExtraQueries {
          |SELECT id, CAST(prf AS DOUBLE) / 1e12 AS ppr FROM pr$iters
          |ORDER BY ppr DESC, id LIMIT 20""".stripMargin
     },
+    "x28_stream_sessions" ->
+      // the q17 gaps-and-islands sessionization without the sid column
+      // (the stream emits sessions, not island ids); same 30-minute gap,
+      // same (ts, event_id) tie order, exact micros
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |),
+        |b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM x
+        |),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b
+        |)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "x27_weighted_pagerank" -> {
       val iters = 5
       // x17's fixed-point mirror with the weight ratio: mass per edge is

@@ -147,6 +147,55 @@ object EventStreams {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Cross-batch gap sessionization — the production form of `sessionize`
+    * below: the trailing (still-open) session stays IN STATE between
+    * micro-batches instead of being flushed per batch, so a session
+    * spanning a batch boundary is ONE session; a session is emitted only
+    * when a later event (beyond the gap) closes it. All arithmetic is in
+    * MICROseconds — millisecond truncation could flip a boundary that
+    * straddles the gap by under 1 ms against the SQL oracle. Open
+    * sessions at stream end stay unemitted (state); replays punctuate
+    * with a far-future flush event per key to close them — the x28 gate's
+    * staging shows the pattern.
+    */
+  def sessionizeStream(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = Seq.newBuilder[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case Some(s) if t - s.last <= gapUs =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                out += Session(userId, fromMicros(s.start), fromMicros(s.last), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None => cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          out.result().iterator
+        })
+  }
+
   /** Custom stateful operator: gap-based sessionization per user via
     * flatMapGroupsWithState (KeyValueGroupedDataset custom state — the
     * pattern a reference-style engine cannot express).

@@ -119,6 +119,55 @@ class StreamingSpec extends AnyFunSuite {
       Seq(9L, "click", 3.0)))
   }
 
+  test("sessionizeStream merges a session across the micro-batch boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 7: events at 10:00 and 10:10 land in DIFFERENT files (10 min
+    // < 30-min gap -> ONE session of 3 once 10:20 arrives); user 8's
+    // second event is 2 h later -> two sessions. The final flush file
+    // (far future) closes every open session; flush-only sessions stay
+    // in state and never reach the sink.
+    val stage = java.nio.file.Files.createTempDirectory("sessions_xbatch")
+    def put(i: Int, rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"sess_b$i")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", to_timestamp(col("ts")))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val target = stage.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.move(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+    put(0, Seq((1L, "2024-01-01 10:00:00", 7L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 09:00:00", 8L, "view", 1.0, "{}")))
+    put(1, Seq((3L, "2024-01-01 10:10:00", 7L, "click", 1.0, "{}"),
+      (4L, "2024-01-01 10:20:00", 7L, "click", 1.0, "{}"),
+      (5L, "2024-01-01 11:00:00", 8L, "view", 1.0, "{}")))
+    put(2, Seq((6L, "2024-01-02 00:00:00", 7L, "__flush", 0.0, "{}"),
+      (7L, "2024-01-02 00:00:00", 8L, "__flush", 0.0, "{}")))
+    val stream = EventStreams.readStream(spark, stage.toString, maxFilesPerTrigger = 1)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_xbatch").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("sess_xbatch")
+      .select(col("user_id"), col("n_events"),
+        date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"))
+      .orderBy(col("user_id"), col("s"))
+      .collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq(7L, 3L, "10:00", "10:20"),
+      Seq(8L, 1L, "09:00", "09:00"),
+      Seq(8L, 1L, "11:00", "11:00")))
+  }
+
   test("watermark finalizes windows and drops late events (append mode)") {
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("events_late")
