@@ -397,6 +397,41 @@ object ExtraQueries {
     // exact against the q17-family SQL sessionization oracle. Sentinel
     // sessions are never closed, so they stay in state and never reach
     // the sink - the output is exactly the real session set.
+    // Stream-stream interval join executed for REAL (r8): both sides
+    // branch off one staged file source (4 files, maxFilesPerTrigger=1 ->
+    // 4 micro-batches through the symmetric-hash join state), watermark
+    // horizon beyond the replay so no state evicts and the join is
+    // COMPLETE regardless of which batch each side of a pair lands in -
+    // bit-exact against the batch theta-join oracle. This closes the
+    // §2.10 set: windows (x22), dedup (x26), sessions (x28), join (x29)
+    // all proven through the actual micro-batch engine.
+    "x29_stream_join" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = java.nio.file.Files.createTempDirectory("graft_x29_src")
+      Tables.load(s, dir, "events").repartition(4)
+        .write.mode("overwrite").parquet(src.toString)
+      val stream = EventStreams.readStream(s, src.toString, maxFilesPerTrigger = 1)
+      val sink = "x29_stream_join_sink"
+      val q = EventStreams.clickPurchaseJoin(
+          stream.where(col("event_type") === "click"),
+          stream.where(col("event_type") === "purchase"),
+          watermark = "36500 days")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      s.table(sink)
+        .select(col("click_id"), col("user_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     "x28_stream_sessions" -> ((s, dir) => {
       import graft.streaming.EventStreams
       import s.implicits._
@@ -678,6 +713,14 @@ object ExtraQueries {
          |SELECT id, CAST(prf AS DOUBLE) / 1e12 AS ppr FROM pr$iters
          |ORDER BY ppr DESC, id LIMIT 20""".stripMargin
     },
+    "x29_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  p.event_id AS purchase_id, c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "x28_stream_sessions" ->
       // the q17 gaps-and-islands sessionization without the sid column
       // (the stream emits sessions, not island ids); same 30-minute gap,
