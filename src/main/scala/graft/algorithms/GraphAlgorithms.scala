@@ -921,4 +921,224 @@ object GraphAlgorithms {
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** Strongly connected components on the directed edge relation, natively
+    * on DataFrames — the directed sibling of connectedComponentsDF (the
+    * reference has neither; its traversals stop at reachability,
+    * /root/reference/src/algorithms/traversal.rs). Tarjan/Kosaraju's DFS
+    * stack has no distributed form, so this is the Trim + Forward-Backward
+    * coloring family (the standard parallel SCC shape). Per outer round:
+    *
+    *  1. TRIM to fixpoint: a live vertex with no live in-edges or no live
+    *     out-edges cannot lie on a cycle — it is its own singleton SCC.
+    *     Peeling repeats until stable, so long acyclic chains/tails resolve
+    *     at one cheap job per layer instead of one outer round per vertex.
+    *  2. FORWARD COLORING to fixpoint: color(v) = min vertex id that
+    *     reaches v in the live subgraph (directed min-label propagation —
+    *     the connectedComponentsDF loop one direction only, same
+    *     own-row-tagged aggregate so the convergence test rides the round's
+    *     single shuffle).
+    *  3. BACKWARD SWEEP within colors: every color root r (color(r) = r)
+    *     satisfies SCC(r) = { v : color(v) = r and v reaches r } — and any
+    *     v→…→r path lies entirely inside color r (a smaller-id vertex
+    *     reaching an interior vertex would reach r too, contradicting
+    *     color(r) = r), so one backward BFS from ALL roots simultaneously
+    *     over intra-color edges finds every root SCC in this coloring at
+    *     once. Those vertices take scc_id = r and leave the live set.
+    *
+    * Every relation is |V|- or |E|-bounded ((id, long) colors, one
+    * (id, root) row per reached vertex — never pair or path state), every
+    * join is count-gated broadcast with a shuffle-hash fallback, and every
+    * round's lineage is cut by tracked checkpoints released when
+    * superseded. scc_id = min member id, so the output is deterministic
+    * bit-for-bit. At least the minimum live id roots a color each round,
+    * so ≥ 1 SCC is assigned per round; `maxRounds` bounds adversarial
+    * SCC-chain depth and the convergence failure is loud.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 64,
+      broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // live edges drop self-loops (they never bind two vertices together);
+    // the vertex set keeps self-loop-only vertices — the trim pass assigns
+    // them their singleton SCC like any other acyclic-fringe vertex
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    var (live, releaseLive) = trackedCheckpoint(e0, eager = false)
+    var (verts, releaseVerts) = trackedCheckpoint(
+      edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id"))).distinct(),
+      eager = false)
+    var nLive = verts.count()
+    def small(df: DataFrame): DataFrame =
+      if (nLive <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
+    var acc = verts.where(lit(false)).select(col("id"), col("id").as("scc_id"))
+    var releaseAcc: () => Unit = () => ()
+    var rounds = 0
+    while (nLive > 0 && rounds < maxRounds) {
+      rounds += 1
+      // ---- 1. trim acyclic fringe to fixpoint
+      var trimming = true
+      while (trimming && nLive > 0) {
+        val hasOut = live.select(col("src").as("id")).distinct()
+        val hasIn = live.select(col("dst").as("id")).distinct()
+        val (keep, releaseKeep) = trackedCheckpoint(
+          verts.join(small(hasOut), Seq("id"), "left_semi")
+            .join(small(hasIn), Seq("id"), "left_semi"),
+          eager = false)
+        val nKeep = keep.count()
+        if (nKeep == nLive) { trimming = false; releaseKeep() }
+        else {
+          val (acc2, releaseAcc2) = trackedCheckpoint(
+            acc.unionByName(verts.join(small(keep), Seq("id"), "left_anti")
+              .select(col("id"), col("id").as("scc_id"))),
+            eager = true)
+          releaseAcc(); acc = acc2; releaseAcc = releaseAcc2
+          val (live2, releaseLive2) = trackedCheckpoint(
+            live.join(small(keep.select(col("id").as("kid"))),
+                live("src") === col("kid"), "left_semi")
+              .join(small(keep.select(col("id").as("kid2"))),
+                live("dst") === col("kid2"), "left_semi"),
+            eager = false)
+          live2.count() // materialize before freeing the inputs it reads
+          releaseLive(); live = live2; releaseLive = releaseLive2
+          releaseVerts(); verts = keep; releaseVerts = releaseKeep
+          nLive = nKeep
+        }
+      }
+      if (nLive > 0) {
+        // ---- 2. forward min-id coloring to fixpoint
+        var (color, releaseColor) = trackedCheckpoint(
+          verts.withColumn("color", col("id")), eager = false)
+        var changed = 1L
+        while (changed > 0) {
+          val (next, releaseNext) = trackedCheckpoint(
+            live.join(small(color), live("src") === color("id"))
+              .select(live("dst").as("id"), col("color"), lit(false).as("own"))
+              .unionByName(color.withColumn("own", lit(true)))
+              .groupBy(col("id"))
+              .agg(min(col("color")).as("color"),
+                min(when(col("own"), col("color"))).as("prev")),
+            eager = false)
+          changed = next.where(col("color") < col("prev")).count()
+          releaseColor()
+          color = next.select(col("id"), col("color"))
+          releaseColor = releaseNext
+        }
+        // ---- 3. backward BFS from all color roots over intra-color edges
+        val (ce, releaseCe) = trackedCheckpoint(
+          live.join(small(color.select(col("id").as("sid"), col("color").as("sc"))),
+              live("src") === col("sid"))
+            .join(small(color.select(col("id").as("did"), col("color").as("dc"))),
+              live("dst") === col("did"))
+            .where(col("sc") === col("dc"))
+            .select(live("src").as("src"), live("dst").as("dst"),
+              col("sc").as("color")),
+          eager = false)
+        var (reached, releaseReached) = trackedCheckpoint(
+          color.where(col("color") === col("id"))
+            .select(col("id"), col("color").as("root")),
+          eager = true)
+        var frontier = reached
+        var releaseFrontier: () => Unit = () => ()
+        var growing = true
+        while (growing) {
+          // an edge u→v in ce has color(u) = color(v) = root(v), so the
+          // candidate (src, color) row IS the (id, root) assignment
+          val (nf, releaseNf) = trackedCheckpoint(
+            ce.join(small(frontier.select(col("id").as("fid"))),
+                ce("dst") === col("fid"), "left_semi")
+              .select(col("src").as("id"), col("color").as("root")).distinct()
+              .join(reached, Seq("id"), "left_anti"),
+            eager = true)
+          releaseFrontier()
+          if (nf.count() == 0) { growing = false; releaseNf() }
+          else {
+            val (r2, releaseR2) = trackedCheckpoint(
+              reached.unionByName(nf), eager = true)
+            releaseReached(); reached = r2; releaseReached = releaseR2
+            frontier = nf; releaseFrontier = releaseNf
+          }
+        }
+        releaseCe(); releaseColor()
+        // ---- assign the swept SCCs and shrink the live subgraph
+        val (acc2, releaseAcc2) = trackedCheckpoint(
+          acc.unionByName(reached.select(col("id"), col("root").as("scc_id"))),
+          eager = true)
+        releaseAcc(); acc = acc2; releaseAcc = releaseAcc2
+        val (verts2, releaseVerts2) = trackedCheckpoint(
+          verts.join(small(reached.select(col("id"))), Seq("id"), "left_anti"),
+          eager = false)
+        val (live2, releaseLive2) = trackedCheckpoint(
+          live.join(small(reached.select(col("id").as("rid"))),
+              live("src") === col("rid"), "left_anti")
+            .join(small(reached.select(col("id").as("rid2"))),
+              live("dst") === col("rid2"), "left_anti"),
+          eager = false)
+        nLive = verts2.count()
+        live2.count()
+        releaseReached(); releaseVerts(); releaseLive()
+        verts = verts2; releaseVerts = releaseVerts2
+        live = live2; releaseLive = releaseLive2
+      }
+    }
+    require(nLive == 0,
+      s"SCC did not converge within $maxRounds rounds ($nLive vertices live)")
+    releaseVerts(); releaseLive()
+    // acc's final checkpoint stays pinned — the returned frame reads it
+    acc
+  }
+
+  /** Link prediction scores (the GDS alpha family, exact-integer members):
+    * for every non-adjacent vertex pair of the undirected graph sharing at
+    * least one neighbor, common-neighbor count, preferential attachment
+    * (degree product) and total-neighbors (union size) — all exact BIGINT
+    * arithmetic, so the scores are bit-stable under any shuffle order and
+    * oracle-checkable (Adamic-Adar's 1/ln(deg) sum is the FP member; its
+    * ranking at small scale is CN's, so the integer triple carries the
+    * gate). Candidate pairs are generated per shared neighbor — a vertex of
+    * degree d emits d(d-1)/2 wedge rows, the inherent candidate set — so
+    * hub wedges dominate at scale: vertices above `maxDegree` are excluded
+    * as wedge CENTERS (a neighbor shared by everyone carries no signal —
+    * nodeSimilarity's hub rule), while still scoring as endpoints. Degrees
+    * and the adjacency anti-join use the FULL graph, so reported scores
+    * are exact whenever no hub centers a counted wedge (TPC-H co-supply:
+    * always).
+    */
+  def linkPrediction(edges: DataFrame, topK: Int,
+      maxDegree: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    // canonical undirected adjacency, symmetrized: (id, nbr) both ways
+    val und = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .select(col("src").as("id"), col("dst").as("nbr"))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nVerts = deg.count()
+    val centers0 = deg.where(col("deg") <= maxDegree).select(col("id").as("cid"))
+    val centers = if (nVerts <= BroadcastVertexRows) broadcast(centers0)
+      else centers0.hint("shuffle_hash")
+    val wedgeAdj = und.join(centers, col("id") === col("cid"))
+      .select(col("id").as("c"), col("nbr"))
+    // wedges at each center c: unordered endpoint pairs (a < b)
+    val cn = wedgeAdj.as("x").join(wedgeAdj.as("y"),
+        col("x.c") === col("y.c") && col("x.nbr") < col("y.nbr"))
+      .groupBy(col("x.nbr").as("a"), col("y.nbr").as("b"))
+      .agg(count(lit(1)).as("common"))
+    // drop already-adjacent pairs (canonical a < b matches und both ways)
+    val nonAdj = cn.join(und,
+        cn("a") === und("id") && cn("b") === und("nbr"), "left_anti")
+    nonAdj
+      .join(deg.select(col("id"), col("deg").as("deg_a")), col("a") === col("id"))
+      .drop("id")
+      .join(deg.select(col("id"), col("deg").as("deg_b")), col("b") === col("id"))
+      .drop("id")
+      .select(col("a"), col("b"), col("common"),
+        (col("deg_a") * col("deg_b")).as("pref_attach"),
+        (col("deg_a") + col("deg_b") - col("common")).as("total_neighbors"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

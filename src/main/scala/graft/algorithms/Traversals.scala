@@ -212,6 +212,70 @@ object Traversals {
     out.toDF("start_id", "end_id", "dist", "path")
   }
 
+  /** Point-to-point shortest-path DISTANCE via bidirectional BFS — the
+    * 100 TB point-query optimization the unidirectional sweep can't match:
+    * two frontiers of depth ~d/2 (≈ b^(d/2) vertices each on a
+    * branching-factor-b graph) replace one of depth d (≈ b^d). Expands the
+    * SMALLER frontier each step (by measured row count — the same count
+    * that gates the broadcast), checking each new level against the
+    * opposite visited set; `best` (the cheapest meeting vertex's
+    * fdist + bdist) is provably exact once lF + lB ≥ best, or immediately
+    * once either side's frontier is exhausted (that side's visited set is
+    * then complete, and every vertex on an optimal path within the other
+    * side's horizon has met it). Both searches run against ONE oriented
+    * edge checkpoint — the backward hop is the same relation joined on
+    * `dst`. Returns the hop count, or None if unreachable within maxHops.
+    */
+  def bidirDistance(edges: DataFrame, srcId: Long, dstId: Long, maxHops: Int,
+      dir: Direction = Direction.Out,
+      maxBroadcastRows: Long = BroadcastFrontierRows): Option[Int] = {
+    if (srcId == dstId) return Some(0)
+    if (maxHops <= 0) return None
+    val spark = edges.sparkSession
+    import spark.implicits._
+    graft.util.Checkpoints.sweepingDelta(spark) {
+      val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint(false)
+      var vF = Seq(srcId).toDF("id").withColumn("dist", lit(0)).localCheckpoint(false)
+      var vB = Seq(dstId).toDF("id").withColumn("dist", lit(0)).localCheckpoint(false)
+      var fF = vF; var fB = vB
+      var nF = 1L; var nB = 1L
+      var lF = 0; var lB = 0
+      var best = Int.MaxValue
+      // expand one level of the (forward | backward) search: hop join,
+      // dedup, anti-join vs own visited, then score meets against the
+      // OPPOSITE visited set — one extra small aggregate per level
+      def expand(forward: Boolean): Unit = {
+        val (frontier, rows, visited, opposite, lvl) =
+          if (forward) (fF, nF, vF, vB, lF + 1) else (fB, nB, vB, vF, lB + 1)
+        val f = if (rows <= maxBroadcastRows) broadcast(frontier) else frontier
+        val hop = if (forward) e.join(f, f("id") === e("src")).select(e("dst").as("id"))
+          else e.join(f, f("id") === e("dst")).select(e("src").as("id"))
+        val next = hop.distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .withColumn("dist", lit(lvl))
+          .localCheckpoint(false)
+        val n = next.count()
+        val m = next.join(
+            opposite.select(col("id").as("oid"), col("dist").as("odist")),
+            col("id") === col("oid"))
+          .agg(min(col("dist") + col("odist"))).collect()(0)
+        if (!m.isNullAt(0)) best = math.min(best, m.getInt(0))
+        if (forward) { nF = n; vF = vF.unionByName(next); fF = next; lF += 1 }
+        else { nB = n; vB = vB.unionByName(next); fB = next; lB += 1 }
+      }
+      var done = false
+      while (!done) {
+        if (best <= lF + lB || lF + lB >= maxHops) done = true
+        else if (nF == 0 && nB == 0) done = true
+        // one side exhausted + any meet found → exact (see Scaladoc)
+        else if (best < Int.MaxValue && (nF == 0 || nB == 0)) done = true
+        else if (nF > 0 && (nB == 0 || nF <= nB)) expand(forward = true)
+        else expand(forward = false)
+      }
+      if (best <= maxHops) Some(best) else None
+    }
+  }
+
   /** Ancestor chain dst → … → src by pointer doubling over a
     * (id, parent, dist) parents relation: the jump table J_k (id → its
     * 2^k-th ancestor) is squared each round, and the known path prefix

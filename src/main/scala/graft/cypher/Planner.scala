@@ -144,6 +144,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           longArg(1, Some(4L)))
       case "graft.ktruss" => nargs(1)
         GraphAlgorithms.kTruss(edges, intArg(0))
+      case "graft.scc" => nargs(0)
+        GraphAlgorithms.stronglyConnectedComponents(edges)
+      case "graft.linkprediction" => nargs(1)
+        GraphAlgorithms.linkPrediction(edges, intArg(0, Some(10)))
       case "graft.walks" =>
         nargs(3)
         import spark.implicits._
@@ -154,7 +158,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
         "graft.ppr(sourceId, iters), graft.katz(maxLen, beta), " +
-        "graft.kTruss(k), graft.walks(sourceId, walksPerStart, steps)")
+        "graft.kTruss(k), graft.walks(sourceId, walksPerStart, steps), " +
+        "graft.scc(), graft.linkPrediction(topK)")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

@@ -397,6 +397,38 @@ object ExtraQueries {
     // exact against the q17-family SQL sessionization oracle. Sentinel
     // sessions are never closed, so they stay in state and never reach
     // the sink - the output is exactly the real session set.
+    // Stream-STATIC enrichment join executed for REAL (r8): the canonical
+    // streaming lookup pattern - events stream through 4 micro-batches
+    // (maxFilesPerTrigger=1) and each batch equi-joins the STATIC customer
+    // dimension (broadcast per batch, no join state), then a per-nation
+    // aggregate accumulates across batches in decimal - the final table
+    // must be bit-identical to the batch join + GROUP BY whatever the
+    // batch cut points were.
+    "x30_stream_enrich" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = java.nio.file.Files.createTempDirectory("graft_x30_src")
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(4)
+        .write.mode("overwrite").parquet(src.toString)
+      val sink = "x30_stream_enrich_sink"
+      val q = EventStreams.enrichedNationStats(
+          EventStreams.readStream(s, src.toString, maxFilesPerTrigger = 1),
+          Tables.load(s, dir, "customer"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      s.table(sink)
+        .select(col("c_nationkey"), col("n"), col("sum_value"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Stream-stream interval join executed for REAL (r8): both sides
     // branch off one staged file source (4 files, maxFilesPerTrigger=1 ->
     // 4 micro-batches through the symmetric-hash join state), watermark
@@ -778,6 +810,13 @@ object ExtraQueries {
          |SELECT id, CAST(prf AS DOUBLE) / 1e12 AS wpr FROM wpr$iters
          |ORDER BY wpr DESC, id LIMIT 20""".stripMargin
     },
+    "x30_stream_enrich" ->
+      // the batch face of the streamed enrichment: plain dim join + GROUP
+      // BY — the stream must reach the identical table through 4 batches
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "x26_stream_dedup" ->
       // the batch face of the streamed dedup: first-per-fingerprint =
       // DISTINCT on the fingerprint columns (planted re-deliveries add no

@@ -544,6 +544,65 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // Strongly connected components (r8) — the directed sibling of x7's
+    // undirected CC. The TPC-H projection is a DAG (every SCC a singleton
+    // - tests nothing), so the gate runs on a deterministic cyclic
+    // "referral" digraph over the customer keys: each customer points at
+    // 1 + (key*48271) % n and 1 + (key*16807) % n (Lehmer multipliers;
+    // identical arithmetic in SQL), a ~2-out random digraph with one
+    // giant SCC plus an acyclic fringe. Output: the SCC size histogram
+    // with the min root per size - pins the whole partition without
+    // emitting |V| rows.
+    "g30_scc" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"))
+      val n = c.count()
+      def ref(mul: Long) = c.select(col("k").as("src"),
+        (lit(1L) + (col("k") * mul) % n).as("dst"))
+      val edges = ref(48271L).unionByName(ref(16807L))
+        .where(col("src") =!= col("dst"))
+      graft.algorithms.GraphAlgorithms.stronglyConnectedComponents(edges)
+        .groupBy(col("scc_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("scc_size"))
+        .agg(count(lit(1)).as("n_sccs"), min(col("scc_id")).as("min_root"))
+        .orderBy(col("scc_size"))
+    }),
+
+    // Bidirectional point-to-point distance (r8): meet-in-the-middle BFS
+    // from customer 1 to its own region (2 hops: customer->nation->region)
+    // AND to the next region over (reachable only through an order->part->
+    // supplier chain, 5 hops) - the second probe actually exercises the
+    // alternating two-frontier search. Oracle = recursive-CTE min-dist.
+    "g32_bidir_distance" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val start = Graphid.pack(GraphStore.Lab.Customer, 1L)
+      def asLong(a: Any): Long = a match {
+        case i: Int => i.toLong; case l: Long => l
+        case o => o.toString.toLong
+      }
+      val nk = asLong(Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") === 1).select("c_nationkey").head.get(0))
+      val rk = asLong(Tables.load(s, dir, "nation")
+        .filter(col("n_nationkey") === nk).select("n_regionkey").head.get(0))
+      val e = srcDst(g.allEdges)
+      val rows = Seq(rk, (rk + 1) % 5).distinct
+        .map(Graphid.pack(GraphStore.Lab.Region, _)).sorted
+        .flatMap { d =>
+          Traversals.bidirDistance(e, start, d, 6)
+            .map(dist => (start, d, dist.toLong))
+        }
+      rows.toDF("start_id", "end_id", "dist")
+    }),
+
+    // Link prediction (r8; the GDS alpha family's exact-integer members)
+    // over the co-supply graph: top-20 non-adjacent pairs by common
+    // neighbors, with preferential attachment and total-neighbors - all
+    // exact BIGINTs (Adamic-Adar is the FP member; the integer triple is
+    // what an oracle can pin).
+    "g31_link_prediction" -> ((s, dir) =>
+      graft.algorithms.GraphAlgorithms.linkPrediction(coSupplyEdges(s, dir), 20)),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -556,6 +615,74 @@ object GraphQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // SCC partition replayed from first principles: the recursive closure
+    // of the referral digraph (UNION dedups, so the CTE terminates on
+    // cycles), mutual-reachability pairs, scc_id = min(self, mutual ids),
+    // then the same size histogram.
+    "g30_scc" ->
+      """WITH RECURSIVE
+        |refs AS (
+        |  SELECT src, dst FROM (
+        |    SELECT CAST(c_custkey AS BIGINT) AS src,
+        |           1 + (CAST(c_custkey AS BIGINT) * 48271)
+        |               % (SELECT COUNT(*) FROM customer) AS dst
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT CAST(c_custkey AS BIGINT),
+        |           1 + (CAST(c_custkey AS BIGINT) * 16807)
+        |               % (SELECT COUNT(*) FROM customer)
+        |    FROM customer)
+        |  WHERE src <> dst),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM refs
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN refs e ON e.src = r.b),
+        |verts AS (SELECT src AS id FROM refs UNION SELECT dst FROM refs),
+        |mutual AS (SELECT r1.a AS v, r1.b AS u
+        |           FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+        |scc AS (SELECT v.id, LEAST(v.id, COALESCE(MIN(m.u), v.id)) AS scc_id
+        |        FROM verts v LEFT JOIN mutual m ON m.v = v.id GROUP BY v.id),
+        |sizes AS (SELECT scc_id, COUNT(*) AS sz FROM scc GROUP BY scc_id)
+        |SELECT sz AS scc_size, CAST(COUNT(*) AS BIGINT) AS n_sccs,
+        |       MIN(scc_id) AS min_root
+        |FROM sizes GROUP BY sz ORDER BY scc_size""".stripMargin,
+    "g32_bidir_distance" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |myreg AS (
+         |  SELECT CAST(n_regionkey AS BIGINT) AS rk
+         |  FROM nation JOIN customer ON n_nationkey = c_nationkey
+         |  WHERE c_custkey = 1),
+         |dsts AS (
+         |  SELECT (CAST(6 AS BIGINT)<<48)|rk AS id FROM myreg
+         |  UNION
+         |  SELECT (CAST(6 AS BIGINT)<<48)|((rk+1)%5) FROM myreg),
+         |bfs(id, dist) AS (
+         |  SELECT $startCust1, 0
+         |  UNION ALL
+         |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.id
+         |  WHERE b.dist < 6),
+         |lvl AS (SELECT id, MIN(dist) AS dist FROM bfs GROUP BY id)
+         |SELECT $startCust1 AS start_id, d.id AS end_id,
+         |       CAST(l.dist AS BIGINT) AS dist
+         |FROM dsts d JOIN lvl l ON l.id = d.id
+         |ORDER BY end_id""".stripMargin,
+    "g31_link_prediction" ->
+      s"""WITH $coSupplyCte,
+         |adj AS (SELECT a AS id, b AS nbr FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |cn AS (SELECT x.nbr AS a, y.nbr AS b, CAST(COUNT(*) AS BIGINT) AS common
+         |       FROM adj x JOIN adj y ON x.id = y.id AND x.nbr < y.nbr
+         |       GROUP BY x.nbr, y.nbr),
+         |nonadj AS (SELECT cn.* FROM cn LEFT JOIN und
+         |             ON und.a = cn.a AND und.b = cn.b
+         |           WHERE und.a IS NULL)
+         |SELECT n.a, n.b, n.common,
+         |       da.deg * db.deg AS pref_attach,
+         |       da.deg + db.deg - n.common AS total_neighbors
+         |FROM nonadj n
+         |JOIN deg da ON da.id = n.a
+         |JOIN deg db ON db.id = n.b
+         |ORDER BY n.common DESC, n.a, n.b LIMIT 20""".stripMargin,
     "g1_label_scan" ->
       """SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS id, c_name, c_acctbal
         |FROM customer ORDER BY id""".stripMargin,

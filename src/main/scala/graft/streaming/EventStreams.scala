@@ -100,6 +100,25 @@ object EventStreams {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Stream-static enrichment join — the canonical streaming lookup
+    * pattern (dimension enrichment before anything lands): each streamed
+    * event joins its user's STATIC customer dimension row. Catalyst plans
+    * the stream-static equi-join per micro-batch exactly like batch — the
+    * dim side broadcasts (hinted here; at 100 TB a huge dim falls back to
+    * shuffle automatically when the hint ceiling trips), and no join state
+    * is kept because the static side is complete at every batch. The
+    * per-nation aggregate then accumulates ACROSS batches in decimal, so
+    * the final table is bit-independent of batch cut points and
+    * oracle-checkable against the plain batch join.
+    */
+  def enrichedNationStats(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+        events("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+
   /** Label ids for the streamed event graph (own namespace, clear of the
     * TPC-H projection's 1-22).
     */

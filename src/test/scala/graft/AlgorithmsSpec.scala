@@ -308,6 +308,71 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(pr(6L) > pr(1L))
   }
 
+  test("scc: cycles, bridge, tail, self-loop-only vertex") {
+    // cycle {1,2,3} -> bridge -> cycle {5,6} -> tail 7; 9 has only a
+    // self-loop (still a singleton SCC, must not vanish from the output)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 5L), (5L, 6L), (6L, 5L), (6L, 7L),
+      (9L, 9L)).toDF("src", "dst")
+    val scc = GraphAlgorithms.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 9L -> 9L))
+  }
+
+  test("scc: a DAG is all singletons (trim resolves everything)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val scc = GraphAlgorithms.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("scc: cycle colored from outside resolves in a later round") {
+    // 1 reaches the cycle {2,3,4}, so round 1's forward coloring paints
+    // the whole graph color 1 and only SCC(1)={1} sweeps out; the cycle
+    // must come back as its own SCC in round 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L)).toDF("src", "dst")
+    val scc = GraphAlgorithms.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("scc equals GraphX SCC labels on the referral digraph") {
+    import org.apache.spark.sql.functions._
+    val n = 120L
+    val ks = (1L to n).toDF("k")
+    def ref(mul: Long) = ks.select(col("k").as("src"),
+      (lit(1L) + (col("k") * mul) % n).as("dst"))
+    val edges = ref(48271L).unionByName(ref(16807L))
+      .where(col("src") =!= col("dst"))
+    val viaDf = GraphAlgorithms.stronglyConnectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaGraphX = {
+      import org.apache.spark.graphx._
+      val er = edges.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }
+      Graph.fromEdges(er, 0).stronglyConnectedComponents(50).vertices
+        .map { case (id, c) => (id.toLong, c.toLong) }.collect().toSet
+    }
+    assert(viaDf == viaGraphX && viaDf.nonEmpty)
+  }
+
+  test("linkPrediction: square diagonals, hub-cap center exclusion") {
+    // square 1-2-3-4: only the diagonals are non-adjacent, each sharing
+    // both of the other two vertices
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val top = GraphAlgorithms.linkPrediction(sq, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(top.toSeq == Seq((1L, 3L, 2L, 4L, 2L), (2L, 4L, 2L, 4L, 2L)))
+    // star 1-(2,3,4,5): uncapped, the center wedges all C(4,2) leaf pairs;
+    // with maxDegree=2 the center is excluded as a wedge center and no
+    // candidate pair survives
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val full = GraphAlgorithms.linkPrediction(star, 10).collect()
+    assert(full.length == 6 && full.forall(r => r.getLong(2) == 1L))
+    assert(GraphAlgorithms.linkPrediction(star, 10, maxDegree = 2).isEmpty)
+  }
+
   test("GraphStore save/load roundtrip preserves tables and queries") {
     val g = DataGenerator.grid(spark, 4, 4)
     val dir = java.nio.file.Files.createTempDirectory("store").toString

@@ -1151,6 +1151,26 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq(3L)))
   }
 
+  test("CALL graft.scc partitions a KNOWS cycle-plus-tail") {
+    import spark.implicits._
+    val persons = (1L to 4L)
+      .map(i => (Graphid.pack(100, i), s"p$i")).toDF("id", "name")
+    // 1→2→3→1 cycle plus tail 3→4: one 3-SCC and a singleton
+    val knows = Seq(
+      (Graphid.pack(101, 1), Graphid.pack(100, 1), Graphid.pack(100, 2)),
+      (Graphid.pack(101, 2), Graphid.pack(100, 2), Graphid.pack(100, 3)),
+      (Graphid.pack(101, 3), Graphid.pack(100, 3), Graphid.pack(100, 1)),
+      (Graphid.pack(101, 4), Graphid.pack(100, 3), Graphid.pack(100, 4)))
+      .toDF("id", "src", "dst")
+    val s = new CypherSession(spark,
+      new GraphStore(Map("Person" -> persons), Map("KNOWS" -> knows)))
+    val df = s.run(
+      """CALL graft.scc() YIELD scc_id
+        |RETURN scc_id, count(*) AS n ORDER BY scc_id""".stripMargin)
+    assert(rows(df) == Seq(Seq(Graphid.pack(100, 1), 3L),
+      Seq(Graphid.pack(100, 4), 1L)))
+  }
+
   test("CALL results correlate with a following MATCH as an equi-join") {
     // procedure output joins back onto the store through an id predicate;
     // Catalyst rewrites the cross + equality filter into a hash join, so

@@ -269,4 +269,25 @@ class StreamingSpec extends AnyFunSuite {
       .select("click_id", "purchase_id").collect().map(_.toSeq).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("stream-static enrichment join equals the batch join across batches") {
+    import org.apache.spark.sql.functions._
+    // events split over 2 files + maxFilesPerTrigger=1: the per-nation
+    // aggregate must accumulate the dim-joined rows ACROSS micro-batches
+    // to reach the batch result (a per-batch-only join would undercount)
+    val stage = java.nio.file.Files.createTempDirectory("events_enrich")
+    spark.read.parquet(s"$sfDir/events.parquet").repartition(2)
+      .write.mode("overwrite").parquet(stage.toString)
+    val dim = Tables.load(spark, sfDir, "customer")
+    val q = EventStreams.enrichedNationStats(
+        EventStreams.readStream(spark, stage.toString, maxFilesPerTrigger = 1),
+        dim)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("enrich_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_out").collect().map(_.toSeq).toSet
+    val batch = EventStreams.enrichedNationStats(
+      Tables.load(spark, sfDir, "events"), dim).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }

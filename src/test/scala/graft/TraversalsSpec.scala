@@ -332,4 +332,39 @@ class TraversalsSpec extends AnyFunSuite {
       .orderBy(col("pr").desc, col("id")).collect()
     assert(pr.map(_.toSeq).toSeq == pr3.map(_.toSeq).toSeq)
   }
+
+  test("bidirDistance: DAG hops, unreachable, Both direction, trivial") {
+    val e = dag.edges("LINK")
+    assert(Traversals.bidirDistance(e, idOf("A"), idOf("D"), 5) == Some(2))
+    assert(Traversals.bidirDistance(e, idOf("A"), idOf("E"), 5) == Some(2))
+    assert(Traversals.bidirDistance(e, idOf("A"), idOf("A"), 5) == Some(0))
+    // D→A unreachable along Out edges, 3 hops away undirected
+    assert(Traversals.bidirDistance(e, idOf("D"), idOf("A"), 5).isEmpty)
+    assert(Traversals.bidirDistance(e, idOf("D"), idOf("A"), 5,
+      Direction.Both) == Some(2))
+    // maxHops caps the search
+    assert(Traversals.bidirDistance(e, idOf("A"), idOf("D"), 1).isEmpty)
+  }
+
+  test("bidirDistance equals unidirectional BFS on grid and uniform graphs") {
+    val grid = DataGenerator.grid(spark, 8, 8).edges("CONNECTED")
+    val corner = Graphid.pack(DataGenerator.GridLab, 1)
+    val far = Graphid.pack(DataGenerator.GridLab, 64)
+    val uni = Traversals.bfsDistances(grid, Seq(corner).toDF("id"), 20)
+      .where($"id" === far).collect()
+    assert(Traversals.bidirDistance(grid, corner, far, 20) ==
+      Some(uni(0).getInt(1)))
+    // random digraph: every (1 → v) distance must agree with the sweep
+    val g = DataGenerator.uniform(spark, 60, 150, seed = 7)
+    val e = g.allEdges.select($"src", $"dst")
+    val src = g.allVertices.select($"id").orderBy($"id").head.getLong(0)
+    val dists = Traversals.bfsDistances(e, Seq(src).toDF("id"), 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probes = g.allVertices.select($"id").orderBy($"id")
+      .collect().map(_.getLong(0)).grouped(7).map(_.head) // every 7th vertex
+    probes.foreach { v =>
+      assert(Traversals.bidirDistance(e, src, v, 10) == dists.get(v),
+        s"mismatch at $v")
+    }
+  }
 }
