@@ -12,7 +12,7 @@ object Bench {
     */
   val RepeatSet: Seq[String] = Seq(
     "q1_agg", "g16_weighted_path", "g17_kcore", "x17_pagerank_stable",
-    "x6_pagerank", "g25_stress", "x25_katz")
+    "x6_pagerank", "g25_stress", "x25_katz", "g30_scc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

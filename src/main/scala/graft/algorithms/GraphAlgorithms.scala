@@ -954,9 +954,16 @@ object GraphAlgorithms {
     * bit-for-bit. At least the minimum live id roots a color each round,
     * so ≥ 1 SCC is assigned per round; `maxRounds` bounds adversarial
     * SCC-chain depth and the convergence failure is loud.
+    * `layersPerRound` folds that many propagation steps of the coloring /
+    * backward-sweep fixpoints into one materialized round (the kCore
+    * layer-collapse pattern — same work, half the jobs and stall
+    * exposure; results are layer-count-invariant, spec-pinned).
     */
   def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 64,
-      broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
+      broadcastCeiling: Long = BroadcastVertexRows,
+      layersPerRound: Int = 2,
+      phaseProbe: String => Unit = _ => ()): DataFrame = {
+    require(layersPerRound >= 1, "layersPerRound must be >= 1")
     import org.apache.spark.sql.functions._
     // live edges drop self-loops (they never bind two vertices together);
     // the vertex set keeps self-loop-only vertices — the trim pass assigns
@@ -986,6 +993,7 @@ object GraphAlgorithms {
             .join(small(hasIn), Seq("id"), "left_semi"),
           eager = false)
         val nKeep = keep.count()
+        phaseProbe(s"round=$rounds trim nLive=$nLive nKeep=$nKeep")
         if (nKeep == nLive) { trimming = false; releaseKeep() }
         else {
           val (acc2, releaseAcc2) = trackedCheckpoint(
@@ -1006,20 +1014,32 @@ object GraphAlgorithms {
         }
       }
       if (nLive > 0) {
-        // ---- 2. forward min-id coloring to fixpoint
+        // ---- 2. forward min-id coloring to fixpoint, `layersPerRound`
+        // propagation steps folded into ONE materialized round (the kCore
+        // layer-collapse pattern: half the jobs/planning passes and half
+        // the stall exposure for the same work). The color relation is
+        // always exactly |nLive| rows, so the INNER layers' broadcast gate
+        // rides the same measured count as the outer one — sound past the
+        // ceiling too (shuffle-hash all the way down). `prev` carries the
+        // round's STARTING color through every layer (own rows only), so
+        // changed = 0 still certifies a true fixpoint of one step.
         var (color, releaseColor) = trackedCheckpoint(
           verts.withColumn("color", col("id")), eager = false)
         var changed = 1L
         while (changed > 0) {
-          val (next, releaseNext) = trackedCheckpoint(
-            live.join(small(color), live("src") === color("id"))
-              .select(live("dst").as("id"), col("color"), lit(false).as("own"))
-              .unionByName(color.withColumn("own", lit(true)))
+          var cur = color.withColumn("prev", col("color"))
+          for (_ <- 1 to layersPerRound) {
+            val c = cur.select(col("id").as("cid"), col("color").as("cc"))
+            cur = live.join(small(c), live("src") === col("cid"))
+              .select(live("dst").as("id"), col("cc").as("color"),
+                lit(null).cast("long").as("prev"))
+              .unionByName(cur.select(col("id"), col("color"), col("prev")))
               .groupBy(col("id"))
-              .agg(min(col("color")).as("color"),
-                min(when(col("own"), col("color"))).as("prev")),
-            eager = false)
+              .agg(min(col("color")).as("color"), min(col("prev")).as("prev"))
+          }
+          val (next, releaseNext) = trackedCheckpoint(cur, eager = false)
           changed = next.where(col("color") < col("prev")).count()
+          phaseProbe(s"round=$rounds color changed=$changed")
           releaseColor()
           color = next.select(col("id"), col("color"))
           releaseColor = releaseNext
@@ -1034,30 +1054,40 @@ object GraphAlgorithms {
             .select(live("src").as("src"), live("dst").as("dst"),
               col("sc").as("color")),
           eager = false)
-        var (reached, releaseReached) = trackedCheckpoint(
+        // `reached` is a SHALLOW union of checkpointed level frontiers
+        // (bfsDistances' visited pattern — no per-round re-checkpoint of
+        // the union, so each backward round costs exactly ONE job: the
+        // count that materializes the new level)
+        val backReleases = scala.collection.mutable.ListBuffer[() => Unit]()
+        val (roots, releaseRoots) = trackedCheckpoint(
           color.where(col("color") === col("id"))
             .select(col("id"), col("color").as("root")),
-          eager = true)
-        var frontier = reached
-        var releaseFrontier: () => Unit = () => ()
+          eager = false)
+        backReleases += releaseRoots
+        var reached = roots
+        var frontier = roots
         var growing = true
         while (growing) {
           // an edge u→v in ce has color(u) = color(v) = root(v), so the
-          // candidate (src, color) row IS the (id, root) assignment
-          val (nf, releaseNf) = trackedCheckpoint(
-            ce.join(small(frontier.select(col("id").as("fid"))),
+          // candidate (src, color) row IS the (id, root) assignment;
+          // `layersPerRound` backward hops fold into one materialized
+          // round (reachability only needs the union, not exact levels)
+          var cand = frontier.select(col("id"), col("root"))
+          var hops = cand.where(lit(false))
+          for (_ <- 1 to layersPerRound) {
+            cand = ce.join(small(cand.select(col("id").as("fid"))),
                 ce("dst") === col("fid"), "left_semi")
               .select(col("src").as("id"), col("color").as("root")).distinct()
-              .join(reached, Seq("id"), "left_anti"),
-            eager = true)
-          releaseFrontier()
-          if (nf.count() == 0) { growing = false; releaseNf() }
-          else {
-            val (r2, releaseR2) = trackedCheckpoint(
-              reached.unionByName(nf), eager = true)
-            releaseReached(); reached = r2; releaseReached = releaseR2
-            frontier = nf; releaseFrontier = releaseNf
+            hops = hops.unionByName(cand)
           }
+          val (nf, releaseNf) = trackedCheckpoint(
+            hops.distinct().join(reached.select("id"), Seq("id"), "left_anti"),
+            eager = false)
+          backReleases += releaseNf
+          val nNf = nf.count()
+          phaseProbe(s"round=$rounds backward new=$nNf")
+          if (nNf == 0) growing = false
+          else { reached = reached.unionByName(nf); frontier = nf }
         }
         releaseCe(); releaseColor()
         // ---- assign the swept SCCs and shrink the live subgraph
@@ -1076,7 +1106,7 @@ object GraphAlgorithms {
           eager = false)
         nLive = verts2.count()
         live2.count()
-        releaseReached(); releaseVerts(); releaseLive()
+        backReleases.foreach(_()); releaseVerts(); releaseLive()
         verts = verts2; releaseVerts = releaseVerts2
         live = live2; releaseLive = releaseLive2
       }

@@ -596,12 +596,20 @@ object GraphQueries {
     }),
 
     // Link prediction (r8; the GDS alpha family's exact-integer members)
-    // over the co-supply graph: top-20 non-adjacent pairs by common
-    // neighbors, with preferential attachment and total-neighbors - all
-    // exact BIGINTs (Adamic-Adar is the FP member; the integer triple is
-    // what an oracle can pin).
-    "g31_link_prediction" -> ((s, dir) =>
-      graft.algorithms.GraphAlgorithms.linkPrediction(coSupplyEdges(s, dir), 20)),
+    // over the h32-thinned co-supply graph (g28's thinning: the raw
+    // relation is near-clique at every SF, where almost every pair is
+    // already adjacent and the wedge relation alone is ~Sigma deg^2 =
+    // hundreds of millions of rows at sf0.1 - thinning keeps the gate's
+    // candidate set meaningful AND bounded): top-20 non-adjacent pairs by
+    // common neighbors, with preferential attachment and total-neighbors
+    // - all exact BIGINTs (Adamic-Adar is the FP member; the integer
+    // triple is what an oracle can pin).
+    "g31_link_prediction" -> ((s, dir) => {
+      import graft.pipeline.TextHash
+      val thin = coSupplyEdges(s, dir)
+        .where(TextHash.h32(concat_ws("|", col("src"), col("dst"))) % 10 < 2)
+      graft.algorithms.GraphAlgorithms.linkPrediction(thin, 20)
+    }),
 
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
@@ -667,22 +675,28 @@ object GraphQueries {
          |FROM dsts d JOIN lvl l ON l.id = d.id
          |ORDER BY end_id""".stripMargin,
     "g31_link_prediction" ->
-      s"""WITH $coSupplyCte,
-         |adj AS (SELECT a AS id, b AS nbr FROM und
-         |        UNION ALL SELECT b, a FROM und),
-         |cn AS (SELECT x.nbr AS a, y.nbr AS b, CAST(COUNT(*) AS BIGINT) AS common
-         |       FROM adj x JOIN adj y ON x.id = y.id AND x.nbr < y.nbr
-         |       GROUP BY x.nbr, y.nbr),
-         |nonadj AS (SELECT cn.* FROM cn LEFT JOIN und
-         |             ON und.a = cn.a AND und.b = cn.b
-         |           WHERE und.a IS NULL)
-         |SELECT n.a, n.b, n.common,
-         |       da.deg * db.deg AS pref_attach,
-         |       da.deg + db.deg - n.common AS total_neighbors
-         |FROM nonadj n
-         |JOIN deg da ON da.id = n.a
-         |JOIN deg db ON db.id = n.b
-         |ORDER BY n.common DESC, n.a, n.b LIMIT 20""".stripMargin,
+      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+        |            FROM lineitem WHERE l_partkey < 2000),
+        |und0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |         FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk),
+        |und AS (SELECT a, b FROM und0
+        |  WHERE (('0x' || substr(md5(a || '|' || b),1,8))::BIGINT) % 10 < 2),
+        |adj AS (SELECT a AS id, b AS nbr FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY id),
+        |cn AS (SELECT x.nbr AS a, y.nbr AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |       FROM adj x JOIN adj y ON x.id = y.id AND x.nbr < y.nbr
+        |       GROUP BY x.nbr, y.nbr),
+        |nonadj AS (SELECT cn.* FROM cn LEFT JOIN und
+        |             ON und.a = cn.a AND und.b = cn.b
+        |           WHERE und.a IS NULL)
+        |SELECT n.a, n.b, n.common,
+        |       da.deg * db.deg AS pref_attach,
+        |       da.deg + db.deg - n.common AS total_neighbors
+        |FROM nonadj n
+        |JOIN deg da ON da.id = n.a
+        |JOIN deg db ON db.id = n.b
+        |ORDER BY n.common DESC, n.a, n.b LIMIT 20""".stripMargin,
     "g1_label_scan" ->
       """SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS id, c_name, c_acctbal
         |FROM customer ORDER BY id""".stripMargin,

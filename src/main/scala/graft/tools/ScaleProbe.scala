@@ -60,6 +60,7 @@ object ScaleProbe {
       case "stress"   => stressProbe(spark, sfDir)
       case "walks"    => walksProbe(spark, sfDir)
       case "ktruss"   => ktrussProbe(spark, sfDir)
+      case "scc"      => sccProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -530,5 +531,52 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
     }
+  }
+
+  /** g30's scale axis: the 2-out Lehmer referral digraph replicated Kx as
+    * DISJOINT id-offset copies — per-copy SCC structure is identical, so
+    * the trim depth, coloring fixpoint depth, and backward-sweep depth are
+    * all constant in K and time should track K (the per-round relations
+    * grow Kx but every join/aggregate is equi-keyed, so copies can never
+    * interact); superlinear growth would flag a cross-copy stage.
+    */
+  private def sccProbe(spark: SparkSession, sfDir: String): Unit = {
+    val c = graft.store.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("k"))
+    val n = c.count()
+    def ref(mul: Long) = c.select(col("k").as("src"),
+      (lit(1L) + (col("k") * mul) % n).as("dst"))
+    val base = ref(48271L).unionByName(ref(16807L))
+      .where(col("src") =!= col("dst")).localCheckpoint()
+    val n0 = base.count()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    def run(tag: String, k: Int, warm: Boolean = false): Unit = {
+      val off = 1L << 24 // copies live in disjoint id ranges
+      val df = (0 until k).map(i => base.select(
+          (col("src") + lit(i * off)).as("src"),
+          (col("dst") + lit(i * off)).as("dst")))
+        .reduce(_ unionByName _).localCheckpoint()
+      df.count()
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to (if (warm) 1 else reps)).map { _ =>
+        val t0 = System.nanoTime()
+        val nScc = graft.algorithms.GraphAlgorithms
+          .stronglyConnectedComponents(df)
+          .select(col("scc_id")).distinct().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, nScc)
+      }
+      if (!warm)
+        println(f"SCALE axis=$tag edges=${n0 * k} sccs=${times.head._2} " +
+          f"min=${times.map(_._1).min}%.2f s " +
+          times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+    }
+    run("warmup", 1, warm = true)
+    for (k <- Seq(1, 4, 16)) run(s"copies-$k", k)
   }
 }

@@ -355,6 +355,11 @@ class AlgorithmsSpec extends AnyFunSuite {
         .map { case (id, c) => (id.toLong, c.toLong) }.collect().toSet
     }
     assert(viaDf == viaGraphX && viaDf.nonEmpty)
+    // layer collapse is an execution-shape knob, not a semantic one
+    val oneLayer = GraphAlgorithms
+      .stronglyConnectedComponents(edges, layersPerRound = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneLayer == viaDf)
   }
 
   test("linkPrediction: square diagonals, hub-cap center exclusion") {
