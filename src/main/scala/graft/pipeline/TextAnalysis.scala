@@ -73,6 +73,34 @@ object TextAnalysis {
         sum(col("nd")).as("total_distinct_tokens"),
         max(col("n")).as("max_tokens"))
 
+  /** Corpus vocabulary report per group — the curation-dashboard composite
+    * a mixture designer reads before weighting sources: corpus-wide type
+    * count (distinct tokens), token total, type/token ratio, and the top-k
+    * terms by frequency. Everything is exact integers except the single
+    * final int→double TTR division (bit-identical across engines), the
+    * term-count aggregation partial-combines map-side, and the top-k rides
+    * a PER-GROUP window (a 100 TB corpus never sees a global sort — the
+    * t13 rule).
+    */
+  def vocabularyReport(df: DataFrame, textCol: String, groupCol: String,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_tokens"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .join(totals, Seq(groupCol))
+      .select(col(groupCol), col("rank"), col("term"), col("cnt"),
+        col("n_types"), col("n_tokens"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"))
+  }
+
   /** GPT-2-style BPE pre-tokenization regex: contractions, letter runs,
     * digit runs, punctuation runs (each optionally space-prefixed) — the
     * units a subword tokenizer splits further. RE2-compatible so the DuckDB

@@ -97,6 +97,14 @@ object PipelineQueries {
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", 5)
         .orderBy(col("id"))),
 
+    // Per-source vocabulary report (r8): corpus-wide type/token totals,
+    // TTR, top-5 terms - the curation dashboard a mixture designer reads
+    // before weighting sources (exact ints + ONE final division; the
+    // top-k window partitions per source, never globally).
+    "t16_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabularyReport(docs(s, dir), "text", "source", 5)
+        .orderBy(col("source"), col("rank"))),
+
     "m1_multimodal" -> ((s, dir) =>
       Multimodal.featureStats(docs(s, dir))
         .orderBy(col("source"))),
@@ -620,6 +628,25 @@ object PipelineQueries {
          |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
          |  CAST(SUM(nd) AS BIGINT) AS total_distinct_tokens, CAST(MAX(n) AS BIGINT) AS max_tokens
          |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "t16_vocabulary" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($toksSql) AS term FROM documents),
+         |counts AS (
+         |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY 1, 2),
+         |totals AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+         |         CAST(SUM(cnt) AS BIGINT) AS n_tokens
+         |  FROM counts GROUP BY 1),
+         |ranked AS (
+         |  SELECT source, term, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rank
+         |  FROM counts)
+         |SELECT r.source, CAST(r.rank AS INT) AS rank, r.term, r.cnt,
+         |  t.n_types, t.n_tokens,
+         |  CAST(t.n_types AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS type_token_ratio
+         |FROM ranked r JOIN totals t USING (source) WHERE r.rank <= 5
+         |ORDER BY source, rank""".stripMargin,
     "t4_fingerprints" ->
       s"""SELECT doc_id AS id,
          |  ${h32Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS content_fp,

@@ -360,6 +360,12 @@ class AlgorithmsSpec extends AnyFunSuite {
       .stronglyConnectedComponents(edges, layersPerRound = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(oneLayer == viaDf)
+    // past the broadcast ceiling every join degrades to shuffle-hash —
+    // the plan a |V|-scale graph takes — with the identical partition
+    val viaShuffle = GraphAlgorithms
+      .stronglyConnectedComponents(edges, broadcastCeiling = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaShuffle == viaDf)
   }
 
   test("linkPrediction: square diagonals, hub-cap center exclusion") {

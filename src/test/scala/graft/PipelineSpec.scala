@@ -375,4 +375,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(top((1L, 1)) == "quick" && top((1L, 2)) == "fox")
     assert(top((2L, 1)) == "lazy" && top((2L, 2)) == "fox")
   }
+
+  test("vocabularyReport: type/token totals, TTR, per-source top-k ranking") {
+    val d = Seq(
+      ("a", "x x y"), ("a", "y z"),     // source a: x:2 y:2 z:1
+      ("b", "w w w"))                   // source b: w:3
+      .toDF("source", "text")
+    val out = TextAnalysis.vocabularyReport(d, "text", "source", 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    // ties (x:2, y:2) break by term asc; z falls outside top-2
+    assert(out == Set(
+      ("a", 1, "x", 2L, 3L, 5L, 3.0 / 5.0),
+      ("a", 2, "y", 2L, 3L, 5L, 3.0 / 5.0),
+      ("b", 1, "w", 3L, 1L, 3L, 1.0 / 3.0)))
+  }
 }

@@ -313,6 +313,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("g31: link-prediction wedges are equi-joins + anti join — no cartesian") {
+    val p = plan("g31_link_prediction")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the pair filter is the anti join against the adjacency, not a
+    // post-product filter
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("x30: the stream-static enrichment's dim side is a broadcast hash join") {
+    // audit through the batch twin — the streaming plan re-plans the same
+    // join per micro-batch with the identical static side
+    import org.apache.spark.sql.functions.col
+    val ev = graft.store.Tables.load(spark, sfDir, "events")
+    val dim = graft.store.Tables.load(spark, sfDir, "customer")
+    val df = graft.streaming.EventStreams.enrichedNationStats(ev, dim)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // dim scan prunes to the join key + payload column
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("c_custkey")).getOrElse("")
+    assert(readSchema.contains("c_nationkey") && !readSchema.contains("c_name"),
+      readSchema)
+  }
+
   test("t13: duplicated-span islands window per document, never globally") {
     val df = SparkEntry.queries("t13_dupspans")(spark, sfDir)
     df.collect()
