@@ -148,6 +148,14 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         GraphAlgorithms.stronglyConnectedComponents(edges)
       case "graft.linkprediction" => nargs(1)
         GraphAlgorithms.linkPrediction(edges, intArg(0, Some(10)))
+      case "graft.distance" =>
+        nargs(3)
+        import spark.implicits._
+        val (s0, d0) = (longArg(0), longArg(1))
+        graft.algorithms.Traversals
+          .bidirDistance(edges, s0, d0, intArg(2, Some(10)))
+          .map(d => Seq((s0, d0, d.toLong))).getOrElse(Seq.empty)
+          .toDF("start_id", "end_id", "dist")
       case "graft.walks" =>
         nargs(3)
         import spark.implicits._
@@ -159,7 +167,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
         "graft.ppr(sourceId, iters), graft.katz(maxLen, beta), " +
         "graft.kTruss(k), graft.walks(sourceId, walksPerStart, steps), " +
-        "graft.scc(), graft.linkPrediction(topK)")
+        "graft.scc(), graft.linkPrediction(topK), " +
+        "graft.distance(srcId, dstId, maxHops)")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

@@ -385,6 +385,29 @@ object CypherGateQueries {
         |                   WHERE c.c_acctbal < -900 }
         |RETURN n.n_name AS nation ORDER BY nation""".stripMargin),
 
+    // point-to-point distance through the CALL surface (r8): the args are
+    // runtime-computed packed ids (customer 1, the region one over from
+    // its own - the 5-hop order->part->supplier chain), interpolated as
+    // the integer literals the procedure grammar takes; reuses the g32
+    // bidirectional search + oracle family.
+    "cy34_call_distance" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val start = graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)
+      def asLong(a: Any): Long = a match {
+        case i: Int => i.toLong; case l: Long => l
+        case o => o.toString.toLong
+      }
+      val nk = asLong(graft.store.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") === 1).select("c_nationkey").head.get(0))
+      val rk = asLong(graft.store.Tables.load(s, dir, "nation")
+        .filter(col("n_nationkey") === nk).select("n_regionkey").head.get(0))
+      val dstFar = graft.model.Graphid.pack(GraphStore.Lab.Region, (rk + 1) % 5)
+      new CypherSession(s, GraphStore.tpch(s, dir)).run(
+        s"""CALL graft.distance($start, $dstFar, 6)
+           |YIELD start_id, end_id, dist
+           |RETURN start_id, end_id, dist""".stripMargin)
+    }),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -504,6 +527,8 @@ object CypherGateQueries {
         |ORDER BY name""".stripMargin,
     // the CALL gates reuse the already-proven algorithm oracles: identical
     // semantics, reshaped only where the Cypher query aggregates further
+    "cy34_call_distance" -> GraphQueries.bidirDistOracle(
+      "SELECT (CAST(6 AS BIGINT)<<48)|((rk+1)%5) AS id FROM myreg"),
     "cy27_call_components" -> ExtraQueries.oracle("x7_components"),
     "cy28_call_kcore" ->
       s"""SELECT CAST(SUM(n_core) AS BIGINT) AS n_core

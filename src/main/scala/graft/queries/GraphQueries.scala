@@ -78,6 +78,30 @@ object GraphQueries {
 
   private def srcDst(df: DataFrame): DataFrame = df.select(col("src"), col("dst"))
 
+  /** Shared oracle for the bidirectional-distance gates (g32, cy34):
+    * recursive-CTE min-dist from customer 1 to the destination set
+    * `dstsSql` (SQL selecting packed region ids; `myreg` = customer 1's
+    * own region key is in scope).
+    */
+  private[queries] def bidirDistOracle(dstsSql: String): String =
+    s"""WITH RECURSIVE $edgesCte,
+       |myreg AS (
+       |  SELECT CAST(n_regionkey AS BIGINT) AS rk
+       |  FROM nation JOIN customer ON n_nationkey = c_nationkey
+       |  WHERE c_custkey = 1),
+       |dsts AS (
+       |  $dstsSql),
+       |bfs(id, dist) AS (
+       |  SELECT $startCust1, 0
+       |  UNION ALL
+       |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.id
+       |  WHERE b.dist < 6),
+       |lvl AS (SELECT id, MIN(dist) AS dist FROM bfs GROUP BY id)
+       |SELECT $startCust1 AS start_id, d.id AS end_id,
+       |       CAST(l.dist AS BIGINT) AS dist
+       |FROM dsts d JOIN lvl l ON l.id = d.id
+       |ORDER BY end_id""".stripMargin
+
   /** Co-supply graph for the triangle gates (g23/g24): suppliers linked iff
     * they supply the same part, domain-bounded like g18. Pair generation is
     * per-part (a part with s suppliers emits s(s-1)/2 pairs — bounded by
@@ -654,26 +678,10 @@ object GraphQueries {
         |SELECT sz AS scc_size, CAST(COUNT(*) AS BIGINT) AS n_sccs,
         |       MIN(scc_id) AS min_root
         |FROM sizes GROUP BY sz ORDER BY scc_size""".stripMargin,
-    "g32_bidir_distance" ->
-      s"""WITH RECURSIVE $edgesCte,
-         |myreg AS (
-         |  SELECT CAST(n_regionkey AS BIGINT) AS rk
-         |  FROM nation JOIN customer ON n_nationkey = c_nationkey
-         |  WHERE c_custkey = 1),
-         |dsts AS (
-         |  SELECT (CAST(6 AS BIGINT)<<48)|rk AS id FROM myreg
-         |  UNION
-         |  SELECT (CAST(6 AS BIGINT)<<48)|((rk+1)%5) FROM myreg),
-         |bfs(id, dist) AS (
-         |  SELECT $startCust1, 0
-         |  UNION ALL
-         |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.id
-         |  WHERE b.dist < 6),
-         |lvl AS (SELECT id, MIN(dist) AS dist FROM bfs GROUP BY id)
-         |SELECT $startCust1 AS start_id, d.id AS end_id,
-         |       CAST(l.dist AS BIGINT) AS dist
-         |FROM dsts d JOIN lvl l ON l.id = d.id
-         |ORDER BY end_id""".stripMargin,
+    "g32_bidir_distance" -> bidirDistOracle(
+      """SELECT (CAST(6 AS BIGINT)<<48)|rk AS id FROM myreg
+        |  UNION
+        |  SELECT (CAST(6 AS BIGINT)<<48)|((rk+1)%5) FROM myreg""".stripMargin),
     "g31_link_prediction" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
         |            FROM lineitem WHERE l_partkey < 2000),

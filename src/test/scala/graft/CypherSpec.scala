@@ -1151,6 +1151,26 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq(3L)))
   }
 
+  test("CALL graft.distance runs the bidirectional point query") {
+    import spark.implicits._
+    val persons = (1L to 4L)
+      .map(i => (Graphid.pack(100, i), s"p$i")).toDF("id", "name")
+    val knows = Seq(
+      (Graphid.pack(101, 1), Graphid.pack(100, 1), Graphid.pack(100, 2)),
+      (Graphid.pack(101, 2), Graphid.pack(100, 2), Graphid.pack(100, 3)),
+      (Graphid.pack(101, 3), Graphid.pack(100, 3), Graphid.pack(100, 4)))
+      .toDF("id", "src", "dst")
+    val s = new CypherSession(spark,
+      new GraphStore(Map("Person" -> persons), Map("KNOWS" -> knows)))
+    val a = Graphid.pack(100, 1); val b = Graphid.pack(100, 4)
+    assert(rows(s.run(
+      s"CALL graft.distance($a, $b, 5) YIELD end_id, dist RETURN end_id, dist"))
+      == Seq(Seq(b, 3L)))
+    // unreachable within the cap -> zero rows through the whole pipeline
+    assert(s.run(
+      s"CALL graft.distance($a, $b, 2) YIELD dist RETURN dist").isEmpty)
+  }
+
   test("CALL graft.scc partitions a KNOWS cycle-plus-tail") {
     import spark.implicits._
     val persons = (1L to 4L)
