@@ -1118,6 +1118,92 @@ object GraphAlgorithms {
     acc
   }
 
+  /** Deterministic maximal independent set — Luby's classic parallel MIS
+    * with the RNG replaced by the repo's cross-engine h32 draw: in round r
+    * vertex v gets priority p(v) = h32("r|v"), joins the MIS iff
+    * (p(v), v) beats the minimum (p(u), u) over its LIVE neighbors (the
+    * id tie-break makes hash collisions harmless), and winners plus their
+    * neighborhoods leave the live set. Zero RNG state, so the resulting
+    * set is a pure function of the graph — replayable bit-for-bit in SQL
+    * (the hashWalks construction). Luby terminates in O(log n) rounds in
+    * expectation per round's fresh draw; `maxRounds` makes the bound loud.
+    * Per round: ONE gated-broadcast join of the |V|-bounded priority
+    * relation against the immutable live edge relation + one partial
+    * min-struct aggregate + the semi/anti-join shrink — never pair state.
+    */
+  def maximalIndependentSet(edges: DataFrame, maxRounds: Int = 64,
+      broadcastCeiling: Long = BroadcastVertexRows): DataFrame =
+    misRounds(edges, maxRounds, broadcastCeiling)._1
+
+  /** maximalIndependentSet plus the number of Luby rounds taken — the
+    * kCoreRounds pattern: specs pin the round budget so the unrolled-CTE
+    * oracle provably covers convergence.
+    */
+  def misRounds(edges: DataFrame, maxRounds: Int = 64,
+      broadcastCeiling: Long = BroadcastVertexRows): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.TextHash
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val (und, releaseUnd) = trackedCheckpoint(
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(),
+      eager = false)
+    var (verts, releaseVerts) = trackedCheckpoint(
+      edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id"))).distinct(),
+      eager = false)
+    var (live, releaseLive) = trackedCheckpoint(und, eager = false)
+    var nLive = verts.count()
+    def small(df: DataFrame): DataFrame =
+      if (nLive <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
+    var acc = verts.where(lit(false))
+    var releaseAcc: () => Unit = () => ()
+    var round = 0
+    while (nLive > 0 && round < maxRounds) {
+      round += 1
+      val pr = verts.select(col("id"),
+        TextHash.h32(concat_ws("|", lit(round), col("id"))).as("p"))
+      // min live-neighbor (priority, id) per vertex; vertices with no live
+      // neighbors (m IS NULL) are isolated and always win
+      val nbrMin = live.join(small(pr), live("src") === pr("id"))
+        .groupBy(live("dst").as("id"))
+        .agg(min(struct(col("p"), pr("id").as("nid"))).as("m"))
+      val (winners, releaseWinners) = trackedCheckpoint(
+        pr.join(nbrMin.select(col("id"), col("m")), Seq("id"), "left_outer")
+          .where(col("m").isNull ||
+            struct(col("p"), col("id").as("nid")) < col("m"))
+          .select(col("id")),
+        eager = false)
+      winners.count()
+      val (acc2, releaseAcc2) = trackedCheckpoint(
+        acc.unionByName(winners), eager = true)
+      releaseAcc(); acc = acc2; releaseAcc = releaseAcc2
+      // winners and their whole neighborhoods leave the live set
+      val removed = winners.unionByName(
+        live.join(small(winners.select(col("id").as("wid"))),
+            live("src") === col("wid"), "left_semi")
+          .select(col("dst").as("id"))).distinct()
+      val (verts2, releaseVerts2) = trackedCheckpoint(
+        verts.join(small(removed), Seq("id"), "left_anti"), eager = false)
+      val (live2, releaseLive2) = trackedCheckpoint(
+        live.join(small(removed.select(col("id").as("rid"))),
+            live("src") === col("rid"), "left_anti")
+          .join(small(removed.select(col("id").as("rid2"))),
+            live("dst") === col("rid2"), "left_anti"),
+        eager = false)
+      nLive = verts2.count()
+      live2.count()
+      releaseWinners(); releaseVerts(); releaseLive()
+      verts = verts2; releaseVerts = releaseVerts2
+      live = live2; releaseLive = releaseLive2
+    }
+    require(nLive == 0,
+      s"MIS did not converge within $maxRounds rounds ($nLive vertices live)")
+    releaseUnd(); releaseVerts(); releaseLive()
+    (acc, round)
+  }
+
   /** Link prediction scores (the GDS alpha family, exact-integer members):
     * for every non-adjacent vertex pair of the undirected graph sharing at
     * least one neighbor, common-neighbor count, preferential attachment

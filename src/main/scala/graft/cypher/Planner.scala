@@ -148,6 +148,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         GraphAlgorithms.stronglyConnectedComponents(edges)
       case "graft.linkprediction" => nargs(1)
         GraphAlgorithms.linkPrediction(edges, intArg(0, Some(10)))
+      case "graft.mis" => nargs(0)
+        GraphAlgorithms.maximalIndependentSet(edges)
       case "graft.distance" =>
         nargs(3)
         import spark.implicits._
@@ -167,7 +169,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
         "graft.ppr(sourceId, iters), graft.katz(maxLen, beta), " +
         "graft.kTruss(k), graft.walks(sourceId, walksPerStart, steps), " +
-        "graft.scc(), graft.linkPrediction(topK), " +
+        "graft.scc(), graft.linkPrediction(topK), graft.mis(), " +
         "graft.distance(srcId, dstId, maxHops)")
     }
     val available = out.columns.toSeq

@@ -635,6 +635,18 @@ object GraphQueries {
       graft.algorithms.GraphAlgorithms.linkPrediction(thin, 20)
     }),
 
+    // Deterministic maximal independent set (r8): Luby's parallel MIS
+    // with h32 priorities instead of an RNG, on the thinned co-supply
+    // graph - the set is a pure function of the graph, replayed round by
+    // round in SQL (the hashWalks construction). Output: the member ids.
+    "g33_mis" -> ((s, dir) => {
+      import graft.pipeline.TextHash
+      val thin = coSupplyEdges(s, dir)
+        .where(TextHash.h32(concat_ws("|", col("src"), col("dst"))) % 10 < 2)
+      graft.algorithms.GraphAlgorithms.maximalIndependentSet(thin)
+        .orderBy(col("id"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -682,6 +694,52 @@ object GraphQueries {
       """SELECT (CAST(6 AS BIGINT)<<48)|rk AS id FROM myreg
         |  UNION
         |  SELECT (CAST(6 AS BIGINT)<<48)|((rk+1)%5) FROM myreg""".stripMargin),
+    // Luby rounds unrolled: per round the priorities (identical md5
+    // text), the per-vertex min live-neighbor (p, id) via a window
+    // arg-min, the (p,id)-row-comparison winners, and the shrunken
+    // vertex/edge sets; 16 rounds >> the measured 4-5 round convergence
+    // at sf0.01 (converged rounds are empty no-ops, the g28 pattern).
+    "g33_mis" -> {
+      import graft.pipeline.TextHash.h32Sql
+      val rounds = 16
+      val iter = (1 to rounds).map { i =>
+        s"""pr$i AS MATERIALIZED (
+           |  SELECT id, ${h32Sql(s"$i || '|' || id")} AS p FROM v${i - 1}),
+           |nm$i AS MATERIALIZED (
+           |  SELECT dst AS id, p, nid FROM (
+           |    SELECT e.dst, pr.p, pr.id AS nid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY pr.p, pr.id) AS rn
+           |    FROM e${i - 1} e JOIN pr$i pr ON pr.id = e.src) WHERE rn = 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT v.id FROM v${i - 1} v
+           |  JOIN pr$i p ON p.id = v.id
+           |  LEFT JOIN nm$i m ON m.id = v.id
+           |  WHERE m.id IS NULL OR (p.p, p.id) < (m.p, m.nid)),
+           |rm$i AS (
+           |  SELECT id FROM w$i
+           |  UNION
+           |  SELECT e.dst FROM e${i - 1} e JOIN w$i w ON w.id = e.src),
+           |v$i AS MATERIALIZED (
+           |  SELECT id FROM v${i - 1} WHERE id NOT IN (SELECT id FROM rm$i)),
+           |e$i AS MATERIALIZED (
+           |  SELECT src, dst FROM e${i - 1}
+           |  WHERE src NOT IN (SELECT id FROM rm$i)
+           |    AND dst NOT IN (SELECT id FROM rm$i))""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to rounds).map(i => s"SELECT id FROM w$i").mkString("\nUNION ALL ")
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+         |            FROM lineitem WHERE l_partkey < 2000),
+         |und0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+         |         FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk),
+         |thin AS (SELECT a, b FROM und0
+         |  WHERE (('0x' || substr(md5(a || '|' || b),1,8))::BIGINT) % 10 < 2),
+         |e0 AS (SELECT a AS src, b AS dst FROM thin
+         |       UNION SELECT b, a FROM thin),
+         |v0 AS (SELECT a AS id FROM thin UNION SELECT b FROM thin),
+         |$iter
+         |SELECT id FROM ($union)
+         |ORDER BY id""".stripMargin
+    },
     "g31_link_prediction" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
         |            FROM lineitem WHERE l_partkey < 2000),

@@ -368,6 +368,32 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(viaShuffle == viaDf)
   }
 
+  test("maximalIndependentSet: independence, maximality, determinism") {
+    import org.apache.spark.sql.functions.col
+    val g = graft.tools.DataGenerator.uniform(spark, 80, 200, seed = 11)
+    val e = g.allEdges.select(col("src"), col("dst"))
+    val (misDf, rounds) = GraphAlgorithms.misRounds(e)
+    val mis = misDf.collect().map(_.getLong(0)).toSet
+    assert(mis.nonEmpty && rounds <= 16, s"rounds=$rounds")
+    val raw = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = raw.flatMap(p => Seq(p, p.swap)).filter(p => p._1 != p._2)
+    // independence: no two members adjacent
+    assert(und.forall { case (a, b) => !(mis(a) && mis(b)) })
+    // maximality: every vertex is a member or has a member neighbor
+    val verts = raw.flatMap(p => Seq(p._1, p._2)).toSet
+    val nbrs = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(verts.forall(v => mis(v) || nbrs.getOrElse(v, Set.empty[Long]).exists(mis)))
+    // pure function of the graph: partitioning cannot change the set
+    val mis2 = GraphAlgorithms.maximalIndependentSet(e.repartition(7))
+      .collect().map(_.getLong(0)).toSet
+    assert(mis2 == mis)
+    // a self-loop-only vertex is isolated under simple-graph normalization
+    val e2 = Seq((1L, 2L), (9L, 9L)).toDF("src", "dst")
+    val m2 = GraphAlgorithms.maximalIndependentSet(e2)
+      .collect().map(_.getLong(0)).toSet
+    assert(m2.contains(9L) && (m2 & Set(1L, 2L)).size == 1)
+  }
+
   test("linkPrediction: square diagonals, hub-cap center exclusion") {
     // square 1-2-3-4: only the diagonals are non-adjacent, each sharing
     // both of the other two vertices
