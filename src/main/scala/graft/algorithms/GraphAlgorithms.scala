@@ -1145,15 +1145,14 @@ object GraphAlgorithms {
     import graft.pipeline.TextHash
     val e0 = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    val (und, releaseUnd) = trackedCheckpoint(
-      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct(),
-      eager = false)
     var (verts, releaseVerts) = trackedCheckpoint(
       edges.select(col("src").as("id"))
         .unionByName(edges.select(col("dst").as("id"))).distinct(),
       eager = false)
-    var (live, releaseLive) = trackedCheckpoint(und, eager = false)
+    var (live, releaseLive) = trackedCheckpoint(
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(),
+      eager = false)
     var nLive = verts.count()
     def small(df: DataFrame): DataFrame =
       if (nLive <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
@@ -1200,7 +1199,7 @@ object GraphAlgorithms {
     }
     require(nLive == 0,
       s"MIS did not converge within $maxRounds rounds ($nLive vertices live)")
-    releaseUnd(); releaseVerts(); releaseLive()
+    releaseVerts(); releaseLive()
     (acc, round)
   }
 

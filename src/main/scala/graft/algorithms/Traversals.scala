@@ -220,9 +220,10 @@ object Traversals {
     * that gates the broadcast), checking each new level against the
     * opposite visited set; `best` (the cheapest meeting vertex's
     * fdist + bdist) is provably exact once lF + lB ≥ best, or immediately
-    * once either side's frontier is exhausted (that side's visited set is
-    * then complete, and every vertex on an optimal path within the other
-    * side's horizon has met it). Both searches run against ONE oriented
+    * once either side's frontier is exhausted — that side's visited set
+    * is then complete, so any meet is exact and NO meet proves dst
+    * unreachable (the search stops right there, no tail-side expansion
+    * to maxHops). Both searches run against ONE oriented
     * edge checkpoint — the backward hop is the same relation joined on
     * `dst`. Returns the hop count, or None if unreachable within maxHops.
     */
@@ -266,10 +267,11 @@ object Traversals {
       var done = false
       while (!done) {
         if (best <= lF + lB || lF + lB >= maxHops) done = true
-        else if (nF == 0 && nB == 0) done = true
-        // one side exhausted + any meet found → exact (see Scaladoc)
-        else if (best < Int.MaxValue && (nF == 0 || nB == 0)) done = true
-        else if (nF > 0 && (nB == 0 || nF <= nB)) expand(forward = true)
+        // one side exhausted → its visited set is COMPLETE: any meet found
+        // is exact, and no meet means dst is provably unreachable (the
+        // other side's seed alone would have met a complete reachable set)
+        else if (nF == 0 || nB == 0) done = true
+        else if (nF <= nB) expand(forward = true)
         else expand(forward = false)
       }
       if (best <= maxHops) Some(best) else None

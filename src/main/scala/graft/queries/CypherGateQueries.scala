@@ -126,14 +126,7 @@ object CypherGateQueries {
     // single-pair contract); the oracle recomputes dist with the same
     // recursive-CTE BFS as g12.
     "cy16_shortest_cypher" -> ((s, dir) => {
-      def asLong(a: Any): Long = a match {
-        case i: Int => i.toLong; case l: Long => l; case o => o.toString.toLong
-      }
-      import org.apache.spark.sql.functions.col
-      val nk = asLong(graft.store.Tables.load(s, dir, "customer")
-        .filter(col("c_custkey") === 1).select("c_nationkey").head.get(0))
-      val rk = asLong(graft.store.Tables.load(s, dir, "nation")
-        .filter(col("n_nationkey") === nk).select("n_regionkey").head.get(0))
+      val rk = GraphQueries.cust1RegionKey(s, dir)
       new CypherSession(s, GraphStore.tpch(s, dir), Map("rk" -> rk)).run(
         """MATCH p = shortestPath(
           |  (c:Customer {c_custkey: 1})-[*..6]->(r:Region {r_regionkey: $rk}))
@@ -391,16 +384,8 @@ object CypherGateQueries {
     // the integer literals the procedure grammar takes; reuses the g32
     // bidirectional search + oracle family.
     "cy34_call_distance" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.col
       val start = graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)
-      def asLong(a: Any): Long = a match {
-        case i: Int => i.toLong; case l: Long => l
-        case o => o.toString.toLong
-      }
-      val nk = asLong(graft.store.Tables.load(s, dir, "customer")
-        .filter(col("c_custkey") === 1).select("c_nationkey").head.get(0))
-      val rk = asLong(graft.store.Tables.load(s, dir, "nation")
-        .filter(col("n_nationkey") === nk).select("n_regionkey").head.get(0))
+      val rk = GraphQueries.cust1RegionKey(s, dir)
       val dstFar = graft.model.Graphid.pack(GraphStore.Lab.Region, (rk + 1) % 5)
       new CypherSession(s, GraphStore.tpch(s, dir)).run(
         s"""CALL graft.distance($start, $dstFar, 6)

@@ -78,6 +78,21 @@ object GraphQueries {
 
   private def srcDst(df: DataFrame): DataFrame = df.select(col("src"), col("dst"))
 
+  /** Customer 1's region key via two driver-side point reads (the g13
+    * point-get class) — shared by the distance gates so the probe-region
+    * choice can never diverge between g12/g32 and cy34.
+    */
+  private[queries] def cust1RegionKey(s: SparkSession, dir: String): Long = {
+    def asLong(a: Any): Long = a match {
+      case i: Int => i.toLong; case l: Long => l
+      case o => o.toString.toLong
+    }
+    val nk = asLong(Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") === 1).select("c_nationkey").head.get(0))
+    asLong(Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey") === nk).select("n_regionkey").head.get(0))
+  }
+
   /** Shared oracle for the bidirectional-distance gates (g32, cy34):
     * recursive-CTE min-dist from customer 1 to the destination set
     * `dstsSql` (SQL selecting packed region ids; `myreg` = customer 1's
@@ -260,15 +275,7 @@ object GraphQueries {
     "g12_shortest_path" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
       val start = graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)
-      def asLong(a: Any): Long = a match {
-        case i: Int => i.toLong; case l: Long => l
-        case o => o.toString.toLong
-      }
-      val nk = asLong(Tables.load(s, dir, "customer")
-        .filter(col("c_custkey") === 1).select("c_nationkey").head.get(0))
-      val rk = asLong(Tables.load(s, dir, "nation")
-        .filter(col("n_nationkey") === nk).select("n_regionkey").head.get(0))
-      val dst = graft.model.Graphid.pack(GraphStore.Lab.Region, rk)
+      val dst = graft.model.Graphid.pack(GraphStore.Lab.Region, cust1RegionKey(s, dir))
       Traversals.shortestPath(srcDst(g.allEdges), start, dst, 6)
         .select(col("start_id"), col("end_id"),
           col("dist").cast("long").as("dist"),
@@ -601,14 +608,7 @@ object GraphQueries {
       import s.implicits._
       val g = GraphStore.tpch(s, dir)
       val start = Graphid.pack(GraphStore.Lab.Customer, 1L)
-      def asLong(a: Any): Long = a match {
-        case i: Int => i.toLong; case l: Long => l
-        case o => o.toString.toLong
-      }
-      val nk = asLong(Tables.load(s, dir, "customer")
-        .filter(col("c_custkey") === 1).select("c_nationkey").head.get(0))
-      val rk = asLong(Tables.load(s, dir, "nation")
-        .filter(col("n_nationkey") === nk).select("n_regionkey").head.get(0))
+      val rk = cust1RegionKey(s, dir)
       val e = srcDst(g.allEdges)
       val rows = Seq(rk, (rk + 1) % 5).distinct
         .map(Graphid.pack(GraphStore.Lab.Region, _)).sorted

@@ -329,13 +329,16 @@ class AlgorithmsSpec extends AnyFunSuite {
   }
 
   test("scc: cycle colored from outside resolves in a later round") {
-    // 1 reaches the cycle {2,3,4}, so round 1's forward coloring paints
-    // the whole graph color 1 and only SCC(1)={1} sweeps out; the cycle
-    // must come back as its own SCC in round 2
-    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L)).toDF("src", "dst")
+    // the 2-cycle {0,1} reaches the 3-cycle {2,3,4}; NOTHING trims (every
+    // vertex keeps live in- and out-edges), round 1's forward coloring
+    // paints the whole graph color 0 and sweeps only SCC(0)={0,1}; the
+    // downstream cycle must come back as its own SCC in a LATER round —
+    // this is the re-color-after-partial-sweep path
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L),
+      (2L, 3L), (3L, 4L), (4L, 2L)).toDF("src", "dst")
     val scc = GraphAlgorithms.stronglyConnectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(scc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    assert(scc == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
 
   test("scc equals GraphX SCC labels on the referral digraph") {
