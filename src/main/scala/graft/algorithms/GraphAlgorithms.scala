@@ -341,15 +341,31 @@ object GraphAlgorithms {
     lbl
   }
 
-  /** Connected components natively on DataFrames: undirected min-label
-    * propagation — each round every vertex takes the minimum component id
-    * among itself and its neighbors, iterated to fixpoint (O(diameter)
-    * rounds; same min-id labels as the GraphX version, cross-validated in
-    * AlgorithmsSpec). The checkpointed-loop shape matches Traversals: one
-    * groupBy shuffle per round, lineage cut per round, loop terminated by
-    * the same count that materializes the round.
+  /** Connected components natively on DataFrames: min-label propagation
+    * with pointer-jumping shortcuts — each propagation round every vertex
+    * takes the minimum component id among itself and its neighbors, then
+    * the label-pointer forest is flattened to fixpoint (comp := comp∘comp,
+    * each jump halving remaining pointer depth). Labels are monotone
+    * non-increasing and always vertex ids inside the component, so
+    * shortcutting preserves the min-id fixpoint while cutting round count
+    * from O(diameter) to O(log D) propagation rounds + O(log D) total
+    * jumps — the alternating contract/flatten scheme of Kiveris et al.
+    * (Connected Components in MapReduce and Beyond). A 100×-deeper chain
+    * costs additively more rounds, not multiplicatively (measured axis:
+    * tools/scaleprobe_cc_chain_r9.txt). Each jump round joins only the
+    * |V|-sized label relation with itself (broadcast-gated) — the 2|E|
+    * relation is touched only by propagation rounds. Same min-id labels as
+    * the GraphX version, cross-validated in AlgorithmsSpec; checkpointed
+    * loop shape matches Traversals (lineage cut per round, loop terminated
+    * by the same count that materializes the round).
     */
-  def connectedComponentsDF(edges: DataFrame): DataFrame = {
+  def connectedComponentsDF(edges: DataFrame): DataFrame =
+    connectedComponentsRounds(edges)._1
+
+  /** connectedComponentsDF plus (propagation rounds, jump rounds) —
+    * ScaleProbe's chain axis pins the sub-O(D) round growth with these.
+    */
+  def connectedComponentsRounds(edges: DataFrame): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions._
     val (und, releaseUnd) = trackedCheckpoint(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))),
@@ -363,12 +379,27 @@ object GraphAlgorithms {
     val nVerts = comp.count()
     def small(df: DataFrame): DataFrame =
       if (nVerts <= BroadcastVertexRows) broadcast(df) else df.hint("shuffle_hash")
+    // Round shape: (1) propagation — the only stage that touches the 2|E|
+    // relation, materialized ONCE per round by the convergence count;
+    // (2) flatten — `jumps` label-compositions against that SAME
+    // materialized relation (label := p[p[p[p[v]]]]), so the pointer
+    // chain contracts (jumps+1)× per round for the cost of ONE |V|
+    // broadcast collect and ONE |V| count: the chained joins all consume
+    // the same broadcast and fuse into a single codegen span. comp[w] <= w
+    // always, so every composition is monotone.
+    // Invariant: comp entering propagation is always flat (identity at
+    // init, flattened each round), so a zero-change propagation certifies
+    // labels constant across edges AND flat = the min-id fixpoint — the
+    // final round needs no flatten phase.
+    val jumps = 3
+    var propRounds = 0
+    var jumpRounds = 0
     var changed = 1L
     while (changed > 0) {
       // self rows are tagged so the round aggregate carries the previous
       // label alongside the new minimum — the convergence test is a filter
       // over this one relation, not a second join against the old comp
-      val (next, releaseNext) = trackedCheckpoint(
+      val (p, releaseP) = trackedCheckpoint(
         und.join(small(comp), und("src") === comp("id"))
           .select(und("dst").as("id"), col("component"), lit(false).as("own"))
           .unionByName(comp.withColumn("own", lit(true)))
@@ -376,17 +407,33 @@ object GraphAlgorithms {
           .agg(min(col("component")).as("component"),
             min(when(col("own"), col("component"))).as("prev")),
         eager = false)
-      // one job per round: the count materializes the lazy checkpoint and
-      // yields the fixpoint test from the same aggregate
-      changed = next.where(col("component") < col("prev")).count()
-      releaseComp() // superseded round's |V| blocks freed once next is live
-      comp = next.select(col("id"), col("component"))
-      releaseComp = releaseNext
+      changed = p.where(col("component") < col("prev")).count()
+      propRounds += 1
+      releaseComp() // superseded round's |V| blocks freed once p is live
+      if (changed == 0) {
+        comp = p.select(col("id"), col("component"))
+        releaseComp = releaseP
+      } else {
+        // the flattened relation stays LAZY over the checkpointed p: the
+        // next round's propagation computes it inline (a chain of |V|
+        // broadcast-hash joins, the identical broadcast subtree reused
+        // across the plan) — no per-round flat checkpoint or extra count
+        // job. p stays pinned until the next round's p materializes.
+        val parent = p.select(col("id").as("pid"), col("component").as("pc"))
+        var cur = p.select(col("id"), col("component"))
+        for (_ <- 1 to jumps) {
+          cur = cur.join(small(parent), col("component") === col("pid"))
+            .select(col("id"), col("pc").as("component"))
+          jumpRounds += 1
+        }
+        comp = cur
+        releaseComp = releaseP
+      }
     }
     // the 2|E| relation is done; the final comp checkpoint stays pinned —
     // the returned frame reads it (callers sweep after consumption)
     releaseUnd()
-    comp
+    (comp, propRounds, jumpRounds)
   }
 
   /** Triangle count per vertex (GraphX canonical orientation). */

@@ -61,6 +61,7 @@ object ScaleProbe {
       case "walks"    => walksProbe(spark, sfDir)
       case "ktruss"   => ktrussProbe(spark, sfDir)
       case "scc"      => sccProbe(spark, sfDir)
+      case "cc"       => ccProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -551,8 +552,12 @@ object ScaleProbe {
     val n0 = base.count()
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    // copies live in disjoint id ranges: derive the stride from the
+    // measured max key so the premise survives any scale factor (a fixed
+    // 1<<24 overlaps once custkeys pass 16.7M, silently merging copies)
+    val off = base.agg(greatest(max(col("src")), max(col("dst"))))
+      .head().getLong(0) + 1L
     def run(tag: String, k: Int, warm: Boolean = false): Unit = {
-      val off = 1L << 24 // copies live in disjoint id ranges
       val df = (0 until k).map(i => base.select(
           (col("src") + lit(i * off)).as("src"),
           (col("dst") + lit(i * off)).as("dst")))
@@ -578,5 +583,66 @@ object ScaleProbe {
     }
     run("warmup", 1, warm = true)
     for (k <- Seq(1, 4, 16)) run(s"copies-$k", k)
+  }
+
+  /** Connected-components axes. (a) the real cy27 graph (tpch store at
+    * sfDir) — rounds + wall time; (b) the chain axis: path graphs of
+    * depth 2^k — plain min-label propagation is O(D) rounds here, the
+    * pointer-jumping variant must grow rounds ~logarithmically (+1-2
+    * rounds per depth doubling, not 2×). Run with
+    * SPARK_GRAFT_PROBE=cc; raw stdout committed as
+    * tools/scaleprobe_cc_chain_r9.txt.
+    */
+  private def ccProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    def run(tag: String, edges: org.apache.spark.sql.DataFrame,
+        warm: Boolean = false): Unit = {
+      // sweep only this rep's checkpoints — the caller's pinned inputs
+      // (and earlier rungs') must survive across reps
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to (if (warm) 1 else reps)).map { _ =>
+        val t0 = System.nanoTime()
+        val (comp, prop, jump) =
+          graft.algorithms.GraphAlgorithms.connectedComponentsRounds(edges)
+        val nComp = comp.select(col("component")).distinct().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, prop, jump, nComp)
+      }
+      if (!warm) {
+        val (_, prop, jump, nComp) = times.head
+        println(f"SCALE axis=$tag components=$nComp prop=$prop jump=$jump " +
+          f"min=${times.map(_._1).min}%.2f s " +
+          times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+      }
+    }
+    // (a) the cy27 graph itself
+    val store = graft.store.GraphStore.tpch(spark, sfDir)
+    val real = store.allEdges.select(col("src"), col("dst")).localCheckpoint()
+    real.count()
+    run("store-warmup", real, warm = true)
+    run("store", real)
+    // (a') the full cy27 gate (store build + Cypher pipeline + CC + agg),
+    // cold-per-rep like the bench harness runs it
+    for (r <- 1 to reps) {
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      val n = graft.queries.CypherGateQueries
+        .queries("cy27_call_components")(spark, sfDir).collect().length
+      println(f"SCALE axis=cy27-gate rep=$r rows=$n dt=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+    }
+    // (b) chain depth axis: D doubles per rung; O(D) propagation would
+    // double round count and time per rung, pointer jumping must not
+    for (k <- Seq(8, 10, 12, 14)) {
+      val d = 1L << k
+      val chain = spark.range(1L, d).select(col("id").as("src"),
+        (col("id") + 1L).as("dst")).localCheckpoint()
+      chain.count()
+      run(s"chain-$d", chain)
+    }
   }
 }

@@ -37,6 +37,18 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(viaDf == viaGraphX && viaDf.nonEmpty)
   }
 
+  test("connected components shortcutting: chain converges in O(log D) rounds") {
+    // a 256-vertex path is the worst case for plain min-label propagation
+    // (255 rounds); pointer jumping must close it in logarithmic rounds
+    val chain = (1L until 256L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (comp, propRounds, jumpRounds) =
+      GraphAlgorithms.connectedComponentsRounds(chain)
+    val labels = comp.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 256 && labels.forall(_._2 == 1L))
+    assert(propRounds + jumpRounds <= 24,
+      s"expected O(log D) rounds on a 255-hop chain, got prop=$propRounds jump=$jumpRounds")
+  }
+
   test("degrees full-outer: sources, sinks, both") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val d = GraphAlgorithms.degrees(edges)
