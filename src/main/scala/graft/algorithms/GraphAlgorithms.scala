@@ -1269,26 +1269,9 @@ object GraphAlgorithms {
   def linkPrediction(edges: DataFrame, topK: Int,
       maxDegree: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.functions._
-    val e0 = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst"))
-    // canonical undirected adjacency, symmetrized: (id, nbr) both ways
-    val und = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .select(col("src").as("id"), col("dst").as("nbr"))
-      .localCheckpoint(true)
-    val deg = und.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val nVerts = deg.count()
-    val centers0 = deg.where(col("deg") <= maxDegree).select(col("id").as("cid"))
-    val centers = if (nVerts <= BroadcastVertexRows) broadcast(centers0)
-      else centers0.hint("shuffle_hash")
-    val wedgeAdj = und.join(centers, col("id") === col("cid"))
-      .select(col("id").as("c"), col("nbr"))
-    // wedges at each center c: unordered endpoint pairs (a < b)
-    val cn = wedgeAdj.as("x").join(wedgeAdj.as("y"),
-        col("x.c") === col("y.c") && col("x.nbr") < col("y.nbr"))
-      .groupBy(col("x.nbr").as("a"), col("y.nbr").as("b"))
-      .agg(count(lit(1)).as("common"))
+    val (und, deg, pairAgg) = wedgePairs(edges, maxDegree)
+    // per-pair wedge count = common-neighbor count
+    val cn = pairAgg(Seq(count(lit(1)).as("common")))
     // drop already-adjacent pairs (canonical a < b matches und both ways)
     val nonAdj = cn.join(und,
         cn("a") === und("id") && cn("b") === und("nbr"), "left_anti")
@@ -1302,5 +1285,72 @@ object GraphAlgorithms {
         (col("deg_a") + col("deg_b") - col("common")).as("total_neighbors"))
       .orderBy(col("common").desc, col("a"), col("b"))
       .limit(topK)
+  }
+
+  /** Adamic-Adar index — the FP member of the link-prediction family:
+    * score(a,b) = Σ over shared neighbors c of 1/ln(deg(c)), over the same
+    * hub-capped wedge set as [[linkPrediction]] (its exact-integer triple
+    * is the oracle twin; the FP sum's accumulation order is shuffle-
+    * dependent at the last ulp, so this gate is rows-only by design — the
+    * x24/g25 pattern). deg(c) >= 2 for every wedge center, so ln(deg) > 0.
+    * Ranking ties broken by (a, b) for a total order.
+    */
+  def adamicAdar(edges: DataFrame, topK: Int,
+      maxDegree: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (und, _, pairAgg) = wedgePairs(edges, maxDegree)
+    val aa = pairAgg(Seq(sum(lit(1.0) / log(col("cdeg"))).as("adamic_adar"),
+      count(lit(1)).as("common")))
+    aa.join(und, aa("a") === und("id") && aa("b") === und("nbr"), "left_anti")
+      .select(col("a"), col("b"), col("common"), col("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Shared candidate machinery for the link-prediction family: symmetrized
+    * adjacency, degrees, and a per-pair aggregator over the hub-capped
+    * wedge relation (each center c of degree <= maxDegree emits its
+    * unordered neighbor pairs a < b, carrying the center's degree `cdeg`
+    * for degree-weighted scores). Degrees and the adjacency anti-join use
+    * the FULL graph; when any hub is excluded as a center, wedge-derived
+    * counts are lower bounds for pairs the hub touches — logged loudly so
+    * consumers know (the scores silently changing meaning was the r8
+    * advice item).
+    */
+  private def wedgePairs(edges: DataFrame, maxDegree: Long)
+      : (DataFrame, DataFrame,
+         Seq[org.apache.spark.sql.Column] => DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    // canonical undirected adjacency, symmetrized: (id, nbr) both ways
+    val und = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .select(col("src").as("id"), col("dst").as("nbr"))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // one pass over the |V| degree relation yields the broadcast gate AND
+    // the hub-exclusion audit
+    val Array(nVerts, nHubs) = deg
+      .agg(count(lit(1)), count(when(col("deg") > maxDegree, 1))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    if (nHubs > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"linkPrediction family: $nHubs hub vertices (deg > $maxDegree) " +
+          "excluded as wedge centers — common-neighbor-derived scores are " +
+          "lower bounds (and total_neighbors an overcount) for pairs they touch")
+    val centers0 = deg.where(col("deg") <= maxDegree)
+      .select(col("id").as("cid"), col("deg").as("cdeg"))
+    val centers = if (nVerts <= BroadcastVertexRows) broadcast(centers0)
+      else centers0.hint("shuffle_hash")
+    val wedgeAdj = und.join(centers, col("id") === col("cid"))
+      .select(col("id").as("c"), col("nbr"), col("cdeg"))
+    // wedges at each center c: unordered endpoint pairs (a < b)
+    val pairs = wedgeAdj.as("x").join(wedgeAdj.as("y"),
+        col("x.c") === col("y.c") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("a"), col("y.nbr").as("b"),
+        col("x.cdeg").as("cdeg"))
+    (und, deg, aggs => pairs.groupBy(col("a"), col("b")).agg(aggs.head, aggs.tail: _*))
   }
 }

@@ -229,11 +229,23 @@ object Traversals {
     */
   def bidirDistance(edges: DataFrame, srcId: Long, dstId: Long, maxHops: Int,
       dir: Direction = Direction.Out,
-      maxBroadcastRows: Long = BroadcastFrontierRows): Option[Int] = {
-    if (srcId == dstId) return Some(0)
-    if (maxHops <= 0) return None
+      maxBroadcastRows: Long = BroadcastFrontierRows): Option[Int] =
+    bidirDistanceStats(edges, srcId, dstId, maxHops, dir, maxBroadcastRows)._1
+
+  /** bidirDistance plus the total frontier rows expanded (both sides) —
+    * ScaleProbe's distance axis pins the ~2·b^(d/2)-vs-b^d visited-set
+    * claim with this (row volume is the cluster-dominant cost: it is what
+    * gets shuffled/broadcast per level; local wall time is edge-scan-bound
+    * and hides it).
+    */
+  private[graft] def bidirDistanceStats(edges: DataFrame, srcId: Long,
+      dstId: Long, maxHops: Int, dir: Direction = Direction.Out,
+      maxBroadcastRows: Long = BroadcastFrontierRows): (Option[Int], Long) = {
+    if (srcId == dstId) return (Some(0), 0L)
+    if (maxHops <= 0) return (None, 0L)
     val spark = edges.sparkSession
     import spark.implicits._
+    var expanded = 0L
     graft.util.Checkpoints.sweepingDelta(spark) {
       val e = Direction.orient(edges, dir).select("src", "dst").localCheckpoint(false)
       var vF = Seq(srcId).toDF("id").withColumn("dist", lit(0)).localCheckpoint(false)
@@ -256,6 +268,7 @@ object Traversals {
           .withColumn("dist", lit(lvl))
           .localCheckpoint(false)
         val n = next.count()
+        expanded += n
         val m = next.join(
             opposite.select(col("id").as("oid"), col("dist").as("odist")),
             col("id") === col("oid"))
@@ -274,7 +287,7 @@ object Traversals {
         else if (nF <= nB) expand(forward = true)
         else expand(forward = false)
       }
-      if (best <= maxHops) Some(best) else None
+      (if (best <= maxHops) Some(best) else None, expanded)
     }
   }
 

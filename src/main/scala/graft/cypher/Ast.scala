@@ -99,8 +99,13 @@ object Ast {
       dir: Dir,
       varLength: Option[(Int, Int)]) // [*min..max]
 
-  /** (n0)-[r1]->(n1)-[r2]->(n2)... */
-  final case class PathPat(start: NodePat, hops: Seq[(RelPat, NodePat)])
+  /** (n0)-[r1]->(n1)-[r2]->(n2)..., optionally bound to a path variable
+    * (`p = (a)-[*1..3]->(b)`): `p` binds the vertex-id list, its companion
+    * `relationships(p)` the edge-id list (reference GraphPath carries both,
+    * types/path.rs:33-40).
+    */
+  final case class PathPat(start: NodePat, hops: Seq[(RelPat, NodePat)],
+      pathVar: Option[String] = None)
 
   // ---- clauses ----
   sealed trait Clause

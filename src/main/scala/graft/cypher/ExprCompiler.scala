@@ -26,7 +26,10 @@ final case class VarInfo(kind: VarKind, label: Option[String], props: Seq[String
   */
 final case class Scope(df: DataFrame, vars: Map[String, VarInfo], order: Seq[String]) {
   def varCols(v: String): Seq[String] = vars(v).kind match {
-    case VarKind.Value => Seq(v)
+    // a Value var owns its own column; a path variable additionally owns
+    // prefixed companions (p__rels) that must survive WITH passthrough
+    case VarKind.Value =>
+      v +: vars(v).props.map(Scope.colName(v, _)).filter(df.columns.contains)
     case _ => df.columns.filter(_.startsWith(s"${v}__")).toSeq
   }
 }
@@ -362,8 +365,7 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty,
       case "head" => element_at(a0, 1)
       case "last" => element_at(a0, -1)
       // a path variable IS its vertex-id sequence in this engine, so
-      // nodes(p) is the identity on the bound array (openCypher surface;
-      // relationships(p) has no stored-id analogue here and stays absent).
+      // nodes(p) is the identity on the bound array (openCypher surface).
       // Restricted to array-valued arguments: nodes(n) on a node variable
       // (or any scalar) must fail loudly like every other type error here,
       // not silently return its argument
@@ -375,6 +377,21 @@ final class ExprCompiler(scope: Scope, params: Map[String, Any] = Map.empty,
         }
         if (!isArrayT(a0)) sys.error("nodes() takes a path (vertex-id array) argument")
         a0
+      // relationships(p): the edge-id sequence of a MATCH-assigned path
+      // (`p = (a)-[*1..2]->(b)` binds both lists; reference GraphPath
+      // carries the edge sequence too, types/path.rs:33-40). shortestPath
+      // paths bind vertex ids only — the error says which form to use.
+      case "relationships" =>
+        args.head match {
+          case Variable(v) if scope.vars.get(v).exists(vi =>
+              vi.kind == VarKind.Value && vi.props.contains("rels")) =>
+            col(Scope.colName(v, "rels"))
+          case Variable(v) if entityVar(v).isDefined =>
+            sys.error(s"relationships() takes a path, not a node/relationship variable: $v")
+          case _ => sys.error("relationships() takes a MATCH-assigned path " +
+            "variable (p = (a)-[*..k]->(b)); shortestPath paths carry vertex " +
+            "ids only — use nodes(p)")
+        }
       case "keys" => args.head match {
         // keys(n) on an entity = names of its PRESENT properties: typed
         // columns that are non-null on this row (a REMOVE nulls the

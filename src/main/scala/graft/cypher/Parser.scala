@@ -98,10 +98,19 @@ final class Parser(tokens: Vector[Tok]) {
       return ShortestPathClause(pathVar, pat,
         all = fn.equalsIgnoreCase("allShortestPaths"))
     }
-    if (pathVar.isDefined) fail("path assignment requires shortestPath(...)")
+    // plain path assignment (`MATCH p = (a)-[*..3]->(b)`): each pattern in
+    // the comma list may bind its own path variable
+    def parseAssignedPat(first: Option[String]): PathPat = {
+      val pv = first.orElse {
+        if (identAt(0)(_ => true) && opAt(1, "=")) {
+          val v = ident(); eatOp("="); Some(v)
+        } else None
+      }
+      parsePathPat().copy(pathVar = pv)
+    }
     val pats = Seq.newBuilder[PathPat]
-    pats += parsePathPat()
-    while (tryOp(",")) pats += parsePathPat()
+    pats += parseAssignedPat(pathVar)
+    while (tryOp(",")) pats += parseAssignedPat(None)
     val where = if (tryKw("WHERE")) Some(parseExpr()) else None
     MatchClause(pats.result(), optional, where)
   }

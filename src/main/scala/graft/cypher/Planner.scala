@@ -148,6 +148,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         GraphAlgorithms.stronglyConnectedComponents(edges)
       case "graft.linkprediction" => nargs(1)
         GraphAlgorithms.linkPrediction(edges, intArg(0, Some(10)))
+      case "graft.adamicadar" => nargs(1)
+        GraphAlgorithms.adamicAdar(edges, intArg(0, Some(10)))
       case "graft.mis" => nargs(0)
         GraphAlgorithms.maximalIndependentSet(edges)
       case "graft.distance" =>
@@ -304,10 +306,12 @@ final class Planner(spark: SparkSession, store0: GraphStore,
   }
 
   private def compilePath(scope: Option[Scope], pat: PathPat): Scope = {
+    val wantPath = pat.pathVar.isDefined
     // anonymous unconstrained start before a plain hop: the first edge scan
     // is the anchor, no vertex join (`MATCH ()-[r:X]->(b)` touches only the
-    // edge table and b)
-    val skipStart = anonFree(pat.start) && pat.hops.nonEmpty &&
+    // edge table and b). A bound path variable needs the start id in its
+    // vertex list, so the shortcut is disabled there.
+    val skipStart = !wantPath && anonFree(pat.start) && pat.hops.nonEmpty &&
       pat.hops.head._1.varLength.isEmpty
     var (sc, prevId): (Option[Scope], Option[String]) =
       if (skipStart) (scope, None)
@@ -315,19 +319,41 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val (s, p) = bindStart(scope, pat.start)
         (Some(s), Some(p))
       }
+    val startId = prevId
+    // per-hop (appended vertex ids, traversed edge ids) for the path var
+    val pieces = Seq.newBuilder[(Column, Column)]
+    val tempCols = Seq.newBuilder[String]
     pat.hops.foreach { case (rel, node) =>
-      val (next, anchor) = compileHop(sc, prevId, rel, node)
+      val (next, anchor, piece) = compileHop(sc, prevId, rel, node, wantPath)
       sc = Some(next)
       prevId = Some(anchor)
+      piece.foreach { case (p, temps) => pieces += p; tempCols ++= temps }
     }
-    sc.get
+    pat.pathVar.fold(sc.get) { pv =>
+      val s0 = sc.get
+      require(!s0.vars.contains(pv), s"path variable reused: $pv")
+      val ps = pieces.result()
+      val nodesArr = concat((array(col(startId.get).cast("long")) +: ps.map(_._1)): _*)
+      val relsArr =
+        if (ps.isEmpty) array().cast("array<long>") else concat(ps.map(_._2): _*)
+      s0.copy(
+        df = s0.df.withColumn(pv, nodesArr)
+          .withColumn(Scope.colName(pv, "rels"), relsArr)
+          .drop(tempCols.result(): _*),
+        vars = s0.vars + (pv -> VarInfo(VarKind.Value, None, Seq("rels"))),
+        order = s0.order :+ pv)
+    }
   }
 
   /** One hop; returns the new scope plus the column anchoring the far end
     * (a bound variable's id, or the raw edge dst for skipped anon nodes).
+    * With `wantPath` it also returns this hop's contribution to the
+    * enclosing path variable — (vertex ids appended past the hop start,
+    * edge ids traversed) — plus any temp columns to drop after assembly.
     */
   private def compileHop(scOpt: Option[Scope], prevIdCol: Option[String],
-      rel: RelPat, node: NodePat): (Scope, String) = {
+      rel: RelPat, node: NodePat,
+      wantPath: Boolean = false): (Scope, String, Option[((Column, Column), Seq[String])]) = {
     rel.varLength match {
       case Some((lo, hi)) =>
         val sc0 = scOpt.getOrElse(sys.error("var-length hop needs a bound start"))
@@ -353,8 +379,11 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         // ids (openCypher list-of-relationships semantics; ids are the
         // entity handle here)
         val carry = rel.variable.isDefined
+        val carryE = carry || wantPath
         val pairCols = Seq(col("start_id").as(s"${ev}__s"), col("end_id").as(s"${ev}__d")) ++
-          (if (carry) Seq(col("epath").as(rel.variable.get)) else Nil)
+          (if (carry) Seq(col("epath").as(rel.variable.get)) else Nil) ++
+          (if (wantPath) Seq(col("path").as(s"${ev}__vp"),
+            col("epath").as(s"${ev}__ep")) else Nil)
         // openCypher *0: the zero-length match binds the target to the start
         // vertex itself with an empty relationship list (edge-type and
         // -property constraints are vacuous on zero edges; target node
@@ -364,10 +393,12 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val zeroRows = starts.select(
           (Seq(col("id").as(s"${ev}__s"), col("id").as(s"${ev}__d")) ++
             (if (carry) Seq(expr("CAST(array() AS ARRAY<BIGINT>)").as(rel.variable.get))
-             else Nil)): _*)
+             else Nil) ++
+            (if (wantPath) Seq(array(col("id")).as(s"${ev}__vp"),
+              expr("CAST(array() AS ARRAY<BIGINT>)").as(s"${ev}__ep")) else Nil)): _*)
         val walked =
           if (hi >= 1) Traversals.vle(eb.select(col("id"), col("src"), col("dst")),
-            starts, lo.max(1), hi, dir, carryEdges = carry)
+            starts, lo.max(1), hi, dir, carryEdges = carryE)
             .select(pairCols: _*)
           else zeroRows.where(lit(false))
         val pairs = if (lo == 0) walked.unionByName(zeroRows) else walked
@@ -380,7 +411,14 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val nv = node.variable.getOrElse(fresh("n"))
         sc = bindTargetVar(sc, s"${ev}__d", node, nv)
         sc = sc.copy(df = sc.df.drop(s"${ev}__s", s"${ev}__d"))
-        (sc, Scope.colName(nv, "id"))
+        // path piece: the vle vertex path minus its leading start vertex
+        val piece = if (wantPath) {
+          val vp = col(s"${ev}__vp")
+          Some(((slice(vp, lit(2), greatest(size(vp) - 1, lit(0))).cast("array<long>"),
+            col(s"${ev}__ep").cast("array<long>")),
+            Seq(s"${ev}__vp", s"${ev}__ep")))
+        } else None
+        (sc, Scope.colName(nv, "id"), piece)
       case None =>
         val ev = rel.variable.getOrElse(fresh("e"))
         require(!scOpt.exists(_.vars.contains(ev)), s"relationship variable reused: $ev")
@@ -397,11 +435,17 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         }
         sc = applyProps(sc, ev, rel.props)
         val endCol = Scope.colName(ev, "dst")
+        def piece(anchor: String) = if (wantPath)
+          Some(((array(col(anchor).cast("long")),
+            array(col(Scope.colName(ev, "id")).cast("long"))),
+            Seq.empty[String]))
+        else None
         if (anonFree(node) && !scOpt.exists(s => node.variable.exists(s.vars.contains))) {
-          (sc, endCol) // no vertex join needed
+          (sc, endCol, piece(endCol)) // no vertex join needed
         } else {
           val nv = node.variable.getOrElse(fresh("n"))
-          (bindTargetVar(sc, endCol, node, nv), Scope.colName(nv, "id"))
+          (bindTargetVar(sc, endCol, node, nv), Scope.colName(nv, "id"),
+            piece(Scope.colName(nv, "id")))
         }
     }
   }
@@ -896,7 +940,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       * columns of the entity under the (possibly renamed) variable.
       */
     def passthrough(it: NamedItem): Option[(String, String)] = it.expr match {
-      case Variable(v) if scope.vars.get(v).exists(_.kind != VarKind.Value) =>
+      case Variable(v) if scope.vars.get(v).exists(vi =>
+          vi.kind != VarKind.Value || vi.props.nonEmpty) =>
         Some((v, it.name))
       case _ => None
     }
@@ -904,7 +949,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     val selectCols: Seq[Column] = named.filterNot(_.agg).flatMap { it =>
       passthrough(it) match {
         case Some((v, out)) => scope.varCols(v).map(c =>
-          col(c).as(Scope.colName(out, c.stripPrefix(s"${v}__"))))
+          // a path variable's own column carries the variable name itself;
+          // only its prefixed companions re-prefix under the new name
+          if (c == v) col(c).as(out)
+          else col(c).as(Scope.colName(out, c.stripPrefix(s"${v}__"))))
         case None => Seq(compiler.compile(it.expr).as(it.name))
       }
     }

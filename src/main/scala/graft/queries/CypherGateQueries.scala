@@ -393,6 +393,18 @@ object CypherGateQueries {
            |RETURN start_id, end_id, dist""".stripMargin)
     }),
 
+    // path functions (r9): a MATCH-assigned path variable binds BOTH the
+    // vertex-id and edge-id sequences; nodes()/relationships() compose
+    // with reduce() into path strings the x4-family recursive CTE replays
+    // bit-for-bit (edge ids included — the oracle rebuilds the store's
+    // deterministic packed edge ids from the raw tables).
+    "cy35_path_functions" -> cy(
+      """MATCH p = (c:Customer {c_custkey: 1})-[*1..2]->(x)
+        |RETURN size(relationships(p)) AS len,
+        |  reduce(s = '', n IN nodes(p) | s + '->' + toString(n)) AS node_str,
+        |  reduce(s = '', r IN relationships(p) | s + '->' + toString(r)) AS rel_str
+        |ORDER BY len, node_str, rel_str""".stripMargin),
+
     // mutation roundtrip: create a node + edges, set, detach-delete a
     // victim, then count what remains — all through the Cypher session.
     "cy11_mutation" -> ((s, dir) => {
@@ -514,6 +526,44 @@ object CypherGateQueries {
     // semantics, reshaped only where the Cypher query aggregates further
     "cy34_call_distance" -> GraphQueries.bidirDistOracle(
       "SELECT (CAST(6 AS BIGINT)<<48)|((rk+1)%5) AS id FROM myreg"),
+    "cy35_path_functions" -> {
+      def pk(lab: Int, e: String) =
+        s"(CAST($lab AS BIGINT)<<48)|CAST($e AS BIGINT)"
+      val start = pk(1, "1")
+      s"""WITH RECURSIVE eid AS (
+         |  SELECT ${pk(17, "o_orderkey")} AS id, ${pk(1, "o_custkey")} AS src,
+         |         ${pk(2, "o_orderkey")} AS dst FROM orders
+         |  UNION ALL
+         |  SELECT ${pk(18, "l_orderkey * 8 + l_linenumber")},
+         |         ${pk(2, "l_orderkey")}, ${pk(3, "l_partkey")} FROM lineitem
+         |  UNION ALL
+         |  SELECT ${pk(19, "prov")}, ${pk(3, "pk")}, ${pk(4, "sk")}
+         |  FROM (SELECT l_partkey AS pk, l_suppkey AS sk,
+         |          MIN(l_orderkey * 8 + l_linenumber) AS prov
+         |        FROM lineitem GROUP BY 1, 2)
+         |  UNION ALL
+         |  SELECT ${pk(20, "c_custkey")}, ${pk(1, "c_custkey")},
+         |         ${pk(5, "c_nationkey")} FROM customer
+         |  UNION ALL
+         |  SELECT ${pk(21, "s_suppkey")}, ${pk(4, "s_suppkey")},
+         |         ${pk(5, "s_nationkey")} FROM supplier
+         |  UNION ALL
+         |  SELECT ${pk(22, "n_nationkey")}, ${pk(5, "n_nationkey")},
+         |         ${pk(6, "n_regionkey")} FROM nation
+         |),
+         |walk(end_id, vpath, epath, len) AS (
+         |  SELECT dst, [$start, dst], [id], 1 FROM eid WHERE src = $start
+         |  UNION ALL
+         |  SELECT e.dst, list_append(w.vpath, e.dst), list_append(w.epath, e.id),
+         |         w.len + 1
+         |  FROM walk w JOIN eid e ON e.src = w.end_id
+         |  WHERE w.len < 2 AND NOT list_contains(w.vpath, e.dst)
+         |)
+         |SELECT CAST(len AS BIGINT) AS len,
+         |  '->' || array_to_string(vpath, '->') AS node_str,
+         |  '->' || array_to_string(epath, '->') AS rel_str
+         |FROM walk ORDER BY len, node_str, rel_str""".stripMargin
+    },
     "cy27_call_components" -> ExtraQueries.oracle("x7_components"),
     "cy28_call_kcore" ->
       s"""SELECT CAST(SUM(n_core) AS BIGINT) AS n_core

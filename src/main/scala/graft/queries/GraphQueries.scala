@@ -635,6 +635,19 @@ object GraphQueries {
       graft.algorithms.GraphAlgorithms.linkPrediction(thin, 20)
     }),
 
+    // Adamic-Adar (r9): the FP member of the link-prediction family, on
+    // the same thinned co-supply graph and hub-capped wedge set as g31 -
+    // its exact-integer triple (common/pref_attach/total_neighbors) is the
+    // oracle twin; the 1/ln(deg) sum's accumulation order is shuffle-
+    // dependent at the last ulp, so this gate is rows-only by design (the
+    // x24/g25 pattern).
+    "g34_adamic_adar" -> ((s, dir) => {
+      import graft.pipeline.TextHash
+      val thin = coSupplyEdges(s, dir)
+        .where(TextHash.h32(concat_ws("|", col("src"), col("dst"))) % 10 < 2)
+      graft.algorithms.GraphAlgorithms.adamicAdar(thin, 20)
+    }),
+
     // Deterministic maximal independent set (r8): Luby's parallel MIS
     // with h32 priorities instead of an RNG, on the thinned co-supply
     // graph - the set is a pure function of the graph, replayed round by

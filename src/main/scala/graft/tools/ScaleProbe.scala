@@ -62,6 +62,9 @@ object ScaleProbe {
       case "ktruss"   => ktrussProbe(spark, sfDir)
       case "scc"      => sccProbe(spark, sfDir)
       case "cc"       => ccProbe(spark, sfDir)
+      case "linkpred" => linkpredProbe(spark, sfDir)
+      case "bidir"    => bidirProbe(spark, sfDir)
+      case "mis"      => misProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -583,6 +586,142 @@ object ScaleProbe {
     }
     run("warmup", 1, warm = true)
     for (k <- Seq(1, 4, 16)) run(s"copies-$k", k)
+  }
+
+  /** Thinned co-supply graph (the g31/g33/g34 gate graph) replicated k
+    * times in disjoint id ranges — the scc-probe construction: per-replica
+    * structure identical, total size scales linearly, replica offset
+    * derived from the measured max key.
+    */
+  private def coSupplyReplicas(spark: SparkSession, sfDir: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.pipeline.TextHash
+    val ps = graft.store.Tables.load(spark, sfDir, "lineitem")
+      .where(col("l_partkey") < 2000)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val base = ps.as("x").join(ps.as("y"),
+        col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+      .where(TextHash.h32(concat_ws("|", col("src"), col("dst"))) % 10 < 2)
+      .localCheckpoint()
+    val off = base.agg(greatest(max(col("src")), max(col("dst"))))
+      .head().getLong(0) + 1L
+    (0 until k).map(i => base.select(
+        (col("src") + lit(i * off)).as("src"),
+        (col("dst") + lit(i * off)).as("dst")))
+      .reduce(_ unionByName _).localCheckpoint()
+  }
+
+  /** Link-prediction wedge axis: k replicas of the g31 graph multiply the
+    * hub-capped wedge count by k with identical per-replica structure —
+    * time must scale ~linearly in wedges (the candidate relation is the
+    * inherent cost). The uncapped/capped contrast on the same rung pins
+    * what the hub cap buys once hubs exist.
+    */
+  private def linkpredProbe(spark: SparkSession, sfDir: String): Unit = {
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    def run(tag: String, k: Int, warm: Boolean = false): Unit = {
+      val df = coSupplyReplicas(spark, sfDir, k)
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to (if (warm) 1 else reps)).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.algorithms.GraphAlgorithms.linkPrediction(df, 20).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, n)
+      }
+      if (!warm)
+        println(f"SCALE axis=$tag rows=${times.head._2} " +
+          f"min=${times.map(_._1).min}%.2f s " +
+          times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+    run("warmup", 1, warm = true)
+    for (k <- Seq(1, 4, 16)) run(s"copies-$k", k)
+  }
+
+  /** Maximal-independent-set replica axis: k disjoint copies of the g33
+    * graph. Luby round count is O(log n) whp and the copies are
+    * independent, so rounds must stay FLAT across rungs while per-round
+    * work scales linearly.
+    */
+  private def misProbe(spark: SparkSession, sfDir: String): Unit = {
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    def run(tag: String, k: Int, warm: Boolean = false): Unit = {
+      val df = coSupplyReplicas(spark, sfDir, k)
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to (if (warm) 1 else reps)).map { _ =>
+        val t0 = System.nanoTime()
+        val (mis, rounds) = graft.algorithms.GraphAlgorithms
+          .misRounds(df)
+        val n = mis.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, n, rounds)
+      }
+      if (!warm)
+        println(f"SCALE axis=$tag members=${times.head._2} rounds=${times.head._3} " +
+          f"min=${times.map(_._1).min}%.2f s " +
+          times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+    run("warmup", 1, warm = true)
+    for (k <- Seq(1, 4, 16)) run(s"copies-$k", k)
+  }
+
+  /** Bidirectional-distance axis: on a base-b de Bruijn-style digraph
+    * (i -> (i*b + j) mod n, forward AND backward branching ~b) the
+    * unidirectional BFS to a vertex at distance d touches ~b^d frontier
+    * rows while the bidirectional meet touches ~2·b^(d/2) — the claim g32
+    * ships on. Targets at exact distances 2/4/6 are read off a BFS level
+    * table first; both sides then time point-to-point distance to the
+    * same targets (uni capped at exactly d hops — it stops the moment the
+    * level containing dst completes, the cheapest-possible unidirectional
+    * contender).
+    */
+  private def bidirProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import graft.algorithms.Traversals
+    val b = 10L
+    val n = 1000000L
+    val e = spark.range(0L, n).select(col("id").as("src"),
+        explode(array((1L to b).map(j => (col("id") * b + lit(j)) % n): _*)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .localCheckpoint()
+    println(s"SCALE bidir graph: n=$n edges=${e.count()} branching=$b")
+    val src = 1L
+    val levels = Traversals.bfsDistances(e, Seq(src).toDF("id"), 6)
+      .localCheckpoint()
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    for (d <- Seq(2, 4, 6)) {
+      // deterministic target: max id at exactly distance d
+      val dst = levels.where(col("dist") === d).agg(max(col("id"))).head().getLong(0)
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      def sweep(): Unit = spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+      val uniTimes = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val got = Traversals.shortestPathDist(e, src, dst, d)
+          .select(col("dist")).head().getInt(0)
+        require(got == d, s"uni dist $got != $d")
+        val dt = (System.nanoTime() - t0) / 1e9; sweep(); dt
+      }
+      // the visited set a d-capped unidirectional BFS materializes
+      val uniRows = levels.where(col("dist") <= d && col("dist") > 0).count()
+      var biRows = 0L
+      val biTimes = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val (got, rows) = Traversals.bidirDistanceStats(e, src, dst, d + 2)
+        require(got.contains(d), s"bidir dist $got != $d")
+        biRows = rows
+        val dt = (System.nanoTime() - t0) / 1e9; sweep(); dt
+      }
+      println(f"SCALE axis=dist-$d dst=$dst uni_rows=$uniRows bidir_rows=$biRows " +
+        f"uni_min=${uniTimes.min}%.2f s " +
+        uniTimes.map(t => f"$t%.2f").mkString("uni=[", ",", "] ") +
+        f"bidir_min=${biTimes.min}%.2f s " +
+        biTimes.map(t => f"$t%.2f").mkString("bidir=[", ",", "]"))
+    }
   }
 
   /** Connected-components axes. (a) the real cy27 graph (tpch store at

@@ -425,6 +425,33 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(GraphAlgorithms.linkPrediction(star, 10, maxDegree = 2).isEmpty)
   }
 
+  test("adamicAdar: hand-computed square + path scores, hub cap") {
+    // square 1-2-3-4: diagonals (1,3) and (2,4) each share two degree-2
+    // neighbors -> score = 2/ln(2); common carried alongside
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val top = GraphAlgorithms.adamicAdar(sq, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(top.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 3L, 2L), (2L, 4L, 2L)))
+    top.foreach(t => assert(math.abs(t._4 - 2.0 / math.log(2.0)) < 1e-12))
+    // path 1-2-3-4-5: (1,3)/(2,4)/(3,5) share one center; the middle
+    // center 3 has degree 2 for pair (2,4) -> 1/ln(2); ends' centers 2 and
+    // 4 also degree 2. All three pairs score 1/ln(2); ordering falls back
+    // to (a, b)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val p = GraphAlgorithms.adamicAdar(path, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(p.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 4L), (3L, 5L)))
+    p.foreach(t => assert(math.abs(t._3 - 1.0 / math.log(2.0)) < 1e-12))
+    // hub cap: star center excluded as wedge center -> no candidates
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    assert(GraphAlgorithms.adamicAdar(star, 10, maxDegree = 2).isEmpty)
+    // uncapped star: leaf pairs share the degree-4 hub -> 1/ln(4)
+    val s = GraphAlgorithms.adamicAdar(star, 10).collect()
+    assert(s.length == 6)
+    s.foreach(r => assert(math.abs(r.getDouble(3) - 1.0 / math.log(4.0)) < 1e-12))
+  }
+
   test("GraphStore save/load roundtrip preserves tables and queries") {
     val g = DataGenerator.grid(spark, 4, 4)
     val dir = java.nio.file.Files.createTempDirectory("store").toString

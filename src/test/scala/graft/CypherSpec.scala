@@ -1320,6 +1320,54 @@ class CypherSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("trailing"), e4.getMessage)
   }
 
+  test("path assignment: nodes()/relationships() on var-length and fixed paths") {
+    val s = session
+    // var-length: Alice -[e1]-> Bob -[e2]-> Charlie
+    val df = s.run(
+      """MATCH p = (a:Person {name: 'Alice'})-[*1..2]->(b)
+        |RETURN b.name AS n, nodes(p) AS ns, relationships(p) AS rs
+        |ORDER BY n""".stripMargin)
+    val got = rows(df).map(r => (r(0),
+      r(1).asInstanceOf[scala.collection.Seq[Long]].toSeq,
+      r(2).asInstanceOf[scala.collection.Seq[Long]].toSeq))
+    val (alice, bob, charlie) =
+      (Graphid.pack(100, 1), Graphid.pack(100, 2), Graphid.pack(100, 3))
+    val (e1, e2) = (Graphid.pack(101, 1), Graphid.pack(101, 2))
+    assert(got == Seq(
+      ("Bob", Seq(alice, bob), Seq(e1)),
+      ("Charlie", Seq(alice, bob, charlie), Seq(e1, e2))))
+    // fixed hops bind the same lists; size/length compose
+    val f = s.run(
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b)-[:KNOWS]->(c)
+        |RETURN nodes(p) AS ns, relationships(p) AS rs, size(relationships(p)) AS len""".stripMargin)
+    val fr = rows(f).map(r => (r(0).asInstanceOf[scala.collection.Seq[Long]].toSeq,
+      r(1).asInstanceOf[scala.collection.Seq[Long]].toSeq, r(2)))
+    assert(fr == Seq((Seq(alice, bob, charlie), Seq(e1, e2), 2L)))
+    // *0 zero-length: path = just the start, no relationships
+    val z = s.run(
+      """MATCH p = (a:Person {name: 'David'})-[*0..1]->(b)
+        |RETURN nodes(p) AS ns, relationships(p) AS rs""".stripMargin)
+    val zr = rows(z).map(r => (r(0).asInstanceOf[scala.collection.Seq[Long]].toSeq,
+      r(1).asInstanceOf[scala.collection.Seq[Long]].toSeq))
+    assert(zr == Seq((Seq(Graphid.pack(100, 4)), Seq.empty[Long])))
+    // survives WITH passthrough (rename included)
+    val w = s.run(
+      """MATCH p = (a:Person {name: 'Alice'})-[*2..2]->(c)
+        |WITH p AS q, c
+        |RETURN nodes(q) AS ns, relationships(q) AS rs, c.name AS n""".stripMargin)
+    val wr = rows(w).map(r => (r(0).asInstanceOf[scala.collection.Seq[Long]].toSeq,
+      r(1).asInstanceOf[scala.collection.Seq[Long]].toSeq, r(2)))
+    assert(wr == Seq((Seq(alice, bob, charlie), Seq(e1, e2), "Charlie")))
+    // loud failures: shortestPath paths carry no edge ids; entities reject
+    val err = intercept[Exception](s.run(
+      """MATCH q = shortestPath((a:Person {name: 'Alice'})-[*..4]->(c:Person {name: 'Charlie'}))
+        |RETURN relationships(q)""".stripMargin))
+    assert(err.getMessage.contains("MATCH-assigned path"), err.getMessage)
+    val err2 = intercept[Exception](
+      s.run("MATCH (a:Person) RETURN relationships(a)"))
+    assert(err2.getMessage.contains("not a node"), err2.getMessage)
+  }
+
   test("CALL surface fails loud: position, placement, yield, args") {
     val s = session
     val e1 = intercept[Exception](s.run("CALL graft.nope() YIELD id RETURN id"))
