@@ -1800,11 +1800,54 @@ final class Planner(spark: SparkSession, store0: GraphStore,
 
 /** User-facing session: parse → plan → run; mutations swap the store
   * atomically per statement (the Spark analogue of the reference's
-  * per-statement transaction, SURVEY.md §2.7 M6).
+  * per-statement transaction, SURVEY.md §2.7 M6). `begin()/commit()/
+  * rollback()` add a multi-statement scope over the same swap chain
+  * (reference transaction.rs:55-183 WriteBatch semantics): begin
+  * snapshots the immutable store value, commit keeps the chain,
+  * rollback restores the snapshot and frees every checkpoint block
+  * persisted since begin (all of them serve only discarded store
+  * generations — the snapshot's own blocks predate it). DOCUMENTED
+  * DIVERGENCE: the reference buffers writes so in-transaction reads see
+  * only pre-transaction state (transaction.rs:187-207
+  * reads-see-committed); here each statement's swap is visible to the
+  * next statement in the same scope (reads-see-own-writes), which is
+  * the openCypher/Neo4j visibility rule. DataFrames returned inside a
+  * rolled-back scope must not be consumed after rollback (their
+  * checkpoint blocks are freed).
   */
 final class CypherSession(val spark: SparkSession, initial: GraphStore,
     params: Map[String, Any] = Map.empty) {
   @volatile var store: GraphStore = initial
+
+  private var txnSnapshot: Option[GraphStore] = None
+  private var txnBaseline: scala.collection.Set[Int] = Set.empty
+
+  def begin(): Unit = synchronized {
+    require(txnSnapshot.isEmpty, "transaction already open (no nesting)")
+    txnSnapshot = Some(store)
+    txnBaseline = spark.sparkContext.getPersistentRDDs.keySet
+  }
+
+  /** Keep everything executed since begin(). The statements already
+    * swapped the store; commit just closes the scope (deferred checkpoint
+    * releases resume at the next compaction).
+    */
+  def commit(): Unit = synchronized {
+    require(txnSnapshot.nonEmpty, "no open transaction")
+    txnSnapshot = None
+  }
+
+  /** Discard everything executed since begin(): restore the snapshot
+    * store and free all checkpoint blocks persisted inside the scope.
+    */
+  def rollback(): Unit = synchronized {
+    require(txnSnapshot.nonEmpty, "no open transaction")
+    store = txnSnapshot.get
+    txnSnapshot = None
+    val stale = spark.sparkContext.getPersistentRDDs.keySet -- txnBaseline
+    graft.util.Checkpoints.release(spark, stale)
+    ownedGen = ownedGen.filter(txnBaseline.contains)
+  }
 
   def run(cypher: String): DataFrame = {
     val res = new Planner(spark, store, params).plan(Parser.parse(cypher))
@@ -1835,8 +1878,15 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
       val before = sc.getPersistentRDDs.keySet
       store = store.compact(eager = true)
       val added = sc.getPersistentRDDs.keySet -- before
-      graft.util.Checkpoints.release(spark, ownedGen -- added)
-      ownedGen = added
+      if (txnSnapshot.isEmpty) {
+        graft.util.Checkpoints.release(spark, ownedGen -- added)
+        ownedGen = added
+      } else {
+        // an open transaction's snapshot may read any pre-begin generation:
+        // defer every release (rollback frees the txn-era gens; the first
+        // post-commit compaction frees the rest)
+        ownedGen = ownedGen ++ added
+      }
     }
   }
 

@@ -103,21 +103,30 @@ object EventStreams {
   /** Stream-static enrichment join — the canonical streaming lookup
     * pattern (dimension enrichment before anything lands): each streamed
     * event joins its user's STATIC customer dimension row. Catalyst plans
-    * the stream-static equi-join per micro-batch exactly like batch — the
-    * dim side broadcasts (hinted here; at 100 TB a huge dim falls back to
-    * shuffle automatically when the hint ceiling trips), and no join state
-    * is kept because the static side is complete at every batch. The
-    * per-nation aggregate then accumulates ACROSS batches in decimal, so
-    * the final table is bit-independent of batch cut points and
-    * oracle-checkable against the plain batch join.
+    * the stream-static equi-join per micro-batch exactly like batch, and
+    * no join state is kept because the static side is complete at every
+    * batch. The dim-side broadcast is gated on a MEASURED row count (the
+    * static side is a batch relation, so the count is one cheap job at
+    * plan time): Spark honors a user broadcast hint regardless of size —
+    * an unconditional hint on a huge dim fails at the 8 GB broadcast
+    * limit rather than falling back — so past the ceiling the join is
+    * hinted shuffle-hash instead (the algorithms' small()/
+    * BroadcastVertexRows pattern). The per-nation aggregate then
+    * accumulates ACROSS batches in decimal, so the final table is
+    * bit-independent of batch cut points and oracle-checkable against
+    * the plain batch join.
     */
-  def enrichedNationStats(events: DataFrame, customers: DataFrame): DataFrame =
-    events.join(
-        broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
-        events("user_id") === col("c_custkey"))
+  def enrichedNationStats(events: DataFrame, customers: DataFrame): DataFrame = {
+    val dim = customers.select(col("c_custkey"), col("c_nationkey"))
+    val gated =
+      if (dim.count() <= graft.algorithms.GraphAlgorithms.BroadcastVertexRows)
+        broadcast(dim)
+      else dim.hint("shuffle_hash")
+    events.join(gated, events("user_id") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  }
 
   /** Label ids for the streamed event graph (own namespace, clear of the
     * TPC-H projection's 1-22).

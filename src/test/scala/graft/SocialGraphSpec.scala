@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
 
-import graft.functions.SkewJoin
+import graft.operators.SkewJoin
 import graft.model.Graphid
 import graft.social.SocialGraph
 import graft.store.GraphStore
@@ -106,7 +106,7 @@ class SocialGraphSpec extends AnyFunSuite {
     val small = Seq((1L, "hot"), (2L, "cold")).toDF("k", "tag")
     val expected = big.join(small, Seq("k")).agg(org.apache.spark.sql.functions.count(col("v")))
       .collect()(0).getLong(0)
-    val got = SkewJoin.saltedJoin(big, small, "k", salts = 8)
+    val got = SkewJoin.saltedJoin(big, small, Seq("k"), salts = 8)
       .agg(org.apache.spark.sql.functions.count(col("v"))).collect()(0).getLong(0)
     assert(got == expected)
   }
