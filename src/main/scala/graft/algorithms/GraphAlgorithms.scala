@@ -352,7 +352,7 @@ object GraphAlgorithms {
     * jumps — the alternating contract/flatten scheme of Kiveris et al.
     * (Connected Components in MapReduce and Beyond). A 100×-deeper chain
     * costs additively more rounds, not multiplicatively (measured axis:
-    * tools/scaleprobe_cc_chain_r9.txt). Each jump round joins only the
+    * tools/scaleprobe_cc_chain_r10.txt). Each jump round joins only the
     * |V|-sized label relation with itself (broadcast-gated) — the 2|E|
     * relation is touched only by propagation rounds. Same min-id labels as
     * the GraphX version, cross-validated in AlgorithmsSpec; checkpointed
@@ -387,10 +387,18 @@ object GraphAlgorithms {
     // broadcast collect and ONE |V| count: the chained joins all consume
     // the same broadcast and fuse into a single codegen span. comp[w] <= w
     // always, so every composition is monotone.
-    // Invariant: comp entering propagation is always flat (identity at
-    // init, flattened each round), so a zero-change propagation certifies
-    // labels constant across edges AND flat = the min-id fixpoint — the
-    // final round needs no flatten phase.
+    // Termination: a fixed (jumps+1)-step composition does NOT flatten an
+    // arbitrary-depth pointer chain — it contracts the remaining depth
+    // geometrically (~(jumps+1)× per round), which is what bounds total
+    // rounds at O(log D). Correctness needs no flatness invariant at all:
+    // a zero-change propagation certifies the labeling constant across
+    // every (symmetrized) edge, hence constant per component; labels are
+    // always member ids of their own component (ids at init, closed under
+    // min-over-neighbors and composition), so the constant is ≥ the min
+    // id, and the min-id vertex's own label — initialized to itself,
+    // monotone non-increasing, bounded below by the component min — IS
+    // the min id. Constant-per-component at min id is the fixpoint (and
+    // flat by definition), so the final round needs no flatten phase.
     val jumps = 3
     var propRounds = 0
     var jumpRounds = 0
@@ -1289,17 +1297,31 @@ object GraphAlgorithms {
 
   /** Adamic-Adar index — the FP member of the link-prediction family:
     * score(a,b) = Σ over shared neighbors c of 1/ln(deg(c)), over the same
-    * hub-capped wedge set as [[linkPrediction]] (its exact-integer triple
-    * is the oracle twin; the FP sum's accumulation order is shuffle-
-    * dependent at the last ulp, so this gate is rows-only by design — the
-    * x24/g25 pattern). deg(c) >= 2 for every wedge center, so ln(deg) > 0.
-    * Ranking ties broken by (a, b) for a total order.
+    * hub-capped wedge set as [[linkPrediction]]. deg(c) >= 2 for every
+    * wedge center, so ln(deg) > 0. Ranking ties broken by (a, b) for a
+    * total order.
+    *
+    * Default (`quantize = None`) keeps the raw double sum — its
+    * accumulation order is shuffle-dependent at the last ulp. With
+    * `quantize = Some(q)` each term is rounded to q decimals and summed
+    * as DECIMAL — exact, order-independent arithmetic, so the score (and
+    * therefore the top-k selection) is bit-deterministic and
+    * oracle-checkable across engines: a cross-engine mismatch would need
+    * 1/ln(deg) to land within one double ulp (~1e-16 relative) of a
+    * 0.5·10^-q rounding boundary, ~1e-10 probability per distinct degree
+    * at q=6.
     */
   def adamicAdar(edges: DataFrame, topK: Int,
-      maxDegree: Long = 1L << 16): DataFrame = {
+      maxDegree: Long = 1L << 16, quantize: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val (und, _, pairAgg) = wedgePairs(edges, maxDegree)
-    val aa = pairAgg(Seq(sum(lit(1.0) / log(col("cdeg"))).as("adamic_adar"),
+    val term = lit(1.0) / log(col("cdeg"))
+    val score = quantize match {
+      case Some(q) => sum(round(term, q)
+        .cast(org.apache.spark.sql.types.DecimalType(18, q)))
+      case None => sum(term)
+    }
+    val aa = pairAgg(Seq(score.as("adamic_adar"),
       count(lit(1)).as("common")))
     aa.join(und, aa("a") === und("id") && aa("b") === und("nbr"), "left_anti")
       .select(col("a"), col("b"), col("common"), col("adamic_adar"))

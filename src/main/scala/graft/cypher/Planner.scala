@@ -1804,9 +1804,15 @@ final class Planner(spark: SparkSession, store0: GraphStore,
   * rollback()` add a multi-statement scope over the same swap chain
   * (reference transaction.rs:55-183 WriteBatch semantics): begin
   * snapshots the immutable store value, commit keeps the chain,
-  * rollback restores the snapshot and frees every checkpoint block
-  * persisted since begin (all of them serve only discarded store
-  * generations — the snapshot's own blocks predate it). DOCUMENTED
+  * rollback restores the snapshot and frees exactly the checkpoint
+  * blocks THIS session's statements persisted inside the scope (tracked
+  * by diffing the persisted-RDD set around each run(); they serve only
+  * discarded store generations — the snapshot's own blocks predate
+  * begin). Blocks persisted by other sessions or jobs on the shared
+  * SparkContext are never touched, with one caveat: a concurrent job
+  * that persists WHILE one of this scope's statements is running can be
+  * misattributed to the scope and freed on rollback — keep mutation
+  * scopes single-writer per SparkContext. DOCUMENTED
   * DIVERGENCE: the reference buffers writes so in-transaction reads see
   * only pre-transaction state (transaction.rs:187-207
   * reads-see-committed); here each statement's swap is visible to the
@@ -1820,12 +1826,12 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
   @volatile var store: GraphStore = initial
 
   private var txnSnapshot: Option[GraphStore] = None
-  private var txnBaseline: scala.collection.Set[Int] = Set.empty
+  private var txnCreated: scala.collection.Set[Int] = Set.empty
 
   def begin(): Unit = synchronized {
     require(txnSnapshot.isEmpty, "transaction already open (no nesting)")
     txnSnapshot = Some(store)
-    txnBaseline = spark.sparkContext.getPersistentRDDs.keySet
+    txnCreated = Set.empty
   }
 
   /** Keep everything executed since begin(). The statements already
@@ -1835,24 +1841,34 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
   def commit(): Unit = synchronized {
     require(txnSnapshot.nonEmpty, "no open transaction")
     txnSnapshot = None
+    txnCreated = Set.empty
   }
 
   /** Discard everything executed since begin(): restore the snapshot
-    * store and free all checkpoint blocks persisted inside the scope.
+    * store and free the checkpoint blocks this scope's own statements
+    * persisted (accumulated per-run diffs — never a blanket "everything
+    * persisted since begin", which would free concurrent sessions'
+    * blocks on the shared SparkContext).
     */
   def rollback(): Unit = synchronized {
     require(txnSnapshot.nonEmpty, "no open transaction")
     store = txnSnapshot.get
     txnSnapshot = None
-    val stale = spark.sparkContext.getPersistentRDDs.keySet -- txnBaseline
-    graft.util.Checkpoints.release(spark, stale)
-    ownedGen = ownedGen.filter(txnBaseline.contains)
+    graft.util.Checkpoints.release(spark, txnCreated)
+    ownedGen = ownedGen -- txnCreated
+    txnCreated = Set.empty
   }
 
   def run(cypher: String): DataFrame = {
+    val inTxn = synchronized { txnSnapshot.nonEmpty }
+    val before =
+      if (inTxn) spark.sparkContext.getPersistentRDDs.keySet else Set.empty[Int]
     val res = new Planner(spark, store, params).plan(Parser.parse(cypher))
     store = res.store
     maybeCompact()
+    if (inTxn) synchronized {
+      txnCreated = txnCreated ++ (spark.sparkContext.getPersistentRDDs.keySet -- before)
+    }
     res.df.getOrElse(spark.emptyDataFrame)
   }
 

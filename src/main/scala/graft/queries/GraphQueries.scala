@@ -635,17 +635,19 @@ object GraphQueries {
       graft.algorithms.GraphAlgorithms.linkPrediction(thin, 20)
     }),
 
-    // Adamic-Adar (r9): the FP member of the link-prediction family, on
-    // the same thinned co-supply graph and hub-capped wedge set as g31 -
-    // its exact-integer triple (common/pref_attach/total_neighbors) is the
-    // oracle twin; the 1/ln(deg) sum's accumulation order is shuffle-
-    // dependent at the last ulp, so this gate is rows-only by design (the
-    // x24/g25 pattern).
+    // Adamic-Adar (r9; oracle-checked r10): the FP member of the
+    // link-prediction family, on the same thinned co-supply graph and
+    // hub-capped wedge set as g31. The gate runs the quantized-DECIMAL
+    // variant (each 1/ln(deg) term rounded to 6 decimals, summed as
+    // exact decimal arithmetic — order-independent, so score, ranking
+    // and hash are bit-deterministic across engines) and is fully
+    // oracle-checked; the raw-double scoring path is pinned by
+    // AlgorithmsSpec's hand-computed scores.
     "g34_adamic_adar" -> ((s, dir) => {
       import graft.pipeline.TextHash
       val thin = coSupplyEdges(s, dir)
         .where(TextHash.h32(concat_ws("|", col("src"), col("dst"))) % 10 < 2)
-      graft.algorithms.GraphAlgorithms.adamicAdar(thin, 20)
+      graft.algorithms.GraphAlgorithms.adamicAdar(thin, 20, quantize = Some(6))
     }),
 
     // Deterministic maximal independent set (r8): Luby's parallel MIS
@@ -753,6 +755,33 @@ object GraphQueries {
          |SELECT id FROM ($union)
          |ORDER BY id""".stripMargin
     },
+    // Same wedge machinery as g31, plus the center degree per wedge; the
+    // quantized-decimal AA sum replays the gate's exact arithmetic
+    // (ROUND half-away-from-zero == Spark HALF_UP on the all-positive
+    // terms; DECIMAL addition is order-free on both engines).
+    "g34_adamic_adar" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+        |            FROM lineitem WHERE l_partkey < 2000),
+        |und0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |         FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk),
+        |und AS (SELECT a, b FROM und0
+        |  WHERE (('0x' || substr(md5(a || '|' || b),1,8))::BIGINT) % 10 < 2),
+        |adj AS (SELECT a AS id, b AS nbr FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY id),
+        |wedge AS (SELECT x.nbr AS a, y.nbr AS b, d.deg AS cdeg
+        |          FROM adj x JOIN adj y ON x.id = y.id AND x.nbr < y.nbr
+        |          JOIN deg d ON d.id = x.id),
+        |aa AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
+        |         CAST(SUM(CAST(ROUND(1.0/LN(cdeg), 6) AS DECIMAL(18,6)))
+        |              AS DECIMAL(28,6)) AS adamic_adar
+        |       FROM wedge GROUP BY a, b),
+        |nonadj AS (SELECT aa.* FROM aa LEFT JOIN und
+        |             ON und.a = aa.a AND und.b = aa.b
+        |           WHERE und.a IS NULL)
+        |SELECT a, b, common, adamic_adar
+        |FROM nonadj
+        |ORDER BY adamic_adar DESC, a, b LIMIT 20""".stripMargin,
     "g31_link_prediction" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
         |            FROM lineitem WHERE l_partkey < 2000),

@@ -730,7 +730,7 @@ object ScaleProbe {
     * pointer-jumping variant must grow rounds ~logarithmically (+1-2
     * rounds per depth doubling, not 2×). Run with
     * SPARK_GRAFT_PROBE=cc; raw stdout committed as
-    * tools/scaleprobe_cc_chain_r9.txt.
+    * tools/scaleprobe_cc_chain_r10.txt.
     */
   private def ccProbe(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._

@@ -1384,4 +1384,95 @@ class CypherSpec extends AnyFunSuite {
     val e5 = intercept[Exception](s.run("CALL graft.kCore() YIELD id RETURN id"))
     assert(e5.getMessage.contains("requires argument"))
   }
+
+  test("transaction: rollback restores the snapshot, session stays usable") {
+    val s = session
+    s.begin()
+    s.run("CREATE (p:Person {name: 'Eve', age: 22, city: 'Chengdu'})")
+    s.run("MATCH (n:Person) WHERE n.name = 'Eve' SET n.age = 23")
+    // reads-see-own-writes inside the scope (the documented divergence)
+    assert(rows(s.run("MATCH (n:Person) RETURN count(n) AS c")) == Seq(Seq(5L)))
+    assert(rows(s.run("MATCH (n:Person) WHERE n.name = 'Eve' RETURN n.age AS a"))
+      == Seq(Seq(23L)))
+    s.rollback()
+    // both staged statements discarded atomically
+    assert(rows(s.run("MATCH (n:Person) RETURN count(n) AS c")) == Seq(Seq(4L)))
+    assert(rows(s.run("MATCH (n:Person) WHERE n.name = 'Eve' RETURN n.age AS a"))
+      == Seq.empty)
+    // a fresh post-rollback mutation lands
+    s.run("CREATE (p:Person {name: 'Frank', age: 40, city: 'Wuhan'})")
+    assert(rows(s.run("MATCH (n:Person) WHERE n.name = 'Frank' RETURN n.age AS a"))
+      == Seq(Seq(40L)))
+    val dup = intercept[Exception] { s.begin(); s.begin() }
+    assert(dup.getMessage.contains("already open"))
+    s.rollback()
+    assert(intercept[Exception](s.rollback()).getMessage.contains("no open"))
+  }
+
+  test("transaction: rollback frees only this scope's checkpoints") {
+    val s = session
+    val sc = spark.sparkContext
+    val preBegin = sc.getPersistentRDDs.keySet
+    s.begin()
+    // enough SET rewrites to cross CompactPlanNodes: the scope owns a
+    // compacted generation's checkpoint blocks when it rolls back
+    for (i <- 1 to 12)
+      s.run(s"MATCH (n:Person) WHERE n.name = 'Alice' SET n.age = ${30 + i}")
+    // a concurrent job persists on the shared context BETWEEN this
+    // scope's statements — rollback must not free it (the r9 advice)
+    val b0 = sc.getPersistentRDDs.keySet
+    val side = spark.range(100).toDF("v").localCheckpoint(true)
+    assert(side.count() == 100L)
+    val sideIds = sc.getPersistentRDDs.keySet -- b0
+    assert(sideIds.nonEmpty)
+    s.run("MATCH (n:Person) WHERE n.name = 'Bob' SET n.age = 26")
+    s.rollback()
+    val after = sc.getPersistentRDDs.keySet
+    // the concurrent block survives, consumable (localCheckpoint truncated
+    // its lineage: a wrongful free would make this unrecoverable)
+    assert(sideIds.subsetOf(after))
+    assert(side.count() == 100L)
+    // every block the scope's own statements persisted is gone
+    assert((after -- preBegin -- sideIds).isEmpty)
+    assert(rows(s.run("MATCH (n:Person) WHERE n.name = 'Alice' RETURN n.age AS a"))
+      == Seq(Seq(30L)))
+    side.unpersist()
+  }
+
+  test("transaction: in-txn compaction defers releases; commit applies atomically") {
+    val s = session
+    val sc = spark.sparkContext
+    // force a PRE-begin compaction so the live store is checkpoint-backed
+    // (its generation must survive an in-txn compaction + rollback)
+    for (i <- 1 to 12)
+      s.run(s"MATCH (n:Person) WHERE n.name = 'Alice' SET n.age = ${50 + i}")
+    s.begin()
+    for (i <- 1 to 12)
+      s.run(s"MATCH (n:Person) WHERE n.name = 'Bob' SET n.age = ${60 + i}")
+    s.rollback()
+    // the snapshot's checkpoint-backed tables are intact after the
+    // txn-era generation is freed
+    assert(rows(s.run("MATCH (n:Person) WHERE n.name = 'Alice' RETURN n.age AS a"))
+      == Seq(Seq(62L)))
+    assert(rows(s.run("MATCH (n:Person) WHERE n.name = 'Bob' RETURN n.age AS a"))
+      == Seq(Seq(25L)))
+    // now the commit path: in-txn compactions defer their releases; the
+    // first post-commit compaction frees the deferred generations
+    val preTxn = sc.getPersistentRDDs.keySet
+    s.begin()
+    for (i <- 1 to 12)
+      s.run(s"MATCH (n:Person) WHERE n.name = 'Charlie' SET n.age = ${70 + i}")
+    s.commit()
+    assert(rows(s.run("MATCH (n:Person) WHERE n.name = 'Charlie' RETURN n.age AS a"))
+      == Seq(Seq(82L)))
+    for (i <- 1 to 12)
+      s.run(s"MATCH (n:Person) WHERE n.name = 'David' SET n.age = ${80 + i}")
+    assert(rows(s.run("MATCH (n:Person) WHERE n.name = 'David' RETURN n.age AS a"))
+      == Seq(Seq(92L)))
+    // deferred generations released: only the latest live generation's
+    // blocks (one checkpoint per store table, plus the in-flight
+    // statement's) remain beyond the pre-txn set
+    val extra = sc.getPersistentRDDs.keySet -- preTxn
+    assert(extra.size <= 6, s"deferred generations leaked: ${extra.size} blocks")
+  }
 }
