@@ -291,6 +291,106 @@ object Traversals {
     }
   }
 
+  /** Point-to-point MIN-COST distance over nonnegative edge weights via
+    * bidirectional level-synchronous Bellman-Ford — the weighted sibling
+    * of [[bidirDistance]]. Each round relaxes the smaller frontier one
+    * hop (frontier = the rows whose tentative distance improved last
+    * round); `best` tracks the cheapest meeting vertex's fdist + bdist,
+    * re-scored from BOTH directions whenever either side improves a
+    * meeting vertex. Termination is the bidirectional-Dijkstra rule
+    * lifted to frontier minima: every future tentative value on a side
+    * is some current frontier value plus nonnegative weights, so once
+    * best ≤ min(frontier_F) + min(frontier_B) no undiscovered s→t path
+    * can be cheaper. An exhausted side's frontier minimum is +∞, which
+    * makes the same test certify its completed search — the opposite
+    * SEED is always in the opposite visited set, so a finite best is
+    * exact and an infinite one is a proven miss. Unlike the unweighted
+    * meet rule the search must NOT stop at the first meet: a 2-hop meet
+    * of cost 20 loses to a 4-hop path of cost 4 (TraversalsSpec pins
+    * exactly that shape).
+    *
+    * `weight` must be nonnegative (checked, loudly — one aggregate over
+    * the oriented checkpoint the loop reuses anyway); throws rather
+    * than answers if `maxRounds` expansions pass uncertified.
+    */
+  def bidirWeightedDistance(edges: DataFrame, srcId: Long, dstId: Long,
+      maxRounds: Int = 64, dir: Direction = Direction.Out,
+      maxBroadcastRows: Long = BroadcastFrontierRows): Option[Double] = {
+    if (srcId == dstId) return Some(0.0)
+    if (maxRounds <= 0) return None
+    val spark = edges.sparkSession
+    import spark.implicits._
+    graft.util.Checkpoints.sweepingDelta(spark) {
+      // Direction.orient drops non-id columns, so the weight rides an
+      // inline orient (the Planner's weighted-shortestPath convention)
+      val w0 = edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("weight"))
+      val e = (dir match {
+        case Direction.Out => w0
+        case Direction.In =>
+          w0.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+        case Direction.Both => w0.unionByName(
+          w0.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      }).localCheckpoint(false)
+      val eStats = e.agg(count(lit(1)), min(col("weight"))).head()
+      if (eStats.getLong(0) == 0L) None
+      else {
+        require(!eStats.isNullAt(1) && eStats.getDouble(1) >= 0.0,
+          "bidirWeightedDistance requires nonnegative weights, found " +
+            s"min weight ${eStats.get(1)}")
+        var vF = Seq((srcId, 0.0)).toDF("id", "dist").localCheckpoint(false)
+        var vB = Seq((dstId, 0.0)).toDF("id", "dist").localCheckpoint(false)
+        var fF = vF; var fB = vB
+        var nF = 1L; var nB = 1L
+        var minF = 0.0; var minB = 0.0
+        var best = Double.PositiveInfinity
+        var rounds = 0
+        def expand(forward: Boolean): Unit = {
+          val (frontier, rows, visited, opposite) =
+            if (forward) (fF, nF, vF, vB) else (fB, nB, vB, vF)
+          val f = if (rows <= maxBroadcastRows) broadcast(frontier) else frontier
+          val hop = if (forward)
+            e.join(f, f("id") === e("src"))
+              .select(e("dst").as("id"), (f("dist") + e("weight")).as("cand"))
+          else
+            e.join(f, f("id") === e("dst"))
+              .select(e("src").as("id"), (f("dist") + e("weight")).as("cand"))
+          // candidates that IMPROVE the side's tentative distance are the
+          // next frontier; everything else is already at least as good
+          val imp = hop.groupBy(col("id")).agg(min(col("cand")).as("dist"))
+            .join(visited.select(col("id").as("vid"), col("dist").as("old")),
+              col("id") === col("vid"), "left")
+            .where(col("old").isNull || col("dist") < col("old"))
+            .select(col("id"), col("dist"))
+            .localCheckpoint(false)
+          val st = imp.agg(count(lit(1)), min(col("dist"))).head()
+          val n = st.getLong(0)
+          val m = imp.join(
+              opposite.select(col("id").as("oid"), col("dist").as("odist")),
+              col("id") === col("oid"))
+            .agg(min(col("dist") + col("odist"))).head()
+          if (!m.isNullAt(0)) best = math.min(best, m.getDouble(0))
+          val merged = visited
+            .join(imp.select(col("id").as("iid")), col("id") === col("iid"),
+              "left_anti")
+            .unionByName(imp)
+            .localCheckpoint(false)
+          val mn = if (n == 0) Double.PositiveInfinity else st.getDouble(1)
+          if (forward) { nF = n; minF = mn; vF = merged; fF = imp }
+          else { nB = n; minB = mn; vB = merged; fB = imp }
+        }
+        while (best > minF + minB) {
+          rounds += 1
+          require(rounds <= maxRounds,
+            s"bidirWeightedDistance: no certified answer within $maxRounds " +
+              s"rounds (best=$best, frontier minima $minF/$minB) — raise maxRounds")
+          if (nF <= nB) expand(forward = true) else expand(forward = false)
+        }
+        if (best.isInfinity) None else Some(best)
+      }
+    }
+  }
+
   /** Ancestor chain dst → … → src by pointer doubling over a
     * (id, parent, dist) parents relation: the jump table J_k (id → its
     * 2^k-th ancestor) is squared each round, and the known path prefix

@@ -120,6 +120,12 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       } else default.getOrElse(sys.error(s"${c.proc} requires argument ${i + 1}"))
     def intArg(i: Int, default: Option[Int] = None): Int =
       longArg(i, default.map(_.toLong)).toInt
+    def strArg(i: Int): Option[String] =
+      if (i < c.args.length) c.args(i) match {
+        case StrLit(v) => Some(v)
+        case other =>
+          sys.error(s"CALL argument ${i + 1} must be a string literal, got $other")
+      } else None
     def nargs(max: Int): Unit = require(c.args.length <= max,
       s"${c.proc} takes at most $max argument(s)")
     val edges = store.allEdges.select(col("src"), col("dst"))
@@ -153,13 +159,30 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       case "graft.mis" => nargs(0)
         GraphAlgorithms.maximalIndependentSet(edges)
       case "graft.distance" =>
-        nargs(3)
+        nargs(4)
         import spark.implicits._
         val (s0, d0) = (longArg(0), longArg(1))
-        graft.algorithms.Traversals
-          .bidirDistance(edges, s0, d0, intArg(2, Some(10)))
-          .map(d => Seq((s0, d0, d.toLong))).getOrElse(Seq.empty)
-          .toDF("start_id", "end_id", "dist")
+        strArg(3) match {
+          case None =>
+            graft.algorithms.Traversals
+              .bidirDistance(edges, s0, d0, intArg(2, Some(10)))
+              .map(d => Seq((s0, d0, d.toLong))).getOrElse(Seq.empty)
+              .toDF("start_id", "end_id", "dist")
+          case Some(wk) =>
+            // optional 4th arg names the edge cost property → weighted
+            // min-cost search (bidirectional Bellman-Ford). allEdges folds
+            // every non-id column into `properties` JSON, so the weight
+            // resolves from there; edges missing the property cost 1.0 —
+            // the shortestPath {weight: ...} convention. arg 3 caps
+            // RELAXATION ROUNDS here (hops per side), not path cost.
+            val we = store.allEdges.select(col("src"), col("dst"),
+              coalesce(get_json_object(col("properties"), "$." + wk)
+                .cast("double"), lit(1.0)).as("weight"))
+            graft.algorithms.Traversals
+              .bidirWeightedDistance(we, s0, d0, intArg(2, Some(32)))
+              .map(d => Seq((s0, d0, d))).getOrElse(Seq.empty)
+              .toDF("start_id", "end_id", "dist")
+        }
       case "graft.walks" =>
         nargs(3)
         import spark.implicits._
@@ -172,7 +195,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.ppr(sourceId, iters), graft.katz(maxLen, beta), " +
         "graft.kTruss(k), graft.walks(sourceId, walksPerStart, steps), " +
         "graft.scc(), graft.linkPrediction(topK), graft.mis(), " +
-        "graft.distance(srcId, dstId, maxHops)")
+        "graft.distance(srcId, dstId, maxHops[, 'weightProp'])")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

@@ -393,6 +393,25 @@ object CypherGateQueries {
            |RETURN start_id, end_id, dist""".stripMargin)
     }),
 
+    // Weighted point-to-point distance through the CALL surface (r10):
+    // the 4th argument names the edge cost property — CONTAINS edges
+    // carry l_quantity, every other relation costs 1.0 (the coalesce
+    // convention) — and the bidirectional Bellman-Ford must return the
+    // MIN-COST route to the next region over, not the min-hop one.
+    // l_quantity is integral in this data, so every path sum is an exact
+    // small integer and the double-valued oracle compare is
+    // association-free. arg 3 caps relaxation rounds (certification
+    // throws loudly past it, so a green gate also proves convergence).
+    "cy36_weighted_distance" -> ((s, dir) => {
+      val start = graft.model.Graphid.pack(GraphStore.Lab.Customer, 1L)
+      val rk = GraphQueries.cust1RegionKey(s, dir)
+      val dstFar = graft.model.Graphid.pack(GraphStore.Lab.Region, (rk + 1) % 5)
+      new CypherSession(s, GraphStore.tpch(s, dir)).run(
+        s"""CALL graft.distance($start, $dstFar, 32, 'l_quantity')
+           |YIELD start_id, end_id, dist
+           |RETURN start_id, end_id, dist""".stripMargin)
+    }),
+
     // path functions (r9): a MATCH-assigned path variable binds BOTH the
     // vertex-id and edge-id sequences; nodes()/relationships() compose
     // with reduce() into path strings the x4-family recursive CTE replays
@@ -524,6 +543,53 @@ object CypherGateQueries {
         |ORDER BY name""".stripMargin,
     // the CALL gates reuse the already-proven algorithm oracles: identical
     // semantics, reshaped only where the Cypher query aggregates further
+    // Bounded weighted walk over the full store relation (the cy17
+    // pattern on the whole graph): CONTAINS costs l_quantity, everything
+    // else 1.0; min cost at the far region. The graph is layer-acyclic,
+    // so the len guard only bounds, never truncates, the optimum.
+    "cy36_weighted_distance" ->
+      """WITH RECURSIVE wedges AS (
+        |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+        |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst,
+        |         CAST(1.0 AS DOUBLE) AS w FROM orders
+        |  UNION ALL
+        |  SELECT (CAST(2 AS BIGINT)<<48)|CAST(l_orderkey AS BIGINT),
+        |         (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT),
+        |         CAST(l_quantity AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT DISTINCT (CAST(3 AS BIGINT)<<48)|CAST(l_partkey AS BIGINT),
+        |         (CAST(4 AS BIGINT)<<48)|CAST(l_suppkey AS BIGINT),
+        |         CAST(1.0 AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT),
+        |         (CAST(5 AS BIGINT)<<48)|CAST(c_nationkey AS BIGINT),
+        |         CAST(1.0 AS DOUBLE) FROM customer
+        |  UNION ALL
+        |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT),
+        |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT),
+        |         CAST(1.0 AS DOUBLE) FROM supplier
+        |  UNION ALL
+        |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
+        |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT),
+        |         CAST(1.0 AS DOUBLE) FROM nation
+        |),
+        |myreg AS (
+        |  SELECT CAST(n_regionkey AS BIGINT) AS rk
+        |  FROM nation JOIN customer ON n_nationkey = c_nationkey
+        |  WHERE c_custkey = 1),
+        |dst AS (SELECT (CAST(6 AS BIGINT)<<48)|((rk+1)%5) AS id FROM myreg),
+        |walk(id, dist, len) AS (
+        |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT),
+        |         CAST(0.0 AS DOUBLE), 0
+        |  UNION ALL
+        |  SELECT e.dst, wk.dist + e.w, wk.len + 1
+        |  FROM walk wk JOIN wedges e ON e.src = wk.id WHERE wk.len < 6
+        |)
+        |SELECT (CAST(1 AS BIGINT)<<48)|CAST(1 AS BIGINT) AS start_id,
+        |       d.id AS end_id, MIN(wk.dist) AS dist
+        |FROM dst d JOIN walk wk ON wk.id = d.id
+        |GROUP BY d.id""".stripMargin,
+
     "cy34_call_distance" -> GraphQueries.bidirDistOracle(
       "SELECT (CAST(6 AS BIGINT)<<48)|((rk+1)%5) AS id FROM myreg"),
     "cy35_path_functions" -> {

@@ -429,6 +429,71 @@ object ExtraQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Streaming EVICTION gate (r10; the r8 verdict ask): every other
+    // §2.10 gate keeps the watermark horizon beyond the replay so nothing
+    // evicts — this one proves the opposite contract: state is bounded
+    // and late arrivals past the watermark are DROPPED. Three staged
+    // files with ascending mtimes force the batch order: (1) the kept
+    // subset (event_id % 4 = 1) at its real times; (2) one far-future
+    // sentinel (+20 h) that advances the watermark beyond every kept
+    // window; (3) late re-deliveries of a kept sub-subset under fresh
+    // event_ids, timestamps unchanged — their windows are now below the
+    // watermark, so the Append-mode aggregate must ignore every one of
+    // them. The oracle is the batch aggregate over file (1) ALONE: it
+    // matches only if the drop actually happened (an engine that kept
+    // the late rows would inflate n and sum_value). The sentinel's own
+    // window never finalizes (nothing advances the watermark past it),
+    // so it stays in state and out of the sink — filtered defensively
+    // anyway. StreamingSpec's twin pins numRowsDroppedByWatermark > 0
+    // and the bounded final state.
+    "x31_stream_eviction" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      import scala.jdk.CollectionConverters._
+      val src = java.nio.file.Files.createTempDirectory("graft_x31_src")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val keep = ev.where(col("event_id") % 4 === 1)
+      val hiUs = keep.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val sentinel = s.range(1).select(
+        lit(2000000000L).as("event_id"),
+        timestamp_micros(lit(hiUs + 20L * 3600L * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"), lit("__advance").as("event_type"),
+        lit(0.0).as("value"))
+      val late = keep.where(col("event_id") % 20 === 1)
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+      Seq(keep, sentinel, late).zipWithIndex.foreach { case (df, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_x31_b$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        val target = src.resolve(f"b$i%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val sink = "x31_stream_eviction_sink"
+      val q = EventStreams.windowedStats(
+          EventStreams.readStream(s, src.toString, maxFilesPerTrigger = 1),
+          watermark = "10 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      s.table(sink)
+        .where(col("event_type") =!= "__advance")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // Stream-stream interval join executed for REAL (r8): both sides
     // branch off one staged file source (4 files, maxFilesPerTrigger=1 ->
     // 4 micro-batches through the symmetric-hash join state), watermark
@@ -634,6 +699,16 @@ object ExtraQueries {
     // set, not position)
     "x21_pagerank_crosscheck" -> "SELECT CAST(20 AS BIGINT) AS n_agree",
     // the streaming gate answers to the SAME oracle as its batch twin q15
+    // file (1)'s rows alone: the late re-deliveries must have been
+    // dropped at the watermark, and the sentinel never finalizes
+    "x31_stream_eviction" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_id % 4 = 1
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
     "x22_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, COUNT(*) AS n,

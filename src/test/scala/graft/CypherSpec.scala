@@ -1385,6 +1385,26 @@ class CypherSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("requires argument"))
   }
 
+  test("CALL graft.distance: weighted mode via the cost-property argument") {
+    val s = session
+    val alice = Graphid.pack(100, 1)
+    val charlie = Graphid.pack(100, 3)
+    val un = rows(s.run(
+      s"CALL graft.distance($alice, $charlie, 6) YIELD dist RETURN dist"))
+    assert(un == Seq(Seq(2L)))
+    // KNOWS.since as the cost: 2020 + 2021, not the hop count
+    val w = rows(s.run(
+      s"CALL graft.distance($alice, $charlie, 6, 'since') YIELD dist RETURN dist"))
+    assert(w == Seq(Seq(4041.0)))
+    // a property no edge carries costs 1.0 per hop (the coalesce rule)
+    val d1 = rows(s.run(
+      s"CALL graft.distance($alice, $charlie, 6, 'nope') YIELD dist RETURN dist"))
+    assert(d1 == Seq(Seq(2.0)))
+    val bad = intercept[Exception](s.run(
+      s"CALL graft.distance($alice, $charlie, 6, 7) YIELD dist RETURN dist"))
+    assert(bad.getMessage.contains("string literal"))
+  }
+
   test("transaction: rollback restores the snapshot, session stays usable") {
     val s = session
     s.begin()

@@ -290,4 +290,74 @@ class StreamingSpec extends AnyFunSuite {
       Tables.load(spark, sfDir, "events"), dim).collect().map(_.toSeq).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("watermark EVICTS: late rows drop, state stays bounded (x31 twin)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // three staged files in forced mtime order: on-time rows, a +20 h
+    // sentinel that advances the watermark beyond every on-time window,
+    // then late re-deliveries of the first file — the aggregate must
+    // drop every late row and hold only the unfinalized tail in state
+    val src = java.nio.file.Files.createTempDirectory("graft_evict")
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli * 1000L
+    def ev(ids: Seq[Long], offsetH: Long, tag: String) =
+      ids.toDF("event_id").select(
+        col("event_id"),
+        expr(s"timestamp_micros(${base}L + event_id * 600000000L + " +
+          s"${offsetH * 3600000000L}L)").as("ts"),
+        (col("event_id") % 3).as("user_id"), lit(tag).as("event_type"),
+        col("event_id").cast("double").as("value"), lit("{}").as("props"))
+    val onTime = ev(1L to 18L, 0, "click")       // 3 h of rows, 10 min apart
+    val sentinel = ev(Seq(999L), 20, "__advance")
+    val late = ev(1L to 6L, 0, "click")          // re-delivered, now stale
+      .withColumn("event_id", col("event_id") + 1000L)
+    Seq(onTime, sentinel, late).zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_evict_b$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val target = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.move(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val q = EventStreams.windowedStats(
+        EventStreams.readStream(spark, src.toString, maxFilesPerTrigger = 1),
+        watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("evict_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // the drop is observable in the engine's own metrics — map-side
+    // partial aggregation folds the 6 late rows into their 2 window
+    // groups before the state operator counts them, so the metric reads
+    // one drop per late WINDOW, not per late row
+    val progress = q.recentProgress.toSeq
+    val dropped = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped == 2L, s"expected the 2 late windows dropped, got $dropped")
+    // ...the final state holds only unfinalized windows (the on-time tail
+    // + the sentinel), far fewer than the 4 distinct hourly windows seen
+    val finalState = progress.lastOption.toSeq.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsTotal).sum
+    assert(finalState <= 2, s"state not bounded: $finalState rows")
+    // ...and the emitted result is the on-time batch aggregate exactly,
+    // late contributions absent
+    val got = spark.table("evict_out")
+      .where(col("event_type") =!= "__advance")
+      .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val want = EventStreams.windowedStatsBatch(onTime)
+      .collect().map(_.toSeq).toSet
+    // Append emits only watermark-finalized windows: every emitted window
+    // must be an exact batch window, the late rows never perturb one, and
+    // all but the unfinalized tail window made it out
+    assert(got.subsetOf(want) && got.size >= want.size - 1 && got.nonEmpty,
+      s"got ${got.size} windows of ${want.size}")
+    java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 }

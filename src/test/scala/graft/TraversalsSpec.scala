@@ -367,4 +367,54 @@ class TraversalsSpec extends AnyFunSuite {
         s"mismatch at $v")
     }
   }
+
+  test("bidirWeightedDistance: min cost beats min hops; certification rules") {
+    // hop-minimal ≠ cost-minimal: 1→2→4 is 2 hops cost 20; the 4-hop
+    // detour 1→3→5→6→4 costs 4 — the first meet must NOT end the search
+    val e = Seq(
+      (1L, 2L, 10.0), (2L, 4L, 10.0),
+      (1L, 3L, 1.0), (3L, 5L, 1.0), (5L, 6L, 1.0), (6L, 4L, 1.0))
+      .toDF("src", "dst", "weight")
+    assert(Traversals.bidirWeightedDistance(e, 1L, 4L) == Some(4.0))
+    // direction handling: Out unreachable backwards, In/Both find it
+    assert(Traversals.bidirWeightedDistance(e, 4L, 1L).isEmpty)
+    assert(Traversals.bidirWeightedDistance(e, 4L, 1L,
+      dir = Direction.In) == Some(4.0))
+    assert(Traversals.bidirWeightedDistance(e, 4L, 1L,
+      dir = Direction.Both) == Some(4.0))
+    // trivial + unreachable island
+    assert(Traversals.bidirWeightedDistance(e, 1L, 1L) == Some(0.0))
+    assert(Traversals.bidirWeightedDistance(e, 1L, 99L).isEmpty)
+    // zero weights are legal (zero-cycles can't spin: frontier advances
+    // only on STRICT improvement); negative weights refuse loudly
+    val z = Seq((1L, 2L, 0.0), (2L, 3L, 0.0)).toDF("src", "dst", "weight")
+    assert(Traversals.bidirWeightedDistance(z, 1L, 3L) == Some(0.0))
+    val neg = Seq((1L, 2L, -1.0)).toDF("src", "dst", "weight")
+    val err = intercept[Exception](Traversals.bidirWeightedDistance(neg, 1L, 2L))
+    assert(err.getMessage.contains("nonnegative"))
+    // the round cap refuses rather than answering uncertified
+    val chain = (1L to 40L).sliding(2).map(p => (p(0), p(1), 1.0)).toSeq
+      .toDF("src", "dst", "weight")
+    val capped = intercept[Exception](
+      Traversals.bidirWeightedDistance(chain, 1L, 40L, maxRounds = 5))
+    assert(capped.getMessage.contains("maxRounds"))
+  }
+
+  test("bidirWeightedDistance agrees with Pregel SSSP on a random weighted graph") {
+    import org.apache.spark.sql.functions.col
+    val g = DataGenerator.uniform(spark, 50, 140, seed = 11)
+    // deterministic pseudo-weights from the edge endpoints
+    val e = g.allEdges.select($"src", $"dst",
+      ((col("src") * 7 + col("dst") * 13) % 5 + 1).cast("double").as("weight"))
+    val src = g.allVertices.select($"id").orderBy($"id").head.getLong(0)
+    val dists = PregelSssp.run(spark, e, src)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .filter(_._2.isFinite).toMap
+    val probes = g.allVertices.select($"id").orderBy($"id")
+      .collect().map(_.getLong(0)).grouped(7).map(_.head)
+    probes.foreach { v =>
+      assert(Traversals.bidirWeightedDistance(e, src, v) ==
+        (if (v == src) Some(0.0) else dists.get(v)), s"mismatch at $v")
+    }
+  }
 }
