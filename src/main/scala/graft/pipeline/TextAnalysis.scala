@@ -412,6 +412,43 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Corpus-unigram negative log-likelihood — the LM-perplexity quality
+    * filter (the CCNet filtering shape) with the corpus itself as the
+    * unigram model: p(tok) = corpus count / corpus total, per-document
+    * score Σ -ln p(tok_i) / n_tokens — low = common/fluent wording, high
+    * = rare/garbled. Everything that decides the result is exact
+    * arithmetic: token counts are integers, each -ln p term quantizes to
+    * `quantize` decimals and accumulates in DECIMAL (the g34 pattern —
+    * shuffle-order-independent, cross-engine bit-stable), per-(doc, tok)
+    * multiplicities multiply the quantized term exactly, and the mean is
+    * ONE decimal→double cast + division at the end. The corpus total
+    * rides the plan as a broadcast 1-row aggregate (no driver action);
+    * the vocabulary relation shuffles once (partial-combined from the
+    * per-doc counts), the doc relation joins it once — the whole score
+    * is two shuffles at any corpus size.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      quantize: Int = 6): DataFrame = {
+    import graft.pipeline.TextHash.tokens
+    val dec = org.apache.spark.sql.types.DecimalType(18, quantize)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, quantize)
+    val docTok = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+    val freq = docTok.groupBy(col("tok")).agg(sum(col("k")).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val weight = freq.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(-log(col("cnt").cast("double") / col("total")), quantize)
+          .cast(dec).as("w"))
+    docTok.join(weight, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("w") * col("k")).cast(dec28).as("nll_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("nll_sum"),
+        (col("nll_sum").cast("double") / col("n_tokens")).as("nll_mean"))
+  }
+
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),
     * plus a min-shingle-hash (stable under small edits — rolling-hash
     * style document signature).

@@ -105,6 +105,15 @@ object PipelineQueries {
       TextAnalysis.vocabularyReport(docs(s, dir), "text", "source", 5)
         .orderBy(col("source"), col("rank"))),
 
+    // Corpus-unigram NLL quality score (r10): the LM-perplexity filter
+    // shape with the corpus as its own unigram model — quantized-decimal
+    // term accumulation (the g34 pattern) makes the per-doc score
+    // bit-deterministic and fully oracle-checkable; the mean is one
+    // decimal→double cast + division, identical on both engines.
+    "t17_unigram_nll" -> ((s, dir) =>
+      TextAnalysis.unigramNll(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "m1_multimodal" -> ((s, dir) =>
       Multimodal.featureStats(docs(s, dir))
         .orderBy(col("source"))),
@@ -628,6 +637,26 @@ object PipelineQueries {
          |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
          |  CAST(SUM(nd) AS BIGINT) AS total_distinct_tokens, CAST(MAX(n) AS BIGINT) AS max_tokens
          |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // the unigramNll plan replayed: per-(doc, tok) multiplicities, corpus
+    // frequencies, quantized-decimal -ln p weights, exact k·w sums
+    "t17_unigram_nll" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k
+         |       FROM toks GROUP BY doc_id, tok),
+         |freq AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS cnt
+         |         FROM dt GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+         |w AS (SELECT tok,
+         |        CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / (SELECT total FROM tot)), 6)
+         |             AS DECIMAL(18,6)) AS w
+         |      FROM freq),
+         |doc AS (SELECT dt.doc_id, CAST(SUM(dt.k) AS BIGINT) AS n_tokens,
+         |          CAST(SUM(w.w * dt.k) AS DECIMAL(28,6)) AS nll_sum
+         |        FROM dt JOIN w USING (tok) GROUP BY dt.doc_id)
+         |SELECT doc_id, n_tokens, nll_sum,
+         |  CAST(nll_sum AS DOUBLE) / n_tokens AS nll_mean
+         |FROM doc ORDER BY doc_id""".stripMargin,
     "t16_vocabulary" ->
       s"""WITH tok AS (
          |  SELECT source, unnest($toksSql) AS term FROM documents),

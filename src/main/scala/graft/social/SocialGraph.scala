@@ -136,6 +136,153 @@ final class SocialGraph(spark: SparkSession, initial: GraphStore) {
     rows.headOption.map(_.getSeq[Long](3).map(Graphid.unpack(_)._2))
   }
 
+  // ——— user / post / like CRUD: the reference repository layer
+  // (social-network-api handlers/{user,post}.rs) re-expressed as the same
+  // dup-checked anti-join inserts and filter deletes the C1 ops use ———
+
+  val LikesLab = 212
+
+  def postId(k: Long): Long = Graphid.pack(PostLab, k)
+
+  private def emptyTable(cols: (String, org.apache.spark.sql.Column)*): DataFrame =
+    cols.foldLeft(spark.emptyDataFrame) { case (df, (n, c)) =>
+      df.withColumn(n, c) }.limit(0)
+
+  private def users: DataFrame = store.vertexTables.getOrElse("User",
+    emptyTable("id" -> lit(0L), "username" -> lit("")))
+  private def posts: DataFrame = store.vertexTables.getOrElse("Post",
+    emptyTable("id" -> lit(0L), "content" -> lit(""), "created_at" -> lit(0L)))
+  private def posted: DataFrame = store.edgeTables.getOrElse("POSTED",
+    emptyTable("id" -> lit(0L), "src" -> lit(0L), "dst" -> lit(0L)))
+  private def likes: DataFrame = store.edgeTables.getOrElse("LIKES",
+    emptyTable("id" -> lit(0L), "src" -> lit(0L), "dst" -> lit(0L),
+      "liked_at" -> lit(0L)))
+
+  /** create_user (handlers/user.rs): dup-checked insert; false = key
+    * taken (the reference's 409 conflict).
+    */
+  def createUser(key: Long, username: String): Boolean = {
+    import spark.implicits._
+    if (getUser(key).nonEmpty) false
+    else {
+      val row = Seq((userId(key), username)).toDF("id", "username")
+      afterMutation(store.withVertexTable("User", users.unionByName(row)))
+      true
+    }
+  }
+
+  def getUser(key: Long): Option[String] =
+    users.where(col("id") === userId(key)).select(col("username"))
+      .collect().headOption.map(_.getString(0))
+
+  /** update_user: rewrite the username column on the matching row. */
+  def updateUser(key: Long, username: String): Boolean =
+    getUser(key).nonEmpty && {
+      val upd = users.withColumn("username",
+        when(col("id") === userId(key), lit(username)).otherwise(col("username")))
+      afterMutation(store.withVertexTable("User", upd)); true
+    }
+
+  /** delete_user DETACHES: the vertex row and every FOLLOWS/POSTED/LIKES
+    * edge touching it leave in ONE store swap (the reference cascades
+    * through its repository; an atomic swap needs no cascade order).
+    * The user's posts survive authorless — the reference keeps them too.
+    */
+  def deleteUser(key: Long): Boolean =
+    getUser(key).nonEmpty && {
+      val me = userId(key)
+      var next = store.withVertexTable("User", users.where(col("id") =!= me))
+      if (store.edgeTables.contains("FOLLOWS"))
+        next = next.withEdgeTable("FOLLOWS",
+          follows.where(col("src") =!= me && col("dst") =!= me))
+      if (store.edgeTables.contains("POSTED"))
+        next = next.withEdgeTable("POSTED", posted.where(col("src") =!= me))
+      if (store.edgeTables.contains("LIKES"))
+        next = next.withEdgeTable("LIKES", likes.where(col("src") =!= me))
+      afterMutation(next); true
+    }
+
+  /** create_post (handlers/post.rs): Post vertex + POSTED edge in one
+    * swap; false = post key taken.
+    */
+  def createPost(userKey: Long, postKey: Long, content: String,
+      at: Long): Boolean = {
+    import spark.implicits._
+    if (getPost(postKey).nonEmpty) false
+    else {
+      val pid = postId(postKey)
+      val v = Seq((pid, content, at)).toDF("id", "content", "created_at")
+      val e = Seq((Graphid.pack(PostedLab, pairId48(userKey, postKey)),
+        userId(userKey), pid)).toDF("id", "src", "dst")
+      afterMutation(store
+        .withVertexTable("Post", posts.unionByName(v))
+        .withEdgeTable("POSTED", posted.unionByName(e)))
+      true
+    }
+  }
+
+  /** (content, created_at, author user key) — author via the POSTED edge. */
+  def getPost(postKey: Long): Option[(String, Long, Option[Long])] = {
+    val pid = postId(postKey)
+    posts.where(col("id") === pid)
+      .join(posted.select(col("src").as("author"), col("dst")),
+        col("id") === col("dst"), "left")
+      .select(col("content"), col("created_at"), col("author"))
+      .collect().headOption
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(Graphid.unpack(r.getLong(2))._2)))
+  }
+
+  def deletePost(postKey: Long): Boolean =
+    getPost(postKey).nonEmpty && {
+      val pid = postId(postKey)
+      var next = store.withVertexTable("Post", posts.where(col("id") =!= pid))
+      if (store.edgeTables.contains("POSTED"))
+        next = next.withEdgeTable("POSTED", posted.where(col("dst") =!= pid))
+      if (store.edgeTables.contains("LIKES"))
+        next = next.withEdgeTable("LIKES", likes.where(col("dst") =!= pid))
+      afterMutation(next); true
+    }
+
+  /** like_post: dup-checked LIKES edge user→post (idempotent, like
+    * follow); unlike filters it back out.
+    */
+  def likePost(userKey: Long, postKey: Long, at: Long): Unit = {
+    import spark.implicits._
+    val row = Seq((Graphid.pack(LikesLab, pairId48(userKey, postKey)),
+      userId(userKey), postId(postKey), at))
+      .toDF("id", "src", "dst", "liked_at")
+    val fresh = row.join(
+      likes.select(col("src").as("esrc"), col("dst").as("edst")),
+      col("src") === col("esrc") && col("dst") === col("edst"), "left_anti")
+    afterMutation(store.withEdgeTable("LIKES", likes.unionByName(fresh)))
+  }
+
+  def unlikePost(userKey: Long, postKey: Long): Unit = {
+    val kept = likes.where(
+      !(col("src") === userId(userKey) && col("dst") === postId(postKey)))
+    afterMutation(store.withEdgeTable("LIKES", kept))
+  }
+
+  /** get_post_likes: who liked, newest first. */
+  def postLikes(postKey: Long, limit: Int = 100): DataFrame =
+    likes.where(col("dst") === postId(postKey))
+      .select(col("src").as("user_id"), col("liked_at"))
+      .orderBy(col("liked_at").desc, col("user_id")).limit(limit)
+
+  /** analyze_network (models/social.rs:13-17 NetworkAnalysis): the
+    * connecting path, its length, and the mutual-friend set — composed
+    * from the C3/C5 operators.
+    */
+  def networkAnalysis(aKey: Long, bKey: Long, maxHops: Int = 6)
+      : (Seq[Long], Option[Int], Seq[Long]) = {
+    val path = connectionPath(aKey, bKey, maxHops).getOrElse(Seq.empty)
+    val degrees = if (path.isEmpty) None else Some(path.size - 1)
+    val mutual = mutualFriends(aKey, bKey).collect()
+      .map(r => Graphid.unpack(r.getLong(0))._2).toSeq
+    (path, degrees, mutual)
+  }
+
   /** C6 timeline: posts of followed users, newest first
     * (services/content.rs:65-100). posts: (id, src=user, dst=post) POSTED +
     * Post vertices with created_at.

@@ -390,4 +390,18 @@ class PipelineSpec extends AnyFunSuite {
       ("a", 2, "y", 2L, 3L, 5L, 3.0 / 5.0),
       ("b", 1, "w", 3L, 1L, 3L, 1.0 / 3.0)))
   }
+
+  test("unigramNll: hand-computed corpus model, exact decimal sums") {
+    // corpus: a×3, b×1, c×1 (total 5)
+    // w(a) = round(-ln(3/5), 6) = 0.510826; w(b) = w(c) = 1.609438
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramNll(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    assert(r.map(_.getDecimal(2).toPlainString).toSeq ==
+      Seq("2.631090", "2.120264"))
+    assert(math.abs(r(0).getDouble(3) - 2.631090 / 3) < 1e-12)
+    // the doc made of rarer tokens scores strictly higher
+    assert(r(1).getDouble(3) > r(0).getDouble(3))
+  }
 }
