@@ -315,9 +315,23 @@ object Traversals {
     */
   def bidirWeightedDistance(edges: DataFrame, srcId: Long, dstId: Long,
       maxRounds: Int = 64, dir: Direction = Direction.Out,
-      maxBroadcastRows: Long = BroadcastFrontierRows): Option[Double] = {
-    if (srcId == dstId) return Some(0.0)
-    if (maxRounds <= 0) return None
+      maxBroadcastRows: Long = BroadcastFrontierRows): Option[Double] =
+    bidirWeightedDistanceStats(edges, srcId, dstId, maxRounds, dir,
+      maxBroadcastRows)._1
+
+  /** bidirWeightedDistance plus total improved-frontier rows across both
+    * sides — ScaleProbe's wdist axis pins the ~2·b^(d/2)-vs-b^d claim on
+    * the weighted search the same way the unweighted axis does (row
+    * volume is the cluster-dominant cost: it is what shuffles/broadcasts
+    * per round).
+    */
+  private[graft] def bidirWeightedDistanceStats(edges: DataFrame,
+      srcId: Long, dstId: Long,
+      maxRounds: Int = 64, dir: Direction = Direction.Out,
+      maxBroadcastRows: Long = BroadcastFrontierRows): (Option[Double], Long) = {
+    if (srcId == dstId) return (Some(0.0), 0L)
+    if (maxRounds <= 0) return (None, 0L)
+    var expanded = 0L
     val spark = edges.sparkSession
     import spark.implicits._
     graft.util.Checkpoints.sweepingDelta(spark) {
@@ -333,7 +347,7 @@ object Traversals {
           w0.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
       }).localCheckpoint(false)
       val eStats = e.agg(count(lit(1)), min(col("weight"))).head()
-      if (eStats.getLong(0) == 0L) None
+      if (eStats.getLong(0) == 0L) (None, 0L)
       else {
         require(!eStats.isNullAt(1) && eStats.getDouble(1) >= 0.0,
           "bidirWeightedDistance requires nonnegative weights, found " +
@@ -365,6 +379,7 @@ object Traversals {
             .localCheckpoint(false)
           val st = imp.agg(count(lit(1)), min(col("dist"))).head()
           val n = st.getLong(0)
+          expanded += n
           val m = imp.join(
               opposite.select(col("id").as("oid"), col("dist").as("odist")),
               col("id") === col("oid"))
@@ -386,7 +401,7 @@ object Traversals {
               s"rounds (best=$best, frontier minima $minF/$minB) — raise maxRounds")
           if (nF <= nB) expand(forward = true) else expand(forward = false)
         }
-        if (best.isInfinity) None else Some(best)
+        (if (best.isInfinity) None else Some(best), expanded)
       }
     }
   }

@@ -64,6 +64,7 @@ object ScaleProbe {
       case "cc"       => ccProbe(spark, sfDir)
       case "linkpred" => linkpredProbe(spark, sfDir)
       case "bidir"    => bidirProbe(spark, sfDir)
+      case "wdist"    => wdistProbe(spark, sfDir)
       case "mis"      => misProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
@@ -722,6 +723,63 @@ object ScaleProbe {
         f"bidir_min=${biTimes.min}%.2f s " +
         biTimes.map(t => f"$t%.2f").mkString("bidir=[", ",", "]"))
     }
+  }
+
+  /** WEIGHTED bidirectional-distance axis (r10): the bidir de Bruijn
+    * digraph with deterministic pseudo-weights w = (src·7 + dst·13) % 5
+    * + 1. The unidirectional contender is the level-synchronous weighted
+    * sweep (PregelSssp — it must settle the whole reachable set to
+    * certify any one target), the bidirectional search certifies via the
+    * frontier-minima rule after touching ~2·b^(d/2) improved rows. Both
+    * must agree on the cost at every probed target hop-distance.
+    * Run with SPARK_GRAFT_PROBE=wdist; raw stdout committed as
+    * tools/scaleprobe_wdist_r10.txt.
+    */
+  private def wdistProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import graft.algorithms.{PregelSssp, Traversals}
+    val b = 10L
+    val n = 1000000L
+    val e = spark.range(0L, n).select(col("id").as("src"),
+        explode(array((1L to b).map(j => (col("id") * b + lit(j)) % n): _*)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        ((col("src") * 7 + col("dst") * 13) % 5 + 1).cast("double").as("weight"))
+      .localCheckpoint()
+    println(s"SCALE wdist graph: n=$n edges=${e.count()} branching=$b")
+    val src = 1L
+    val levels = Traversals.bfsDistances(e.select(col("src"), col("dst")),
+      Seq(src).toDF("id"), 6).localCheckpoint()
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    // the full-sweep cost is target-independent: settle every vertex once,
+    // read each probed target's cost from the result
+    val keep0 = spark.sparkContext.getPersistentRDDs.keySet
+    val t0 = System.nanoTime()
+    val sweep = PregelSssp.run(spark, e, src).localCheckpoint()
+    val settled = sweep.where(col("dist") < Double.PositiveInfinity).count()
+    val uniT = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE axis=uni-sweep settled=$settled dt=$uniT%.2f s")
+    for (d <- Seq(2, 4, 6)) {
+      val dst = levels.where(col("dist") === d).agg(max(col("id"))).head().getLong(0)
+      val want = sweep.where(col("id") === dst).select(col("dist")).head().getDouble(0)
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      var biRows = 0L
+      val biTimes = (1 to reps).map { _ =>
+        val t1 = System.nanoTime()
+        val (got, rows) = Traversals.bidirWeightedDistanceStats(e, src, dst)
+        require(got.contains(want), s"wdist $got != Some($want) at hop-d=$d")
+        biRows = rows
+        val dt = (System.nanoTime() - t1) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        dt
+      }
+      println(f"SCALE axis=wdist-$d dst=$dst cost=$want%.1f bidir_rows=$biRows " +
+        f"uni_sweep=$uniT%.2f s bidir_min=${biTimes.min}%.2f s " +
+        biTimes.map(t => f"$t%.2f").mkString("bidir=[", ",", "]"))
+    }
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) => if (!keep0.contains(id)) rdd.unpersist(false) }
   }
 
   /** Connected-components axes. (a) the real cy27 graph (tpch store at
