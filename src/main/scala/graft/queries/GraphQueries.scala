@@ -756,9 +756,10 @@ object GraphQueries {
          |ORDER BY id""".stripMargin
     },
     // Same wedge machinery as g31, plus the center degree per wedge; the
-    // quantized-decimal AA sum replays the gate's exact arithmetic
-    // (ROUND half-away-from-zero == Spark HALF_UP on the all-positive
-    // terms; DECIMAL addition is order-free on both engines).
+    // quantized AA sum replays the gate's exact arithmetic op-for-op:
+    // wq = floor(10^6·(1/ln deg) + 0.5) as BIGINT (identical doubles →
+    // identical integers on both engines), plain integer SUM, then the
+    // exact grid snap back onto the 10^-6 decimal lattice.
     "g34_adamic_adar" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
         |            FROM lineitem WHERE l_partkey < 2000),
@@ -773,7 +774,8 @@ object GraphQueries {
         |          FROM adj x JOIN adj y ON x.id = y.id AND x.nbr < y.nbr
         |          JOIN deg d ON d.id = x.id),
         |aa AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
-        |         CAST(SUM(CAST(ROUND(1.0/LN(cdeg), 6) AS DECIMAL(18,6)))
+        |         CAST(CAST(SUM(CAST(FLOOR(1000000.0 * (1.0/LN(cdeg)) + 0.5)
+        |                           AS BIGINT)) AS DOUBLE) * 0.000001
         |              AS DECIMAL(28,6)) AS adamic_adar
         |       FROM wedge GROUP BY a, b),
         |nonadj AS (SELECT aa.* FROM aa LEFT JOIN und
