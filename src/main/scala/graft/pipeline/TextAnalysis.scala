@@ -423,9 +423,9 @@ object TextAnalysis {
     * multiplicities multiply the quantized term exactly, and the mean is
     * ONE decimal→double cast + division at the end. The corpus total
     * rides the plan as a broadcast 1-row aggregate (no driver action);
-    * the vocabulary relation shuffles once (partial-combined from the
-    * per-doc counts), the doc relation joins it once — the whole score
-    * is two shuffles at any corpus size.
+    * every exchange keys on the doc/tok aggregate relations — all
+    * partial-combined, none over raw text — and PlanAuditSpec pins that
+    * no other shuffle or window exists in the plan.
     */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
       quantize: Int = 6): DataFrame = {

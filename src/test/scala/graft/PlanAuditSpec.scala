@@ -157,6 +157,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges.forall(l => l.contains("doc_id#") || l.contains("h#")), p)
   }
 
+  test("t17: unigram NLL shuffles only doc/tok aggregates; total rides broadcast") {
+    val df = SparkEntry.queries("t17_unigram_nll")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus total joins in as a broadcast single row, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // every hash exchange keys on the doc/tok aggregate relations — the
+    // corpus never shuffles on anything else, and no global window/sort
+    // exists besides the gate's final ORDER BY
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty, p)
+    assert(hashEx.forall(l => l.contains("tok#") || l.contains("doc_id#")), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("t8: mixture weights ride a broadcast single-row join, no global window") {
     val df = SparkEntry.queries("t8_mixture")(spark, sfDir)
     df.collect()
