@@ -288,8 +288,16 @@ final class SocialGraph(spark: SparkSession, initial: GraphStore) {
     * Post vertices with created_at.
     */
   def timeline(userKey: Long, limit: Int = 20): DataFrame = {
-    val posted = store.edgeTables.getOrElse("POSTED", return spark.emptyDataFrame)
-    val posts = store.vertexTables.getOrElse("Post", return spark.emptyDataFrame)
+    // no posts yet → the TYPED empty timeline (a column-less frame would
+    // blow up schema-driven consumers like the REST facade)
+    if (!store.edgeTables.contains("POSTED") ||
+        !store.vertexTables.contains("Post")) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, String, Long)]
+        .toDF("post_id", "author", "content", "created_at")
+    }
+    val posted = store.edgeTables("POSTED")
+    val posts = store.vertexTables("Post")
     follows.where(col("src") === userId(userKey))
       .select(col("dst").as("author"))
       .join(posted.select(col("src").as("author"), col("dst").as("post_id")), "author")

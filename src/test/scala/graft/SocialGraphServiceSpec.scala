@@ -86,6 +86,10 @@ class SocialGraphServiceSpec extends AnyFunSuite {
         net.get("path").get(0).asLong() == 1L &&
         net.get("path").get(2).asLong() == 4L)
 
+      // timeline before ANY posts exist is an empty list, not an error
+      assert(call(p, "GET", "/api/v1/users/1/timeline")._2
+        .get("timeline").size() == 0)
+
       // posts + timeline (1 follows 2 and 3; newest first)
       assert(call(p, "POST", "/api/v1/posts",
         """{"key":10,"user":2,"content":"hello","at":1000}""")._1 == 201)
