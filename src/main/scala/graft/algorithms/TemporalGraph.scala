@@ -1,0 +1,95 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-respecting graph analytics (beyond the reference — the temporal
+  * dimension its event-log tables imply but its engine never exploits):
+  * a path is time-respecting when each hop departs no earlier than the
+  * previous hop arrived — the semantics of information/contagion flow
+  * over interaction logs. Everything here is exact LONG arithmetic on
+  * event-time micros — no FP anywhere — so results are bit-stable under
+  * any shuffle order and fully oracle-checkable.
+  */
+object TemporalGraph {
+
+  /** Earliest-arrival sweep: for every vertex reachable from `sources`
+    * (rows `(id, t0)` — earliest departure per source), the minimum
+    * arrival time over time-respecting paths: arrival(v) = min over
+    * edges (u, v, t) with t ≥ arrival(u) of t, seeded with
+    * arrival(src) = t0. The relaxation is a monotone integer fixpoint
+    * (arrivals only decrease, bounded below), run with the connected-
+    * components round shape: one aggregate per round produces the FULL
+    * arrival relation with the previous value carried alongside (own-row
+    * tag), so the convergence test is a filter over that one relation,
+    * the superseded round's checkpoint frees once the new one is live,
+    * and only last round's IMPROVED rows (the frontier, count-gated for
+    * broadcast) join the edge relation. `maxHops` caps rounds and throws
+    * loudly rather than returning an uncertified fixpoint (an
+    * improvement chain cannot outlive the longest ascending edge-time
+    * sequence, so real convergence is fast).
+    *
+    * Output: (id, arrival) — LONG micros, sources included at their t0.
+    * The returned frame reads the final round's pinned checkpoint;
+    * callers sweep after consumption (the connectedComponentsDF
+    * contract).
+    */
+  def earliestArrival(edges: DataFrame, sources: DataFrame,
+      maxHops: Int = 64,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame =
+    earliestArrivalRounds(edges, sources, maxHops, maxBroadcastRows)._1
+
+  /** earliestArrival plus the relaxation round count — ScaleProbe's
+    * temporal axis pins the round behavior with it: rounds track the
+    * longest improvement chain (a temporal chain has no label-composition
+    * shortcut — unlike CC's pointer jumping, min-arrival does not compose
+    * through a vertex without its intermediate times), while state stays
+    * |V|-bounded at any depth.
+    */
+  private[graft] def earliestArrivalRounds(edges: DataFrame,
+      sources: DataFrame, maxHops: Int = 64,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows)
+      : (DataFrame, Int) = {
+    val sc = edges.sparkSession.sparkContext
+    def tracked(df: DataFrame): (DataFrame, () => Unit) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(false)
+      val mine = sc.getPersistentRDDs.keySet -- before
+      (out, () => mine.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+    }
+    val (e, releaseE) = tracked(
+      edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+        .where(col("src") =!= col("dst")))
+    var (visited, release) = tracked(sources
+      .select(col("id"), col("t0").cast("long").as("arrival"))
+      .groupBy(col("id")).agg(min(col("arrival")).as("arrival")))
+    var frontier = visited
+    var changed = frontier.count()
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= maxHops,
+        s"earliestArrival: no fixpoint within $maxHops rounds — raise maxHops")
+      val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
+      // candidate arrivals: edges usable at-or-after the frontier arrival;
+      // own rows carry the previous arrival so one aggregate yields both
+      // the new relation and the convergence filter
+      val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
+        .select(e("dst").as("id"), e("t").as("arrival"), lit(false).as("own"))
+      val (next, releaseNext) = tracked(
+        cand.unionByName(visited.withColumn("own", lit(true)))
+          .groupBy(col("id"))
+          .agg(min(col("arrival")).as("arrival"),
+            min(when(col("own"), col("arrival"))).as("prev")))
+      val improved = next.where(col("prev").isNull || col("arrival") < col("prev"))
+      changed = improved.count() // materializes `next`
+      release()                  // superseded round's blocks, now dead
+      visited = next.select(col("id"), col("arrival"))
+      frontier = improved.select(col("id"), col("arrival"))
+      release = releaseNext
+    }
+    releaseE()
+    (visited, rounds)
+  }
+}

@@ -662,6 +662,31 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Time-respecting earliest-arrival reachability (r10; beyond the
+    // reference — the temporal dimension of its event-log tables):
+    // temporal interaction edges derived deterministically from the
+    // event log (src = user, dst = (user + 1 + event_id % 97) mod
+    // numUsers, t = event-time micros), source = the smallest user id
+    // departing at the global min event time. Exact LONG arithmetic end
+    // to end; the oracle unrolls the same min-arrival relaxation to a
+    // round budget far past measured convergence (converged rounds are
+    // idempotent no-ops — the g33 pattern).
+    "g35_temporal_reach" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("u")), min(col("t"))).head()
+      val (nu, srcU, t0) = (b.getLong(0) + 1, b.getLong(1), b.getLong(2))
+      val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      graft.algorithms.TemporalGraph.earliestArrival(
+          te, Seq((srcU, t0)).toDF("id", "t0"))
+        .select(col("id").as("user_id"), col("arrival"))
+        .orderBy(col("user_id"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -755,6 +780,35 @@ object GraphQueries {
          |SELECT id FROM ($union)
          |ORDER BY id""".stripMargin
     },
+    // The same min-arrival relaxation unrolled: each round joins the
+    // previous arrival relation (|users|-bounded — never the path set,
+    // which would explode combinatorially) against the usable-edge
+    // relation and takes the per-vertex min; 40 rounds >> measured
+    // convergence (9 at sf0.01, 31 even at sf0.1 — scaleprobe_temporal),
+    // and converged rounds are no-ops.
+    "g35_temporal_reach" -> {
+      val rounds = 40
+      val iter = (1 to rounds).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT id, MIN(arrival) AS arrival FROM (
+           |    SELECT id, arrival FROM a${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst, e.t FROM a${i - 1} w
+           |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+         |              CAST(event_id AS BIGINT) AS eid,
+         |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+         |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(u) AS su, MIN(t) AS t0 FROM ev),
+         |te AS (SELECT u AS src,
+         |         (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
+         |       FROM ev),
+         |a0 AS (SELECT su AS id, t0 AS arrival FROM bounds),
+         |$iter
+         |SELECT id AS user_id, arrival FROM a$rounds ORDER BY user_id""".stripMargin
+    },
+
     // Same wedge machinery as g31, plus the center degree per wedge; the
     // quantized AA sum replays the gate's exact arithmetic op-for-op:
     // wq = floor(10^6·(1/ln deg) + 0.5) as BIGINT (identical doubles →

@@ -65,6 +65,7 @@ object ScaleProbe {
       case "linkpred" => linkpredProbe(spark, sfDir)
       case "bidir"    => bidirProbe(spark, sfDir)
       case "wdist"    => wdistProbe(spark, sfDir)
+      case "temporal" => temporalProbe(spark, sfDir)
       case "mis"      => misProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
@@ -780,6 +781,69 @@ object ScaleProbe {
     }
     spark.sparkContext.getPersistentRDDs
       .foreach { case (id, rdd) => if (!keep0.contains(id)) rdd.unpersist(false) }
+  }
+
+  /** Temporal earliest-arrival axes (r10). (a) edge volume: k disjoint
+    * replicas of the g35 event-derived temporal graph, one source per
+    * replica — rounds must stay FLAT (replicas are independent) and wall
+    * time sublinear in k (per-round joins scale, round count does not).
+    * (b) improvement-chain depth: a path graph i→i+1 at t=i forces one
+    * relaxation round per hop — the DOCUMENTED linear-round bound
+    * (min-arrival has no label-composition shortcut: a composed u→w jump
+    * is only valid for specific departure windows, unlike CC's
+    * time-free pointers), with state |V|-bounded at any depth. Run with
+    * SPARK_GRAFT_PROBE=temporal; stdout committed as
+    * tools/scaleprobe_temporal_r10.txt.
+    */
+  private def temporalProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import graft.algorithms.TemporalGraph
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    val ev = graft.store.Tables.load(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"),
+        unix_micros(col("ts")).as("t"))
+      .localCheckpoint()
+    val b = ev.agg(max(col("u")), min(col("u")), min(col("t"))).head()
+    val (nu, srcU, t0) = (b.getLong(0) + 1, b.getLong(1), b.getLong(2))
+    for (k <- Seq(1, 4, 16)) {
+      val te = (0 until k).map { i =>
+        ev.select((col("u") + lit(i * nu)).as("src"),
+          ((col("u") + 1 + col("eid") % 97) % nu + lit(i * nu)).as("dst"),
+          col("t"))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+      val nEdges = te.count()
+      val sources = (0 until k).map(i => (srcU + i * nu, t0)).toDF("id", "t0")
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val s0 = System.nanoTime()
+        val (res, rounds) = TemporalGraph.earliestArrivalRounds(te, sources)
+        val nReached = res.count()
+        val dt = (System.nanoTime() - s0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, rounds, nReached)
+      }
+      println(f"SCALE axis=tvolume-$k edges=$nEdges reached=${times.head._3} " +
+        f"rounds=${times.head._2} min=${times.map(_._1).min}%.2f s " +
+        times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+    // (b) chain depth: rounds == depth by construction
+    for (d <- Seq(32, 64, 128)) {
+      val chain = spark.range(0L, d.toLong)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"), col("id").as("t"))
+        .localCheckpoint()
+      chain.count()
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val t1 = System.nanoTime()
+      val (res, rounds) = TemporalGraph.earliestArrivalRounds(
+        chain, Seq((0L, 0L)).toDF("id", "t0"), maxHops = d + 2)
+      val nReached = res.count()
+      val dt = (System.nanoTime() - t1) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+      println(f"SCALE axis=tchain-$d reached=$nReached rounds=$rounds dt=$dt%.2f s")
+    }
   }
 
   /** Connected-components axes. (a) the real cy27 graph (tpch store at

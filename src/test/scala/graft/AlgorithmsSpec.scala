@@ -467,4 +467,29 @@ class AlgorithmsSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(n == 24) // 4x4 grid: 12 right + 12 down
   }
+
+  test("temporal earliest arrival: time-respecting only, departure-gated") {
+    import graft.algorithms.TemporalGraph
+    def arrivals(sources: Seq[(Long, Long)]): Map[Long, Long] = {
+      val e = Seq(
+        (1L, 2L, 5L),  // usable from t<=5
+        (2L, 3L, 3L),  // arrives at 2 no earlier than 5 -> NOT usable
+        (2L, 3L, 9L),
+        (1L, 3L, 20L), // direct but late
+        (4L, 5L, 1L),
+        (3L, 3L, 50L)) // self-loop: never relaxes anything
+        .toDF("src", "dst", "t")
+      TemporalGraph.earliestArrival(e, sources.toDF("id", "t0"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // the 2-hop route (arrive 2@5, depart 9) beats the direct t=20 edge
+    assert(arrivals(Seq((1L, 0L))) == Map(1L -> 0L, 2L -> 5L, 3L -> 9L))
+    // a later departure closes the early edge: only the t=20 route remains
+    assert(arrivals(Seq((1L, 6L))) == Map(1L -> 6L, 3L -> 20L))
+    // multi-source: each source seeds its own component
+    assert(arrivals(Seq((1L, 0L), (4L, 0L))) ==
+      Map(1L -> 0L, 2L -> 5L, 3L -> 9L, 4L -> 0L, 5L -> 1L))
+    // unreachable component stays absent entirely
+    assert(!arrivals(Seq((1L, 0L))).contains(5L))
+  }
 }
