@@ -39,6 +39,42 @@ object TemporalGraph {
       maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame =
     earliestArrivalRounds(edges, sources, maxHops, maxBroadcastRows)._1
 
+  /** Latest-departure sweep — the exact time-mirror of [[earliestArrival]]:
+    * for every vertex that can still reach some target by its deadline,
+    * the LATEST time one may depart and arrive in time over a
+    * time-respecting path: depart(v) = max over edges (v, w, t) with
+    * t ≤ depart(w) of t, seeded with depart(target) = deadline
+    * (`targets` rows are `(id, deadline)`). Implemented as a pure
+    * reduction — reverse every edge and negate every time, and the max
+    * fixpoint IS the min fixpoint: an edge (u, v, t) permits departure
+    * at t exactly when t ≤ depart(v), which under negation is the
+    * earliest-arrival usability test -t ≥ -depart(v) on the reversed
+    * edge (v, u, -t). So one engine serves both sweeps, and the measured
+    * earliest-arrival scale axes (rounds flat under edge volume, linear
+    * in improvement-chain depth, |V|-bounded state) carry over verbatim.
+    *
+    * Output: (id, depart) — LONG micros, targets included at their
+    * deadline; vertices that cannot make any deadline are absent. Same
+    * checkpoint-sweep contract as earliestArrival.
+    */
+  def latestDeparture(edges: DataFrame, targets: DataFrame,
+      maxHops: Int = 64,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame =
+    latestDepartureRounds(edges, targets, maxHops, maxBroadcastRows)._1
+
+  private[graft] def latestDepartureRounds(edges: DataFrame,
+      targets: DataFrame, maxHops: Int = 64,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows)
+      : (DataFrame, Int) = {
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      (-col("t").cast("long")).as("t"))
+    val seeds = targets.select(col("id"),
+      (-col("deadline").cast("long")).as("t0"))
+    val (neg, rounds) =
+      earliestArrivalRounds(rev, seeds, maxHops, maxBroadcastRows)
+    (neg.select(col("id"), (-col("arrival")).as("depart")), rounds)
+  }
+
   /** earliestArrival plus the relaxation round count — ScaleProbe's
     * temporal axis pins the round behavior with it: rounds track the
     * longest improvement chain (a temporal chain has no label-composition

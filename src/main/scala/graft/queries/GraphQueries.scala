@@ -687,6 +687,27 @@ object GraphQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Latest-departure mirror of g35 over the same derived temporal graph:
+    // target = the highest user id, deadline = the global max event time;
+    // result = for every user that can still reach the target in time, the
+    // latest time-respecting departure. Exercises the negate-reverse
+    // reduction end to end (same engine, opposite fixpoint direction).
+    "g36_temporal_depart" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), max(col("t"))).head()
+      val (nu, tMax) = (b.getLong(0) + 1, b.getLong(1))
+      val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      graft.algorithms.TemporalGraph.latestDeparture(
+          te, Seq((nu - 1, tMax)).toDF("id", "deadline"))
+        .select(col("id").as("user_id"), col("depart"))
+        .orderBy(col("user_id"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -807,6 +828,32 @@ object GraphQueries {
          |a0 AS (SELECT su AS id, t0 AS arrival FROM bounds),
          |$iter
          |SELECT id AS user_id, arrival FROM a$rounds ORDER BY user_id""".stripMargin
+    },
+    // The max-relaxation mirror: each round joins the previous departure
+    // relation against edges INTO it (e.dst = w.id) usable no later than
+    // the downstream departure (e.t <= w.depart) and takes the per-vertex
+    // MAX; same 40-round budget and no-op-once-converged argument as g35.
+    "g36_temporal_depart" -> {
+      val rounds = 40
+      val iter = (1 to rounds).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT id, MAX(depart) AS depart FROM (
+           |    SELECT id, depart FROM a${i - 1}
+           |    UNION ALL
+           |    SELECT e.src, e.t FROM a${i - 1} w
+           |    JOIN te e ON e.dst = w.id AND e.t <= w.depart)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+         |              CAST(event_id AS BIGINT) AS eid,
+         |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+         |bounds AS (SELECT MAX(u) + 1 AS nu, MAX(u) AS tid, MAX(t) AS tmax FROM ev),
+         |te AS (SELECT u AS src,
+         |         (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
+         |       FROM ev),
+         |a0 AS (SELECT tid AS id, tmax AS depart FROM bounds),
+         |$iter
+         |SELECT id AS user_id, depart FROM a$rounds ORDER BY user_id""".stripMargin
     },
 
     // Same wedge machinery as g31, plus the center degree per wedge; the

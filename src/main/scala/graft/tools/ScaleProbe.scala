@@ -843,6 +843,19 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
       println(f"SCALE axis=tchain-$d reached=$nReached rounds=$rounds dt=$dt%.2f s")
+      // (c) the latest-departure mirror on the same chain (target = the
+      // chain head's sink, deadline = its edge time): the negate-reverse
+      // reduction must show the identical linear-round bound.
+      val keepLd = spark.sparkContext.getPersistentRDDs.keySet
+      val t2 = System.nanoTime()
+      val (resLd, roundsLd) = TemporalGraph.latestDepartureRounds(
+        chain, Seq((d.toLong, d.toLong - 1)).toDF("id", "deadline"),
+        maxHops = d + 2)
+      val nLd = resLd.count()
+      val dtLd = (System.nanoTime() - t2) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keepLd.contains(id)) rdd.unpersist(false) }
+      println(f"SCALE axis=tchain-ld-$d reached=$nLd rounds=$roundsLd dt=$dtLd%.2f s")
     }
   }
 

@@ -492,4 +492,29 @@ class AlgorithmsSpec extends AnyFunSuite {
     // unreachable component stays absent entirely
     assert(!arrivals(Seq((1L, 0L))).contains(5L))
   }
+
+  test("temporal latest departure: deadline-gated mirror of earliest arrival") {
+    import graft.algorithms.TemporalGraph
+    def departs(targets: Seq[(Long, Long)]): Map[Long, Long] = {
+      val e = Seq(
+        (1L, 2L, 5L),
+        (2L, 3L, 3L),
+        (2L, 3L, 9L),
+        (1L, 3L, 20L),
+        (4L, 5L, 1L),
+        (3L, 3L, 50L)) // self-loop: never relaxes anything
+        .toDF("src", "dst", "t")
+      TemporalGraph.latestDeparture(e, targets.toDF("id", "deadline"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // generous deadline: the direct t=20 edge beats routing via 2 (dep 5)
+    assert(departs(Seq((3L, 100L))) == Map(3L -> 100L, 2L -> 9L, 1L -> 20L))
+    // deadline 15 closes the direct edge: only depart-5-via-2 remains
+    assert(departs(Seq((3L, 15L))) == Map(3L -> 15L, 2L -> 9L, 1L -> 5L))
+    // deadline 8 forces the t=3 hop at vertex 2, stranding vertex 1
+    assert(departs(Seq((3L, 8L))) == Map(3L -> 8L, 2L -> 3L))
+    // multi-target, per-target deadlines
+    assert(departs(Seq((3L, 15L), (5L, 2L))) ==
+      Map(3L -> 15L, 2L -> 9L, 1L -> 5L, 5L -> 2L, 4L -> 1L))
+  }
 }
