@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an Array[Float] embedding column —
+  * the corpus-clustering primitive a mixture designer runs before
+  * weighting sources (and the centroid trainer behind IVF ANN, see
+  * Similarity.ivfTopK). The reference ships no clustering at all; this
+  * is a north-star pipeline operator built exact-by-construction:
+  *
+  * All arithmetic runs on an integer grid (the r10 quantization
+  * pattern): inputs snap once to `floor(10^q·x + 0.5)` LONGs, squared
+  * L2 distances are exact integer sums, and each centroid update is the
+  * half-up-rounded integer mean `(2·S + n) div (2·n)` — identical
+  * op-for-op in DuckDB SQL, so a full multi-iteration clustering is
+  * hash-checkable, something float k-means can never be (FP sums
+  * reorder under shuffle). A fixed +10^q·10 offset keeps every
+  * quantized value positive so truncating and floor division agree on
+  * both engines; the offset cancels in every distance and commutes
+  * exactly through the rounded mean, so assignments and centroids are
+  * those of the unshifted data.
+  *
+  * Scale shape (the 100 TB posture):
+  * - centroids are k·d LONGs — collected to the driver and re-broadcast
+  *   as a literal each iteration (the MLlib pattern; bounded state, NOT
+  *   data-sized), so ASSIGNMENT IS SHUFFLE-FREE: one codegen'd
+  *   higher-order-function pass (transform/zip_with/aggregate over the
+  *   literal centroid array, array_min struct argmin with id
+  *   tie-break) over the point relation.
+  * - the update is the only shuffle: posexplode to (cluster, dim) and
+  *   hash-aggregate — map-side partial aggregation folds each
+  *   partition to ≤ k·d rows before the exchange, so shuffle volume is
+  *   executors·k·d, independent of |points|.
+  * - empty clusters drop out (standard Lloyd's); deterministic init =
+  *   the k lowest-id vectors.
+  */
+object Clustering {
+
+  /** One quantized squared-L2 distance: Σ (a_i - b_i)². */
+  private def distQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** k-means on the 10^-q grid; returns one row per input vector:
+    * (id, cluster, dist_q, cluster_n) where dist_q is the exact
+    * quantized squared distance to the final centroid and cluster_n the
+    * final cluster size. `iters` full assign+update rounds run before
+    * the reported final assignment.
+    */
+  def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, q: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    val scale = math.pow(10, q)
+    val offset = (scale * 10).toLong // keeps quantized values positive
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          v => floor(v.cast("double") * scale + lit(0.5)).cast("long") +
+            lit(offset)).as("xq"))
+      .localCheckpoint(false)
+    // positivity guard: |x| beyond the offset headroom would break the
+    // floor-vs-truncate agreement the oracle depends on — fail loudly
+    val minQ = pts.agg(min(array_min(col("xq")))).head().getLong(0)
+    require(minQ > 0, s"kmeansQuantized: embedding magnitude exceeds " +
+      s"the 10.0 guard (min quantized $minQ); raise the offset")
+
+    def assign(cents: Array[(Long, Seq[Long])]): DataFrame = {
+      val centLit = array(cents.map { case (cl, cq) =>
+        struct(typedLit(cq).as("cq"), lit(cl).as("cl"))
+      }: _*)
+      // argmin = lexicographic min over (dist, cluster-id) structs
+      pts.withColumn("best",
+          array_min(transform(centLit, c => struct(
+            distQ(col("xq"), c.getField("cq")).as("dist"),
+            c.getField("cl").as("cl")))))
+        .select(col("id"), col("xq"),
+          col("best.cl").as("cluster"), col("best.dist").as("dist_q"))
+    }
+    def collectCents(centDf: DataFrame): Array[(Long, Seq[Long])] =
+      centDf.collect().map { r: Row =>
+        (r.getLong(0), r.getSeq[Long](1))
+      }.sortBy(_._1)
+
+    var cents = collectCents(
+      pts.orderBy(col("id")).limit(k)
+        .select(col("id").as("cl"), col("xq").as("cq")))
+    for (_ <- 1 to iters) {
+      val assigned = assign(cents)
+      // (cluster, dim) partial sums — the one shuffle, k·d rows out
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("xq")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        // integral `div`, not double `/`: a double quotient correctly
+        // rounded to nearest can land one ulp ABOVE an integer the true
+        // ratio sits just under, and the truncating cast would then
+        // disagree with the oracle's integer floor division
+        .agg(expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("cqd"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cqd")))),
+          s => s.getField("cqd")).as("cq"))
+      cents = collectCents(updated)
+    }
+    val sizes = assign(cents).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_n"))
+    assign(cents)
+      .join(broadcast(sizes), Seq("cluster"))
+      .select(col("id"), col("cluster"), col("dist_q"), col("cluster_n"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, TextHash}
+import graft.pipeline.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis, TextHash}
 import graft.store.Tables
 
 /** Training-data pipeline operators proven against the DuckDB oracle:
@@ -203,6 +203,18 @@ object PipelineQueries {
             Seq(0L, 1L, 2L), 5),
           5)
         .orderBy(col("pid"))),
+
+    // Exact-grid distributed k-means (r10): 3 Lloyd's rounds, k = 10,
+    // deterministic init = the 10 lowest vec_ids. Every assignment,
+    // centroid, and distance is integer arithmetic on the 10^-6 grid
+    // (quantize once, integer argmin with cluster-id tie-break, half-up
+    // integer-mean centroids), so the whole multi-iteration clustering
+    // hash-matches the oracle's unrolled mirror — unreachable for float
+    // k-means, whose sums reorder under shuffle.
+    "e7_kmeans" -> ((s, dir) =>
+      Clustering.kmeansQuantized(embs(s, dir), "vec_id", "embedding", 10, 3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))),
 
     // the mixture plan executed: deterministic hash sampling at the
     // allocated per-source rate, then the realized per-source footprint
@@ -924,6 +936,47 @@ object PipelineQueries {
          |  WHERE rank <= 5
          |),
          |$recallTailSql""".stripMargin,
+    // The k-means mirror, unrolled: quantize once onto the 10^-6 grid
+    // (+10^7 offset keeps everything positive so // == Spark's div),
+    // then 3 assign+update rounds and a final assignment — integer
+    // argmin with cluster-id tie-break, centroid = (2S + n) // (2n)
+    // per dimension (half-up integer mean), op-for-op the gate's math.
+    "e7_kmeans" -> {
+      def dst(p: String, c: String): String =
+        s"list_sum(list_transform(range(1, 65), i -> ($p.xq[i] - $c.cq[i]) * ($p.xq[i] - $c.cq[i])))"
+      def assignCte(a: String, cPrev: String): String =
+        s"""$a AS MATERIALIZED (
+           |  SELECT id, cl, dist FROM (
+           |    SELECT id, cl, dist,
+           |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cl) AS rk
+           |    FROM (SELECT p.id, c.cl, ${dst("p", "c")} AS dist
+           |          FROM pts p CROSS JOIN $cPrev c))
+           |  WHERE rk = 1)""".stripMargin
+      def updateCte(c: String, a: String): String =
+        s"""$c AS MATERIALIZED (
+           |  SELECT cl, list(cqd ORDER BY i) AS cq FROM (
+           |    SELECT a.cl, t.i,
+           |      (2 * SUM(p.xq[t.i]) + COUNT(*)) // (2 * COUNT(*)) AS cqd
+           |    FROM $a a JOIN pts p USING (id) CROSS JOIN range(1, 65) t(i)
+           |    GROUP BY a.cl, t.i)
+           |  GROUP BY cl)""".stripMargin
+      val rounds = (1 to 3).map(r =>
+        assignCte(s"a$r", s"c${r - 1}") + ",\n" + updateCte(s"c$r", s"a$r"))
+        .mkString(",\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
+         |        + 10000000) AS xq
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cl, xq AS cq FROM pts ORDER BY id LIMIT 10),
+         |$rounds,
+         |${assignCte("a4", "c3")},
+         |n AS (SELECT cl, COUNT(*) AS cluster_n FROM a4 GROUP BY cl)
+         |SELECT a.id AS vec_id, a.cl AS cluster, a.dist AS dist_q, n.cluster_n
+         |FROM a4 a JOIN n USING (cl)
+         |ORDER BY vec_id""".stripMargin
+    },
     "t9_mixture_sample" ->
       s"""WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
          |ps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens

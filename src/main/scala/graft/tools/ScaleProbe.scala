@@ -66,6 +66,7 @@ object ScaleProbe {
       case "bidir"    => bidirProbe(spark, sfDir)
       case "wdist"    => wdistProbe(spark, sfDir)
       case "temporal" => temporalProbe(spark, sfDir)
+      case "kmeans"   => kmeansProbe(spark, sfDir)
       case "mis"      => misProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
@@ -856,6 +857,41 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!keepLd.contains(id)) rdd.unpersist(false) }
       println(f"SCALE axis=tchain-ld-$d reached=$nLd rounds=$roundsLd dt=$dtLd%.2f s")
+    }
+  }
+
+  /** k-means volume axis (r10): k disjoint id-shifted replicas of the
+    * sf embeddings corpus, same k/iters as the e7 gate. Assignment is a
+    * shuffle-free HOF pass over literal centroids and the update's
+    * exchange carries only executors·k·d partially-aggregated rows, so
+    * wall time must grow sublinearly in corpus volume (scan-bound, NOT
+    * shuffle-bound). Run with SPARK_GRAFT_PROBE=kmeans; stdout
+    * committed as tools/scaleprobe_kmeans_r10.txt.
+    */
+  private def kmeansProbe(spark: SparkSession, sfDir: String): Unit = {
+    import graft.pipeline.Clustering
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    val emb = graft.store.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val n0 = emb.count()
+    for (k <- Seq(1, 4, 16)) {
+      val corpus = (0 until k).map { i =>
+        emb.select((col("vec_id") + lit(i * n0)).as("vec_id"), col("embedding"))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+      val n = corpus.count()
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val out = Clustering.kmeansQuantized(corpus, "vec_id", "embedding", 10, 3)
+        val nOut = out.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, nOut)
+      }
+      println(f"SCALE axis=kvolume-$k vectors=$n clustered=${times.head._2} " +
+        f"min=${times.map(_._1).min}%.2f s " +
+        times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
     }
   }
 

@@ -404,4 +404,29 @@ class PipelineSpec extends AnyFunSuite {
     // the doc made of rarer tokens scores strictly higher
     assert(r(1).getDouble(3) > r(0).getDouble(3))
   }
+
+  test("quantized k-means: migration, argmin tie-break, rounded integer mean") {
+    import graft.pipeline.Clustering
+    // two planted groups; init = ids 0,1 — BOTH in group A, so the
+    // round-1 partition splits group A between the seeds; the update
+    // pulls c1 to the far group and round 2 returns p1 to cluster 0 —
+    // real Lloyd's iteration, not a one-shot nearest-seed partition.
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(0.2f, 0.0f)),
+      (2L, Array(0.1f, 0.3f)), // round-1 distance tie c0/c1 -> cluster 0
+      (3L, Array(10.0f, 10.0f)),
+      (4L, Array(10.2f, 10.4f)),
+      (5L, Array(9.8f, 10.0f))).toDF("vec_id", "embedding")
+    val r = Clustering.kmeansQuantized(pts, "vec_id", "embedding", 2, 2)
+      .orderBy($"id").collect()
+    assert(r.map(x => x.getLong(0) -> x.getLong(1)).toSeq ==
+      Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    assert(r.map(_.getLong(3)).toSeq == Seq.fill(6)(3L))
+    // final centroids on the 10^-6 grid: c0 = (0.1, 0.1) exactly;
+    // c1 = (10.0, mean(10.0, 10.4, 10.0)) where 30.4/3 half-up-rounds
+    // to 10.133333 -> p0 dist = 2*(100000^2), p5 = 200000^2 + 133333^2
+    assert(r(0).getLong(2) == 20000000000L)
+    assert(r(5).getLong(2) == 40000000000L + 133333L * 133333L)
+  }
 }

@@ -362,4 +362,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("e7: k-means assigns via literal centroids — no point-vs-centroid join") {
+    val df = SparkEntry.queries("e7_kmeans")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // centroids are a k·d literal re-broadcast per iteration, so the
+    // argmin is a per-row HOF pass: the only join in the FINAL plan is
+    // the broadcast of the k-row cluster-size relation — no cartesian
+    // point×centroid product and no sort-merge join anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // every hash exchange serves a k-keyed aggregate (cluster / cluster
+    // + dim), so post-combine shuffle volume is executors·k·d rows,
+    // independent of the corpus size
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("cluster#")), p)
+  }
 }
