@@ -1310,26 +1310,31 @@ object GraphAlgorithms {
     * LONG — NOT Spark's `round`, whose per-row BigDecimal path measured
     * 2.6× the whole gate's cost over the wedge relation at sf0.1; floor
     * stays inside codegen and the LONG sum is a plain integer aggregate.
-    * A cross-engine mismatch would need 10^q·term to land within one
-    * double ulp of an integer boundary (~1e-10 per distinct degree at
-    * q=6), and the final grid snap (integer·10^-q cast to DECIMAL) is
-    * exact while |sum| · 1e-16 stays far below 0.5·10^-q — true until
-    * ~10^9 wedge terms per pair at q=6.
+    * Two r10 driver-gate lessons are baked in: ln(deg) comes from
+    * [[graft.util.PortableLog]] (libm-free, bit-identical in DuckDB —
+    * a JVM/libm ulp can no longer flip a floor boundary), and the
+    * integer sum is presented as DECIMAL via EXACT decimal arithmetic
+    * (integer × 10^-q decimal literal), never through a DOUBLE hop
+    * whose rounding the oracle engine may not reproduce.
     */
   def adamicAdar(edges: DataFrame, topK: Int,
       maxDegree: Long = 1L << 16, quantize: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val (und, _, pairAgg) = wedgePairs(edges, maxDegree)
-    val term = lit(1.0) / log(col("cdeg"))
     val aa = quantize match {
       case Some(q) =>
         val scale = math.pow(10, q)
+        val term = lit(1.0) / graft.util.PortableLog.lnLong(col("cdeg"))
         val wInt = floor(lit(scale) * term + lit(0.5)).cast("long")
+        val microLit = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, q))
         pairAgg(Seq(sum(wInt).as("__aa_int"), count(lit(1)).as("common")))
-          .withColumn("adamic_adar", (col("__aa_int") * lit(1.0 / scale))
-            .cast(org.apache.spark.sql.types.DecimalType(28, q)))
+          .withColumn("adamic_adar",
+            (col("__aa_int").cast(org.apache.spark.sql.types.DecimalType(22, 0))
+              * microLit)
+              .cast(org.apache.spark.sql.types.DecimalType(28, q)))
           .drop("__aa_int")
       case None =>
+        val term = lit(1.0) / log(col("cdeg"))
         pairAgg(Seq(sum(term).as("adamic_adar"), count(lit(1)).as("common")))
     }
     aa.join(und, aa("a") === und("id") && aa("b") === und("nbr"), "left_anti")

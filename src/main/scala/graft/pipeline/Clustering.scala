@@ -100,9 +100,12 @@ object Clustering {
           s => s.getField("cqd")).as("cq"))
       cents = collectCents(updated)
     }
-    val sizes = assign(cents).groupBy(col("cluster"))
+    // materialize the final assignment ONCE (eager — sizes and output
+    // both read it; r10 ADVICE flagged the doubled full-corpus pass)
+    val fin = assign(cents).localCheckpoint()
+    val sizes = fin.groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_n"))
-    assign(cents)
+    fin
       .join(broadcast(sizes), Seq("cluster"))
       .select(col("id"), col("cluster"), col("dist_q"), col("cluster_n"))
   }

@@ -417,21 +417,29 @@ object TextAnalysis {
     * unigram model: p(tok) = corpus count / corpus total, per-document
     * score Σ -ln p(tok_i) / n_tokens — low = common/fluent wording, high
     * = rare/garbled. Everything that decides the result is exact
-    * arithmetic: token counts are integers, each -ln p term quantizes to
-    * `quantize` decimals and accumulates in DECIMAL (the g34 pattern —
-    * shuffle-order-independent, cross-engine bit-stable), per-(doc, tok)
-    * multiplicities multiply the quantized term exactly, and the mean is
-    * ONE decimal→double cast + division at the end. The corpus total
-    * rides the plan as a broadcast 1-row aggregate (no driver action);
-    * every exchange keys on the doc/tok aggregate relations — all
-    * partial-combined, none over raw text — and PlanAuditSpec pins that
-    * no other shuffle or window exists in the plan.
+    * arithmetic: token counts are integers, each -ln p term is computed
+    * as ln(total) - ln(cnt) with [[graft.util.PortableLog]] (libm-free,
+    * bit-identical in DuckDB) and snapped onto the 10^-quantize grid as
+    * floor(10^q·x + 0.5) LONG (the g34 pattern — shuffle-order-
+    * independent, cross-engine bit-stable; the r10 driver gate proved
+    * Spark `round` vs DuckDB `ROUND` disagree near grid boundaries),
+    * per-(doc, tok) multiplicities multiply the quantized term exactly
+    * in LONG, the DECIMAL presentation is exact integer × 10^-q decimal
+    * arithmetic (never a DOUBLE hop), and the mean divides the exact
+    * integers in doubles with the identical op order on both engines.
+    * The corpus total rides the plan as a broadcast 1-row aggregate (no
+    * driver action); every exchange keys on the doc/tok aggregate
+    * relations — all partial-combined, none over raw text — and
+    * PlanAuditSpec pins that no other shuffle or window exists.
     */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
       quantize: Int = 6): DataFrame = {
     import graft.pipeline.TextHash.tokens
-    val dec = org.apache.spark.sql.types.DecimalType(18, quantize)
+    import graft.util.PortableLog.lnLong
+    val scale = math.pow(10, quantize)
     val dec28 = org.apache.spark.sql.types.DecimalType(28, quantize)
+    val microLit =
+      lit(new java.math.BigDecimal(java.math.BigInteger.ONE, quantize))
     val docTok = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
@@ -439,14 +447,17 @@ object TextAnalysis {
     val total = freq.agg(sum(col("cnt")).as("total"))
     val weight = freq.crossJoin(broadcast(total))
       .select(col("tok"),
-        round(-log(col("cnt").cast("double") / col("total")), quantize)
-          .cast(dec).as("w"))
+        floor(lit(scale) * (lnLong(col("total")) - lnLong(col("cnt")))
+          + lit(0.5)).cast("long").as("wm"))
     docTok.join(weight, "tok")
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_tokens"),
-        sum(col("w") * col("k")).cast(dec28).as("nll_sum"))
-      .select(col("doc_id"), col("n_tokens"), col("nll_sum"),
-        (col("nll_sum").cast("double") / col("n_tokens")).as("nll_mean"))
+        sum(col("wm") * col("k")).as("nll_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("nll_micro").cast(org.apache.spark.sql.types.DecimalType(22, 0))
+          * microLit).cast(dec28).as("nll_sum"),
+        ((col("nll_micro").cast("double") / lit(scale))
+          / col("n_tokens").cast("double")).as("nll_mean"))
   }
 
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),

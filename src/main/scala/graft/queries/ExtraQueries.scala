@@ -688,7 +688,14 @@ object ExtraQueries {
         .groupBy(col("l_returnflag"))
         .agg(Aggregators.geometric_mean(col("l_extendedprice")).as("geo_price"),
           Aggregators.top_k(col("l_suppkey"), 3).as("top_suppliers"))
-        .select(col("l_returnflag"), round(col("geo_price"), 2).as("geo_price"),
+        .select(col("l_returnflag"),
+          // grid snap + exact decimal-from-integer, NOT Spark round():
+          // Spark's BigDecimal rounding and DuckDB's FP ROUND disagree
+          // near boundaries (the r10 driver-red class, swept r11)
+          (floor(col("geo_price") * lit(100.0) + lit(0.5))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            * lit(new java.math.BigDecimal("0.01")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("geo_price"),
           concat_ws(",", col("top_suppliers")).as("top_suppliers"))
         .orderBy(col("l_returnflag"))
     }))
@@ -750,8 +757,18 @@ object ExtraQueries {
          |SELECT comp AS component, COUNT(*) AS n_vertices FROM c$rounds
          |GROUP BY comp ORDER BY component""".stripMargin
     },
-    "x5_custom_udaf" ->
-      """WITH counts AS (
+    "x5_custom_udaf" -> {
+      // GeometricMean mirrored op-for-op: PortableLog ln per row (libm-
+      // free) floored onto the 10^-9 grid, BIGINT-pinned sum, floor-div
+      // mean, PortableLog exp, then grid snap ×100 + exact decimal-from-
+      // integer presentation — no ROUND, no LN/EXP, no unpinned
+      // aggregate anywhere near a hashed column (r11 oracle sweep).
+      val lnq = s"CAST(FLOOR(${graft.util.PortableLog.lnDoubleSql("l_extendedprice")}" +
+        " * CAST(1000000000 AS DOUBLE)) AS BIGINT)"
+      val mean = s"(CAST(CAST(SUM($lnq) AS BIGINT) // COUNT(*) AS DOUBLE)" +
+        " / CAST(1000000000 AS DOUBLE))"
+      val geoRaw = graft.util.PortableLog.expDoubleSql(mean)
+      s"""WITH counts AS (
         |  SELECT l_returnflag, l_suppkey, COUNT(*) AS cnt
         |  FROM lineitem GROUP BY 1, 2),
         |ranked AS (
@@ -765,12 +782,15 @@ object ExtraQueries {
         |  FROM ranked WHERE rn <= 3 GROUP BY l_returnflag),
         |geo AS (
         |  SELECT l_returnflag,
-        |    ROUND(EXP(CAST(SUM(CAST(FLOOR(LN(l_extendedprice) * 1e9) AS BIGINT))
-        |                   // COUNT(*) AS DOUBLE) / 1e9), 2) AS geo_price
+        |    CAST(CAST(CAST(FLOOR($geoRaw * CAST(100 AS DOUBLE)
+        |          + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT)
+        |        AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2))
+        |      AS DECIMAL(18,2)) AS geo_price
         |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY l_returnflag)
         |SELECT g.l_returnflag, g.geo_price, t.top_suppliers
         |FROM geo g JOIN tops t ON g.l_returnflag = t.l_returnflag
-        |ORDER BY g.l_returnflag""".stripMargin,
+        |ORDER BY g.l_returnflag""".stripMargin
+    },
     "x17_pagerank_stable" -> {
       val iters = 5
       // fixed-point mirror of GraphAlgorithms.pageRankStable: all-integer

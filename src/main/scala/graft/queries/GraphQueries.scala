@@ -858,11 +858,13 @@ object GraphQueries {
 
     // Same wedge machinery as g31, plus the center degree per wedge; the
     // quantized AA sum replays the gate's exact arithmetic op-for-op:
-    // wq = floor(10^6·(1/ln deg) + 0.5) as BIGINT (identical doubles →
-    // identical integers on both engines), plain integer SUM, then the
-    // exact grid snap back onto the 10^-6 decimal lattice.
+    // wq = floor(10^6·(1/lnp deg) + 0.5) as BIGINT with lnp = PortableLog
+    // (libm-free, bit-identical doubles on both engines → identical
+    // integers on any host), plain integer SUM pinned to BIGINT, then an
+    // EXACT decimal-from-integer snap onto the 10^-6 lattice — never
+    // through a DOUBLE (the r10 driver-red lesson).
     "g34_adamic_adar" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
         |            FROM lineitem WHERE l_partkey < 2000),
         |und0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
         |         FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk),
@@ -875,8 +877,10 @@ object GraphQueries {
         |          FROM adj x JOIN adj y ON x.id = y.id AND x.nbr < y.nbr
         |          JOIN deg d ON d.id = x.id),
         |aa AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
-        |         CAST(CAST(SUM(CAST(FLOOR(1000000.0 * (1.0/LN(cdeg)) + 0.5)
-        |                           AS BIGINT)) AS DOUBLE) * 0.000001
+        |         CAST(CAST(SUM(CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+        |                  (CAST(1 AS DOUBLE) / ${graft.util.PortableLog.lnLongSql("cdeg")})
+        |                  + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT))
+        |                AS DECIMAL(22,0)) * CAST(0.000001 AS DECIMAL(7,6))
         |              AS DECIMAL(28,6)) AS adamic_adar
         |       FROM wedge GROUP BY a, b),
         |nonadj AS (SELECT aa.* FROM aa LEFT JOIN und

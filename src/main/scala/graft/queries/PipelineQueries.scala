@@ -650,7 +650,11 @@ object PipelineQueries {
          |  CAST(SUM(nd) AS BIGINT) AS total_distinct_tokens, CAST(MAX(n) AS BIGINT) AS max_tokens
          |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // the unigramNll plan replayed: per-(doc, tok) multiplicities, corpus
-    // frequencies, quantized-decimal -ln p weights, exact k·w sums
+    // frequencies, PortableLog weights floor-snapped onto the 10^-6 grid
+    // (libm-free — bit-identical to the Spark side on any host), plain
+    // integer k·w sums with every aggregate pinned to BIGINT, and an
+    // exact decimal-from-integer presentation (no DOUBLE hop anywhere
+    // between an exact value and a hashed column — the r10 lesson).
     "t17_unigram_nll" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
@@ -659,15 +663,20 @@ object PipelineQueries {
          |freq AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS cnt
          |         FROM dt GROUP BY tok),
          |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+         |ltot AS (SELECT ${graft.util.PortableLog.lnLongSql("(SELECT total FROM tot)")} AS lt),
          |w AS (SELECT tok,
-         |        CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / (SELECT total FROM tot)), 6)
-         |             AS DECIMAL(18,6)) AS w
+         |        CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+         |            ((SELECT lt FROM ltot) - ${graft.util.PortableLog.lnLongSql("cnt")})
+         |          + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT) AS wm
          |      FROM freq),
          |doc AS (SELECT dt.doc_id, CAST(SUM(dt.k) AS BIGINT) AS n_tokens,
-         |          CAST(SUM(w.w * dt.k) AS DECIMAL(28,6)) AS nll_sum
+         |          CAST(SUM(w.wm * dt.k) AS BIGINT) AS nll_micro
          |        FROM dt JOIN w USING (tok) GROUP BY dt.doc_id)
-         |SELECT doc_id, n_tokens, nll_sum,
-         |  CAST(nll_sum AS DOUBLE) / n_tokens AS nll_mean
+         |SELECT doc_id, n_tokens,
+         |  CAST(CAST(nll_micro AS DECIMAL(22,0)) * CAST(0.000001 AS DECIMAL(7,6))
+         |       AS DECIMAL(28,6)) AS nll_sum,
+         |  (CAST(nll_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))
+         |    / CAST(n_tokens AS DOUBLE) AS nll_mean
          |FROM doc ORDER BY doc_id""".stripMargin,
     "t16_vocabulary" ->
       s"""WITH tok AS (
@@ -942,8 +951,15 @@ object PipelineQueries {
     // argmin with cluster-id tie-break, centroid = (2S + n) // (2n)
     // per dimension (half-up integer mean), op-for-op the gate's math.
     "e7_kmeans" -> {
+      // every aggregate/arithmetic result is pinned to BIGINT: DuckDB's
+      // SUM(BIGINT)/list_sum widen to HUGEINT (version-dependently), and
+      // the r10 driver gate proved an unpinned oracle type breaks the
+      // hash while every VALUE matches. The dimension is derived from
+      // len(embedding), not hardcoded (r10 ADVICE) — a schema change
+      // fails loudly instead of silently mis-scoring.
       def dst(p: String, c: String): String =
-        s"list_sum(list_transform(range(1, 65), i -> ($p.xq[i] - $c.cq[i]) * ($p.xq[i] - $c.cq[i])))"
+        s"CAST(list_sum(list_transform(range(1, len($p.xq) + 1), i -> " +
+          s"($p.xq[i] - $c.cq[i]) * ($p.xq[i] - $c.cq[i]))) AS BIGINT)"
       def assignCte(a: String, cPrev: String): String =
         s"""$a AS MATERIALIZED (
            |  SELECT id, cl, dist FROM (
@@ -956,24 +972,30 @@ object PipelineQueries {
         s"""$c AS MATERIALIZED (
            |  SELECT cl, list(cqd ORDER BY i) AS cq FROM (
            |    SELECT a.cl, t.i,
-           |      (2 * SUM(p.xq[t.i]) + COUNT(*)) // (2 * COUNT(*)) AS cqd
-           |    FROM $a a JOIN pts p USING (id) CROSS JOIN range(1, 65) t(i)
+           |      CAST((2 * CAST(SUM(p.xq[t.i]) AS BIGINT) + COUNT(*))
+           |           // (2 * COUNT(*)) AS BIGINT) AS cqd
+           |    FROM $a a JOIN pts p USING (id)
+           |    CROSS JOIN (SELECT unnest(range(1, nd + 1)) AS i FROM dims) t
            |    GROUP BY a.cl, t.i)
            |  GROUP BY cl)""".stripMargin
       val rounds = (1 to 3).map(r =>
         assignCte(s"a$r", s"c${r - 1}") + ",\n" + updateCte(s"c$r", s"a$r"))
         .mkString(",\n")
-      s"""WITH pts AS MATERIALIZED (
+      s"""WITH dims AS (SELECT CAST(MAX(len(embedding)) AS BIGINT) AS nd
+         |              FROM embeddings),
+         |pts AS MATERIALIZED (
          |  SELECT vec_id AS id,
-         |    list_transform(range(1, 65), i ->
+         |    list_transform(range(1, len(embedding) + 1), i ->
          |      CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
          |        + 10000000) AS xq
          |  FROM embeddings),
          |c0 AS (SELECT id AS cl, xq AS cq FROM pts ORDER BY id LIMIT 10),
          |$rounds,
          |${assignCte("a4", "c3")},
-         |n AS (SELECT cl, COUNT(*) AS cluster_n FROM a4 GROUP BY cl)
-         |SELECT a.id AS vec_id, a.cl AS cluster, a.dist AS dist_q, n.cluster_n
+         |n AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS cluster_n
+         |      FROM a4 GROUP BY cl)
+         |SELECT CAST(a.id AS BIGINT) AS vec_id, CAST(a.cl AS BIGINT) AS cluster,
+         |  CAST(a.dist AS BIGINT) AS dist_q, n.cluster_n
          |FROM a4 a JOIN n USING (cl)
          |ORDER BY vec_id""".stripMargin
     },

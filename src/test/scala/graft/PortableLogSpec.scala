@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.PortableLog
+
+/** PortableLog must (a) agree with libm to well under the 10^-6 grid the
+  * quantized gates snap onto, and (b) be a pure function of the mirrored
+  * IEEE op order — pinned here by recomputing the identical op sequence
+  * in driver-side Scala and asserting BIT equality with the codegen'd
+  * column. Cross-engine bit-equality with the DuckDB rendering is proven
+  * by the driver's oracle hash gate on g34/t17 (and was swept over 6k
+  * values incl. random 62-bit ints at build time).
+  */
+class PortableLogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** The identical op order as PortableLog.lnLong, on the driver. */
+  private def lnRef(n: Long): Double = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val m = n.toDouble / (1L << e).toDouble
+    val z = (m - 1.0) / (m + 1.0)
+    val z2 = z * z
+    val odd = (1 to 13).map(k => 2 * k + 1)
+    var s = 1.0 / odd.last
+    for (d <- odd.reverse.tail) s = 1.0 / d + z2 * s
+    val lnm = 2.0 * z * (1.0 + z2 * s)
+    e.toDouble * (6243314768165359L.toDouble / 9007199254740992L.toDouble) + lnm
+  }
+
+  test("lnLong: bit-identical to the mirrored driver-side op order") {
+    val rnd = new scala.util.Random(7)
+    val ns = (1L to 2000L) ++ Seq.fill(2000)(1L + (rnd.nextLong().abs % ((1L << 62) - 1)))
+    val got = ns.toDF("n").select(col("n"), PortableLog.lnLong(col("n")).as("ln"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ns.foreach { n =>
+      assert(java.lang.Double.doubleToLongBits(got(n)) ==
+        java.lang.Double.doubleToLongBits(lnRef(n)), s"bit mismatch at n=$n")
+    }
+  }
+
+  test("lnLong: within 4 ulps of libm across the domain") {
+    val rnd = new scala.util.Random(11)
+    val ns = (2L to 5000L) ++ Seq.fill(2000)(2L + (rnd.nextLong().abs % ((1L << 62) - 2)))
+    ns.foreach { n =>
+      val ref = math.log(n.toDouble)
+      assert(math.abs(lnRef(n) - ref) <= 4 * math.ulp(ref), s"off at n=$n")
+    }
+  }
+
+  test("lnLong: exact at 1 and at ln 2's own double") {
+    assert(lnRef(1L) == 0.0)
+    assert(lnRef(2L) == 0.6931471805599453)
+  }
+}
