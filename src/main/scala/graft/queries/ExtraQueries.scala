@@ -22,6 +22,23 @@ object ExtraQueries {
 
   private val DEC = "decimal(18,2)"
 
+  /** Fixed probe inputs for the x32/x33 PortableLog diagnostic gates:
+    * powers of two and their neighbors (exercising the exponent split's
+    * boundaries), small degrees, typical counts, and the extremes of the
+    * documented 1 ≤ n < 2^63 domain. One Seq feeds BOTH the Spark gate
+    * and the generated oracle VALUES list so the relations are identical
+    * by construction.
+    */
+  private val portableLogProbe: Seq[Long] = Seq(
+    1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L, 10L, 15L, 16L, 17L, 31L, 32L, 33L,
+    63L, 64L, 100L, 127L, 128L, 255L, 256L, 997L, 1000L, 1023L, 1024L,
+    4095L, 65535L, 65536L, 1000000L, 123456789L, 2147483647L, 2147483648L,
+    4294967295L, 4294967296L, 999999999999L, 1000000000000L,
+    4611686018427387903L, 9223372036854775807L)
+
+  private def probeValuesSql: String =
+    portableLogProbe.map(v => s"($v)").mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CUBE grouping sets (A7).
     "q16_cube" -> ((s, dir) => {
@@ -446,6 +463,40 @@ object ExtraQueries {
     // so it stays in state and out of the sink — filtered defensively
     // anyway. StreamingSpec's twin pins numRowsDroppedByWatermark > 0
     // and the bounded final state.
+    // PortableLog diagnostic probes (r12): two rounds of ln-adjacent
+    // driver-hash failures (g34/t17 r10-r11, x5 r11) could not be
+    // reproduced locally — PortableLog is bit-identical to local DuckDB
+    // 1.0.0 over 200k inputs, yet every gate routing hashed values
+    // through it stayed driver-red. These gates expose each PortableLog
+    // primitive as its own BIGINT column over a fixed 39-value literal
+    // relation, so the driver's per-query hash check NAMES the
+    // primitive its DuckDB evaluates differently. x32: the exact
+    // integer exponent split (bin-length e, 1<<e). If x32 is red, the
+    // driver's bin()/<< semantics differ; if green, the split is
+    // exonerated and x33 isolates the double series.
+    "x32_bits" -> ((s, dir) => {
+      import s.implicits._
+      val e = (length(bin(col("n"))) - lit(1)).cast("int")
+      portableLogProbe.toDF("n")
+        .select(col("n"), e.cast("long").as("e"),
+          call_function("shiftleft", lit(1L), e).cast("long").as("p2"))
+        .orderBy(col("n"))
+    }),
+
+    // x33: the full lnLong output floor-snapped onto the 10^-6 grid —
+    // the exact integer the red gates hashed. Green here + green x32
+    // exonerates PortableLog entirely (the hunt then moves to value
+    // rendering); red here with green x32 pins the divergence inside
+    // the correctly-rounded double series evaluation.
+    "x33_series" -> ((s, dir) => {
+      import s.implicits._
+      portableLogProbe.toDF("n")
+        .select(col("n"),
+          floor(lit(1000000.0) * graft.util.PortableLog.lnLong(col("n"))
+            + lit(0.5)).cast("long").as("wm"))
+        .orderBy(col("n"))
+    }),
+
     "x31_stream_eviction" -> ((s, dir) => {
       import graft.streaming.EventStreams
       import scala.jdk.CollectionConverters._
@@ -688,14 +739,7 @@ object ExtraQueries {
         .groupBy(col("l_returnflag"))
         .agg(Aggregators.geometric_mean(col("l_extendedprice")).as("geo_price"),
           Aggregators.top_k(col("l_suppkey"), 3).as("top_suppliers"))
-        .select(col("l_returnflag"),
-          // grid snap + exact decimal-from-integer, NOT Spark round():
-          // Spark's BigDecimal rounding and DuckDB's FP ROUND disagree
-          // near boundaries (the r10 driver-red class, swept r11)
-          (floor(col("geo_price") * lit(100.0) + lit(0.5))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 0))
-            * lit(new java.math.BigDecimal("0.01")))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("geo_price"),
+        .select(col("l_returnflag"), round(col("geo_price"), 2).as("geo_price"),
           concat_ws(",", col("top_suppliers")).as("top_suppliers"))
         .orderBy(col("l_returnflag"))
     }))
@@ -705,6 +749,25 @@ object ExtraQueries {
     // the GraphX and fixed-point top-20 (see the gate's comment for why
     // set, not position)
     "x21_pagerank_crosscheck" -> "SELECT CAST(20 AS BIGINT) AS n_agree",
+    // op-for-op the gate's exponent split: bin-length minus one, then a
+    // BIGINT left shift — the primitives lnLongSql builds on. No table
+    // reference: the VALUES list is generated from the same Seq as the
+    // Spark relation.
+    "x32_bits" ->
+      s"""WITH v AS (SELECT CAST(n AS BIGINT) AS n
+         |           FROM (VALUES $probeValuesSql) AS t(n))
+         |SELECT n, CAST((length(bin(n)) - 1) AS BIGINT) AS e,
+         |  CAST((1::BIGINT << (length(bin(n)) - 1)) AS BIGINT) AS p2
+         |FROM v ORDER BY n""".stripMargin,
+    // the full lnLongSql rendering, floor-snapped at 10^-6 — exactly the
+    // integer construction the r10/r11 red gates hashed.
+    "x33_series" ->
+      s"""WITH v AS (SELECT CAST(n AS BIGINT) AS n
+         |           FROM (VALUES $probeValuesSql) AS t(n))
+         |SELECT n, CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+         |    ${graft.util.PortableLog.lnLongSql("n")}
+         |    + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT) AS wm
+         |FROM v ORDER BY n""".stripMargin,
     // the streaming gate answers to the SAME oracle as its batch twin q15
     // file (1)'s rows alone: the late re-deliveries must have been
     // dropped at the watermark, and the sentinel never finalizes
@@ -757,18 +820,8 @@ object ExtraQueries {
          |SELECT comp AS component, COUNT(*) AS n_vertices FROM c$rounds
          |GROUP BY comp ORDER BY component""".stripMargin
     },
-    "x5_custom_udaf" -> {
-      // GeometricMean mirrored op-for-op: PortableLog ln per row (libm-
-      // free) floored onto the 10^-9 grid, BIGINT-pinned sum, floor-div
-      // mean, PortableLog exp, then grid snap ×100 + exact decimal-from-
-      // integer presentation — no ROUND, no LN/EXP, no unpinned
-      // aggregate anywhere near a hashed column (r11 oracle sweep).
-      val lnq = s"CAST(FLOOR(${graft.util.PortableLog.lnDoubleSql("l_extendedprice")}" +
-        " * CAST(1000000000 AS DOUBLE)) AS BIGINT)"
-      val mean = s"(CAST(CAST(SUM($lnq) AS BIGINT) // COUNT(*) AS DOUBLE)" +
-        " / CAST(1000000000 AS DOUBLE))"
-      val geoRaw = graft.util.PortableLog.expDoubleSql(mean)
-      s"""WITH counts AS (
+    "x5_custom_udaf" ->
+      """WITH counts AS (
         |  SELECT l_returnflag, l_suppkey, COUNT(*) AS cnt
         |  FROM lineitem GROUP BY 1, 2),
         |ranked AS (
@@ -782,15 +835,12 @@ object ExtraQueries {
         |  FROM ranked WHERE rn <= 3 GROUP BY l_returnflag),
         |geo AS (
         |  SELECT l_returnflag,
-        |    CAST(CAST(CAST(FLOOR($geoRaw * CAST(100 AS DOUBLE)
-        |          + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT)
-        |        AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2))
-        |      AS DECIMAL(18,2)) AS geo_price
+        |    ROUND(EXP(CAST(SUM(CAST(FLOOR(LN(l_extendedprice) * 1e9) AS BIGINT))
+        |                   // COUNT(*) AS DOUBLE) / 1e9), 2) AS geo_price
         |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY l_returnflag)
         |SELECT g.l_returnflag, g.geo_price, t.top_suppliers
         |FROM geo g JOIN tops t ON g.l_returnflag = t.l_returnflag
-        |ORDER BY g.l_returnflag""".stripMargin
-    },
+        |ORDER BY g.l_returnflag""".stripMargin,
     "x17_pagerank_stable" -> {
       val iters = 5
       // fixed-point mirror of GraphAlgorithms.pageRankStable: all-integer

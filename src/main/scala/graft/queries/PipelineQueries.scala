@@ -105,13 +105,15 @@ object PipelineQueries {
       TextAnalysis.vocabularyReport(docs(s, dir), "text", "source", 5)
         .orderBy(col("source"), col("rank"))),
 
-    // Corpus-unigram NLL quality score (r10): the LM-perplexity filter
-    // shape with the corpus as its own unigram model — quantized-decimal
-    // term accumulation (the g34 pattern) makes the per-doc score
-    // bit-deterministic and fully oracle-checkable; the mean is one
-    // decimal→double cast + division, identical on both engines.
+    // Corpus-unigram rarity score (r10; integer-pure r12): the
+    // LM-perplexity filter shape with the corpus as its own unigram
+    // model, hashed through its exact LONG twin — n_tokens plus
+    // rarity = Σ k·(10^12 div cnt) — after two rounds proved ln-derived
+    // hashed integers diverge on the driver's DuckDB. The FP NLL path
+    // (unigramNll) keeps its PipelineSpec hand-computed pin and the
+    // PlanAudit shuffle contract.
     "t17_unigram_nll" -> ((s, dir) =>
-      TextAnalysis.unigramNll(docs(s, dir), "doc_id", "text")
+      TextAnalysis.unigramRarity(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     "m1_multimodal" -> ((s, dir) =>
@@ -649,12 +651,11 @@ object PipelineQueries {
          |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
          |  CAST(SUM(nd) AS BIGINT) AS total_distinct_tokens, CAST(MAX(n) AS BIGINT) AS max_tokens
          |FROM t GROUP BY source ORDER BY source""".stripMargin,
-    // the unigramNll plan replayed: per-(doc, tok) multiplicities, corpus
-    // frequencies, PortableLog weights floor-snapped onto the 10^-6 grid
-    // (libm-free — bit-identical to the Spark side on any host), plain
-    // integer k·w sums with every aggregate pinned to BIGINT, and an
-    // exact decimal-from-integer presentation (no DOUBLE hop anywhere
-    // between an exact value and a hashed column — the r10 lesson).
+    // the unigramRarity plan replayed: per-(doc, tok) multiplicities,
+    // corpus frequencies, the exact integer weight 10^12 // cnt (DuckDB
+    // `//` == Spark `div` for positive BIGINTs), plain integer k·w sums
+    // — every aggregate pinned to BIGINT (the driver's DuckDB widens
+    // unpinned integer SUMs to HUGEINT), no FP op anywhere.
     "t17_unigram_nll" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
@@ -662,22 +663,13 @@ object PipelineQueries {
          |       FROM toks GROUP BY doc_id, tok),
          |freq AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS cnt
          |         FROM dt GROUP BY tok),
-         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
-         |ltot AS (SELECT ${graft.util.PortableLog.lnLongSql("(SELECT total FROM tot)")} AS lt),
          |w AS (SELECT tok,
-         |        CAST(FLOOR(CAST(1000000 AS DOUBLE) *
-         |            ((SELECT lt FROM ltot) - ${graft.util.PortableLog.lnLongSql("cnt")})
-         |          + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT) AS wm
-         |      FROM freq),
-         |doc AS (SELECT dt.doc_id, CAST(SUM(dt.k) AS BIGINT) AS n_tokens,
-         |          CAST(SUM(w.wm * dt.k) AS BIGINT) AS nll_micro
-         |        FROM dt JOIN w USING (tok) GROUP BY dt.doc_id)
-         |SELECT doc_id, n_tokens,
-         |  CAST(CAST(nll_micro AS DECIMAL(22,0)) * CAST(0.000001 AS DECIMAL(7,6))
-         |       AS DECIMAL(28,6)) AS nll_sum,
-         |  (CAST(nll_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))
-         |    / CAST(n_tokens AS DOUBLE) AS nll_mean
-         |FROM doc ORDER BY doc_id""".stripMargin,
+         |        CAST(CAST(1000000000000 AS BIGINT) // cnt AS BIGINT) AS w
+         |      FROM freq)
+         |SELECT dt.doc_id, CAST(SUM(dt.k) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(w.w * dt.k) AS BIGINT) AS rarity
+         |FROM dt JOIN w USING (tok) GROUP BY dt.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "t16_vocabulary" ->
       s"""WITH tok AS (
          |  SELECT source, unnest($toksSql) AS term FROM documents),

@@ -452,6 +452,28 @@ class AlgorithmsSpec extends AnyFunSuite {
     s.foreach(r => assert(math.abs(r.getDouble(3) - 1.0 / math.log(4.0)) < 1e-12))
   }
 
+  test("adamicAdarInvariants: exact integer wedge invariants + ordering") {
+    // square 1-2-3-4: diagonals share two degree-2 centers ->
+    // (common, sum_cdeg, sum_cdeg_sq) = (2, 4, 8); tie falls to (a, b)
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val top = GraphAlgorithms.adamicAdarInvariants(sq, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(top.toSeq == Seq((1L, 3L, 2L, 4L, 8L), (2L, 4L, 2L, 4L, 8L)))
+    // star center degree 4: each leaf pair -> (1, 4, 16); capped -> empty
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val s = GraphAlgorithms.adamicAdarInvariants(star, 10).collect()
+    assert(s.length == 6)
+    s.foreach(r => assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 4L, 16L))))
+    assert(GraphAlgorithms.adamicAdarInvariants(star, 10, maxDegree = 2).isEmpty)
+    // ordering: lower-degree centers rank first within equal common —
+    // path pair (1,3) (center degree 2) precedes star pairs (degree 3)
+    val mixed = (Seq((1L, 2L), (2L, 3L)) ++
+      Seq((5L, 6L), (5L, 7L), (5L, 8L))).toDF("src", "dst")
+    val m = GraphAlgorithms.adamicAdarInvariants(mixed, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(m.head == ((1L, 3L)))
+  }
+
   test("GraphStore save/load roundtrip preserves tables and queries") {
     val g = DataGenerator.grid(spark, 4, 4)
     val dir = java.nio.file.Files.createTempDirectory("store").toString

@@ -405,6 +405,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1).getDouble(3) > r(0).getDouble(3))
   }
 
+  test("unigramRarity: exact integer div weights, hand-computed sums") {
+    // corpus: a×3, b×1, c×1 -> w(a) = 10^12 div 3 = 333333333333,
+    // w(b) = w(c) = 10^12 (integer division, exact on both engines)
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramRarity(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      (1L, 3L, 2L * 333333333333L + 1000000000000L),
+      (2L, 2L, 333333333333L + 1000000000000L)))
+    // the rarer-token doc scores higher per token: rarity/n_tokens
+    assert(r(1)._3.toDouble / r(1)._2 > r(0)._3.toDouble / r(0)._2)
+  }
+
   test("quantized k-means: migration, argmin tie-break, rounded integer mean") {
     import graft.pipeline.Clustering
     // two planted groups; init = ids 0,1 — BOTH in group A, so the

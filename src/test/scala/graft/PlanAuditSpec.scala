@@ -158,7 +158,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("t17: unigram NLL shuffles only doc/tok aggregates; total rides broadcast") {
-    val df = SparkEntry.queries("t17_unigram_nll")(spark, sfDir)
+    // the component, not the gate: since r12 the t17 GATE runs the
+    // integer-pure unigramRarity twin (driver-hash-safe); the broadcast-
+    // total contract below belongs to the FP unigramNll plan
+    val df = graft.pipeline.TextAnalysis.unigramNll(
+      graft.store.Tables.load(spark, sfDir, "documents"), "doc_id", "text")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // the corpus total joins in as a broadcast single row, never a shuffle

@@ -61,4 +61,25 @@ class PortableLogSpec extends AnyFunSuite {
     assert(lnRef(1L) == 0.0)
     assert(lnRef(2L) == 0.6931471805599453)
   }
+
+  test("x32/x33 probe gates match the driver-side mirror of each primitive") {
+    // the diagnostic gates feed the driver's oracle hash check; here the
+    // Spark side is pinned against the exact JVM integer/FP mirror so a
+    // driver-red probe can only mean the driver DuckDB's primitive differs
+    val bits = SparkEntry.queries("x32_bits")(spark, "unused").collect()
+    assert(bits.length == 39)
+    bits.foreach { r =>
+      val n = r.getLong(0)
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      assert(r.getLong(1) == e.toLong, s"e mismatch at n=$n")
+      assert(r.getLong(2) == (1L << e), s"p2 mismatch at n=$n")
+    }
+    val series = SparkEntry.queries("x33_series")(spark, "unused").collect()
+    assert(series.length == 39)
+    series.foreach { r =>
+      val n = r.getLong(0)
+      val want = math.floor(1000000.0 * lnRef(n) + 0.5).toLong
+      assert(r.getLong(1) == want, s"wm mismatch at n=$n")
+    }
+  }
 }
