@@ -75,6 +75,91 @@ object TemporalGraph {
     (neg.select(col("id"), (-col("arrival")).as("depart")), rounds)
   }
 
+  /** Per-source temporal k-reachability: for each source row
+    * `(sid, t0, deadline)`, the number of distinct vertices reachable
+    * from `sid` over a time-respecting path of AT MOST `k` hops whose
+    * arrival is no later than the source's deadline (the source itself
+    * counts when t0 ≤ deadline — it is reachable in 0 hops). The
+    * contagion/influence question over an interaction log: "how many
+    * vertices can s infect within k forwarding steps by time d?".
+    *
+    * Same round shape as [[earliestArrival]] but the state is the
+    * per-source relation (sid, id, arrival) — a shared multi-source
+    * sweep (the g19 BFS pattern): one edge join per round serves every
+    * source, state is Σ|reach_s| ≤ |sources|·|V| rows. Exactly `k`
+    * relaxation rounds bound path length; converged rounds are
+    * idempotent under MIN, so early-stop when a round improves nothing
+    * equals running all k. Exact LONG arithmetic end to end.
+    */
+  def kReachableCounts(edges: DataFrame, sources: DataFrame, k: Int,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    def tracked(df: DataFrame): (DataFrame, () => Unit) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(false)
+      val mine = sc.getPersistentRDDs.keySet -- before
+      (out, () => mine.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+    }
+    val (e, releaseE) = tracked(
+      edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+        .where(col("src") =!= col("dst")))
+    val (srcs, releaseS) = tracked(sources.select(col("sid"),
+      col("t0").cast("long").as("t0"),
+      col("deadline").cast("long").as("deadline")))
+    var (visited, release) = tracked(
+      srcs.select(col("sid"), col("sid").as("id"), col("t0").as("arrival"))
+        .groupBy(col("sid"), col("id")).agg(min(col("arrival")).as("arrival")))
+    var frontier = visited
+    var changed = frontier.count()
+    var round = 0
+    while (changed > 0 && round < k) {
+      round += 1
+      val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
+      val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
+        .select(f("sid"), e("dst").as("id"), e("t").as("arrival"),
+          lit(false).as("own"))
+      val (next, releaseNext) = tracked(
+        cand.unionByName(visited.withColumn("own", lit(true)))
+          .groupBy(col("sid"), col("id"))
+          .agg(min(col("arrival")).as("arrival"),
+            min(when(col("own"), col("arrival"))).as("prev")))
+      val improved = next.where(col("prev").isNull || col("arrival") < col("prev"))
+      changed = improved.count()
+      release()
+      visited = next.select(col("sid"), col("id"), col("arrival"))
+      frontier = improved.select(col("sid"), col("id"), col("arrival"))
+      release = releaseNext
+    }
+    releaseE()
+    val counts = visited.join(srcs.select(col("sid"), col("deadline")), "sid")
+      .where(col("arrival") <= col("deadline"))
+      .groupBy(col("sid")).agg(count(lit(1)).cast("long").as("n_reachable"))
+    // sources that reach nothing by their deadline still get a row (0)
+    srcs.select(col("sid")).join(counts, Seq("sid"), "left")
+      .select(col("sid"), coalesce(col("n_reachable"), lit(0L)).as("n_reachable"))
+  }
+
+  /** Per-target mirror of [[kReachableCounts]] via the negate-reverse
+    * reduction (the [[latestDeparture]] argument, hop-capped): for each
+    * target row `(tid, deadline, floor)`, the number of distinct
+    * vertices that can DEPART at or after `floor` and reach `tid` by
+    * `deadline` over a time-respecting path of at most `k` hops.
+    * depart(v) ≥ floor under negation is arrival'(v) ≤ -floor on the
+    * reversed-negated graph, so the per-source engine serves both
+    * directions and its measured scale axes carry over.
+    */
+  def kReachingCounts(edges: DataFrame, targets: DataFrame, k: Int,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      (-col("t").cast("long")).as("t"))
+    val seeds = targets.select(col("tid").as("sid"),
+      (-col("deadline").cast("long")).as("t0"),
+      (-col("floor").cast("long")).as("deadline"))
+    kReachableCounts(rev, seeds, k, maxBroadcastRows)
+      .select(col("sid").as("tid"), col("n_reachable"))
+  }
+
   /** earliestArrival plus the relaxation round count — ScaleProbe's
     * temporal axis pins the round behavior with it: rounds track the
     * longest improvement chain (a temporal chain has no label-composition

@@ -109,4 +109,33 @@ object Clustering {
       .join(broadcast(sizes), Seq("cluster"))
       .select(col("id"), col("cluster"), col("dist_q"), col("cluster_n"))
   }
+
+  /** Cluster-label purity: for each cluster in `assign` (id, cluster),
+    * the dominant external label's share — the quality readout a curation
+    * pipeline uses to judge whether embedding clusters track a known
+    * taxonomy (source, language, topic). Exact integers (dominant_n,
+    * cluster_n) carry the result; purity is ONE final division of those
+    * exact integers, the t16 pattern. Dominant ties break to the
+    * smallest label. Scale: the per-(cluster, label) count relation is
+    * ≤ k·|labels| rows after map-side combine — the window runs on that
+    * tiny relation, never on the corpus.
+    */
+  def clusterPurity(assign: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = assign.join(labels, "id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n").desc, col("label"))
+    val tot = counts.groupBy(col("cluster"))
+      .agg(sum(col("n")).cast("long").as("cluster_n"))
+    counts.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .join(broadcast(tot), Seq("cluster"))
+      .select(col("cluster"), col("cluster_n"),
+        col("label").cast("long").as("dominant_label"),
+        col("n").as("dominant_n"),
+        (col("n").cast("double") / col("cluster_n").cast("double"))
+          .as("purity"))
+  }
 }

@@ -708,6 +708,33 @@ object GraphQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Temporal k-reachability counts (r12): for the 3 lowest user ids —
+    // each departing at the global min event time with deadline = the
+    // midpoint of the event-time span — how many vertices can each
+    // infect over a time-respecting path of <= 4 hops arriving by the
+    // deadline? Same derived temporal graph as g35; exact LONG micros
+    // end to end (deadline via integer div), so the count relation is
+    // hash-checkable against the unrolled 4-round relaxation. The
+    // per-target mirror (kReachingCounts, the g36 negate-reverse
+    // reduction) is pinned by AlgorithmsSpec's hand graph.
+    "g37_temporal_kreach" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("t")), max(col("t"))).head()
+      val (nu, t0, tMax) = (b.getLong(0) + 1, b.getLong(1), b.getLong(2))
+      val dl = t0 + (tMax - t0) / 2 // positive span: / == div == //
+      val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      val srcs = ev.select(col("u")).distinct().orderBy(col("u")).limit(3)
+        .select(col("u").as("sid"), lit(t0).as("t0"), lit(dl).as("deadline"))
+      graft.algorithms.TemporalGraph.kReachableCounts(te, srcs, 4)
+        .select(col("sid").as("user_id"), col("n_reachable"))
+        .orderBy(col("user_id"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -854,6 +881,43 @@ object GraphQueries {
          |a0 AS (SELECT tid AS id, tmax AS depart FROM bounds),
          |$iter
          |SELECT id AS user_id, depart FROM a$rounds ORDER BY user_id""".stripMargin
+    },
+
+    // The g35 relaxation, per-source-tagged and unrolled to EXACTLY the
+    // gate's 4-hop budget (rounds are the hop cap here, not a
+    // convergence margin), then counted under the integer-div midpoint
+    // deadline. All-LONG arithmetic; COUNT pinned to BIGINT; sources
+    // that reach nothing still row out as 0 via the left join.
+    "g37_temporal_kreach" -> {
+      val rounds = 4
+      val iter = (1 to rounds).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT sid, id, MIN(arrival) AS arrival FROM (
+           |    SELECT sid, id, arrival FROM a${i - 1}
+           |    UNION ALL
+           |    SELECT w.sid, e.dst, e.t FROM a${i - 1} w
+           |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
+           |  GROUP BY sid, id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+         |              CAST(event_id AS BIGINT) AS eid,
+         |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+         |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(t) AS t0,
+         |             MIN(t) + (MAX(t) - MIN(t)) // 2 AS dl FROM ev),
+         |te AS (SELECT u AS src,
+         |         (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
+         |       FROM ev),
+         |srcs AS (SELECT DISTINCT u AS sid FROM ev ORDER BY u LIMIT 3),
+         |a0 AS (SELECT sid, sid AS id, (SELECT t0 FROM bounds) AS arrival
+         |       FROM srcs),
+         |$iter,
+         |cnt AS (SELECT sid, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM a$rounds WHERE arrival <= (SELECT dl FROM bounds)
+         |        GROUP BY sid)
+         |SELECT s.sid AS user_id,
+         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_reachable
+         |FROM srcs s LEFT JOIN cnt c ON c.sid = s.sid
+         |ORDER BY user_id""".stripMargin
     },
 
     // Same wedge machinery as g31, plus the center degree per wedge; the

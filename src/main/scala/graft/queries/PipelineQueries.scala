@@ -218,6 +218,20 @@ object PipelineQueries {
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"))),
 
+    // Cluster-label purity over the e7 assignment (r12): does the exact-
+    // grid clustering recover the embeddings' planted label structure?
+    // Exact integer dominant/total counts per cluster + ONE final
+    // division (the t16 pattern) keep the hash driver-safe.
+    "e8_cluster_purity" -> ((s, dir) => {
+      val asg = Clustering
+        .kmeansQuantized(embs(s, dir), "vec_id", "embedding", 10, 3)
+        .select(col("id"), col("cluster"))
+      val lbl = embs(s, dir)
+        .select(col("vec_id").cast("long").as("id"),
+          col("label").cast("long").as("label"))
+      Clustering.clusterPurity(asg, lbl).orderBy(col("cluster"))
+    }),
+
     // the mixture plan executed: deterministic hash sampling at the
     // allocated per-source rate, then the realized per-source footprint
     "t9_mixture_sample" -> ((s, dir) =>
@@ -508,6 +522,57 @@ object PipelineQueries {
        |lw AS (SELECT doc_id, source, $best AS best, * FROM lv),
        |lp AS (SELECT doc_id, source, $pred AS predicted_lang FROM lw)"""
       .stripMargin
+  }
+
+  /** The k-means mirror, unrolled (shared by e7/e8): quantize once onto
+    * the 10^-6 grid (+10^7 offset keeps everything positive so // ==
+    * Spark's div), then 3 assign+update rounds and a final assignment
+    * CTE `a4` — integer argmin with cluster-id tie-break, centroid =
+    * (2S + n) // (2n) per dimension (half-up integer mean), op-for-op
+    * the gate's math. Every aggregate/arithmetic result is pinned to
+    * BIGINT: DuckDB's SUM(BIGINT)/list_sum widen to HUGEINT
+    * (version-dependently), and the r10 driver gate proved an unpinned
+    * oracle type breaks the hash while every VALUE matches. The
+    * dimension is derived from len(embedding), not hardcoded (r10
+    * ADVICE) — a schema change fails loudly instead of silently
+    * mis-scoring.
+    */
+  private def kmeansUnrollCtes: String = {
+    def dst(p: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($p.xq) + 1), i -> " +
+        s"($p.xq[i] - $c.cq[i]) * ($p.xq[i] - $c.cq[i]))) AS BIGINT)"
+    def assignCte(a: String, cPrev: String): String =
+      s"""$a AS MATERIALIZED (
+         |  SELECT id, cl, dist FROM (
+         |    SELECT id, cl, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cl) AS rk
+         |    FROM (SELECT p.id, c.cl, ${dst("p", "c")} AS dist
+         |          FROM pts p CROSS JOIN $cPrev c))
+         |  WHERE rk = 1)""".stripMargin
+    def updateCte(c: String, a: String): String =
+      s"""$c AS MATERIALIZED (
+         |  SELECT cl, list(cqd ORDER BY i) AS cq FROM (
+         |    SELECT a.cl, t.i,
+         |      CAST((2 * CAST(SUM(p.xq[t.i]) AS BIGINT) + COUNT(*))
+         |           // (2 * COUNT(*)) AS BIGINT) AS cqd
+         |    FROM $a a JOIN pts p USING (id)
+         |    CROSS JOIN (SELECT unnest(range(1, nd + 1)) AS i FROM dims) t
+         |    GROUP BY a.cl, t.i)
+         |  GROUP BY cl)""".stripMargin
+    val rounds = (1 to 3).map(r =>
+      assignCte(s"a$r", s"c${r - 1}") + ",\n" + updateCte(s"c$r", s"a$r"))
+      .mkString(",\n")
+    s"""WITH dims AS (SELECT CAST(MAX(len(embedding)) AS BIGINT) AS nd
+       |              FROM embeddings),
+       |pts AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(range(1, len(embedding) + 1), i ->
+       |      CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
+       |        + 10000000) AS xq
+       |  FROM embeddings),
+       |c0 AS (SELECT id AS cl, xq AS cq FROM pts ORDER BY id LIMIT 10),
+       |$rounds,
+       |${assignCte("a4", "c3")}""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -942,55 +1007,38 @@ object PipelineQueries {
     // then 3 assign+update rounds and a final assignment — integer
     // argmin with cluster-id tie-break, centroid = (2S + n) // (2n)
     // per dimension (half-up integer mean), op-for-op the gate's math.
-    "e7_kmeans" -> {
-      // every aggregate/arithmetic result is pinned to BIGINT: DuckDB's
-      // SUM(BIGINT)/list_sum widen to HUGEINT (version-dependently), and
-      // the r10 driver gate proved an unpinned oracle type breaks the
-      // hash while every VALUE matches. The dimension is derived from
-      // len(embedding), not hardcoded (r10 ADVICE) — a schema change
-      // fails loudly instead of silently mis-scoring.
-      def dst(p: String, c: String): String =
-        s"CAST(list_sum(list_transform(range(1, len($p.xq) + 1), i -> " +
-          s"($p.xq[i] - $c.cq[i]) * ($p.xq[i] - $c.cq[i]))) AS BIGINT)"
-      def assignCte(a: String, cPrev: String): String =
-        s"""$a AS MATERIALIZED (
-           |  SELECT id, cl, dist FROM (
-           |    SELECT id, cl, dist,
-           |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cl) AS rk
-           |    FROM (SELECT p.id, c.cl, ${dst("p", "c")} AS dist
-           |          FROM pts p CROSS JOIN $cPrev c))
-           |  WHERE rk = 1)""".stripMargin
-      def updateCte(c: String, a: String): String =
-        s"""$c AS MATERIALIZED (
-           |  SELECT cl, list(cqd ORDER BY i) AS cq FROM (
-           |    SELECT a.cl, t.i,
-           |      CAST((2 * CAST(SUM(p.xq[t.i]) AS BIGINT) + COUNT(*))
-           |           // (2 * COUNT(*)) AS BIGINT) AS cqd
-           |    FROM $a a JOIN pts p USING (id)
-           |    CROSS JOIN (SELECT unnest(range(1, nd + 1)) AS i FROM dims) t
-           |    GROUP BY a.cl, t.i)
-           |  GROUP BY cl)""".stripMargin
-      val rounds = (1 to 3).map(r =>
-        assignCte(s"a$r", s"c${r - 1}") + ",\n" + updateCte(s"c$r", s"a$r"))
-        .mkString(",\n")
-      s"""WITH dims AS (SELECT CAST(MAX(len(embedding)) AS BIGINT) AS nd
-         |              FROM embeddings),
-         |pts AS MATERIALIZED (
-         |  SELECT vec_id AS id,
-         |    list_transform(range(1, len(embedding) + 1), i ->
-         |      CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
-         |        + 10000000) AS xq
-         |  FROM embeddings),
-         |c0 AS (SELECT id AS cl, xq AS cq FROM pts ORDER BY id LIMIT 10),
-         |$rounds,
-         |${assignCte("a4", "c3")},
+    "e7_kmeans" ->
+      s"""$kmeansUnrollCtes,
          |n AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS cluster_n
          |      FROM a4 GROUP BY cl)
          |SELECT CAST(a.id AS BIGINT) AS vec_id, CAST(a.cl AS BIGINT) AS cluster,
          |  CAST(a.dist AS BIGINT) AS dist_q, n.cluster_n
          |FROM a4 a JOIN n USING (cl)
-         |ORDER BY vec_id""".stripMargin
-    },
+         |ORDER BY vec_id""".stripMargin,
+    // purity over the SAME unrolled assignment: exact integer counts per
+    // (cluster, label), dominant by (n DESC, label) row_number — both
+    // mirrored — and purity as ONE division of the exact integers (the
+    // t16 pattern; a single correctly-rounded FP op is identical on both
+    // engines).
+    "e8_cluster_purity" ->
+      s"""$kmeansUnrollCtes,
+         |lab AS (SELECT a.cl, CAST(e.label AS BIGINT) AS label
+         |        FROM a4 a JOIN embeddings e ON e.vec_id = a.id),
+         |counts AS (SELECT cl, label, CAST(COUNT(*) AS BIGINT) AS n
+         |           FROM lab GROUP BY cl, label),
+         |tot AS (SELECT cl, CAST(SUM(n) AS BIGINT) AS cluster_n
+         |        FROM counts GROUP BY cl),
+         |dom AS (SELECT cl, label, n FROM (
+         |          SELECT cl, label, n,
+         |            ROW_NUMBER() OVER (PARTITION BY cl
+         |              ORDER BY n DESC, label) AS rk
+         |          FROM counts)
+         |        WHERE rk = 1)
+         |SELECT CAST(d.cl AS BIGINT) AS cluster, t.cluster_n,
+         |  d.label AS dominant_label, d.n AS dominant_n,
+         |  CAST(d.n AS DOUBLE) / CAST(t.cluster_n AS DOUBLE) AS purity
+         |FROM dom d JOIN tot t USING (cl)
+         |ORDER BY cluster""".stripMargin,
     "t9_mixture_sample" ->
       s"""WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
          |ps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens

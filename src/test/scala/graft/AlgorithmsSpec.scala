@@ -539,4 +539,39 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(departs(Seq((3L, 15L), (5L, 2L))) ==
       Map(3L -> 15L, 2L -> 9L, 1L -> 5L, 5L -> 2L, 4L -> 1L))
   }
+
+  test("temporal k-reachability: hop cap, deadline gate, per-target mirror") {
+    import graft.algorithms.TemporalGraph
+    val e = Seq(
+      (1L, 2L, 10L),
+      (2L, 3L, 5L),  // closed: arrival at 2 is 10 > 5
+      (2L, 3L, 20L),
+      (1L, 3L, 50L),
+      (3L, 4L, 60L)).toDF("src", "dst", "t")
+    def reach(srcs: Seq[(Long, Long, Long)], k: Int): Map[Long, Long] =
+      TemporalGraph.kReachableCounts(e, srcs.toDF("sid", "t0", "deadline"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=1 from 1: {1@0, 2@10, 3@50}
+    assert(reach(Seq((1L, 0L, 100L)), 1) == Map(1L -> 3L))
+    // k=2 adds 4 via 1->3@50 ->4@60; 3's arrival improves to 20
+    assert(reach(Seq((1L, 0L, 100L)), 2) == Map(1L -> 4L))
+    // deadline 30 at k=2 drops 4 (arrives 60): {1@0, 2@10, 3@20}
+    assert(reach(Seq((1L, 0L, 30L)), 2) == Map(1L -> 3L))
+    // t0 after every edge: only the source itself makes its deadline
+    assert(reach(Seq((1L, 70L, 100L)), 3) == Map(1L -> 1L))
+    // t0 past the deadline: zero, but the source still rows out
+    assert(reach(Seq((1L, 70L, 60L)), 2) == Map(1L -> 0L))
+    // multi-source shared sweep: per-source counts stay independent
+    assert(reach(Seq((1L, 0L, 100L), (3L, 0L, 100L)), 2) ==
+      Map(1L -> 4L, 3L -> 2L))
+    // per-target mirror via negate-reverse: who reaches 4 by 60 from
+    // floor 0 — everyone within 3 hops, only {3, 4} within 1
+    def reaching(tgts: Seq[(Long, Long, Long)], k: Int): Map[Long, Long] =
+      TemporalGraph.kReachingCounts(e, tgts.toDF("tid", "deadline", "floor"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reaching(Seq((4L, 60L, 0L)), 3) == Map(4L -> 4L))
+    assert(reaching(Seq((4L, 60L, 0L)), 1) == Map(4L -> 2L))
+    // floor above every viable departure: only the target itself
+    assert(reaching(Seq((4L, 60L, 55L)), 3) == Map(4L -> 2L)) // 3 departs 60
+  }
 }

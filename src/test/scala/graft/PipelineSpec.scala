@@ -419,6 +419,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1)._3.toDouble / r(1)._2 > r(0)._3.toDouble / r(0)._2)
   }
 
+  test("clusterPurity: dominant share, smallest-label tie-break") {
+    import graft.pipeline.Clustering
+    val assign = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L).toDF("id", "cluster")
+    val labels = Seq(0L -> 7L, 1L -> 7L, 2L -> 8L, 3L -> 9L, 4L -> 9L,
+      5L -> 5L, 6L -> 3L).toDF("id", "label")
+    val r = Clustering.clusterPurity(assign, labels)
+      .orderBy($"cluster").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      (0L, 3L, 7L, 2L, 2.0 / 3.0),
+      (1L, 2L, 9L, 2L, 1.0),
+      (2L, 2L, 3L, 1L, 0.5))) // 1-1 tie -> smallest label wins
+  }
+
   test("quantized k-means: migration, argmin tie-break, rounded integer mean") {
     import graft.pipeline.Clustering
     // two planted groups; init = ids 0,1 — BOTH in group A, so the
