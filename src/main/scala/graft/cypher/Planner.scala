@@ -189,13 +189,35 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         graft.algorithms.RandomWalks.hashWalks(edges,
           Seq(longArg(0)).toDF("id"), intArg(2, Some(6)),
           intArg(1, Some(1)))
+      case "graft.latestdeparture" =>
+        // latest time-respecting departure toward a target by a deadline
+        // (the g36 temporal sweep) — arg 3 names the edge-time property.
+        // Unlike graft.distance's cost-1.0 weight default, an event time
+        // has NO sane fallback: an edge missing the property fails
+        // loudly (one bounded pass over the edge relation) instead of
+        // silently pretending a timeless edge is always usable.
+        nargs(3)
+        import spark.implicits._
+        val (target, deadline) = (longArg(0), longArg(1)) // validate args
+        val timeProp = strArg(2).getOrElse("t")           // before scanning
+        val te = store.allEdges.select(col("src"), col("dst"),
+          get_json_object(col("properties"), "$." + timeProp)
+            .cast("long").as("t"))
+        val nMissing = te.where(col("t").isNull).count()
+        require(nMissing == 0,
+          s"graft.latestDeparture: $nMissing edge(s) missing/non-numeric " +
+            s"time property '$timeProp' — a temporal sweep cannot default " +
+            "an event time")
+        graft.algorithms.TemporalGraph.latestDeparture(te,
+          Seq((target, deadline)).toDF("id", "deadline"))
       case other => sys.error(s"unknown procedure '$other' — available: " +
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
         "graft.ppr(sourceId, iters), graft.katz(maxLen, beta), " +
         "graft.kTruss(k), graft.walks(sourceId, walksPerStart, steps), " +
         "graft.scc(), graft.linkPrediction(topK), graft.mis(), " +
-        "graft.distance(srcId, dstId, maxHops[, 'weightProp'])")
+        "graft.distance(srcId, dstId, maxHops[, 'weightProp']), " +
+        "graft.latestDeparture(targetId, deadline[, 'timeProp'])")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

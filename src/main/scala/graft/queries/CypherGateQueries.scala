@@ -412,6 +412,34 @@ object CypherGateQueries {
            |RETURN start_id, end_id, dist""".stripMargin)
     }),
 
+    // Temporal latest-departure through the CALL surface (r12): the g36
+    // sweep exposed as CALL graft.latestDeparture(target, deadline,
+    // 'timeProp') over a store whose INTERACTS edges carry the derived
+    // event-time property — target/deadline are the same runtime-computed
+    // literals as g36 (highest user id, global max event time), so the
+    // gate reuses g36's unrolled oracle verbatim. Edge times resolve
+    // from the properties JSON; a missing time fails loudly (CypherSpec).
+    "cy37_latest_departure" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.store.Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), max(col("t"))).head()
+      val (nu, tMax) = (b.getLong(0) + 1, b.getLong(1))
+      val te = ev.select(col("eid").as("id"), col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      val verts = te.select(col("src").as("id"))
+        .unionByName(te.select(col("dst").as("id"))).distinct()
+      val store = new GraphStore(Map("User" -> verts),
+        Map("INTERACTS" -> te))
+      new CypherSession(s, store).run(
+        s"""CALL graft.latestDeparture(${nu - 1}, $tMax, 't')
+           |YIELD id, depart
+           |RETURN id AS user_id, depart
+           |ORDER BY user_id""".stripMargin)
+    }),
+
     // path functions (r9): a MATCH-assigned path variable binds BOTH the
     // vertex-id and edge-id sequences; nodes()/relationships() compose
     // with reduce() into path strings the x4-family recursive CTE replays
@@ -438,6 +466,9 @@ object CypherGateQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the CALL surface must answer to the SAME oracle as the g36 gate —
+    // identical derived temporal graph, target, and deadline
+    "cy37_latest_departure" -> GraphQueries.oracle("g36_temporal_depart"),
     "cy1_match_where" ->
       """SELECT c_custkey AS ck, o_orderkey AS ok
         |FROM customer JOIN orders ON o_custkey = c_custkey

@@ -677,6 +677,34 @@ class CypherSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("bound"), err2.getMessage)
   }
 
+  test("CALL graft.latestDeparture: temporal sweep, loud failure paths") {
+    val sess = session
+    // KNOWS carries `since` as the event time: 1-[2020]->2-[2021]->3;
+    // target Charlie with deadline 2021 admits both hops
+    val df = sess.run(
+      s"CALL graft.latestDeparture(${Graphid.pack(100, 3)}, 2021, 'since') " +
+        "YIELD id, depart RETURN id, depart ORDER BY depart, id")
+    assert(rows(df) == Seq(
+      Seq(Graphid.pack(100, 1), 2020L),
+      Seq(Graphid.pack(100, 2), 2021L),
+      Seq(Graphid.pack(100, 3), 2021L)))
+    // deadline 2020 closes the 2021 hop: only the target remains seeded
+    val df2 = sess.run(
+      s"CALL graft.latestDeparture(${Graphid.pack(100, 3)}, 2020, 'since') " +
+        "YIELD id, depart RETURN id, depart ORDER BY id")
+    assert(rows(df2) == Seq(Seq(Graphid.pack(100, 3), 2020L)))
+    // a missing deadline argument fails loudly
+    val e1 = intercept[Exception](sess.run(
+      "CALL graft.latestDeparture(1) YIELD id, depart RETURN id"))
+    assert(e1.getMessage.contains("argument 2"), e1.getMessage)
+    // the default time property 't' is absent from every KNOWS edge —
+    // a temporal sweep must refuse to default an event time
+    val e2 = intercept[Exception](sess.run(
+      s"CALL graft.latestDeparture(${Graphid.pack(100, 3)}, 2021) " +
+        "YIELD id, depart RETURN id"))
+    assert(e2.getMessage.contains("time property 't'"), e2.getMessage)
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store
