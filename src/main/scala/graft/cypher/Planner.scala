@@ -29,6 +29,14 @@ final class Planner(spark: SparkSession, store0: GraphStore,
   private def fresh(p: String): String = { anon += 1; s"__$p$anon" }
   private def ec(s: Scope) = new ExprCompiler(s, params)
 
+  /** Checkpoint blocks THIS planner's statement persisted for store
+    * bookkeeping (the CREATE id-sequence pin) — registered at the
+    * creation site, never inferred by diffing the shared context's
+    * persistent-RDD set (exact attribution; see CypherSession rollback).
+    */
+  val createdCheckpointIds: scala.collection.mutable.Set[Int] =
+    scala.collection.mutable.Set.empty
+
   def plan(q: Query): PlanResult =
     if (q.union.isDefined) planUnion(q) else planBody(q)
 
@@ -133,7 +141,14 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       case "graft.pagerank" => nargs(1)
         GraphAlgorithms.pageRankStable(edges, intArg(0, Some(10)))
       case "graft.connectedcomponents" => nargs(0)
-        GraphAlgorithms.connectedComponentsDF(edges)
+        // routed to the GraphX engine (r12, closing the r10/r11 landing
+        // question): identical min-id labels and oracle as the DF
+        // fixpoint, but ~2× faster at sf0.1 (x7 ~3.7 s vs cy27's ~7.5 s
+        // measured DF job floor — tiny AQE stage-jobs dominate the DF
+        // loop, not data). connectedComponentsDF remains the pure-DF
+        // engine with its measured chain-depth axis (ScaleProbe,
+        // AlgorithmsSpec cross-validation).
+        GraphAlgorithms.connectedComponents(spark, edges)
       case "graft.kcore" => nargs(1)
         GraphAlgorithms.kCore(edges, intArg(0))
       case "graft.labelpropagation" => nargs(1)
@@ -1111,8 +1126,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
     // vertices reuse the shared __seq column with per-label offsets.
     val perRowWork = !scopeIsUnit &&
       (createdNodes.nonEmpty || cc.patterns.exists(_.hops.nonEmpty))
-    if (perRowWork)
+    if (perRowWork) {
       baseDf = graft.store.Ids.withSequence(baseDf, "__seq").localCheckpoint()
+      createdCheckpointIds ++= graft.util.Checkpoints.idsOf(baseDf)
+    }
     val nodeIds = scala.collection.mutable.Map[String, Long]()
     val perRowIds = scala.collection.mutable.Set[String]()
     val counters = scala.collection.mutable.Map[String, Long]()
@@ -1850,14 +1867,17 @@ final class Planner(spark: SparkSession, store0: GraphStore,
   * (reference transaction.rs:55-183 WriteBatch semantics): begin
   * snapshots the immutable store value, commit keeps the chain,
   * rollback restores the snapshot and frees exactly the checkpoint
-  * blocks THIS session's statements persisted inside the scope (tracked
-  * by diffing the persisted-RDD set around each run(); they serve only
-  * discarded store generations — the snapshot's own blocks predate
-  * begin). Blocks persisted by other sessions or jobs on the shared
-  * SparkContext are never touched, with one caveat: a concurrent job
-  * that persists WHILE one of this scope's statements is running can be
-  * misattributed to the scope and freed on rollback — keep mutation
-  * scopes single-writer per SparkContext. DOCUMENTED
+  * blocks THIS session's statements persisted for store bookkeeping —
+  * registered at each creation site (the planner's CREATE id-sequence
+  * pin, compaction's new generation) and read off the owning Dataset
+  * itself (Checkpoints.idsOf), never inferred by diffing the shared
+  * context's persistent-RDD set. Blocks persisted by other sessions or
+  * concurrent jobs can therefore NEVER be misattributed to the scope,
+  * even when they persist while a statement is mid-flight (the r11
+  * ADVICE footgun). Blocks a read-only CALL procedure pins for its
+  * RESULT relation are deliberately not scope-owned: the caller may
+  * still be consuming that result after rollback; they reclaim via the
+  * normal compaction/sweep paths. DOCUMENTED
   * DIVERGENCE: the reference buffers writes so in-transaction reads see
   * only pre-transaction state (transaction.rs:187-207
   * reads-see-committed); here each statement's swap is visible to the
@@ -1906,13 +1926,16 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
 
   def run(cypher: String): DataFrame = {
     val inTxn = synchronized { txnSnapshot.nonEmpty }
-    val before =
-      if (inTxn) spark.sparkContext.getPersistentRDDs.keySet else Set.empty[Int]
-    val res = new Planner(spark, store, params).plan(Parser.parse(cypher))
+    val planner = new Planner(spark, store, params)
+    val res = planner.plan(Parser.parse(cypher))
     store = res.store
-    maybeCompact()
+    val compacted = maybeCompact()
     if (inTxn) synchronized {
-      txnCreated = txnCreated ++ (spark.sparkContext.getPersistentRDDs.keySet -- before)
+      // exact per-site registration (planner CREATE pins + the compacted
+      // generation's own table ids) — never a getPersistentRDDs diff, so
+      // a concurrent session persisting WHILE this statement runs can no
+      // longer be misattributed to the scope and freed on rollback
+      txnCreated = txnCreated ++ planner.createdCheckpointIds ++ compacted
     }
     res.df.getOrElse(spark.emptyDataFrame)
   }
@@ -1931,14 +1954,18 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
     * plans never exceed ~2x threshold before being cut.
     */
   private var ownedGen: scala.collection.Set[Int] = Set.empty
-  private def maybeCompact(): Unit = {
+
+  /** Returns the compacted generation's checkpoint ids (empty when no
+    * compaction ran) — read off the new store's own tables, the exact-
+    * attribution contract of Checkpoints.idsOf.
+    */
+  private def maybeCompact(): Set[Int] = {
     val nodes = (store.vertexTables.values ++ store.edgeTables.values)
       .map(df => df.queryExecution.logical.map(_ => 1).sum).sum
     if (nodes > CypherSession.CompactPlanNodes) {
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
       store = store.compact(eager = true)
-      val added = sc.getPersistentRDDs.keySet -- before
+      val added = (store.vertexTables.values ++ store.edgeTables.values)
+        .flatMap(graft.util.Checkpoints.idsOf).toSet
       if (txnSnapshot.isEmpty) {
         graft.util.Checkpoints.release(spark, ownedGen -- added)
         ownedGen = added
@@ -1948,7 +1975,8 @@ final class CypherSession(val spark: SparkSession, initial: GraphStore,
         // post-commit compaction frees the rest)
         ownedGen = ownedGen ++ added
       }
-    }
+      added
+    } else Set.empty
   }
 
   def withParams(p: Map[String, Any]): CypherSession =

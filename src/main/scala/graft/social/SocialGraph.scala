@@ -61,16 +61,20 @@ final class SocialGraph(spark: SparkSession, initial: GraphStore) {
     x & Graphid.LocalMask
   }
 
-  def follow(followerKey: Long, followeeKey: Long, at: Long): Unit = {
-    import spark.implicits._
-    val row = Seq((Graphid.pack(FollowsLab, pairId48(followerKey, followeeKey)),
-      userId(followerKey), userId(followeeKey), at))
-      .toDF("id", "src", "dst", "followed_at")
-    val existing = follows
-    val fresh = row.join(existing.select(col("src").as("esrc"), col("dst").as("edst")),
-      col("src") === col("esrc") && col("dst") === col("edst"), "left_anti")
-    afterMutation(store.withEdgeTable("FOLLOWS", existing.unionByName(fresh)))
-  }
+  def follow(followerKey: Long, followeeKey: Long, at: Long): Boolean =
+    // both endpoints must exist — the reference 404s a dangling follow
+    // (social_graph.rs:40-44); false here maps to the handler's 404
+    getUser(followerKey).nonEmpty && getUser(followeeKey).nonEmpty && {
+      import spark.implicits._
+      val row = Seq((Graphid.pack(FollowsLab, pairId48(followerKey, followeeKey)),
+        userId(followerKey), userId(followeeKey), at))
+        .toDF("id", "src", "dst", "followed_at")
+      val existing = follows
+      val fresh = row.join(existing.select(col("src").as("esrc"), col("dst").as("edst")),
+        col("src") === col("esrc") && col("dst") === col("edst"), "left_anti")
+      afterMutation(store.withEdgeTable("FOLLOWS", existing.unionByName(fresh)))
+      true
+    }
 
   /** C1 unfollow: anti-join delete (social_graph.rs:52-73). */
   def unfollow(followerKey: Long, followeeKey: Long): Unit = {
@@ -247,16 +251,20 @@ final class SocialGraph(spark: SparkSession, initial: GraphStore) {
   /** like_post: dup-checked LIKES edge user→post (idempotent, like
     * follow); unlike filters it back out.
     */
-  def likePost(userKey: Long, postKey: Long, at: Long): Unit = {
-    import spark.implicits._
-    val row = Seq((Graphid.pack(LikesLab, pairId48(userKey, postKey)),
-      userId(userKey), postId(postKey), at))
-      .toDF("id", "src", "dst", "liked_at")
-    val fresh = row.join(
-      likes.select(col("src").as("esrc"), col("dst").as("edst")),
-      col("src") === col("esrc") && col("dst") === col("edst"), "left_anti")
-    afterMutation(store.withEdgeTable("LIKES", likes.unionByName(fresh)))
-  }
+  def likePost(userKey: Long, postKey: Long, at: Long): Boolean =
+    // user AND post must exist — the reference 404s a dangling like
+    // (services/content.rs existence lookups); false maps to 404
+    getUser(userKey).nonEmpty && getPost(postKey).nonEmpty && {
+      import spark.implicits._
+      val row = Seq((Graphid.pack(LikesLab, pairId48(userKey, postKey)),
+        userId(userKey), postId(postKey), at))
+        .toDF("id", "src", "dst", "liked_at")
+      val fresh = row.join(
+        likes.select(col("src").as("esrc"), col("dst").as("edst")),
+        col("src") === col("esrc") && col("dst") === col("edst"), "left_anti")
+      afterMutation(store.withEdgeTable("LIKES", likes.unionByName(fresh)))
+      true
+    }
 
   def unlikePost(userKey: Long, postKey: Long): Unit = {
     val kept = likes.where(

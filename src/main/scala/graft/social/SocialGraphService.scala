@@ -142,8 +142,9 @@ final class SocialGraphService(graph: SocialGraph, port: Int = 0) {
       case ("POST", "api" :: "v1" :: "users" :: u :: "follow" :: t :: Nil) =>
         val at = Option(body(raw).get("at")).map(_.asLong())
           .getOrElse(System.currentTimeMillis())
-        graph.follow(u.toLong, t.toLong, at)
-        ok(obj("follower" -> u.toLong, "followee" -> t.toLong))
+        if (graph.follow(u.toLong, t.toLong, at))
+          ok(obj("follower" -> u.toLong, "followee" -> t.toLong))
+        else err(404, s"user $u or $t not found")
       case ("DELETE", "api" :: "v1" :: "users" :: u :: "follow" :: t :: Nil) =>
         graph.unfollow(u.toLong, t.toLong)
         ok(obj("follower" -> u.toLong, "followee" -> t.toLong))
@@ -182,7 +183,9 @@ final class SocialGraphService(graph: SocialGraph, port: Int = 0) {
         val content = Option(j.get("content")).map(_.asText()).getOrElse("")
         val at = Option(j.get("at")).map(_.asLong())
           .getOrElse(System.currentTimeMillis())
-        if (graph.createPost(uk, pk, content, at))
+        if (graph.getUser(uk).isEmpty) // reference checks the author first
+          err(404, s"user $uk not found") // (content.rs:38) — no orphan post
+        else if (graph.createPost(uk, pk, content, at))
           (201, obj("key" -> pk, "user" -> uk))
         else err(409, s"post $pk exists")
       case ("GET", "api" :: "v1" :: "posts" :: p :: Nil) =>
@@ -198,8 +201,9 @@ final class SocialGraphService(graph: SocialGraph, port: Int = 0) {
         val u = jLong(j, "user")
         val at = Option(j.get("at")).map(_.asLong())
           .getOrElse(System.currentTimeMillis())
-        graph.likePost(u, p.toLong, at)
-        ok(obj("post" -> p.toLong, "user" -> u))
+        if (graph.likePost(u, p.toLong, at))
+          ok(obj("post" -> p.toLong, "user" -> u))
+        else err(404, s"user $u or post $p not found")
       case ("DELETE", "api" :: "v1" :: "posts" :: p :: "like" :: Nil) =>
         val u = query.getOrElse("user", return err(400, "missing ?user=")).toLong
         graph.unlikePost(u, p.toLong)

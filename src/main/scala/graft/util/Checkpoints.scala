@@ -28,6 +28,17 @@ object Checkpoints {
     finally release(spark, sc.getPersistentRDDs.keySet -- before)
   }
 
+  /** The persistent RDD ids backing a checkpointed Dataset — the
+    * LogicalRDD leaves of its analyzed plan. EXACT attribution: unlike a
+    * getPersistentRDDs before/after diff, ids read off the Dataset itself
+    * can never pick up a concurrent session's persists (the r11 ADVICE
+    * transaction footgun on a shared SparkContext).
+    */
+  def idsOf(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+
   /** Unpersist the given RDD ids (non-blocking — the blocks are dead, the
     * caller does not need to wait for their removal).
     */

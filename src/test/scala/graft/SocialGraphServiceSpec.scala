@@ -70,6 +70,13 @@ class SocialGraphServiceSpec extends AnyFunSuite {
           s"""{"at":$at}""")._1 == 200)
       val fl = call(p, "GET", "/api/v1/users/1/following")._2.get("following")
       assert(fl.size() == 2)
+      // dangling follow 404s both ways (the reference's existence checks)
+      assert(call(p, "POST", "/api/v1/users/1/follow/99",
+        """{"at":1}""")._1 == 404)
+      assert(call(p, "POST", "/api/v1/users/99/follow/1",
+        """{"at":1}""")._1 == 404)
+      assert(call(p, "GET", "/api/v1/users/1/following")._2
+        .get("following").size() == 2) // and created no edge
       assert(call(p, "GET", "/api/v1/users/4/followers")._2
         .get("followers").size() == 2)
 
@@ -115,6 +122,16 @@ class SocialGraphServiceSpec extends AnyFunSuite {
       assert(call(p, "DELETE", "/api/v1/posts/10/like?user=5")._1 == 200)
       assert(call(p, "GET", "/api/v1/posts/10/likes")._2
         .get("likes").size() == 1)
+      // dangling like / authorless post 404 (reference existence checks)
+      assert(call(p, "POST", "/api/v1/posts/10/like",
+        """{"user":99,"at":40}""")._1 == 404)
+      assert(call(p, "POST", "/api/v1/posts/99/like",
+        """{"user":4,"at":40}""")._1 == 404)
+      assert(call(p, "GET", "/api/v1/posts/10/likes")._2
+        .get("likes").size() == 1) // no edge appeared
+      assert(call(p, "POST", "/api/v1/posts",
+        """{"key":12,"user":99,"content":"orphan","at":1}""")._1 == 404)
+      assert(call(p, "GET", "/api/v1/posts/12")._1 == 404)
 
       // delete user 2 detaches: follows gone, 404 afterwards, post survives
       assert(call(p, "DELETE", "/api/v1/users/2")._1 == 200)
