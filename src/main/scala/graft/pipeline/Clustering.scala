@@ -58,11 +58,18 @@ object Clustering {
           v => floor(v.cast("double") * scale + lit(0.5)).cast("long") +
             lit(offset)).as("xq"))
       .localCheckpoint(false)
-    // positivity guard: |x| beyond the offset headroom would break the
-    // floor-vs-truncate agreement the oracle depends on — fail loudly
-    val minQ = pts.agg(min(array_min(col("xq")))).head().getLong(0)
+    // positivity + uniform-dimension guards in ONE pass: |x| beyond the
+    // offset headroom would break the floor-vs-truncate agreement the
+    // oracle depends on, and a ragged embedding column would silently
+    // skew centroid means (a short row contributes to COUNT(*) on every
+    // dimension while SUM skips its missing entries — r11 ADVICE)
+    val g = pts.agg(min(array_min(col("xq"))),
+      min(size(col("xq"))), max(size(col("xq")))).head()
+    val (minQ, dMin, dMax) = (g.getLong(0), g.getInt(1), g.getInt(2))
     require(minQ > 0, s"kmeansQuantized: embedding magnitude exceeds " +
       s"the 10.0 guard (min quantized $minQ); raise the offset")
+    require(dMin == dMax, s"kmeansQuantized: ragged embedding lengths " +
+      s"($dMin..$dMax) — uniform dimensionality is required")
 
     def assign(cents: Array[(Long, Seq[Long])]): DataFrame = {
       val centLit = array(cents.map { case (cl, cq) =>

@@ -534,8 +534,10 @@ object PipelineQueries {
     * (version-dependently), and the r10 driver gate proved an unpinned
     * oracle type breaks the hash while every VALUE matches. The
     * dimension is derived from len(embedding), not hardcoded (r10
-    * ADVICE) — a schema change fails loudly instead of silently
-    * mis-scoring.
+    * ADVICE); the loud-failure guarantee for a schema change lives on
+    * the Spark side — kmeansQuantized REQUIRES uniform embedding
+    * lengths, so a ragged column aborts the gate before either engine
+    * can silently skew a centroid (r11 ADVICE).
     */
   private def kmeansUnrollCtes: String = {
     def dst(p: String, c: String): String =

@@ -893,6 +893,48 @@ object ScaleProbe {
         f"min=${times.map(_._1).min}%.2f s " +
         times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
     }
+    // k axis (r12, r10 ask #9): fixed corpus, growing cluster count —
+    // assignment is n·k·d codegen'd HOF work over the literal centroid
+    // array and the update exchange stays at executors·k·d rows, so wall
+    // time must track k sub-linearly while the scan dominates
+    for (kk <- Seq(5, 10, 20, 40)) {
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val nOut = Clustering
+          .kmeansQuantized(emb, "vec_id", "embedding", kk, 3).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, nOut)
+      }
+      println(f"SCALE axis=kclusters-$kk vectors=$n0 clustered=${times.head._2} " +
+        f"min=${times.map(_._1).min}%.2f s " +
+        times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+    // d axis (r12): dimensionality grown by tiling each embedding t
+    // times (flatten ∘ array_repeat) — per-row HOF cost and the k·d
+    // update rows both scale with d; the same sub-linear wall-time
+    // expectation applies while scan+quantize dominate
+    for (t <- Seq(1, 2, 4)) {
+      val corpus = emb.select(col("vec_id"),
+        flatten(array_repeat(col("embedding"), t)).as("embedding"))
+        .localCheckpoint()
+      val n = corpus.count()
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val nOut = Clustering
+          .kmeansQuantized(corpus, "vec_id", "embedding", 10, 3).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, nOut)
+      }
+      println(f"SCALE axis=kdims-${t}x vectors=$n clustered=${times.head._2} " +
+        f"min=${times.map(_._1).min}%.2f s " +
+        times.map(t0 => f"${t0._1}%.2f").mkString("samples=[", ",", "]"))
+    }
   }
 
   /** Connected-components axes. (a) the real cy27 graph (tpch store at

@@ -92,9 +92,16 @@ object PortableLog {
     s"(CAST($e AS DOUBLE) * (CAST($Ln2Num AS DOUBLE) / CAST($Ln2Den AS DOUBLE)) + $lnm)"
   }
 
-  /** ln(x) for any positive double in (2^-62, 2^62), bit-deterministic. */
-  def lnDoubleJvm(x: Double): Double =
+  /** ln(x) for any positive double in (2^-62, 2^62), bit-deterministic.
+    * The domain is REQUIRED, not clamped: outside it the exponent split
+    * degrades silently (x.toLong saturates, 1L << k wraps mod 64) into
+    * garbage rather than infinity — r11 ADVICE.
+    */
+  def lnDoubleJvm(x: Double): Double = {
+    require(x > 1.0 / (1L << 62).toDouble && x < (1L << 62).toDouble,
+      s"lnDoubleJvm domain is (2^-62, 2^62), got $x")
     if (x >= 1.0) lnCoreJvm(x) else -lnCoreJvm(1.0 / x)
+  }
 
   /** DuckDB rendering of [[lnDoubleJvm]]; `xExpr` must be DOUBLE-typed
     * and positive (cheap — it repeats textually many times).
@@ -109,6 +116,9 @@ object PortableLog {
     * with r = x - k·ln2 and a 13-term Taylor Horner for e^r.
     */
   def expDoubleJvm(x: Double): Double = {
+    // beyond |x| ~ 43 the 2^|k| shift wraps mod 64 and returns garbage
+    // instead of overflowing to infinity — require the domain (r11 ADVICE)
+    require(math.abs(x) <= 43.0, s"expDoubleJvm domain is |x| <= 43, got $x")
     val ln2 = Ln2Num.toDouble / Ln2Den.toDouble
     val k = math.floor(x / ln2 + 0.5).toLong
     val r = x - k.toDouble * ln2

@@ -62,6 +62,51 @@ class PortableLogSpec extends AnyFunSuite {
     assert(lnRef(2L) == 0.6931471805599453)
   }
 
+  test("lnDoubleJvm/expDoubleJvm: libm accuracy, roundtrip, domain guards") {
+    val rnd = new scala.util.Random(13)
+    // log-uniform sweep across the full documented domain (2^-62, 2^62)
+    val xs = Seq(1.0, 2.0, 0.5, math.Pi, 1e-9, 1e9, 3.5e18, 1.0000001) ++
+      Seq.fill(3000)(math.pow(2.0, (rnd.nextDouble() * 123.0) - 61.5))
+    // x < 1 routes through -ln(1/x): the correctly-rounded reciprocal
+    // adds up to ~1 ulp-of-argument ABSOLUTE error (~1e-16) on top of
+    // the series' relative error — far below the 1e-9 grids any caller
+    // snaps onto, but wider than a pure-relative bound near ln ~ 0
+    xs.foreach { x =>
+      val ref = math.log(x)
+      val got = PortableLog.lnDoubleJvm(x)
+      assert(math.abs(got - ref) <= 4 * math.ulp(ref) + 1e-15, s"ln off at $x")
+    }
+    // exp over its |x| <= 43 domain: the k·ln2 reduction cancels ~k ulps
+    // of argument into e^r's relative error (~20 ulps at k ~ 60) — still
+    // relative ~5e-15, orders below any caller's 10^-9 grid; the contract
+    // here is cross-engine DETERMINISM, with accuracy merely bounded
+    val es = Seq(0.0, 1.0, -1.0, 0.6931471805599453, 42.9, -42.9) ++
+      Seq.fill(3000)((rnd.nextDouble() - 0.5) * 86.0)
+    es.foreach { x =>
+      val ref = math.exp(x)
+      val got = PortableLog.expDoubleJvm(x)
+      assert(math.abs(got - ref) <= 1e-14 * math.abs(ref), s"exp off at $x")
+    }
+    // roundtrip at the same documented relative envelope
+    Seq(0.001, 1.0, 7.25, 12345.678, 9.9e12).foreach { x =>
+      val rt = PortableLog.expDoubleJvm(PortableLog.lnDoubleJvm(x))
+      assert(math.abs(rt - x) <= 1e-14 * x, s"roundtrip off at $x")
+    }
+    // fixed points and integer-path agreement with the column mirror
+    assert(PortableLog.lnDoubleJvm(2.0) == 0.6931471805599453)
+    assert(PortableLog.expDoubleJvm(0.0) == 1.0)
+    (2L to 2000L).foreach { n =>
+      assert(java.lang.Double.doubleToLongBits(PortableLog.lnDoubleJvm(n.toDouble))
+        == java.lang.Double.doubleToLongBits(lnRef(n)), s"path split at $n")
+    }
+    // out-of-domain inputs fail loudly instead of degrading silently
+    intercept[IllegalArgumentException](PortableLog.lnDoubleJvm(0.0))
+    intercept[IllegalArgumentException](PortableLog.lnDoubleJvm(-1.0))
+    intercept[IllegalArgumentException](PortableLog.lnDoubleJvm(5e18))
+    intercept[IllegalArgumentException](PortableLog.expDoubleJvm(43.5))
+    intercept[IllegalArgumentException](PortableLog.expDoubleJvm(-44.0))
+  }
+
   test("x32/x33 probe gates match the driver-side mirror of each primitive") {
     // the diagnostic gates feed the driver's oracle hash check; here the
     // Spark side is pinned against the exact JVM integer/FP mirror so a
