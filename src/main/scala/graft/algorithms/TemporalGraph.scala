@@ -140,6 +140,95 @@ object TemporalGraph {
       .select(col("sid"), coalesce(col("n_reachable"), lit(0L)).as("n_reachable"))
   }
 
+  /** Fastest-path (minimum journey duration) sweep — the third classic
+    * temporal distance beside [[earliestArrival]] and [[latestDeparture]]
+    * (Wu et al., "Path Problems in Temporal Graphs", VLDB 2014): for each
+    * source row `(sid)` and every vertex v reachable from it, the minimum
+    * of (arrival − departure) over time-respecting paths, where departure
+    * is the time of the path's FIRST edge. Exact over the source's
+    * distinct out-edge times D (optionally capped upstream by the
+    * caller): any journey departs on some t_d ∈ D, and seeding a keyed
+    * earliest-arrival sweep per t_d never understates a duration (a path
+    * counted under an earlier key also appears under its own key with the
+    * true, smaller value), so the min over keys is the true fastest.
+    *
+    * Scale shape: the state relation is (sid, dep, id, arrival) — the
+    * g19/g37 shared multi-source sweep with `dep` as an extra key — and
+    * each round PRUNES it to the per-(sid, id) Pareto frontier: a pair
+    * (dep, arr) dominated by (dep' ≥ dep, arr' ≤ arr) can never yield a
+    * better duration downstream (future usability only loosens as arr
+    * shrinks, and arr_final − dep' ≤ arr_final − dep), so dominated rows
+    * leave both state and frontier. That bounds state by the frontier
+    * size instead of |D|·|V| — the 100 TB argument. Dominated rows a
+    * frontier edge regenerates die at the next prune and never count as
+    * progress, so termination is the plain monotone argument. All-LONG
+    * arithmetic end to end; `maxHops` throws loudly rather than
+    * returning an uncertified fixpoint.
+    *
+    * Output: (sid, id, duration) — sources themselves at duration 0.
+    */
+  def fastestDurations(edges: DataFrame, sources: DataFrame,
+      maxHops: Int = 64,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = edges.sparkSession.sparkContext
+    def tracked(df: DataFrame): (DataFrame, () => Unit) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(false)
+      val mine = sc.getPersistentRDDs.keySet -- before
+      (out, () => mine.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+    }
+    val (e, releaseE) = tracked(
+      edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+        .where(col("src") =!= col("dst")))
+    val srcs = sources.select(col("sid"))
+    val (seed, releaseSeed) = tracked(
+      e.join(srcs, e("src") === srcs("sid"))
+        .select(col("sid"), col("t").as("dep")).distinct()
+        .select(col("sid"), col("dep"), col("sid").as("id"),
+          col("dep").as("arrival")))
+    var visited = seed
+    var release = releaseSeed
+    var frontier = visited
+    var changed = frontier.count()
+    var round = 0
+    // dominance: among this (sid, id)'s pairs, a row survives iff no
+    // strictly-later departure reaches it no later
+    val wUp = Window.partitionBy(col("sid"), col("id"))
+      .orderBy(col("dep").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    while (changed > 0) {
+      round += 1
+      require(round <= maxHops,
+        s"fastestDurations: no fixpoint within $maxHops rounds — raise maxHops")
+      val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
+      val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
+        .select(f("sid"), f("dep"), e("dst").as("id"), e("t").as("arrival"),
+          lit(false).as("own"))
+      val (next, releaseNext) = tracked(
+        cand.unionByName(visited.withColumn("own", lit(true)))
+          .groupBy(col("sid"), col("dep"), col("id"))
+          .agg(min(col("arrival")).as("arrival"),
+            min(when(col("own"), col("arrival"))).as("prev"))
+          .withColumn("minUp", min(col("arrival")).over(wUp))
+          .where(col("minUp").isNull || col("arrival") < col("minUp"))
+          .select(col("sid"), col("dep"), col("id"), col("arrival"),
+            col("prev")))
+      val improved =
+        next.where(col("prev").isNull || col("arrival") < col("prev"))
+      changed = improved.count()
+      release()
+      visited = next.select(col("sid"), col("dep"), col("id"), col("arrival"))
+      frontier = improved.select(col("sid"), col("dep"), col("id"),
+        col("arrival"))
+      release = releaseNext
+    }
+    releaseE()
+    visited.groupBy(col("sid"), col("id"))
+      .agg(min(col("arrival") - col("dep")).as("duration"))
+  }
+
   /** Per-target mirror of [[kReachableCounts]] via the negate-reverse
     * reduction (the [[latestDeparture]] argument, hop-capped): for each
     * target row `(tid, deadline, floor)`, the number of distinct

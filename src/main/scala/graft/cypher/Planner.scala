@@ -225,6 +225,26 @@ final class Planner(spark: SparkSession, store0: GraphStore,
             "an event time")
         graft.algorithms.TemporalGraph.latestDeparture(te,
           Seq((target, deadline)).toDF("id", "deadline"))
+      case "graft.fastestduration" =>
+        // minimum time-respecting journey duration from a source to every
+        // reachable vertex (the g38 temporal sweep — fastest-path, the
+        // third classic temporal distance) — arg 1 names the edge-time
+        // property; same loud-failure contract as latestDeparture (an
+        // event time has no sane default).
+        nargs(2)
+        import spark.implicits._
+        val source = longArg(0)          // validate args before scanning
+        val fdProp = strArg(1).getOrElse("t")
+        val fte = store.allEdges.select(col("src"), col("dst"),
+          get_json_object(col("properties"), "$." + fdProp)
+            .cast("long").as("t"))
+        val fdMissing = fte.where(col("t").isNull).count()
+        require(fdMissing == 0,
+          s"graft.fastestDuration: $fdMissing edge(s) missing/non-numeric " +
+            s"time property '$fdProp' — a temporal sweep cannot default " +
+            "an event time")
+        graft.algorithms.TemporalGraph.fastestDurations(fte,
+          Seq(source).toDF("sid")).drop("sid")
       case other => sys.error(s"unknown procedure '$other' — available: " +
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
@@ -232,7 +252,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.kTruss(k), graft.walks(sourceId, walksPerStart, steps), " +
         "graft.scc(), graft.linkPrediction(topK), graft.mis(), " +
         "graft.distance(srcId, dstId, maxHops[, 'weightProp']), " +
-        "graft.latestDeparture(targetId, deadline[, 'timeProp'])")
+        "graft.latestDeparture(targetId, deadline[, 'timeProp']), " +
+        "graft.fastestDuration(sourceId[, 'timeProp'])")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

@@ -419,6 +419,31 @@ object CypherGateQueries {
     // literals as g36 (highest user id, global max event time), so the
     // gate reuses g36's unrolled oracle verbatim. Edge times resolve
     // from the properties JSON; a missing time fails loudly (CypherSpec).
+    // CALL surface over the g38 fastest-duration sweep (r12): same
+    // derived temporal store as cy37, source = the lowest user id; the
+    // engine filters self-loops before deriving the departure set, so
+    // the g38 oracle mirrors exactly.
+    "cy38_fastest_duration" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.store.Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("u"))).head()
+      val (nu, srcU) = (b.getLong(0) + 1, b.getLong(1))
+      val te = ev.select(col("eid").as("id"), col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      val verts = te.select(col("src").as("id"))
+        .unionByName(te.select(col("dst").as("id"))).distinct()
+      val store = new GraphStore(Map("User" -> verts),
+        Map("INTERACTS" -> te))
+      new CypherSession(s, store).run(
+        s"""CALL graft.fastestDuration($srcU, 't')
+           |YIELD id, duration
+           |RETURN id AS user_id, duration
+           |ORDER BY user_id""".stripMargin)
+    }),
+
     "cy37_latest_departure" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = graft.store.Tables.load(s, dir, "events")
@@ -469,6 +494,7 @@ object CypherGateQueries {
     // the CALL surface must answer to the SAME oracle as the g36 gate —
     // identical derived temporal graph, target, and deadline
     "cy37_latest_departure" -> GraphQueries.oracle("g36_temporal_depart"),
+    "cy38_fastest_duration" -> GraphQueries.oracle("g38_temporal_fastest"),
     "cy1_match_where" ->
       """SELECT c_custkey AS ck, o_orderkey AS ok
         |FROM customer JOIN orders ON o_custkey = c_custkey

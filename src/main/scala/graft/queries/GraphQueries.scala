@@ -735,6 +735,32 @@ object GraphQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Fastest-path durations (r12) — the third classic temporal distance
+    // beside g35 earliest-arrival and g36 latest-departure: for every
+    // vertex reachable from the lowest user id, the minimum journey
+    // duration (arrival − first-hop departure) over time-respecting
+    // paths, exact over the source's distinct out-edge departure times.
+    // Same derived temporal graph as g35; all-LONG micros end to end, so
+    // the duration relation is hash-checkable against the keyed unrolled
+    // relaxation (one min-arrival sweep per departure key, min duration
+    // over keys at the end). Self-loops are filtered BEFORE the departure
+    // set is derived on both sides (at sf0.001 the derived graph has
+    // genuine self-loops and the dep sets must agree).
+    "g38_temporal_fastest" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("u"))).head()
+      val (nu, srcU) = (b.getLong(0) + 1, b.getLong(1))
+      val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      graft.algorithms.TemporalGraph.fastestDurations(te, Seq(srcU).toDF("sid"))
+        .select(col("id").as("user_id"), col("duration"))
+        .orderBy(col("user_id"))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -918,6 +944,38 @@ object GraphQueries {
          |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_reachable
          |FROM srcs s LEFT JOIN cnt c ON c.sid = s.sid
          |ORDER BY user_id""".stripMargin
+    },
+
+    // The g35 relaxation keyed by the source's distinct (self-loop-free)
+    // out-edge departure times, unrolled to the same 40-round budget;
+    // the final MIN(arrival - dep) over keys is the fastest duration
+    // (a path counted under an earlier key never understates — it also
+    // appears under its own key with the true value). All-LONG.
+    "g38_temporal_fastest" -> {
+      val rounds = 40
+      val iter = (1 to rounds).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT dep, id, MIN(arrival) AS arrival FROM (
+           |    SELECT dep, id, arrival FROM a${i - 1}
+           |    UNION ALL
+           |    SELECT w.dep, e.dst, e.t FROM a${i - 1} w
+           |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
+           |  GROUP BY dep, id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+         |              CAST(event_id AS BIGINT) AS eid,
+         |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+         |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(u) AS su FROM ev),
+         |te0 AS (SELECT u AS src,
+         |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
+         |        FROM ev),
+         |te AS (SELECT src, dst, t FROM te0 WHERE src <> dst),
+         |a0 AS (SELECT DISTINCT t AS dep, (SELECT su FROM bounds) AS id,
+         |         t AS arrival
+         |       FROM te WHERE src = (SELECT su FROM bounds)),
+         |$iter
+         |SELECT id AS user_id, CAST(MIN(arrival - dep) AS BIGINT) AS duration
+         |FROM a$rounds GROUP BY id ORDER BY user_id""".stripMargin
     },
 
     // Same wedge machinery as g31, plus the center degree per wedge; the

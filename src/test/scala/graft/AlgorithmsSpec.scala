@@ -574,4 +574,30 @@ class AlgorithmsSpec extends AnyFunSuite {
     // floor above every viable departure: only the target itself
     assert(reaching(Seq((4L, 60L, 55L)), 3) == Map(4L -> 2L)) // 3 departs 60
   }
+
+  test("temporal fastest durations: later departure beats earliest arrival") {
+    import graft.algorithms.TemporalGraph
+    val e = Seq(
+      (1L, 2L, 2L), (2L, 4L, 20L),   // dep 2, arrive 4 @20 -> duration 18
+      (1L, 3L, 10L), (3L, 4L, 25L),  // dep 10, arrive 4 @25 -> duration 15
+      (4L, 5L, 30L),                 // open from either route
+      (7L, 8L, 1L),                  // disconnected component
+      (2L, 2L, 6L))                  // self-loop: inert, not a departure
+      .toDF("src", "dst", "t")
+    def fastest(sids: Seq[Long]): Map[(Long, Long), Long] =
+      TemporalGraph.fastestDurations(e, sids.toDF("sid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // earliest arrival at 4 is 20 (via the dep-2 route, duration 18); the
+    // fastest journey departs later and arrives later: duration 15
+    assert(fastest(Seq(1L)) == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 0L, (1L, 3L) -> 0L,
+      (1L, 4L) -> 15L,
+      // 5 via dep 10: arr(4)=25 <= 30, duration 30-10=20 beats 30-2=28
+      (1L, 5L) -> 20L))
+    // multi-source keyed sweep stays per-source
+    assert(fastest(Seq(1L, 7L)).view.filterKeys(_._1 == 7L).toMap ==
+      Map((7L, 7L) -> 0L, (7L, 8L) -> 0L))
+    // a source with no (non-self-loop) out-edges is absent entirely
+    assert(fastest(Seq(5L)).isEmpty)
+  }
 }

@@ -705,6 +705,29 @@ class CypherSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("time property 't'"), e2.getMessage)
   }
 
+  test("CALL graft.fastestDuration: temporal sweep, loud failure paths") {
+    val sess = session
+    // KNOWS carries `since`: 1-[2020]->2-[2021]->3. From Alice the only
+    // departure is 2020; durations are 0/0/1 (waiting one unit at Bob).
+    val df = sess.run(
+      s"CALL graft.fastestDuration(${Graphid.pack(100, 1)}, 'since') " +
+        "YIELD id, duration RETURN id, duration ORDER BY id")
+    assert(rows(df) == Seq(
+      Seq(Graphid.pack(100, 1), 0L),
+      Seq(Graphid.pack(100, 2), 0L),
+      Seq(Graphid.pack(100, 3), 1L)))
+    // the default time property 't' is absent from every KNOWS edge —
+    // a temporal sweep must refuse to default an event time
+    val e1 = intercept[Exception](sess.run(
+      s"CALL graft.fastestDuration(${Graphid.pack(100, 1)}) " +
+        "YIELD id, duration RETURN id"))
+    assert(e1.getMessage.contains("time property 't'"), e1.getMessage)
+    // too many arguments fail loudly
+    val e2 = intercept[Exception](sess.run(
+      "CALL graft.fastestDuration(1, 'since', 3) YIELD id RETURN id"))
+    assert(e2.getMessage.contains("at most 2"), e2.getMessage)
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store
