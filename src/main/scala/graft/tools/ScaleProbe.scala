@@ -68,6 +68,7 @@ object ScaleProbe {
       case "temporal" => temporalProbe(spark, sfDir)
       case "kmeans"   => kmeansProbe(spark, sfDir)
       case "mis"      => misProbe(spark, sfDir)
+      case "fastest"  => fastestProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -995,6 +996,73 @@ object ScaleProbe {
         (col("id") + 1L).as("dst")).localCheckpoint()
       chain.count()
       run(s"chain-$d", chain)
+    }
+  }
+
+  /** g38's scale axes. (a) volume: k disjoint id-shifted replicas of the
+    * derived event graph, one source per replica — per-replica work is
+    * constant, so total time must grow (sub)linearly. (b) departure fan:
+    * a source with D parallel out-edges (times 1..D) into a 30-step chain
+    * — all D (dep, arr) pairs are Pareto-incomparable AT the gateway, but
+    * one pair dominates from the first chain hop on, so the keyed state
+    * must collapse to ~|V| and time must stay ~flat in D. Linear-in-D
+    * growth here would flag the |D|x|V| blowup the per-(sid,id) dominance
+    * prune exists to prevent. Run with SPARK_GRAFT_PROBE=fastest; stdout
+    * committed as tools/scaleprobe_fastest_r12.txt.
+    */
+  private def fastestProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import graft.algorithms.TemporalGraph
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    val ev = graft.store.Tables.load(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"),
+        unix_micros(col("ts")).as("t"))
+      .localCheckpoint()
+    val b = ev.agg(max(col("u")), min(col("u"))).head()
+    val (nu, srcU) = (b.getLong(0) + 1, b.getLong(1))
+    for (k <- Seq(1, 4, 16)) {
+      val te = (0 until k).map { i =>
+        ev.select((col("u") + lit(i * nu)).as("src"),
+          ((col("u") + 1 + col("eid") % 97) % nu + lit(i * nu)).as("dst"),
+          col("t"))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+      val nEdges = te.count()
+      val sources = (0 until k).map(i => srcU + i * nu).toDF("sid")
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val s0 = System.nanoTime()
+        val nReached = TemporalGraph.fastestDurations(te, sources).count()
+        val dt = (System.nanoTime() - s0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, nReached)
+      }
+      println(f"SCALE axis=fvolume-$k edges=$nEdges reached=${times.head._2} " +
+        f"min=${times.map(_._1).min}%.2f s " +
+        times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+    val chainLen = 30L
+    for (d <- Seq(8L, 64L, 512L)) {
+      val gate = spark.range(1L, d + 1)
+        .select(lit(0L).as("src"), lit(1L).as("dst"), col("id").as("t"))
+      val chain = spark.range(1L, chainLen)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"),
+          (col("id") + d).as("t"))
+      val te = gate.unionByName(chain).localCheckpoint()
+      te.count()
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      val res = TemporalGraph.fastestDurations(te, Seq(0L).toDF("sid"))
+        .collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+      // every chain vertex v>=2 must close at duration (v-1): dep d,
+      // arrive d+v-1 — a wrong Pareto prune would surface here
+      val bad = res.count(r => r.getLong(1) >= 2 &&
+        r.getLong(2) != r.getLong(1) - 1)
+      println(f"SCALE axis=fdep-$d reached=${res.length} bad=$bad dt=$dt%.2f s")
     }
   }
 }
