@@ -48,6 +48,24 @@ object Similarity {
       .select(col("pid"), col("rank"), col("cid"), col("sim"))
   }
 
+  /** Exact radius (range) search: every corpus vector with cosine ≥ tau of
+    * each probe — the retrieval/dedup primitive where the neighbor COUNT is
+    * data-dependent instead of a fixed k. Same scan shape as
+    * [[bruteForceTopK]] minus the ranking window: probes broadcast, the
+    * corpus never shuffles, and the threshold filter is applied map-side,
+    * so the whole operator is one codegen'd pass over the corpus.
+    */
+  def radiusSearch(corpus: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], tau: Double): DataFrame = {
+    val base = prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
+    val probes = base.filter(col("cid").isin(probeIds: _*))
+      .select(col("cid").as("pid"), col("cvec").as("pvec"), col("cnorm").as("pnorm"))
+    base.join(broadcast(probes), col("cid") =!= col("pid"))
+      .withColumn("sim", dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm")))
+      .where(col("sim") >= tau)
+      .select(col("pid"), col("cid"), col("sim"))
+  }
+
   /** Deterministic ±1 hyperplane for plane m: component j has the parity of
     * the shared md5-prefix hash of "plane{m}_{j}" — computed once on the
     * driver, shipped as a literal array (the SQL oracle recomputes the same

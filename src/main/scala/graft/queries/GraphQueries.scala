@@ -409,6 +409,29 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Closeness centrality (r12) — the classic companion to g26's
+    // harmonic variant, over the SAME shared multi-source BFS sweep but
+    // aggregated per source: total shortest-path distance and reachable
+    // count, Wasserman–Faust style (closeness over the reachable set
+    // only, so disconnected pairs never poison the sum). Integer-pure
+    // end to end: sum_dist and n_reached are BIGINT and the ppm-scaled
+    // closeness is one integer div — nothing for the driver's libm to
+    // disagree about.
+    "g39_closeness" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val starts = (1L to 50L)
+        .map(graft.model.Graphid.pack(GraphStore.Lab.Customer, _)).toDF("id")
+      Traversals.bfsDistancesPerSource(srcDst(g.allEdges), starts, 6)
+        .where(col("dist") > 0)
+        .groupBy(col("start_id"))
+        .agg(sum(col("dist")).cast("long").as("sum_dist"),
+          count(lit(1)).as("n_reached"))
+        .withColumn("closeness_ppm",
+          expr("(1000000 * n_reached) div sum_dist"))
+        .orderBy(col("start_id"))
+    }),
+
     // Deterministic hash-guided random walks (r8) — the DeepWalk/node2vec
     // corpus-sampling primitive: 3 walks x 6 steps from each of 20
     // customers, next hop = argmin h32("start|walk|step|neighbor") over
@@ -1493,5 +1516,29 @@ object GraphQueries {
          |SELECT id, CAST(SUM(840 // dist) AS BIGINT) AS h840,
          |       CAST(COUNT(*) AS BIGINT) AS n_reached
          |FROM md WHERE dist > 0
-         |GROUP BY id ORDER BY id""".stripMargin)
+         |GROUP BY id ORDER BY id""".stripMargin,
+    // g26's sweep relation aggregated per source; every output column is
+    // integer (the ppm closeness is a single BIGINT-pinned integer div,
+    // positive operands so // == div)
+    "g39_closeness" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |starts(id) AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT)
+         |  FROM customer WHERE c_custkey BETWEEN 1 AND 50
+         |),
+         |bfs(start_id, id, dist) AS (
+         |  SELECT id, id, 0 FROM starts
+         |  UNION ALL
+         |  SELECT b.start_id, e.dst, b.dist + 1
+         |  FROM bfs b JOIN edges e ON e.src = b.id
+         |  WHERE b.dist < 6
+         |),
+         |md AS (SELECT start_id, id, MIN(dist) AS dist
+         |       FROM bfs GROUP BY start_id, id)
+         |SELECT start_id, CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         |       CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |       CAST(CAST(1000000 * COUNT(*) AS BIGINT)
+         |            // CAST(SUM(dist) AS BIGINT) AS BIGINT) AS closeness_ppm
+         |FROM md WHERE dist > 0
+         |GROUP BY start_id ORDER BY start_id""".stripMargin)
 }

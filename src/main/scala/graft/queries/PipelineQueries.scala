@@ -77,6 +77,17 @@ object PipelineQueries {
       Similarity.annTopK(embs(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L), 5, 8)
         .orderBy(col("pid"), col("rank"))),
 
+    // Radius (range) similarity search (r12): every corpus vector within
+    // cosine >= 0.25 of probes 0/1/2 — e1's scan shape with the ranking
+    // window replaced by a map-side threshold filter. The hashed `sim`
+    // doubles reuse e1's driver-proven sequential-fold cosine, and the
+    // threshold compares the SAME doubles on both engines, so the row
+    // sets cannot diverge.
+    "e9_radius_search" -> ((s, dir) =>
+      Similarity.radiusSearch(embs(s, dir), "vec_id", "embedding",
+          Seq(0L, 1L, 2L), 0.25)
+        .orderBy(col("pid"), col("cid"))),
+
     "t1_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "text")
         .groupBy(col("lang"), col("predicted_lang"))
@@ -678,6 +689,13 @@ object PipelineQueries {
          |)
          |SELECT pid, rank, cid, sim FROM ranked WHERE rank <= 10
          |ORDER BY pid, rank""".stripMargin,
+    "e9_radius_search" ->
+      s"""SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |  ${cosSql("p.embedding", "c.embedding")} AS sim
+         |FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |WHERE p.vec_id IN (0, 1, 2)
+         |  AND ${cosSql("p.embedding", "c.embedding")} >= 0.25
+         |ORDER BY pid, cid""".stripMargin,
     "e2_ann_lsh" ->
       s"""WITH bucketed AS (
          |  SELECT vec_id AS cid, embedding AS cvec,

@@ -63,6 +63,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(5L)))
   }
 
+  test("radius search returns exactly the vectors inside the cosine ball") {
+    def vec(hot: Seq[(Int, Float)]): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      hot.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val vecs = Seq(
+      (0L, vec(Seq(0 -> 1.0f))),             // probe
+      (1L, vec(Seq(0 -> 2.0f))),             // colinear: sim 1.0
+      (2L, vec(Seq(1 -> 1.0f))),             // orthogonal: sim 0.0
+      (3L, vec(Seq(0 -> 1.0f, 1 -> 1.0f))),  // 45 deg: sim ~0.7071
+      (4L, vec(Seq(0 -> -1.0f))))            // opposite: sim -1.0
+      .toDF("vec_id", "embedding")
+    def ids(tau: Double): Set[Long] =
+      Similarity.radiusSearch(vecs, "vec_id", "embedding", Seq(0L), tau)
+        .collect().map(_.getLong(1)).toSet
+    assert(ids(0.5) == Set(1L, 3L))
+    assert(ids(0.8) == Set(1L))
+    assert(ids(-2.0) == Set(1L, 2L, 3L, 4L)) // never the probe itself
+    // agrees with brute-force ranking on the same ball
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L), 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(ids(0.5) == bf)
+  }
+
   test("ANN bucket search agrees with brute force for same-bucket neighbors") {
     val vecs = (0 until 50).map { i =>
       val v = Array.tabulate(64)(j => if (j == i % 8) 1.0f else 0.01f * ((i * 7 + j) % 5))

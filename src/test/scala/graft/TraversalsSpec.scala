@@ -244,6 +244,26 @@ class TraversalsSpec extends AnyFunSuite {
     assert(capped == exp.filter(_._3 <= 1))
   }
 
+  test("closeness aggregation over the per-source sweep (the g39 shape)") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    val e = dag.edges("LINK")
+    val starts = Seq(idOf("A"), idOf("B")).toDF("id")
+    // A reaches B,C at 1 and D,E at 2: sum 6, n 4, ppm 4e6 div 6 = 666666
+    // B reaches D,E at 1:              sum 2, n 2, ppm 2e6 div 2 = 1000000
+    val got = Traversals.bfsDistancesPerSource(e, starts, 5)
+      .where(col("dist") > 0)
+      .groupBy(col("start_id"))
+      .agg(sum(col("dist")).cast("long").as("sum_dist"),
+        count(lit(1)).as("n_reached"))
+      .withColumn("closeness_ppm", expr("(1000000 * n_reached) div sum_dist"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      idOf("A") -> ((6L, 4L, 666666L)),
+      idOf("B") -> ((2L, 2L, 1000000L))))
+  }
+
   test("allShortestPaths enumerates every minimum-length path (A→E via B and C)") {
     val got = Traversals.allShortestPaths(dag.edges("LINK"), idOf("A"), idOf("E"), 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
