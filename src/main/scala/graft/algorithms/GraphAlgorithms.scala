@@ -1420,4 +1420,97 @@ object GraphAlgorithms {
         col("x.cdeg").as("cdeg"))
     (und, deg, aggs => pairs.groupBy(col("a"), col("b")).agg(aggs.head, aggs.tail: _*))
   }
+
+  /** HyperANF-style approximate neighborhood function (Boldi–Rosa–Vigna,
+    * WWW 2011; lineage: ANF, Palmer et al. KDD 2002): for each radius
+    * h ≤ rounds, an estimate of N(h) = Σ_v |{w : dist(v, w) ≤ h}| over
+    * out-neighborhoods — the sketch that replaces the |V|² distance
+    * closure for diameter/centrality profiling at web scale.
+    *
+    * The per-vertex sketch is a 16-register HLL variant kept INTEGER-PURE
+    * end to end: vertex w hashes once to x = h32("anf|" + w); register
+    * index j = x % 16; the register carries lb = lowbit((x div 16) + 1),
+    * a power of two with P(lb ≥ 2^k) = 2^-k — the same geometric tail as
+    * HLL's leading-zero rank, but computable with `y & -y` instead of a
+    * bit-length scan. Ball merge is groupBy(id, j).max(lb) (lowbit order
+    * ≡ rank order), and the harmonic denominator Σ_j 2^-rank becomes the
+    * EXACT BIGINT harm_v = Σ_present (2^32 div lb) + absent·2^32 — a
+    * power of two divided by a smaller power of two never rounds. The
+    * α₁₆·r² = 0.673·256 bias constant enters as the integer ratio
+    * 172288/1000, so nf_est = Σ_v (172288·2^32) div (1000·harm_v) is
+    * pure integer arithmetic reproducible on any engine — no FP, no
+    * libm, nothing for an oracle host to evaluate differently. Raw HLL
+    * only (no small-range correction): at tiny ball sizes the known
+    * ~α·r²/(r-1) bias applies identically on both sides, and the digest
+    * columns (n_regs, sum_lb) stay exact regardless.
+    *
+    * Scale shape: state is ≤ 16 rows per vertex, and each round is one
+    * edges⋈state join plus one partial-aggregated max — never a distance
+    * enumeration. `rounds` is a hard budget; past the true eccentricity
+    * fixpoint the digests simply repeat.
+    *
+    * Returns one row per h ∈ [0, rounds]: (h, n_regs, sum_lb, nf_est).
+    */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(rounds >= 0, "neighborhoodFunction needs rounds >= 0")
+    val (e, releaseE) = trackedCheckpoint(
+      edges.select(col("src"), col("dst")).where(col("src") =!= col("dst")),
+      eager = false)
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val seed = verts
+      .withColumn("x",
+        graft.pipeline.TextHash.h32(concat(lit("anf|"), col("id").cast("string"))))
+      .withColumn("j", expr("x % 16"))
+      .withColumn("y", expr("(x div 16) + 1"))
+      .select(col("id"), col("j"), expr("y & -y").as("lb"))
+    def digest(state: DataFrame, h: Int): (Long, Long, Long, Long) = {
+      val r = state
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("present"),
+          sum(expr("4294967296 div lb")).as("harm_p"),
+          sum(col("lb")).as("sl"))
+        .withColumn("harm", expr("harm_p + (16 - present) * 4294967296"))
+        .agg(sum(col("present")).as("n_regs"), sum(col("sl")).as("sum_lb"),
+          sum(expr("(172288 * 4294967296) div (1000 * harm)")).as("nf_est"))
+        .head()
+      def g(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (h.toLong, g(0), g(1), g(2))
+    }
+    var (state, release) = trackedCheckpoint(seed, eager = true)
+    val digests = collection.mutable.ArrayBuffer(digest(state, 0))
+    for (h <- 1 to rounds) {
+      val cand = e.join(state, state("id") === e("dst"))
+        .select(e("src").as("id"), state("j"), state("lb"))
+      val (next, releaseNext) = trackedCheckpoint(
+        state.unionByName(cand).groupBy(col("id"), col("j"))
+          .agg(max(col("lb")).as("lb")),
+        eager = true)
+      release()
+      state = next
+      release = releaseNext
+      digests += digest(state, h)
+    }
+    release()
+    releaseE()
+    digests.toSeq.toDF("h", "n_regs", "sum_lb", "nf_est")
+  }
+
+  /** Effective diameter off a [[neighborhoodFunction]] digest: the
+    * smallest h whose estimate reaches ⌈0.9·N̂(h_max)⌉ — the integer
+    * comparison form, so the read-off inherits the digest's
+    * engine-portability.
+    */
+  def effectiveDiameter(digests: DataFrame, fraction: (Long, Long) = (9L, 10L)): Long = {
+    import org.apache.spark.sql.functions.col
+    val rows = digests.select(col("h"), col("nf_est")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(rows.nonEmpty, "effectiveDiameter needs a non-empty digest")
+    val (num, den) = fraction
+    val target = (num * rows.last._2 + den - 1) / den
+    rows.collectFirst { case (h, est) if est >= target => h }.getOrElse(rows.last._1)
+  }
 }

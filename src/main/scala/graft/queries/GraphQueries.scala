@@ -432,6 +432,21 @@ object GraphQueries {
         .orderBy(col("start_id"))
     }),
 
+    // Approximate neighborhood function (r12) — HyperANF's sketch recipe
+    // over the TPC-H graph, radii 0..4: per radius, the integer digest of
+    // the 16-register-per-vertex relation (register count, register sum)
+    // plus the HLL estimate of N(h) = Σ_v |ball(v, h)|. The whole sketch
+    // is integer-pure by construction (lowbit registers, power-of-two
+    // divisions, α·r² as 172288/1000), so even the ESTIMATE hashes
+    // cleanly against the unrolled SQL mirror — the first estimator gate
+    // with no rows-only column at all.
+    "g40_anf" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      graft.algorithms.GraphAlgorithms
+        .neighborhoodFunction(srcDst(g.allEdges), 4)
+        .orderBy(col("h"))
+    }),
+
     // Deterministic hash-guided random walks (r8) — the DeepWalk/node2vec
     // corpus-sampling primitive: 3 walks x 6 steps from each of 20
     // customers, next hop = argmin h32("start|walk|step|neighbor") over
@@ -1540,5 +1555,45 @@ object GraphQueries {
          |       CAST(CAST(1000000 * COUNT(*) AS BIGINT)
          |            // CAST(SUM(dist) AS BIGINT) AS BIGINT) AS closeness_ppm
          |FROM md WHERE dist > 0
-         |GROUP BY start_id ORDER BY start_id""".stripMargin)
+         |GROUP BY start_id ORDER BY start_id""".stripMargin,
+    // Op-for-op mirror of the integer-pure ANF sketch: same h32 seed
+    // ("anf|" + id), same lowbit registers, same exact power-of-two
+    // harmonic sums, unrolled to the gate's 4 rounds. Every aggregate is
+    // BIGINT-pinned (DuckDB SUM widens to HUGEINT).
+    "g40_anf" -> {
+      import graft.pipeline.TextHash.h32Sql
+      val rounds = 4
+      val iter = (1 to rounds).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT id, j, MAX(lb) AS lb FROM (
+           |    SELECT id, j, lb FROM a${i - 1}
+           |    UNION ALL
+           |    SELECT e.src AS id, w.j, w.lb FROM a${i - 1} w
+           |    JOIN e2 e ON w.id = e.dst)
+           |  GROUP BY id, j)""".stripMargin
+      }.mkString(",\n")
+      val digests = (0 to rounds).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS h,
+           |  CAST(SUM(present) AS BIGINT) AS n_regs,
+           |  CAST(SUM(sl) AS BIGINT) AS sum_lb,
+           |  CAST(SUM((172288 * 4294967296)
+           |    // (1000 * (harm_p + (16 - present) * 4294967296))) AS BIGINT)
+           |    AS nf_est
+           |FROM (SELECT id, CAST(COUNT(*) AS BIGINT) AS present,
+           |        CAST(SUM(4294967296 // lb) AS BIGINT) AS harm_p,
+           |        CAST(SUM(lb) AS BIGINT) AS sl
+           |      FROM a$i GROUP BY id)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $edgesCte,
+         |e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
+         |v AS (SELECT src AS id FROM e2 UNION SELECT dst AS id FROM e2),
+         |a0 AS MATERIALIZED (
+         |  SELECT id, x % 16 AS j, (y & -y) AS lb FROM (
+         |    SELECT id, x, (x // 16) + 1 AS y FROM (
+         |      SELECT id, ${h32Sql("'anf|' || CAST(id AS VARCHAR)")} AS x
+         |      FROM v))),
+         |$iter
+         |$digests
+         |ORDER BY h""".stripMargin
+    })
 }

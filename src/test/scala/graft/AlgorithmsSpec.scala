@@ -600,4 +600,56 @@ class AlgorithmsSpec extends AnyFunSuite {
     // a source with no (non-self-loop) out-edges is absent entirely
     assert(fastest(Seq(5L)).isEmpty)
   }
+
+  test("neighborhood function matches a register-level replica; fixpoint repeats") {
+    // pure-Scala replica of the integer-pure sketch (same md5-prefix h32)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def reg(id: Long): (Long, Long) = {
+      val x = h32(s"anf|$id"); val y = x / 16 + 1; (x % 16, y & -y)
+    }
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val balls: Map[Int, Map[Long, Set[Long]]] = Map(
+      0 -> Map(1L -> Set(1L), 2L -> Set(2L), 3L -> Set(3L),
+        7L -> Set(7L), 8L -> Set(8L)),
+      1 -> Map(1L -> Set(1L, 2L), 2L -> Set(2L, 3L), 3L -> Set(3L),
+        7L -> Set(7L, 8L), 8L -> Set(8L)),
+      2 -> Map(1L -> Set(1L, 2L, 3L), 2L -> Set(2L, 3L), 3L -> Set(3L),
+        7L -> Set(7L, 8L), 8L -> Set(8L)))
+    def digestOf(h: Int): (Long, Long, Long) = {
+      val perVertex = balls(h).values.map { ball =>
+        val regs = ball.toSeq.map(reg).groupBy(_._1)
+          .map { case (j, vs) => j -> vs.map(_._2).max }
+        val harm = regs.values.map(4294967296L / _).sum +
+          (16 - regs.size) * 4294967296L
+        (regs.size.toLong, regs.values.sum,
+          (172288L * 4294967296L) / (1000L * harm))
+      }
+      (perVertex.map(_._1).sum, perVertex.map(_._2).sum, perVertex.map(_._3).sum)
+    }
+    val got = GraphAlgorithms.neighborhoodFunction(edges, 3)
+      .collect()
+      .map(r => r.getLong(0).toInt ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(0, 1, 2, 3))
+    for (h <- 0 to 2) assert(got(h) == digestOf(h), s"radius $h")
+    // both components have eccentricity <= 2: radius 3 repeats the fixpoint
+    assert(got(3) == got(2))
+    // estimates are monotone in the radius (balls only grow)
+    assert(got(0)._3 <= got(1)._3 && got(1)._3 <= got(2)._3)
+  }
+
+  test("effective diameter reads the 90% radius off the digest") {
+    val digests = Seq((0L, 5L, 5L, 50L), (1L, 9L, 9L, 120L),
+      (2L, 12L, 12L, 180L), (3L, 12L, 12L, 185L))
+      .toDF("h", "n_regs", "sum_lb", "nf_est")
+    // ceil(0.9 * 185) = 167 -> first h at or above is 2
+    assert(GraphAlgorithms.effectiveDiameter(digests) == 2L)
+    // a half-mass read-off: ceil(185/2) = 93 -> h = 1
+    assert(GraphAlgorithms.effectiveDiameter(digests, (1L, 2L)) == 1L)
+  }
 }
