@@ -69,6 +69,7 @@ object ScaleProbe {
       case "kmeans"   => kmeansProbe(spark, sfDir)
       case "mis"      => misProbe(spark, sfDir)
       case "fastest"  => fastestProbe(spark, sfDir)
+      case "anf"      => anfProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -1063,6 +1064,57 @@ object ScaleProbe {
       val bad = res.count(r => r.getLong(1) >= 2 &&
         r.getLong(2) != r.getLong(1) - 1)
       println(f"SCALE axis=fdep-$d reached=${res.length} bad=$bad dt=$dt%.2f s")
+    }
+  }
+
+  /** g40's scale axes. (a) volume: k disjoint id-shifted replicas of the
+    * TPC-H graph — sketch state is ≤16 rows/vertex by construction, so
+    * time must grow linearly with |V|+|E|, never with Σ|ball| (which
+    * grows much faster as radii deepen). (b) radius: rounds 2/4/8 on the
+    * base graph — per-round cost is one edges⋈state join over a
+    * SATURATING state relation, so marginal round cost must flatten,
+    * where an exact closure's per-round cost would keep growing with
+    * ball size. Run with SPARK_GRAFT_PROBE=anf; stdout committed as
+    * tools/scaleprobe_anf_r12.txt.
+    */
+  private def anfProbe(spark: SparkSession, sfDir: String): Unit = {
+    val base = graft.store.GraphStore.tpch(spark, sfDir)
+      .allEdges.select(col("src"), col("dst")).localCheckpoint()
+    base.count()
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    for (k <- Seq(1, 4, 16)) {
+      val df = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong << 28)).as("src"),
+          (col("dst") + lit(i.toLong << 28)).as("dst")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val nEdges = df.count()
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.algorithms.GraphAlgorithms
+          .neighborhoodFunction(df, 4).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, n)
+      }
+      println(f"SCALE axis=anfvol-$k edges=$nEdges rows=${times.head._2} " +
+        f"min=${times.map(_._1).min}%.2f s " +
+        times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+    for (r <- Seq(2, 4, 8)) {
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.algorithms.GraphAlgorithms.neighborhoodFunction(base, r).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        dt
+      }
+      println(f"SCALE axis=anfradius-$r min=${times.min}%.2f s " +
+        times.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
     }
   }
 }
