@@ -1461,38 +1461,59 @@ object GraphAlgorithms {
       eager = false)
     val verts = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
+    // DENSE register layout — one row per vertex, 16 long columns (0 =
+    // register absent). A sparse (id, j, lb) relation is the oracle's
+    // natural shape but ships 16 candidate rows per edge per round; the
+    // dense row ships ONE, the merge is 16 codegen'd MAXes under a single
+    // |V|-key groupBy (map-side combinable), and the digest collapses to
+    // one aggregation with no per-vertex regrouping — measured ~2× on the
+    // sf0.1 graph.
+    val regCols = (0 until 16).map(k => s"r$k")
     val seed = verts
       .withColumn("x",
         graft.pipeline.TextHash.h32(concat(lit("anf|"), col("id").cast("string"))))
       .withColumn("j", expr("x % 16"))
       .withColumn("y", expr("(x div 16) + 1"))
-      .select(col("id"), col("j"), expr("y & -y").as("lb"))
+      .withColumn("lb", expr("y & -y"))
+      .select(col("id") +: (0 until 16).map(k =>
+        when(col("j") === k, col("lb")).otherwise(lit(0L)).as(s"r$k")): _*)
     def digest(state: DataFrame, h: Int): (Long, Long, Long, Long) = {
+      val present = regCols.map(c => s"(case when $c > 0 then 1 else 0 end)")
+        .mkString(" + ")
+      val harm = regCols.map(c =>
+        s"(case when $c = 0 then 4294967296 else 4294967296 div $c end)")
+        .mkString(" + ")
       val r = state
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("present"),
-          sum(expr("4294967296 div lb")).as("harm_p"),
-          sum(col("lb")).as("sl"))
-        .withColumn("harm", expr("harm_p + (16 - present) * 4294967296"))
-        .agg(sum(col("present")).as("n_regs"), sum(col("sl")).as("sum_lb"),
-          sum(expr("(172288 * 4294967296) div (1000 * harm)")).as("nf_est"))
+        .agg(sum(expr(present)).as("n_regs"),
+          sum(expr(regCols.mkString(" + "))).as("sum_lb"),
+          sum(expr(s"(172288 * 4294967296) div (1000 * ($harm))")).as("nf_est"))
         .head()
       def g(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
       (h.toLong, g(0), g(1), g(2))
     }
     var (state, release) = trackedCheckpoint(seed, eager = true)
+    // |V| never changes across rounds, so one count gates every round's
+    // broadcast. The dense row is ~17 longs, so the ceiling sits 8× under
+    // the (id, long) one — ~70 MB of broadcast at the cap.
+    val nVerts = state.count()
+    val bcast = nVerts <= BroadcastVertexRows / 8
     val digests = collection.mutable.ArrayBuffer(digest(state, 0))
     for (h <- 1 to rounds) {
-      val cand = e.join(state, state("id") === e("dst"))
-        .select(e("src").as("id"), state("j"), state("lb"))
+      val st = if (bcast) broadcast(state) else state
+      val cand = e.join(st, st("id") === e("dst"))
+        .select(e("src").as("id") +: regCols.map(c => st(c)): _*)
+      // lazy checkpoint: the round's digest aggregation is the job that
+      // materializes it — one job per round instead of checkpoint + digest
+      // (the AQE job floor, not shuffle volume, prices this loop)
       val (next, releaseNext) = trackedCheckpoint(
-        state.unionByName(cand).groupBy(col("id"), col("j"))
-          .agg(max(col("lb")).as("lb")),
-        eager = true)
+        state.unionByName(cand).groupBy(col("id"))
+          .agg(max(col(regCols.head)).as(regCols.head),
+            regCols.tail.map(c => max(col(c)).as(c)): _*),
+        eager = false)
+      digests += digest(next, h)
       release()
       state = next
       release = releaseNext
-      digests += digest(state, h)
     }
     release()
     releaseE()
