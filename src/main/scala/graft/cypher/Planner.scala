@@ -157,6 +157,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         GraphAlgorithms.triangleCountDF(edges)
       case "graft.degrees" => nargs(0)
         GraphAlgorithms.degrees(edges)
+      case "graft.anf" => nargs(1)
+        // approximate neighborhood function digest per radius (the g40
+        // integer-pure HyperANF sketch), default radius budget 4
+        GraphAlgorithms.neighborhoodFunction(edges, intArg(0, Some(4)))
       case "graft.ppr" => nargs(2)
         GraphAlgorithms.personalizedPageRank(edges, Seq(longArg(0)),
           intArg(1, Some(10)))
@@ -253,7 +257,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.scc(), graft.linkPrediction(topK), graft.mis(), " +
         "graft.distance(srcId, dstId, maxHops[, 'weightProp']), " +
         "graft.latestDeparture(targetId, deadline[, 'timeProp']), " +
-        "graft.fastestDuration(sourceId[, 'timeProp'])")
+        "graft.fastestDuration(sourceId[, 'timeProp']), graft.anf(rounds)")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

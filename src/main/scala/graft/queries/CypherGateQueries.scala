@@ -330,6 +330,14 @@ object CypherGateQueries {
       """CALL graft.kCore(3) YIELD id
         |RETURN count(*) AS n_core""".stripMargin),
 
+    // CALL surface over the g40 integer-pure ANF sketch (r12): same TPC-H
+    // store and radius budget, so the gate answers to the g40 oracle
+    // verbatim
+    "cy39_call_anf" -> cy(
+      """CALL graft.anf(4) YIELD h, n_regs, sum_lb, nf_est
+        |RETURN h, n_regs, sum_lb, nf_est
+        |ORDER BY h""".stripMargin),
+
     "cy29_call_degrees" -> cy(
       """CALL graft.degrees() YIELD id, in_degree AS ind, out_degree AS outd
         |WHERE outd > 20
@@ -688,6 +696,7 @@ object CypherGateQueries {
          |FROM walk ORDER BY len, node_str, rel_str""".stripMargin
     },
     "cy27_call_components" -> ExtraQueries.oracle("x7_components"),
+    "cy39_call_anf" -> GraphQueries.oracle("g40_anf"),
     "cy28_call_kcore" ->
       s"""SELECT CAST(SUM(n_core) AS BIGINT) AS n_core
          |FROM (${GraphQueries.oracle("g17_kcore")})""".stripMargin,

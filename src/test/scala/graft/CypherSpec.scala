@@ -1179,6 +1179,29 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq(Graphid.pack(100, 2), 1L, 1L)))
   }
 
+  test("CALL graft.anf yields the digest rows; arity fails loudly") {
+    val sess = session
+    val df = sess.run(
+      """CALL graft.anf(2) YIELD h, n_regs, sum_lb, nf_est
+        |RETURN h, n_regs, sum_lb, nf_est ORDER BY h""".stripMargin)
+    val got = rows(df)
+    // identical to the library API over the same edge relation
+    import org.apache.spark.sql.functions.col
+    val direct = graft.algorithms.GraphAlgorithms
+      .neighborhoodFunction(
+        sess.store.allEdges.select(col("src"), col("dst")), 2)
+      .orderBy(col("h")).collect().toSeq.map(_.toSeq)
+    assert(got == direct)
+    // the 1->2->3 chain: 3 single-register sketches at h=0, monotone after
+    assert(got.map(_.head) == Seq(0L, 1L, 2L))
+    assert(got.head(1) == 3L)
+    val ests = got.map(_(3).asInstanceOf[Long])
+    assert(ests == ests.sorted)
+    val e1 = intercept[Exception](sess.run(
+      "CALL graft.anf(2, 3) YIELD h RETURN h"))
+    assert(e1.getMessage.contains("at most 1"), e1.getMessage)
+  }
+
   test("CALL graft.connectedComponents labels the chain with its min id") {
     val df = session.run(
       """CALL graft.connectedComponents() YIELD id, component
