@@ -299,6 +299,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("g39: closeness rides the shared sweep — no cartesian, no sort-merge") {
+    val p = plan("g39_closeness")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("e9: radius search is one broadcast-probe pass over the corpus") {
+    val p = plan("e9_radius_search")
+    // the 3-row probe side broadcasts into a nested-loop (the non-equi
+    // cid != pid join is the sanctioned shape, same as e1); the corpus
+    // itself is never shuffled or sorted into the join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // threshold is a plain Filter, not a ranking window
+    assert(!p.contains("Window"), p)
+  }
+
   test("cy31: CALL { } compiles to one seeded join — no cartesian, no per-row loop") {
     val p = plan("cy31_call_subquery_agg")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
