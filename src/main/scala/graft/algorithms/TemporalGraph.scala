@@ -140,6 +140,68 @@ object TemporalGraph {
       .select(col("sid"), coalesce(col("n_reachable"), lit(0L)).as("n_reachable"))
   }
 
+  /** Fewest-hops temporal distance — the fourth classic temporal measure
+    * (the "shortest path" of Wu et al.'s taxonomy, completing earliest
+    * arrival / latest departure / fastest duration): the minimum number
+    * of EDGES among time-respecting paths from each source row
+    * `(sid, t0)`, hop-capped at k.
+    *
+    * Hop-soundness of the min-arrival sweep: keeping only each vertex's
+    * MINIMUM arrival never delays a first appearance — an earlier
+    * arrival is usable on every edge a later one is (t ≥ arr is
+    * monotone) — so the round at which a vertex first enters the
+    * relation IS its fewest-hop distance, and later arrival
+    * improvements never revise it (min(hops) keeps the first round).
+    * Same shared multi-source frontier machinery, state bounds, and
+    * checkpoint discipline as [[kReachableCounts]]; all-LONG.
+    *
+    * Output: (sid, id, hops) — sources themselves at hops 0.
+    */
+  def fewestHops(edges: DataFrame, sources: DataFrame, k: Int,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    def tracked(df: DataFrame): (DataFrame, () => Unit) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(false)
+      val mine = sc.getPersistentRDDs.keySet -- before
+      (out, () => mine.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+    }
+    val (e, releaseE) = tracked(
+      edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+        .where(col("src") =!= col("dst")))
+    val srcs = sources.select(col("sid"), col("t0").cast("long").as("t0"))
+    var (visited, release) = tracked(
+      srcs.select(col("sid"), col("sid").as("id"), col("t0").as("arrival"),
+          lit(0L).as("hops"))
+        .groupBy(col("sid"), col("id"))
+        .agg(min(col("arrival")).as("arrival"), min(col("hops")).as("hops")))
+    var frontier = visited
+    var changed = frontier.count()
+    var round = 0
+    while (changed > 0 && round < k) {
+      round += 1
+      val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
+      val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
+        .select(f("sid"), e("dst").as("id"), e("t").as("arrival"),
+          lit(round.toLong).as("hops"), lit(false).as("own"))
+      val (next, releaseNext) = tracked(
+        cand.unionByName(visited.withColumn("own", lit(true)))
+          .groupBy(col("sid"), col("id"))
+          .agg(min(col("arrival")).as("arrival"), min(col("hops")).as("hops"),
+            min(when(col("own"), col("arrival"))).as("prev")))
+      val improved = next.where(col("prev").isNull || col("arrival") < col("prev"))
+      changed = improved.count()
+      release()
+      visited = next.select(col("sid"), col("id"), col("arrival"), col("hops"))
+      frontier = improved.select(col("sid"), col("id"), col("arrival"),
+        col("hops"))
+      release = releaseNext
+    }
+    releaseE()
+    visited.select(col("sid"), col("id"), col("hops"))
+  }
+
   /** Fastest-path (minimum journey duration) sweep — the third classic
     * temporal distance beside [[earliestArrival]] and [[latestDeparture]]
     * (Wu et al., "Path Problems in Temporal Graphs", VLDB 2014): for each

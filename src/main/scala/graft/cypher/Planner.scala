@@ -249,6 +249,29 @@ final class Planner(spark: SparkSession, store0: GraphStore,
             "an event time")
         graft.algorithms.TemporalGraph.fastestDurations(fte,
           Seq(source).toDF("sid")).drop("sid")
+      case "graft.fewesthops" =>
+        // minimum time-respecting edge count to every reachable vertex
+        // (the g41 sweep — fewest hops, the fourth classic temporal
+        // distance). Start is unconstrained: t0 = the minimum edge time.
+        nargs(3)
+        import spark.implicits._
+        val fhSource = longArg(0)
+        val fhK = intArg(1, Some(8))
+        val fhProp = strArg(2).getOrElse("t")
+        val fhe = store.allEdges.select(col("src"), col("dst"),
+          get_json_object(col("properties"), "$." + fhProp)
+            .cast("long").as("t"))
+        val fhMissing = fhe.where(col("t").isNull).count()
+        require(fhMissing == 0,
+          s"graft.fewestHops: $fhMissing edge(s) missing/non-numeric " +
+            s"time property '$fhProp' — a temporal sweep cannot default " +
+            "an event time")
+        val fhT0Row = fhe.agg(min(col("t"))).head()
+        require(!fhT0Row.isNullAt(0),
+          "graft.fewestHops: the store has no edges to sweep")
+        val fhT0 = fhT0Row.getLong(0)
+        graft.algorithms.TemporalGraph.fewestHops(fhe,
+          Seq((fhSource, fhT0)).toDF("sid", "t0"), fhK).drop("sid")
       case other => sys.error(s"unknown procedure '$other' — available: " +
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
@@ -257,7 +280,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.scc(), graft.linkPrediction(topK), graft.mis(), " +
         "graft.distance(srcId, dstId, maxHops[, 'weightProp']), " +
         "graft.latestDeparture(targetId, deadline[, 'timeProp']), " +
-        "graft.fastestDuration(sourceId[, 'timeProp']), graft.anf(rounds)")
+        "graft.fastestDuration(sourceId[, 'timeProp']), graft.anf(rounds), " +
+        "graft.fewestHops(sourceId[, k[, 'timeProp']])")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

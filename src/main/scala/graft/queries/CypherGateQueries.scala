@@ -452,6 +452,31 @@ object CypherGateQueries {
            |ORDER BY user_id""".stripMargin)
     }),
 
+    // CALL surface over the g41 fewest-hops sweep (r12): same derived
+    // temporal store as cy38, source = the lowest user id, hop budget 8,
+    // unconstrained start (the engine derives t0 = min edge time, which
+    // equals g41's global-min-event-time seed)
+    "cy40_fewest_hops" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.store.Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("u"))).head()
+      val (nu, srcU) = (b.getLong(0) + 1, b.getLong(1))
+      val te = ev.select(col("eid").as("id"), col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      val verts = te.select(col("src").as("id"))
+        .unionByName(te.select(col("dst").as("id"))).distinct()
+      val store = new GraphStore(Map("User" -> verts),
+        Map("INTERACTS" -> te))
+      new CypherSession(s, store).run(
+        s"""CALL graft.fewestHops($srcU, 8, 't')
+           |YIELD id, hops
+           |RETURN id AS user_id, hops
+           |ORDER BY user_id""".stripMargin)
+    }),
+
     "cy37_latest_departure" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = graft.store.Tables.load(s, dir, "events")
@@ -503,6 +528,13 @@ object CypherGateQueries {
     // identical derived temporal graph, target, and deadline
     "cy37_latest_departure" -> GraphQueries.oracle("g36_temporal_depart"),
     "cy38_fastest_duration" -> GraphQueries.oracle("g38_temporal_fastest"),
+    // the g41 oracle restricted to its lowest source (the CALL's single
+    // source), src_user column projected away
+    "cy40_fewest_hops" ->
+      s"""SELECT user_id, hops
+         |FROM (${GraphQueries.oracle("g41_temporal_hops")})
+         |WHERE src_user = (SELECT MIN(CAST(user_id AS BIGINT)) FROM events)
+         |ORDER BY user_id""".stripMargin,
     "cy1_match_where" ->
       """SELECT c_custkey AS ck, o_orderkey AS ok
         |FROM customer JOIN orders ON o_custkey = c_custkey

@@ -773,6 +773,30 @@ object GraphQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Fewest-hops temporal distance (r12) — the fourth classic temporal
+    // measure, completing the quartet: minimum edge count among
+    // time-respecting paths from the 3 lowest user ids, hop budget 8.
+    // First-appearance round == true hop distance under the min-arrival
+    // sweep (an earlier arrival is usable wherever a later one is), so
+    // the hashed hops column is exact LONG end to end.
+    "g41_temporal_hops" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("t"))).head()
+      val (nu, t0) = (b.getLong(0) + 1, b.getLong(1))
+      val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      val srcs = ev.select(col("u")).distinct().orderBy(col("u")).limit(3)
+        .select(col("u").as("sid"), lit(t0).as("t0"))
+      graft.algorithms.TemporalGraph.fewestHops(te, srcs, 8)
+        .select(col("sid").as("src_user"), col("id").as("user_id"),
+          col("hops"))
+        .orderBy(col("src_user"), col("user_id"))
+    }),
+
     // Fastest-path durations (r12) — the third classic temporal distance
     // beside g35 earliest-arrival and g36 latest-departure: for every
     // vertex reachable from the lowest user id, the minimum journey
@@ -982,6 +1006,42 @@ object GraphQueries {
          |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_reachable
          |FROM srcs s LEFT JOIN cnt c ON c.sid = s.sid
          |ORDER BY user_id""".stripMargin
+    },
+
+    // The keyed min-arrival relaxation unrolled to the gate's 8-round hop
+    // budget, with hops read off as the FIRST round each (sid, id)
+    // appears — exactly the sweep's first-appearance argument. Self-loops
+    // are inert for both arrival minima and first appearances, so no
+    // filter is needed on either side.
+    "g41_temporal_hops" -> {
+      val rounds = 8
+      val iter = (1 to rounds).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT sid, id, MIN(arrival) AS arrival FROM (
+           |    SELECT sid, id, arrival FROM a${i - 1}
+           |    UNION ALL
+           |    SELECT w.sid, e.dst, e.t FROM a${i - 1} w
+           |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
+           |  GROUP BY sid, id)""".stripMargin
+      }.mkString(",\n")
+      val seen = (0 to rounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS h, sid, id FROM a$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+         |              CAST(event_id AS BIGINT) AS eid,
+         |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+         |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(t) AS t0 FROM ev),
+         |te AS (SELECT u AS src,
+         |         (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
+         |       FROM ev),
+         |srcs AS (SELECT u AS sid, (SELECT t0 FROM bounds) AS t0
+         |         FROM (SELECT DISTINCT u FROM ev ORDER BY u LIMIT 3)),
+         |a0 AS (SELECT sid, sid AS id, t0 AS arrival FROM srcs),
+         |$iter,
+         |seen AS ($seen)
+         |SELECT sid AS src_user, id AS user_id, CAST(MIN(h) AS BIGINT) AS hops
+         |FROM seen GROUP BY sid, id
+         |ORDER BY src_user, user_id""".stripMargin
     },
 
     // The g35 relaxation keyed by the source's distinct (self-loop-free)

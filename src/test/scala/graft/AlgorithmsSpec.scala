@@ -601,6 +601,27 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(fastest(Seq(5L)).isEmpty)
   }
 
+  test("temporal fewest hops: late direct edge beats early two-hop detour") {
+    import graft.algorithms.TemporalGraph
+    val e = Seq(
+      (1L, 4L, 100L),              // direct but late: 1 hop
+      (1L, 2L, 1L), (2L, 4L, 2L),  // early detour: 2 hops, better arrival
+      (4L, 5L, 150L),              // open from the late arrival too
+      (9L, 9L, 5L))                // self-loop: inert
+      .toDF("src", "dst", "t")
+    def hops(k: Int): Map[Long, Long] =
+      TemporalGraph.fewestHops(e, Seq((1L, 0L)).toDF("sid", "t0"), k)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // 4 is FIRST seen at round 1 (via t=100); the round-2 arrival
+    // improvement to t=2 must not revise its hop count
+    assert(hops(8) == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 5L -> 2L))
+    // the hop cap truncates the sweep
+    assert(hops(1) == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    // a time-infeasible start (t0 above every edge) reaches nothing
+    assert(TemporalGraph.fewestHops(e, Seq((1L, 500L)).toDF("sid", "t0"), 8)
+      .collect().map(r => r.getLong(1)).toSeq == Seq(1L))
+  }
+
   test("neighborhood function matches a register-level replica; fixpoint repeats") {
     // pure-Scala replica of the integer-pure sketch (same md5-prefix h32)
     def h32(s: String): Long = {

@@ -705,6 +705,30 @@ class CypherSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("time property 't'"), e2.getMessage)
   }
 
+  test("CALL graft.fewestHops: temporal hop counts, loud failure paths") {
+    val sess = session
+    // KNOWS 1-[2020]->2-[2021]->3: hops 0/1/2 from Alice; hop cap 1 trims
+    val df = sess.run(
+      s"CALL graft.fewestHops(${Graphid.pack(100, 1)}, 8, 'since') " +
+        "YIELD id, hops RETURN id, hops ORDER BY id")
+    assert(rows(df) == Seq(
+      Seq(Graphid.pack(100, 1), 0L),
+      Seq(Graphid.pack(100, 2), 1L),
+      Seq(Graphid.pack(100, 3), 2L)))
+    val capped = sess.run(
+      s"CALL graft.fewestHops(${Graphid.pack(100, 1)}, 1, 'since') " +
+        "YIELD id, hops RETURN id, hops ORDER BY id")
+    assert(rows(capped).map(_.head) ==
+      Seq(Graphid.pack(100, 1), Graphid.pack(100, 2)))
+    // missing time property refuses to default
+    val e1 = intercept[Exception](sess.run(
+      s"CALL graft.fewestHops(${Graphid.pack(100, 1)}) YIELD id RETURN id"))
+    assert(e1.getMessage.contains("time property 't'"), e1.getMessage)
+    val e2 = intercept[Exception](sess.run(
+      "CALL graft.fewestHops(1, 2, 'since', 9) YIELD id RETURN id"))
+    assert(e2.getMessage.contains("at most 3"), e2.getMessage)
+  }
+
   test("CALL graft.fastestDuration: temporal sweep, loud failure paths") {
     val sess = session
     // KNOWS carries `since`: 1-[2020]->2-[2021]->3. From Alice the only
