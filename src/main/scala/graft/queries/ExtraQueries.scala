@@ -362,6 +362,46 @@ object ExtraQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Streaming distinct-user cardinality per hour (r12) — the g40
+    // integer-pure HLL sketch as a windowed MAX-aggregation through the
+    // real micro-batch engine (4 staged files, maxFilesPerTrigger=1):
+    // state is 16 register longs per open window regardless of user
+    // volume, the estimate finishes batch-side over the tiny sketch
+    // relation, and the exact per-window distinct count rides along so
+    // the sketch's accuracy is visible in-row. MAX is order-free, so the
+    // result is independent of batch cut points and hashes against the
+    // batch oracle.
+    "x34_stream_hll" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = java.nio.file.Files.createTempDirectory("graft_x34_src")
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(4)
+        .write.mode("overwrite").parquet(src.toString)
+      val sink = "x34_stream_hll_sink"
+      val q = EventStreams.windowedCardinalitySketch(
+          EventStreams.readStream(s, src.toString, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val est = EventStreams.finishCardinality(s.table(sink))
+      val exact = graft.store.Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(col("window.start").as("window_start"), col("exact_users"))
+      est.join(exact, "window_start")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_regs"), col("est_users"), col("exact_users"))
+        .orderBy(col("hour"))
+    }),
+
     // Streaming dedup executed for REAL through the micro-batch engine
     // (r8; the ingestion-time dedup a training-data pipeline runs before
     // anything lands): events plus a planted duplicate subset — every
@@ -779,6 +819,35 @@ object ExtraQueries {
         |WHERE event_id % 4 = 1
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    // same register construction as the g40 sketch (h32("hll|" + user),
+    // lowbit rank, power-of-two harmonic sums), grouped per hour window;
+    // every aggregate BIGINT-pinned
+    "x34_stream_hll" -> {
+      val h = graft.pipeline.TextHash.h32Sql(
+        "'hll|' || CAST(CAST(user_id AS BIGINT) AS VARCHAR)")
+      s"""WITH regs AS (
+         |  SELECT date_trunc('hour', ts) AS wstart, x % 16 AS j,
+         |         MAX(y & -y) AS lb
+         |  FROM (SELECT ts, x, (x // 16) + 1 AS y
+         |        FROM (SELECT ts, $h AS x FROM events))
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT wstart, CAST(COUNT(*) AS BIGINT) AS n_regs,
+         |    CAST((172288 * 4294967296)
+         |      // (1000 * (CAST(SUM(4294967296 // lb) AS BIGINT)
+         |                  + (16 - COUNT(*)) * 4294967296)) AS BIGINT)
+         |      AS est_users
+         |  FROM regs GROUP BY wstart),
+         |ex AS (
+         |  SELECT date_trunc('hour', ts) AS wstart,
+         |    CAST(COUNT(DISTINCT CAST(user_id AS BIGINT)) AS BIGINT)
+         |      AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT strftime(est.wstart, '%Y-%m-%d %H:%M:%S') AS hour,
+         |       n_regs, est_users, exact_users
+         |FROM est JOIN ex ON ex.wstart = est.wstart
+         |ORDER BY hour""".stripMargin
+    },
     "x22_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, COUNT(*) AS n,

@@ -79,6 +79,42 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming distinct-cardinality sketch per window — the g40
+    * integer-pure HLL as a windowed MAX-aggregation: each event
+    * contributes one (register j, lowbit rank lb) pair from h32 of its
+    * user id, and the per-(window, register) state is a single long
+    * merged by MAX — 16 rows of state per open window REGARDLESS of user
+    * volume, and batch-cut-insensitive by construction (max is
+    * order-free). Finish the estimate with [[finishCardinality]] over
+    * the (tiny) sketch relation; the arithmetic is the same
+    * exact-integer form as `GraphAlgorithms.neighborhoodFunction`, so
+    * the streamed sketch hashes against a batch SQL oracle.
+    */
+  def windowedCardinalitySketch(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("x", graft.pipeline.TextHash.h32(
+        concat(lit("hll|"), col("user_id").cast("string"))))
+      .withColumn("j", expr("x % 16"))
+      .withColumn("y", expr("(x div 16) + 1"))
+      .withColumn("lb", expr("y & -y"))
+      .groupBy(window(col("ts"), window_), col("j"))
+      .agg(max(col("lb")).as("lb"))
+      .select(col("window.start").as("window_start"), col("j"), col("lb"))
+
+  /** Batch finisher for [[windowedCardinalitySketch]]: per window,
+    * register count and the exact-integer HLL estimate (≤16 input rows
+    * per window — driver-scale work presented as one aggregate).
+    */
+  def finishCardinality(regs: DataFrame): DataFrame =
+    regs.groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("4294967296 div lb")).as("harm_p"))
+      .withColumn("est_users", expr(
+        "(172288 * 4294967296) div (1000 * (harm_p + (16 - n_regs) * 4294967296))"))
+      .select(col("window_start"), col("n_regs"), col("est_users"))
+
   /** Streaming exact dedup: drop events whose normalized content
     * fingerprint was already seen, with a watermark bounding the dedup
     * state (the streaming face of Dedup.exact — the ingestion-time dedup a
