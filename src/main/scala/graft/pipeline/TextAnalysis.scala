@@ -502,4 +502,48 @@ object TextAnalysis {
       when(size(sh) > 0, array_min(transform(sh, s => h32(s)))).otherwise(lit(null))
         .as("min_shingle_fp"))
   }
+
+  /** Count-Min sketch over the corpus token stream (Cormode–Muthukrishnan
+    * 2005) — the heavy-hitter primitive for streams too large to count
+    * per-key: depth × width integer counters, counter (r, b) = number of
+    * token occurrences with h32(r + "|" + token) ≡ b (mod width). The
+    * build is one explode + one (r, b)-keyed count — depth rows per
+    * occurrence in, `depth·width` counters out regardless of vocabulary
+    * size, all map-side combinable. Point estimates take the MIN over
+    * the depth counters and never understate the true count.
+    *
+    * Returns the corpus's exact top-k tokens (deterministic tie-break on
+    * the token) with the exact count IN-ROW beside the sketch estimate,
+    * so the collision margin is visible: (rank, tok, exact_n, cm_est).
+    * Every column is COUNT/MIN integer arithmetic — oracle-exact by
+    * construction.
+    */
+  def countMinTopTokens(df: DataFrame, textCol: String, topK: Int = 10,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    val depthRows = array((0 until depth).map(lit): _*)
+    def bucket(r: Column, tok: Column): Column =
+      h32(concat(r.cast("string"), lit("|"), tok)) % width
+    val sketch = toks
+      .select(explode(depthRows).as("r"), col("tok"))
+      .select(col("r"), bucket(col("r"), col("tok")).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+    // top-k by exact count: limit first, then rank the k survivors (the
+    // global window never sees more than k rows)
+    val top = exact.orderBy(col("exact_n").desc, col("tok")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("exact_n").desc, col("tok"))))
+    top
+      .select(col("rank"), col("tok"), col("exact_n"),
+        explode(depthRows).as("r"))
+      .withColumn("b", bucket(col("r"), col("tok")))
+      .join(sketch, Seq("r", "b"))
+      .groupBy(col("rank"), col("tok"), col("exact_n"))
+      .agg(min(col("c")).as("cm_est"))
+      .select(col("rank").cast("long").as("rank"), col("tok"),
+        col("exact_n").cast("long").as("exact_n"),
+        col("cm_est").cast("long").as("cm_est"))
+  }
 }

@@ -116,6 +116,14 @@ object PipelineQueries {
       TextAnalysis.vocabularyReport(docs(s, dir), "text", "source", 5)
         .orderBy(col("source"), col("rank"))),
 
+    // Count-Min heavy hitters (r12): 4x256 integer counters over the
+    // corpus token stream, point-estimating the exact top-10 tokens with
+    // the true count in-row — the sketch family for per-key counting at
+    // stream scale, all COUNT/MIN integer arithmetic.
+    "t18_countmin" -> ((s, dir) =>
+      TextAnalysis.countMinTopTokens(docs(s, dir), "text", 10)
+        .orderBy(col("rank"))),
+
     // Corpus-unigram rarity score (r10; integer-pure r12): the
     // LM-perplexity filter shape with the corpus as its own unigram
     // model, hashed through its exact LONG twin — n_tokens plus
@@ -755,6 +763,32 @@ object PipelineQueries {
          |  CAST(SUM(w.w * dt.k) AS BIGINT) AS rarity
          |FROM dt JOIN w USING (tok) GROUP BY dt.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // same 4x256 counter construction: bucket = h32(r || '|' || tok) mod
+    // 256, estimate = MIN over the 4 rows' counters; casts pin BIGINT
+    "t18_countmin" -> {
+      val b = graft.pipeline.TextHash.h32Sql("CAST(r AS VARCHAR) || '|' || tok")
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |sketch AS (
+         |  SELECT r, ($b) % 256 AS bkt, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM toks, rows_ GROUP BY 1, 2),
+         |exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+         |          FROM toks GROUP BY tok),
+         |top AS (
+         |  SELECT rank, tok, exact_n FROM (
+         |    SELECT tok, exact_n,
+         |      ROW_NUMBER() OVER (ORDER BY exact_n DESC, tok) AS rank
+         |    FROM exact)
+         |  WHERE rank <= 10),
+         |look AS (
+         |  SELECT t.rank, t.tok, t.exact_n, rows_.r, ($b) % 256 AS bkt
+         |  FROM top t, rows_)
+         |SELECT CAST(rank AS BIGINT) AS rank, tok, exact_n,
+         |       CAST(MIN(c) AS BIGINT) AS cm_est
+         |FROM look JOIN sketch USING (r, bkt)
+         |GROUP BY rank, tok, exact_n
+         |ORDER BY rank""".stripMargin
+    },
     "t16_vocabulary" ->
       s"""WITH tok AS (
          |  SELECT source, unnest($toksSql) AS term FROM documents),

@@ -63,6 +63,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(5L)))
   }
 
+  test("count-min heavy hitters: exact ranks, estimates never understate") {
+    val d = Seq((1L, "alpha alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.countMinTopTokens(d, "text", 3)
+      .orderBy(org.apache.spark.sql.functions.col("rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // exact top-3 with the deterministic token tie-break
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, "alpha", 3L), (2L, "beta", 1L), (3L, "gamma", 1L)))
+    // the count-min guarantee: never under the true count
+    assert(out.forall(t => t._4 >= t._3))
+    // 3 tokens over 4x256 counters: this vocab is collision-free, so the
+    // estimates are exact (deterministic hash — stable assertion)
+    assert(out.forall(t => t._4 == t._3))
+  }
+
   test("radius search returns exactly the vectors inside the cosine ball") {
     def vec(hot: Seq[(Int, Float)]): Array[Float] = {
       val a = Array.fill(64)(0.0f)
