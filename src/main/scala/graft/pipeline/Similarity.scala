@@ -66,6 +66,73 @@ object Similarity {
       .select(col("pid"), col("cid"), col("sim"))
   }
 
+  /** Maximal-marginal-relevance top-k (Carbonell–Goldstein, SIGIR 1998):
+    * greedy diversity-aware re-rank of each probe's top-`poolSize`
+    * cosine pool — pick 1 = the most similar candidate, pick i maximizes
+    * `0.5·sim(probe, c) − 0.5·max_{s∈picked} sim(c, s)` with ties to the
+    * smaller id. λ is fixed at ½ (an exact power of two, so both
+    * engines' score arithmetic is the identical correctly-rounded
+    * multiply-subtract — the e1 hash-stability argument extends to the
+    * whole score column).
+    *
+    * Scale shape: the pool selection and all pool-internal pairwise
+    * cosines run distributed (broadcast probes; a per-probe
+    * poolSize²-row self-join); only the greedy selection itself runs on
+    * the driver, over the ≤ probes·poolSize² collected rows — the
+    * bounded re-rank class, constant in corpus size by construction.
+    */
+  def mmrTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, poolSize: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
+    val probes = base.filter(col("cid").isin(probeIds: _*))
+      .select(col("cid").as("pid"), col("cvec").as("pvec"),
+        col("cnorm").as("pnorm"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    val pool = base.join(broadcast(probes), col("cid") =!= col("pid"))
+      .withColumn("sim",
+        dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm")))
+      .withColumn("prank", row_number().over(w))
+      .filter(col("prank") <= poolSize)
+      .select(col("pid"), col("cid"), col("sim"), col("cvec"), col("cnorm"))
+      .localCheckpoint(true)
+    val a = pool.select(col("pid"), col("cid").as("a"),
+      col("cvec").as("avec"), col("cnorm").as("anorm"))
+    val b = pool.select(col("pid").as("pid2"), col("cid").as("b"),
+      col("cvec").as("bvec"), col("cnorm").as("bnorm"))
+    val cc = a.join(b, a("pid") === b("pid2") && col("a") =!= col("b"))
+      .withColumn("s",
+        dot(col("avec"), col("bvec")) / (col("anorm") * col("bnorm")))
+      .select(col("pid"), col("a"), col("b"), col("s"))
+    val simq = pool.select(col("pid"), col("cid"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pair = cc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    pool.unpersist()
+    val picks = for {
+      p <- probeIds.sorted
+      cands = simq.keys.collect { case (`p`, c) => c }.toSeq
+      if cands.nonEmpty
+      row <- {
+        var selected = Vector.empty[Long]
+        (1 to math.min(k, cands.size)).map { r =>
+          val best = cands.filterNot(selected.contains).map { c =>
+            val score =
+              if (r == 1) simq((p, c))
+              else 0.5 * simq((p, c)) -
+                0.5 * selected.map(s => pair((p, c, s))).max
+            (c, score)
+          }.minBy { case (c, score) => (-score, c) }
+          selected :+= best._1
+          (p, r.toLong, best._1, best._2)
+        }
+      }
+    } yield row
+    picks.toDF("pid", "rank", "cid", "score")
+  }
+
   /** Deterministic ±1 hyperplane for plane m: component j has the parity of
     * the shared md5-prefix hash of "plane{m}_{j}" — computed once on the
     * driver, shipped as a literal array (the SQL oracle recomputes the same

@@ -88,6 +88,16 @@ object PipelineQueries {
           Seq(0L, 1L, 2L), 0.25)
         .orderBy(col("pid"), col("cid"))),
 
+    // MMR diversity re-rank (r12): greedy maximal-marginal-relevance over
+    // each probe's top-20 cosine pool, k=5, lambda = 1/2 (a power of two,
+    // so the score arithmetic is bit-identical across engines). The pool
+    // and its pairwise cosines run distributed; the greedy runs over the
+    // bounded collected pool.
+    "e10_mmr" -> ((s, dir) =>
+      Similarity.mmrTopK(embs(s, dir), "vec_id", "embedding",
+          Seq(0L, 1L, 2L), 5)
+        .orderBy(col("pid"), col("rank"))),
+
     "t1_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "text")
         .groupBy(col("lang"), col("predicted_lang"))
@@ -697,6 +707,56 @@ object PipelineQueries {
          |)
          |SELECT pid, rank, cid, sim FROM ranked WHERE rank <= 10
          |ORDER BY pid, rank""".stripMargin,
+    // the greedy unrolled: step 1 is the pool's rank-1; each later step
+    // anti-joins the selected set, scores 0.5*sim - 0.5*max(sim to
+    // selected), and picks the per-probe argmax with ties to the smaller
+    // id — the same comparisons the engine's greedy makes on the same
+    // doubles
+    "e10_mmr" -> {
+      val steps = (2 to 5).map { i =>
+        s"""step$i AS (
+           |  SELECT pid, cid, score FROM (
+           |    SELECT r.pid, r.cid, r.score,
+           |      ROW_NUMBER() OVER (PARTITION BY r.pid
+           |        ORDER BY r.score DESC, r.cid) AS rn
+           |    FROM (
+           |      SELECT p.pid, p.cid, 0.5 * p.sim - 0.5 * MAX(cc.s) AS score
+           |      FROM pool p
+           |      JOIN sel${i - 1} s ON s.pid = p.pid
+           |      JOIN cc ON cc.pid = p.pid AND cc.a = p.cid AND cc.b = s.cid
+           |      WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} e
+           |                        WHERE e.pid = p.pid AND e.cid = p.cid)
+           |      GROUP BY p.pid, p.cid, p.sim) r)
+           |  WHERE rn = 1),
+           |sel$i AS (SELECT pid, cid FROM sel${i - 1}
+           |          UNION ALL SELECT pid, cid FROM step$i)""".stripMargin
+      }.mkString(",\n")
+      val ranked = (1 to 5).map(i =>
+        s"SELECT pid, CAST($i AS BIGINT) AS rank, cid, score FROM step$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH pool AS (
+         |  SELECT pid, cid, sim, prank FROM (
+         |    SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |      ${cosSql("p.embedding", "c.embedding")} AS sim,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC,
+         |                 c.vec_id) AS prank
+         |    FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |    WHERE p.vec_id IN (0, 1, 2))
+         |  WHERE prank <= 20),
+         |cc AS (
+         |  SELECT x.pid, x.cid AS a, y.cid AS b,
+         |    ${cosSql("ea.embedding", "eb.embedding")} AS s
+         |  FROM pool x JOIN pool y ON y.pid = x.pid AND y.cid <> x.cid
+         |  JOIN embeddings ea ON ea.vec_id = x.cid
+         |  JOIN embeddings eb ON eb.vec_id = y.cid),
+         |step1 AS (SELECT pid, cid, sim AS score FROM pool WHERE prank = 1),
+         |sel1 AS (SELECT pid, cid FROM step1),
+         |$steps
+         |SELECT pid, rank, cid, score FROM (
+         |$ranked)
+         |ORDER BY pid, rank""".stripMargin
+    },
     "e9_radius_search" ->
       s"""SELECT p.vec_id AS pid, c.vec_id AS cid,
          |  ${cosSql("p.embedding", "c.embedding")} AS sim

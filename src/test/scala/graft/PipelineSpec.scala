@@ -104,6 +104,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids(0.5) == bf)
   }
 
+  test("MMR re-rank demotes the near-duplicate behind a diverse candidate") {
+    def vec(x: Float, y: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = x; a(1) = y; a
+    }
+    val vecs = Seq(
+      (0L, vec(1.0f, 0.0f)),     // probe
+      (1L, vec(0.96f, 0.28f)),   // most relevant
+      (2L, vec(1.92f, 0.56f)),   // colinear with 1: pure redundancy
+      (3L, vec(0.6f, -0.8f)))    // less relevant but diverse
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(vecs, "vec_id", "embedding", Seq(0L), 3)
+      .orderBy(org.apache.spark.sql.functions.col("rank")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // plain top-3 would rank (1, 2, 3); MMR must demote the duplicate:
+    // rank 2 goes to the diverse vector 3
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    // pick 1's score is its plain similarity; later scores are penalized
+    assert(got.head._3 > 0.9 && got(1)._3 < got.head._3)
+  }
+
   test("ANN bucket search agrees with brute force for same-bucket neighbors") {
     val vecs = (0 until 50).map { i =>
       val v = Array.tabulate(64)(j => if (j == i % 8) 1.0f else 0.01f * ((i * 7 + j) % 5))
