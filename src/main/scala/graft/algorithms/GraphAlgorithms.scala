@@ -1520,6 +1520,83 @@ object GraphAlgorithms {
     digests.toSeq.toDF("h", "n_regs", "sum_lb", "nf_est")
   }
 
+  /** Degree-assortativity moment sums (Newman, PRL 89 2002 "Assortative
+    * mixing in networks", directed out→in form): for every directed edge
+    * (u, v), pair x = outdeg(u) with y = indeg(v) and return the one-row
+    * exact-integer moment relation (m, Σx, Σy, Σxy, Σx², Σy²) that fully
+    * determines the Pearson coefficient r = (m·Σxy − Σx·Σy) /
+    * √((m·Σx² − (Σx)²)(m·Σy² − (Σy)²)). Emitting the raw BIGINT sums —
+    * never the FP quotient, and never the m-scaled products (which could
+    * overflow LONG on a 100 TB edge set) — keeps the hashed gate columns
+    * in the engine-portable integer-pure class; [[degreeAssortativity]]
+    * finishes the scalar from the one digest row. Plan shape: two
+    * |V|-sized degree aggregations, each joined back to the edge relation
+    * on its own key (plain shuffle joins — a degree table is |V|-sized
+    * and must never broadcast unconditionally), then a single global
+    * aggregate; partial aggregation makes the final reduce O(partitions).
+    * Reference behavior: rust-graph-db has no mixing-statistics surface;
+    * this extends its graph-algorithm family (SURVEY §2
+    * beyond-reference set).
+    */
+  def assortativityInvariants(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val odeg = e.groupBy(col("src")).agg(count(lit(1)).as("dx"))
+    val ideg = e.groupBy(col("dst")).agg(count(lit(1)).as("dy"))
+    e.join(odeg, "src").join(ideg, "dst")
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("dx")).cast("long").as("sx"),
+        sum(col("dy")).cast("long").as("sy"),
+        sum(col("dx") * col("dy")).cast("long").as("sxy"),
+        sum(col("dx") * col("dx")).cast("long").as("sxx"),
+        sum(col("dy") * col("dy")).cast("long").as("syy"))
+  }
+
+  /** Pearson degree-assortativity coefficient finished from the
+    * [[assortativityInvariants]] digest (one driver-side row — the
+    * sanctioned scalar-aggregate collect class). NaN when either marginal
+    * degree sequence is constant (zero variance), matching the
+    * correlation's domain.
+    */
+  def degreeAssortativity(edges: DataFrame): Double = {
+    val r = assortativityInvariants(edges).head()
+    val Seq(m, sx, sy, sxy, sxx, syy) =
+      (0 until 6).map(i => r.getLong(i).toDouble)
+    val num = m * sxy - sx * sy
+    val den = math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    num / den
+  }
+
+  /** Edge reciprocity (directed-graph mixing statistic): of the distinct
+    * non-loop directed edges, how many have their reverse edge present?
+    * Returns one row of exact integers — n_edges, n_recip (edges whose
+    * reverse exists; a mutual pair contributes 2), and ratio_ppm =
+    * (10⁶·n_recip) div n_edges (integer `div`, the engine-portable
+    * division class). Plan shape: one distinct on the edge relation, then
+    * a left-semi self-join on the swapped key pair — shuffle-partitioned
+    * on (src, dst) both sides, never materialized on the driver, no
+    * broadcast of an |E|-sized relation. Reference behavior:
+    * rust-graph-db has no mixing-statistics surface (SURVEY §2
+    * beyond-reference set).
+    */
+  def reciprocityInvariants(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val rev = d.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = d.join(rev, Seq("src", "dst"), "left_semi")
+    val out = d.agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).cast("long").as("n_recip")))
+      .select(col("n_edges"), col("n_recip"),
+        expr("(1000000 * n_recip) div n_edges").as("ratio_ppm"))
+    val materialized = out.cache()
+    materialized.count()
+    d.unpersist(false)
+    materialized
+  }
+
   /** Effective diameter off a [[neighborhoodFunction]] digest: the
     * smallest h whose estimate reaches ⌈0.9·N̂(h_max)⌉ — the integer
     * comparison form, so the read-off inherits the digest's

@@ -823,6 +823,40 @@ object GraphQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Degree assortativity (r12, Newman 2002 out→in form) over the full
+    // TPC-H property-graph edge relation: the one-row exact-integer
+    // moment digest (m, Σx, Σy, Σxy, Σx², Σy²) that determines the
+    // Pearson coefficient — raw BIGINT sums only, never the FP quotient,
+    // so every hashed column stays in the engine-portable integer class.
+    // The finished coefficient is pinned by AlgorithmsSpec's hand graph.
+    "g42_assortativity" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      graft.algorithms.GraphAlgorithms
+        .assortativityInvariants(srcDst(g.allEdges))
+    }),
+
+    // Edge reciprocity (r12) — the directed mixing statistic g42's DAG
+    // input can't exercise (a DAG has reciprocity 0), so it runs on the
+    // cyclic referral digraph from g30, AUGMENTED with a deterministic
+    // partial reverse family (every 5th customer's 48271-edge also
+    // reversed — the bare Lehmer digraph has zero mutual pairs at the
+    // test SFs, so the reverse-join would go untested): distinct
+    // non-loop edges, count of edges whose reverse exists, and the ppm
+    // ratio via integer div (the engine-portable division class).
+    // All-BIGINT one-row output.
+    "g43_reciprocity" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"))
+      val n = c.count()
+      def ref(mul: Long) = c.select(col("k").as("src"),
+        (lit(1L) + (col("k") * mul) % n).as("dst"))
+      val rev = c.where(col("k") % 5 === 0)
+        .select((lit(1L) + (col("k") * 48271L) % n).as("src"),
+          col("k").as("dst"))
+      graft.algorithms.GraphAlgorithms.reciprocityInvariants(
+        ref(48271L).unionByName(ref(16807L)).unionByName(rev))
+    }),
+
     // C6 timeline: latest 3 events per user (users 0..19), recency by event id.
     "g11_timeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
@@ -835,6 +869,54 @@ object GraphQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // Assortativity moment digest replayed from first principles: degree
+    // the same edge relation on both keys, join back, sum the exact
+    // integer moments. Every aggregate BIGINT-pinned (the r10 rule:
+    // DuckDB SUM(BIGINT) widens to HUGEINT version-dependently).
+    "g42_assortativity" ->
+      s"""WITH $edgesCte,
+         |e AS (SELECT src, dst FROM edges WHERE src <> dst),
+         |odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dx
+         |         FROM e GROUP BY src),
+         |ideg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS dy
+         |         FROM e GROUP BY dst)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |       CAST(SUM(dx) AS BIGINT) AS sx,
+         |       CAST(SUM(dy) AS BIGINT) AS sy,
+         |       CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |       CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |       CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |FROM e JOIN odeg o ON o.src = e.src
+         |       JOIN ideg i ON i.dst = e.dst""".stripMargin,
+
+    // Reciprocity on the augmented g30 referral digraph: distinct
+    // non-loop edges, reverse-existence join (at most one match per
+    // edge — d is a set), ppm ratio via integer //, mirroring Spark's
+    // left-semi count.
+    "g43_reciprocity" ->
+      """WITH refs AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS src,
+        |         1 + (CAST(c_custkey AS BIGINT) * 48271)
+        |             % (SELECT COUNT(*) FROM customer) AS dst
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS BIGINT),
+        |         1 + (CAST(c_custkey AS BIGINT) * 16807)
+        |             % (SELECT COUNT(*) FROM customer)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 1 + (CAST(c_custkey AS BIGINT) * 48271)
+        |             % (SELECT COUNT(*) FROM customer),
+        |         CAST(c_custkey AS BIGINT)
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |d AS (SELECT DISTINCT src, dst FROM refs WHERE src <> dst),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM d),
+        |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+        |      FROM d a JOIN d b ON b.src = a.dst AND b.dst = a.src)
+        |SELECT m.n_edges, r.n_recip,
+        |       CAST((1000000 * r.n_recip) // m.n_edges AS BIGINT)
+        |         AS ratio_ppm
+        |FROM m, r""".stripMargin,
     // SCC partition replayed from first principles: the recursive closure
     // of the referral digraph (UNION dedups, so the CTE terminates on
     // cycles), mutual-reachability pairs, scc_id = min(self, mutual ids),

@@ -664,6 +664,34 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got(0)._3 <= got(1)._3 && got(1)._3 <= got(2)._3)
   }
 
+  test("assortativity invariants and coefficient on hand graphs") {
+    // 4-cycle-ish digraph: per-edge (outdeg(src), indeg(dst)) pairs are
+    // (2,1),(2,2),(1,2),(1,1) -> moments m=4 sx=sy=6 sxy=9 sxx=syy=10,
+    // numerator 4*9-36 = 0 -> r = 0 exactly
+    val e1 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r1 = GraphAlgorithms.assortativityInvariants(e1).head()
+    assert((0 until 6).map(r1.getLong) == Seq(4L, 6L, 6L, 9L, 10L, 10L))
+    assert(GraphAlgorithms.degreeAssortativity(e1) == 0.0)
+    // disassortative hand case: pairs (2,1),(2,2),(1,2) -> r = -1/2;
+    // a self-loop must not perturb any moment
+    val e2 = Seq((1L, 2L), (1L, 3L), (4L, 3L), (2L, 2L)).toDF("src", "dst")
+    val r2 = GraphAlgorithms.assortativityInvariants(e2).head()
+    assert((0 until 6).map(r2.getLong) == Seq(3L, 5L, 5L, 8L, 9L, 9L))
+    assert(math.abs(GraphAlgorithms.degreeAssortativity(e2) + 0.5) < 1e-12)
+    // constant marginals have zero variance -> correlation undefined
+    val e3 = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphAlgorithms.degreeAssortativity(e3).isNaN)
+  }
+
+  test("reciprocity counts reverse edges over the distinct non-loop set") {
+    // duplicate 1->2 and the 5->5 loop must not count; mutual pairs
+    // {1,2} and {3,4} contribute two reciprocal edges each
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L),
+      (4L, 3L), (5L, 5L)).toDF("src", "dst")
+    val r = GraphAlgorithms.reciprocityInvariants(e).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 4L, 800000L)))
+  }
+
   test("effective diameter reads the 90% radius off the digest") {
     val digests = Seq((0L, 5L, 5L, 50L), (1L, 9L, 9L, 120L),
       (2L, 12L, 12L, 180L), (3L, 12L, 12L, 185L))
