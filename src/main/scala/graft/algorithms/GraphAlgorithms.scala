@@ -1573,10 +1573,14 @@ object GraphAlgorithms {
     * Returns one row of exact integers — n_edges, n_recip (edges whose
     * reverse exists; a mutual pair contributes 2), and ratio_ppm =
     * (10⁶·n_recip) div n_edges (integer `div`, the engine-portable
-    * division class). Plan shape: one distinct on the edge relation, then
-    * a left-semi self-join on the swapped key pair — shuffle-partitioned
-    * on (src, dst) both sides, never materialized on the driver, no
-    * broadcast of an |E|-sized relation. Reference behavior:
+    * division class). Plan shape: one distinct on the edge relation
+    * (checkpointed once — the wedgePairs discipline — so the swap reuses
+    * it instead of recomputing), then ONE equi-join on the swapped key
+    * pair marking edges whose reverse exists (at most one match — the
+    * relation is a set, so the join cannot fan out), and both counts
+    * fall out of a single partial-combined aggregate. Shuffle-
+    * partitioned on (src, dst) both sides, never materialized on the
+    * driver, no broadcast of an |E|-sized relation. Reference behavior:
     * rust-graph-db has no mixing-statistics surface (SURVEY §2
     * beyond-reference set).
     */
@@ -1585,16 +1589,13 @@ object GraphAlgorithms {
     val d = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
-    val rev = d.select(col("dst").as("src"), col("src").as("dst"))
-    val recip = d.join(rev, Seq("src", "dst"), "left_semi")
-    val out = d.agg(count(lit(1)).cast("long").as("n_edges"))
-      .crossJoin(recip.agg(count(lit(1)).cast("long").as("n_recip")))
+    val rev = d.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1).as("has_rev"))
+    d.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        count(col("has_rev")).cast("long").as("n_recip"))
       .select(col("n_edges"), col("n_recip"),
         expr("(1000000 * n_recip) div n_edges").as("ratio_ppm"))
-    val materialized = out.cache()
-    materialized.count()
-    d.unpersist(false)
-    materialized
   }
 
   /** Effective diameter off a [[neighborhoodFunction]] digest: the

@@ -316,6 +316,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("g42: assortativity is equi-joined degree lookups + one partial-combined aggregate") {
+    val p = plan("g42_assortativity")
+    // degree tables join back on their own keys — plain equi-joins (AQE
+    // may legitimately pick broadcast at this SF; at 100 TB they shuffle)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // moment sums are map-side partial aggregates into one final row
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("g43: reciprocity is one equi-join on the swapped key — no cartesian") {
+    val p = plan("g43_reciprocity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both counts come from a single partial-combined aggregate
+    assert(p.contains("partial_count"), p)
+  }
+
   test("cy31: CALL { } compiles to one seeded join — no cartesian, no per-row loop") {
     val p = plan("cy31_call_subquery_agg")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
