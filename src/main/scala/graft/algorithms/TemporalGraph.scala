@@ -113,23 +113,30 @@ object TemporalGraph {
     var frontier = visited
     var changed = frontier.count()
     var round = 0
-    while (changed > 0 && round < k) {
-      round += 1
-      val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
-      val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
-        .select(f("sid"), e("dst").as("id"), e("t").as("arrival"),
-          lit(false).as("own"))
-      val (next, releaseNext) = tracked(
-        cand.unionByName(visited.withColumn("own", lit(true)))
-          .groupBy(col("sid"), col("id"))
-          .agg(min(col("arrival")).as("arrival"),
-            min(when(col("own"), col("arrival"))).as("prev")))
-      val improved = next.where(col("prev").isNull || col("arrival") < col("prev"))
-      changed = improved.count()
-      release()
-      visited = next.select(col("sid"), col("id"), col("arrival"))
-      frontier = improved.select(col("sid"), col("id"), col("arrival"))
-      release = releaseNext
+    // a Spark failure mid-loop must not strand the round's checkpoints
+    // (r12 ADVICE): release the outstanding thunks before rethrowing
+    try {
+      while (changed > 0 && round < k) {
+        round += 1
+        val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
+        val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
+          .select(f("sid"), e("dst").as("id"), e("t").as("arrival"),
+            lit(false).as("own"))
+        val (next, releaseNext) = tracked(
+          cand.unionByName(visited.withColumn("own", lit(true)))
+            .groupBy(col("sid"), col("id"))
+            .agg(min(col("arrival")).as("arrival"),
+              min(when(col("own"), col("arrival"))).as("prev")))
+        val improved = next.where(col("prev").isNull || col("arrival") < col("prev"))
+        try changed = improved.count()
+        catch { case t: Throwable => releaseNext(); throw t }
+        release()
+        visited = next.select(col("sid"), col("id"), col("arrival"))
+        frontier = improved.select(col("sid"), col("id"), col("arrival"))
+        release = releaseNext
+      }
+    } catch { case t: Throwable =>
+      release(); releaseE(); releaseS(); throw t
     }
     releaseE()
     val counts = visited.join(srcs.select(col("sid"), col("deadline")), "sid")
@@ -179,24 +186,30 @@ object TemporalGraph {
     var frontier = visited
     var changed = frontier.count()
     var round = 0
-    while (changed > 0 && round < k) {
-      round += 1
-      val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
-      val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
-        .select(f("sid"), e("dst").as("id"), e("t").as("arrival"),
-          lit(round.toLong).as("hops"), lit(false).as("own"))
-      val (next, releaseNext) = tracked(
-        cand.unionByName(visited.withColumn("own", lit(true)))
-          .groupBy(col("sid"), col("id"))
-          .agg(min(col("arrival")).as("arrival"), min(col("hops")).as("hops"),
-            min(when(col("own"), col("arrival"))).as("prev")))
-      val improved = next.where(col("prev").isNull || col("arrival") < col("prev"))
-      changed = improved.count()
-      release()
-      visited = next.select(col("sid"), col("id"), col("arrival"), col("hops"))
-      frontier = improved.select(col("sid"), col("id"), col("arrival"),
-        col("hops"))
-      release = releaseNext
+    // failure-path checkpoint release, same discipline as kReachableCounts
+    try {
+      while (changed > 0 && round < k) {
+        round += 1
+        val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
+        val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
+          .select(f("sid"), e("dst").as("id"), e("t").as("arrival"),
+            lit(round.toLong).as("hops"), lit(false).as("own"))
+        val (next, releaseNext) = tracked(
+          cand.unionByName(visited.withColumn("own", lit(true)))
+            .groupBy(col("sid"), col("id"))
+            .agg(min(col("arrival")).as("arrival"), min(col("hops")).as("hops"),
+              min(when(col("own"), col("arrival"))).as("prev")))
+        val improved = next.where(col("prev").isNull || col("arrival") < col("prev"))
+        try changed = improved.count()
+        catch { case t: Throwable => releaseNext(); throw t }
+        release()
+        visited = next.select(col("sid"), col("id"), col("arrival"), col("hops"))
+        frontier = improved.select(col("sid"), col("id"), col("arrival"),
+          col("hops"))
+        release = releaseNext
+      }
+    } catch { case t: Throwable =>
+      release(); releaseE(); throw t
     }
     releaseE()
     visited.select(col("sid"), col("id"), col("hops"))
@@ -260,31 +273,38 @@ object TemporalGraph {
     val wUp = Window.partitionBy(col("sid"), col("id"))
       .orderBy(col("dep").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    while (changed > 0) {
-      round += 1
-      require(round <= maxHops,
-        s"fastestDurations: no fixpoint within $maxHops rounds — raise maxHops")
-      val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
-      val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
-        .select(f("sid"), f("dep"), e("dst").as("id"), e("t").as("arrival"),
-          lit(false).as("own"))
-      val (next, releaseNext) = tracked(
-        cand.unionByName(visited.withColumn("own", lit(true)))
-          .groupBy(col("sid"), col("dep"), col("id"))
-          .agg(min(col("arrival")).as("arrival"),
-            min(when(col("own"), col("arrival"))).as("prev"))
-          .withColumn("minUp", min(col("arrival")).over(wUp))
-          .where(col("minUp").isNull || col("arrival") < col("minUp"))
-          .select(col("sid"), col("dep"), col("id"), col("arrival"),
-            col("prev")))
-      val improved =
-        next.where(col("prev").isNull || col("arrival") < col("prev"))
-      changed = improved.count()
-      release()
-      visited = next.select(col("sid"), col("dep"), col("id"), col("arrival"))
-      frontier = improved.select(col("sid"), col("dep"), col("id"),
-        col("arrival"))
-      release = releaseNext
+    // the no-fixpoint require and any Spark job failure must release the
+    // outstanding edge/state checkpoints before rethrowing (r12 ADVICE)
+    try {
+      while (changed > 0) {
+        round += 1
+        require(round <= maxHops,
+          s"fastestDurations: no fixpoint within $maxHops rounds — raise maxHops")
+        val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
+        val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
+          .select(f("sid"), f("dep"), e("dst").as("id"), e("t").as("arrival"),
+            lit(false).as("own"))
+        val (next, releaseNext) = tracked(
+          cand.unionByName(visited.withColumn("own", lit(true)))
+            .groupBy(col("sid"), col("dep"), col("id"))
+            .agg(min(col("arrival")).as("arrival"),
+              min(when(col("own"), col("arrival"))).as("prev"))
+            .withColumn("minUp", min(col("arrival")).over(wUp))
+            .where(col("minUp").isNull || col("arrival") < col("minUp"))
+            .select(col("sid"), col("dep"), col("id"), col("arrival"),
+              col("prev")))
+        val improved =
+          next.where(col("prev").isNull || col("arrival") < col("prev"))
+        try changed = improved.count()
+        catch { case t: Throwable => releaseNext(); throw t }
+        release()
+        visited = next.select(col("sid"), col("dep"), col("id"), col("arrival"))
+        frontier = improved.select(col("sid"), col("dep"), col("id"),
+          col("arrival"))
+        release = releaseNext
+      }
+    } catch { case t: Throwable =>
+      release(); releaseE(); throw t
     }
     releaseE()
     visited.groupBy(col("sid"), col("id"))
@@ -339,27 +359,33 @@ object TemporalGraph {
     var frontier = visited
     var changed = frontier.count()
     var rounds = 0
-    while (changed > 0) {
-      rounds += 1
-      require(rounds <= maxHops,
-        s"earliestArrival: no fixpoint within $maxHops rounds — raise maxHops")
-      val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
-      // candidate arrivals: edges usable at-or-after the frontier arrival;
-      // own rows carry the previous arrival so one aggregate yields both
-      // the new relation and the convergence filter
-      val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
-        .select(e("dst").as("id"), e("t").as("arrival"), lit(false).as("own"))
-      val (next, releaseNext) = tracked(
-        cand.unionByName(visited.withColumn("own", lit(true)))
-          .groupBy(col("id"))
-          .agg(min(col("arrival")).as("arrival"),
-            min(when(col("own"), col("arrival"))).as("prev")))
-      val improved = next.where(col("prev").isNull || col("arrival") < col("prev"))
-      changed = improved.count() // materializes `next`
-      release()                  // superseded round's blocks, now dead
-      visited = next.select(col("id"), col("arrival"))
-      frontier = improved.select(col("id"), col("arrival"))
-      release = releaseNext
+    // failure-path checkpoint release (r12 ADVICE, same as fastestDurations)
+    try {
+      while (changed > 0) {
+        rounds += 1
+        require(rounds <= maxHops,
+          s"earliestArrival: no fixpoint within $maxHops rounds — raise maxHops")
+        val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
+        // candidate arrivals: edges usable at-or-after the frontier arrival;
+        // own rows carry the previous arrival so one aggregate yields both
+        // the new relation and the convergence filter
+        val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
+          .select(e("dst").as("id"), e("t").as("arrival"), lit(false).as("own"))
+        val (next, releaseNext) = tracked(
+          cand.unionByName(visited.withColumn("own", lit(true)))
+            .groupBy(col("id"))
+            .agg(min(col("arrival")).as("arrival"),
+              min(when(col("own"), col("arrival"))).as("prev")))
+        val improved = next.where(col("prev").isNull || col("arrival") < col("prev"))
+        try changed = improved.count() // materializes `next`
+        catch { case t: Throwable => releaseNext(); throw t }
+        release()                      // superseded round's blocks, now dead
+        visited = next.select(col("id"), col("arrival"))
+        frontier = improved.select(col("id"), col("arrival"))
+        release = releaseNext
+      }
+    } catch { case t: Throwable =>
+      release(); releaseE(); throw t
     }
     releaseE()
     (visited, rounds)

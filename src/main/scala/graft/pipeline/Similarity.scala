@@ -83,6 +83,13 @@ object Similarity {
     */
   def mmrTopK(corpus: DataFrame, idCol: String, vecCol: String,
       probeIds: Seq[Long], k: Int, poolSize: Int = 20): DataFrame = {
+    // the greedy selection collects ≤ probes·poolSize² pairwise rows to the
+    // driver — fail loudly on an oversized probe set instead of OOMing
+    // (the kmeansQuantized guard pattern; r12 VERDICT ask #7)
+    require(probeIds.size.toLong * poolSize * poolSize <= 4000000L,
+      s"mmrTopK driver greedy is bounded at 4M pairwise rows; " +
+        s"${probeIds.size} probes × $poolSize² exceeds it — shrink the " +
+        "probe set or poolSize")
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
@@ -110,7 +117,10 @@ object Similarity {
     val pair = cc.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
       .toMap
-    pool.unpersist()
+    // Dataset.unpersist would only clear CacheManager entries, not the
+    // localCheckpoint's persisted RDD (r12 ADVICE) — release the actual
+    // checkpoint blocks; everything below is driver-local
+    graft.util.Checkpoints.release(spark, graft.util.Checkpoints.idsOf(pool))
     val picks = for {
       p <- probeIds.sorted
       cands = simq.keys.collect { case (`p`, c) => c }.toSeq

@@ -599,6 +599,16 @@ class AlgorithmsSpec extends AnyFunSuite {
       Map((7L, 7L) -> 0L, (7L, 8L) -> 0L))
     // a source with no (non-self-loop) out-edges is absent entirely
     assert(fastest(Seq(5L)).isEmpty)
+    // the no-fixpoint failure path must release every checkpoint it
+    // created — the edge relation and the in-flight round state (r12
+    // ADVICE): persistent-RDD count returns to its pre-call baseline
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ex = intercept[IllegalArgumentException] {
+      TemporalGraph.fastestDurations(e, Seq(1L).toDF("sid"), maxHops = 1)
+    }
+    assert(ex.getMessage.contains("no fixpoint"))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"fastestDurations leaked checkpoints: $leaked")
   }
 
   test("temporal fewest hops: late direct edge beats early two-hop detour") {

@@ -122,6 +122,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L))
     // pick 1's score is its plain similarity; later scores are penalized
     assert(got.head._3 > 0.9 && got(1)._3 < got.head._3)
+    // the driver greedy's collect is bounded: an oversized probe set must
+    // fail loudly up front, not OOM the driver (probes·poolSize² > 4M)
+    val tooMany = (0L until 10001L)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(vecs, "vec_id", "embedding", tooMany, 3)
+    }
+    assert(ex.getMessage.contains("bounded"))
   }
 
   test("ANN bucket search agrees with brute force for same-bucket neighbors") {
