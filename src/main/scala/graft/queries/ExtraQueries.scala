@@ -39,6 +39,30 @@ object ExtraQueries {
   private def probeValuesSql: String =
     portableLogProbe.map(v => s"($v)").mkString(", ")
 
+  /** Fixed probe inputs for the x35 DECIMAL-coercion diagnostic: positive
+    * decimal literals (scale ≤ 6) spanning both lnDouble branches (x < 1
+    * and x ≥ 1), power-of-two neighborhoods where the exponent split's
+    * FLOOR sits next to a boundary, typical price-like magnitudes (the
+    * x5 geometric-mean inputs were DECIMAL(18,2) prices), and the large
+    * end of the documented (2^-62, 2^62) domain. Strings, not doubles:
+    * the whole point is that the oracle types them DECIMAL(18,6).
+    */
+  private val decimalProbe: Seq[String] = Seq(
+    "0.000001", "0.015625", "0.25", "0.499999", "0.5", "0.500001",
+    "0.75", "0.999999", "1", "1.000001", "1.5", "1.999999", "2",
+    "2.000001", "2.718281", "3.141592", "7.389056", "8", "15.999999",
+    "16", "16.000001", "63.999999", "64.000001", "100", "123.45",
+    "901", "999.999999", "1000", "1024", "1789.99", "4095.999999",
+    "4096.000001", "36485.12", "54321.123456", "65536", "90100.5",
+    "999999.999999", "1000000", "123456789.123456",
+    "999999999999.999999")
+
+  private def decimalProbeValuesSql: String =
+    decimalProbe.map { v =>
+      val n = new java.math.BigDecimal(v).movePointRight(6).longValueExact()
+      s"($n, '$v')"
+    }.mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CUBE grouping sets (A7).
     "q16_cube" -> ((s, dir) => {
@@ -537,6 +561,28 @@ object ExtraQueries {
         .orderBy(col("n"))
     }),
 
+    // x35 (r13): the remaining driver-divergence suspect after x32/x33
+    // exonerated the integer primitives — lnDoubleSql evaluated on a
+    // DECIMAL-typed operand (the x5/g34/t17 red gates all fed DECIMAL
+    // table columns into it) vs the same value pre-cast AS DOUBLE. The
+    // Spark side is the JVM mirror (lnDoubleJvm — the exact scalar the
+    // typed Aggregators run on executors) over the correctly-rounded
+    // double of each literal; the oracle computes wm_dec through the
+    // DECIMAL coercion path and wm_dbl through the explicit DOUBLE path.
+    // Green ⇒ the DECIMAL suspect is exonerated too and the hunt moves to
+    // value rendering; red ⇒ culprit named (and wm_dbl says which side).
+    "x35_decimal_coercion" -> ((s, dir) => {
+      import s.implicits._
+      decimalProbe.map { v =>
+        val bd = new java.math.BigDecimal(v)
+        val n = bd.movePointRight(6).longValueExact()
+        val x = bd.doubleValue()
+        val wm = math.floor(
+          1000000.0 * graft.util.PortableLog.lnDoubleJvm(x) + 0.5).toLong
+        (n, wm, wm)
+      }.toDF("n", "wm_dec", "wm_dbl").orderBy(col("n"))
+    }),
+
     "x31_stream_eviction" -> ((s, dir) => {
       import graft.streaming.EventStreams
       import scala.jdk.CollectionConverters._
@@ -807,6 +853,20 @@ object ExtraQueries {
          |SELECT n, CAST(FLOOR(CAST(1000000 AS DOUBLE) *
          |    ${graft.util.PortableLog.lnLongSql("n")}
          |    + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT) AS wm
+         |FROM v ORDER BY n""".stripMargin,
+    // wm_dec routes lnDoubleSql through the DECIMAL operand exactly as
+    // the r10/r11 red gates did; wm_dbl pre-casts to DOUBLE first — the
+    // only difference between the two columns is the coercion path.
+    "x35_decimal_coercion" ->
+      s"""WITH v AS (SELECT CAST(n AS BIGINT) AS n, CAST(s AS DECIMAL(18,6)) AS d
+         |           FROM (VALUES $decimalProbeValuesSql) AS t(n, s))
+         |SELECT n,
+         |  CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+         |    ${graft.util.PortableLog.lnDoubleSql("d")}
+         |    + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT) AS wm_dec,
+         |  CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+         |    ${graft.util.PortableLog.lnDoubleSql("CAST(d AS DOUBLE)")}
+         |    + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT) AS wm_dbl
          |FROM v ORDER BY n""".stripMargin,
     // the streaming gate answers to the SAME oracle as its batch twin q15
     // file (1)'s rows alone: the late re-deliveries must have been
