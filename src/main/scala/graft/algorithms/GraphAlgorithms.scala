@@ -1598,6 +1598,66 @@ object GraphAlgorithms {
         expr("(1000000 * n_recip) div n_edges").as("ratio_ppm"))
   }
 
+  /** Newman modularity invariants of the [[labelPropagation]] communities
+    * (Newman & Girvan 2004, eq. 5; the quality number for g22): over the
+    * undirected distinct non-loop edge closure (the exact relation LPA
+    * votes on), the one-row exact-integer digest (m2, intra2, sum_dc2,
+    * n_comm) with m2 = |closure| = Σ_v deg(v) = 2m, intra2 = closure rows
+    * whose endpoints share a community (= 2·Σ_c e_c), and sum_dc2 =
+    * Σ_c (Σ_{v∈c} deg v)² — which fully determine
+    * Q = intra2/m2 − sum_dc2/m2². Raw BIGINT sums only, never the FP
+    * quotient (the g42 moment-digest pattern — the engine-portable
+    * integer class); [[modularityScore]] finishes the scalar. Exactness
+    * domain: sum_dc2 stays inside LONG while every community's degree sum
+    * is < 2^31.5 (≈3·10⁹ edge endpoints in ONE community) — past that,
+    * widen the squared term to DECIMAL(38,0). Plan shape: the LPA label
+    * relation (|V|-sized, broadcast-gated exactly as inside LPA) joins
+    * the closure once per endpoint for intra2 and the degree relation
+    * once for the community degree sums; every aggregate partially
+    * combines. Reference behavior: rust-graph-db has no community
+    * surface (SURVEY §2 beyond-reference set).
+    */
+  def modularityInvariants(edges: DataFrame, iters: Int = 4,
+      broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val labels = labelPropagation(edges, iters, broadcastCeiling)
+    val e0 = edges.select("src", "dst").where(col("src") =!= col("dst"))
+    val und = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // read twice: degrees + the intra join
+    val nVerts = labels.count() // materializes the label checkpoint too
+    def small(df: DataFrame): DataFrame =
+      if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    // community degree sums; a vertex whose only edges are self-loops has
+    // no closure rows — it is its own community with degree 0
+    val dc = labels.join(deg, Seq("id"), "left")
+      .select(col("lbl"), coalesce(col("d"), lit(0L)).as("d"))
+      .groupBy(col("lbl")).agg(sum(col("d")).as("dC"))
+    val dcAgg = dc.agg(sum(col("dC")).cast("long").as("m2"),
+      sum(col("dC") * col("dC")).cast("long").as("sum_dc2"),
+      count(lit(1)).cast("long").as("n_comm"))
+    val intra = und
+      .join(small(labels.select(col("id").as("src"), col("lbl").as("lsrc"))), "src")
+      .join(small(labels.select(col("id").as("dst"), col("lbl").as("ldst"))), "dst")
+      .where(col("lsrc") === col("ldst"))
+      .agg(count(lit(1)).cast("long").as("intra2"))
+    dcAgg.crossJoin(intra) // both one-row digests
+      .select(col("m2"), col("intra2"), col("sum_dc2"), col("n_comm"))
+  }
+
+  /** Modularity Q finished from the [[modularityInvariants]] digest (one
+    * driver-side row — the sanctioned scalar-aggregate collect class):
+    * Q = intra2/m2 − sum_dc2/m2². NaN on an edgeless graph (m2 = 0),
+    * matching the statistic's domain.
+    */
+  def modularityScore(edges: DataFrame, iters: Int = 4): Double = {
+    val r = modularityInvariants(edges, iters).head()
+    val m2 = r.getLong(0).toDouble
+    r.getLong(1).toDouble / m2 - r.getLong(2).toDouble / (m2 * m2)
+  }
+
   /** Effective diameter off a [[neighborhoodFunction]] digest: the
     * smallest h whose estimate reaches ⌈0.9·N̂(h_max)⌉ — the integer
     * comparison form, so the read-off inherits the digest's

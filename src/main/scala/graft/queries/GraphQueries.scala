@@ -78,6 +78,51 @@ object GraphQueries {
 
   private def srcDst(df: DataFrame): DataFrame = df.select(col("src"), col("dst"))
 
+  /** Shared unrolled-LPA oracle prelude for g22/g44: the non-lineitem edge
+    * projection, its undirected distinct closure, identity labels, then
+    * `rounds` unrolled LPA rounds (per round the neighbor label
+    * frequencies, the (count DESC, label ASC) argmax, and the
+    * coalesce-keep for message-less vertices — exactly the Spark
+    * operator's semantics in plain SQL; the g17 unroll pattern). Leaves
+    * CTEs `und` and `l$rounds` in scope for the caller's SELECT.
+    */
+  private def lpaCtes(rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT u.dst AS id, l.lbl, COUNT(*) AS c
+         |  FROM und u JOIN l${i - 1} l ON l.id = u.src
+         |  GROUP BY u.dst, l.lbl),
+         |b$i AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM f$i) x WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT p.id, COALESCE(b.lbl, p.lbl) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN b$i b ON b.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""lpa_edges AS (
+       |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+       |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst FROM orders
+       |  UNION ALL
+       |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT),
+       |         (CAST(5 AS BIGINT)<<48)|CAST(c_nationkey AS BIGINT) FROM customer
+       |  UNION ALL
+       |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT),
+       |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT) FROM supplier
+       |  UNION ALL
+       |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
+       |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) FROM nation
+       |),
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM lpa_edges WHERE src <> dst
+       |  UNION ALL SELECT dst AS src, src AS dst FROM lpa_edges WHERE src <> dst)),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM (
+       |  SELECT DISTINCT src AS id FROM lpa_edges
+       |  UNION SELECT DISTINCT dst AS id FROM lpa_edges)),
+       |$iterCtes""".stripMargin
+  }
+
   /** Customer 1's region key via two driver-side point reads (the g13
     * point-get class) — shared by the distance gates so the probe-region
     * choice can never diverge between g12/g32 and cy34.
@@ -481,6 +526,19 @@ object GraphQueries {
         .groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_communities"))
         .orderBy(col("sz"))
+    }),
+
+    // Modularity of the g22 LPA communities (r13) — the quality number
+    // for the partition, as the exact-integer digest (m2, intra2,
+    // sum_dc2, n_comm) in the g42 moment pattern; the FP quotient Q is
+    // finished spec-side (AlgorithmsSpec pins Q = 5/14 on the
+    // two-triangle hand graph). Same domain bound as g22.
+    "g44_modularity" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val edges = Seq("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")
+        .map(l => g.edges(l).select(col("src"), col("dst")))
+        .reduce(_.unionByName(_))
+      graft.algorithms.GraphAlgorithms.modularityInvariants(edges, iters = 4)
     }),
 
     // Triangle counting (degree-ordered, DataFrame-native — deterministic,
@@ -1458,51 +1516,28 @@ object GraphQueries {
          |       COUNT(DISTINCT src) AS n_core
          |FROM e$rounds GROUP BY labid ORDER BY labid""".stripMargin
     },
-    "g22_label_propagation" -> {
-      // 4 LPA rounds unrolled (g17's pattern): per round, the neighbor
-      // label frequencies, the (count DESC, label ASC) argmax, and the
-      // coalesce-keep for message-less vertices — exactly the Spark
-      // operator's semantics in plain SQL.
-      val rounds = 4
-      val iterCtes = (1 to rounds).map { i =>
-        s"""f$i AS MATERIALIZED (
-           |  SELECT u.dst AS id, l.lbl, COUNT(*) AS c
-           |  FROM und u JOIN l${i - 1} l ON l.id = u.src
-           |  GROUP BY u.dst, l.lbl),
-           |b$i AS MATERIALIZED (
-           |  SELECT id, lbl FROM (
-           |    SELECT id, lbl,
-           |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
-           |    FROM f$i) x WHERE rn = 1),
-           |l$i AS MATERIALIZED (
-           |  SELECT p.id, COALESCE(b.lbl, p.lbl) AS lbl
-           |  FROM l${i - 1} p LEFT JOIN b$i b ON b.id = p.id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH lpa_edges AS (
-         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
-         |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst FROM orders
-         |  UNION ALL
-         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT),
-         |         (CAST(5 AS BIGINT)<<48)|CAST(c_nationkey AS BIGINT) FROM customer
-         |  UNION ALL
-         |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT),
-         |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT) FROM supplier
-         |  UNION ALL
-         |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
-         |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) FROM nation
-         |),
-         |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |  SELECT src, dst FROM lpa_edges WHERE src <> dst
-         |  UNION ALL SELECT dst AS src, src AS dst FROM lpa_edges WHERE src <> dst)),
-         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM (
-         |  SELECT DISTINCT src AS id FROM lpa_edges
-         |  UNION SELECT DISTINCT dst AS id FROM lpa_edges)),
-         |$iterCtes
+    "g22_label_propagation" ->
+      s"""WITH ${lpaCtes(4)}
          |SELECT CAST(sz AS BIGINT) AS sz,
          |       CAST(COUNT(*) AS BIGINT) AS n_communities
-         |FROM (SELECT lbl, COUNT(*) AS sz FROM l$rounds GROUP BY lbl)
-         |GROUP BY sz ORDER BY sz""".stripMargin
-    },
+         |FROM (SELECT lbl, COUNT(*) AS sz FROM l4 GROUP BY lbl)
+         |GROUP BY sz ORDER BY sz""".stripMargin,
+    // the g44 digest replayed from first principles off the SAME unrolled
+    // LPA labels: closure degrees, community degree sums, intra rows —
+    // every aggregate BIGINT-pinned (the r10 HUGEINT-widening rule).
+    "g44_modularity" ->
+      s"""WITH ${lpaCtes(4)},
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+         |        FROM und GROUP BY src),
+         |dc AS (SELECT l.lbl, CAST(SUM(COALESCE(d.d, 0)) AS BIGINT) AS dcs
+         |       FROM l4 l LEFT JOIN deg d ON d.id = l.id GROUP BY l.lbl)
+         |SELECT (SELECT CAST(SUM(dcs) AS BIGINT) FROM dc) AS m2,
+         |       (SELECT CAST(COUNT(*) AS BIGINT)
+         |        FROM und u JOIN l4 a ON a.id = u.src
+         |                   JOIN l4 b ON b.id = u.dst
+         |        WHERE a.lbl = b.lbl) AS intra2,
+         |       (SELECT CAST(SUM(dcs * dcs) AS BIGINT) FROM dc) AS sum_dc2,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_comm""".stripMargin,
     "g27_hash_walks" -> walkOracle("c_custkey BETWEEN 1 AND 20", 3, 6),
     "g29_egonet" ->
       s"""WITH RECURSIVE $edgesCte,

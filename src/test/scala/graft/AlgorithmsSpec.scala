@@ -702,6 +702,27 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 4L, 800000L)))
   }
 
+  test("modularity invariants and Q on the two-triangle hand graph") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: 4 LPA rounds settle on
+    // exactly the two triangles (hand-traced rounds; min tie-breaks).
+    // Closure m2 = 14; intra2 = 12 (the bridge crosses); community degree
+    // sums 7 and 7 -> sum_dc2 = 98 -> Q = 12/14 - 98/196 = 5/14.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphAlgorithms.modularityInvariants(e).head()
+    assert((0 until 4).map(r.getLong) == Seq(14L, 12L, 98L, 2L))
+    assert(math.abs(GraphAlgorithms.modularityScore(e) - 5.0 / 14.0) < 1e-12)
+    // duplicate and self-loop edges must not perturb the closure moments
+    val noisy = e.unionByName(Seq((1L, 2L), (2L, 1L), (5L, 5L)).toDF("src", "dst"))
+    val rn = GraphAlgorithms.modularityInvariants(noisy).head()
+    assert((0 until 4).map(rn.getLong) == Seq(14L, 12L, 98L, 2L))
+    // a vertex with only a self-loop is its own degree-0 community:
+    // it contributes a community but nothing to any moment
+    val lonely = e.unionByName(Seq((9L, 9L)).toDF("src", "dst"))
+    val rl = GraphAlgorithms.modularityInvariants(lonely).head()
+    assert((0 until 4).map(rl.getLong) == Seq(14L, 12L, 98L, 3L))
+  }
+
   test("effective diameter reads the 90% radius off the digest") {
     val digests = Seq((0L, 5L, 5L, 50L), (1L, 9L, 9L, 120L),
       (2L, 12L, 12L, 180L), (3L, 12L, 12L, 185L))
