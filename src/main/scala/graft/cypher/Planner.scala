@@ -177,6 +177,18 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         GraphAlgorithms.adamicAdar(edges, intArg(0, Some(10)))
       case "graft.mis" => nargs(0)
         GraphAlgorithms.maximalIndependentSet(edges)
+      case "graft.assortativity" => nargs(0)
+        // the g42 one-row exact-integer moment digest (m, Σx, Σy, Σxy,
+        // Σx², Σy²) — the caller finishes the Pearson coefficient
+        GraphAlgorithms.assortativityInvariants(edges)
+      case "graft.reciprocity" => nargs(0)
+        // the g43 digest: distinct non-loop edges, reverse-present count,
+        // ppm ratio via integer div
+        GraphAlgorithms.reciprocityInvariants(edges)
+      case "graft.modularity" => nargs(1)
+        // the g44 digest (m2, intra2, sum_dc2, n_comm) over the LPA
+        // communities; arg 1 = LPA iteration budget
+        GraphAlgorithms.modularityInvariants(edges, intArg(0, Some(4)))
       case "graft.distance" =>
         nargs(4)
         import spark.implicits._
@@ -272,6 +284,26 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val fhT0 = fhT0Row.getLong(0)
         graft.algorithms.TemporalGraph.fewestHops(fhe,
           Seq((fhSource, fhT0)).toDF("sid", "t0"), fhK).drop("sid")
+      case "graft.kreachable" =>
+        // temporal k-hop reachability count (the g37 sweep): how many
+        // vertices can sourceId reach over a time-respecting path of at
+        // most k hops, departing at or after t0 and arriving by deadline.
+        // Same loud-failure contract as the other temporal procedures.
+        nargs(5)
+        import spark.implicits._
+        val (krSrc, krT0, krDl) = (longArg(0), longArg(1), longArg(2))
+        val krK = intArg(3, Some(4))
+        val krProp = strArg(4).getOrElse("t")
+        val kre = store.allEdges.select(col("src"), col("dst"),
+          get_json_object(col("properties"), "$." + krProp)
+            .cast("long").as("t"))
+        val krMissing = kre.where(col("t").isNull).count()
+        require(krMissing == 0,
+          s"graft.kReachable: $krMissing edge(s) missing/non-numeric " +
+            s"time property '$krProp' — a temporal sweep cannot default " +
+            "an event time")
+        graft.algorithms.TemporalGraph.kReachableCounts(kre,
+          Seq((krSrc, krT0, krDl)).toDF("sid", "t0", "deadline"), krK)
       case other => sys.error(s"unknown procedure '$other' — available: " +
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
@@ -281,7 +313,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.distance(srcId, dstId, maxHops[, 'weightProp']), " +
         "graft.latestDeparture(targetId, deadline[, 'timeProp']), " +
         "graft.fastestDuration(sourceId[, 'timeProp']), graft.anf(rounds), " +
-        "graft.fewestHops(sourceId[, k[, 'timeProp']])")
+        "graft.fewestHops(sourceId[, k[, 'timeProp']]), " +
+        "graft.assortativity(), graft.reciprocity(), " +
+        "graft.modularity(iters), " +
+        "graft.kReachable(sourceId, t0, deadline[, k[, 'timeProp']])")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

@@ -498,6 +498,83 @@ object CypherGateQueries {
            |ORDER BY user_id""".stripMargin)
     }),
 
+    // Temporal k-reachability through the CALL surface (r13): the g37
+    // sweep exposed as CALL graft.kReachable(src, t0, deadline, k,
+    // 'timeProp') over the same derived temporal store as cy37/cy38 —
+    // source = the lowest user id, t0/deadline the same runtime-computed
+    // literals as g37 (global min event time, span midpoint via integer
+    // div), so the gate answers to g37's unrolled oracle restricted to
+    // that source. Missing edge times fail loudly (CypherSpec).
+    "cy41_call_kreach" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.store.Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("t")), max(col("t")),
+        min(col("u"))).head()
+      val (nu, t0, tMax, srcU) =
+        (b.getLong(0) + 1, b.getLong(1), b.getLong(2), b.getLong(3))
+      val dl = t0 + (tMax - t0) / 2 // positive span: / == div == //
+      val te = ev.select(col("eid").as("id"), col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      val verts = te.select(col("src").as("id"))
+        .unionByName(te.select(col("dst").as("id"))).distinct()
+      val store = new GraphStore(Map("User" -> verts),
+        Map("INTERACTS" -> te))
+      new CypherSession(s, store).run(
+        s"""CALL graft.kReachable($srcU, $t0, $dl, 4, 't')
+           |YIELD sid, n_reachable
+           |RETURN sid AS user_id, n_reachable
+           |ORDER BY user_id""".stripMargin)
+    }),
+
+    // Mixing statistics through the CALL surface (r13): the g42 moment
+    // digest over the same full TPC-H edge relation, answering to the
+    // g42 oracle verbatim.
+    "cy42_call_assortativity" -> cy(
+      """CALL graft.assortativity() YIELD m, sx, sy, sxy, sxx, syy
+        |RETURN m, sx, sy, sxy, sxx, syy""".stripMargin),
+
+    // Reciprocity through the CALL surface (r13): a store built from the
+    // same augmented referral digraph as g43 (the TPC-H store is a DAG —
+    // reciprocity 0 would test nothing), answering to the g43 oracle
+    // verbatim.
+    "cy43_call_reciprocity" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val c = graft.store.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"))
+      val n = c.count()
+      def ref(mul: Long, fam: Long) = c.select(
+        (lit(fam * 1000000000000L) + col("k")).as("id"),
+        col("k").as("src"), (lit(1L) + (col("k") * mul) % n).as("dst"),
+        lit(fam).as("f"))
+      val rev = c.where(col("k") % 5 === 0).select(
+        (lit(2000000000000L) + col("k")).as("id"),
+        (lit(1L) + (col("k") * 48271L) % n).as("src"),
+        col("k").as("dst"), lit(2L).as("f"))
+      val es = ref(48271L, 0L).unionByName(ref(16807L, 1L)).unionByName(rev)
+      val verts = es.select(col("src").as("id"))
+        .unionByName(es.select(col("dst").as("id"))).distinct()
+      new CypherSession(s,
+        new GraphStore(Map("User" -> verts), Map("REFERS" -> es))).run(
+        """CALL graft.reciprocity() YIELD n_edges, n_recip, ratio_ppm
+          |RETURN n_edges, n_recip, ratio_ppm""".stripMargin)
+    }),
+
+    // Modularity through the CALL surface (r13): the g44 digest over a
+    // sub-store restricted to the g22/g44 domain labels, answering to
+    // the g44 oracle verbatim.
+    "cy44_call_modularity" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val sub = new GraphStore(g.vertexTables,
+        g.edgeTables.view.filterKeys(
+          Set("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")).toMap)
+      new CypherSession(s, sub).run(
+        """CALL graft.modularity(4) YIELD m2, intra2, sum_dc2, n_comm
+          |RETURN m2, intra2, sum_dc2, n_comm""".stripMargin)
+    }),
+
     // path functions (r9): a MATCH-assigned path variable binds BOTH the
     // vertex-id and edge-id sequences; nodes()/relationships() compose
     // with reduce() into path strings the x4-family recursive CTE replays
@@ -535,6 +612,18 @@ object CypherGateQueries {
          |FROM (${GraphQueries.oracle("g41_temporal_hops")})
          |WHERE src_user = (SELECT MIN(CAST(user_id AS BIGINT)) FROM events)
          |ORDER BY user_id""".stripMargin,
+    // the g37 oracle restricted to its lowest source (the CALL's single
+    // source)
+    "cy41_call_kreach" ->
+      s"""SELECT user_id, n_reachable
+         |FROM (${GraphQueries.oracle("g37_temporal_kreach")})
+         |WHERE user_id = (SELECT MIN(CAST(user_id AS BIGINT)) FROM events)
+         |ORDER BY user_id""".stripMargin,
+    // the CALL mixing/community surfaces answer to the SAME oracles as
+    // their direct-API gates — identical relations by construction
+    "cy42_call_assortativity" -> GraphQueries.oracle("g42_assortativity"),
+    "cy43_call_reciprocity" -> GraphQueries.oracle("g43_reciprocity"),
+    "cy44_call_modularity" -> GraphQueries.oracle("g44_modularity"),
     "cy1_match_where" ->
       """SELECT c_custkey AS ck, o_orderkey AS ok
         |FROM customer JOIN orders ON o_custkey = c_custkey

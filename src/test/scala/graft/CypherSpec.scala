@@ -752,6 +752,68 @@ class CypherSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("at most 2"), e2.getMessage)
   }
 
+  test("CALL graft.kReachable: temporal reach counts, loud failure paths") {
+    val sess = session
+    // KNOWS 1-[2020]->2-[2021]->3: from Alice departing 2020 with
+    // deadline 2021 the count includes the source itself (arrival t0)
+    val df = sess.run(
+      s"CALL graft.kReachable(${Graphid.pack(100, 1)}, 2020, 2021, 4, 'since') " +
+        "YIELD sid, n_reachable RETURN sid, n_reachable")
+    assert(rows(df) == Seq(Seq(Graphid.pack(100, 1), 3L)))
+    // deadline 2020 closes the 2021 hop
+    val df2 = sess.run(
+      s"CALL graft.kReachable(${Graphid.pack(100, 1)}, 2020, 2020, 4, 'since') " +
+        "YIELD sid, n_reachable RETURN n_reachable")
+    assert(rows(df2) == Seq(Seq(2L)))
+    // the hop cap trims the sweep: k = 1 cannot reach Charlie
+    val df3 = sess.run(
+      s"CALL graft.kReachable(${Graphid.pack(100, 1)}, 2020, 2021, 1, 'since') " +
+        "YIELD sid, n_reachable RETURN n_reachable")
+    assert(rows(df3) == Seq(Seq(2L)))
+    // missing deadline argument fails loudly
+    val e1 = intercept[Exception](sess.run(
+      "CALL graft.kReachable(1, 2020) YIELD sid RETURN sid"))
+    assert(e1.getMessage.contains("argument 3"), e1.getMessage)
+    // the default time property 't' is absent — refuse to default
+    val e2 = intercept[Exception](sess.run(
+      s"CALL graft.kReachable(${Graphid.pack(100, 1)}, 2020, 2021) " +
+        "YIELD sid RETURN sid"))
+    assert(e2.getMessage.contains("time property 't'"), e2.getMessage)
+  }
+
+  test("CALL mixing statistics: assortativity, reciprocity, modularity") {
+    val sess = session
+    // KNOWS chain 1->2->3: every (outdeg, indeg) pair is (1, 1)
+    assert(rows(sess.run(
+      "CALL graft.assortativity() YIELD m, sx, sy, sxy, sxx, syy " +
+        "RETURN m, sx, sy, sxy, sxx, syy"))
+      == Seq(Seq(2L, 2L, 2L, 2L, 2L, 2L)))
+    // a directed chain has no reciprocal edges
+    assert(rows(sess.run(
+      "CALL graft.reciprocity() YIELD n_edges, n_recip, ratio_ppm " +
+        "RETURN n_edges, n_recip, ratio_ppm"))
+      == Seq(Seq(2L, 0L, 0L)))
+    // 4 sync-LPA rounds oscillate on the bipartite path to {1,3} vs {2}:
+    // m2 = 4, intra2 = 0 (both closure edges cross), dc = (2, 2) -> 8
+    assert(rows(sess.run(
+      "CALL graft.modularity(4) YIELD m2, intra2, sum_dc2, n_comm " +
+        "RETURN m2, intra2, sum_dc2, n_comm"))
+      == Seq(Seq(4L, 0L, 8L, 2L)))
+    // one round settles on a different partition — the budget is honored:
+    // labels (2,1,2) -> {2} alone vs {1,3}; same moments here by symmetry
+    assert(rows(sess.run(
+      "CALL graft.modularity(1) YIELD m2, intra2, sum_dc2, n_comm " +
+        "RETURN m2, intra2, sum_dc2, n_comm"))
+      == Seq(Seq(4L, 0L, 8L, 2L)))
+    // arity violations fail loudly
+    val e1 = intercept[Exception](sess.run(
+      "CALL graft.assortativity(3) YIELD m RETURN m"))
+    assert(e1.getMessage.contains("at most 0"), e1.getMessage)
+    val e2 = intercept[Exception](sess.run(
+      "CALL graft.modularity(2, 3) YIELD m2 RETURN m2"))
+    assert(e2.getMessage.contains("at most 1"), e2.getMessage)
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store
