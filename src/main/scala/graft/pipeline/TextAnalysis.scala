@@ -131,6 +131,117 @@ object TextAnalysis {
         sum(col("n_pieces")).as("total_pieces"),
         sum(col("n_subwords")).as("total_subwords"))
 
+  /** Frozen BPE merge table for [[bpeTokenCount]] — the output of
+    * [[learnBpeMerges]](documents at sf0.01, 24), pinned as a literal so
+    * the t19 oracle can mirror the application chain statically (a
+    * runtime-learned table cannot be interpolated into the driver's
+    * static oracle SQL). Rank = priority: earlier merges apply first,
+    * and later entries may merge PRODUCTS of earlier ones — the
+    * multi-level structure that distinguishes real BPE from any
+    * per-piece length heuristic. Letters only by construction (enforced
+    * below), so the oracle's quoted literals never need escaping.
+    */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
+  require(bpeMerges.forall { case (a, b) => (a + b).matches("[A-Za-z]+") },
+    "bpeMerges must stay letter-only (oracle SQL literals)")
+
+  /** One BPE pre-token as a spaced symbol string: every symbol rendered
+    * as ` sym ` so adjacent symbols are separated by TWO spaces. The
+    * invariant makes a plain left-to-right replace-all of ` a  b ` →
+    * ` ab ` implement exactly one BPE merge step — each match consumes
+    * only its own symbols' flanking spaces, so the next symbol still
+    * starts a fresh match (a run `l l l l` merges to `ll ll`, never the
+    * off-by-one `ll l ll` a single-space encoding produces under
+    * non-overlapping scan). The piece's leading space (the GPT-2 word
+    * marker) is trimmed: a token COUNTER fuses it into the word exactly
+    * as the reference tokenizers do.
+    */
+  private def bpeSpaced(p: Column): Column =
+    regexp_replace(ltrim(p), "(.)", " $1 ")
+
+  /** Apply a ranked merge table to a spaced symbol string — one literal
+    * (non-regex) replace per merge, identical semantics in DuckDB's
+    * `replace`, so the oracle chain mirrors op for op.
+    */
+  def bpeApplyMerges(spaced: Column,
+      merges: Seq[(String, String)] = bpeMerges): Column =
+    merges.foldLeft(spaced) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+
+  /** Real BPE token count of a text column under a ranked merge table:
+    * pieces from [[bpePieces]], each char-split into spaced symbols,
+    * merges applied in rank order, surviving symbols counted. Pure
+    * column HOFs — no UDF, scan-speed at 100 TB; the merge table is a
+    * plan literal, broadcast with the task binary.
+    */
+  def bpeTokenCount(t: Column,
+      merges: Seq[(String, String)] = bpeMerges): Column =
+    aggregate(bpePieces(t), lit(0L), (acc, p) =>
+      acc + size(split(trim(bpeApplyMerges(bpeSpaced(p), merges)),
+        "  ", -1)).cast("long"))
+
+  /** Per-group real-BPE token statistics (the t19 gate shape — t5's
+    * [[bpeTokenStats]] stays as the cheap ceil(chars/4) estimator).
+    */
+  def bpeRealTokenStats(df: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)] = bpeMerges): DataFrame =
+    df.select(col(groupCol),
+        size(bpePieces(col(textCol))).as("n_pieces"),
+        bpeTokenCount(col(textCol), merges).as("n_tok"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_pieces")).as("total_pieces"),
+        sum(col("n_tok")).as("total_tokens"))
+
+  /** Learn a BPE merge table from a corpus (Sennrich et al. 2016, ACL —
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * per round, count adjacent symbol pairs across the corpus under the
+    * merges learned so far and append the most frequent (ties broken by
+    * (a, b) ascending — deterministic). Counting is fully distributed
+    * (explode → map-side-combined groupBy); only the argmax row (two
+    * short strings) ever reaches the driver per round, and the spaced
+    * corpus is checkpointed once with the chain re-applied per round —
+    * n rounds = n aggregation jobs, no growing lineage. Stops early
+    * when no pair repeats.
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String)] = {
+    val spark = df.sparkSession
+    val base = df.select(explode(bpePieces(col(textCol))).as("p"))
+      .select(bpeSpaced(col("p")).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      var done = false
+      while (!done && merges.size < nMerges) {
+        val syms = base
+          .select(split(trim(bpeApplyMerges(col("s"), merges.toSeq)),
+            "  ", -1).as("y"))
+          .where(size(col("y")) >= 2)
+        val top = syms.select(explode(transform(
+            sequence(lit(0), size(col("y")) - 2),
+            i => struct(element_at(col("y"), i + 1).as("a"),
+              element_at(col("y"), i + 2).as("b")))).as("bg"))
+          .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= 2) // a pair seen once is noise, not a rule
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else merges += ((top(0).getString(0), top(0).getString(1)))
+      }
+    } finally graft.util.Checkpoints.release(spark,
+      graft.util.Checkpoints.idsOf(base))
+    merges.toSeq
+  }
+
   /** Top-k TF-IDF terms per document. idf is the raw ratio N/df (no log):
     * the ranking it induces per fixed document is identical to log-idf, and
     * the score stays an exact small-integer ratio in doubles — so the DuckDB

@@ -153,6 +153,15 @@ object PipelineQueries {
       TextAnalysis.bpeTokenStats(docs(s, dir), "text", "source")
         .orderBy(col("source"))),
 
+    // Real BPE tokenization (r13; t5 stays as the cheap estimator): the
+    // frozen 24-merge table — learned from this corpus by
+    // learnBpeMerges, multi-level merges included — applied per piece
+    // through the spaced-symbol replace chain; token counts are exact
+    // under the table, not a length heuristic.
+    "t19_bpe_real" -> ((s, dir) =>
+      TextAnalysis.bpeRealTokenStats(docs(s, dir), "text", "source")
+        .orderBy(col("source"))),
+
     // decontamination: docs 0..4 act as the leaked eval set; count the
     // corpus that survives removing every doc sharing a 5-gram with them.
     "d8_decontaminate" -> ((s, dir) => {
@@ -889,6 +898,28 @@ object PipelineQueries {
         |  CAST(SUM(COALESCE(list_sum(list_transform(pieces,
         |    x -> CAST(floor((length(x)+3)/4) AS BIGINT))), 0)) AS BIGINT) AS total_subwords
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "t19_bpe_real" -> {
+      // the merge table mirrored op for op: the same Seq generates both
+      // the Spark replace chain and this one, so they cannot diverge;
+      // replace() is literal (non-regex) in both engines and every
+      // symbol is letter-only (enforced in TextAnalysis)
+      val chain = graft.pipeline.TextAnalysis.bpeMerges.foldLeft(
+        "regexp_replace(ltrim(x), '(.)', ' \\1 ', 'g')") {
+        case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
+      }
+      s"""WITH p AS (
+         |  SELECT source,
+         |    regexp_extract_all(text,
+         |      '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+') AS pieces
+         |  FROM documents
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(pieces)) AS BIGINT) AS total_pieces,
+         |  CAST(SUM(COALESCE(list_sum(list_transform(pieces,
+         |    x -> CAST(len(string_split(trim($chain), '  ')) AS BIGINT))), 0))
+         |    AS BIGINT) AS total_tokens
+         |FROM p GROUP BY source ORDER BY source""".stripMargin
+    },
     "m2_frame_sample" ->
       // 16-byte frames, every 4th sampled; strlen counts UTF-8 bytes = the
       // binary payload length; the last frame is the byte remainder

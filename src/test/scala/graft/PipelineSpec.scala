@@ -205,6 +205,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(est == 7L) // ceil(2/4)*2 + ceil(5/4) + 1 + ceil(3/4) + 1
   }
 
+  test("real BPE: spaced-merge semantics, multi-level merges, learning") {
+    import org.apache.spark.sql.functions.col
+    // run-merge semantics: a run of 2k symbols merges to k, left to right
+    // (the double-space invariant — a single-space encoding would skip
+    // every other occurrence under non-overlapping replace)
+    val custom = Seq(("x", "y"), ("xy", "xy"))
+    def count(text: String, m: Seq[(String, String)]): Long =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextAnalysis.bpeTokenCount(col("text"), m).as("n"))
+        .head().getLong(0)
+    assert(count("xyxy", custom) == 1L)   // x y x y -> xy xy -> xyxy
+    assert(count("xyxyxy", custom) == 2L) // xy xy xy -> xyxy, xy
+    assert(count("xxx", custom) == 3L)    // nothing applies
+    assert(count("", custom) == 0L)
+    // the frozen table builds 'batch' and 'scan' through 4-level merge
+    // chains; the leading-space word marker fuses into the word
+    assert(count("batch scan", TextAnalysis.bpeMerges) == 2L)
+    assert(count("erer", TextAnalysis.bpeMerges) == 2L) // e r e r -> er er
+    // learning: recount after each merge (the products pair up next
+    // round), deterministic (count DESC, pair ASC) tie-break, singleton
+    // pairs are noise and stop the loop
+    val corpus1 = Seq(Tuple1("xyxy xyxy")).toDF("text")
+    assert(TextAnalysis.learnBpeMerges(corpus1, "text", 8)
+      == Seq(("x", "y"), ("xy", "xy")))
+    val corpus2 = Seq(Tuple1("ab ab ba ba")).toDF("text")
+    assert(TextAnalysis.learnBpeMerges(corpus2, "text", 8)
+      == Seq(("a", "b"), ("b", "a")))
+    val corpus3 = Seq(Tuple1("ab ab ab"), Tuple1("abc")).toDF("text")
+    assert(TextAnalysis.learnBpeMerges(corpus3, "text", 3)
+      == Seq(("a", "b"))) // (ab, c) occurs once -> noise, early stop
+  }
+
   test("SimHash banded pair extraction equals brute-force hamming filter") {
     val maxDist = 8 // loose enough that the planted near-dups qualify
     val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist)
