@@ -70,6 +70,7 @@ object ScaleProbe {
       case "mis"      => misProbe(spark, sfDir)
       case "fastest"  => fastestProbe(spark, sfDir)
       case "anf"      => anfProbe(spark, sfDir)
+      case "anfrounds" => anfRoundsProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -1103,7 +1104,31 @@ object ScaleProbe {
         f"min=${times.map(_._1).min}%.2f s " +
         times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
     }
-    for (r <- Seq(2, 4, 8)) {
+    anfRadiusSweep(spark, base, Seq(2, 4, 8), reps)
+  }
+
+  /** The g40 round-count axis on its own (r13 — the register-saturation
+    * claim needs deeper rounds than the r12 2/4/8 sweep, which stops
+    * right at this graph's effective diameter): rounds 4/8/16 at fixed
+    * volume. Past saturation every round's edges⋈state join runs over an
+    * UNCHANGED state relation, so the marginal per-round cost must
+    * flatten to the AQE job floor — an exact-closure implementation's
+    * per-round cost would keep growing with ball size instead. Run with
+    * SPARK_GRAFT_PROBE=anfrounds; stdout committed as
+    * tools/scaleprobe_anf_rounds_r13.txt.
+    */
+  private def anfRoundsProbe(spark: SparkSession, sfDir: String): Unit = {
+    val base = graft.store.GraphStore.tpch(spark, sfDir)
+      .allEdges.select(col("src"), col("dst")).localCheckpoint()
+    base.count()
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    anfRadiusSweep(spark, base, Seq(4, 8, 16), reps)
+  }
+
+  private def anfRadiusSweep(spark: SparkSession,
+      base: org.apache.spark.sql.DataFrame,
+      radii: Seq[Int], reps: Int): Unit = {
+    for (r <- radii) {
       val keepRun = spark.sparkContext.getPersistentRDDs.keySet
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
