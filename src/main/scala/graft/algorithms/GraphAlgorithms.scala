@@ -1618,15 +1618,20 @@ object GraphAlgorithms {
     * surface (SURVEY §2 beyond-reference set).
     */
   def modularityInvariants(edges: DataFrame, iters: Int = 4,
+      broadcastCeiling: Long = BroadcastVertexRows): DataFrame =
+    modularityDigestOf(edges,
+      labelPropagation(edges, iters, broadcastCeiling), broadcastCeiling)
+
+  /** The [[modularityInvariants]] digest for an ARBITRARY partition
+    * `labels` (id, lbl) — shared by the LPA gate and the Louvain
+    * refinement gate, which must price different partitions of the same
+    * closure identically.
+    */
+  def modularityDigestOf(edges: DataFrame, labels: DataFrame,
       broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
     import org.apache.spark.sql.functions._
-    val labels = labelPropagation(edges, iters, broadcastCeiling)
-    val e0 = edges.select("src", "dst").where(col("src") =!= col("dst"))
-    val und = e0
-      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true) // read twice: degrees + the intra join
-    val nVerts = labels.count() // materializes the label checkpoint too
+    val und = undirectedClosure(edges)
+    val nVerts = labels.count() // materializes a lazy label checkpoint too
     def small(df: DataFrame): DataFrame =
       if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
@@ -1645,6 +1650,79 @@ object GraphAlgorithms {
       .agg(count(lit(1)).cast("long").as("intra2"))
     dcAgg.crossJoin(intra) // both one-row digests
       .select(col("m2"), col("intra2"), col("sum_dc2"), col("n_comm"))
+  }
+
+  /** The undirected distinct non-loop closure every community statistic
+    * here votes/prices on — checkpointed: each caller reads it at least
+    * twice.
+    */
+  private def undirectedClosure(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e0 = edges.select("src", "dst").where(col("src") =!= col("dst"))
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  /** One synchronous Louvain refinement sweep (Blondel et al. 2008 local
+    * moves, parallel variant): every vertex evaluates moving to each
+    * NEIGHBOR community and takes the best strictly-positive-gain move,
+    * all moves applied simultaneously. Gains are compared by the exact
+    * integer numerator g = m2·(k_vb − k_va) − k_v² − k_v·(d_b − d_a)
+    * (ΔQ·m2²/2 with v's own degree removed from its source community),
+    * ties broken by the smaller target label — no FP anywhere, so the
+    * sweep is oracle-replayable. Exactness domain: m2·k_vb stays inside
+    * LONG while m2·max_deg < 2^63 — far beyond any real edge set's
+    * degree skew at 100 TB edge counts. As in every synchronous-parallel
+    * Louvain, symmetric structures can swap rather than settle; a
+    * refinement SWEEP is the deterministic, bounded-cost contract (the
+    * fixed-budget LPA rationale). Plan shape: the per-(vertex, neighbor
+    * community) edge-count relation is one map-side-combined aggregate
+    * over the closure; the argmax is a per-vertex window; every join is
+    * an equi-join on id or lbl with the |V|-sized label relation
+    * broadcast-gated. m2 is the one driver-side scalar (the sanctioned
+    * one-row collect class). Reference behavior: rust-graph-db has no
+    * community surface (SURVEY §2 beyond-reference set).
+    */
+  def louvainRefineOnce(edges: DataFrame, labels: DataFrame,
+      broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val und = undirectedClosure(edges)
+    val lbl = labels.select(col("id"), col("lbl")).localCheckpoint(true)
+    val nVerts = lbl.count()
+    def small(df: DataFrame): DataFrame =
+      if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("kv"))
+    val dc = lbl.join(deg, Seq("id"), "left")
+      .select(col("lbl"), coalesce(col("kv"), lit(0L)).as("kv"))
+      .groupBy(col("lbl")).agg(sum(col("kv")).as("dcs"))
+    val m2 = dc.agg(sum(col("dcs")).cast("long")).head().getLong(0)
+    // edges from each vertex into each neighbor community
+    val kvc = und
+      .join(small(lbl.select(col("id").as("dst"), col("lbl").as("c"))), "dst")
+      .groupBy(col("src").as("id"), col("c")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true) // read twice: own-community row + candidates
+    val base = lbl.select(col("id"), col("lbl").as("a"))
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), col("a"), coalesce(col("kv"), lit(0L)).as("kv"))
+      .join(dc.select(col("lbl").as("a"), col("dcs").as("d_a")), Seq("a"))
+      .join(kvc.select(col("id"), col("c").as("a"), col("k").as("k_va")),
+        Seq("id", "a"), "left")
+      .select(col("id"), col("a"), col("kv"), col("d_a"),
+        coalesce(col("k_va"), lit(0L)).as("k_va"))
+    val cand = base
+      .join(kvc, Seq("id"))
+      .where(col("c") =!= col("a"))
+      .join(dc.select(col("lbl").as("c"), col("dcs").as("d_b")), Seq("c"))
+      .withColumn("g", lit(m2) * (col("k") - col("k_va"))
+        - col("kv") * col("kv") - col("kv") * (col("d_b") - col("d_a")))
+    val w = Window.partitionBy(col("id")).orderBy(col("g").desc, col("c"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("g") > 0)
+      .select(col("id"), col("c").as("moved"))
+    lbl.join(best, Seq("id"), "left")
+      .select(col("id"), coalesce(col("moved"), col("lbl")).as("lbl"))
   }
 
   /** Modularity Q finished from the [[modularityInvariants]] digest (one

@@ -541,6 +541,27 @@ object GraphQueries {
       graft.algorithms.GraphAlgorithms.modularityInvariants(edges, iters = 4)
     }),
 
+    // One-level Louvain refinement over the LPA seed (r13): every vertex
+    // takes its best strictly-positive integer-gain move into a neighbor
+    // community, applied synchronously; output is the refined partition's
+    // modularity digest plus the move count — all exact integers, the
+    // whole sweep replayed in the oracle off the shared unrolled-LPA
+    // labels. Same domain bound as g22/g44.
+    "g45_louvain_refine" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val edges = Seq("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")
+        .map(l => g.edges(l).select(col("src"), col("dst")))
+        .reduce(_.unionByName(_))
+      val seed = graft.algorithms.GraphAlgorithms.labelPropagation(edges, iters = 4)
+      val refined = graft.algorithms.GraphAlgorithms.louvainRefineOnce(edges, seed)
+      val moved = seed.select(col("id"), col("lbl").as("l0"))
+        .join(refined.select(col("id"), col("lbl").as("l1")), "id")
+        .where(col("l0") =!= col("l1"))
+        .agg(count(lit(1)).cast("long").as("n_moved"))
+      graft.algorithms.GraphAlgorithms.modularityDigestOf(edges, refined)
+        .crossJoin(moved)
+    }),
+
     // Triangle counting (degree-ordered, DataFrame-native — deterministic,
     // exact, codegen'd end to end; no GraphX round-trip). Graph = suppliers
     // co-supplying a part (the g18 domain bound: l_partkey < 2000 keeps the
@@ -1522,6 +1543,48 @@ object GraphQueries {
          |       CAST(COUNT(*) AS BIGINT) AS n_communities
          |FROM (SELECT lbl, COUNT(*) AS sz FROM l4 GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin,
+    // the g45 sweep replayed from first principles off the unrolled LPA
+    // labels: per-(vertex, neighbor community) edge counts, the integer
+    // gain g = m2·(k_vb − k_va) − k_v² − k_v·(d_b − d_a), per-vertex
+    // (g DESC, target ASC) argmax over strictly positive gains, moves
+    // applied synchronously, then the same digest as g44 plus the move
+    // count. Every aggregate BIGINT-pinned.
+    "g45_louvain_refine" ->
+      s"""WITH ${lpaCtes(4)},
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS kv
+         |        FROM und GROUP BY src),
+         |dc AS (SELECT l.lbl, CAST(SUM(COALESCE(d.kv, 0)) AS BIGINT) AS dcs
+         |       FROM l4 l LEFT JOIN deg d ON d.id = l.id GROUP BY l.lbl),
+         |m2t AS (SELECT CAST(SUM(dcs) AS BIGINT) AS m2 FROM dc),
+         |kvc AS (SELECT u.src AS id, lb.lbl AS c, CAST(COUNT(*) AS BIGINT) AS k
+         |        FROM und u JOIN l4 lb ON lb.id = u.dst GROUP BY u.src, lb.lbl),
+         |base AS (SELECT l.id, l.lbl AS a, COALESCE(d.kv, 0) AS kv,
+         |                da.dcs AS d_a, COALESCE(ka.k, 0) AS k_va
+         |         FROM l4 l LEFT JOIN deg d ON d.id = l.id
+         |         JOIN dc da ON da.lbl = l.lbl
+         |         LEFT JOIN kvc ka ON ka.id = l.id AND ka.c = l.lbl),
+         |cand AS (SELECT b.id, b.a, k.c AS btgt,
+         |                (SELECT m2 FROM m2t) * (k.k - b.k_va)
+         |                  - b.kv * b.kv - b.kv * (db.dcs - b.d_a) AS g
+         |         FROM base b JOIN kvc k ON k.id = b.id AND k.c <> b.a
+         |         JOIN dc db ON db.lbl = k.c),
+         |best AS (SELECT id, btgt FROM (
+         |           SELECT id, btgt, g,
+         |             ROW_NUMBER() OVER (PARTITION BY id
+         |               ORDER BY g DESC, btgt ASC) AS rn
+         |           FROM cand) x WHERE rn = 1 AND g > 0),
+         |newl AS (SELECT b.id, COALESCE(m.btgt, b.a) AS lbl
+         |         FROM base b LEFT JOIN best m ON m.id = b.id),
+         |dc2 AS (SELECT l.lbl, CAST(SUM(COALESCE(d.kv, 0)) AS BIGINT) AS dcs
+         |        FROM newl l LEFT JOIN deg d ON d.id = l.id GROUP BY l.lbl)
+         |SELECT (SELECT CAST(SUM(dcs) AS BIGINT) FROM dc2) AS m2,
+         |       (SELECT CAST(COUNT(*) AS BIGINT)
+         |        FROM und u JOIN newl a ON a.id = u.src
+         |                   JOIN newl b ON b.id = u.dst
+         |        WHERE a.lbl = b.lbl) AS intra2,
+         |       (SELECT CAST(SUM(dcs * dcs) AS BIGINT) FROM dc2) AS sum_dc2,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM dc2) AS n_comm,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM best) AS n_moved""".stripMargin,
     // the g44 digest replayed from first principles off the SAME unrolled
     // LPA labels: closure degrees, community degree sums, intra rows —
     // every aggregate BIGINT-pinned (the r10 HUGEINT-widening rule).

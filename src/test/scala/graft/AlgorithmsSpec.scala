@@ -723,6 +723,36 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert((0 until 4).map(rl.getLong) == Seq(14L, 12L, 98L, 3L))
   }
 
+  test("louvain refinement: integer gains, sync moves, fixpoint invariance") {
+    // two triangles bridged by 3-4; the 1-round LPA seed is deliberately
+    // fragmented: (2,1,1,3,4,4) -> communities {2,3} {1} {4} {5,6}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val seed = GraphAlgorithms.labelPropagation(e, iters = 1)
+    assert(seed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // hand-traced sweep: v1 joins {2,3} (g=18), v2 swaps into the vacated
+    // {1} (g=2 — the synchronous artifact, documented), v4 joins {5,6}
+    // (g=16), v3/v5/v6 have no strictly positive gain
+    val refined = GraphAlgorithms.louvainRefineOnce(e, seed)
+    assert(refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // the digest prices the refined partition strictly better:
+    // seed Q = 4/14 - 54/196 ~ 0.010 -> refined Q = 8/14 - 78/196 ~ 0.173
+    val d0 = GraphAlgorithms.modularityDigestOf(e, seed).head()
+    assert((0 until 4).map(d0.getLong) == Seq(14L, 4L, 54L, 4L))
+    val d1 = GraphAlgorithms.modularityDigestOf(e, refined).head()
+    assert((0 until 4).map(d1.getLong) == Seq(14L, 8L, 78L, 3L))
+    def q(m2: Long, i2: Long, s2: Long): Double =
+      i2.toDouble / m2 - s2.toDouble / (m2.toDouble * m2)
+    assert(q(14, 8, 78) > q(14, 4, 54))
+    // the settled two-triangle partition is a fixpoint: no positive gain
+    val stable = GraphAlgorithms.labelPropagation(e, iters = 4)
+    val again = GraphAlgorithms.louvainRefineOnce(e, stable)
+    assert(again.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      stable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("effective diameter reads the 90% radius off the digest") {
     val digests = Seq((0L, 5L, 5L, 50L), (1L, 9L, 9L, 120L),
       (2L, 12L, 12L, 180L), (3L, 12L, 12L, 185L))
