@@ -244,6 +244,27 @@ object TemporalGraph {
     */
   def fastestDurations(edges: DataFrame, sources: DataFrame,
       maxHops: Int = 64,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame =
+    // the zero-travel-time reduction: arrival = t + 0 is the identity on
+    // LONGs, so this is bit-for-bit the original instantaneous-edge sweep
+    fastestDurationsWeighted(
+      edges.select(col("src"), col("dst"), col("t"), lit(0L).as("w")),
+      sources, maxHops, maxBroadcastRows)
+
+  /** [[fastestDurations]] with per-edge TRAVEL TIMES (the weighted
+    * fastest-path of Wu et al. 2014 §2: an edge departing src at `t`
+    * with travel time `w ≥ 0` arrives at dst at `t + w`; it is usable
+    * iff `t ≥` the traveler's arrival at src). One new term in the
+    * relaxation — candidate arrival `t + w` instead of `t` — and the
+    * per-(sid, id) Pareto-dominance prune carries over unchanged: its
+    * argument uses only that usability is monotone in the arrival value
+    * and that a later departure never lengthens the final duration,
+    * both independent of how arrivals are produced. Negative travel
+    * times are rejected loudly (one bounded aggregate) — they would
+    * invert the duration semantics silently. All-LONG end to end.
+    */
+  def fastestDurationsWeighted(edges: DataFrame, sources: DataFrame,
+      maxHops: Int = 64,
       maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sc = edges.sparkSession.sparkContext
@@ -255,8 +276,13 @@ object TemporalGraph {
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
     }
     val (e, releaseE) = tracked(
-      edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+      edges.select(col("src"), col("dst"), col("t").cast("long").as("t"),
+          col("w").cast("long").as("w"))
         .where(col("src") =!= col("dst")))
+    val negRow = e.agg(min(col("w"))).head()
+    if (!negRow.isNullAt(0)) require(negRow.getLong(0) >= 0L,
+      s"fastestDurationsWeighted: negative travel time ${negRow.getLong(0)} " +
+        "— durations would be ill-defined")
     val srcs = sources.select(col("sid"))
     val (seed, releaseSeed) = tracked(
       e.join(srcs, e("src") === srcs("sid"))
@@ -282,8 +308,8 @@ object TemporalGraph {
           s"fastestDurations: no fixpoint within $maxHops rounds — raise maxHops")
         val f = if (changed <= maxBroadcastRows) broadcast(frontier) else frontier
         val cand = e.join(f, f("id") === e("src") && e("t") >= f("arrival"))
-          .select(f("sid"), f("dep"), e("dst").as("id"), e("t").as("arrival"),
-            lit(false).as("own"))
+          .select(f("sid"), f("dep"), e("dst").as("id"),
+            (e("t") + e("w")).as("arrival"), lit(false).as("own"))
         val (next, releaseNext) = tracked(
           cand.unionByName(visited.withColumn("own", lit(true)))
             .groupBy(col("sid"), col("dep"), col("id"))

@@ -246,21 +246,38 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         // reachable vertex (the g38 temporal sweep — fastest-path, the
         // third classic temporal distance) — arg 1 names the edge-time
         // property; same loud-failure contract as latestDeparture (an
-        // event time has no sane default).
-        nargs(2)
+        // event time has no sane default). An optional arg 2 names a
+        // per-edge TRAVEL-TIME property (the g46 weighted sweep:
+        // arrivals become t + w); travel times fail loudly when missing
+        // too — defaulting one silently would skew every duration.
+        nargs(3)
         import spark.implicits._
         val source = longArg(0)          // validate args before scanning
         val fdProp = strArg(1).getOrElse("t")
-        val fte = store.allEdges.select(col("src"), col("dst"),
-          get_json_object(col("properties"), "$." + fdProp)
-            .cast("long").as("t"))
-        val fdMissing = fte.where(col("t").isNull).count()
-        require(fdMissing == 0,
-          s"graft.fastestDuration: $fdMissing edge(s) missing/non-numeric " +
-            s"time property '$fdProp' — a temporal sweep cannot default " +
-            "an event time")
-        graft.algorithms.TemporalGraph.fastestDurations(fte,
-          Seq(source).toDF("sid")).drop("sid")
+        val fdT = get_json_object(col("properties"), "$." + fdProp)
+          .cast("long").as("t")
+        strArg(2) match {
+          case None =>
+            val fte = store.allEdges.select(col("src"), col("dst"), fdT)
+            val fdMissing = fte.where(col("t").isNull).count()
+            require(fdMissing == 0,
+              s"graft.fastestDuration: $fdMissing edge(s) missing/non-numeric " +
+                s"time property '$fdProp' — a temporal sweep cannot default " +
+                "an event time")
+            graft.algorithms.TemporalGraph.fastestDurations(fte,
+              Seq(source).toDF("sid")).drop("sid")
+          case Some(wk) =>
+            val fte = store.allEdges.select(col("src"), col("dst"), fdT,
+              get_json_object(col("properties"), "$." + wk)
+                .cast("long").as("w"))
+            val fdMissing =
+              fte.where(col("t").isNull || col("w").isNull).count()
+            require(fdMissing == 0,
+              s"graft.fastestDuration: $fdMissing edge(s) missing/non-numeric " +
+                s"time property '$fdProp' or travel-time property '$wk'")
+            graft.algorithms.TemporalGraph.fastestDurationsWeighted(fte,
+              Seq(source).toDF("sid")).drop("sid")
+        }
       case "graft.fewesthops" =>
         // minimum time-respecting edge count to every reachable vertex
         // (the g41 sweep — fewest hops, the fourth classic temporal
@@ -312,7 +329,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.scc(), graft.linkPrediction(topK), graft.mis(), " +
         "graft.distance(srcId, dstId, maxHops[, 'weightProp']), " +
         "graft.latestDeparture(targetId, deadline[, 'timeProp']), " +
-        "graft.fastestDuration(sourceId[, 'timeProp']), graft.anf(rounds), " +
+        "graft.fastestDuration(sourceId[, 'timeProp'[, 'travelProp']]), " +
+        "graft.anf(rounds), " +
         "graft.fewestHops(sourceId[, k[, 'timeProp']]), " +
         "graft.assortativity(), graft.reciprocity(), " +
         "graft.modularity(iters), " +

@@ -498,6 +498,33 @@ object CypherGateQueries {
            |ORDER BY user_id""".stripMargin)
     }),
 
+    // Weighted fastest duration through the CALL surface (r13): the g46
+    // sweep exposed as the optional 3rd travel-time-property argument of
+    // graft.fastestDuration, over the cy38 derived store whose INTERACTS
+    // edges also carry w = eid % 5 + 1 — answers to the g46 oracle
+    // verbatim.
+    "cy45_weighted_duration" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.store.Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("u"))).head()
+      val (nu, srcU) = (b.getLong(0) + 1, b.getLong(1))
+      val te = ev.select(col("eid").as("id"), col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"),
+        (col("eid") % 5 + 1).as("w"))
+      val verts = te.select(col("src").as("id"))
+        .unionByName(te.select(col("dst").as("id"))).distinct()
+      val store = new GraphStore(Map("User" -> verts),
+        Map("INTERACTS" -> te))
+      new CypherSession(s, store).run(
+        s"""CALL graft.fastestDuration($srcU, 't', 'w')
+           |YIELD id, duration
+           |RETURN id AS user_id, duration
+           |ORDER BY user_id""".stripMargin)
+    }),
+
     // Temporal k-reachability through the CALL surface (r13): the g37
     // sweep exposed as CALL graft.kReachable(src, t0, deadline, k,
     // 'timeProp') over the same derived temporal store as cy37/cy38 —
@@ -622,6 +649,7 @@ object CypherGateQueries {
     // the CALL mixing/community surfaces answer to the SAME oracles as
     // their direct-API gates — identical relations by construction
     "cy42_call_assortativity" -> GraphQueries.oracle("g42_assortativity"),
+    "cy45_weighted_duration" -> GraphQueries.oracle("g46_temporal_weighted"),
     "cy43_call_reciprocity" -> GraphQueries.oracle("g43_reciprocity"),
     "cy44_call_modularity" -> GraphQueries.oracle("g44_modularity"),
     "cy1_match_where" ->

@@ -902,6 +902,28 @@ object GraphQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Weighted fastest duration (r13): the g38 sweep with per-edge travel
+    // times — w = eid % 5 + 1 µs derived deterministically from the same
+    // event relation, so candidate arrivals become t + w and waiting at a
+    // vertex trades off against travel. Same source, same Pareto-pruned
+    // engine, one new term in the relaxation; exact LONG end to end.
+    "g46_temporal_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("u"))).head()
+      val (nu, srcU) = (b.getLong(0) + 1, b.getLong(1))
+      val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"),
+        (col("eid") % 5 + 1).as("w"))
+      graft.algorithms.TemporalGraph
+        .fastestDurationsWeighted(te, Seq(srcU).toDF("sid"))
+        .select(col("id").as("user_id"), col("duration"))
+        .orderBy(col("user_id"))
+    }),
+
     // Degree assortativity (r12, Newman 2002 out→in form) over the full
     // TPC-H property-graph edge relation: the one-row exact-integer
     // moment digest (m, Σx, Σy, Σxy, Σx², Σy²) that determines the
@@ -1229,6 +1251,36 @@ object GraphQueries {
          |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
          |        FROM ev),
          |te AS (SELECT src, dst, t FROM te0 WHERE src <> dst),
+         |a0 AS (SELECT DISTINCT t AS dep, (SELECT su FROM bounds) AS id,
+         |         t AS arrival
+         |       FROM te WHERE src = (SELECT su FROM bounds)),
+         |$iter
+         |SELECT id AS user_id, CAST(MIN(arrival - dep) AS BIGINT) AS duration
+         |FROM a$rounds GROUP BY id ORDER BY user_id""".stripMargin
+    },
+
+    // the g38 relaxation with the one new term: candidate arrival t + w
+    // (w = eid % 5 + 1); same fixed unroll, converged rounds are no-ops
+    "g46_temporal_weighted" -> {
+      val rounds = 40
+      val iter = (1 to rounds).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT dep, id, MIN(arrival) AS arrival FROM (
+           |    SELECT dep, id, arrival FROM a${i - 1}
+           |    UNION ALL
+           |    SELECT w.dep, e.dst, e.t + e.w FROM a${i - 1} w
+           |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
+           |  GROUP BY dep, id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+         |              CAST(event_id AS BIGINT) AS eid,
+         |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+         |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(u) AS su FROM ev),
+         |te0 AS (SELECT u AS src,
+         |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t,
+         |          eid % 5 + 1 AS w
+         |        FROM ev),
+         |te AS (SELECT src, dst, t, w FROM te0 WHERE src <> dst),
          |a0 AS (SELECT DISTINCT t AS dep, (SELECT su FROM bounds) AS id,
          |         t AS arrival
          |       FROM te WHERE src = (SELECT su FROM bounds)),

@@ -611,6 +611,38 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"fastestDurations leaked checkpoints: $leaked")
   }
 
+  test("temporal weighted durations: travel time trades off against waiting") {
+    import graft.algorithms.TemporalGraph
+    // 1-[t0,w10]->2-[t10,w1]->4 vs 1-[t5,w1]->3-[t7,w2]->4: the slow
+    // direct-ish route arrives 11, the late-departing light route 9
+    val e = Seq(
+      (1L, 2L, 0L, 10L), (2L, 4L, 10L, 1L),
+      (1L, 3L, 5L, 1L), (3L, 4L, 7L, 2L))
+      .toDF("src", "dst", "t", "w")
+    val got = TemporalGraph.fastestDurationsWeighted(e, Seq(1L).toDF("sid"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // dep 5 reaches 3 at 6 (duration 1) and 4 at 9 (duration 4); dep 0
+    // reaches 2 at 10 (duration 10) — waiting for the later departure
+    // beats the earliest-arrival route's duration
+    assert(got == Map(1L -> 0L, 2L -> 10L, 3L -> 1L, 4L -> 4L))
+    // w = 0 reduces to the instantaneous sweep bit for bit
+    val e0 = Seq((1L, 2L, 2L), (2L, 4L, 20L), (1L, 3L, 10L), (3L, 4L, 25L))
+      .toDF("src", "dst", "t")
+    val a = TemporalGraph.fastestDurations(e0, Seq(1L).toDF("sid"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val b = TemporalGraph.fastestDurationsWeighted(
+        e0.withColumn("w", org.apache.spark.sql.functions.lit(0L)),
+        Seq(1L).toDF("sid"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    // negative travel times are rejected loudly
+    val bad = Seq((1L, 2L, 0L, -1L)).toDF("src", "dst", "t", "w")
+    val ex = intercept[IllegalArgumentException] {
+      TemporalGraph.fastestDurationsWeighted(bad, Seq(1L).toDF("sid")).count()
+    }
+    assert(ex.getMessage.contains("negative travel time"))
+  }
+
   test("temporal fewest hops: late direct edge beats early two-hop detour") {
     import graft.algorithms.TemporalGraph
     val e = Seq(

@@ -746,10 +746,24 @@ class CypherSpec extends AnyFunSuite {
       s"CALL graft.fastestDuration(${Graphid.pack(100, 1)}) " +
         "YIELD id, duration RETURN id"))
     assert(e1.getMessage.contains("time property 't'"), e1.getMessage)
-    // too many arguments fail loudly
+    // a non-string travel-time argument fails loudly
     val e2 = intercept[Exception](sess.run(
       "CALL graft.fastestDuration(1, 'since', 3) YIELD id RETURN id"))
-    assert(e2.getMessage.contains("at most 2"), e2.getMessage)
+    assert(e2.getMessage.contains("string literal"), e2.getMessage)
+    // weighted sweep (arg 3 = travel-time property): with since as both
+    // time and travel, 1-[2020]->2 arrives at 4040, so the 2021 edge to
+    // Charlie is no longer usable — only Bob is reached (duration 2020)
+    val dfw = sess.run(
+      s"CALL graft.fastestDuration(${Graphid.pack(100, 1)}, 'since', 'since') " +
+        "YIELD id, duration RETURN id, duration ORDER BY id")
+    assert(rows(dfw) == Seq(
+      Seq(Graphid.pack(100, 1), 0L),
+      Seq(Graphid.pack(100, 2), 2020L)))
+    // a missing travel-time property refuses to default
+    val e3 = intercept[Exception](sess.run(
+      s"CALL graft.fastestDuration(${Graphid.pack(100, 1)}, 'since', 'w') " +
+        "YIELD id, duration RETURN id"))
+    assert(e3.getMessage.contains("travel-time property 'w'"), e3.getMessage)
   }
 
   test("CALL graft.kReachable: temporal reach counts, loud failure paths") {
