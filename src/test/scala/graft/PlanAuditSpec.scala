@@ -332,6 +332,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("g44: modularity digest is equi-joins + partial aggregates; one sanctioned one-row join") {
+    // audit the executed (final) plan only — AQE's toString appends the
+    // initial plan too, which would double-count every node
+    val p = plan("g44_modularity").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY nested-loop is the final crossJoin of the two one-row
+    // digests — never a data-sized relation
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("g45: louvain sweep is equi-joins + per-vertex window; no data-sized nested loop") {
+    val p = plan("g45_louvain_refine").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // the refined-digest and move-count one-row joins are the only BNLJs
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 2, p)
+    // the per-vertex argmax is a hash-partitioned window, never global
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("t19: real BPE is one pruned scan + one aggregation shuffle, no join") {
+    val p = plan("t19_bpe_real")
+    // the 24-merge replace chain stays a per-row projection: no join of
+    // any kind, and the only exchange is the group-by-source aggregate
+    assert(!p.contains("Join"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("source") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("doc_id"), readSchema)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("cy31: CALL { } compiles to one seeded join — no cartesian, no per-row loop") {
     val p = plan("cy31_call_subquery_agg")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
