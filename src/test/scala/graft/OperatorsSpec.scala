@@ -18,6 +18,23 @@ class OperatorsSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("gate contract: every query carries an oracle except the documented rows-only set") {
+    // the driver records a weaker rows-only check for any query without
+    // oracle SQL — so a FORGOTTEN oracle silently downgrades a gate. Pin
+    // the exemption list to exactly the documented FP/probabilistic set
+    // (each of which has an exact oracle-checked twin; SURVEY §8).
+    val rowsOnlyByDesign = Set(
+      "x1_approx_distinct", "x2_quantiles", "x3_sample", "x6_pagerank",
+      "x9_ann_multiprobe", "x11_ann_ivf", "x24_betweenness")
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"orphan oracles: ${os -- qs}")
+    assert(qs -- os == rowsOnlyByDesign,
+      s"undocumented rows-only gates: ${(qs -- os) -- rowsOnlyByDesign}; " +
+        s"stale exemptions: ${rowsOnlyByDesign -- (qs -- os)}")
+    assert(SparkEntry.oracleSql.values.forall(_.trim.nonEmpty))
+  }
+
   test("range join equals a plain BETWEEN theta join") {
     import org.apache.spark.sql.functions._
     val points = (1 to 200).map(i => (i.toLong % 5, i.toLong * 13 % 997)).toDF("k", "t")
