@@ -189,6 +189,11 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         // the g44 digest (m2, intra2, sum_dc2, n_comm) over the LPA
         // communities; arg 1 = LPA iteration budget
         GraphAlgorithms.modularityInvariants(edges, intArg(0, Some(4)))
+      case "graft.louvainrefine" => nargs(1)
+        // the g45 sweep: one synchronous best-positive-move pass over the
+        // LPA seed (arg 1 = LPA iteration budget); yields (id, lbl)
+        GraphAlgorithms.louvainRefineOnce(edges,
+          GraphAlgorithms.labelPropagation(edges, intArg(0, Some(4))))
       case "graft.distance" =>
         nargs(4)
         import spark.implicits._
@@ -333,7 +338,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.anf(rounds), " +
         "graft.fewestHops(sourceId[, k[, 'timeProp']]), " +
         "graft.assortativity(), graft.reciprocity(), " +
-        "graft.modularity(iters), " +
+        "graft.modularity(iters), graft.louvainRefine(iters), " +
         "graft.kReachable(sourceId, t0, deadline[, k[, 'timeProp']])")
     }
     val available = out.columns.toSeq

@@ -589,6 +589,23 @@ object CypherGateQueries {
           |RETURN n_edges, n_recip, ratio_ppm""".stripMargin)
     }),
 
+    // Louvain refinement through the CALL surface (r13): the g45 sweep's
+    // refined labels on the g22-domain sub-store, folded in Cypher into
+    // the community-size histogram (the g22 output shape) — two chained
+    // aggregations over the yielded rows, answering to a histogram
+    // read-off of the shared louvainCtes oracle prefix.
+    "cy46_call_louvain" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val sub = new GraphStore(g.vertexTables,
+        g.edgeTables.view.filterKeys(
+          Set("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")).toMap)
+      new CypherSession(s, sub).run(
+        """CALL graft.louvainRefine(4) YIELD id, lbl
+          |WITH lbl, count(*) AS sz
+          |RETURN sz, count(*) AS n_communities
+          |ORDER BY sz""".stripMargin)
+    }),
+
     // Modularity through the CALL surface (r13): the g44 digest over a
     // sub-store restricted to the g22/g44 domain labels, answering to
     // the g44 oracle verbatim.
@@ -652,6 +669,14 @@ object CypherGateQueries {
     "cy45_weighted_duration" -> GraphQueries.oracle("g46_temporal_weighted"),
     "cy43_call_reciprocity" -> GraphQueries.oracle("g43_reciprocity"),
     "cy44_call_modularity" -> GraphQueries.oracle("g44_modularity"),
+    // the refined-label community-size histogram off the same shared
+    // Louvain sweep prefix the g45 digest reads
+    "cy46_call_louvain" ->
+      s"""WITH ${GraphQueries.louvainCtes(4)}
+         |SELECT CAST(sz AS BIGINT) AS sz,
+         |       CAST(COUNT(*) AS BIGINT) AS n_communities
+         |FROM (SELECT lbl, COUNT(*) AS sz FROM newl GROUP BY lbl)
+         |GROUP BY sz ORDER BY sz""".stripMargin,
     "cy1_match_where" ->
       """SELECT c_custkey AS ck, o_orderkey AS ok
         |FROM customer JOIN orders ON o_custkey = c_custkey

@@ -123,6 +123,40 @@ object GraphQueries {
        |$iterCtes""".stripMargin
   }
 
+  /** Shared Louvain-refinement oracle prefix for g45/cy46: the unrolled
+    * LPA labels, then the one synchronous sweep — closure degrees,
+    * community degree sums, per-(vertex, neighbor community) edge
+    * counts, the exact integer gain, the (g DESC, target ASC) argmax
+    * over strictly positive gains, moves applied synchronously. Leaves
+    * `und`, `deg`, `best`, and the refined labels `newl` in scope.
+    */
+  private[queries] def louvainCtes(rounds: Int): String =
+    s"""${lpaCtes(rounds)},
+       |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS kv
+       |        FROM und GROUP BY src),
+       |dc AS (SELECT l.lbl, CAST(SUM(COALESCE(d.kv, 0)) AS BIGINT) AS dcs
+       |       FROM l$rounds l LEFT JOIN deg d ON d.id = l.id GROUP BY l.lbl),
+       |m2t AS (SELECT CAST(SUM(dcs) AS BIGINT) AS m2 FROM dc),
+       |kvc AS (SELECT u.src AS id, lb.lbl AS c, CAST(COUNT(*) AS BIGINT) AS k
+       |        FROM und u JOIN l$rounds lb ON lb.id = u.dst GROUP BY u.src, lb.lbl),
+       |base AS (SELECT l.id, l.lbl AS a, COALESCE(d.kv, 0) AS kv,
+       |                da.dcs AS d_a, COALESCE(ka.k, 0) AS k_va
+       |         FROM l$rounds l LEFT JOIN deg d ON d.id = l.id
+       |         JOIN dc da ON da.lbl = l.lbl
+       |         LEFT JOIN kvc ka ON ka.id = l.id AND ka.c = l.lbl),
+       |cand AS (SELECT b.id, b.a, k.c AS btgt,
+       |                (SELECT m2 FROM m2t) * (k.k - b.k_va)
+       |                  - b.kv * b.kv - b.kv * (db.dcs - b.d_a) AS g
+       |         FROM base b JOIN kvc k ON k.id = b.id AND k.c <> b.a
+       |         JOIN dc db ON db.lbl = k.c),
+       |best AS (SELECT id, btgt FROM (
+       |           SELECT id, btgt, g,
+       |             ROW_NUMBER() OVER (PARTITION BY id
+       |               ORDER BY g DESC, btgt ASC) AS rn
+       |           FROM cand) x WHERE rn = 1 AND g > 0),
+       |newl AS (SELECT b.id, COALESCE(m.btgt, b.a) AS lbl
+       |         FROM base b LEFT JOIN best m ON m.id = b.id)""".stripMargin
+
   /** Customer 1's region key via two driver-side point reads (the g13
     * point-get class) — shared by the distance gates so the probe-region
     * choice can never diverge between g12/g32 and cy34.
@@ -1596,37 +1630,14 @@ object GraphQueries {
          |FROM (SELECT lbl, COUNT(*) AS sz FROM l4 GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin,
     // the g45 sweep replayed from first principles off the unrolled LPA
-    // labels: per-(vertex, neighbor community) edge counts, the integer
-    // gain g = m2·(k_vb − k_va) − k_v² − k_v·(d_b − d_a), per-vertex
+    // labels (the shared louvainCtes prefix: per-(vertex, neighbor
+    // community) edge counts, the integer gain
+    // g = m2·(k_vb − k_va) − k_v² − k_v·(d_b − d_a), per-vertex
     // (g DESC, target ASC) argmax over strictly positive gains, moves
-    // applied synchronously, then the same digest as g44 plus the move
+    // applied synchronously), then the same digest as g44 plus the move
     // count. Every aggregate BIGINT-pinned.
     "g45_louvain_refine" ->
-      s"""WITH ${lpaCtes(4)},
-         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS kv
-         |        FROM und GROUP BY src),
-         |dc AS (SELECT l.lbl, CAST(SUM(COALESCE(d.kv, 0)) AS BIGINT) AS dcs
-         |       FROM l4 l LEFT JOIN deg d ON d.id = l.id GROUP BY l.lbl),
-         |m2t AS (SELECT CAST(SUM(dcs) AS BIGINT) AS m2 FROM dc),
-         |kvc AS (SELECT u.src AS id, lb.lbl AS c, CAST(COUNT(*) AS BIGINT) AS k
-         |        FROM und u JOIN l4 lb ON lb.id = u.dst GROUP BY u.src, lb.lbl),
-         |base AS (SELECT l.id, l.lbl AS a, COALESCE(d.kv, 0) AS kv,
-         |                da.dcs AS d_a, COALESCE(ka.k, 0) AS k_va
-         |         FROM l4 l LEFT JOIN deg d ON d.id = l.id
-         |         JOIN dc da ON da.lbl = l.lbl
-         |         LEFT JOIN kvc ka ON ka.id = l.id AND ka.c = l.lbl),
-         |cand AS (SELECT b.id, b.a, k.c AS btgt,
-         |                (SELECT m2 FROM m2t) * (k.k - b.k_va)
-         |                  - b.kv * b.kv - b.kv * (db.dcs - b.d_a) AS g
-         |         FROM base b JOIN kvc k ON k.id = b.id AND k.c <> b.a
-         |         JOIN dc db ON db.lbl = k.c),
-         |best AS (SELECT id, btgt FROM (
-         |           SELECT id, btgt, g,
-         |             ROW_NUMBER() OVER (PARTITION BY id
-         |               ORDER BY g DESC, btgt ASC) AS rn
-         |           FROM cand) x WHERE rn = 1 AND g > 0),
-         |newl AS (SELECT b.id, COALESCE(m.btgt, b.a) AS lbl
-         |         FROM base b LEFT JOIN best m ON m.id = b.id),
+      s"""WITH ${louvainCtes(4)},
          |dc2 AS (SELECT l.lbl, CAST(SUM(COALESCE(d.kv, 0)) AS BIGINT) AS dcs
          |        FROM newl l LEFT JOIN deg d ON d.id = l.id GROUP BY l.lbl)
          |SELECT (SELECT CAST(SUM(dcs) AS BIGINT) FROM dc2) AS m2,

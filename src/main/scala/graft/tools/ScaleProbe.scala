@@ -71,6 +71,7 @@ object ScaleProbe {
       case "fastest"  => fastestProbe(spark, sfDir)
       case "anf"      => anfProbe(spark, sfDir)
       case "anfrounds" => anfRoundsProbe(spark, sfDir)
+      case "louvain"  => louvainProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -1123,6 +1124,49 @@ object ScaleProbe {
     base.count()
     val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
     anfRadiusSweep(spark, base, Seq(4, 8, 16), reps)
+  }
+
+  /** g45's volume axis: k disjoint id-shifted replicas of the g22-domain
+    * graph through the full gate shape (4 LPA rounds + the refinement
+    * sweep + the digest). Every stage is |V|-or-|E|-sized aggregation and
+    * equi-join with a fixed round count, so wall time must grow
+    * (sub-)linearly with volume — a super-linear step would mean an
+    * accidental pairs blowup in the kvc or gain relations. Run with
+    * SPARK_GRAFT_PROBE=louvain; stdout committed as
+    * tools/scaleprobe_louvain_r13.txt.
+    */
+  private def louvainProbe(spark: SparkSession, sfDir: String): Unit = {
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val base = Seq("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")
+      .map(l => g.edges(l).select(col("src"), col("dst")))
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    base.count()
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    for (k <- Seq(1, 4, 16)) {
+      val df = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong << 28)).as("src"),
+          (col("dst") + lit(i.toLong << 28)).as("dst")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val nEdges = df.count()
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val labels = graft.algorithms.GraphAlgorithms.labelPropagation(df, 4)
+        val refined = graft.algorithms.GraphAlgorithms
+          .louvainRefineOnce(df, labels)
+        val digest = graft.algorithms.GraphAlgorithms
+          .modularityDigestOf(df, refined).head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, digest.getLong(3))
+      }
+      println(f"SCALE axis=louvain-$k edges=$nEdges comms=${times.head._2} " +
+        f"min=${times.map(_._1).min}%.2f s " +
+        times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
   }
 
   private def anfRadiusSweep(spark: SparkSession,

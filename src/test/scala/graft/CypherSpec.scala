@@ -819,6 +819,14 @@ class CypherSpec extends AnyFunSuite {
       "CALL graft.modularity(1) YIELD m2, intra2, sum_dc2, n_comm " +
         "RETURN m2, intra2, sum_dc2, n_comm"))
       == Seq(Seq(4L, 0L, 8L, 2L)))
+    // the refinement sweep through CALL: the 1-round LPA seed on the
+    // chain is (2,1,2) -> {1,3} vs {2}; all three vertices take their
+    // best positive move (the documented synchronous swap) -> (1,2,1)
+    assert(rows(sess.run(
+      "CALL graft.louvainRefine(1) YIELD id, lbl RETURN id, lbl ORDER BY id"))
+      == Seq(Seq(Graphid.pack(100, 1), Graphid.pack(100, 1)),
+        Seq(Graphid.pack(100, 2), Graphid.pack(100, 2)),
+        Seq(Graphid.pack(100, 3), Graphid.pack(100, 1))))
     // arity violations fail loudly
     val e1 = intercept[Exception](sess.run(
       "CALL graft.assortativity(3) YIELD m RETURN m"))
@@ -826,6 +834,9 @@ class CypherSpec extends AnyFunSuite {
     val e2 = intercept[Exception](sess.run(
       "CALL graft.modularity(2, 3) YIELD m2 RETURN m2"))
     assert(e2.getMessage.contains("at most 1"), e2.getMessage)
+    val e3 = intercept[Exception](sess.run(
+      "CALL graft.louvainRefine(1, 2) YIELD id RETURN id"))
+    assert(e3.getMessage.contains("at most 1"), e3.getMessage)
   }
 
   test("explain renders the physical plan without executing mutations") {
