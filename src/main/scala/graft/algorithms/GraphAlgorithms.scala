@@ -1697,7 +1697,12 @@ object GraphAlgorithms {
     val dc = lbl.join(deg, Seq("id"), "left")
       .select(col("lbl"), coalesce(col("kv"), lit(0L)).as("kv"))
       .groupBy(col("lbl")).agg(sum(col("kv")).as("dcs"))
-    val m2 = dc.agg(sum(col("dcs")).cast("long")).head().getLong(0)
+    // loud, not an NPE: an edgeless (or all-self-loop) graph has no
+    // closure to price moves against
+    val m2row = dc.agg(sum(col("dcs")).cast("long")).head()
+    require(!m2row.isNullAt(0) && m2row.getLong(0) > 0L,
+      "louvainRefineOnce: the undirected closure is empty — nothing to refine")
+    val m2 = m2row.getLong(0)
     // edges from each vertex into each neighbor community
     val kvc = und
       .join(small(lbl.select(col("id").as("dst"), col("lbl").as("c"))), "dst")

@@ -783,6 +783,13 @@ class AlgorithmsSpec extends AnyFunSuite {
     val again = GraphAlgorithms.louvainRefineOnce(e, stable)
     assert(again.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       stable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // an edgeless closure fails loudly, not with an NPE on the m2 scalar
+    val loops = Seq((9L, 9L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphAlgorithms.louvainRefineOnce(loops,
+        GraphAlgorithms.labelPropagation(loops, iters = 1))
+    }
+    assert(ex.getMessage.contains("closure is empty"))
   }
 
   test("effective diameter reads the 90% radius off the digest") {
