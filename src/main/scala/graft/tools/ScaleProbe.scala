@@ -72,6 +72,7 @@ object ScaleProbe {
       case "anf"      => anfProbe(spark, sfDir)
       case "anfrounds" => anfRoundsProbe(spark, sfDir)
       case "louvain"  => louvainProbe(spark, sfDir)
+      case "fastestw" => fastestWeightedProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -1067,6 +1068,62 @@ object ScaleProbe {
         r.getLong(2) != r.getLong(1) - 1)
       println(f"SCALE axis=fdep-$d reached=${res.length} bad=$bad dt=$dt%.2f s")
     }
+  }
+
+  /** g46's scale axes (r13): the weighted fastest-duration sweep differs
+    * from g38's by ONE codegen column term (arrival = t + w), so (a) the
+    * volume axis must read within noise of the unweighted fvolume axis,
+    * and (b) at full sf volume the w = 0 reduction must reproduce the
+    * unweighted sweep ROW FOR ROW (exceptAll both ways empty) — the
+    * delegation identity the g38/cy38 gates rely on, proven here at
+    * scale, not just on the spec's hand graph. Run with
+    * SPARK_GRAFT_PROBE=fastestw; stdout committed as
+    * tools/scaleprobe_fastestw_r13.txt.
+    */
+  private def fastestWeightedProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import graft.algorithms.TemporalGraph
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    val ev = graft.store.Tables.load(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"),
+        unix_micros(col("ts")).as("t"))
+      .localCheckpoint()
+    val b = ev.agg(max(col("u")), min(col("u"))).head()
+    val (nu, srcU) = (b.getLong(0) + 1, b.getLong(1))
+    def replicas(k: Int) = (0 until k).map { i =>
+      ev.select((col("u") + lit(i * nu)).as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu + lit(i * nu)).as("dst"),
+        col("t"), (col("eid") % 5 + 1).as("w"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    for (k <- Seq(1, 4, 16)) {
+      val te = replicas(k)
+      val nEdges = te.count()
+      val sources = (0 until k).map(i => srcU + i * nu).toDF("sid")
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val s0 = System.nanoTime()
+        val nReached =
+          TemporalGraph.fastestDurationsWeighted(te, sources).count()
+        val dt = (System.nanoTime() - s0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, nReached)
+      }
+      println(f"SCALE axis=fwvolume-$k edges=$nEdges reached=${times.head._2} " +
+        f"min=${times.map(_._1).min}%.2f s " +
+        times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+    // the w = 0 reduction identity at full sf volume
+    val te1 = replicas(1)
+    val src1 = Seq(srcU).toDF("sid")
+    val un = TemporalGraph.fastestDurations(
+      te1.select(col("src"), col("dst"), col("t")), src1)
+    val w0 = TemporalGraph.fastestDurationsWeighted(
+      te1.select(col("src"), col("dst"), col("t"), lit(0L).as("w")), src1)
+    val diff = un.exceptAll(w0).count() + w0.exceptAll(un).count()
+    val n = un.count()
+    println(s"SCALE axis=fw-identity rows=$n diff=$diff")
   }
 
   /** g40's scale axes. (a) volume: k disjoint id-shifted replicas of the
