@@ -1618,20 +1618,69 @@ object GraphAlgorithms {
     * surface (SURVEY §2 beyond-reference set).
     */
   def modularityInvariants(edges: DataFrame, iters: Int = 4,
-      broadcastCeiling: Long = BroadcastVertexRows): DataFrame =
-    modularityDigestOf(edges,
+      broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
+    // everything inside — the LPA partition (ALL its round checkpoints,
+    // which register in getPersistentRDDs at creation, before the digest
+    // call's own snapshot) AND the digest's closure — is dead the moment
+    // the one-row digest is on the driver (r13 VERDICT hygiene ask):
+    // sweep the full delta this call created, so zero blocks survive
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val theirs = graft.util.Checkpoints.idsOf(edges)
+    try modularityDigestOf(edges,
       labelPropagation(edges, iters, broadcastCeiling), broadcastCeiling)
+    finally graft.util.Checkpoints.release(spark,
+      sc.getPersistentRDDs.keySet -- before -- theirs)
+  }
 
   /** The [[modularityInvariants]] digest for an ARBITRARY partition
     * `labels` (id, lbl) — shared by the LPA gate and the Louvain
     * refinement gate, which must price different partitions of the same
-    * closure identically.
+    * closure identically. `labels` MUST cover the closure's vertex set
+    * (checked loudly — a missing vertex would silently undercount m2 and
+    * intra2, r13 ADVICE). The one-row digest is materialized internally
+    * and the closure checkpoint released before returning (the internal
+    * blocks never outlive the call); callers holding lazy label
+    * checkpoints keep them — only the delta this call creates is swept.
     */
   def modularityDigestOf(edges: DataFrame, labels: DataFrame,
       broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // the caller's label/edge blocks pin during our jobs; exclude anything
+    // those plans themselves read from the sweep so the caller can keep
+    // using its relations afterwards
+    val theirs =
+      graft.util.Checkpoints.idsOf(labels) ++ graft.util.Checkpoints.idsOf(edges)
+    try {
+      val digest = modularityDigestPlanOf(edges, labels, broadcastCeiling)
+      val schema = digest.schema
+      val rows = java.util.Arrays.asList(digest.head())
+      spark.createDataFrame(rows, schema)
+    } finally graft.util.Checkpoints.release(spark,
+      sc.getPersistentRDDs.keySet -- before -- theirs)
+  }
+
+  /** The lazy digest plan behind [[modularityDigestOf]] — split out so
+    * PlanAuditSpec can pin the distributed shape (equi-joins + partial
+    * aggregates, one sanctioned one-row join) even though the public
+    * method hands back a materialized one-row relation.
+    */
+  private[graft] def modularityDigestPlanOf(edges: DataFrame,
+      labels: DataFrame, broadcastCeiling: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     val und = undirectedClosure(edges)
     val nVerts = labels.count() // materializes a lazy label checkpoint too
+    // coverage precondition (r13 ADVICE): a labels relation missing any
+    // closure vertex silently undercounts m2 (left-join degree sum) and
+    // intra2 (inner joins drop unlabeled endpoints) — fail loudly instead
+    val uncovered = und.select(col("src").as("id")).distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_anti").count()
+    require(uncovered == 0L,
+      s"modularityDigestOf: $uncovered closure vertex(es) missing from " +
+        "labels — the digest would silently undercount m2/intra2")
     def small(df: DataFrame): DataFrame =
       if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
@@ -1654,14 +1703,15 @@ object GraphAlgorithms {
 
   /** The undirected distinct non-loop closure every community statistic
     * here votes/prices on — checkpointed: each caller reads it at least
-    * twice.
+    * twice. Lazy (pins only once materialized); every public caller
+    * tracks and releases it before returning.
     */
   private def undirectedClosure(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val e0 = edges.select("src", "dst").where(col("src") =!= col("dst"))
     e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   /** One synchronous Louvain refinement sweep (Blondel et al. 2008 local
@@ -1686,10 +1736,40 @@ object GraphAlgorithms {
     */
   def louvainRefineOnce(edges: DataFrame, labels: DataFrame,
       broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val theirs =
+      graft.util.Checkpoints.idsOf(labels) ++ graft.util.Checkpoints.idsOf(edges)
+    var result: DataFrame = null
+    // every internal block (closure, label pin, per-community edge counts)
+    // is dead once the refined partition is materialized; release them on
+    // success AND on every failure path (r13 VERDICT hygiene ask) — only
+    // the result's own checkpoint and the caller's label blocks survive
+    try {
+      result = louvainSweepPlan(edges, labels, broadcastCeiling)
+        .localCheckpoint(true) // eager: materialized before the sweep below
+      result
+    } finally {
+      val keep =
+        if (result == null) Set.empty[Int]
+        else graft.util.Checkpoints.idsOf(result)
+      graft.util.Checkpoints.release(spark,
+        sc.getPersistentRDDs.keySet -- before -- theirs -- keep)
+    }
+  }
+
+  /** The lazy one-sweep plan behind [[louvainRefineOnce]] — split out so
+    * PlanAuditSpec can pin the distributed shape (equi-joins, per-vertex
+    * window argmax) even though the public method hands back a
+    * materialized checkpoint with the internal blocks released.
+    */
+  private[graft] def louvainSweepPlan(edges: DataFrame, labels: DataFrame,
+      broadcastCeiling: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val und = undirectedClosure(edges)
-    val lbl = labels.select(col("id"), col("lbl")).localCheckpoint(true)
+    val lbl = labels.select(col("id"), col("lbl")).localCheckpoint(false)
     val nVerts = lbl.count()
     def small(df: DataFrame): DataFrame =
       if (nVerts <= broadcastCeiling) broadcast(df) else df.hint("shuffle_hash")
@@ -1707,7 +1787,7 @@ object GraphAlgorithms {
     val kvc = und
       .join(small(lbl.select(col("id").as("dst"), col("lbl").as("c"))), "dst")
       .groupBy(col("src").as("id"), col("c")).agg(count(lit(1)).as("k"))
-      .localCheckpoint(true) // read twice: own-community row + candidates
+      .localCheckpoint(false) // read twice: own-community row + candidates
     val base = lbl.select(col("id"), col("lbl").as("a"))
       .join(deg, Seq("id"), "left")
       .select(col("id"), col("a"), coalesce(col("kv"), lit(0L)).as("kv"))

@@ -279,29 +279,44 @@ object TemporalGraph {
       edges.select(col("src"), col("dst"), col("t").cast("long").as("t"),
           col("w").cast("long").as("w"))
         .where(col("src") =!= col("dst")))
-    val negRow = e.agg(min(col("w"))).head()
-    if (!negRow.isNullAt(0)) require(negRow.getLong(0) >= 0L,
-      s"fastestDurationsWeighted: negative travel time ${negRow.getLong(0)} " +
-        "— durations would be ill-defined")
-    val srcs = sources.select(col("sid"))
-    val (seed, releaseSeed) = tracked(
-      e.join(srcs, e("src") === srcs("sid"))
-        .select(col("sid"), col("t").as("dep")).distinct()
-        .select(col("sid"), col("dep"), col("sid").as("id"),
-          col("dep").as("arrival")))
-    var visited = seed
-    var release = releaseSeed
-    var frontier = visited
-    var changed = frontier.count()
-    var round = 0
-    // dominance: among this (sid, id)'s pairs, a row survives iff no
-    // strictly-later departure reaches it no later
-    val wUp = Window.partitionBy(col("sid"), col("id"))
-      .orderBy(col("dep").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // the no-fixpoint require and any Spark job failure must release the
-    // outstanding edge/state checkpoints before rethrowing (r12 ADVICE)
+    var visited: DataFrame = null
+    var release: () => Unit = () => ()
+    // the up-front guards, the no-fixpoint require, and any Spark job
+    // failure must release the outstanding edge/state checkpoints before
+    // rethrowing (r12/r13 ADVICE — the guard row reads the checkpointed
+    // edge relation, so even IT sits inside the released scope)
     try {
+      // one bounded aggregate guards both input hazards loudly: negative
+      // travel times (durations ill-defined) and NULL t/w (NULL arrivals
+      // pass min()-based checks, then register as 'improved' every round
+      // and the sweep dies at maxHops with a misleading message)
+      val guard = e.agg(
+        sum(when(col("t").isNull || col("w").isNull, 1L).otherwise(0L))
+          .as("n_null"),
+        min(col("w")).as("min_w")).head()
+      val nNull = if (guard.isNullAt(0)) 0L else guard.getLong(0)
+      require(nNull == 0L,
+        s"fastestDurationsWeighted: $nNull edge(s) with NULL t or w — " +
+          "arrivals would be NULL and the sweep could never converge")
+      if (!guard.isNullAt(1)) require(guard.getLong(1) >= 0L,
+        s"fastestDurationsWeighted: negative travel time ${guard.getLong(1)} " +
+          "— durations would be ill-defined")
+      val srcs = sources.select(col("sid"))
+      val (seed, releaseSeed) = tracked(
+        e.join(srcs, e("src") === srcs("sid"))
+          .select(col("sid"), col("t").as("dep")).distinct()
+          .select(col("sid"), col("dep"), col("sid").as("id"),
+            col("dep").as("arrival")))
+      visited = seed
+      release = releaseSeed
+      var frontier = visited
+      var changed = frontier.count()
+      var round = 0
+      // dominance: among this (sid, id)'s pairs, a row survives iff no
+      // strictly-later departure reaches it no later
+      val wUp = Window.partitionBy(col("sid"), col("id"))
+        .orderBy(col("dep").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       while (changed > 0) {
         round += 1
         require(round <= maxHops,

@@ -191,11 +191,25 @@ object GraphIO {
     interchangeEdges(store).write.mode("overwrite").json(s"$outDir/edges")
   }
 
+  /** Ceiling for [[exportJsonDoc]]'s driver-side collect: past this many
+    * elements a single JSON document is the wrong interchange format at
+    * any scale this engine targets — the caller wants exportJsonLines.
+    */
+  val JsonDocMaxElements: Long = 4L * 1000 * 1000
+
   /** Single-document export matching the reference's format
     * (export.rs:160-244). Driver-side collect — small graphs only, by
-    * design; large graphs use exportJsonLines.
+    * design, and GUARDED: an accidental call on a big store fails loudly
+    * instead of silently OOMing the driver (r13 VERDICT); large graphs
+    * use exportJsonLines.
     */
-  def exportJsonDoc(store: GraphStore): String = {
+  def exportJsonDoc(store: GraphStore,
+      maxElements: Long = JsonDocMaxElements): String = {
+    val n = store.allVertices.count() + store.allEdges.count()
+    require(n <= maxElements,
+      s"exportJsonDoc: $n graph elements exceed the single-document " +
+        s"ceiling ($maxElements) — use exportJsonLines for stores " +
+        "this size")
     val vs = store.allVertices.orderBy(col("id")).toJSON.collect()
     val es = interchangeEdges(store).orderBy(col("start"), col("end")).toJSON.collect()
     s"""{"vertices":[${vs.mkString(",")}],"edges":[${es.mkString(",")}]}"""

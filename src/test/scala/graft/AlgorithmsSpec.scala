@@ -641,6 +641,23 @@ class AlgorithmsSpec extends AnyFunSuite {
       TemporalGraph.fastestDurationsWeighted(bad, Seq(1L).toDF("sid")).count()
     }
     assert(ex.getMessage.contains("negative travel time"))
+    // the guard itself releases the edge checkpoint it reads before
+    // rethrowing (r13 ADVICE — the failure-path leak class), and NULL
+    // travel times are named loudly instead of spinning to maxHops on
+    // NULL arrivals that min()-based checks would wave through
+    val nullW = Seq((1L, 2L, 0L, Some(1L)), (2L, 3L, 1L, None))
+      .toDF("src", "dst", "t", "w")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val exNeg = intercept[IllegalArgumentException] {
+      TemporalGraph.fastestDurationsWeighted(bad, Seq(1L).toDF("sid")).count()
+    }
+    assert(exNeg.getMessage.contains("negative travel time"))
+    val exNull = intercept[IllegalArgumentException] {
+      TemporalGraph.fastestDurationsWeighted(nullW, Seq(1L).toDF("sid")).count()
+    }
+    assert(exNull.getMessage.contains("NULL t or w"))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"guard failure path leaked checkpoints: $leaked")
   }
 
   test("temporal fewest hops: late direct edge beats early two-hop detour") {
@@ -790,6 +807,58 @@ class AlgorithmsSpec extends AnyFunSuite {
         GraphAlgorithms.labelPropagation(loops, iters = 1))
     }
     assert(ex.getMessage.contains("closure is empty"))
+  }
+
+  test("community digests release every internal checkpoint — success and failure") {
+    // the r13 temporal-sweep discipline applied to the community family
+    // (r13 VERDICT ask): persistent-RDD set returns to its pre-call
+    // baseline after modularityInvariants (digest collected internally,
+    // LPA rounds included in the sweep), and louvainRefineOnce leaves
+    // EXACTLY its result's own checkpoint
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val sc = spark.sparkContext
+    val base0 = sc.getPersistentRDDs.keySet
+    val inv = GraphAlgorithms.modularityInvariants(e)
+    assert((0 until 4).map(inv.head().getLong) == Seq(14L, 12L, 98L, 2L))
+    val leak0 = sc.getPersistentRDDs.keySet -- base0
+    assert(leak0.isEmpty, s"modularityInvariants leaked checkpoints: $leak0")
+    // caller-held labels survive the digest's internal sweep
+    val seed = GraphAlgorithms.labelPropagation(e, iters = 4)
+    seed.count() // caller materializes its own relation first
+    val base1 = sc.getPersistentRDDs.keySet
+    GraphAlgorithms.modularityDigestOf(e, seed).head()
+    val leak1 = sc.getPersistentRDDs.keySet -- base1
+    assert(leak1.isEmpty, s"modularityDigestOf leaked checkpoints: $leak1")
+    assert(seed.count() == 6L) // and the caller's relation still reads
+    // louvainRefineOnce: the only surviving block is the result itself
+    val base2 = sc.getPersistentRDDs.keySet
+    val refined = GraphAlgorithms.louvainRefineOnce(e, seed)
+    val leak2 = sc.getPersistentRDDs.keySet -- base2
+    assert(leak2 == graft.util.Checkpoints.idsOf(refined),
+      s"louvainRefineOnce left more than its result: $leak2")
+    graft.util.Checkpoints.release(spark, leak2)
+    // failure paths restore the baseline exactly: edgeless closure...
+    val loops = Seq((9L, 9L)).toDF("src", "dst")
+    val loopSeed = GraphAlgorithms.labelPropagation(loops, iters = 1)
+    loopSeed.count()
+    val base3 = sc.getPersistentRDDs.keySet
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.louvainRefineOnce(loops, loopSeed)
+    }
+    val leak3 = sc.getPersistentRDDs.keySet -- base3
+    assert(leak3.isEmpty, s"louvainRefineOnce failure path leaked: $leak3")
+    // ...and a labels relation missing a closure vertex fails loudly
+    // (silent m2/intra2 undercount, r13 ADVICE) without leaking
+    val partial = Seq((1L, 10L), (2L, 10L)).toDF("id", "lbl")
+    partial.count()
+    val base4 = sc.getPersistentRDDs.keySet
+    val exCov = intercept[IllegalArgumentException] {
+      GraphAlgorithms.modularityDigestOf(e, partial)
+    }
+    assert(exCov.getMessage.contains("missing from labels"))
+    val leak4 = sc.getPersistentRDDs.keySet -- base4
+    assert(leak4.isEmpty, s"coverage failure path leaked: $leak4")
   }
 
   test("effective diameter reads the 90% radius off the digest") {

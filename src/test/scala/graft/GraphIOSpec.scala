@@ -57,6 +57,12 @@ class GraphIOSpec extends AnyFunSuite {
     val store2 = GraphIO.importJson(spark, f2.toString)
     assert(store2.allVertices.count() == 3)
     assert(store2.allEdges.count() == 2)
+    // the single-document export is a driver-side collect by design —
+    // a store past the ceiling fails loudly instead of OOMing the driver
+    val ex = intercept[IllegalArgumentException] {
+      GraphIO.exportJsonDoc(store, maxElements = 4L)
+    }
+    assert(ex.getMessage.contains("exportJsonLines"))
   }
 
   test("CSV import with auto-generated ids") {

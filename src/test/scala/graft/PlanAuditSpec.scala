@@ -332,10 +332,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  /** The gate edge relation g44/g45 run over — the public methods now
+    * hand back materialized relations with their internal checkpoints
+    * released (r14 hygiene), so the distributed shape is pinned on the
+    * internal plan builders instead of the gate plans.
+    */
+  private def communityEdges() = {
+    import org.apache.spark.sql.functions.col
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    Seq("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")
+      .map(l => g.edges(l).select(col("src"), col("dst")))
+      .reduce(_.unionByName(_))
+  }
+
   test("g44: modularity digest is equi-joins + partial aggregates; one sanctioned one-row join") {
+    import graft.algorithms.GraphAlgorithms
+    val edges = communityEdges()
+    val df = GraphAlgorithms.modularityDigestPlanOf(edges,
+      GraphAlgorithms.labelPropagation(edges, iters = 4),
+      GraphAlgorithms.BroadcastVertexRows)
+    df.collect()
     // audit the executed (final) plan only — AQE's toString appends the
     // initial plan too, which would double-count every node
-    val p = plan("g44_modularity").split("== Initial Plan ==")(0)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), p)
     // the ONLY nested-loop is the final crossJoin of the two one-row
     // digests — never a data-sized relation
@@ -345,14 +364,24 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("g45: louvain sweep is equi-joins + per-vertex window; no data-sized nested loop") {
-    val p = plan("g45_louvain_refine").split("== Initial Plan ==")(0)
+    import graft.algorithms.GraphAlgorithms
+    val edges = communityEdges()
+    val df = GraphAlgorithms.louvainSweepPlan(edges,
+      GraphAlgorithms.labelPropagation(edges, iters = 4),
+      GraphAlgorithms.BroadcastVertexRows)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), p)
-    // the refined-digest and move-count one-row joins are the only BNLJs
-    assert(p.sliding("BroadcastNestedLoopJoin".length)
-      .count(_ == "BroadcastNestedLoopJoin") <= 2, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the per-vertex argmax is a hash-partitioned window, never global
     assert(p.contains("Window"), p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // the gate plan itself stays cartesian-free: the digest and move-count
+    // one-row joins are the only BNLJs
+    val gp = plan("g45_louvain_refine").split("== Initial Plan ==")(0)
+    assert(!gp.contains("CartesianProduct"), gp)
+    assert(gp.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 2, gp)
   }
 
   test("t19: real BPE is one pruned scan + one aggregation shuffle, no join") {
