@@ -1810,6 +1810,180 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("moved"), col("lbl")).as("lbl"))
   }
 
+  /** Multi-level Louvain (Blondel et al. 2008, BOTH phases): each LEVEL
+    * runs synchronous best-positive-move sweeps from a singleton start
+    * until a sweep moves nothing (budget `sweepsPerLevel` — the bounded-
+    * cost contract of synchronous parallel Louvain, the g45 rationale),
+    * then COARSENS: communities become vertices, parallel edge weights
+    * sum, intra-community weight becomes the super-vertex self-loop
+    * (phase 2), and the next level repeats on the weighted coarse graph.
+    * Stops at the first level whose sweeps produce no NET change
+    * (final labels == singleton start), or after `maxLevels`.
+    *
+    * Gains generalize [[louvainRefineOnce]]'s exact integer numerator to
+    * weights: g = m2·(k_vb − k_va) − k_v² − k_v·(d_b − d_a), with k_v the
+    * weighted degree counting a self-loop twice (A_ii = 2·w_ii — the
+    * matrix convention under which coarsening preserves modularity), so
+    * m2 = Σ_i k_i is INVARIANT across levels and one driver scalar
+    * serves all of them. Each sweep runs as two PARITY SUB-ROUNDS (only
+    * id % 2 == phase moves, the rest anchor their communities) and
+    * singleton→singleton moves go only toward the smaller label (the
+    * Grappolo tie rule; Lu et al., Parallel Heuristics for Scalable
+    * Community Detection, 2015) — together these break the synchronous
+    * A↔B swap and the label-chase cascade deterministically (measured on
+    * the triangle-ring probe: the plain synchronous sweep stalls at
+    * Q≈0.08, this scheme reaches the ring's optimum 0.675). Every rule
+    * is integer arithmetic over equi-joins plus one per-vertex window
+    * argmax, so the whole multi-level run replays op-for-op in SQL (the
+    * g47 oracle). Exactness domain: m2·max weighted degree < 2^63, as
+    * g45.
+    *
+    * Scale shape: level 1 works on the 2|E| closure with w = 1; every
+    * later level works on the community graph, which is strictly
+    * smaller (that collapse is the point of phase 2 — the 100 TB
+    * argument). Per sweep: one map-side-combined (vertex, neighbor
+    * community) aggregate, broadcast-gated |V_level|-sized label joins,
+    * one per-vertex window. All internal checkpoints are released on
+    * success and failure; the returned partition is the one surviving
+    * (eagerly materialized) block.
+    *
+    * Returns (flat partition over ALL edge endpoints — self-loop-only
+    * vertices stay singletons, the g44 digest domain —, count of levels
+    * that net-moved at least one vertex). Reference behavior:
+    * rust-graph-db has no community surface (SURVEY §2
+    * beyond-reference set).
+    */
+  def louvainLevels(edges: DataFrame, maxLevels: Int = 3,
+      sweepsPerLevel: Int = 3,
+      broadcastCeiling: Long = BroadcastVertexRows): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(maxLevels >= 1 && sweepsPerLevel >= 1,
+      "louvainLevels needs at least one level and one sweep per level")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val theirs = graft.util.Checkpoints.idsOf(edges)
+    var result: DataFrame = null
+    var nLevels = 0
+    // lazy-checkpoint, then REBUILD the frame from the checkpointed RDD:
+    // LogicalRDD copies the origin plan's size ESTIMATE, and each sweep
+    // references its predecessor ~5 times, so estimates compound
+    // exponentially across sweeps — by sweep 6+ the PLANNER itself grinds
+    // in BigInteger multiplication (measured: bits triple per checkpoint
+    // generation, eager or lazy). Rebuilding resets the leaf estimate
+    // every generation; the broadcasts here are explicitly gated, so the
+    // lost estimate changes no join strategy.
+    def statsBarrier(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(false)
+      spark.createDataFrame(cp.rdd, cp.schema)
+    }
+    try {
+      var sym = undirectedClosure(edges)
+        .select(col("src"), col("dst"), lit(1L).as("w"))
+      var flat = statsBarrier(edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id")))
+        .distinct().select(col("id"), col("id").as("lbl")))
+      val m2row = sym.agg(sum(col("w"))).head()
+      require(!m2row.isNullAt(0) && m2row.getLong(0) > 0L,
+        "louvainLevels: the undirected closure is empty — nothing to cluster")
+      val m2 = m2row.getLong(0)
+      var continue = true
+      var level = 0
+      while (continue && level < maxLevels) {
+        level += 1
+        val deg = sym.groupBy(col("src").as("id"))
+          .agg(sum(col("w")).as("kv")).localCheckpoint(false)
+        val nVerts = deg.count()
+        def small(df: DataFrame): DataFrame =
+          if (nVerts <= broadcastCeiling) broadcast(df)
+          else df.hint("shuffle_hash")
+        var lbl = deg.select(col("id"), col("id").as("lbl"))
+        var sweepMoved = -1L
+        var s = 0
+        // a zero-move sweep is a fixpoint (deterministic: replaying it
+        // changes nothing), so breaking early equals the full budget
+        while (sweepMoved != 0L && s < sweepsPerLevel) {
+          s += 1
+          sweepMoved = 0L
+          // one sweep = two PARITY SUB-ROUNDS: only vertices with
+          // id % 2 == phase may move, everyone else is frozen. A frozen
+          // majority anchors every target community, which kills the two
+          // synchronous pathologies — the A↔B swap and the label-chase
+          // cascade (a mover landing in a community whose members all
+          // left the same instant). Same-parity singleton pairs can still
+          // swap, so singleton→singleton moves additionally go only
+          // toward the smaller label (the Grappolo tie rule; Lu et al.,
+          // Parallel Heuristics for Scalable Community Detection, 2015).
+          var phase = 0
+          while (phase < 2) {
+            val dc = lbl.join(deg, Seq("id"))
+              .groupBy(col("lbl"))
+              .agg(sum(col("kv")).as("dcs"), count(lit(1)).as("sz"))
+            val kvc = sym.where(col("src") =!= col("dst"))
+              .join(small(lbl.select(col("id").as("dst"), col("lbl").as("c"))),
+                "dst")
+              .groupBy(col("src").as("id"), col("c")).agg(sum(col("w")).as("k"))
+              .localCheckpoint(false) // read twice: own-community + candidates
+            val base = lbl.select(col("id"), col("lbl").as("a"))
+              .where(col("id") % 2 === phase)
+              .join(deg, Seq("id"))
+              .join(dc.select(col("lbl").as("a"), col("dcs").as("d_a"),
+                col("sz").as("sz_a")), Seq("a"))
+              .join(kvc.select(col("id"), col("c").as("a"), col("k").as("k_va")),
+                Seq("id", "a"), "left")
+              .select(col("id"), col("a"), col("kv"), col("d_a"), col("sz_a"),
+                coalesce(col("k_va"), lit(0L)).as("k_va"))
+            val cand = base
+              .join(kvc, Seq("id"))
+              .where(col("c") =!= col("a"))
+              .join(dc.select(col("lbl").as("c"), col("dcs").as("d_b"),
+                col("sz").as("sz_b")), Seq("c"))
+              .where(!(col("sz_a") === 1 && col("sz_b") === 1
+                && col("c") > col("a")))
+              .withColumn("g", lit(m2) * (col("k") - col("k_va"))
+                - col("kv") * col("kv") - col("kv") * (col("d_b") - col("d_a")))
+            val w = Window.partitionBy(col("id")).orderBy(col("g").desc, col("c"))
+            val best = cand.withColumn("rn", row_number().over(w))
+              .where(col("rn") === 1 && col("g") > 0)
+              .select(col("id"), col("c").as("moved"))
+              .localCheckpoint(false) // read twice: move count + application
+            sweepMoved += best.count()
+            lbl = statsBarrier(lbl.join(best, Seq("id"), "left")
+              .select(col("id"), coalesce(col("moved"), col("lbl")).as("lbl")))
+            phase += 1
+          }
+        }
+        // net change vs the singleton start — oscillations that return to
+        // the start count as no progress, exactly as the SQL replay prices
+        val netMoved = lbl.where(col("lbl") =!= col("id")).count()
+        if (netMoved == 0L) continue = false
+        else {
+          nLevels += 1
+          val lx = lbl.select(col("id").as("xid"), col("lbl").as("xlbl"))
+          flat = statsBarrier(
+            flat.join(small(lx), flat("lbl") === lx("xid"), "left")
+              .select(flat("id"), coalesce(col("xlbl"), flat("lbl")).as("lbl")))
+          sym = statsBarrier(sym
+            .join(small(lbl.select(col("id").as("src"), col("lbl").as("lsrc"))),
+              "src")
+            .join(small(lbl.select(col("id").as("dst"), col("lbl").as("ldst"))),
+              "dst")
+            .groupBy(col("lsrc").as("src"), col("ldst").as("dst"))
+            .agg(sum(col("w")).as("w")))
+        }
+      }
+      result = flat.localCheckpoint(true) // eager: materialized pre-sweep
+      (result, nLevels)
+    } finally {
+      val keep =
+        if (result == null) Set.empty[Int]
+        else graft.util.Checkpoints.idsOf(result)
+      graft.util.Checkpoints.release(spark,
+        sc.getPersistentRDDs.keySet -- before -- theirs -- keep)
+    }
+  }
+
   /** Modularity Q finished from the [[modularityInvariants]] digest (one
     * driver-side row — the sanctioned scalar-aggregate collect class):
     * Q = intra2/m2 − sum_dc2/m2². NaN on an edgeless graph (m2 = 0),

@@ -809,6 +809,81 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("closure is empty"))
   }
 
+  test("multi-level louvain: two triangles settle in one level, hand-traced") {
+    // edges (1,2),(2,3),(3,1),(4,5),(5,6),(6,4),(3,4): the even sub-round
+    // moves 2->1 and 4->3 then 6->5 (odd anchors frozen; singleton rule
+    // blocks every uphill singleton target); the odd sub-rounds pull 3
+    // into {1,2} and 4,6 into {5}; the coarse 2-vertex graph (self-loops
+    // w=6, bridge w=1) offers only g=-35, so level 2 nets zero moves and
+    // the run stops at nLevels=1 with the exact two-triangle partition.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.keySet
+    val (flat, nLevels) = GraphAlgorithms.louvainLevels(e)
+    assert(nLevels == 1)
+    assert(flat.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L))
+    // the digest prices the found partition as the true two-triangle one
+    val d = GraphAlgorithms.modularityDigestOf(e, flat).head()
+    assert((0 until 4).map(d.getLong) == Seq(14L, 12L, 98L, 2L))
+    // the only surviving block is the returned partition itself
+    val leaked = sc.getPersistentRDDs.keySet -- base
+    assert(leaked == graft.util.Checkpoints.idsOf(flat),
+      s"louvainLevels left more than its result: $leaked")
+    graft.util.Checkpoints.release(spark, leaked)
+    // a self-loop-only vertex stays its own singleton community
+    val lonely = e.unionByName(Seq((9L, 9L)).toDF("src", "dst"))
+    val (flat2, n2) = GraphAlgorithms.louvainLevels(lonely)
+    assert(n2 == 1)
+    assert(flat2.where(flat2("id") === 9L).head().getLong(1) == 9L)
+    graft.util.Checkpoints.release(spark, graft.util.Checkpoints.idsOf(flat2))
+    // an edgeless closure fails loudly and releases its checkpoints
+    val loops = Seq((9L, 9L)).toDF("src", "dst")
+    val base2 = sc.getPersistentRDDs.keySet
+    val ex = intercept[IllegalArgumentException] {
+      GraphAlgorithms.louvainLevels(loops)
+    }
+    assert(ex.getMessage.contains("closure is empty"))
+    assert((sc.getPersistentRDDs.keySet -- base2).isEmpty)
+  }
+
+  test("multi-level louvain: a triangle ring coarsens and merges at level 2") {
+    // ring of 10 triangles joined by bridges: level 1 finds the triangles
+    // (communities of weighted degree 8, m2 = 80); level 2 prices merging
+    // two adjacent super-vertices at g = 80·1 − 64 = 16 > 0, so the
+    // coarse pass MUST act — the phase-2 behavior one level cannot reach
+    val tri = (0 until 10).flatMap { i =>
+      val (a, b, c) = (3L * i + 1, 3L * i + 2, 3L * i + 3)
+      Seq((a, b), (b, c), (c, a))
+    }
+    val bridges = (0 until 10).map(i => (3L * i + 3, (3L * i + 3) % 30 + 1))
+    val e = (tri ++ bridges).toDF("src", "dst")
+    val (flat, nLevels) = GraphAlgorithms.louvainLevels(e)
+    val got = flat.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangles never split: the parity sub-rounds settle each triangle
+    // before the coarse levels move them as whole communities
+    (0 until 10).foreach { i =>
+      val ls = Seq(3L * i + 1, 3L * i + 2, 3L * i + 3).map(got)
+      assert(ls.distinct.size == 1, s"triangle $i split: $ls")
+    }
+    assert(nLevels >= 2, s"coarse level never acted: nLevels=$nLevels")
+    def q(d: org.apache.spark.sql.Row): Double =
+      d.getLong(1).toDouble / d.getLong(0) -
+        d.getLong(2).toDouble / (d.getLong(0).toDouble * d.getLong(0))
+    // the budgeted default lands near the optimum...
+    val qMulti = q(GraphAlgorithms.modularityDigestOf(e, flat).head())
+    assert(qMulti > 0.6, s"ring Q $qMulti below the triangle partition's 0.65 band")
+    // ...and a wider sweep budget reaches the ring's true optimum: five
+    // adjacent-triangle pairs, Q = 70/80 - 1280/6400 = 0.675 exactly
+    val (flat8, n8) = GraphAlgorithms.louvainLevels(e, maxLevels = 3, sweepsPerLevel = 8)
+    val d8 = GraphAlgorithms.modularityDigestOf(e, flat8).head()
+    assert((0 until 4).map(d8.getLong) == Seq(80L, 70L, 1280L, 5L))
+    assert(n8 == 2)
+    graft.util.Checkpoints.release(spark,
+      graft.util.Checkpoints.idsOf(flat) ++ graft.util.Checkpoints.idsOf(flat8))
+  }
+
   test("community digests release every internal checkpoint — success and failure") {
     // the r13 temporal-sweep discipline applied to the community family
     // (r13 VERDICT ask): persistent-RDD set returns to its pre-call
