@@ -136,6 +136,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       } else None
     def nargs(max: Int): Unit = require(c.args.length <= max,
       s"${c.proc} takes at most $max argument(s)")
+    def corpusDir(proc: String): String = strArg(0).getOrElse(sys.error(
+      s"$proc requires a corpus data directory as its first (string) argument"))
     val edges = store.allEdges.select(col("src"), col("dst"))
     val out: DataFrame = c.proc.toLowerCase match {
       case "graft.pagerank" => nargs(1)
@@ -194,6 +196,41 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         // LPA seed (arg 1 = LPA iteration budget); yields (id, lbl)
         GraphAlgorithms.louvainRefineOnce(edges,
           GraphAlgorithms.labelPropagation(edges, intArg(0, Some(4))))
+      case "graft.louvain" => nargs(2)
+        // the g47 multi-level run (singleton start, parity sub-round
+        // sweeps, coarsen, repeat): arg 1 = max levels, arg 2 = sweeps
+        // per level; yields the flat (id, lbl) partition
+        GraphAlgorithms.louvainLevels(edges,
+          intArg(0, Some(3)), intArg(1, Some(3)))._1
+      // ---- corpus procedures (r14): pipeline operators addressed at a
+      // parquet corpus root rather than the graph store — the dir string
+      // is the required first argument, missing/mistyped args fail loudly
+      case "graft.corpusprofile" => nargs(1)
+        // the t14 per-source curation digest over <dir>/documents.parquet
+        graft.pipeline.TextAnalysis.corpusProfile(
+          graft.store.Tables.load(spark, corpusDir("graft.corpusProfile"),
+            "documents"))
+      case "graft.dedupclusters" => nargs(2)
+        // the d7 LSH→connected-components→survivor clusters; optional
+        // arg 2 = Jaccard threshold in per-mille (default 500 = 0.5)
+        val permille = longArg(1, Some(500L))
+        require(permille >= 0L && permille <= 1000L,
+          s"graft.dedupClusters: threshold $permille must be 0..1000 per-mille")
+        graft.pipeline.Dedup.nearDupClusters(
+          graft.store.Tables.load(spark, corpusDir("graft.dedupClusters"),
+            "documents"),
+          "doc_id", "text", permille.toDouble / 1000.0)
+      case "graft.anntopk" =>
+        // the e2 hyperplane-LSH approximate top-k: (dir, k, probe ids...)
+        require(c.args.length >= 3,
+          "graft.annTopK requires (corpus dir, k, at least one probe id)")
+        val k = intArg(1)
+        require(k >= 1, s"graft.annTopK: k must be positive, got $k")
+        val probes = (2 until c.args.length).map(longArg(_))
+        graft.pipeline.Similarity.annTopK(
+          graft.store.Tables.load(spark, corpusDir("graft.annTopK"),
+            "embeddings"),
+          "vec_id", "embedding", probes, k)
       case "graft.distance" =>
         nargs(4)
         import spark.implicits._

@@ -657,4 +657,52 @@ object TextAnalysis {
         col("exact_n").cast("long").as("exact_n"),
         col("cm_est").cast("long").as("cm_est"))
   }
+
+  /** Per-source corpus curation digest (the t14 gate, hoisted in r14 so
+    * the CALL surface can reach it): document/token/char counts, alpha
+    * ratio, short-doc and exact-duplicate counts, the dominant language
+    * and the duplicated-span token mass — one row per source, the
+    * numbers a curation pipeline reads before choosing mixture weights.
+    * Expressions are kept byte-identical to the long-green gate (the
+    * standing never-rewrite-green-arithmetic rule); the input must carry
+    * (source, doc_id, text).
+    */
+  def corpusProfile(d: DataFrame): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val base = d.select(col("source"), col("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      length(col("text")).cast("long").as("n_chars"),
+      length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+        .cast("long").as("n_alpha"),
+      h32(norm).as("fp"))
+    val dupFp = base.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("fp")).withColumn("dup", lit(1L))
+    val perSrc = base.join(dupFp, Seq("fp"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_alpha")).as("alpha_chars"),
+        sum(when(col("n_toks") < 32, 1L).otherwise(0L)).as("n_short"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_exact_dup"))
+    val domLang = langId(d, "text")
+      .groupBy(col("source"), col("predicted_lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(min(struct((-col("c")).as("nc"),
+        col("predicted_lang").as("l"))).as("m"))
+      .select(col("source"), col("m.l").as("dominant_lang"))
+    val spans = duplicatedSpans(d, "doc_id", "text", 4)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(sum(col("dup_tokens")).as("dupspan_tokens"))
+    perSrc.join(domLang, Seq("source")).join(spans, Seq("source"))
+      .withColumn("alpha_ratio",
+        col("alpha_chars").cast("double") / col("total_chars").cast("double"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("alpha_chars"), col("alpha_ratio"),
+        col("n_short"), col("dominant_lang"), col("n_exact_dup"),
+        col("dupspan_tokens"))
+      .orderBy(col("source"))
+  }
 }

@@ -606,6 +606,58 @@ object CypherGateQueries {
           |ORDER BY sz""".stripMargin)
     }),
 
+    // Corpus procedures through the CALL surface (r14): the pipeline
+    // operators addressed from Cypher at a parquet corpus root — the
+    // reference's lesson (REST-only algorithms) inverted: everything the
+    // engine can compute is reachable from the query language. Each
+    // answers to the SAME oracle as its direct-API twin (t14/d7/e2).
+    "cy47_call_corpus_profile" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      new CypherSession(s, g).run(
+        s"""CALL graft.corpusProfile('$dir')
+           |YIELD source, n_docs, total_tokens, total_chars, alpha_chars,
+           |      alpha_ratio, n_short, dominant_lang, n_exact_dup,
+           |      dupspan_tokens
+           |RETURN source, n_docs, total_tokens, total_chars, alpha_chars,
+           |       alpha_ratio, n_short, dominant_lang, n_exact_dup,
+           |       dupspan_tokens
+           |ORDER BY source""".stripMargin)
+    }),
+
+    "cy48_call_dedup_clusters" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      new CypherSession(s, g).run(
+        s"""CALL graft.dedupClusters('$dir', 500)
+           |YIELD survivor_id, n_members, members
+           |RETURN survivor_id, n_members, members
+           |ORDER BY survivor_id""".stripMargin)
+    }),
+
+    "cy49_call_ann_topk" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      new CypherSession(s, g).run(
+        s"""CALL graft.annTopK('$dir', 5, 0, 1, 2)
+           |YIELD pid, rank, cid, sim
+           |RETURN pid, rank, cid, sim
+           |ORDER BY pid, rank""".stripMargin)
+    }),
+
+    // Multi-level Louvain through the CALL surface (r14): the g47 flat
+    // partition on the g22-domain sub-store, folded in Cypher into the
+    // community-size histogram (the cy46 shape), answering to a
+    // histogram read-off of the shared louvainLevelsCtes oracle prefix.
+    "cy50_call_louvain_levels" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val sub = new GraphStore(g.vertexTables,
+        g.edgeTables.view.filterKeys(
+          Set("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")).toMap)
+      new CypherSession(s, sub).run(
+        """CALL graft.louvain(3, 3) YIELD id, lbl
+          |WITH lbl, count(*) AS sz
+          |RETURN sz, count(*) AS n_communities
+          |ORDER BY sz""".stripMargin)
+    }),
+
     // Modularity through the CALL surface (r13): the g44 digest over a
     // sub-store restricted to the g22/g44 domain labels, answering to
     // the g44 oracle verbatim.
@@ -676,6 +728,22 @@ object CypherGateQueries {
          |SELECT CAST(sz AS BIGINT) AS sz,
          |       CAST(COUNT(*) AS BIGINT) AS n_communities
          |FROM (SELECT lbl, COUNT(*) AS sz FROM newl GROUP BY lbl)
+         |GROUP BY sz ORDER BY sz""".stripMargin,
+    // the corpus CALL gates answer to their direct-API twins' oracles
+    // verbatim — identical engine code behind both surfaces
+    "cy47_call_corpus_profile" ->
+      graft.queries.PipelineQueries.oracle("t14_corpus_profile"),
+    "cy48_call_dedup_clusters" ->
+      graft.queries.PipelineQueries.oracle("d7_dedup_clusters"),
+    "cy49_call_ann_topk" ->
+      graft.queries.PipelineQueries.oracle("e2_ann_lsh"),
+    // the multi-level flat-partition community-size histogram off the
+    // same unrolled prefix the g47 digest reads
+    "cy50_call_louvain_levels" ->
+      s"""WITH ${GraphQueries.louvainLevelsCtes(3, 3)}
+         |SELECT CAST(sz AS BIGINT) AS sz,
+         |       CAST(COUNT(*) AS BIGINT) AS n_communities
+         |FROM (SELECT lbl, COUNT(*) AS sz FROM flat3 GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin,
     "cy1_match_where" ->
       """SELECT c_custkey AS ck, o_orderkey AS ok

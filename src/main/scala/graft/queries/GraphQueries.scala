@@ -157,6 +157,98 @@ object GraphQueries {
        |newl AS (SELECT b.id, COALESCE(m.btgt, b.a) AS lbl
        |         FROM base b LEFT JOIN best m ON m.id = b.id)""".stripMargin
 
+  /** Unrolled multi-level Louvain oracle prefix for g47/cy50: the same
+    * 4-label edge union and undirected closure as [[lpaCtes]], then
+    * `maxLevels` levels, each `sweeps` sweeps of TWO parity sub-rounds
+    * (only id % 2 = phase moves; singleton→singleton only toward the
+    * smaller label; weighted integer gain
+    * g = m2·(k_vb − k_va) − k_v² − k_v·(d_b − d_a); (g DESC, target ASC)
+    * argmax over strictly positive gains; moves applied synchronously),
+    * then the coarsen step (communities → vertices, weights summed,
+    * intra weight as self-loops). Replays
+    * GraphAlgorithms.louvainLevels op-for-op: a zero-move sweep or level
+    * replays as identity, so the fixed unroll equals the engine's early
+    * break. Leaves `und`, `flat$maxLevels`, and `mv1..mv$maxLevels`
+    * in scope. Every aggregate BIGINT-pinned (the r10 HUGEINT rule).
+    */
+  private[queries] def louvainLevelsCtes(maxLevels: Int, sweeps: Int): String = {
+    val levels = (1 to maxLevels).map { l =>
+      val subRounds = (1 to sweeps).flatMap(s => Seq(0, 1).map(p => (s, p)))
+      val sweepCtes = subRounds.map { case (s, p) =>
+        val pre = s"l${l}s${s}p$p"
+        val prev = if (s == 1 && p == 0) s"lv${l}_0" else if (p == 0)
+          s"l${l}s${s - 1}p1_n" else s"l${l}s${s}p0_n"
+        s"""${pre}_dc AS MATERIALIZED (
+           |  SELECT lb.lbl, CAST(SUM(d.kv) AS BIGINT) AS dcs,
+           |         CAST(COUNT(*) AS BIGINT) AS sz
+           |  FROM $prev lb JOIN deg$l d ON d.id = lb.id GROUP BY lb.lbl),
+           |${pre}_kvc AS MATERIALIZED (
+           |  SELECT m.src AS id, lb.lbl AS c, CAST(SUM(m.w) AS BIGINT) AS k
+           |  FROM g$l m JOIN $prev lb ON lb.id = m.dst
+           |  WHERE m.src <> m.dst GROUP BY m.src, lb.lbl),
+           |${pre}_base AS (
+           |  SELECT l.id, l.lbl AS a, d.kv, da.dcs AS d_a, da.sz AS sz_a,
+           |         COALESCE(ka.k, 0) AS k_va
+           |  FROM $prev l JOIN deg$l d ON d.id = l.id
+           |  JOIN ${pre}_dc da ON da.lbl = l.lbl
+           |  LEFT JOIN ${pre}_kvc ka ON ka.id = l.id AND ka.c = l.lbl
+           |  WHERE l.id % 2 = $p),
+           |${pre}_cand AS (
+           |  SELECT b.id, k.c AS btgt,
+           |         (SELECT m2 FROM m2t) * (k.k - b.k_va)
+           |           - b.kv * b.kv - b.kv * (db.dcs - b.d_a) AS g
+           |  FROM ${pre}_base b JOIN ${pre}_kvc k ON k.id = b.id AND k.c <> b.a
+           |  JOIN ${pre}_dc db ON db.lbl = k.c
+           |  WHERE NOT (b.sz_a = 1 AND db.sz = 1 AND k.c > b.a)),
+           |${pre}_best AS (
+           |  SELECT id, btgt FROM (
+           |    SELECT id, btgt, g, ROW_NUMBER() OVER (PARTITION BY id
+           |      ORDER BY g DESC, btgt ASC) AS rn FROM ${pre}_cand) x
+           |  WHERE rn = 1 AND g > 0),
+           |${pre}_n AS MATERIALIZED (
+           |  SELECT b.id, COALESCE(m.btgt, b.lbl) AS lbl
+           |  FROM $prev b LEFT JOIN ${pre}_best m ON m.id = b.id)""".stripMargin
+      }.mkString(",\n")
+      val last = s"l${l}s${sweeps}p1_n"
+      s"""deg$l AS MATERIALIZED (
+         |  SELECT src AS id, CAST(SUM(w) AS BIGINT) AS kv
+         |  FROM g$l GROUP BY src),
+         |lv${l}_0 AS (SELECT id, id AS lbl FROM deg$l),
+         |$sweepCtes,
+         |mv$l AS (SELECT CAST(COUNT(*) AS BIGINT) AS mv
+         |         FROM $last WHERE lbl <> id),
+         |flat$l AS MATERIALIZED (
+         |  SELECT f.id, COALESCE(x.lbl, f.lbl) AS lbl
+         |  FROM flat${l - 1} f LEFT JOIN $last x ON x.id = f.lbl),
+         |g${l + 1} AS MATERIALIZED (
+         |  SELECT a.lbl AS src, b.lbl AS dst, CAST(SUM(m.w) AS BIGINT) AS w
+         |  FROM g$l m JOIN $last a ON a.id = m.src JOIN $last b ON b.id = m.dst
+         |  GROUP BY a.lbl, b.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""lpa_edges AS (
+       |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+       |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst FROM orders
+       |  UNION ALL
+       |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT),
+       |         (CAST(5 AS BIGINT)<<48)|CAST(c_nationkey AS BIGINT) FROM customer
+       |  UNION ALL
+       |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT),
+       |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT) FROM supplier
+       |  UNION ALL
+       |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
+       |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) FROM nation
+       |),
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM lpa_edges WHERE src <> dst
+       |  UNION ALL SELECT dst AS src, src AS dst FROM lpa_edges WHERE src <> dst)),
+       |flat0 AS MATERIALIZED (SELECT id, id AS lbl FROM (
+       |  SELECT DISTINCT src AS id FROM lpa_edges
+       |  UNION SELECT DISTINCT dst AS id FROM lpa_edges)),
+       |g1 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM und),
+       |m2t AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM g1),
+       |$levels""".stripMargin
+  }
+
   /** Customer 1's region key via two driver-side point reads (the g13
     * point-get class) — shared by the distance gates so the probe-region
     * choice can never diverge between g12/g32 and cy34.
@@ -594,6 +686,27 @@ object GraphQueries {
         .agg(count(lit(1)).cast("long").as("n_moved"))
       graft.algorithms.GraphAlgorithms.modularityDigestOf(edges, refined)
         .crossJoin(moved)
+    }),
+
+    // Multi-level Louvain (r14): singleton start, parity sub-round
+    // sweeps, coarsen, repeat (Blondel phases 1+2); output is the g44
+    // digest of the final FLAT partition over the original closure plus
+    // the count of levels that net-moved — all exact integers, the whole
+    // multi-level run replayed in the unrolled-SQL oracle. Same domain
+    // bound as g44/g45.
+    "g47_louvain_levels" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val edges = Seq("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")
+        .map(l => g.edges(l).select(col("src"), col("dst")))
+        .reduce(_.unionByName(_))
+      val (flat, nLevels) =
+        graft.algorithms.GraphAlgorithms.louvainLevels(edges)
+      // the digest is materialized internally, so the partition's own
+      // checkpoint can be released before returning — a zero-leak gate
+      val out = graft.algorithms.GraphAlgorithms.modularityDigestOf(edges, flat)
+        .withColumn("n_levels", lit(nLevels.toLong))
+      graft.util.Checkpoints.release(s, graft.util.Checkpoints.idsOf(flat))
+      out
     }),
 
     // Triangle counting (degree-ordered, DataFrame-native — deterministic,
@@ -1664,6 +1777,27 @@ object GraphQueries {
          |        WHERE a.lbl = b.lbl) AS intra2,
          |       (SELECT CAST(SUM(dcs * dcs) AS BIGINT) FROM dc) AS sum_dc2,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_comm""".stripMargin,
+    // the whole multi-level run replayed from first principles: 3 levels
+    // x 3 sweeps x 2 parity sub-rounds unrolled (identity past the
+    // engine's early break), then the g44 digest off the final flat
+    // partition and the count of net-moving levels.
+    "g47_louvain_levels" ->
+      s"""WITH ${louvainLevelsCtes(3, 3)},
+         |fdeg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+         |         FROM und GROUP BY src),
+         |fdc AS (SELECT l.lbl, CAST(SUM(COALESCE(d.d, 0)) AS BIGINT) AS dcs
+         |        FROM flat3 l LEFT JOIN fdeg d ON d.id = l.id GROUP BY l.lbl)
+         |SELECT (SELECT CAST(SUM(dcs) AS BIGINT) FROM fdc) AS m2,
+         |       (SELECT CAST(COUNT(*) AS BIGINT)
+         |        FROM und u JOIN flat3 a ON a.id = u.src
+         |                   JOIN flat3 b ON b.id = u.dst
+         |        WHERE a.lbl = b.lbl) AS intra2,
+         |       (SELECT CAST(SUM(dcs * dcs) AS BIGINT) FROM fdc) AS sum_dc2,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM fdc) AS n_comm,
+         |       (SELECT CAST(SUM(CASE WHEN mv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |        FROM (SELECT mv FROM mv1 UNION ALL SELECT mv FROM mv2
+         |              UNION ALL SELECT mv FROM mv3)) AS n_levels""".stripMargin,
+
     "g27_hash_walks" -> walkOracle("c_custkey BETWEEN 1 AND 20", 3, 6),
     "g29_egonet" ->
       s"""WITH RECURSIVE $edgesCte,

@@ -72,6 +72,7 @@ object ScaleProbe {
       case "anf"      => anfProbe(spark, sfDir)
       case "anfrounds" => anfRoundsProbe(spark, sfDir)
       case "louvain"  => louvainProbe(spark, sfDir)
+      case "louvainlevels" => louvainLevelsProbe(spark, sfDir)
       case "fastestw" => fastestWeightedProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
@@ -1221,6 +1222,50 @@ object ScaleProbe {
         (dt, digest.getLong(3))
       }
       println(f"SCALE axis=louvain-$k edges=$nEdges comms=${times.head._2} " +
+        f"min=${times.map(_._1).min}%.2f s " +
+        times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+  }
+
+  /** g47's volume axis: k disjoint id-shifted replicas of the g22-domain
+    * graph through the full multi-level gate shape (parity sub-round
+    * sweeps to fixpoint-or-budget, coarsen, repeat, digest). Level 1
+    * dominates (2|E| closure); every later level works on the strictly
+    * smaller community graph, so wall time must grow (sub-)linearly with
+    * volume and the LEVEL count must stay flat — replicas are disjoint,
+    * so more volume never needs more levels. Run with
+    * SPARK_GRAFT_PROBE=louvainlevels; stdout committed as
+    * tools/scaleprobe_louvainlevels_r14.txt.
+    */
+  private def louvainLevelsProbe(spark: SparkSession, sfDir: String): Unit = {
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val base = Seq("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")
+      .map(l => g.edges(l).select(col("src"), col("dst")))
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    base.count()
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    for (k <- Seq(1, 4, 16)) {
+      val df = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong << 28)).as("src"),
+          (col("dst") + lit(i.toLong << 28)).as("dst")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val nEdges = df.count()
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val (flat, nLevels) =
+          graft.algorithms.GraphAlgorithms.louvainLevels(df)
+        val digest = graft.algorithms.GraphAlgorithms
+          .modularityDigestOf(df, flat).head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, nLevels, digest.getLong(3))
+      }
+      println(f"SCALE axis=louvainlevels-$k edges=$nEdges " +
+        f"levels=${times.head._2} comms=${times.head._3} " +
         f"min=${times.map(_._1).min}%.2f s " +
         times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
     }

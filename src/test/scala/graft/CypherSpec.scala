@@ -1570,6 +1570,29 @@ class CypherSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("requires argument"))
   }
 
+  test("corpus CALL procedures fail loud on bad arguments") {
+    val s = session
+    // missing / mistyped corpus dir
+    val e1 = intercept[Exception](s.run(
+      "CALL graft.corpusProfile() YIELD source RETURN source"))
+    assert(e1.getMessage.contains("corpus data directory"), e1.getMessage)
+    val e2 = intercept[Exception](s.run(
+      "CALL graft.corpusProfile(3) YIELD source RETURN source"))
+    assert(e2.getMessage.contains("string literal"), e2.getMessage)
+    // out-of-range per-mille threshold fails before any data is touched
+    val e3 = intercept[Exception](s.run(
+      "CALL graft.dedupClusters('/nowhere', 2000) " +
+        "YIELD survivor_id RETURN survivor_id"))
+    assert(e3.getMessage.contains("per-mille"), e3.getMessage)
+    // annTopK: probes are mandatory, k must be positive
+    val e4 = intercept[Exception](s.run(
+      "CALL graft.annTopK('/nowhere', 5) YIELD pid RETURN pid"))
+    assert(e4.getMessage.contains("at least one probe"), e4.getMessage)
+    val e5 = intercept[Exception](s.run(
+      "CALL graft.annTopK('/nowhere', 0, 1) YIELD pid RETURN pid"))
+    assert(e5.getMessage.contains("k must be positive"), e5.getMessage)
+  }
+
   test("CALL graft.distance: weighted mode via the cost-property argument") {
     val s = session
     val alice = Graphid.pack(100, 1)
