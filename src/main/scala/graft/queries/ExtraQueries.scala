@@ -583,6 +583,26 @@ object ExtraQueries {
       }.toDF("n", "wm_dec", "wm_dbl").orderBy(col("n"))
     }),
 
+    // x36 (r14): the LAST named driver-divergence suspect — value
+    // RENDERING. x32/x33 proved the ln doubles bit-identical on both
+    // engines locally and x35 exonerated DECIMAL coercion; this gate
+    // hashes the SAME double column twice: `txt` rendered to a string
+    // by each engine's own double→text path (Spark's Java shortest-
+    // round-trip vs DuckDB's CAST AS VARCHAR) and `wm` through the
+    // proven integer grid snap as the in-row control. A red txt next to
+    // a green wm NAMES the renderer; green on both exhausts the suspect
+    // list and the standing integer-only rule for hashed transcendentals
+    // becomes the documented final answer.
+    "x36_render" -> ((s, dir) => {
+      import s.implicits._
+      portableLogProbe.toDF("n")
+        .select(col("n"),
+          graft.util.PortableLog.lnLong(col("n")).cast("string").as("txt"),
+          floor(lit(1000000.0) * graft.util.PortableLog.lnLong(col("n"))
+            + lit(0.5)).cast("long").as("wm"))
+        .orderBy(col("n"))
+    }),
+
     "x31_stream_eviction" -> ((s, dir) => {
       import graft.streaming.EventStreams
       import scala.jdk.CollectionConverters._
@@ -867,6 +887,17 @@ object ExtraQueries {
          |  CAST(FLOOR(CAST(1000000 AS DOUBLE) *
          |    ${graft.util.PortableLog.lnDoubleSql("CAST(d AS DOUBLE)")}
          |    + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT) AS wm_dbl
+         |FROM v ORDER BY n""".stripMargin,
+    // txt = each engine's own double→text rendering of the bit-identical
+    // ln value; wm = the proven grid snap as the in-row control
+    "x36_render" ->
+      s"""WITH v AS (SELECT CAST(n AS BIGINT) AS n
+         |           FROM (VALUES $probeValuesSql) AS t(n))
+         |SELECT n,
+         |  CAST(${graft.util.PortableLog.lnLongSql("n")} AS VARCHAR) AS txt,
+         |  CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+         |    ${graft.util.PortableLog.lnLongSql("n")}
+         |    + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))) AS BIGINT) AS wm
          |FROM v ORDER BY n""".stripMargin,
     // the streaming gate answers to the SAME oracle as its batch twin q15
     // file (1)'s rows alone: the late re-deliveries must have been
