@@ -73,6 +73,7 @@ object ScaleProbe {
       case "anfrounds" => anfRoundsProbe(spark, sfDir)
       case "louvain"  => louvainProbe(spark, sfDir)
       case "louvainlevels" => louvainLevelsProbe(spark, sfDir)
+      case "skewjoin" => skewJoinProbe(spark)
       case "fastestw" => fastestWeightedProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
@@ -1224,6 +1225,64 @@ object ScaleProbe {
       println(f"SCALE axis=louvain-$k edges=$nEdges comms=${times.head._2} " +
         f"min=${times.map(_._1).min}%.2f s " +
         times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+  }
+
+  /** x16's SKEW axis (r14): the salted join measured against plain
+    * shuffle joins on a deliberately pathological key — one hot key
+    * carrying 80% of a 20M-row fact side (16M rows on one reducer vs the
+    * ~125k average: >100× imbalance — the celebrity-key regime) against
+    * a 250k-row dimension, with auto-broadcast disabled (auto-broadcast disabled for the experiment so the
+    * planner cannot sidestep the shuffle). plain-shj pins the hot key's
+    * 2M rows on ONE reducer; plain-smj lets AQE's OptimizeSkewedJoin
+    * split the sort-merge partition; salted-16 spreads the key across 16
+    * reducers by construction, independent of join strategy — the
+    * single-key case x16 only proved parity for. Run with
+    * SPARK_GRAFT_PROBE=skewjoin; stdout committed as
+    * tools/scaleprobe_skewjoin_r14.txt.
+    */
+  private def skewJoinProbe(spark: SparkSession): Unit = {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val nLarge = 20000000L
+      val nDim = 250000L
+      val large = spark.range(nLarge).select(
+          when(col("id") % 10 <= 7, lit(7L))
+            .otherwise(pmod(col("id") * lit(2654435761L), lit(nDim))).as("key"),
+          col("id").as("payload"))
+        .localCheckpoint()
+      large.count()
+      val dim = spark.range(nDim).select(col("id").as("key"),
+          (col("id") * lit(31L)).as("dval"))
+        .localCheckpoint()
+      dim.count()
+      val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+      def run(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+        var rows = 0L
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          rows = mk.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs
+            .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+          dt
+        }
+        println(f"SCALE axis=skewjoin-$label rows=$rows min=${times.min}%.2f s " +
+          times.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
+      }
+      run("plain-shj") {
+        large.hint("shuffle_hash").join(dim, Seq("key"))
+      }
+      run("plain-smj") {
+        large.hint("merge").join(dim, Seq("key"))
+      }
+      run("salted-16") {
+        graft.operators.SkewJoin.saltedJoin(large, dim, Seq("key"), 16)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
 
