@@ -431,4 +431,145 @@ object TemporalGraph {
     releaseE()
     (visited, rounds)
   }
+
+  /** Temporal stress centrality — the exact-integer member of the
+    * temporal centrality family (the g25 stressCentrality argument
+    * carried to time-respecting journeys): stress(v) = number of
+    * interior visits to v over all HOP-MINIMAL time-respecting journeys
+    * from the sources (rows `(sid, t0)`) to every vertex they reach
+    * within `k` hops. Hop-minimal means d(s,t) = the fewest hops of any
+    * time-respecting journey s→t departing ≥ t0 with ≤ k hops; σ_st
+    * counts ALL d(s,t)-hop journeys (over every arrival time).
+    *
+    * The static Brandes decomposition does NOT carry over unchanged: a
+    * prefix of a hop-minimal temporal journey need not be hop-minimal
+    * for its own vertex (the shorter route may arrive too late to
+    * continue — AlgorithmsSpec pins exactly this case), so both sweeps
+    * run over the time-expanded STATE DAG keyed (sid, vertex, arrival):
+    *
+    * Forward, k levels: σ_h(s, v, a) = number of h-hop journeys from s
+    * arriving at v exactly at time a — level h+1 is one edge join
+    * (usable iff t ≥ a) plus a partial-aggregated (sid, dst, t) sum; NO
+    * visited pruning (non-minimal states still prefix minimal journeys).
+    * First-touch levels assign d(s, v) on the side. State per level is
+    * bounded by |S|·|distinct (v, t) edge targets| — never paths.
+    *
+    * Backward: τ_h(s, v, a) = number of completions of hop-minimal
+    * journeys from state (h, v, a) = Σ over usable edges (v→w, t ≥ a) of
+    * [d(s, w) = h+1] + τ_{h+1}(s, w, t). Then stress(v) =
+    * Σ_{h ≥ 1, s ≠ v, a} σ_h · τ_h — all LONG, no fractional pair
+    * dependency, bit-stable under any shuffle order (the oracle replays
+    * both sweeps). A journey revisiting v contributes once per interior
+    * VISIT (temporal journeys need not be simple; documented).
+    *
+    * `k` is the contract, not a convergence budget (the g37 hop-cap
+    * class): journeys longer than k hops are out of scope by definition.
+    * Self-loops are inert and dropped. Exactness domain: σ, τ stay in
+    * LONG while per-state journey counts < 2^63 (≈ avg-degree^k — far
+    * beyond any event log's interaction fan-out at k ≤ 8).
+    *
+    * Output: (id, stress) over every vertex of the edge relation.
+    */
+  def temporalStress(edges: DataFrame, sources: DataFrame, k: Int,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
+    require(k >= 1, "temporalStress needs a positive hop cap")
+    val sc = edges.sparkSession.sparkContext
+    def tracked(df: DataFrame): (DataFrame, () => Unit) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val mine = sc.getPersistentRDDs.keySet -- before
+      (out, () => mine.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+    }
+    val (e, releaseE) = tracked(
+      edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+        .where(col("src") =!= col("dst")).distinct())
+    var releases: List[() => Unit] = List(releaseE)
+    try {
+      def gate(df: DataFrame, rows: Long): DataFrame =
+        if (rows <= maxBroadcastRows) broadcast(df) else df.hint("shuffle_hash")
+      // forward: levels(h) = (sid, id, a, sigma), reached = (sid, id, d)
+      val (l0, rel0) = tracked(sources
+        .select(col("sid").cast("long").as("sid"), col("t0").cast("long").as("t0"))
+        .distinct()
+        .select(col("sid"), col("sid").as("id"), col("t0").as("a"),
+          lit(1L).as("sigma")))
+      releases ::= rel0
+      var levels = Vector((l0, l0.count()))
+      var reached = l0.select(col("sid"), col("id"), lit(0).as("d"))
+      var reachedRows = levels.head._2
+      var h = 0
+      while (h < k && levels.last._2 > 0) {
+        h += 1
+        val (prev, prevRows) = levels.last
+        val f = gate(prev, prevRows)
+        val (lh, relh) = tracked(
+          e.join(f, f("id") === e("src") && e("t") >= f("a"))
+            .groupBy(f("sid"), e("dst").as("id"), e("t").as("a"))
+            .agg(sum(f("sigma")).as("sigma")))
+        releases ::= relh
+        levels :+= ((lh, lh.count()))
+        val (newly, reln) = tracked(
+          lh.select(col("sid"), col("id")).distinct()
+            .join(gate(reached.select(col("sid"), col("id")), reachedRows),
+              Seq("sid", "id"), "left_anti")
+            .withColumn("d", lit(h)))
+        releases ::= reln
+        reachedRows += newly.count()
+        reached = reached.unionByName(newly)
+      }
+      val maxH = levels.length - 1
+      // backward: tau(h) keyed (sid, id, a); the deepest level's states
+      // have no in-budget continuations
+      var tauNext: Option[(DataFrame, Long)] = None
+      val contribs = Vector.newBuilder[DataFrame]
+      for (l <- (maxH - 1) to 0 by -1) {
+        val (vl, vRows) = levels(l)
+        val out = e.join(gate(vl, vRows), vl("id") === e("src") && e("t") >= vl("a"))
+          .select(vl("sid"), vl("id").as("vid"), vl("a"), vl("sigma"),
+            e("dst").as("wid"), e("t").as("wt"))
+        val withD = out.join(
+            gate(reached.select(col("sid"), col("id").as("wid"),
+              col("d").as("dw")), reachedRows),
+            Seq("sid", "wid"))
+        val withTau = tauNext match {
+          case Some((t, tRows)) => withD.join(
+              gate(t.select(col("sid").as("ts"), col("id").as("tid"),
+                col("a").as("ta"), col("tau").as("wtau")), tRows),
+              col("ts") === col("sid") && col("tid") === col("wid")
+                && col("ta") === col("wt"), "left")
+          case None => withD.withColumn("wtau", lit(0L))
+        }
+        val (tau, relt) = tracked(withTau
+          .select(col("sid"), col("vid"), col("a"), col("sigma"),
+            (when(col("dw") === l + 1, 1L).otherwise(0L)
+              + coalesce(col("wtau"), lit(0L))).as("m"))
+          .groupBy(col("sid"), col("vid"), col("a"))
+          .agg(sum(col("m")).as("tau"), max(col("sigma")).as("sigma")))
+        releases ::= relt
+        val tRows = tau.count()
+        if (l > 0) // level-0 states sit at v = s: endpoints, never interior
+          contribs += tau.where(col("vid") =!= col("sid"))
+            .select(col("vid").as("id"), (col("sigma") * col("tau")).as("c"))
+        tauNext = Some((tau.select(col("sid"), col("vid").as("id"), col("a"),
+          col("tau")), tRows))
+      }
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val agg = contribs.result() match {
+        case Vector() => verts.limit(0).withColumn("c", lit(0L))
+        case cs => cs.reduce(_ unionByName _)
+      }
+      val (result, _) = tracked(
+        verts.join(agg.groupBy(col("id")).agg(sum(col("c")).as("stress")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("stress"), lit(0L)).as("stress")))
+      result
+    } finally {
+      // every internal checkpoint (edge relation, levels, taus) is dead
+      // once the result is materialized above — release on success and
+      // on any failure path; only the result's own block survives
+      releases.foreach(r => r())
+    }
+  }
 }

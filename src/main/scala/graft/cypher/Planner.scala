@@ -363,6 +363,24 @@ final class Planner(spark: SparkSession, store0: GraphStore,
             "an event time")
         graft.algorithms.TemporalGraph.kReachableCounts(kre,
           Seq((krSrc, krT0, krDl)).toDF("sid", "t0", "deadline"), krK)
+      case "graft.temporalstress" =>
+        // interior-visit counts over hop-minimal time-respecting journeys
+        // (the g48 two-phase state-DAG sweep): (src, t0[, k[, 'timeProp']])
+        nargs(4)
+        import spark.implicits._
+        val (tsSrc, tsT0) = (longArg(0), longArg(1))
+        val tsK = intArg(2, Some(4))
+        val tsProp = strArg(3).getOrElse("t")
+        val tse = store.allEdges.select(col("src"), col("dst"),
+          get_json_object(col("properties"), "$." + tsProp)
+            .cast("long").as("t"))
+        val tsMissing = tse.where(col("t").isNull).count()
+        require(tsMissing == 0,
+          s"graft.temporalStress: $tsMissing edge(s) missing/non-numeric " +
+            s"time property '$tsProp' — a temporal sweep cannot default " +
+            "an event time")
+        graft.algorithms.TemporalGraph.temporalStress(tse,
+          Seq((tsSrc, tsT0)).toDF("sid", "t0"), tsK)
       case other => sys.error(s"unknown procedure '$other' — available: " +
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +

@@ -556,6 +556,30 @@ object CypherGateQueries {
            |ORDER BY user_id""".stripMargin)
     }),
 
+    // Temporal stress through the CALL surface (r14): the g48 state-DAG
+    // sweeps from the lowest user id on the cy41 event store, answering
+    // to the single-source parameterization of the g48 oracle.
+    "cy51_call_temporal_stress" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.store.Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("t")), min(col("u"))).head()
+      val (nu, t0, srcU) = (b.getLong(0) + 1, b.getLong(1), b.getLong(2))
+      val te = ev.select(col("eid").as("id"), col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      val verts = te.select(col("src").as("id"))
+        .unionByName(te.select(col("dst").as("id"))).distinct()
+      val store = new GraphStore(Map("User" -> verts),
+        Map("INTERACTS" -> te))
+      new CypherSession(s, store).run(
+        s"""CALL graft.temporalStress($srcU, $t0, 4, 't')
+           |YIELD id, stress
+           |RETURN id AS user_id, stress
+           |ORDER BY user_id""".stripMargin)
+    }),
+
     // Mixing statistics through the CALL surface (r13): the g42 moment
     // digest over the same full TPC-H edge relation, answering to the
     // g42 oracle verbatim.
@@ -729,6 +753,9 @@ object CypherGateQueries {
          |       CAST(COUNT(*) AS BIGINT) AS n_communities
          |FROM (SELECT lbl, COUNT(*) AS sz FROM newl GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin,
+    // the g48 sweeps with the source set restricted to the lowest user
+    "cy51_call_temporal_stress" ->
+      GraphQueries.temporalStressOracle("SELECT MIN(u) AS sid FROM ev"),
     // the corpus CALL gates answer to their direct-API twins' oracles
     // verbatim — identical engine code behind both surfaces
     "cy47_call_corpus_profile" ->

@@ -972,6 +972,30 @@ object GraphQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Temporal stress centrality (r14): interior-visit counts over all
+    // hop-minimal time-respecting journeys from the 3 lowest user ids
+    // (departing at the global min event time, hop cap 4 — the g37
+    // budget) on the g35 derived temporal graph. All-LONG two-phase
+    // Brandes over the time-expanded state DAG; the oracle replays both
+    // sweeps unrolled. Self-loops dropped, duplicate (src,dst,t) edges
+    // collapse (counting would multiply by multiplicity otherwise).
+    "g48_temporal_stress" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("t"))).head()
+      val (nu, t0) = (b.getLong(0) + 1, b.getLong(1))
+      val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      val srcs = ev.select(col("u")).distinct().orderBy(col("u")).limit(3)
+        .select(col("u").as("sid"), lit(t0).as("t0"))
+      graft.algorithms.TemporalGraph.temporalStress(te, srcs, 4)
+        .select(col("id").as("user_id"), col("stress"))
+        .orderBy(col("user_id"))
+    }),
+
     // Temporal k-reachability counts (r12): for the 3 lowest user ids —
     // each departing at the global min event time with deadline = the
     // midpoint of the event-time span — how many vertices can each
@@ -1115,6 +1139,67 @@ object GraphQueries {
         .select(col("user_id"), col("rk"), col("event_id"), col("event_type"))
         .orderBy(col("user_id"), col("rk"))
     }))
+
+  /** Both temporal-stress sweeps unrolled (k = 4) for the g48/cy51
+    * gates: `srcsSql` selects the source set (columns: sid) off the
+    * `ev` CTE that is already in scope.
+    */
+  private[queries] def temporalStressOracle(srcsSql: String): String = {
+    val k = 4
+    val fwd = (1 to k).map { h =>
+      s"""l$h AS MATERIALIZED (
+         |  SELECT w.sid, e.dst AS id, e.t AS a,
+         |         CAST(SUM(w.sigma) AS BIGINT) AS sigma
+         |  FROM l${h - 1} w JOIN te e ON e.src = w.id AND e.t >= w.a
+         |  GROUP BY w.sid, e.dst, e.t),
+         |r$h AS MATERIALIZED (
+         |  SELECT sid, id, d FROM r${h - 1}
+         |  UNION ALL
+         |  SELECT DISTINCT l.sid, l.id, $h AS d FROM l$h l
+         |  WHERE NOT EXISTS (SELECT 1 FROM r${h - 1} r
+         |                    WHERE r.sid = l.sid AND r.id = l.id))""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((k - 1) to 0 by -1).map { h =>
+      val cont = if (h == k - 1) "CAST(0 AS BIGINT)" else "COALESCE(tw.tau, 0)"
+      val tjoin = if (h == k - 1) "" else
+        s"\n  LEFT JOIN tau${h + 1} tw ON tw.sid = v.sid AND tw.id = e.dst" +
+          "\n    AND tw.a = e.t"
+      s"""tau$h AS MATERIALIZED (
+         |  SELECT v.sid, v.id, v.a, MAX(v.sigma) AS sigma,
+         |    CAST(SUM(CASE WHEN r.d = ${h + 1} THEN 1 ELSE 0 END
+         |             + $cont) AS BIGINT) AS tau
+         |  FROM l$h v JOIN te e ON e.src = v.id AND e.t >= v.a
+         |  JOIN r$k r ON r.sid = v.sid AND r.id = e.dst$tjoin
+         |  GROUP BY v.sid, v.id, v.a)""".stripMargin
+    }.mkString(",\n")
+    val contribUnion = (1 until k)
+      .map(h => s"SELECT sid, id, sigma, tau FROM tau$h")
+      .mkString("\n      UNION ALL ")
+    s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+       |              CAST(event_id AS BIGINT) AS eid,
+       |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+       |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(t) AS t0 FROM ev),
+       |te AS (SELECT DISTINCT src, dst, t FROM (
+       |  SELECT u AS src,
+       |         (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
+       |  FROM ev) WHERE src <> dst),
+       |srcs AS ($srcsSql),
+       |l0 AS (SELECT sid, sid AS id, (SELECT t0 FROM bounds) AS a,
+       |              CAST(1 AS BIGINT) AS sigma FROM srcs),
+       |r0 AS (SELECT sid, id, 0 AS d FROM l0),
+       |$fwd,
+       |$bwd,
+       |contrib AS (
+       |  SELECT id, CAST(SUM(sigma * tau) AS BIGINT) AS stress
+       |  FROM ($contribUnion)
+       |  WHERE id <> sid GROUP BY id),
+       |verts AS (SELECT DISTINCT src AS id FROM te
+       |          UNION SELECT DISTINCT dst FROM te)
+       |SELECT v.id AS user_id,
+       |  CAST(COALESCE(c.stress, 0) AS BIGINT) AS stress
+       |FROM verts v LEFT JOIN contrib c ON c.id = v.id
+       |ORDER BY user_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // Assortativity moment digest replayed from first principles: degree
@@ -1300,6 +1385,15 @@ object GraphQueries {
          |$iter
          |SELECT id AS user_id, depart FROM a$rounds ORDER BY user_id""".stripMargin
     },
+
+    // Both temporal-stress sweeps replayed from first principles: k
+    // unrolled forward levels counting h-hop journeys per (source,
+    // vertex, arrival) state with first-touch hop distances on the side,
+    // then the backward completion counts τ over the same state DAG, and
+    // the interior-visit contraction σ·τ. Every aggregate BIGINT-pinned.
+    "g48_temporal_stress" -> temporalStressOracle(
+      "SELECT DISTINCT u AS sid FROM ev ORDER BY u LIMIT 3"),
+
 
     // The g35 relaxation, per-source-tagged and unrolled to EXACTLY the
     // gate's 4-hop budget (rounds are the hop cap here, not a

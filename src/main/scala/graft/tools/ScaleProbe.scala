@@ -74,6 +74,7 @@ object ScaleProbe {
       case "louvain"  => louvainProbe(spark, sfDir)
       case "louvainlevels" => louvainLevelsProbe(spark, sfDir)
       case "skewjoin" => skewJoinProbe(spark)
+      case "tstress" => temporalStressProbe(spark, sfDir)
       case "fastestw" => fastestWeightedProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
@@ -1225,6 +1226,44 @@ object ScaleProbe {
       println(f"SCALE axis=louvain-$k edges=$nEdges comms=${times.head._2} " +
         f"min=${times.map(_._1).min}%.2f s " +
         times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+  }
+
+  /** g48's hop-cap axis (r14): temporal stress on the g35 derived
+    * temporal graph at fixed sf0.1 volume, k = 2/4/6 and source count
+    * 3/12. Forward/backward state is bounded per level by
+    * |S|·|distinct (v, t)| — never journey counts — so wall time must
+    * grow at most linearly in k (2 joins + 2 aggregates per extra hop)
+    * and sub-linearly in |S| (sources share every edge join). Run with
+    * SPARK_GRAFT_PROBE=tstress; stdout committed as
+    * tools/scaleprobe_tstress_r14.txt.
+    */
+  private def temporalStressProbe(spark: SparkSession, sfDir: String): Unit = {
+    val ev = graft.store.Tables.load(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"),
+        unix_micros(col("ts")).as("t"))
+    val b = ev.agg(max(col("u")), min(col("t"))).head()
+    val (nu, t0) = (b.getLong(0) + 1, b.getLong(1))
+    val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      .localCheckpoint()
+    te.count()
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    for ((k, nSrc) <- Seq((2, 3), (4, 3), (6, 3), (4, 12))) {
+      val srcs = ev.select(col("u")).distinct().orderBy(col("u")).limit(nSrc)
+        .select(col("u").as("sid"), lit(t0).as("t0"))
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0n = System.nanoTime()
+        graft.algorithms.TemporalGraph.temporalStress(te, srcs, k).count()
+        val dt = (System.nanoTime() - t0n) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        dt
+      }
+      println(f"SCALE axis=tstress-k$k-s$nSrc min=${times.min}%.2f s " +
+        times.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
     }
   }
 

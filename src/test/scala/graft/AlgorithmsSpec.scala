@@ -660,6 +660,45 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"guard failure path leaked checkpoints: $leaked")
   }
 
+  test("temporal stress: hop-minimal journeys ride non-minimal prefixes") {
+    import graft.algorithms.TemporalGraph
+    // d(3) = 1 via the direct t=10 edge, but the ONLY journey to 4 rides
+    // the 2-hop prefix 1->2->3 (arrives 2 <= 5; the direct arrival 10
+    // misses the t=5 edge) — the static Brandes prefix property fails
+    // here, and the state-DAG sweeps must still count through 2 and 3
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 10L), (3L, 4L, 5L),
+      (9L, 9L, 1L)) // self-loop: inert, and 9 leaves the vertex relation
+      .toDF("src", "dst", "t")
+    def stress(edges: org.apache.spark.sql.DataFrame, k: Int,
+        srcs: Seq[(Long, Long)] = Seq((1L, 0L))): Map[Long, Long] =
+      TemporalGraph.temporalStress(edges, srcs.toDF("sid", "t0"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stress(e, 4) == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // the hop cap is the contract: k=2 leaves 4 out of scope entirely
+    assert(stress(e, 2) == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // a second early 1->2 edge doubles every journey to 4: sigma
+    // multiplicities flow through both interior vertices
+    val e2 = e.unionByName(Seq((1L, 2L, 0L)).toDF("src", "dst", "t"))
+    assert(stress(e2, 4) == Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 0L))
+    // duplicate edge rows collapse — counting must not multiply by
+    // storage multiplicity
+    assert(stress(e.unionByName(e), 4) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // multi-source: source 3 at t0=0 reaches 4 directly (no interiors),
+    // so the combined counts equal source 1's alone
+    assert(stress(e, 4, Seq((1L, 0L), (3L, 0L))) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // internal checkpoints (edge relation, levels, taus) are released on
+    // success — only the returned relation's block survives
+    val base = spark.sparkContext.getPersistentRDDs.keySet
+    val out = TemporalGraph.temporalStress(e, Seq((1L, 0L)).toDF("sid", "t0"), 4)
+    out.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- base
+    assert(leaked == graft.util.Checkpoints.idsOf(out),
+      s"temporalStress left more than its result: $leaked")
+    graft.util.Checkpoints.release(spark, leaked)
+  }
+
   test("temporal fewest hops: late direct edge beats early two-hop detour") {
     import graft.algorithms.TemporalGraph
     val e = Seq(
