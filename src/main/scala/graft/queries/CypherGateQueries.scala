@@ -666,8 +666,8 @@ object CypherGateQueries {
            |ORDER BY pid, rank""".stripMargin)
     }),
 
-    // Multi-level Louvain through the CALL surface (r14): the g47 flat
-    // partition on the g22-domain sub-store, folded in Cypher into the
+    // Multi-level Louvain through the CALL surface (r14): the g47 engine
+    // at a lighter (2-level, 2-sweep) budget on the g22-domain sub-store, folded in Cypher into the
     // community-size histogram (the cy46 shape), answering to a
     // histogram read-off of the shared louvainLevelsCtes oracle prefix.
     "cy50_call_louvain_levels" -> ((s, dir) => {
@@ -676,7 +676,7 @@ object CypherGateQueries {
         g.edgeTables.view.filterKeys(
           Set("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")).toMap)
       new CypherSession(s, sub).run(
-        """CALL graft.louvain(3, 3) YIELD id, lbl
+        """CALL graft.louvain(2, 2) YIELD id, lbl
           |WITH lbl, count(*) AS sz
           |RETURN sz, count(*) AS n_communities
           |ORDER BY sz""".stripMargin)
@@ -767,10 +767,10 @@ object CypherGateQueries {
     // the multi-level flat-partition community-size histogram off the
     // same unrolled prefix the g47 digest reads
     "cy50_call_louvain_levels" ->
-      s"""WITH ${GraphQueries.louvainLevelsCtes(3, 3)}
+      s"""WITH ${GraphQueries.louvainLevelsCtes(2, 2)}
          |SELECT CAST(sz AS BIGINT) AS sz,
          |       CAST(COUNT(*) AS BIGINT) AS n_communities
-         |FROM (SELECT lbl, COUNT(*) AS sz FROM flat3 GROUP BY lbl)
+         |FROM (SELECT lbl, COUNT(*) AS sz FROM flat2 GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin,
     "cy1_match_where" ->
       """SELECT c_custkey AS ck, o_orderkey AS ok
