@@ -352,6 +352,25 @@ object TemporalGraph {
       .agg(min(col("arrival") - col("dep")).as("duration"))
   }
 
+  /** Temporal closeness digest — the centrality read-off of
+    * [[fastestDurations]] (Wasserman–Faust closeness over temporal
+    * distances, kept as the exact-integer pair the oracle can check, the
+    * g44 digest discipline): for each source, (n_reach, sum_duration)
+    * over every OTHER vertex it reaches, where distance is the minimum
+    * journey duration. The FP quotient n_reach/sum_duration (or the
+    * n_reach²/((N−1)·Σd) Wasserman–Faust form) is one driver-side
+    * division the caller finishes. Sources reaching nothing row out
+    * absent (their closeness is undefined, not zero).
+    */
+  def temporalCloseness(edges: DataFrame, sources: DataFrame,
+      maxHops: Int = 64,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame =
+    fastestDurations(edges, sources, maxHops, maxBroadcastRows)
+      .where(col("id") =!= col("sid"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).cast("long").as("n_reach"),
+        sum(col("duration")).cast("long").as("sum_duration"))
+
   /** Per-target mirror of [[kReachableCounts]] via the negate-reverse
     * reduction (the [[latestDeparture]] argument, hop-capped): for each
     * target row `(tid, deadline, floor)`, the number of distinct

@@ -996,6 +996,31 @@ object GraphQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Temporal closeness digest (r14): the centrality read-off of the
+    // g38 fastest-duration sweep for the 3 lowest user ids — per source
+    // the exact-integer (n_reach, sum_duration) pair over every other
+    // vertex it reaches; the FP closeness quotient is finished
+    // caller-side (the g44 digest discipline).
+    "g49_temporal_closeness" -> ((s, dir) => {
+      import s.implicits._
+      // the 1/16 event log (eid % 16 = 0) keeps the digest meaningful
+      // while the 3-source departure-keyed sweep stays bench-light (the
+      // full-log sweep cost is already measured by g38/cy38)
+      val ev = Tables.load(s, dir, "events")
+        .where(col("event_id") % 16 === 0)
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val nu = ev.agg(max(col("u"))).head().getLong(0) + 1
+      val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      val srcs = ev.select(col("u")).distinct().orderBy(col("u")).limit(3)
+        .select(col("u").as("sid"))
+      graft.algorithms.TemporalGraph.temporalCloseness(te, srcs)
+        .select(col("sid").as("user_id"), col("n_reach"), col("sum_duration"))
+        .orderBy(col("user_id"))
+    }),
+
     // Temporal k-reachability counts (r12): for the 3 lowest user ids —
     // each departing at the global min event time with deadline = the
     // midpoint of the event-time span — how many vertices can each
@@ -1473,6 +1498,40 @@ object GraphQueries {
     // the final MIN(arrival - dep) over keys is the fastest duration
     // (a path counted under an earlier key never understates — it also
     // appears under its own key with the true value). All-LONG.
+    // the g38 fastest-duration relaxation tagged per source (3 lowest
+    // users), then the per-source exact-integer closeness digest; same
+    // 40-round converged-rounds-are-no-ops budget
+    "g49_temporal_closeness" -> {
+      val rounds = 40
+      val iter = (1 to rounds).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT sid, dep, id, MIN(arrival) AS arrival FROM (
+           |    SELECT sid, dep, id, arrival FROM a${i - 1}
+           |    UNION ALL
+           |    SELECT w.sid, w.dep, e.dst, e.t FROM a${i - 1} w
+           |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
+           |  GROUP BY sid, dep, id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+         |              CAST(event_id AS BIGINT) AS eid,
+         |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+         |            WHERE CAST(event_id AS BIGINT) % 16 = 0),
+         |bounds AS (SELECT MAX(u) + 1 AS nu FROM ev),
+         |te0 AS (SELECT u AS src,
+         |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
+         |        FROM ev),
+         |te AS (SELECT src, dst, t FROM te0 WHERE src <> dst),
+         |srcs AS (SELECT DISTINCT u AS sid FROM ev ORDER BY u LIMIT 3),
+         |a0 AS (SELECT DISTINCT s.sid, e.t AS dep, s.sid AS id, e.t AS arrival
+         |       FROM srcs s JOIN te e ON e.src = s.sid),
+         |$iter,
+         |durs AS (SELECT sid, id, MIN(arrival - dep) AS d
+         |         FROM a$rounds GROUP BY sid, id)
+         |SELECT sid AS user_id, CAST(COUNT(*) AS BIGINT) AS n_reach,
+         |       CAST(SUM(d) AS BIGINT) AS sum_duration
+         |FROM durs WHERE id <> sid GROUP BY sid ORDER BY user_id""".stripMargin
+    },
+
     "g38_temporal_fastest" -> {
       val rounds = 40
       val iter = (1 to rounds).map { i =>

@@ -599,6 +599,12 @@ class AlgorithmsSpec extends AnyFunSuite {
       Map((7L, 7L) -> 0L, (7L, 8L) -> 0L))
     // a source with no (non-self-loop) out-edges is absent entirely
     assert(fastest(Seq(5L)).isEmpty)
+    // closeness digest: the read-off excludes the source's own 0-row and
+    // sums the fastest durations; a source reaching nothing rows out
+    // absent (5 has no out-edges)
+    val cl = TemporalGraph.temporalCloseness(e, Seq(1L, 5L).toDF("sid"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cl == Map(1L -> ((4L, 35L))))
     // the no-fixpoint failure path must release every checkpoint it
     // created — the edge relation and the in-flight round state (r12
     // ADVICE): persistent-RDD count returns to its pre-call baseline
