@@ -790,14 +790,8 @@ object GraphAlgorithms {
     * frees the blocks. Single-threaded callers only: a concurrent job
     * registering its own RDDs in the window would be swept into the delta.
     */
-  private def trackedCheckpoint(df: DataFrame, eager: Boolean): (DataFrame, () => Unit) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint(eager)
-    val mine = sc.getPersistentRDDs.keySet -- before
-    (out, () => mine.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
-  }
+  private def trackedCheckpoint(df: DataFrame, eager: Boolean): (DataFrame, () => Unit) =
+    graft.util.Checkpoints.tracked(df, eager)
 
   /** kCore plus the number of peel rounds taken — specs pin the round
     * budget so the unrolled-CTE oracle provably covers convergence.
@@ -1917,6 +1911,10 @@ object GraphAlgorithms {
           // Parallel Heuristics for Scalable Community Detection, 2015).
           var phase = 0
           while (phase < 2) {
+            // pmod, not %: Spark's remainder keeps the dividend's sign,
+            // so a negative odd id would match NEITHER phase and freeze
+            // forever (ids are arbitrary longs at the API surface)
+            val phaseOf = pmod(col("id"), lit(2L))
             val dc = lbl.join(deg, Seq("id"))
               .groupBy(col("lbl"))
               .agg(sum(col("kv")).as("dcs"), count(lit(1)).as("sz"))
@@ -1926,7 +1924,7 @@ object GraphAlgorithms {
               .groupBy(col("src").as("id"), col("c")).agg(sum(col("w")).as("k"))
               .localCheckpoint(false) // read twice: own-community + candidates
             val base = lbl.select(col("id"), col("lbl").as("a"))
-              .where(col("id") % 2 === phase)
+              .where(phaseOf === phase)
               .join(deg, Seq("id"))
               .join(dc.select(col("lbl").as("a"), col("dcs").as("d_a"),
                 col("sz").as("sz_a")), Seq("a"))

@@ -93,14 +93,8 @@ object TemporalGraph {
     */
   def kReachableCounts(edges: DataFrame, sources: DataFrame, k: Int,
       maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    def tracked(df: DataFrame): (DataFrame, () => Unit) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(false)
-      val mine = sc.getPersistentRDDs.keySet -- before
-      (out, () => mine.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
-    }
+    def tracked(df: DataFrame): (DataFrame, () => Unit) =
+      graft.util.Checkpoints.tracked(df, eager = false)
     val (e, releaseE) = tracked(
       edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
         .where(col("src") =!= col("dst")))
@@ -166,14 +160,8 @@ object TemporalGraph {
     */
   def fewestHops(edges: DataFrame, sources: DataFrame, k: Int,
       maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    def tracked(df: DataFrame): (DataFrame, () => Unit) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(false)
-      val mine = sc.getPersistentRDDs.keySet -- before
-      (out, () => mine.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
-    }
+    def tracked(df: DataFrame): (DataFrame, () => Unit) =
+      graft.util.Checkpoints.tracked(df, eager = false)
     val (e, releaseE) = tracked(
       edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
         .where(col("src") =!= col("dst")))
@@ -267,14 +255,8 @@ object TemporalGraph {
       maxHops: Int = 64,
       maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sc = edges.sparkSession.sparkContext
-    def tracked(df: DataFrame): (DataFrame, () => Unit) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(false)
-      val mine = sc.getPersistentRDDs.keySet -- before
-      (out, () => mine.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
-    }
+    def tracked(df: DataFrame): (DataFrame, () => Unit) =
+      graft.util.Checkpoints.tracked(df, eager = false)
     val (e, releaseE) = tracked(
       edges.select(col("src"), col("dst"), col("t").cast("long").as("t"),
           col("w").cast("long").as("w"))
@@ -402,14 +384,8 @@ object TemporalGraph {
       sources: DataFrame, maxHops: Int = 64,
       maxBroadcastRows: Long = Traversals.BroadcastFrontierRows)
       : (DataFrame, Int) = {
-    val sc = edges.sparkSession.sparkContext
-    def tracked(df: DataFrame): (DataFrame, () => Unit) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(false)
-      val mine = sc.getPersistentRDDs.keySet -- before
-      (out, () => mine.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
-    }
+    def tracked(df: DataFrame): (DataFrame, () => Unit) =
+      graft.util.Checkpoints.tracked(df, eager = false)
     val (e, releaseE) = tracked(
       edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
         .where(col("src") =!= col("dst")))
@@ -492,14 +468,8 @@ object TemporalGraph {
   def temporalStress(edges: DataFrame, sources: DataFrame, k: Int,
       maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
     require(k >= 1, "temporalStress needs a positive hop cap")
-    val sc = edges.sparkSession.sparkContext
-    def tracked(df: DataFrame): (DataFrame, () => Unit) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      val mine = sc.getPersistentRDDs.keySet -- before
-      (out, () => mine.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
-    }
+    def tracked(df: DataFrame): (DataFrame, () => Unit) =
+      graft.util.Checkpoints.tracked(df, eager = true)
     val (e, releaseE) = tracked(
       edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
         .where(col("src") =!= col("dst")).distinct())
@@ -514,6 +484,15 @@ object TemporalGraph {
         .select(col("sid"), col("sid").as("id"), col("t0").as("a"),
           lit(1L).as("sigma")))
       releases ::= rel0
+      // a sid seeded at two different t0 values would POOL its journey
+      // counts (the forward groupBy merges the seeds' states and sums
+      // sigma across start times) — neither per-seed run nor their sum;
+      // reject loudly instead of silently double-counting
+      val dup = l0.groupBy(col("sid")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).count()
+      require(dup == 0L,
+        s"temporalStress: $dup source id(s) appear with multiple t0 " +
+          "values — journey counts would pool across start times")
       var levels = Vector((l0, l0.count()))
       var reached = l0.select(col("sid"), col("id"), lit(0).as("d"))
       var reachedRows = levels.head._2

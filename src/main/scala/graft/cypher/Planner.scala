@@ -394,7 +394,11 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.fewestHops(sourceId[, k[, 'timeProp']]), " +
         "graft.assortativity(), graft.reciprocity(), " +
         "graft.modularity(iters), graft.louvainRefine(iters), " +
-        "graft.kReachable(sourceId, t0, deadline[, k[, 'timeProp']])")
+        "graft.louvain(maxLevels, sweepsPerLevel), " +
+        "graft.kReachable(sourceId, t0, deadline[, k[, 'timeProp']]), " +
+        "graft.temporalStress(sourceId, t0[, k[, 'timeProp']]), " +
+        "graft.corpusProfile('dir'), graft.dedupClusters('dir', permille), " +
+        "graft.annTopK('dir', k, probeIds...)")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

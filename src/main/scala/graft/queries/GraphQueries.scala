@@ -192,7 +192,7 @@ object GraphQueries {
            |  FROM $prev l JOIN deg$l d ON d.id = l.id
            |  JOIN ${pre}_dc da ON da.lbl = l.lbl
            |  LEFT JOIN ${pre}_kvc ka ON ka.id = l.id AND ka.c = l.lbl
-           |  WHERE l.id % 2 = $p),
+           |  WHERE ((l.id % 2) + 2) % 2 = $p),
            |${pre}_cand AS (
            |  SELECT b.id, k.c AS btgt,
            |         (SELECT m2 FROM m2t) * (k.k - b.k_va)

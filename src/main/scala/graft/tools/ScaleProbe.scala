@@ -1271,9 +1271,10 @@ object ScaleProbe {
     * shuffle joins on a deliberately pathological key — one hot key
     * carrying 80% of a 20M-row fact side (16M rows on one reducer vs the
     * ~125k average: >100× imbalance — the celebrity-key regime) against
-    * a 250k-row dimension, with auto-broadcast disabled (auto-broadcast disabled for the experiment so the
-    * planner cannot sidestep the shuffle). plain-shj pins the hot key's
-    * 2M rows on ONE reducer; plain-smj lets AQE's OptimizeSkewedJoin
+    * a 250k-row dimension, with auto-broadcast disabled for the
+    * experiment so the planner cannot sidestep the shuffle. plain-shj
+    * pins the hot key's 16M rows on ONE reducer; plain-smj lets AQE's
+    * OptimizeSkewedJoin
     * split the sort-merge partition; salted-16 spreads the key across 16
     * reducers by construction, independent of join strategy — the
     * single-key case x16 only proved parity for. Run with

@@ -28,6 +28,22 @@ object Checkpoints {
     finally release(spark, sc.getPersistentRDDs.keySet -- before)
   }
 
+  /** Snapshot-diff capture of the persistent RDDs one localCheckpoint
+    * registers: the checkpointed frame plus a release handle for exactly
+    * the blocks the call created. The single helper behind every loop
+    * operator's per-round lineage cut (the temporal sweeps, brandesCore,
+    * the community family) — previously copy-pasted per operator.
+    */
+  def tracked(df: org.apache.spark.sql.DataFrame, eager: Boolean)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager)
+    val mine = sc.getPersistentRDDs.keySet -- before
+    (out, () => mine.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+  }
+
   /** The persistent RDD ids backing a checkpointed Dataset — the
     * LogicalRDD leaves of its analyzed plan. EXACT attribution: unlike a
     * getPersistentRDDs before/after diff, ids read off the Dataset itself

@@ -694,6 +694,13 @@ class AlgorithmsSpec extends AnyFunSuite {
     // so the combined counts equal source 1's alone
     assert(stress(e, 4, Seq((1L, 0L), (3L, 0L))) ==
       Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // a sid seeded at two t0 values would pool journey counts across
+    // start times — rejected loudly
+    val exDup = intercept[IllegalArgumentException] {
+      TemporalGraph.temporalStress(e,
+        Seq((1L, 0L), (1L, 5L)).toDF("sid", "t0"), 4)
+    }
+    assert(exDup.getMessage.contains("multiple t0"))
     // internal checkpoints (edge relation, levels, taus) are released on
     // success — only the returned relation's block survives
     val base = spark.sparkContext.getPersistentRDDs.keySet
@@ -891,6 +898,17 @@ class AlgorithmsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("closure is empty"))
     assert((sc.getPersistentRDDs.keySet -- base2).isEmpty)
+    // NEGATIVE ids move too: Spark's % keeps the dividend's sign, so a
+    // plain id % 2 phase gate would freeze every negative odd id — pmod
+    // keeps the sub-rounds total over arbitrary long ids
+    val neg = e.select((e("src") - 100L).as("src"), (e("dst") - 100L).as("dst"))
+    val (flatN, nN) = GraphAlgorithms.louvainLevels(neg)
+    val gotN = flatN.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nN >= 1)
+    assert(Seq(-99L, -98L, -97L).map(gotN).distinct.size == 1)
+    assert(Seq(-96L, -95L, -94L).map(gotN).distinct.size == 1)
+    assert(gotN(-99L) != gotN(-94L))
+    graft.util.Checkpoints.release(spark, graft.util.Checkpoints.idsOf(flatN))
   }
 
   test("multi-level louvain: a triangle ring coarsens and merges at level 2") {

@@ -345,16 +345,32 @@ class PlanAuditSpec extends AnyFunSuite {
       .reduce(_.unionByName(_))
   }
 
+  /** Audit an internal lazy plan builder, then release every persistent
+    * block the audit created (the lazy builders intentionally leave
+    * their checkpoints to the PUBLIC wrappers' sweeps — a bare audit
+    * call must clean up after itself).
+    */
+  private def auditingDelta(body: => org.apache.spark.sql.DataFrame): String = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try {
+      val df = body
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    } finally graft.util.Checkpoints.release(spark,
+      sc.getPersistentRDDs.keySet -- before)
+  }
+
   test("g44: modularity digest is equi-joins + partial aggregates; one sanctioned one-row join") {
     import graft.algorithms.GraphAlgorithms
     val edges = communityEdges()
-    val df = GraphAlgorithms.modularityDigestPlanOf(edges,
-      GraphAlgorithms.labelPropagation(edges, iters = 4),
-      GraphAlgorithms.BroadcastVertexRows)
-    df.collect()
     // audit the executed (final) plan only — AQE's toString appends the
     // initial plan too, which would double-count every node
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = auditingDelta {
+      GraphAlgorithms.modularityDigestPlanOf(edges,
+        GraphAlgorithms.labelPropagation(edges, iters = 4),
+        GraphAlgorithms.BroadcastVertexRows)
+    }.split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), p)
     // the ONLY nested-loop is the final crossJoin of the two one-row
     // digests — never a data-sized relation
@@ -366,11 +382,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("g45: louvain sweep is equi-joins + per-vertex window; no data-sized nested loop") {
     import graft.algorithms.GraphAlgorithms
     val edges = communityEdges()
-    val df = GraphAlgorithms.louvainSweepPlan(edges,
-      GraphAlgorithms.labelPropagation(edges, iters = 4),
-      GraphAlgorithms.BroadcastVertexRows)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = auditingDelta {
+      GraphAlgorithms.louvainSweepPlan(edges,
+        GraphAlgorithms.labelPropagation(edges, iters = 4),
+        GraphAlgorithms.BroadcastVertexRows)
+    }.split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the per-vertex argmax is a hash-partitioned window, never global
