@@ -434,7 +434,11 @@ object TemporalGraph {
     * from the sources (rows `(sid, t0)`) to every vertex they reach
     * within `k` hops. Hop-minimal means d(s,t) = the fewest hops of any
     * time-respecting journey s→t departing ≥ t0 with ≤ k hops; σ_st
-    * counts ALL d(s,t)-hop journeys (over every arrival time).
+    * counts ALL d(s,t)-hop journeys (over every arrival time). Journeys
+    * returning to their own source are not centrality pairs: the seed
+    * registers d(s, s) = 0, so nothing ENDING at s is ever hop-minimal
+    * (standard stress excludes t = s; the brute-force cross-validation
+    * spec pins this).
     *
     * The static Brandes decomposition does NOT carry over unchanged: a
     * prefix of a hop-minimal temporal journey need not be hop-minimal

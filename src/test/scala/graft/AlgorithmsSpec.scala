@@ -712,6 +712,53 @@ class AlgorithmsSpec extends AnyFunSuite {
     graft.util.Checkpoints.release(spark, leaked)
   }
 
+  test("temporal stress cross-validates against brute-force journey enumeration") {
+    import graft.algorithms.TemporalGraph
+    // seeded random temporal digraphs, small enough to enumerate EVERY
+    // journey up to the hop cap on the driver — the independent
+    // implementation the sweeps must agree with (the g25 pedigree)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 6
+      val edges = (1 to 16).map { _ =>
+        (rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L, rnd.nextInt(6).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val k = 4
+      val srcs = Seq((1L, 0L), (2L, 0L))
+      val adj = edges.groupBy(_._1)
+      val expect = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, t0) <- srcs) {
+        // every journey = vertex path + arrival chain; hop-minimal per
+        // TARGET, interior slots are positions 1..h-1, v = s excluded
+        // (endpoint of the pair), v = target-at-an-earlier-hop counts
+        val journeys = collection.mutable.ArrayBuffer[Vector[Long]]()
+        def dfs(path: Vector[Long], arr: Long): Unit = {
+          if (path.length > 1) journeys += path
+          if (path.length <= k)
+            adj.getOrElse(path.last, Nil).foreach { case (_, w, t) =>
+              if (t >= arr) dfs(path :+ w, t)
+            }
+        }
+        dfs(Vector(s), t0)
+        // journeys returning to the source are not centrality pairs —
+        // the operator's d(s, s) = 0 seed convention excludes them
+        val dmap = journeys.groupBy(_.last)
+          .map { case (t, js) => t -> js.map(_.length - 1).min }
+        for (p <- journeys if p.last != s && dmap(p.last) == p.length - 1)
+          p.slice(1, p.length - 1).foreach(v => if (v != s) expect(v) += 1L)
+      }
+      val got = TemporalGraph
+        .temporalStress(edges.toDF("src", "dst", "t"), srcs.toDF("sid", "t0"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == verts)
+      verts.foreach { v =>
+        assert(got(v) == expect(v),
+          s"stress($v): sweep ${got(v)} != brute ${expect(v)} on $edges")
+      }
+    }
+  }
+
   test("temporal fewest hops: late direct edge beats early two-hop detour") {
     import graft.algorithms.TemporalGraph
     val e = Seq(
