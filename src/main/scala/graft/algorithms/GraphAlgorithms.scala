@@ -1637,6 +1637,14 @@ object GraphAlgorithms {
     * and the closure checkpoint released before returning (the internal
     * blocks never outlive the call); callers holding lazy label
     * checkpoints keep them — only the delta this call creates is swept.
+    * The sweep's snapshot diff exempts only checkpoint (LogicalRDD)
+    * leaves: a caller-held `.cache()`/`persist()` on an input whose
+    * column buffers first MATERIALIZE inside this call's window is swept
+    * with the delta (silent recompute cost, never wrong answers) —
+    * callers keeping plain cached inputs must force them (e.g.
+    * `.count()`) before calling, or use localCheckpoint, which is
+    * exempt. Applies equally to [[louvainRefineOnce]] and
+    * [[louvainLevels]].
     */
   def modularityDigestOf(edges: DataFrame, labels: DataFrame,
       broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
@@ -1708,6 +1716,32 @@ object GraphAlgorithms {
       .localCheckpoint(false)
   }
 
+  /** Weighted sibling of [[undirectedClosure]] for [[louvainLevels]]'s
+    * weighted entry: self-loops dropped, both directions emitted, and
+    * PARALLEL edges collapse by SUMMING their weights (the standard
+    * multigraph→weighted reduction — the unweighted closure's
+    * `.distinct()` collapses them to weight 1 instead, which is the
+    * binary-adjacency convention, not a special case of this one).
+    * Weights must be positive LONGs — NULL or ≤ 0 fails loudly (zero
+    * contributes nothing but corrupts degree sums; negative breaks the
+    * modularity gain's sign logic).
+    */
+  private def weightedClosure(edges: DataFrame, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e0 = edges
+      .select(col("src"), col("dst"), col(weightCol).cast("long").as("w"))
+      .where(col("src") =!= col("dst"))
+    val g = e0.agg(
+      sum(when(col("w").isNull || col("w") <= 0L, 1L).otherwise(0L))).head()
+    if (!g.isNullAt(0)) require(g.getLong(0) == 0L,
+      s"louvainLevels: ${g.getLong(0)} edge(s) with NULL or non-positive " +
+        s"weight '$weightCol' — weighted modularity needs positive LONGs")
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(false)
+  }
+
   /** One synchronous Louvain refinement sweep (Blondel et al. 2008 local
     * moves, parallel variant): every vertex evaluates moving to each
     * NEIGHBOR community and takes the best strictly-positive-gain move,
@@ -1726,7 +1760,9 @@ object GraphAlgorithms {
     * an equi-join on id or lbl with the |V|-sized label relation
     * broadcast-gated. m2 is the one driver-side scalar (the sanctioned
     * one-row collect class). Reference behavior: rust-graph-db has no
-    * community surface (SURVEY §2 beyond-reference set).
+    * community surface (SURVEY §2 beyond-reference set). Caller-cached
+    * (non-localCheckpoint) inputs must be materialized before the call —
+    * see the sweep caveat on [[modularityDigestOf]].
     */
   def louvainRefineOnce(edges: DataFrame, labels: DataFrame,
       broadcastCeiling: Long = BroadcastVertexRows): DataFrame = {
@@ -1845,11 +1881,23 @@ object GraphAlgorithms {
     * vertices stay singletons, the g44 digest domain —, count of levels
     * that net-moved at least one vertex). Reference behavior:
     * rust-graph-db has no community surface (SURVEY §2
-    * beyond-reference set).
+    * beyond-reference set). Caller-cached (non-localCheckpoint) inputs
+    * must be materialized before the call — see the sweep caveat on
+    * [[modularityDigestOf]].
+    *
+    * `weightCol`: names a positive-LONG edge-weight column and switches
+    * level 1 to the weighted closure (parallel edges sum; NULL/≤0 weights
+    * fail loudly). The gain rule, coarsening, and m2 invariance were
+    * already weight-general — level 1's w = 1 was the only binary
+    * assumption — so the whole multi-level run still replays op-for-op
+    * in SQL. Real corpora cluster weighted similarity graphs (the d7
+    * LSH candidate graph is the in-repo consumer). Exactness domain
+    * becomes m2·max weighted degree < 2^63.
     */
   def louvainLevels(edges: DataFrame, maxLevels: Int = 3,
       sweepsPerLevel: Int = 3,
-      broadcastCeiling: Long = BroadcastVertexRows): (DataFrame, Int) = {
+      broadcastCeiling: Long = BroadcastVertexRows,
+      weightCol: Option[String] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     require(maxLevels >= 1 && sweepsPerLevel >= 1,
@@ -1873,8 +1921,11 @@ object GraphAlgorithms {
       spark.createDataFrame(cp.rdd, cp.schema)
     }
     try {
-      var sym = undirectedClosure(edges)
-        .select(col("src"), col("dst"), lit(1L).as("w"))
+      var sym = weightCol match {
+        case None => undirectedClosure(edges)
+          .select(col("src"), col("dst"), lit(1L).as("w"))
+        case Some(wc) => weightedClosure(edges, wc)
+      }
       var flat = statsBarrier(edges.select(col("src").as("id"))
         .unionByName(edges.select(col("dst").as("id")))
         .distinct().select(col("id"), col("id").as("lbl")))
@@ -1918,10 +1969,8 @@ object GraphAlgorithms {
             val dc = lbl.join(deg, Seq("id"))
               .groupBy(col("lbl"))
               .agg(sum(col("kv")).as("dcs"), count(lit(1)).as("sz"))
-            val kvc = sym.where(col("src") =!= col("dst"))
-              .join(small(lbl.select(col("id").as("dst"), col("lbl").as("c"))),
-                "dst")
-              .groupBy(col("src").as("id"), col("c")).agg(sum(col("w")).as("k"))
+            val kvc = phaseKvcPlan(sym, phase,
+              small(lbl.select(col("id").as("dst"), col("lbl").as("c"))))
               .localCheckpoint(false) // read twice: own-community + candidates
             val base = lbl.select(col("id"), col("lbl").as("a"))
               .where(phaseOf === phase)
@@ -1980,6 +2029,25 @@ object GraphAlgorithms {
       graft.util.Checkpoints.release(spark,
         sc.getPersistentRDDs.keySet -- before -- theirs -- keep)
     }
+  }
+
+  /** The per-phase (vertex, neighbor-community) weight aggregate inside a
+    * [[louvainLevels]] parity sub-round — split out so PlanAuditSpec can
+    * pin that the phase predicate sits BELOW the aggregate. Its only
+    * consumers inner-join on ids already filtered to
+    * pmod(id, 2) == phase, so aggregating the other parity's half of
+    * `sym` would compute and shuffle rows that are then dropped; the
+    * src-side pre-filter halves the dominant per-sweep shuffle without
+    * changing any consumed row. The label join side (`dst`) must stay
+    * full: a phase-p mover prices edges into neighbors of EITHER parity.
+    */
+  private[graft] def phaseKvcPlan(sym: DataFrame, phase: Int,
+      lblAsDstC: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    sym.where(col("src") =!= col("dst"))
+      .where(pmod(col("src"), lit(2L)) === phase)
+      .join(lblAsDstC, "dst")
+      .groupBy(col("src").as("id"), col("c")).agg(sum(col("w")).as("k"))
   }
 
   /** Modularity Q finished from the [[modularityInvariants]] digest (one

@@ -472,6 +472,21 @@ object TemporalGraph {
   def temporalStress(edges: DataFrame, sources: DataFrame, k: Int,
       maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
     require(k >= 1, "temporalStress needs a positive hop cap")
+    // a NULL event time (or NULL endpoint) would make the usability
+    // predicate t >= a NULL and the edge silently inert — reject loudly,
+    // matching the fastestDurationsWeighted guard (r14 ADVICE); same for
+    // NULL sid/t0 source rows, which the seed projection would turn into
+    // a NULL-keyed state that can never join
+    val eGuard = edges.agg(
+      sum(when(col("src").isNull || col("dst").isNull
+        || col("t").cast("long").isNull, 1L).otherwise(0L))).head()
+    if (!eGuard.isNullAt(0)) require(eGuard.getLong(0) == 0L,
+      s"temporalStress: ${eGuard.getLong(0)} edge(s) with NULL src/dst/t — " +
+        "they would be silently unusable in every journey")
+    val sGuard = sources.agg(
+      sum(when(col("sid").isNull || col("t0").isNull, 1L).otherwise(0L))).head()
+    if (!sGuard.isNullAt(0)) require(sGuard.getLong(0) == 0L,
+      s"temporalStress: ${sGuard.getLong(0)} source row(s) with NULL sid/t0")
     def tracked(df: DataFrame): (DataFrame, () => Unit) =
       graft.util.Checkpoints.tracked(df, eager = true)
     val (e, releaseE) = tracked(

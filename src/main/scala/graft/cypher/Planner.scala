@@ -196,12 +196,20 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         // LPA seed (arg 1 = LPA iteration budget); yields (id, lbl)
         GraphAlgorithms.louvainRefineOnce(edges,
           GraphAlgorithms.labelPropagation(edges, intArg(0, Some(4))))
-      case "graft.louvain" => nargs(2)
+      case "graft.louvain" => nargs(3)
         // the g47 multi-level run (singleton start, parity sub-round
         // sweeps, coarsen, repeat): arg 1 = max levels, arg 2 = sweeps
-        // per level; yields the flat (id, lbl) partition
-        GraphAlgorithms.louvainLevels(edges,
-          intArg(0, Some(3)), intArg(1, Some(3)))._1
+        // per level; optional arg 3 names a positive-LONG edge-weight
+        // property (the r15 weighted entry — NULL/≤0 weights fail
+        // loudly); yields the flat (id, lbl) partition
+        val lvWeighted = strArg(2).map { wp =>
+          store.allEdges.select(col("src"), col("dst"),
+            get_json_object(col("properties"), "$." + wp)
+              .cast("long").as("w"))
+        }
+        GraphAlgorithms.louvainLevels(lvWeighted.getOrElse(edges),
+          intArg(0, Some(3)), intArg(1, Some(3)),
+          weightCol = lvWeighted.map(_ => "w"))._1
       // ---- corpus procedures (r14): pipeline operators addressed at a
       // parquet corpus root rather than the graph store — the dir string
       // is the required first argument, missing/mistyped args fail loudly
@@ -394,7 +402,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.fewestHops(sourceId[, k[, 'timeProp']]), " +
         "graft.assortativity(), graft.reciprocity(), " +
         "graft.modularity(iters), graft.louvainRefine(iters), " +
-        "graft.louvain(maxLevels, sweepsPerLevel), " +
+        "graft.louvain(maxLevels, sweepsPerLevel[, 'weightProp']), " +
         "graft.kReachable(sourceId, t0, deadline[, k[, 'timeProp']]), " +
         "graft.temporalStress(sourceId, t0[, k[, 'timeProp']]), " +
         "graft.corpusProfile('dir'), graft.dedupClusters('dir', permille), " +

@@ -667,9 +667,10 @@ object CypherGateQueries {
     }),
 
     // Multi-level Louvain through the CALL surface (r14): the g47 engine
-    // at a lighter (2-level, 2-sweep) budget on the g22-domain sub-store, folded in Cypher into the
-    // community-size histogram (the cy46 shape), answering to a
-    // histogram read-off of the shared louvainLevelsCtes oracle prefix.
+    // at a lighter (2-level, 2-sweep) budget on the g22-domain sub-store.
+    // The partition is folded in Cypher into the community-size histogram
+    // (the cy46 shape), answering to a histogram read-off of the shared
+    // louvainLevelsCtes oracle prefix.
     "cy50_call_louvain_levels" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
       val sub = new GraphStore(g.vertexTables,

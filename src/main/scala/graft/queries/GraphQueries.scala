@@ -172,7 +172,40 @@ object GraphQueries {
     * in scope. Every aggregate BIGINT-pinned (the r10 HUGEINT rule).
     */
   private[queries] def louvainLevelsCtes(maxLevels: Int, sweeps: Int): String = {
-    val levels = (1 to maxLevels).map { l =>
+    val levels = louvainLevelsBody(maxLevels, sweeps)
+    s"""lpa_edges AS (
+       |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
+       |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst FROM orders
+       |  UNION ALL
+       |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT),
+       |         (CAST(5 AS BIGINT)<<48)|CAST(c_nationkey AS BIGINT) FROM customer
+       |  UNION ALL
+       |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT),
+       |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT) FROM supplier
+       |  UNION ALL
+       |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
+       |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) FROM nation
+       |),
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM lpa_edges WHERE src <> dst
+       |  UNION ALL SELECT dst AS src, src AS dst FROM lpa_edges WHERE src <> dst)),
+       |flat0 AS MATERIALIZED (SELECT id, id AS lbl FROM (
+       |  SELECT DISTINCT src AS id FROM lpa_edges
+       |  UNION SELECT DISTINCT dst AS id FROM lpa_edges)),
+       |g1 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM und),
+       |m2t AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM g1),
+       |$levels""".stripMargin
+  }
+
+  /** The level/sweep/parity CTE chain of [[louvainLevelsCtes]] without
+    * its unweighted-closure prefix — references only `g1` (src, dst, w),
+    * `flat0` (id, lbl), and `m2t` (m2), so a caller supplying a WEIGHTED
+    * g1 (the g51 gate) replays GraphAlgorithms.louvainLevels's weighted
+    * entry with identical arithmetic. Split out in r15; the unweighted
+    * g47/cy50 oracle strings are byte-identical to before the split.
+    */
+  private[queries] def louvainLevelsBody(maxLevels: Int, sweeps: Int): String = {
+    (1 to maxLevels).map { l =>
       val subRounds = (1 to sweeps).flatMap(s => Seq(0, 1).map(p => (s, p)))
       val sweepCtes = subRounds.map { case (s, p) =>
         val pre = s"l${l}s${s}p$p"
@@ -225,28 +258,6 @@ object GraphQueries {
          |  FROM g$l m JOIN $last a ON a.id = m.src JOIN $last b ON b.id = m.dst
          |  GROUP BY a.lbl, b.lbl)""".stripMargin
     }.mkString(",\n")
-    s"""lpa_edges AS (
-       |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(o_custkey AS BIGINT) AS src,
-       |         (CAST(2 AS BIGINT)<<48)|CAST(o_orderkey AS BIGINT) AS dst FROM orders
-       |  UNION ALL
-       |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT),
-       |         (CAST(5 AS BIGINT)<<48)|CAST(c_nationkey AS BIGINT) FROM customer
-       |  UNION ALL
-       |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT),
-       |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT) FROM supplier
-       |  UNION ALL
-       |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
-       |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) FROM nation
-       |),
-       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-       |  SELECT src, dst FROM lpa_edges WHERE src <> dst
-       |  UNION ALL SELECT dst AS src, src AS dst FROM lpa_edges WHERE src <> dst)),
-       |flat0 AS MATERIALIZED (SELECT id, id AS lbl FROM (
-       |  SELECT DISTINCT src AS id FROM lpa_edges
-       |  UNION SELECT DISTINCT dst AS id FROM lpa_edges)),
-       |g1 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM und),
-       |m2t AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM g1),
-       |$levels""".stripMargin
   }
 
   /** Customer 1's region key via two driver-side point reads (the g13
@@ -709,6 +720,33 @@ object GraphQueries {
       out
     }),
 
+    // Weighted multi-level Louvain (r15): the g47 engine's weighted entry
+    // on the no-PLACED sub-domain (customer/supplier→nation→region) with
+    // deterministic positive weights w = (src + dst) % 7 + 1 — symmetric
+    // in the endpoints, so the weighted closure equals the oracle's —
+    // at cy50's lighter 2-level, 2-sweep budget. Output = the
+    // community-size histogram of the flat partition (the cy46 shape);
+    // the oracle replays the weighted run through the SAME level CTE
+    // body as g47 with a weighted g1. The histogram is a bounded digest
+    // (≤ distinct community sizes), so it is collected and the
+    // partition's checkpoint released before returning — zero-leak.
+    "g51_louvain_weighted" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val edges = Seq("CUST_NATION", "SUPP_NATION", "IN_REGION")
+        .map(l => g.edges(l).select(col("src"), col("dst")))
+        .reduce(_.unionByName(_))
+        .withColumn("w", (col("src") + col("dst")) % 7 + 1)
+      val (flat, _) = graft.algorithms.GraphAlgorithms.louvainLevels(
+        edges, maxLevels = 2, sweepsPerLevel = 2, weightCol = Some("w"))
+      val hist = flat.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_communities"))
+        .orderBy(col("sz"))
+      val rows = java.util.Arrays.asList(hist.collect(): _*)
+      val out = s.createDataFrame(rows, hist.schema)
+      graft.util.Checkpoints.release(s, graft.util.Checkpoints.idsOf(flat))
+      out
+    }),
+
     // Triangle counting (degree-ordered, DataFrame-native — deterministic,
     // exact, codegen'd end to end; no GraphX round-trip). Graph = suppliers
     // co-supplying a part (the g18 domain bound: l_partkey < 2000 keeps the
@@ -945,8 +983,11 @@ object GraphQueries {
       val (nu, srcU, t0) = (b.getLong(0) + 1, b.getLong(1), b.getLong(2))
       val te = ev.select(col("u").as("src"),
         ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      // maxHops pinned to the oracle's 40-round unroll: an input needing
+      // more rounds fails loudly here instead of silently out-converging
+      // the oracle (r14 ADVICE)
       graft.algorithms.TemporalGraph.earliestArrival(
-          te, Seq((srcU, t0)).toDF("id", "t0"))
+          te, Seq((srcU, t0)).toDF("id", "t0"), maxHops = 40)
         .select(col("id").as("user_id"), col("arrival"))
         .orderBy(col("user_id"))
     }),
@@ -967,7 +1008,7 @@ object GraphQueries {
       val te = ev.select(col("u").as("src"),
         ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
       graft.algorithms.TemporalGraph.latestDeparture(
-          te, Seq((nu - 1, tMax)).toDF("id", "deadline"))
+          te, Seq((nu - 1, tMax)).toDF("id", "deadline"), maxHops = 40)
         .select(col("id").as("user_id"), col("depart"))
         .orderBy(col("user_id"))
     }),
@@ -1016,7 +1057,7 @@ object GraphQueries {
         ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
       val srcs = ev.select(col("u")).distinct().orderBy(col("u")).limit(3)
         .select(col("u").as("sid"))
-      graft.algorithms.TemporalGraph.temporalCloseness(te, srcs)
+      graft.algorithms.TemporalGraph.temporalCloseness(te, srcs, maxHops = 40)
         .select(col("sid").as("user_id"), col("n_reach"), col("sum_duration"))
         .orderBy(col("user_id"))
     }),
@@ -1093,7 +1134,8 @@ object GraphQueries {
       val (nu, srcU) = (b.getLong(0) + 1, b.getLong(1))
       val te = ev.select(col("u").as("src"),
         ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
-      graft.algorithms.TemporalGraph.fastestDurations(te, Seq(srcU).toDF("sid"))
+      graft.algorithms.TemporalGraph.fastestDurations(te, Seq(srcU).toDF("sid"),
+          maxHops = 40) // pinned to the oracle's 40-round unroll (r14 ADVICE)
         .select(col("id").as("user_id"), col("duration"))
         .orderBy(col("user_id"))
     }),
@@ -1950,6 +1992,39 @@ object GraphQueries {
          |       (SELECT CAST(SUM(CASE WHEN mv > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |        FROM (SELECT mv FROM mv1 UNION ALL SELECT mv FROM mv2
          |              UNION ALL SELECT mv FROM mv3)) AS n_levels""".stripMargin,
+
+    // the weighted run replayed from first principles: the same level
+    // CTE body as g47 fed a WEIGHTED g1 (w = (src + dst) % 7 + 1,
+    // symmetric, parallel directions summed exactly as the engine's
+    // weighted closure), 2 levels x 2 sweeps unrolled, then the
+    // community-size histogram of the final flat partition.
+    "g51_louvain_weighted" ->
+      s"""WITH lpa_edges AS (
+         |  SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS src,
+         |         (CAST(5 AS BIGINT)<<48)|CAST(c_nationkey AS BIGINT) AS dst FROM customer
+         |  UNION ALL
+         |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT),
+         |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT) FROM supplier
+         |  UNION ALL
+         |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
+         |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT) FROM nation
+         |),
+         |wdir AS (SELECT src, dst, CAST((src + dst) % 7 + 1 AS BIGINT) AS w
+         |         FROM lpa_edges WHERE src <> dst),
+         |g1 AS MATERIALIZED (
+         |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+         |    SELECT src, dst, w FROM wdir
+         |    UNION ALL SELECT dst AS src, src AS dst, w FROM wdir)
+         |  GROUP BY src, dst),
+         |flat0 AS MATERIALIZED (SELECT id, id AS lbl FROM (
+         |  SELECT DISTINCT src AS id FROM lpa_edges
+         |  UNION SELECT DISTINCT dst AS id FROM lpa_edges)),
+         |m2t AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM g1),
+         |${louvainLevelsBody(2, 2)},
+         |hist AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz
+         |         FROM flat2 GROUP BY lbl)
+         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_communities
+         |FROM hist GROUP BY sz ORDER BY sz""".stripMargin,
 
     "g27_hash_walks" -> walkOracle("c_custkey BETWEEN 1 AND 20", 3, 6),
     "g29_egonet" ->

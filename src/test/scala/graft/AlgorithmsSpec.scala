@@ -958,6 +958,44 @@ class AlgorithmsSpec extends AnyFunSuite {
     graft.util.Checkpoints.release(spark, graft.util.Checkpoints.idsOf(flatN))
   }
 
+  test("weighted louvain: weights flip a community assignment; w=1 equals unweighted") {
+    // same TOPOLOGY both runs — the 5-path 1-2-3-4-5 — only the weights
+    // move: vertex 3 follows whichever side holds the heavy edge
+    def path(w23: Long, w34: Long) =
+      Seq((1L, 2L, 5L), (2L, 3L, w23), (3L, 4L, w34), (4L, 5L, 5L))
+        .toDF("src", "dst", "w")
+    def run(e: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val (flat, _) = GraphAlgorithms.louvainLevels(e, weightCol = Some("w"))
+      val got = flat.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.util.Checkpoints.release(spark, graft.util.Checkpoints.idsOf(flat))
+      got
+    }
+    val a = run(path(10L, 1L)) // heavy 2-3: vertex 3 clusters left
+    assert(a(3L) == a(2L) && a(3L) != a(4L), a.toString)
+    val b = run(path(1L, 10L)) // heavy 3-4: vertex 3 clusters right
+    assert(b(3L) == b(4L) && b(3L) != b(2L), b.toString)
+    // all-1 weights reproduce the unweighted run exactly (two triangles)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val w1 = run(tri.withColumn("w", org.apache.spark.sql.functions.lit(1L)))
+    assert(w1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L))
+    // parallel edges SUM under the weighted closure: duplicating the 3-4
+    // bridge with w=5 each is the same graph as one w=10 bridge
+    val dup = Seq((1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 5L), (3L, 4L, 5L),
+      (4L, 5L, 5L)).toDF("src", "dst", "w")
+    val d = run(dup)
+    assert(d(3L) == d(4L) && d(3L) != d(2L), d.toString)
+    // NULL / non-positive weights fail loudly, releasing everything
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.keySet
+    val bad = Seq((1L, 2L, 0L), (2L, 3L, 4L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      GraphAlgorithms.louvainLevels(bad, weightCol = Some("w"))
+    }
+    assert(ex.getMessage.contains("non-positive"))
+    assert((sc.getPersistentRDDs.keySet -- base).isEmpty)
+  }
+
   test("multi-level louvain: a triangle ring coarsens and merges at level 2") {
     // ring of 10 triangles joined by bridges: level 1 finds the triangles
     // (communities of weighted degree 8, m2 = 80); level 2 prices merging

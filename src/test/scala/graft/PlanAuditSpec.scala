@@ -400,6 +400,30 @@ class PlanAuditSpec extends AnyFunSuite {
       .count(_ == "BroadcastNestedLoopJoin") <= 2, gp)
   }
 
+  test("g47: parity-phase kvc filters sym to the moving parity below the partial aggregate") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.algorithms.GraphAlgorithms
+    val edges = communityEdges()
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .withColumn("w", lit(1L))
+    // community labels WITHOUT pmod so the only pmod in the plan is the
+    // phase predicate under audit (% prints as `%`, pmod as `pmod`)
+    val lbl = sym.select(col("src").as("dst")).distinct()
+      .select(col("dst"), (col("dst") % 7).as("c"))
+    val p = auditingDelta {
+      GraphAlgorithms.phaseKvcPlan(sym, 0, lbl)
+    }.split("== Initial Plan ==")(0)
+    // physical plans print top-down: the partial aggregate must appear
+    // ABOVE (before) the phase filter — i.e. the filter runs pre-shuffle,
+    // so the other parity's half of sym is never aggregated or shuffled
+    val agg = p.indexOf("partial_sum")
+    val flt = p.indexOf("pmod")
+    assert(agg >= 0, p)
+    assert(flt > agg, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t19: real BPE is one pruned scan + one aggregation shuffle, no join") {
     val p = plan("t19_bpe_real")
     // the 24-merge replace chain stays a per-row projection: no join of
