@@ -635,6 +635,51 @@ object GraphAlgorithms {
       levelProbe)
       .withColumnRenamed("value", "stress")
 
+  /** Pivot-sampled stress centrality (Brandes & Pich, "Centrality
+    * Estimation in Large Networks", 2007) — the 100 TB answer for
+    * whole-graph stress, where exact all-sources Brandes is O(V·E):
+    * run the exact integer [[stressCentrality]] sweeps from a
+    * deterministic |S|-vertex pivot sample and scale by the one
+    * documented integer ratio est(v) = (stress_S(v) · |V|) div |S|
+    * (multiply before the truncating div, so the estimate is exact
+    * integer arithmetic over the drawn pivots — the whole output is
+    * hash-checkable, unlike FP-weighted estimators).
+    *
+    * Pivots are the h32-argmin draw (the g33/g27 convention): every
+    * vertex hashes once to h32("pivot|" + id) and the |S| smallest
+    * (h, id) win — uniform-ish, engine-independent, and replayable
+    * op-for-op in SQL, so the SAMPLE ITSELF is oracle-checked, not
+    * trusted. Cost is |S| Brandes sources — linear in |S| at fixed
+    * graph (measured axis: tools/scaleprobe_pivotstress_r15.txt);
+    * error at fixed |S| decays as pivots average over sources
+    * (Brandes–Pich §4: uniform pivots give an unbiased estimator of
+    * the per-source average). Exactness domain: stress_S(v) · |V|
+    * < 2^63. Reference behavior: rust-graph-db has no centrality
+    * surface (SURVEY §2 beyond-reference set).
+    */
+  def pivotStress(edges: DataFrame, nPivots: Int, maxDepth: Int,
+      broadcastRows: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nPivots >= 1, "pivotStress needs at least one pivot")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val nV = verts.count()
+    require(nV > 0, "pivotStress: the self-loop-free edge relation is empty")
+    // distributed top-k (TakeOrderedAndProject), never a full sort; the
+    // pivot relation is the sanctioned bounded class (|S| <= thousands)
+    val pivots = verts
+      .select(col("id"), graft.pipeline.TextHash.h32(
+        concat(lit("pivot|"), col("id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("id")).limit(nPivots)
+      .select(col("id"))
+    val nS = math.min(nPivots.toLong, nV)
+    stressCentrality(edges, pivots, maxDepth, broadcastRows)
+      .withColumn("stress_est",
+        expr(s"stress * CAST($nV AS BIGINT) div CAST($nS AS BIGINT)"))
+  }
+
   /** Betweenness centrality (Brandes 2001) from a bounded source set —
     * the float member of the family: δ_s(v) = Σ_{w ∈ DAG-succ(v)}
     * (σ_sv/σ_sw)·(1 + δ_s(w)), bc(v) = Σ_s δ_s(v). The σ-ratio division

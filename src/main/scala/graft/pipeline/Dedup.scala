@@ -250,17 +250,23 @@ object Dedup {
   /** 32-bit SimHash per document over token multiset: bit b is the sign of
     * sum over tokens of ±1 according to bit b of the token hash.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", h32(col("tok")))
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashOfFeatures(df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", h32(col("tok"))))
+
+  /** The SimHash fold itself, over ANY (id, h) feature relation — split
+    * out in r15 so the byte-chunk variant (Multimodal.binaryNearDupPairs)
+    * rides the identical per-bit-sum aggregate the token variant does.
+    */
+  private[graft] def simhashOfFeatures(feats: DataFrame): DataFrame = {
     val sums = (0 until 32).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")
     }
     val bits = (0 until 32).map { b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
     }
-    toks.groupBy(col("id")).agg(sums.head, sums.tail.toIndexedSeq: _*)
+    feats.groupBy(col("id")).agg(sums.head, sums.tail.toIndexedSeq: _*)
       .withColumn("simhash", bits.reduce(_ + _))
       .select(col("id"), col("simhash"))
   }
@@ -283,9 +289,17 @@ object Dedup {
     * residual hot buckets.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    bandedSimhashPairs(simhash(df, idCol, textCol), maxDist)
+
+  /** The banded candidate join + hamming filter behind
+    * [[simhashNearDupPairs]], over ANY (id, simhash) signature relation —
+    * split out in r15 for the byte-chunk variant; the pigeonhole banding
+    * and scale bound in the doc above apply unchanged.
+    */
+  private[graft] def bandedSimhashPairs(sig: DataFrame,
+      maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, "need 0 <= maxDist < 32")
-    val sig = simhash(df, idCol, textCol)
     val bands = maxDist + 1
     val bounds = (0 to bands).map(i => i * 32 / bands)
     val bandCols = (0 until bands).map { b =>

@@ -93,6 +93,106 @@ object Multimodal {
     substring(payload, lit(1),
       greatest((length(payload) / lit(factor)).cast("int"), lit(1)))
 
+  /** Big-endian unsigned read of `bytes` payload bytes at 1-based `pos` —
+    * the byte-slice primitive of the header parsers: hex of a binary
+    * substring, folded to a LONG by conv. All builtins, codegen'd; a read
+    * past the payload end yields NULL (hex of an empty slice), never an
+    * error.
+    */
+  def beUInt(payload: Column, pos: Column, bytes: Int): Column =
+    conv(hex(payload.substr(pos.cast("int"), lit(bytes))), 16, 10).cast("long")
+
+  /** Magic-byte format sniff over an opaque binary payload — the first
+    * metadata pass of a multimodal ingest (route by container BEFORE any
+    * codec runs). Prefix compare via hex (Spark hex(binary) is uppercase).
+    */
+  def sniffFormat(payload: Column): Column =
+    when(hex(payload.substr(lit(1), lit(8))) === "89504E470D0A1A0A", "png")
+      .when(hex(payload.substr(lit(1), lit(2))) === "FFD8", "jpeg")
+      .when(hex(payload.substr(lit(1), lit(4))) === "47494638", "gif")
+      .when(hex(payload.substr(lit(1), lit(4))) === "52494646", "riff")
+      .when(hex(payload.substr(lit(1), lit(5))) === "255044462D", "pdf")
+      .otherwise("unknown")
+
+  /** PNG pixel dimensions from the IHDR chunk — REAL header parsing (not
+    * a stub): the spec fixes IHDR as the first chunk, so width/height are
+    * the big-endian 32-bit words at byte offsets 17 and 21 (1-based).
+    */
+  def pngDims(payload: Column): (Column, Column) =
+    (beUInt(payload, lit(17), 4), beUInt(payload, lit(21), 4))
+
+  /** JPEG pixel dimensions via a bounded marker walk to the first SOF0/1/2
+    * segment — real JFIF structure (segments are FF mm LL LL payload, the
+    * 2-byte length includes itself; dimensions sit at +5/+7 inside SOF).
+    * The walk is ONE `aggregate` higher-order fold over `maxSegments`
+    * steps, so the expression tree stays linear in the budget (a naive
+    * unroll re-nests the position column ~4× per step — exponential).
+    * Stops on a non-FF byte, EOI, or a SOF hit; NULL dims when no SOF is
+    * found within budget.
+    */
+  def jpegDims(payload: Column, maxSegments: Int = 8): (Column, Column) = {
+    def byteAt(pos: Column) = beUInt(payload, pos, 1)
+    def be16(pos: Column) = beUInt(payload, pos, 2)
+    val init = struct(lit(3L).as("pos"),
+      lit(null).cast("long").as("w"), lit(null).cast("long").as("h"),
+      lit(false).as("done"))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      init,
+      (st, _) => {
+        val pos = st.getField("pos")
+        val done = st.getField("done")
+        val isMarker = byteAt(pos) === 255L
+        val mk = byteAt(pos + 1)
+        val isSof = isMarker && mk.isin(192L, 193L, 194L)
+        val stop = done || isSof || !isMarker || mk === 217L // 217 = EOI
+        struct(
+          when(stop, pos).otherwise(pos + 2L + be16(pos + 2)).as("pos"),
+          when(!done && isSof, be16(pos + 7)).otherwise(st.getField("w")).as("w"),
+          when(!done && isSof, be16(pos + 5)).otherwise(st.getField("h")).as("h"),
+          stop.as("done"))
+      })
+    (walked.getField("w"), walked.getField("h"))
+  }
+
+  /** Typed metadata extraction over opaque binary payloads: format sniff
+    * plus per-format pixel-dimension parse, all pure byte-slice column
+    * expressions (the m3 gate). Unknown containers keep NULL dims — the
+    * route-then-decode contract; the payload itself is dropped from the
+    * output (metadata relations are narrow, payloads stay in the lake).
+    */
+  def binaryMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    val fmt = sniffFormat(p)
+    val (pw, ph) = pngDims(p)
+    val (jw, jh) = jpegDims(p)
+    df.withColumn("format", fmt)
+      .withColumn("width",
+        when(col("format") === "png", pw)
+          .when(col("format") === "jpeg", jw))
+      .withColumn("height",
+        when(col("format") === "png", ph)
+          .when(col("format") === "jpeg", jh))
+      .withColumn("payload_bytes", length(p).cast("long"))
+      .drop(payloadCol)
+  }
+
+  /** Binary near-duplicate pairs — the d6 SimHash banding applied to
+    * bytes: features are the fixed-size payload chunks (the [[frames]]
+    * slicer) hashed via their hex rendering (h32(hex(chunk)) replays in
+    * SQL, where DuckDB hex(text) is the same uppercase byte rendering),
+    * folded into a 32-bit SimHash and band-bucketed — candidate pairs are
+    * confined to same-band buckets, never all-pairs (the d6 scale
+    * argument, unchanged).
+    */
+  def binaryNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      chunkBytes: Int = 16, maxDist: Int = 3): DataFrame = {
+    val feats = df.select(col(idCol).as("id"),
+        explode(frames(col(payloadCol), chunkBytes)).as("chunk"))
+      .select(col("id"), TextHash.h32(hex(col("chunk"))).as("h"))
+    Dedup.bandedSimhashPairs(Dedup.simhashOfFeatures(feats), maxDist)
+  }
+
   /** Demo pipeline over documents: treat text bytes as a fake media payload,
     * decode, and aggregate per source — exercises binary columns end-to-end.
     * Pure column expressions (codegen'd); the mapPartitions plumbing in

@@ -260,6 +260,54 @@ object GraphQueries {
     }.mkString(",\n")
   }
 
+  /** Unrolled two-sweep Brandes stress replay shared by g25 and g50
+    * (split out in r15 — the g25 string is byte-identical to before):
+    * `rounds` forward sigma levels anti-joined against the cumulative
+    * visited set, backward integer tau, interior contributions, then the
+    * caller's final select over `allv`/`cont`/`srcs`. `srcsCte` is the
+    * body of the source CTE (may reference `und`); the engine's maxDepth
+    * must equal `rounds` when sources can sit anywhere in the graph —
+    * both sides then truncate identically even past the diameter.
+    */
+  private[queries] def stressReplaySql(rounds: Int, srcsCte: String,
+      finalSelect: String): String = {
+    val fwd = (1 to rounds).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT t.s, t.id, t.sigma FROM (
+         |    SELECT f.s, e.dst AS id, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |    FROM f${i - 1} f JOIN und e ON e.src = f.id
+         |    GROUP BY 1, 2) t
+         |  LEFT JOIN vis${i - 1} v ON v.s = t.s AND v.id = t.id
+         |  WHERE v.id IS NULL),
+         |vis$i AS MATERIALIZED (
+         |  SELECT s, id FROM vis${i - 1} UNION ALL SELECT s, id FROM f$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val bwd = ((rounds - 1) to 1 by -1).map { i =>
+      s"""t$i AS MATERIALIZED (
+         |  SELECT f.s, f.id, CAST(SUM(1 + COALESCE(t.tau, 0)) AS BIGINT) AS tau
+         |  FROM f$i f JOIN und e ON e.src = f.id
+         |  JOIN f${i + 1} w ON w.s = f.s AND w.id = e.dst
+         |  LEFT JOIN t${i + 1} t ON t.s = f.s AND t.id = e.dst
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val contribs = (1 until rounds).map { i =>
+      s"SELECT f.id, f.sigma * t.tau AS c FROM f$i f JOIN t$i t ON t.s = f.s AND t.id = f.id"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${edgesCte},
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+       |srcs AS ($srcsCte),
+       |f0 AS (SELECT s, s AS id, CAST(1 AS BIGINT) AS sigma FROM srcs),
+       |vis0 AS (SELECT s, id FROM f0),
+       |$fwd,
+       |t$rounds AS (SELECT s, id, CAST(0 AS BIGINT) AS tau FROM f$rounds),
+       |$bwd,
+       |cont AS ($contribs),
+       |allv AS (SELECT DISTINCT src AS id FROM und
+       |         UNION SELECT DISTINCT dst FROM und)
+       |$finalSelect""".stripMargin
+  }
+
   /** Customer 1's region key via two driver-side point reads (the g13
     * point-get class) — shared by the distance gates so the probe-region
     * choice can never diverge between g12/g32 and cy34.
@@ -773,6 +821,22 @@ object GraphQueries {
         // oracle's 8 unrolled rounds are a superset (empty CTEs past the
         // frontier's end)
         .stressCentrality(g.allEdges.select(col("src"), col("dst")), srcs, 6)
+        .orderBy(col("id"))
+    }),
+
+    // Pivot-sampled stress centrality (r15, Brandes–Pich 2007): the
+    // whole-graph-scale answer where exact all-sources Brandes is O(V·E)
+    // — 16 h32-argmin pivots (the deterministic g33/g27 draw, so the
+    // SAMPLE replays in the oracle too), exact integer per-pivot sweeps,
+    // and the one documented integer-ratio estimate
+    // (stress · |V|) div |S|. maxDepth = the oracle's 8 unrolled rounds
+    // exactly — pivots sit anywhere in the graph, so unlike g25's
+    // customer sources there is no 5-hop eccentricity argument; equal
+    // budgets truncate identically even past the diameter.
+    "g50_pivot_stress" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      graft.algorithms.GraphAlgorithms
+        .pivotStress(g.allEdges.select(col("src"), col("dst")), 16, 8)
         .orderBy(col("id"))
     }),
 
@@ -2081,52 +2145,38 @@ object GraphQueries {
          |  SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
          |GROUP BY id ORDER BY id""".stripMargin
     },
-    "g25_stress" -> {
+    "g25_stress" ->
       // the two Brandes sweeps unrolled: forward sigma per level (anti-
       // joined against the cumulative visited set), backward integer tau
       // (successor counts through the shortest-path DAG), then
       // sum(sigma * tau) over interior levels. 8 rounds covers the TPC-H
       // graph's diameter (the x7 rationale).
-      val rounds = 8
-      val fwd = (1 to rounds).map { i =>
-        s"""f$i AS MATERIALIZED (
-           |  SELECT t.s, t.id, t.sigma FROM (
-           |    SELECT f.s, e.dst AS id, CAST(SUM(f.sigma) AS BIGINT) AS sigma
-           |    FROM f${i - 1} f JOIN und e ON e.src = f.id
-           |    GROUP BY 1, 2) t
-           |  LEFT JOIN vis${i - 1} v ON v.s = t.s AND v.id = t.id
-           |  WHERE v.id IS NULL),
-           |vis$i AS MATERIALIZED (
-           |  SELECT s, id FROM vis${i - 1} UNION ALL SELECT s, id FROM f$i)"""
-          .stripMargin
-      }.mkString(",\n")
-      val bwd = ((rounds - 1) to 1 by -1).map { i =>
-        s"""t$i AS MATERIALIZED (
-           |  SELECT f.s, f.id, CAST(SUM(1 + COALESCE(t.tau, 0)) AS BIGINT) AS tau
-           |  FROM f$i f JOIN und e ON e.src = f.id
-           |  JOIN f${i + 1} w ON w.s = f.s AND w.id = e.dst
-           |  LEFT JOIN t${i + 1} t ON t.s = f.s AND t.id = e.dst
-           |  GROUP BY 1, 2)""".stripMargin
-      }.mkString(",\n")
-      val contribs = (1 until rounds).map { i =>
-        s"SELECT f.id, f.sigma * t.tau AS c FROM f$i f JOIN t$i t ON t.s = f.s AND t.id = f.id"
-      }.mkString("\nUNION ALL ")
-      s"""WITH ${edgesCte},
-         |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
-         |srcs AS (SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS s
-         |         FROM customer WHERE c_custkey BETWEEN 1 AND 50),
-         |f0 AS (SELECT s, s AS id, CAST(1 AS BIGINT) AS sigma FROM srcs),
-         |vis0 AS (SELECT s, id FROM f0),
-         |$fwd,
-         |t$rounds AS (SELECT s, id, CAST(0 AS BIGINT) AS tau FROM f$rounds),
-         |$bwd,
-         |cont AS ($contribs),
-         |allv AS (SELECT DISTINCT src AS id FROM und
-         |         UNION SELECT DISTINCT dst FROM und)
-         |SELECT a.id, CAST(COALESCE(st.st, 0) AS BIGINT) AS stress
-         |FROM allv a LEFT JOIN
-         |  (SELECT id, SUM(c) AS st FROM cont GROUP BY id) st ON st.id = a.id
-         |ORDER BY a.id""".stripMargin
+      stressReplaySql(8,
+        """SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS s
+          |         FROM customer WHERE c_custkey BETWEEN 1 AND 50""".stripMargin,
+        """SELECT a.id, CAST(COALESCE(st.st, 0) AS BIGINT) AS stress
+          |FROM allv a LEFT JOIN
+          |  (SELECT id, SUM(c) AS st FROM cont GROUP BY id) st ON st.id = a.id
+          |ORDER BY a.id""".stripMargin),
+
+    // the pivot-sampled estimator replayed from first principles: the
+    // SAME sweep CTEs as g25, but srcs = the h32-argmin pivot draw over
+    // the vertex set (so the sample itself is oracle-checked), and the
+    // final select adds the (stress * |V|) // |S| integer estimate.
+    "g50_pivot_stress" -> {
+      import graft.pipeline.TextHash.h32Sql
+      stressReplaySql(8,
+        s"""SELECT id AS s FROM (
+           |  SELECT id, ${h32Sql("'pivot|' || CAST(id AS VARCHAR)")} AS h
+           |  FROM (SELECT DISTINCT src AS id FROM und
+           |        UNION SELECT DISTINCT dst FROM und)
+           |  ORDER BY h, id LIMIT 16)""".stripMargin,
+        """SELECT a.id, CAST(COALESCE(st.st, 0) AS BIGINT) AS stress,
+          |  CAST(COALESCE(st.st, 0) * (SELECT COUNT(*) FROM allv)
+          |       // (SELECT COUNT(*) FROM srcs) AS BIGINT) AS stress_est
+          |FROM allv a LEFT JOIN
+          |  (SELECT id, SUM(c) AS st FROM cont GROUP BY id) st ON st.id = a.id
+          |ORDER BY a.id""".stripMargin)
     },
     "g23_triangles" ->
       // id-ordered three-way self-join (a<b<c) — enumerates the same

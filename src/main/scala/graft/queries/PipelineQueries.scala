@@ -204,6 +204,47 @@ object PipelineQueries {
           sum(col("frame_bytes")).as("frame_bytes_total"))
         .orderBy(col("source"))),
 
+    // Binary metadata extraction (r15): payloads carry REAL PNG/JPEG
+    // headers crafted deterministically from doc_id (width/height are
+    // doc_id arithmetic, text bytes as the body), so the gate checks the
+    // full encode -> sniff -> header-parse round trip: the engine must
+    // recover exactly the dimensions the arithmetic put in. The oracle
+    // replays the arithmetic identity — any misread offset, endianness
+    // slip, or marker-walk bug breaks the hash. unknown (raw text)
+    // payloads keep NULL dims.
+    "m3_binary_meta" -> ((s, dir) => {
+      val w = (col("doc_id") % 800 + 16).cast("long")
+      val h = (col("doc_id") * 7 % 600 + 16).cast("long")
+      val text = col("text").cast("binary")
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+        unhex(lpad(hex(w), 8, "0")), unhex(lpad(hex(h), 8, "0")),
+        unhex(lit("0806000000" + "1F15C489")), text)
+      val jpeg = concat(
+        unhex(lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00"
+          + "0001" + "0001" + "00" + "00" + "FFC0" + "000B" + "08")),
+        unhex(lpad(hex(h), 4, "0")), unhex(lpad(hex(w), 4, "0")),
+        unhex(lit("01" + "011100")), text)
+      val payload = when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, jpeg)
+        .otherwise(text)
+      Multimodal.binaryMeta(
+          docs(s, dir).select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Binary near-duplicate pairs (r15): the d6 SimHash banding applied
+    // to byte chunks — 16-byte payload frames hashed via their hex
+    // rendering, folded to a 32-bit signature, band-bucketed candidates,
+    // hamming <= 3. Same payloads as m1/m2 (text bytes), so near-dup
+    // DOCUMENTS surface as near-dup BINARIES.
+    "m4_binary_neardup" -> ((s, dir) =>
+      Multimodal.binaryNearDupPairs(
+          docs(s, dir).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", 16, 3)
+        .orderBy(col("a"), col("b"))),
+
     "t7_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy(col("id")).limit(25)),
@@ -895,6 +936,48 @@ object PipelineQueries {
         |SELECT source, COUNT(*) AS n_frames,
         |  CAST(SUM(LEAST(16, L - i*16)) AS BIGINT) AS frame_bytes_total
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "m3_binary_meta" ->
+      // the arithmetic identity the crafted headers encode: the engine
+      // parsed width/height/format OUT OF THE BYTES; the oracle replays
+      // what the gate put in (33 header bytes for both containers)
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 IN (0, 1)
+        |       THEN doc_id % 800 + 16 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 IN (0, 1)
+        |       THEN doc_id * 7 % 600 + 16 END AS BIGINT) AS height,
+        |  CAST(strlen(text) + CASE WHEN doc_id % 3 IN (0, 1)
+        |       THEN 33 ELSE 0 END AS BIGINT) AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m4_binary_neardup" ->
+      // d6's per-bit-sum replay over 16-byte chunk features: DuckDB
+      // hex(VARCHAR) renders the same uppercase bytes Spark hex(BINARY)
+      // does, so chunk hashes agree; oracle goes all-pairs (correctness
+      // only), the Spark side is banded
+      s"""WITH f AS (
+         |  SELECT doc_id AS id, hex(text) AS hx,
+         |    unnest(range(0, CAST(ceil(strlen(text)/16.0) AS BIGINT))) AS i
+         |  FROM documents
+         |),
+         |toks AS (
+         |  SELECT id, ${h32Sql("substring(hx, i*32+1, 32)")} AS h FROM f
+         |),
+         |sums AS (
+         |  SELECT id, ${(0 until 32).map(b =>
+              s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")}
+         |  FROM toks GROUP BY id
+         |),
+         |sig AS (
+         |  SELECT id, ${(0 until 32).map(b =>
+              s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")} AS simhash
+         |  FROM sums
+         |)
+         |SELECT x.id AS a, y.id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sig x JOIN sig y ON x.id < y.id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
     "d9_curation" -> {
       val votes = TextAnalysis.stopwords.map { case (lang, words) =>
         val list = words.map(w => s"'$w'").mkString("[", ", ", "]")

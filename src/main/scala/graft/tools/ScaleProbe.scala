@@ -75,6 +75,7 @@ object ScaleProbe {
       case "louvainlevels" => louvainLevelsProbe(spark, sfDir)
       case "skewjoin" => skewJoinProbe(spark)
       case "tstress" => temporalStressProbe(spark, sfDir)
+      case "pivotstress" => pivotStressProbe(spark, sfDir)
       case "fastestw" => fastestWeightedProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
@@ -348,6 +349,72 @@ object ScaleProbe {
     * and the level count is the graph's (fixed) eccentricity. Superlinear
     * growth would flag a hidden cross-source stage.
     */
+  /** g50's two axes. Cost: pivotStress on the full TPC-H graph at
+    * |S| = 16/64/256 — per-pivot sweeps are the whole cost, so time
+    * should track |S| (the stressProbe sources axis, reached through the
+    * sampling wrapper). Error: on the bounded co-supply graph (the g23
+    * domain, |V| ≈ suppliers), EXACT all-sources stress is computable, so
+    * the |V|/|S|-scaled estimate's relative L1 error is measured, not
+    * argued — expect it to fall as |S| grows and hit 0 at |S| = |V|.
+    */
+  private def pivotStressProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val edges = g.allEdges.select(col("src"), col("dst")).localCheckpoint()
+    edges.count()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    def sweep(body: => Unit): Double = {
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+      dt
+    }
+    sweep { // warmup
+      graft.algorithms.GraphAlgorithms.pivotStress(edges, 16, 8)
+        .agg(sum(col("stress_est"))).head
+    }
+    for (n <- Seq(16, 64, 256, 1024, 4096)) {
+      val times = (1 to 3).map { _ =>
+        sweep {
+          graft.algorithms.GraphAlgorithms.pivotStress(edges, n, 8)
+            .agg(sum(col("stress_est"))).head
+        }
+      }
+      println(f"SCALE axis=cost pivots=$n min=${times.min}%.2f s " +
+        times.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
+    }
+    // error axis: bounded co-supply graph, exact = all vertices as sources
+    val ps = graft.store.Tables.load(spark, sfDir, "lineitem")
+      .where(col("l_partkey") < 2000)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val cos = ps.as("x").join(ps.as("y"), Seq("pk"))
+      .where(col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst")).distinct()
+      .localCheckpoint()
+    cos.count()
+    val keepErr = keep ++ graft.util.Checkpoints.idsOf(cos)
+    val verts = cos.select(col("src").as("id"))
+      .unionByName(cos.select(col("dst").as("id"))).distinct()
+    val nV = verts.count()
+    val exact = graft.algorithms.GraphAlgorithms
+      .stressCentrality(cos, verts, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totalExact = exact.values.map(_.toDouble).sum
+    println(f"SCALE axis=error-domain vertices=$nV exact_total=$totalExact%.0f")
+    for (n <- Seq(16, 64, 256)) {
+      val est = graft.algorithms.GraphAlgorithms.pivotStress(cos, n, 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val l1 = exact.map { case (id, ex) =>
+        math.abs(est.getOrElse(id, 0L) - ex).toDouble }.sum
+      println(f"SCALE axis=error pivots=$n rel_l1=${l1 / totalExact}%.4f")
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keepErr.contains(id)) rdd.unpersist(false) }
+    }
+  }
+
   private def stressProbe(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val g = graft.store.GraphStore.tpch(spark, sfDir)

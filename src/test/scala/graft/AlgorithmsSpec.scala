@@ -122,6 +122,31 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
   }
 
+  test("pivotStress: all-vertex pivots reproduce full stress; draw is deterministic") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    // nPivots >= |V|: the sample is every vertex, |V|/|S| = 1, so both
+    // the per-pivot sum and the estimate must equal exact all-sources
+    // stress — the estimator is exact at full sampling, Brandes–Pich §3
+    val full = GraphAlgorithms.stressCentrality(edges,
+        (1L to 5L).toDF("id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pv = GraphAlgorithms.pivotStress(edges, 10, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pv.view.mapValues(_._1).toMap == full, pv.toString)
+    assert(pv.forall { case (_, (st, est)) => st == est }, pv.toString)
+    // a strict subset draw: deterministic (two runs identical) and the
+    // estimate is exactly (stress * |V|) div |S| of its own sums
+    val p2a = GraphAlgorithms.pivotStress(edges, 2, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val p2b = GraphAlgorithms.pivotStress(edges, 2, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p2a == p2b)
+    assert(p2a.forall { case (_, (st, est)) => est == st * 5L / 2L })
+    // per-pivot sums never exceed the all-sources total
+    assert(p2a.forall { case (id, (st, _)) => st <= full(id) })
+  }
+
   test("betweennessCentrality: diamond DAG, hand-computed Brandes deltas") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst")

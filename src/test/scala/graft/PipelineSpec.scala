@@ -251,6 +251,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(banded.contains((1L, 2L))) // the planted near-dup is found
   }
 
+  test("binary metadata: magic sniff + PNG/JPEG header parse on crafted bytes") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be32(v: Int) = hx(f"$v%08X")
+    def be16(v: Int) = hx(f"$v%04X")
+    val png = hx("89504E470D0A1A0A" + "0000000D" + "49484452") ++
+      be32(640) ++ be32(480) ++ hx("08060000001F15C489") ++ "body".getBytes
+    // JPEG with TWO pre-SOF segments (APP0 + COM) — the walk must skip both
+    val jpeg = hx("FFD8") ++
+      hx("FFE00010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000") ++
+      hx("FFFE0006") ++ "test".getBytes ++
+      hx("FFC0000B08") ++ be16(123) ++ be16(456) ++ hx("01011100") ++
+      "scan".getBytes
+    // SOF buried past the 8-segment budget: format sniffs, dims stay NULL
+    val deep = hx("FFD8") ++
+      (1 to 9).flatMap(_ => hx("FFE10004" + "0000")).toArray ++
+      hx("FFC0000B08") ++ be16(1) ++ be16(2) ++ hx("01011100")
+    val gif = "GIF89a".getBytes ++ Array.fill(10)(0x2A.toByte)
+    val raw = "just some text".getBytes
+    val df = Seq((0L, png), (1L, jpeg), (2L, deep), (3L, gif), (4L, raw))
+      .toDF("doc_id", "payload")
+    val got = graft.pipeline.Multimodal.binaryMeta(df, "payload").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(0L) == ("png", Some(640L), Some(480L)))
+    assert(got(1L) == ("jpeg", Some(456L), Some(123L))) // SOF stores h first
+    assert(got(2L) == ("jpeg", None, None))
+    assert(got(3L) == ("gif", None, None))
+    assert(got(4L) == ("unknown", None, None))
+  }
+
+  test("binary near-dup: banded byte-chunk SimHash equals brute force, finds planted pair") {
+    import org.apache.spark.sql.functions._
+    // A and B share 15 of 16 chunks (one byte flipped in one chunk);
+    // C is unrelated bytes — its chunk hashes share nothing with A/B
+    val a = Array.tabulate(256)(i => (i % 97).toByte)
+    val b = a.clone(); b(40) = 0x7F.toByte
+    val c = Array.tabulate(256)(i => ((i * 37 + 11) % 251).toByte)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "payload")
+    val maxDist = 8
+    val banded = graft.pipeline.Multimodal
+      .binaryNearDupPairs(df, "doc_id", "payload", 16, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over the same chunk-feature signatures
+    val sigs = Dedup.simhashOfFeatures(
+        df.select(col("doc_id").as("id"),
+          explode(graft.pipeline.Multimodal.frames(col("payload"), 16)).as("ch"))
+        .select(col("id"), graft.pipeline.TextHash.h32(hex(col("ch"))).as("h")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      x <- sigs.keys; y <- sigs.keys if x < y
+      h = java.lang.Long.bitCount(sigs(x) ^ sigs(y)) if h <= maxDist
+    } yield (x, y) -> h.toLong).toMap
+    assert(banded == brute)
+    assert(banded.contains((1L, 2L)), banded.toString) // planted near-dup
+    assert(!banded.contains((1L, 3L)) && !banded.contains((2L, 3L)),
+      banded.toString)
+  }
+
   test("frame sampling chunks binary payloads and keeps every k-th frame") {
     import org.apache.spark.sql.functions._
     // 19 bytes → frames of 16: [16, 3]; every 1 keeps both
