@@ -470,8 +470,33 @@ object TemporalGraph {
     * Output: (id, stress) over every vertex of the edge relation.
     */
   def temporalStress(edges: DataFrame, sources: DataFrame, k: Int,
-      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
-    require(k >= 1, "temporalStress needs a positive hop cap")
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame =
+    temporalBrandesCore(edges, sources, k, integerStress = true,
+      maxBroadcastRows)
+
+  /** Temporal betweenness centrality — the FP twin of [[temporalStress]]
+    * on the SAME state DAG (the x24/g25 pairing carried to journeys):
+    * bc(v) = Σ_{s ≠ v ≠ t} σ_st(v)/σ_st over hop-minimal time-respecting
+    * journeys, credited once per interior VISIT like its exact twin.
+    * Identical forward sweep; the backward completion count becomes the
+    * normalized φ_h(s, v, a) = Σ over usable edges (v→w, t ≥ a) of
+    * [d(s, w) = h+1]/σ_sw + φ_{h+1}(s, w, t), where σ_sw = Σ_a'
+    * σ_{d(s,w)}(s, w, a') is the per-target minimal-journey total (one
+    * extra (sid, id) aggregate off the forward levels), and
+    * bc(v) = Σ σ_h · φ_h. The σ-ratio division makes the accumulation
+    * FP-rounded — deterministic up to double-sum ordering, NOT
+    * bit-reproducible across engines, so its gate rides rows-only while
+    * g48 carries the oracle on the shared sweeps (the x24 pattern).
+    */
+  def temporalBetweenness(edges: DataFrame, sources: DataFrame, k: Int,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame =
+    temporalBrandesCore(edges, sources, k, integerStress = false,
+      maxBroadcastRows)
+
+  private def temporalBrandesCore(edges: DataFrame, sources: DataFrame,
+      k: Int, integerStress: Boolean, maxBroadcastRows: Long): DataFrame = {
+    val name = if (integerStress) "temporalStress" else "temporalBetweenness"
+    require(k >= 1, s"$name needs a positive hop cap")
     // a NULL event time (or NULL endpoint) would make the usability
     // predicate t >= a NULL and the edge silently inert — reject loudly,
     // matching the fastestDurationsWeighted guard (r14 ADVICE); same for
@@ -481,12 +506,12 @@ object TemporalGraph {
       sum(when(col("src").isNull || col("dst").isNull
         || col("t").cast("long").isNull, 1L).otherwise(0L))).head()
     if (!eGuard.isNullAt(0)) require(eGuard.getLong(0) == 0L,
-      s"temporalStress: ${eGuard.getLong(0)} edge(s) with NULL src/dst/t — " +
+      s"$name: ${eGuard.getLong(0)} edge(s) with NULL src/dst/t — " +
         "they would be silently unusable in every journey")
     val sGuard = sources.agg(
       sum(when(col("sid").isNull || col("t0").isNull, 1L).otherwise(0L))).head()
     if (!sGuard.isNullAt(0)) require(sGuard.getLong(0) == 0L,
-      s"temporalStress: ${sGuard.getLong(0)} source row(s) with NULL sid/t0")
+      s"$name: ${sGuard.getLong(0)} source row(s) with NULL sid/t0")
     def tracked(df: DataFrame): (DataFrame, () => Unit) =
       graft.util.Checkpoints.tracked(df, eager = true)
     val (e, releaseE) = tracked(
@@ -510,7 +535,7 @@ object TemporalGraph {
       val dup = l0.groupBy(col("sid")).agg(count(lit(1)).as("c"))
         .where(col("c") > 1).count()
       require(dup == 0L,
-        s"temporalStress: $dup source id(s) appear with multiple t0 " +
+        s"$name: $dup source id(s) appear with multiple t0 " +
           "values — journey counts would pool across start times")
       var levels = Vector((l0, l0.count()))
       var reached = l0.select(col("sid"), col("id"), lit(0).as("d"))
@@ -536,8 +561,28 @@ object TemporalGraph {
         reached = reached.unionByName(newly)
       }
       val maxH = levels.length - 1
+      // FP mode only: per-target minimal-journey totals σ_sw = Σ over
+      // arrival times of σ_{d(s,w)}(s, w, a) — the betweenness
+      // denominator, one (sid, id) aggregate off the forward levels
+      // (level h rows count only where d(s, w) = h)
+      val sigtot: Option[(DataFrame, Long)] =
+        if (integerStress || maxH < 1) None
+        else {
+          val states = (1 to maxH).map { hh =>
+            levels(hh)._1.select(col("sid"), col("id"), col("sigma"))
+              .withColumn("h", lit(hh))
+          }.reduce(_ unionByName _)
+          val (st, relSt) = tracked(states
+            .join(gate(reached, reachedRows), Seq("sid", "id"))
+            .where(col("h") === col("d"))
+            .groupBy(col("sid"), col("id").as("wid"))
+            .agg(sum(col("sigma")).cast("double").as("sigtot")))
+          releases ::= relSt
+          Some((st, st.count()))
+        }
       // backward: tau(h) keyed (sid, id, a); the deepest level's states
       // have no in-budget continuations
+      val zero = if (integerStress) lit(0L) else lit(0.0)
       var tauNext: Option[(DataFrame, Long)] = None
       val contribs = Vector.newBuilder[DataFrame]
       for (l <- (maxH - 1) to 0 by -1) {
@@ -549,18 +594,33 @@ object TemporalGraph {
             gate(reached.select(col("sid"), col("id").as("wid"),
               col("d").as("dw")), reachedRows),
             Seq("sid", "wid"))
+        // FP mode: the endpoint credit is 1/σ_sw, not 1 — join the
+        // denominator in (left: rows whose wid is the source, d = 0,
+        // never take the credit branch and need no denominator)
+        val withSig = sigtot match {
+          case Some((st, stRows)) => withD.join(
+              gate(st.select(col("sid").as("ss"), col("wid").as("sw"),
+                col("sigtot")), stRows),
+              col("ss") === col("sid") && col("sw") === col("wid"), "left")
+          case None => withD
+        }
         val withTau = tauNext match {
-          case Some((t, tRows)) => withD.join(
+          case Some((t, tRows)) => withSig.join(
               gate(t.select(col("sid").as("ts"), col("id").as("tid"),
                 col("a").as("ta"), col("tau").as("wtau")), tRows),
               col("ts") === col("sid") && col("tid") === col("wid")
                 && col("ta") === col("wt"), "left")
-          case None => withD.withColumn("wtau", lit(0L))
+          case None => withSig.withColumn("wtau", zero)
         }
+        val m =
+          if (integerStress)
+            when(col("dw") === l + 1, 1L).otherwise(0L) +
+              coalesce(col("wtau"), lit(0L))
+          else
+            when(col("dw") === l + 1, lit(1.0) / col("sigtot"))
+              .otherwise(0.0) + coalesce(col("wtau"), lit(0.0))
         val (tau, relt) = tracked(withTau
-          .select(col("sid"), col("vid"), col("a"), col("sigma"),
-            (when(col("dw") === l + 1, 1L).otherwise(0L)
-              + coalesce(col("wtau"), lit(0L))).as("m"))
+          .select(col("sid"), col("vid"), col("a"), col("sigma"), m.as("m"))
           .groupBy(col("sid"), col("vid"), col("a"))
           .agg(sum(col("m")).as("tau"), max(col("sigma")).as("sigma")))
         releases ::= relt
@@ -571,16 +631,17 @@ object TemporalGraph {
         tauNext = Some((tau.select(col("sid"), col("vid").as("id"), col("a"),
           col("tau")), tRows))
       }
+      val outName = if (integerStress) "stress" else "betweenness"
       val verts = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
       val agg = contribs.result() match {
-        case Vector() => verts.limit(0).withColumn("c", lit(0L))
+        case Vector() => verts.limit(0).withColumn("c", zero)
         case cs => cs.reduce(_ unionByName _)
       }
       val (result, _) = tracked(
-        verts.join(agg.groupBy(col("id")).agg(sum(col("c")).as("stress")),
+        verts.join(agg.groupBy(col("id")).agg(sum(col("c")).as(outName)),
             Seq("id"), "left")
-          .select(col("id"), coalesce(col("stress"), lit(0L)).as("stress")))
+          .select(col("id"), coalesce(col(outName), zero).as(outName)))
       result
     } finally {
       // every internal checkpoint (edge relation, levels, taus) is dead

@@ -331,6 +331,30 @@ object ExtraQueries {
         .limit(20)
     }),
 
+    // Temporal betweenness (r15) — rows-only by design, the x24 pattern
+    // carried to journeys: sigma-ratio completion over hop-minimal
+    // time-respecting journeys on the SAME state DAG as g48 (identical
+    // forward sweep and gate domain — the exact integer stress twin
+    // carries the oracle; AlgorithmsSpec cross-validates the FP deltas
+    // against brute-force journey enumeration). Top-20 by
+    // (betweenness DESC, id).
+    "x37_temporal_betweenness" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val b = ev.agg(max(col("u")), min(col("t"))).head()
+      val (nu, t0) = (b.getLong(0) + 1, b.getLong(1))
+      val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      val srcs = ev.select(col("u")).distinct().orderBy(col("u")).limit(3)
+        .select(col("u").as("sid"), lit(t0).as("t0"))
+      graft.algorithms.TemporalGraph.temporalBetweenness(te, srcs, 4)
+        .orderBy(col("betweenness").desc, col("id"))
+        .limit(20)
+    }),
+
     // GraphX PageRank over the TPC-H graph — FP iteration, rows-only.
     // Same 5-iteration budget as the oracle-checked x17 so the two
     // rankings cross-validate like-for-like (GraphX normalizes ranks
@@ -424,6 +448,37 @@ object ExtraQueries {
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("n_regs"), col("est_users"), col("exact_users"))
         .orderBy(col("hour"))
+    }),
+
+    // Streaming Count-Min heavy hitters (r15) — t18's sketch as
+    // cross-batch streaming state through the REAL micro-batch engine
+    // (4 staged files, maxFilesPerTrigger=1, the x34 pattern): the
+    // depth×width counters are order-free integer sums, so the streamed
+    // sketch is bit-exact against the batch construction regardless of
+    // batch cut points; the finisher reads the exact top-10 users with
+    // the sketch estimate in-row, hashing against the t18-form oracle.
+    "x38_stream_countmin" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = java.nio.file.Files.createTempDirectory("graft_x38_src")
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(4)
+        .write.mode("overwrite").parquet(src.toString)
+      val sink = "x38_stream_countmin_sink"
+      val q = EventStreams.countMinSketch(
+          EventStreams.readStream(s, src.toString, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      EventStreams.finishCountMin(s.table(sink),
+          Tables.load(s, dir, "events"))
+        .orderBy(col("rank"))
     }),
 
     // Streaming dedup executed for REAL through the micro-batch engine
@@ -938,6 +993,35 @@ object ExtraQueries {
          |       n_regs, est_users, exact_users
          |FROM est JOIN ex ON ex.wstart = est.wstart
          |ORDER BY hour""".stripMargin
+    },
+    // the t18 Count-Min replay over the event user stream: same
+    // depth 4 x width 256 counters (pure integer sums — batch-cut-
+    // insensitive, which is why the STREAMED sketch hashes here), exact
+    // top-10 with the MIN-estimate in-row
+    "x38_stream_countmin" -> {
+      val b = graft.pipeline.TextHash.h32Sql("CAST(r AS VARCHAR) || '|' || tok")
+      s"""WITH toks AS (
+         |  SELECT CAST(CAST(user_id AS BIGINT) AS VARCHAR) AS tok FROM events),
+         |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |sketch AS (
+         |  SELECT r, ($b) % 256 AS bkt, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM toks, rows_ GROUP BY 1, 2),
+         |exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+         |          FROM toks GROUP BY tok),
+         |top AS (
+         |  SELECT rank, tok, exact_n FROM (
+         |    SELECT tok, exact_n,
+         |      ROW_NUMBER() OVER (ORDER BY exact_n DESC, tok) AS rank
+         |    FROM exact)
+         |  WHERE rank <= 10),
+         |look AS (
+         |  SELECT t.rank, t.tok, t.exact_n, rows_.r, ($b) % 256 AS bkt
+         |  FROM top t, rows_)
+         |SELECT CAST(rank AS BIGINT) AS rank, tok, exact_n,
+         |       CAST(MIN(c) AS BIGINT) AS cm_est
+         |FROM look JOIN sketch USING (r, bkt)
+         |GROUP BY rank, tok, exact_n
+         |ORDER BY rank""".stripMargin
     },
     "x22_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -114,6 +114,55 @@ object EventStreams {
       .withColumn("est_users", expr(
         "(172288 * 4294967296) div (1000 * (harm_p + (16 - n_regs) * 4294967296))"))
       .select(col("window_start"), col("n_regs"), col("est_users"))
+
+  /** Streaming Count-Min sketch over the event user stream — t18's
+    * depth×width counters as cross-batch streaming state (the x34 HLL
+    * pattern): counter (r, b) = number of events whose
+    * h32(r + "|" + user_id) lands in bucket b (mod width). State is
+    * depth·width counter rows REGARDLESS of user cardinality; counts are
+    * order-free integer sums, so the streamed sketch is bit-exact
+    * against the batch construction no matter where the micro-batch
+    * cuts fall. Finish heavy-hitter estimates batch-side with
+    * [[finishCountMin]] over the (tiny) sketch relation.
+    */
+  def countMinSketch(events: DataFrame, depth: Int = 4,
+      width: Int = 256): DataFrame =
+    events
+      .select(explode(array((0 until depth).map(lit): _*)).as("r"),
+        col("user_id").cast("string").as("tok"))
+      .select(col("r"), (graft.pipeline.TextHash.h32(
+        concat(col("r").cast("string"), lit("|"), col("tok"))) % width).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** Batch finisher for [[countMinSketch]]: the exact top-k users (by
+    * count, tie-broken on the id string) with the sketch's MIN-estimate
+    * in-row, so the collision margin is visible — the t18 read-off shape
+    * over the streamed counters. `events` supplies the exact side; the
+    * estimate never understates.
+    */
+  def finishCountMin(sketch: DataFrame, events: DataFrame, topK: Int = 10,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val depthRows = array((0 until depth).map(lit): _*)
+    def bucket(r: Column, tok: Column): Column =
+      graft.pipeline.TextHash.h32(
+        concat(r.cast("string"), lit("|"), tok)) % width
+    val exact = events.select(col("user_id").cast("string").as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+    val top = exact.orderBy(col("exact_n").desc, col("tok")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("exact_n").desc, col("tok"))))
+    top
+      .select(col("rank"), col("tok"), col("exact_n"),
+        explode(depthRows).as("r"))
+      .withColumn("b", bucket(col("r"), col("tok")))
+      .join(sketch, Seq("r", "b"))
+      .groupBy(col("rank"), col("tok"), col("exact_n"))
+      .agg(min(col("c")).as("cm_est"))
+      .select(col("rank").cast("long").as("rank"), col("tok"),
+        col("exact_n").cast("long").as("exact_n"),
+        col("cm_est").cast("long").as("cm_est"))
+  }
 
   /** Streaming exact dedup: drop events whose normalized content
     * fingerprint was already seen, with a watermark bounding the dedup

@@ -784,6 +784,86 @@ class AlgorithmsSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal betweenness: hand-computed deltas, sigma-ratio normalization") {
+    import graft.algorithms.TemporalGraph
+    def bc(edges: org.apache.spark.sql.DataFrame, k: Int,
+        srcs: Seq[(Long, Long)] = Seq((1L, 0L))): Map[Long, Double] =
+      TemporalGraph.temporalBetweenness(edges, srcs.toDF("sid", "t0"), k)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the non-minimal-prefix graph (g48's): the only journey to 4 rides
+    // the 2-hop detour, pair (1,4) credits 2 and 3 fully (sigma = 1);
+    // pair (1,3)'s minimal journey is the direct edge — no interior
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 10L), (3L, 4L, 5L))
+      .toDF("src", "dst", "t")
+    assert(bc(e, 4) == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 0.0))
+    // doubling the 1->2 edge doubles sigma AND sigma_st — the ratio
+    // stays 1.0 where the exact stress twin doubles to 2 (the
+    // normalization the FP member exists for)
+    val e2 = e.unionByName(Seq((1L, 2L, 0L)).toDF("src", "dst", "t"))
+    assert(bc(e2, 4) == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 0.0))
+    // a genuine split: two disjoint 2-hop routes to 4 — each interior
+    // carries exactly half of pair (1,4)
+    val split = Seq((1L, 2L, 1L), (1L, 5L, 1L), (2L, 4L, 2L), (5L, 4L, 2L))
+      .toDF("src", "dst", "t")
+    assert(bc(split, 4) ==
+      Map(1L -> 0.0, 2L -> 0.5, 4L -> 0.0, 5L -> 0.5))
+    // internal checkpoints released on success (the g48 hygiene)
+    val base = spark.sparkContext.getPersistentRDDs.keySet
+    val out = TemporalGraph.temporalBetweenness(e,
+      Seq((1L, 0L)).toDF("sid", "t0"), 4)
+    out.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- base
+    assert(leaked == graft.util.Checkpoints.idsOf(out),
+      s"temporalBetweenness left more than its result: $leaked")
+    graft.util.Checkpoints.release(spark, leaked)
+  }
+
+  test("temporal betweenness cross-validates against brute-force journey enumeration") {
+    import graft.algorithms.TemporalGraph
+    // the g48 enumerator with sigma-ratio credit: each minimal journey
+    // to t contributes 1/sigma_st per interior visit
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 5) {
+      val n = 6
+      val edges = (1 to 16).map { _ =>
+        (rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L, rnd.nextInt(6).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val k = 4
+      val srcs = Seq((1L, 0L), (2L, 0L))
+      val adj = edges.groupBy(_._1)
+      val expect = collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for ((s, t0) <- srcs) {
+        val journeys = collection.mutable.ArrayBuffer[Vector[Long]]()
+        def dfs(path: Vector[Long], arr: Long): Unit = {
+          if (path.length > 1) journeys += path
+          if (path.length <= k)
+            adj.getOrElse(path.last, Nil).foreach { case (_, w, t) =>
+              if (t >= arr) dfs(path :+ w, t)
+            }
+        }
+        dfs(Vector(s), t0)
+        val dmap = journeys.groupBy(_.last)
+          .map { case (t, js) => t -> js.map(_.length - 1).min }
+        val minimal = journeys
+          .filter(p => p.last != s && dmap(p.last) == p.length - 1)
+        val sigmaSt = minimal.groupBy(_.last).map { case (t, js) => t -> js.size }
+        for (p <- minimal)
+          p.slice(1, p.length - 1).foreach(v =>
+            if (v != s) expect(v) += 1.0 / sigmaSt(p.last))
+      }
+      val got = TemporalGraph
+        .temporalBetweenness(edges.toDF("src", "dst", "t"),
+          srcs.toDF("sid", "t0"), k)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == verts)
+      verts.foreach { v =>
+        assert(math.abs(got(v) - expect(v)) < 1e-9,
+          s"bc($v): sweep ${got(v)} != brute ${expect(v)} on $edges")
+      }
+    }
+  }
+
   test("temporal fewest hops: late direct edge beats early two-hop detour") {
     import graft.algorithms.TemporalGraph
     val e = Seq(

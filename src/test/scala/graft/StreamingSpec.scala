@@ -106,6 +106,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming Count-Min: state bounded by depth*width, bit-exact vs batch, never understates") {
+    import org.apache.spark.sql.functions._
+    val stage = java.nio.file.Files.createTempDirectory("events_cms")
+    // 4 staged files + maxFilesPerTrigger=1 = four REAL micro-batches:
+    // the sums must be cut-point-insensitive
+    spark.read.parquet(s"$sfDir/events.parquet").repartition(4)
+      .write.mode("overwrite").parquet(stage.toString)
+    val stream = EventStreams.readStream(spark, stage.toString,
+      maxFilesPerTrigger = 1)
+    val q = EventStreams.countMinSketch(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val sketch = spark.table("cms_out")
+    // state bound: at most depth*width counter rows, whatever the volume
+    assert(sketch.count() <= 4L * 256L)
+    // bit-exact vs the batch-built sketch over the same events
+    val batch = EventStreams.countMinSketch(
+        Tables.load(spark, sfDir, "events"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = sketch
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // heavy-hitter read-off: estimates never understate the exact count
+    val fin = EventStreams.finishCountMin(sketch,
+        Tables.load(spark, sfDir, "events"))
+      .collect()
+    assert(fin.length == 10)
+    fin.foreach(r => assert(r.getLong(3) >= r.getLong(2),
+      s"cm_est ${r.getLong(3)} understates exact ${r.getLong(2)}"))
+  }
+
   test("streaming dedup keeps one event per fingerprint, matching batch keys") {
     val stage = java.nio.file.Files.createTempDirectory("events_dedup")
     java.nio.file.Files.copy(
