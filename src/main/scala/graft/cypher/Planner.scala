@@ -389,6 +389,33 @@ final class Planner(spark: SparkSession, store0: GraphStore,
             "an event time")
         graft.algorithms.TemporalGraph.temporalStress(tse,
           Seq((tsSrc, tsT0)).toDF("sid", "t0"), tsK)
+      case "graft.temporalbetweenness" =>
+        // the FP sigma-ratio twin of temporalStress on the same state
+        // DAG (x37): (src, t0[, k[, 'timeProp']]) — FP output, so its
+        // gates ride rows-only; the stress twin carries oracles
+        nargs(4)
+        import spark.implicits._
+        val (tbSrc, tbT0) = (longArg(0), longArg(1))
+        val tbK = intArg(2, Some(4))
+        val tbProp = strArg(3).getOrElse("t")
+        val tbe = store.allEdges.select(col("src"), col("dst"),
+          get_json_object(col("properties"), "$." + tbProp)
+            .cast("long").as("t"))
+        val tbMissing = tbe.where(col("t").isNull).count()
+        require(tbMissing == 0,
+          s"graft.temporalBetweenness: $tbMissing edge(s) missing/non-numeric " +
+            s"time property '$tbProp' — a temporal sweep cannot default " +
+            "an event time")
+        graft.algorithms.TemporalGraph.temporalBetweenness(tbe,
+          Seq((tbSrc, tbT0)).toDF("sid", "t0"), tbK)
+      case "graft.pivotstress" =>
+        // pivot-sampled whole-graph stress (g50, Brandes–Pich 2007):
+        // (nPivots[, maxDepth]) — deterministic h32-argmin pivot draw,
+        // exact integer sweeps, (stress * |V|) div |S| estimate
+        nargs(2)
+        val psN = intArg(0, Some(16))
+        val psD = intArg(1, Some(8))
+        GraphAlgorithms.pivotStress(edges, psN, psD)
       case other => sys.error(s"unknown procedure '$other' — available: " +
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
@@ -405,6 +432,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.louvain(maxLevels, sweepsPerLevel[, 'weightProp']), " +
         "graft.kReachable(sourceId, t0, deadline[, k[, 'timeProp']]), " +
         "graft.temporalStress(sourceId, t0[, k[, 'timeProp']]), " +
+        "graft.temporalBetweenness(sourceId, t0[, k[, 'timeProp']]), " +
+        "graft.pivotStress(nPivots[, maxDepth]), " +
         "graft.corpusProfile('dir'), graft.dedupClusters('dir', permille), " +
         "graft.annTopK('dir', k, probeIds...)")
     }

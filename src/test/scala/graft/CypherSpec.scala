@@ -839,6 +839,46 @@ class CypherSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("at most 1"), e3.getMessage)
   }
 
+  test("CALL graft.temporalBetweenness / pivotStress / weighted louvain surfaces") {
+    val sess = session
+    // since-chain 1-[2020]->2-[2021]->3 from Alice at t0 = 2020: one
+    // minimal journey per target, Bob interior for pair (1,3) -> 1.0
+    val tb = sess.run(
+      s"CALL graft.temporalBetweenness(${Graphid.pack(100, 1)}, 2020, 4, 'since') " +
+        "YIELD id, betweenness RETURN id, betweenness ORDER BY id")
+    assert(rows(tb) == Seq(
+      Seq(Graphid.pack(100, 1), 0.0),
+      Seq(Graphid.pack(100, 2), 1.0),
+      Seq(Graphid.pack(100, 3), 0.0)))
+    val e1 = intercept[Exception](sess.run(
+      s"CALL graft.temporalBetweenness(${Graphid.pack(100, 1)}, 0) " +
+        "YIELD id RETURN id"))
+    assert(e1.getMessage.contains("time property 't'"), e1.getMessage)
+    // pivot stress at full sampling (10 > |V| = 3) equals exact
+    // all-sources stress on the chain — only pair (1,3) has an interior —
+    // and the |V|/|S| = 1 estimate coincides
+    val ps = sess.run(
+      "CALL graft.pivotStress(10, 8) YIELD id, stress, stress_est " +
+        "RETURN id, stress, stress_est ORDER BY id")
+    assert(rows(ps) == Seq(
+      Seq(Graphid.pack(100, 1), 0L, 0L),
+      Seq(Graphid.pack(100, 2), 1L, 1L),
+      Seq(Graphid.pack(100, 3), 0L, 0L)))
+    val e2 = intercept[Exception](sess.run(
+      "CALL graft.pivotStress(1, 2, 3) YIELD id RETURN id"))
+    assert(e2.getMessage.contains("at most 2"), e2.getMessage)
+    // weighted louvain: the 'weightProp' arg reaches the weighted closure
+    // (positive 'since' weights run; every edge vertex gets a label)
+    val wl = sess.run(
+      "CALL graft.louvain(1, 1, 'since') YIELD id, lbl RETURN id, lbl ORDER BY id")
+    assert(rows(wl).map(_.head) == Seq(Graphid.pack(100, 1),
+      Graphid.pack(100, 2), Graphid.pack(100, 3)))
+    // a missing weight property is NULL on every edge — rejected loudly
+    val e3 = intercept[Exception](sess.run(
+      "CALL graft.louvain(1, 1, 'nope') YIELD id RETURN id"))
+    assert(e3.getMessage.contains("non-positive"), e3.getMessage)
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store
