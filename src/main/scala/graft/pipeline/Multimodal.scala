@@ -155,6 +155,47 @@ object Multimodal {
     (walked.getField("w"), walked.getField("h"))
   }
 
+  /** Little-endian unsigned read — RIFF-family containers (WAV/AVI) store
+    * multi-byte fields least-significant first. Composed from single-byte
+    * reads (hex-reversing a slice would need a binary reverse Spark lacks);
+    * `bytes` ≤ 4 keeps the expression a handful of codegen'd terms.
+    */
+  def leUInt(payload: Column, pos: Column, bytes: Int): Column =
+    (0 until bytes).map { i =>
+      beUInt(payload, pos + i, 1) * (1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** WAV audio metadata from the canonical RIFF layout — REAL header
+    * parsing, the audio sibling of [[pngDims]]/[[jpegDims]]: requires
+    * "RIFF" + "WAVE" + a leading "fmt " chunk (the canonical encoder
+    * layout), then channels (LE16 @23), sample rate (LE32 @25) and bits
+    * per sample (LE16 @35), all 1-based offsets. Non-WAV or non-canonical
+    * payloads yield NULLs — route-then-decode, like the image parsers.
+    */
+  def wavMeta(payload: Column): (Column, Column, Column) = {
+    val isWav = hex(payload.substr(lit(1), lit(4))) === "52494646" &&
+      hex(payload.substr(lit(9), lit(8))) === "57415645666D7420" // WAVEfmt_
+    (when(isWav, leUInt(payload, lit(23), 2)),
+      when(isWav, leUInt(payload, lit(25), 4)),
+      when(isWav, leUInt(payload, lit(35), 2)))
+  }
+
+  /** Audio-metadata extraction over opaque binary payloads (the m5 gate):
+    * format sniff plus the WAV fmt-chunk read — (format, channels,
+    * sample_rate, bits_per_sample, payload_bytes), NULL audio fields on
+    * anything that is not canonical WAV.
+    */
+  def audioMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    val (ch, rate, bits) = wavMeta(p)
+    df.withColumn("format", sniffFormat(p))
+      .withColumn("channels", ch)
+      .withColumn("sample_rate", rate)
+      .withColumn("bits_per_sample", bits)
+      .withColumn("payload_bytes", length(p).cast("long"))
+      .drop(payloadCol)
+  }
+
   /** Typed metadata extraction over opaque binary payloads: format sniff
     * plus per-format pixel-dimension parse, all pure byte-slice column
     * expressions (the m3 gate). Unknown containers keep NULL dims — the

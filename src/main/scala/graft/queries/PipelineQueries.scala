@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis, TextHash}
@@ -229,6 +229,39 @@ object PipelineQueries {
         .when(col("doc_id") % 3 === 1, jpeg)
         .otherwise(text)
       Multimodal.binaryMeta(
+          docs(s, dir).select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Audio metadata extraction (r15): the m3 pattern for WAV — payloads
+    // carry REAL canonical RIFF/WAVE headers (44 bytes, little-endian
+    // fmt chunk) crafted from doc_id arithmetic; the engine must read
+    // channels/rate/bits back out of the LE bytes, the oracle replays
+    // the arithmetic identity. Odd doc_ids stay raw text -> NULL fields.
+    "m5_audio_meta" -> ((s, dir) => {
+      def le16(v: Column): Column = {
+        val h = lpad(hex(v), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le32(v: Column): Column = {
+        val h = lpad(hex(v), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val ch = (col("doc_id") % 4 + 1).cast("long")
+      val rate = ((col("doc_id") % 5 + 1) * 8000).cast("long")
+      val bps = (col("doc_id") % 3 + 1).cast("long") // bytes/sample
+      val text = col("text").cast("binary")
+      val wav = concat(
+        lit("RIFF").cast("binary"), unhex(le32(lit(36L) + length(text))),
+        lit("WAVEfmt ").cast("binary"), unhex(lit("10000000" + "0100")),
+        unhex(le16(ch)), unhex(le32(rate)),
+        unhex(le32(rate * ch * bps)), unhex(le16(ch * bps)),
+        unhex(le16(bps * 8)),
+        lit("data").cast("binary"), unhex(le32(length(text))), text)
+      val payload = when(col("doc_id") % 2 === 0, wav).otherwise(text)
+      Multimodal.audioMeta(
           docs(s, dir).select(col("doc_id"), payload.as("payload")),
           "payload")
         .orderBy(col("doc_id"))
@@ -949,6 +982,19 @@ object PipelineQueries {
         |       THEN doc_id * 7 % 600 + 16 END AS BIGINT) AS height,
         |  CAST(strlen(text) + CASE WHEN doc_id % 3 IN (0, 1)
         |       THEN 33 ELSE 0 END AS BIGINT) AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m5_audio_meta" ->
+      // the LE-header arithmetic identity (44-byte canonical WAV header)
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'riff' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN doc_id % 4 + 1 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN (doc_id % 5 + 1) * 8000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN (doc_id % 3 + 1) * 8 END AS BIGINT) AS bits_per_sample,
+        |  CAST(strlen(text) + CASE WHEN doc_id % 2 = 0
+        |       THEN 44 ELSE 0 END AS BIGINT) AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m4_binary_neardup" ->
       // d6's per-bit-sum replay over 16-byte chunk features: DuckDB

@@ -282,6 +282,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ("unknown", None, None))
   }
 
+  test("audio metadata: canonical WAV little-endian fmt parse, non-WAV RIFF stays NULL") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    // canonical 44-byte header: stereo 44.1 kHz 16-bit
+    val wav = "RIFF".getBytes ++ le32(36 + 4) ++ "WAVEfmt ".getBytes ++
+      le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 2 * 2) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(4) ++ "abcd".getBytes
+    // RIFF but AVI, not WAVE: format sniffs riff, audio fields stay NULL
+    val avi = "RIFF".getBytes ++ le32(100) ++ "AVI LIST".getBytes ++
+      Array.fill(20)(0x11.toByte)
+    val raw = "plain".getBytes
+    val df = Seq((0L, wav), (1L, avi), (2L, raw)).toDF("doc_id", "payload")
+    val got = graft.pipeline.Multimodal.audioMeta(df, "payload").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(0L) == ("riff", Some(2L), Some(44100L), Some(16L)))
+    assert(got(1L) == ("riff", None, None, None))
+    assert(got(2L) == ("unknown", None, None, None))
+    assert(hx("52494646").sameElements("RIFF".getBytes)) // helper sanity
+  }
+
   test("binary near-dup: banded byte-chunk SimHash equals brute force, finds planted pair") {
     import org.apache.spark.sql.functions._
     // A and B share 15 of 16 chunks (one byte flipped in one chunk);
