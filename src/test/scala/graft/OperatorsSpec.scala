@@ -25,7 +25,8 @@ class OperatorsSpec extends AnyFunSuite {
     // (each of which has an exact oracle-checked twin; SURVEY §8).
     val rowsOnlyByDesign = Set(
       "x1_approx_distinct", "x2_quantiles", "x3_sample", "x6_pagerank",
-      "x9_ann_multiprobe", "x11_ann_ivf", "x24_betweenness")
+      "x9_ann_multiprobe", "x11_ann_ivf", "x24_betweenness",
+      "x37_temporal_betweenness") // FP sigma-ratio twin; g48 carries the oracle
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"orphan oracles: ${os -- qs}")
