@@ -1773,14 +1773,23 @@ object GraphAlgorithms {
     */
   private def weightedClosure(edges: DataFrame, weightCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val e0 = edges
-      .select(col("src"), col("dst"), col(weightCol).cast("long").as("w"))
+    val raw = edges
+      .select(col("src"), col("dst"), col(weightCol).as("w0"))
       .where(col("src") =!= col("dst"))
-    val g = e0.agg(
-      sum(when(col("w").isNull || col("w") <= 0L, 1L).otherwise(0L))).head()
+    // loud on NULL, non-positive, AND non-integral weights: cast("long")
+    // would silently FLOOR a fractional weight (1.7 → 1), rewriting every
+    // degree sum without the failure the positive-LONG contract promises;
+    // the double round-trip comparison catches fractions and NaN alike
+    val g = raw.agg(
+      sum(when(col("w0").isNull || col("w0").cast("long").isNull
+        || col("w0").cast("long") <= 0L
+        || col("w0").cast("double") =!= col("w0").cast("long").cast("double"),
+        1L).otherwise(0L))).head()
     if (!g.isNullAt(0)) require(g.getLong(0) == 0L,
-      s"louvainLevels: ${g.getLong(0)} edge(s) with NULL or non-positive " +
-        s"weight '$weightCol' — weighted modularity needs positive LONGs")
+      s"louvainLevels: ${g.getLong(0)} edge(s) with NULL, non-positive, " +
+        s"or non-integral weight '$weightCol' — weighted modularity needs " +
+        "positive LONGs")
+    val e0 = raw.select(col("src"), col("dst"), col("w0").cast("long").as("w"))
     e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))

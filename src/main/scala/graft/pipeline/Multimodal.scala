@@ -96,11 +96,14 @@ object Multimodal {
   /** Big-endian unsigned read of `bytes` payload bytes at 1-based `pos` —
     * the byte-slice primitive of the header parsers: hex of a binary
     * substring, folded to a LONG by conv. All builtins, codegen'd; a read
-    * past the payload end yields NULL (hex of an empty slice), never an
-    * error.
+    * extending even PARTIALLY past the payload end yields NULL (the slice
+    * length is checked — a truncated file must report unknown dimensions,
+    * never a number assembled from fewer bytes than the field holds).
     */
-  def beUInt(payload: Column, pos: Column, bytes: Int): Column =
-    conv(hex(payload.substr(pos.cast("int"), lit(bytes))), 16, 10).cast("long")
+  def beUInt(payload: Column, pos: Column, bytes: Int): Column = {
+    val slice = payload.substr(pos.cast("int"), lit(bytes))
+    when(length(slice) === bytes, conv(hex(slice), 16, 10).cast("long"))
+  }
 
   /** Magic-byte format sniff over an opaque binary payload — the first
     * metadata pass of a multimodal ingest (route by container BEFORE any
@@ -127,6 +130,9 @@ object Multimodal {
     * The walk is ONE `aggregate` higher-order fold over `maxSegments`
     * steps, so the expression tree stays linear in the budget (a naive
     * unroll re-nests the position column ~4× per step — exponential).
+    * Spec-legal length-less constructs are handled: FF-fill padding
+    * between segments slides one byte (ISO/IEC 10918-1 B.1.1.2), TEM and
+    * RSTn/SOI standalone markers slide two — each costs one budget step.
     * Stops on a non-FF byte, EOI, or a SOF hit; NULL dims when no SOF is
     * found within budget.
     */
@@ -145,9 +151,16 @@ object Multimodal {
         val isMarker = byteAt(pos) === 255L
         val mk = byteAt(pos + 1)
         val isSof = isMarker && mk.isin(192L, 193L, 194L)
+        val isFill = isMarker && mk === 255L // FF FF padding: slide 1
+        // TEM (01), RST0-7 (D0-D7), SOI (D8): marker only, no length
+        val standalone = isMarker && (mk === 1L ||
+          (mk >= 208L && mk <= 216L))
         val stop = done || isSof || !isMarker || mk === 217L // 217 = EOI
         struct(
-          when(stop, pos).otherwise(pos + 2L + be16(pos + 2)).as("pos"),
+          when(stop, pos)
+            .when(isFill, pos + 1L)
+            .when(standalone, pos + 2L)
+            .otherwise(pos + 2L + be16(pos + 2)).as("pos"),
           when(!done && isSof, be16(pos + 7)).otherwise(st.getField("w")).as("w"),
           when(!done && isSof, be16(pos + 5)).otherwise(st.getField("h")).as("h"),
           stop.as("done"))
@@ -228,7 +241,12 @@ object Multimodal {
     */
   def binaryNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
       chunkBytes: Int = 16, maxDist: Int = 3): DataFrame = {
-    val feats = df.select(col(idCol).as("id"),
+    // EMPTY payloads are excluded: they have no content to band (exact
+    // dedup owns the all-empty-are-identical case), and `frames` would
+    // otherwise emit one empty chunk while a range-based replay emits
+    // none — the one engine/oracle asymmetry of the byte variant
+    val feats = df.where(length(col(payloadCol)) > 0)
+      .select(col(idCol).as("id"),
         explode(frames(col(payloadCol), chunkBytes)).as("chunk"))
       .select(col("id"), TextHash.h32(hex(col("chunk"))).as("h"))
     Dedup.bandedSimhashPairs(Dedup.simhashOfFeatures(feats), maxDist)

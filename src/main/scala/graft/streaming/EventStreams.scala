@@ -143,6 +143,18 @@ object EventStreams {
   def finishCountMin(sketch: DataFrame, events: DataFrame, topK: Int = 10,
       depth: Int = 4, width: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // depth/width MUST match the sketch's build parameters or the bucket
+    // lookup joins foreign counters and min() can UNDERSTATE — the one
+    // guarantee Count-Min makes. The counters pin depth exactly (row ids
+    // are 0..depth-1) and bound width from below (a build width larger
+    // than `width` almost surely left a counter at b >= width); a
+    // NARROWER build cannot be detected from counters alone — documented.
+    val shape = sketch.agg(max(col("r")), max(col("b"))).head()
+    val seenDepth = if (shape.isNullAt(0)) "none" else s"${shape.getInt(0) + 1}"
+    require(!shape.isNullAt(0) && shape.getInt(0) == depth - 1,
+      s"finishCountMin: sketch depth $seenDepth != $depth")
+    require(shape.getLong(1) < width,
+      s"finishCountMin: sketch has bucket ${shape.getLong(1)} >= width $width")
     val depthRows = array((0 until depth).map(lit): _*)
     def bucket(r: Column, tok: Column): Column =
       graft.pipeline.TextHash.h32(

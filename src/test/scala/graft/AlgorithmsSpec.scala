@@ -1099,6 +1099,18 @@ class AlgorithmsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("non-positive"))
     assert((sc.getPersistentRDDs.keySet -- base).isEmpty)
+    // a FRACTIONAL weight would silently floor under cast("long") —
+    // rejected loudly instead of quietly rewriting every degree sum
+    val frac = Seq((1L, 2L, 1.7), (2L, 3L, 4.0)).toDF("src", "dst", "w")
+    val exF = intercept[IllegalArgumentException] {
+      GraphAlgorithms.louvainLevels(frac, weightCol = Some("w"))
+    }
+    assert(exF.getMessage.contains("non-integral"), exF.getMessage)
+    // exact integral doubles pass (4.0 == 4L round trip)
+    val okD = Seq((1L, 2L, 2.0), (2L, 3L, 4.0)).toDF("src", "dst", "w")
+    val (flatD, _) = GraphAlgorithms.louvainLevels(okD, weightCol = Some("w"))
+    assert(flatD.count() == 3)
+    graft.util.Checkpoints.release(spark, graft.util.Checkpoints.idsOf(flatD))
   }
 
   test("multi-level louvain: a triangle ring coarsens and merges at level 2") {

@@ -272,7 +272,17 @@ class PipelineSpec extends AnyFunSuite {
     val raw = "just some text".getBytes
     val df = Seq((0L, png), (1L, jpeg), (2L, deep), (3L, gif), (4L, raw))
       .toDF("doc_id", "payload")
-    val got = graft.pipeline.Multimodal.binaryMeta(df, "payload").collect()
+    // TRUNCATED PNG: payload ends 2 bytes into the 4-byte width field —
+    // a partial read must report NULL, never a number assembled from
+    // fewer bytes than the field holds
+    val truncated = png.take(18)
+    // FF-FF fill padding before SOF (ISO/IEC 10918-1 B.1.1.2 allows it):
+    // the walk slides over each fill byte
+    val padded = hx("FFD8") ++ hx("FFFF") ++ hx("FFFF") ++
+      hx("FFC0000B08") ++ be16(77) ++ be16(88) ++ hx("01011100")
+    val df2 = df.unionByName(
+      Seq((5L, truncated), (6L, padded)).toDF("doc_id", "payload"))
+    val got = graft.pipeline.Multimodal.binaryMeta(df2, "payload").collect()
       .map(r => r.getLong(0) ->
         (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
     assert(got(0L) == ("png", Some(640L), Some(480L)))
@@ -280,6 +290,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) == ("jpeg", None, None))
     assert(got(3L) == ("gif", None, None))
     assert(got(4L) == ("unknown", None, None))
+    assert(got(5L) == ("png", None, None), got(5L).toString)
+    assert(got(6L) == ("jpeg", Some(88L), Some(77L)), got(6L).toString)
   }
 
   test("audio metadata: canonical WAV little-endian fmt parse, non-WAV RIFF stays NULL") {
@@ -333,6 +345,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(banded.contains((1L, 2L)), banded.toString) // planted near-dup
     assert(!banded.contains((1L, 3L)) && !banded.contains((2L, 3L)),
       banded.toString)
+    // empty payloads are excluded (exact dedup owns the all-empty case) —
+    // two empties must NOT pair with each other or anything else
+    val withEmpty = df.unionByName(Seq((4L, Array.empty[Byte]),
+      (5L, Array.empty[Byte])).toDF("doc_id", "payload"))
+    val be = graft.pipeline.Multimodal
+      .binaryNearDupPairs(withEmpty, "doc_id", "payload", 16, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(be == banded.keySet, be.toString)
   }
 
   test("frame sampling chunks binary payloads and keeps every k-th frame") {

@@ -136,6 +136,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.length == 10)
     fin.foreach(r => assert(r.getLong(3) >= r.getLong(2),
       s"cm_est ${r.getLong(3)} understates exact ${r.getLong(2)}"))
+    // a finisher with mismatched build parameters would join foreign
+    // buckets and could UNDERSTATE — rejected loudly where detectable
+    val eD = intercept[IllegalArgumentException] {
+      EventStreams.finishCountMin(sketch,
+        Tables.load(spark, sfDir, "events"), depth = 8)
+    }
+    assert(eD.getMessage.contains("depth"), eD.getMessage)
+    val eW = intercept[IllegalArgumentException] {
+      EventStreams.finishCountMin(sketch,
+        Tables.load(spark, sfDir, "events"), width = 64)
+    }
+    assert(eW.getMessage.contains("width"), eW.getMessage)
   }
 
   test("streaming dedup keeps one event per fingerprint, matching batch keys") {
