@@ -252,6 +252,27 @@ object Multimodal {
     Dedup.bandedSimhashPairs(Dedup.simhashOfFeatures(feats), maxDist)
   }
 
+  /** Binary near-dup clustering (the d7 shape on bytes): m4's banded
+    * byte-chunk SimHash pairs become an undirected similarity graph,
+    * distributed connected components (GraphX min-id labeling) turn
+    * pairwise matches into clusters, survivor = minimum id. Same 100 TB
+    * posture as the text path — banded candidates, never all-pairs,
+    * distributed clustering. One row per cluster of size ≥ 2:
+    * (survivor_id, n_members, members comma-joined in id order).
+    */
+  def binaryNearDupClusters(df: DataFrame, idCol: String,
+      payloadCol: String, chunkBytes: Int = 16, maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val pairs = binaryNearDupPairs(df, idCol, payloadCol, chunkBytes, maxDist)
+    val cc = graft.algorithms.GraphAlgorithms.connectedComponents(
+      spark, pairs.select(col("a").as("src"), col("b").as("dst")))
+    cc.groupBy(col("component").as("survivor_id"))
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("id"))),
+            _.cast("string"))).as("members"))
+  }
+
   /** Demo pipeline over documents: treat text bytes as a fake media payload,
     * decode, and aggregate per source — exercises binary columns end-to-end.
     * Pure column expressions (codegen'd); the mapPartitions plumbing in

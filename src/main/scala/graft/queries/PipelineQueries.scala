@@ -278,6 +278,16 @@ object PipelineQueries {
           "doc_id", "payload", 16, 3)
         .orderBy(col("a"), col("b"))),
 
+    // Binary near-dup clusters (r15): m4's pairs through distributed
+    // connected components with a min-id survivor — the d7 clustering
+    // shape on bytes; oracle = the m4 sig replay + the d7 transitive-
+    // closure tail.
+    "m6_binary_clusters" -> ((s, dir) =>
+      Multimodal.binaryNearDupClusters(
+          docs(s, dir).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", 16, 3)
+        .orderBy(col("survivor_id"))),
+
     "t7_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy(col("id")).limit(25)),
@@ -996,6 +1006,43 @@ object PipelineQueries {
         |  CAST(strlen(text) + CASE WHEN doc_id % 2 = 0
         |       THEN 44 ELSE 0 END AS BIGINT) AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m6_binary_clusters" ->
+      // the m4 signature replay + d7's transitive-closure tail (min
+      // reachable id = GraphX's min-id component convention)
+      s"""WITH RECURSIVE f AS (
+         |  SELECT doc_id AS id, hex(text) AS hx,
+         |    unnest(range(0, CAST(ceil(strlen(text)/16.0) AS BIGINT))) AS i
+         |  FROM documents
+         |),
+         |toks AS (
+         |  SELECT id, ${h32Sql("substring(hx, i*32+1, 32)")} AS h FROM f
+         |),
+         |sums AS (
+         |  SELECT id, ${(0 until 32).map(b =>
+              s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")}
+         |  FROM toks GROUP BY id
+         |),
+         |sig AS (
+         |  SELECT id, ${(0 until 32).map(b =>
+              s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")} AS simhash
+         |  FROM sums
+         |),
+         |nd AS (
+         |  SELECT x.id AS a, y.id AS b FROM sig x JOIN sig y ON x.id < y.id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |),
+         |und AS (SELECT a AS x, b AS y FROM nd UNION SELECT b, a FROM nd),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM und
+         |  UNION
+         |  SELECT r.x, u.y FROM reach r JOIN und u ON u.x = r.y
+         |),
+         |comp AS (
+         |  SELECT x AS id, LEAST(x, MIN(y)) AS component FROM reach GROUP BY x
+         |)
+         |SELECT component AS survivor_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         |FROM comp GROUP BY component ORDER BY survivor_id""".stripMargin,
     "m4_binary_neardup" ->
       // d6's per-bit-sum replay over 16-byte chunk features: DuckDB
       // hex(VARCHAR) renders the same uppercase bytes Spark hex(BINARY)

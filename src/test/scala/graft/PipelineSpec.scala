@@ -355,6 +355,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(be == banded.keySet, be.toString)
   }
 
+  test("binary near-dup clusters: pairwise matches merge, min-id survivor, loners absent") {
+    import org.apache.spark.sql.functions._
+    // signatures dominated by a shared chunk X (15 of 16 features): the
+    // one differing tail chunk cannot flip any bit sum (15 vs 1), so
+    // a/b/c hash IDENTICALLY (hamming 0 <= 3), while the all-Z loner's
+    // sums carry Z's bits everywhere
+    def payload(tail: Byte): Array[Byte] =
+      Array.fill(15 * 16)(0x42.toByte) ++ Array.fill(16)(tail)
+    val e = Array.fill(16 * 16)(0x7A.toByte)
+    val df = Seq((1L, payload(1)), (2L, payload(2)), (3L, payload(3)),
+      (9L, e)).toDF("doc_id", "payload")
+    val got = graft.pipeline.Multimodal
+      .binaryNearDupClusters(df, "doc_id", "payload", 16, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // a, b, c merge into ONE cluster under min-id 1; the loner never rows
+    assert(got == Map(1L -> ((3L, "1,2,3"))), got.toString)
+  }
+
   test("frame sampling chunks binary payloads and keeps every k-th frame") {
     import org.apache.spark.sql.functions._
     // 19 bytes → frames of 16: [16, 3]; every 1 keeps both

@@ -424,6 +424,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("m3/m5: header parsers are map-only over a pruned scan — no join, no shuffle") {
+    for (name <- Seq("m3_binary_meta", "m5_audio_meta")) {
+      val p = plan(name)
+      // byte-slice parsing is a per-row projection: the only plan nodes
+      // between scan and sort are projections — never a join or aggregate
+      assert(!p.contains("Join"), s"$name: $p")
+      assert(!p.contains("HashAggregate"), s"$name: $p")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+        s"$name: $readSchema")
+      assert(!readSchema.contains("source"), s"$name: $readSchema")
+    }
+  }
+
   test("t19: real BPE is one pruned scan + one aggregation shuffle, no join") {
     val p = plan("t19_bpe_real")
     // the 24-merge replace chain stays a per-row projection: no join of
