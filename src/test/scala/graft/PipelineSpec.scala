@@ -355,6 +355,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(be == banded.keySet, be.toString)
   }
 
+  test("weighted louvain clusters the LSH similarity graph (the d7->g51 bridge)") {
+    import org.apache.spark.sql.functions._
+    // the in-repo consumer the weighted entry exists for: near-dup pair
+    // weights (per-mille Jaccard, the r10 grid snap) feed community
+    // detection — planted near-dups {1,2,3} must land in ONE community,
+    // and the integer weights must be positive per the closure contract
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .where(col("jaccard") >= 0.2)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"),
+      floor(col("jaccard") * 1000 + 0.5).cast("long").as("w"))
+    val (flat, _) = graft.algorithms.GraphAlgorithms
+      .louvainLevels(edges, maxLevels = 2, sweepsPerLevel = 2,
+        weightCol = Some("w"))
+    val got = flat.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.Checkpoints.release(spark, graft.util.Checkpoints.idsOf(flat))
+    assert(Seq(1L, 2L, 3L).forall(got.contains), got.toString)
+    assert(got(1L) == got(2L) && got(2L) == got(3L), got.toString)
+  }
+
   test("binary near-dup clusters: pairwise matches merge, min-id survivor, loners absent") {
     import org.apache.spark.sql.functions._
     // signatures dominated by a shared chunk X (15 of 16 features): the
