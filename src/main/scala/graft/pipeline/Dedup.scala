@@ -165,12 +165,20 @@ object Dedup {
     * comma-joined in id order.
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double, k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
-    val spark = df.sparkSession
-    val pairs = minhashNearDupPairs(df, idCol, textCol, k, bands, n)
-      .where(col("jaccard") >= minJaccard)
+      minJaccard: Double, k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame =
+    clustersOfPairs(minhashNearDupPairs(df, idCol, textCol, k, bands, n)
+      .where(col("jaccard") >= minJaccard))
+
+  /** The pair-graph → cluster tail shared by the text (d7) and binary
+    * (m6) near-dup paths — split out in r15 so the two gates cannot
+    * silently diverge on clustering semantics: distributed connected
+    * components (GraphX min-id) over the (a, b) pair relation, then one
+    * row per cluster of size ≥ 2 with the min-id survivor and members
+    * comma-joined in id order.
+    */
+  private[graft] def clustersOfPairs(pairs: DataFrame): DataFrame = {
     val cc = graft.algorithms.GraphAlgorithms.connectedComponents(
-      spark, pairs.select(col("a").as("src"), col("b").as("dst")))
+      pairs.sparkSession, pairs.select(col("a").as("src"), col("b").as("dst")))
     cc.groupBy(col("component").as("survivor_id"))
       .agg(count(lit(1)).as("n_members"),
         concat_ws(",",

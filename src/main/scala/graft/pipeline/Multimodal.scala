@@ -261,17 +261,9 @@ object Multimodal {
     * (survivor_id, n_members, members comma-joined in id order).
     */
   def binaryNearDupClusters(df: DataFrame, idCol: String,
-      payloadCol: String, chunkBytes: Int = 16, maxDist: Int = 3): DataFrame = {
-    val spark = df.sparkSession
-    val pairs = binaryNearDupPairs(df, idCol, payloadCol, chunkBytes, maxDist)
-    val cc = graft.algorithms.GraphAlgorithms.connectedComponents(
-      spark, pairs.select(col("a").as("src"), col("b").as("dst")))
-    cc.groupBy(col("component").as("survivor_id"))
-      .agg(count(lit(1)).as("n_members"),
-        concat_ws(",",
-          transform(sort_array(collect_list(col("id"))),
-            _.cast("string"))).as("members"))
-  }
+      payloadCol: String, chunkBytes: Int = 16, maxDist: Int = 3): DataFrame =
+    Dedup.clustersOfPairs(
+      binaryNearDupPairs(df, idCol, payloadCol, chunkBytes, maxDist))
 
   /** Demo pipeline over documents: treat text bytes as a fake media payload,
     * decode, and aggregate per source — exercises binary columns end-to-end.

@@ -24,6 +24,31 @@ object PipelineQueries {
   private val BANDS = 4
   private val NGRAM = 3
 
+  /** Shared m4/m6 oracle prefix — the byte-chunk SimHash signature
+    * replay (16-byte chunks of the hex rendering, h32 features, 32
+    * per-bit sums, sign fold). One string so the two gates can never
+    * disagree on the signature construction.
+    */
+  private lazy val byteSimhashSigCtes: String =
+    s"""f AS (
+       |  SELECT doc_id AS id, hex(text) AS hx,
+       |    unnest(range(0, CAST(ceil(strlen(text)/16.0) AS BIGINT))) AS i
+       |  FROM documents
+       |),
+       |toks AS (
+       |  SELECT id, ${h32Sql("substring(hx, i*32+1, 32)")} AS h FROM f
+       |),
+       |sums AS (
+       |  SELECT id, ${(0 until 32).map(b =>
+            s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")}
+       |  FROM toks GROUP BY id
+       |),
+       |sig AS (
+       |  SELECT id, ${(0 until 32).map(b =>
+            s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")} AS simhash
+       |  FROM sums
+       |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")
@@ -1009,24 +1034,7 @@ object PipelineQueries {
     "m6_binary_clusters" ->
       // the m4 signature replay + d7's transitive-closure tail (min
       // reachable id = GraphX's min-id component convention)
-      s"""WITH RECURSIVE f AS (
-         |  SELECT doc_id AS id, hex(text) AS hx,
-         |    unnest(range(0, CAST(ceil(strlen(text)/16.0) AS BIGINT))) AS i
-         |  FROM documents
-         |),
-         |toks AS (
-         |  SELECT id, ${h32Sql("substring(hx, i*32+1, 32)")} AS h FROM f
-         |),
-         |sums AS (
-         |  SELECT id, ${(0 until 32).map(b =>
-              s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")}
-         |  FROM toks GROUP BY id
-         |),
-         |sig AS (
-         |  SELECT id, ${(0 until 32).map(b =>
-              s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")} AS simhash
-         |  FROM sums
-         |),
+      s"""WITH RECURSIVE $byteSimhashSigCtes,
          |nd AS (
          |  SELECT x.id AS a, y.id AS b FROM sig x JOIN sig y ON x.id < y.id
          |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
@@ -1048,24 +1056,7 @@ object PipelineQueries {
       // hex(VARCHAR) renders the same uppercase bytes Spark hex(BINARY)
       // does, so chunk hashes agree; oracle goes all-pairs (correctness
       // only), the Spark side is banded
-      s"""WITH f AS (
-         |  SELECT doc_id AS id, hex(text) AS hx,
-         |    unnest(range(0, CAST(ceil(strlen(text)/16.0) AS BIGINT))) AS i
-         |  FROM documents
-         |),
-         |toks AS (
-         |  SELECT id, ${h32Sql("substring(hx, i*32+1, 32)")} AS h FROM f
-         |),
-         |sums AS (
-         |  SELECT id, ${(0 until 32).map(b =>
-              s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")}
-         |  FROM toks GROUP BY id
-         |),
-         |sig AS (
-         |  SELECT id, ${(0 until 32).map(b =>
-              s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")} AS simhash
-         |  FROM sums
-         |)
+      s"""WITH $byteSimhashSigCtes
          |SELECT x.id AS a, y.id AS b,
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          |FROM sig x JOIN sig y ON x.id < y.id

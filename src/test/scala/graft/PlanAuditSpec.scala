@@ -424,13 +424,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("m3/m5: header parsers are map-only over a pruned scan — no join, no shuffle") {
+  test("m3/m5: header parsers are projections between a pruned scan and the output sort") {
     for (name <- Seq("m3_binary_meta", "m5_audio_meta")) {
       val p = plan(name)
-      // byte-slice parsing is a per-row projection: the only plan nodes
-      // between scan and sort are projections — never a join or aggregate
+      // byte-slice parsing is a per-row projection: never a join or
+      // aggregate, and the ONLY exchange is the gate's own ORDER BY
+      // (rangepartitioning) — a hash shuffle appearing before the sort
+      // would mean the parse stopped being map-side
       assert(!p.contains("Join"), s"$name: $p")
       assert(!p.contains("HashAggregate"), s"$name: $p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$name: $p")
       val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
       assert(readSchema.contains("doc_id") && readSchema.contains("text"),
         s"$name: $readSchema")
