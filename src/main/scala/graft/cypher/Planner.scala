@@ -416,6 +416,62 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val psN = intArg(0, Some(16))
         val psD = intArg(1, Some(8))
         GraphAlgorithms.pivotStress(edges, psN, psD)
+      case "graft.earliestarrival" =>
+        // the g35 min-arrival sweep: (sourceId, t0[, 'timeProp']) →
+        // (id, arrival) over every vertex the source can reach in time
+        nargs(3)
+        import spark.implicits._
+        val (eaSrc, eaT0) = (longArg(0), longArg(1))
+        val eaProp = strArg(2).getOrElse("t")
+        val eae = store.allEdges.select(col("src"), col("dst"),
+          get_json_object(col("properties"), "$." + eaProp)
+            .cast("long").as("t"))
+        val eaMissing = eae.where(col("t").isNull).count()
+        require(eaMissing == 0,
+          s"graft.earliestArrival: $eaMissing edge(s) missing/non-numeric " +
+            s"time property '$eaProp' — a temporal sweep cannot default " +
+            "an event time")
+        graft.algorithms.TemporalGraph.earliestArrival(eae,
+          Seq((eaSrc, eaT0)).toDF("id", "t0"))
+      case "graft.temporalcloseness" =>
+        // the g49 digest: (sourceId[, 'timeProp']) → one
+        // (sid, n_reach, sum_duration) row off the fastest-duration sweep
+        nargs(2)
+        import spark.implicits._
+        val tcSrc = longArg(0)
+        val tcProp = strArg(1).getOrElse("t")
+        val tce = store.allEdges.select(col("src"), col("dst"),
+          get_json_object(col("properties"), "$." + tcProp)
+            .cast("long").as("t"))
+        val tcMissing = tce.where(col("t").isNull).count()
+        require(tcMissing == 0,
+          s"graft.temporalCloseness: $tcMissing edge(s) missing/non-numeric " +
+            s"time property '$tcProp' — a temporal sweep cannot default " +
+            "an event time")
+        graft.algorithms.TemporalGraph.temporalCloseness(tce,
+          Seq(tcSrc).toDF("sid"))
+      case "graft.stress" =>
+        // bounded-source exact stress (g25): (maxDepth, sourceIds...) —
+        // whole-graph estimation is graft.pivotStress's job
+        require(c.args.length >= 2,
+          "graft.stress requires (maxDepth, at least one source id)")
+        import spark.implicits._
+        val stD = intArg(0)
+        require(stD >= 1, s"graft.stress: maxDepth must be positive, got $stD")
+        val stSrcs = (1 until c.args.length).map(longArg(_))
+        GraphAlgorithms.stressCentrality(edges, stSrcs.toDF("id"), stD)
+      case "graft.betweenness" =>
+        // the FP sigma-ratio twin of graft.stress (x24 pairing): same
+        // sweeps, fractional pair credit — output is FP, gates ride
+        // rows-only with the stress twin carrying oracles
+        require(c.args.length >= 2,
+          "graft.betweenness requires (maxDepth, at least one source id)")
+        import spark.implicits._
+        val btD = intArg(0)
+        require(btD >= 1,
+          s"graft.betweenness: maxDepth must be positive, got $btD")
+        val btSrcs = (1 until c.args.length).map(longArg(_))
+        GraphAlgorithms.betweennessCentrality(edges, btSrcs.toDF("id"), btD)
       case other => sys.error(s"unknown procedure '$other' — available: " +
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
@@ -434,6 +490,10 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.temporalStress(sourceId, t0[, k[, 'timeProp']]), " +
         "graft.temporalBetweenness(sourceId, t0[, k[, 'timeProp']]), " +
         "graft.pivotStress(nPivots[, maxDepth]), " +
+        "graft.earliestArrival(sourceId, t0[, 'timeProp']), " +
+        "graft.temporalCloseness(sourceId[, 'timeProp']), " +
+        "graft.stress(maxDepth, sourceIds...), " +
+        "graft.betweenness(maxDepth, sourceIds...), " +
         "graft.corpusProfile('dir'), graft.dedupClusters('dir', permille), " +
         "graft.annTopK('dir', k, probeIds...)")
     }

@@ -879,6 +879,50 @@ class CypherSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("non-positive"), e3.getMessage)
   }
 
+  test("CALL graft.earliestArrival / temporalCloseness / stress / betweenness surfaces") {
+    val sess = session
+    val alice = Graphid.pack(100, 1)
+    // min arrivals on the since-chain from Alice departing 2020:
+    // Alice seeds at t0, Bob via the 2020 edge, Charlie via 2021
+    val ea = sess.run(
+      s"CALL graft.earliestArrival($alice, 2020, 'since') " +
+        "YIELD id, arrival RETURN id, arrival ORDER BY id")
+    assert(rows(ea) == Seq(
+      Seq(alice, 2020L),
+      Seq(Graphid.pack(100, 2), 2020L),
+      Seq(Graphid.pack(100, 3), 2021L)))
+    val e1 = intercept[Exception](sess.run(
+      s"CALL graft.earliestArrival($alice, 0) YIELD id RETURN id"))
+    assert(e1.getMessage.contains("time property 't'"), e1.getMessage)
+    // the g49 digest: 2 reached (self excluded), durations 0 + 1
+    val tc = sess.run(
+      s"CALL graft.temporalCloseness($alice, 'since') " +
+        "YIELD sid, n_reach, sum_duration RETURN sid, n_reach, sum_duration")
+    assert(rows(tc) == Seq(Seq(alice, 2L, 1L)))
+    // bounded-source Brandes through CALL: from Alice and Bob only pair
+    // (Alice, Charlie) has an interior — Bob, once (and fully, sigma = 1)
+    val st = sess.run(
+      s"CALL graft.stress(6, $alice, ${Graphid.pack(100, 2)}) " +
+        "YIELD id, stress RETURN id, stress ORDER BY id")
+    assert(rows(st) == Seq(
+      Seq(alice, 0L),
+      Seq(Graphid.pack(100, 2), 1L),
+      Seq(Graphid.pack(100, 3), 0L)))
+    val bt = sess.run(
+      s"CALL graft.betweenness(6, $alice, ${Graphid.pack(100, 2)}) " +
+        "YIELD id, betweenness RETURN id, betweenness ORDER BY id")
+    assert(rows(bt) == Seq(
+      Seq(alice, 0.0),
+      Seq(Graphid.pack(100, 2), 1.0),
+      Seq(Graphid.pack(100, 3), 0.0)))
+    val e2 = intercept[Exception](sess.run(
+      "CALL graft.stress(0, 1) YIELD id RETURN id"))
+    assert(e2.getMessage.contains("positive"), e2.getMessage)
+    val e3 = intercept[Exception](sess.run(
+      "CALL graft.betweenness(6) YIELD id RETURN id"))
+    assert(e3.getMessage.contains("at least one source"), e3.getMessage)
+  }
+
   test("explain renders the physical plan without executing mutations") {
     val s = session
     val before = s.store
