@@ -416,6 +416,62 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val psN = intArg(0, Some(16))
         val psD = intArg(1, Some(8))
         GraphAlgorithms.pivotStress(edges, psN, psD)
+      case "graft.closeness" =>
+        // Wasserman–Faust closeness over the reachable set (the g39
+        // digest): (maxDepth, sourceIds...) — integer-pure, ppm-scaled
+        require(c.args.length >= 2,
+          "graft.closeness requires (maxDepth, at least one source id)")
+        import spark.implicits._
+        val clD = intArg(0)
+        require(clD >= 1,
+          s"graft.closeness: maxDepth must be positive, got $clD")
+        val clSrcs = (1 until c.args.length).map(longArg(_))
+        graft.algorithms.Traversals
+          .bfsDistancesPerSource(edges, clSrcs.toDF("id"), clD)
+          .where(col("dist") > 0)
+          .groupBy(col("start_id"))
+          .agg(sum(col("dist")).cast("long").as("sum_dist"),
+            count(lit(1)).as("n_reached"))
+          .withColumn("closeness_ppm",
+            expr("(1000000 * n_reached) div sum_dist"))
+          .select(col("start_id").as("id"), col("sum_dist"),
+            col("n_reached"), col("closeness_ppm"))
+      case "graft.harmonic" =>
+        // harmonic centrality per reached vertex (the g26 digest —
+        // 840 = lcm(1..8), so 840/d is exact for any BFS depth ≤ 8):
+        // (maxDepth, sourceIds...)
+        require(c.args.length >= 2,
+          "graft.harmonic requires (maxDepth, at least one source id)")
+        import spark.implicits._
+        val haD = intArg(0)
+        require(haD >= 1 && haD <= 8,
+          s"graft.harmonic: maxDepth must be in 1..8 (the exact-840 " +
+            s"domain), got $haD")
+        val haSrcs = (1 until c.args.length).map(longArg(_))
+        graft.algorithms.Traversals
+          .bfsDistancesPerSource(edges, haSrcs.toDF("id"), haD)
+          .where(col("dist") > 0)
+          .groupBy(col("id"))
+          .agg(sum(expr("840 div dist")).as("h840"),
+            count(lit(1)).as("n_reached"))
+      case "graft.kreaching" =>
+        // per-target mirror of graft.kReachable (negate-reverse):
+        // (targetId, deadline, floor[, k[, 'timeProp']])
+        nargs(5)
+        import spark.implicits._
+        val (krTid, krDl2, krFloor) = (longArg(0), longArg(1), longArg(2))
+        val krK2 = intArg(3, Some(4))
+        val krProp2 = strArg(4).getOrElse("t")
+        val kre2 = store.allEdges.select(col("src"), col("dst"),
+          get_json_object(col("properties"), "$." + krProp2)
+            .cast("long").as("t"))
+        val krMissing2 = kre2.where(col("t").isNull).count()
+        require(krMissing2 == 0,
+          s"graft.kReaching: $krMissing2 edge(s) missing/non-numeric " +
+            s"time property '$krProp2' — a temporal sweep cannot default " +
+            "an event time")
+        graft.algorithms.TemporalGraph.kReachingCounts(kre2,
+          Seq((krTid, krDl2, krFloor)).toDF("tid", "deadline", "floor"), krK2)
       case "graft.earliestarrival" =>
         // the g35 min-arrival sweep: (sourceId, t0[, 'timeProp']) →
         // (id, arrival) over every vertex the source can reach in time
@@ -494,6 +550,9 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.temporalCloseness(sourceId[, 'timeProp']), " +
         "graft.stress(maxDepth, sourceIds...), " +
         "graft.betweenness(maxDepth, sourceIds...), " +
+        "graft.closeness(maxDepth, sourceIds...), " +
+        "graft.harmonic(maxDepth, sourceIds...), " +
+        "graft.kReaching(targetId, deadline, floor[, k[, 'timeProp']]), " +
         "graft.corpusProfile('dir'), graft.dedupClusters('dir', permille), " +
         "graft.annTopK('dir', k, probeIds...)")
     }

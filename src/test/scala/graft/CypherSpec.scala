@@ -921,6 +921,29 @@ class CypherSpec extends AnyFunSuite {
     val e3 = intercept[Exception](sess.run(
       "CALL graft.betweenness(6) YIELD id RETURN id"))
     assert(e3.getMessage.contains("at least one source"), e3.getMessage)
+    // WF closeness from Alice: dists 1 (Bob) + 2 (Charlie), ppm = 2M div 3
+    val cl = sess.run(
+      s"CALL graft.closeness(6, $alice) " +
+        "YIELD id, sum_dist, n_reached, closeness_ppm " +
+        "RETURN id, sum_dist, n_reached, closeness_ppm")
+    assert(rows(cl) == Seq(Seq(alice, 3L, 2L, 666666L)))
+    // harmonic per reached vertex from Alice + Bob: Bob gets 840 (d = 1
+    // from Alice), Charlie 420 (d = 2 from Alice) + 840 (d = 1 from Bob)
+    val ha = sess.run(
+      s"CALL graft.harmonic(6, $alice, ${Graphid.pack(100, 2)}) " +
+        "YIELD id, h840, n_reached RETURN id, h840, n_reached ORDER BY id")
+    assert(rows(ha) == Seq(
+      Seq(Graphid.pack(100, 2), 840L, 1L),
+      Seq(Graphid.pack(100, 3), 1260L, 2L)))
+    val e4 = intercept[Exception](sess.run(
+      "CALL graft.harmonic(9, 1) YIELD id RETURN id"))
+    assert(e4.getMessage.contains("1..8"), e4.getMessage)
+    // per-target temporal mirror: Charlie is reached by himself (0 hops),
+    // Bob (departs 2021), and Alice (2020 then 2021) by deadline 2021
+    val kr = sess.run(
+      s"CALL graft.kReaching(${Graphid.pack(100, 3)}, 2021, 2020, 4, 'since') " +
+        "YIELD tid, n_reachable RETURN tid, n_reachable")
+    assert(rows(kr) == Seq(Seq(Graphid.pack(100, 3), 3L)))
   }
 
   test("explain renders the physical plan without executing mutations") {
