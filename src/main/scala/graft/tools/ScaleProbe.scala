@@ -1332,6 +1332,23 @@ object ScaleProbe {
       println(f"SCALE axis=tstress-k$k-s$nSrc min=${times.min}%.2f s " +
         times.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
     }
+    // the FP twin at the gate budget: same sweeps + ONE extra (sid, id)
+    // aggregate (the sigma_sw denominator) — expect near-parity with the
+    // k=4, s=3 stress rung above, pinning that the x37 surface adds an
+    // aggregate, not a new cost class
+    val srcs3 = ev.select(col("u")).distinct().orderBy(col("u")).limit(3)
+      .select(col("u").as("sid"), lit(t0).as("t0"))
+    val keepTb = spark.sparkContext.getPersistentRDDs.keySet
+    val tbTimes = (1 to reps).map { _ =>
+      val t0n = System.nanoTime()
+      graft.algorithms.TemporalGraph.temporalBetweenness(te, srcs3, 4).count()
+      val dt = (System.nanoTime() - t0n) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keepTb.contains(id)) rdd.unpersist(false) }
+      dt
+    }
+    println(f"SCALE axis=tbetween-k4-s3 min=${tbTimes.min}%.2f s " +
+      tbTimes.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
   }
 
   /** x16's SKEW axis (r14): the salted join measured against plain
