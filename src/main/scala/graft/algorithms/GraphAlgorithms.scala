@@ -675,9 +675,17 @@ object GraphAlgorithms {
       .orderBy(col("h"), col("id")).limit(nPivots)
       .select(col("id"))
     val nS = math.min(nPivots.toLong, nV)
+    // loud outside the documented stress_S(v)·|V| < 2^63 domain:
+    // try_multiply yields NULL on LONG overflow and raise_error fires in
+    // its place, instead of the silent wrap non-ANSI multiplication
+    // produces (r15 ADVICE); in-domain the product — and so the hashed
+    // estimate — is bit-identical to the plain multiply
     stressCentrality(edges, pivots, maxDepth, broadcastRows)
       .withColumn("stress_est",
-        expr(s"stress * CAST($nV AS BIGINT) div CAST($nS AS BIGINT)"))
+        expr(s"coalesce(try_multiply(stress, CAST($nV AS BIGINT)), " +
+          "CAST(raise_error('pivotStress: stress * |V| overflows LONG " +
+          "— outside the documented exactness domain') AS BIGINT)) " +
+          s"div CAST($nS AS BIGINT)"))
   }
 
   /** Betweenness centrality (Brandes 2001) from a bounded source set —

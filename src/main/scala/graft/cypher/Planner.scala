@@ -138,6 +138,22 @@ final class Planner(spark: SparkSession, store0: GraphStore,
       s"${c.proc} takes at most $max argument(s)")
     def corpusDir(proc: String): String = strArg(0).getOrElse(sys.error(
       s"$proc requires a corpus data directory as its first (string) argument"))
+    // shared by every temporal procedure (r16 hoist of ~9 verbatim
+    // copies): project the edge relation to (src, dst, t) with t read
+    // from JSON property `prop`, failing loudly when any edge lacks a
+    // numeric time — a temporal sweep cannot default an event time
+    // (one bounded pass over the edge relation)
+    def temporalEdges(prop: String, procName: String): DataFrame = {
+      val te = store.allEdges.select(col("src"), col("dst"),
+        get_json_object(col("properties"), "$." + prop)
+          .cast("long").as("t"))
+      val nMissing = te.where(col("t").isNull).count()
+      require(nMissing == 0,
+        s"$procName: $nMissing edge(s) missing/non-numeric " +
+          s"time property '$prop' — a temporal sweep cannot default " +
+          "an event time")
+      te
+    }
     val edges = store.allEdges.select(col("src"), col("dst"))
     val out: DataFrame = c.proc.toLowerCase match {
       case "graft.pagerank" => nargs(1)
@@ -201,11 +217,16 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         // sweeps, coarsen, repeat): arg 1 = max levels, arg 2 = sweeps
         // per level; optional arg 3 names a positive-LONG edge-weight
         // property (the r15 weighted entry — NULL/≤0 weights fail
-        // loudly); yields the flat (id, lbl) partition
+        // loudly); yields the flat (id, lbl) partition. The JSON string
+        // is cast to DOUBLE, not LONG: a string-to-long cast silently
+        // FLOORS a fractional weight ('1.7' → 1), bypassing
+        // weightedClosure's loud non-integral rejection — the double
+        // cast hands it the raw value so the long/double round-trip
+        // check actually sees the fraction (r15 ADVICE)
         val lvWeighted = strArg(2).map { wp =>
           store.allEdges.select(col("src"), col("dst"),
             get_json_object(col("properties"), "$." + wp)
-              .cast("long").as("w"))
+              .cast("double").as("w"))
         }
         GraphAlgorithms.louvainLevels(lvWeighted.getOrElse(edges),
           intArg(0, Some(3)), intArg(1, Some(3)),
@@ -281,14 +302,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         import spark.implicits._
         val (target, deadline) = (longArg(0), longArg(1)) // validate args
         val timeProp = strArg(2).getOrElse("t")           // before scanning
-        val te = store.allEdges.select(col("src"), col("dst"),
-          get_json_object(col("properties"), "$." + timeProp)
-            .cast("long").as("t"))
-        val nMissing = te.where(col("t").isNull).count()
-        require(nMissing == 0,
-          s"graft.latestDeparture: $nMissing edge(s) missing/non-numeric " +
-            s"time property '$timeProp' — a temporal sweep cannot default " +
-            "an event time")
+        val te = temporalEdges(timeProp, "graft.latestDeparture")
         graft.algorithms.TemporalGraph.latestDeparture(te,
           Seq((target, deadline)).toDF("id", "deadline"))
       case "graft.fastestduration" =>
@@ -308,12 +322,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           .cast("long").as("t")
         strArg(2) match {
           case None =>
-            val fte = store.allEdges.select(col("src"), col("dst"), fdT)
-            val fdMissing = fte.where(col("t").isNull).count()
-            require(fdMissing == 0,
-              s"graft.fastestDuration: $fdMissing edge(s) missing/non-numeric " +
-                s"time property '$fdProp' — a temporal sweep cannot default " +
-                "an event time")
+            val fte = temporalEdges(fdProp, "graft.fastestDuration")
             graft.algorithms.TemporalGraph.fastestDurations(fte,
               Seq(source).toDF("sid")).drop("sid")
           case Some(wk) =>
@@ -337,14 +346,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val fhSource = longArg(0)
         val fhK = intArg(1, Some(8))
         val fhProp = strArg(2).getOrElse("t")
-        val fhe = store.allEdges.select(col("src"), col("dst"),
-          get_json_object(col("properties"), "$." + fhProp)
-            .cast("long").as("t"))
-        val fhMissing = fhe.where(col("t").isNull).count()
-        require(fhMissing == 0,
-          s"graft.fewestHops: $fhMissing edge(s) missing/non-numeric " +
-            s"time property '$fhProp' — a temporal sweep cannot default " +
-            "an event time")
+        val fhe = temporalEdges(fhProp, "graft.fewestHops")
         val fhT0Row = fhe.agg(min(col("t"))).head()
         require(!fhT0Row.isNullAt(0),
           "graft.fewestHops: the store has no edges to sweep")
@@ -361,14 +363,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val (krSrc, krT0, krDl) = (longArg(0), longArg(1), longArg(2))
         val krK = intArg(3, Some(4))
         val krProp = strArg(4).getOrElse("t")
-        val kre = store.allEdges.select(col("src"), col("dst"),
-          get_json_object(col("properties"), "$." + krProp)
-            .cast("long").as("t"))
-        val krMissing = kre.where(col("t").isNull).count()
-        require(krMissing == 0,
-          s"graft.kReachable: $krMissing edge(s) missing/non-numeric " +
-            s"time property '$krProp' — a temporal sweep cannot default " +
-            "an event time")
+        val kre = temporalEdges(krProp, "graft.kReachable")
         graft.algorithms.TemporalGraph.kReachableCounts(kre,
           Seq((krSrc, krT0, krDl)).toDF("sid", "t0", "deadline"), krK)
       case "graft.temporalstress" =>
@@ -379,14 +374,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val (tsSrc, tsT0) = (longArg(0), longArg(1))
         val tsK = intArg(2, Some(4))
         val tsProp = strArg(3).getOrElse("t")
-        val tse = store.allEdges.select(col("src"), col("dst"),
-          get_json_object(col("properties"), "$." + tsProp)
-            .cast("long").as("t"))
-        val tsMissing = tse.where(col("t").isNull).count()
-        require(tsMissing == 0,
-          s"graft.temporalStress: $tsMissing edge(s) missing/non-numeric " +
-            s"time property '$tsProp' — a temporal sweep cannot default " +
-            "an event time")
+        val tse = temporalEdges(tsProp, "graft.temporalStress")
         graft.algorithms.TemporalGraph.temporalStress(tse,
           Seq((tsSrc, tsT0)).toDF("sid", "t0"), tsK)
       case "graft.temporalbetweenness" =>
@@ -398,14 +386,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val (tbSrc, tbT0) = (longArg(0), longArg(1))
         val tbK = intArg(2, Some(4))
         val tbProp = strArg(3).getOrElse("t")
-        val tbe = store.allEdges.select(col("src"), col("dst"),
-          get_json_object(col("properties"), "$." + tbProp)
-            .cast("long").as("t"))
-        val tbMissing = tbe.where(col("t").isNull).count()
-        require(tbMissing == 0,
-          s"graft.temporalBetweenness: $tbMissing edge(s) missing/non-numeric " +
-            s"time property '$tbProp' — a temporal sweep cannot default " +
-            "an event time")
+        val tbe = temporalEdges(tbProp, "graft.temporalBetweenness")
         graft.algorithms.TemporalGraph.temporalBetweenness(tbe,
           Seq((tbSrc, tbT0)).toDF("sid", "t0"), tbK)
       case "graft.pivotstress" =>
@@ -462,14 +443,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val (krTid, krDl2, krFloor) = (longArg(0), longArg(1), longArg(2))
         val krK2 = intArg(3, Some(4))
         val krProp2 = strArg(4).getOrElse("t")
-        val kre2 = store.allEdges.select(col("src"), col("dst"),
-          get_json_object(col("properties"), "$." + krProp2)
-            .cast("long").as("t"))
-        val krMissing2 = kre2.where(col("t").isNull).count()
-        require(krMissing2 == 0,
-          s"graft.kReaching: $krMissing2 edge(s) missing/non-numeric " +
-            s"time property '$krProp2' — a temporal sweep cannot default " +
-            "an event time")
+        val kre2 = temporalEdges(krProp2, "graft.kReaching")
         graft.algorithms.TemporalGraph.kReachingCounts(kre2,
           Seq((krTid, krDl2, krFloor)).toDF("tid", "deadline", "floor"), krK2)
       case "graft.earliestarrival" =>
@@ -479,14 +453,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         import spark.implicits._
         val (eaSrc, eaT0) = (longArg(0), longArg(1))
         val eaProp = strArg(2).getOrElse("t")
-        val eae = store.allEdges.select(col("src"), col("dst"),
-          get_json_object(col("properties"), "$." + eaProp)
-            .cast("long").as("t"))
-        val eaMissing = eae.where(col("t").isNull).count()
-        require(eaMissing == 0,
-          s"graft.earliestArrival: $eaMissing edge(s) missing/non-numeric " +
-            s"time property '$eaProp' — a temporal sweep cannot default " +
-            "an event time")
+        val eae = temporalEdges(eaProp, "graft.earliestArrival")
         graft.algorithms.TemporalGraph.earliestArrival(eae,
           Seq((eaSrc, eaT0)).toDF("id", "t0"))
       case "graft.temporalcloseness" =>
@@ -496,14 +463,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         import spark.implicits._
         val tcSrc = longArg(0)
         val tcProp = strArg(1).getOrElse("t")
-        val tce = store.allEdges.select(col("src"), col("dst"),
-          get_json_object(col("properties"), "$." + tcProp)
-            .cast("long").as("t"))
-        val tcMissing = tce.where(col("t").isNull).count()
-        require(tcMissing == 0,
-          s"graft.temporalCloseness: $tcMissing edge(s) missing/non-numeric " +
-            s"time property '$tcProp' — a temporal sweep cannot default " +
-            "an event time")
+        val tce = temporalEdges(tcProp, "graft.temporalCloseness")
         graft.algorithms.TemporalGraph.temporalCloseness(tce,
           Seq(tcSrc).toDF("sid"))
       case "graft.stress" =>

@@ -123,7 +123,10 @@ object EventStreams {
     * order-free integer sums, so the streamed sketch is bit-exact
     * against the batch construction no matter where the micro-batch
     * cuts fall. Finish heavy-hitter estimates batch-side with
-    * [[finishCountMin]] over the (tiny) sketch relation.
+    * [[finishCountMin]] over the (tiny) sketch relation. The build
+    * parameters ride along as literal columns so the finisher can
+    * reject ANY shape mismatch — including a narrower build, which
+    * counter positions alone cannot reveal (r15 ADVICE).
     */
   def countMinSketch(events: DataFrame, depth: Int = 4,
       width: Int = 256): DataFrame =
@@ -133,6 +136,8 @@ object EventStreams {
       .select(col("r"), (graft.pipeline.TextHash.h32(
         concat(col("r").cast("string"), lit("|"), col("tok"))) % width).as("b"))
       .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      .withColumn("depth", lit(depth))
+      .withColumn("width", lit(width))
 
   /** Batch finisher for [[countMinSketch]]: the exact top-k users (by
     * count, tie-broken on the id string) with the sketch's MIN-estimate
@@ -145,16 +150,22 @@ object EventStreams {
     import org.apache.spark.sql.expressions.Window
     // depth/width MUST match the sketch's build parameters or the bucket
     // lookup joins foreign counters and min() can UNDERSTATE — the one
-    // guarantee Count-Min makes. The counters pin depth exactly (row ids
-    // are 0..depth-1) and bound width from below (a build width larger
-    // than `width` almost surely left a counter at b >= width); a
-    // NARROWER build cannot be detected from counters alone — documented.
-    val shape = sketch.agg(max(col("r")), max(col("b"))).head()
-    val seenDepth = if (shape.isNullAt(0)) "none" else s"${shape.getInt(0) + 1}"
-    require(!shape.isNullAt(0) && shape.getInt(0) == depth - 1,
-      s"finishCountMin: sketch depth $seenDepth != $depth")
-    require(shape.getLong(1) < width,
-      s"finishCountMin: sketch has bucket ${shape.getLong(1)} >= width $width")
+    // guarantee Count-Min makes. The sketch relation records its build
+    // shape as literal columns (r15 ADVICE), so the finisher requires an
+    // EXACT match — catching a narrower build too, which counter
+    // positions alone cannot reveal (max(r)/max(b) only bound from
+    // below). min==max also rejects a union of differently-shaped
+    // sketches masquerading as one.
+    require(sketch.columns.contains("depth") && sketch.columns.contains("width"),
+      "finishCountMin: sketch relation lacks its recorded depth/width " +
+        "build parameters — build it with countMinSketch")
+    val shape = sketch.agg(min(col("depth")), max(col("depth")),
+      min(col("width")), max(col("width"))).head()
+    require(!shape.isNullAt(0), "finishCountMin: the sketch is empty")
+    require(shape.getInt(0) == depth && shape.getInt(1) == depth,
+      s"finishCountMin: sketch depth ${shape.getInt(0)} != $depth")
+    require(shape.getInt(2) == width && shape.getInt(3) == width,
+      s"finishCountMin: sketch width ${shape.getInt(2)} != $width")
     val depthRows = array((0 until depth).map(lit): _*)
     def bucket(r: Column, tok: Column): Column =
       graft.pipeline.TextHash.h32(

@@ -145,6 +145,15 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(p2a.forall { case (_, (st, est)) => est == st * 5L / 2L })
     // per-pivot sums never exceed the all-sources total
     assert(p2a.forall { case (id, (st, _)) => st <= full(id) })
+    // the estimate's overflow guard (r15 ADVICE): in-domain,
+    // try_multiply equals the plain product (pinned above — every est
+    // matched stress * |V| div |S|); out-of-domain it yields NULL and
+    // the raise_error arm fires loudly instead of a silent Long wrap
+    val boom = intercept[Exception] {
+      spark.sql("SELECT coalesce(try_multiply(9223372036854775807, 2), " +
+        "CAST(raise_error('stress overflow') AS BIGINT)) AS v").collect()
+    }
+    assert(boom.getMessage.contains("stress overflow"), boom.getMessage)
   }
 
   test("betweennessCentrality: diamond DAG, hand-computed Brandes deltas") {

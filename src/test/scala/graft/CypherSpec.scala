@@ -877,6 +877,14 @@ class CypherSpec extends AnyFunSuite {
     val e3 = intercept[Exception](sess.run(
       "CALL graft.louvain(1, 1, 'nope') YIELD id RETURN id"))
     assert(e3.getMessage.contains("non-positive"), e3.getMessage)
+    // a FRACTIONAL weight fails loudly too (r15 ADVICE): the CALL
+    // surface casts the JSON string to DOUBLE — a LONG cast would
+    // silently floor 2.5 to 2, bypassing weightedClosure's advertised
+    // non-integral rejection and quietly rewriting degree sums
+    sess.run("CREATE (f1:F {k: 1})-[:KNOWS {since: 2.5}]->(f2:F {k: 2})")
+    val e4 = intercept[Exception](sess.run(
+      "CALL graft.louvain(1, 1, 'since') YIELD id RETURN id"))
+    assert(e4.getMessage.contains("non-integral"), e4.getMessage)
   }
 
   test("CALL graft.earliestArrival / temporalCloseness / stress / betweenness surfaces") {
