@@ -115,6 +115,9 @@ object Multimodal {
       .when(hex(payload.substr(lit(1), lit(4))) === "47494638", "gif")
       .when(hex(payload.substr(lit(1), lit(4))) === "52494646", "riff")
       .when(hex(payload.substr(lit(1), lit(5))) === "255044462D", "pdf")
+      // ISO-BMFF: a leading 'ftyp' box — the fourcc sits at byte 5,
+      // after the box's BE32 size (r16, the video leg of the triad)
+      .when(hex(payload.substr(lit(5), lit(4))) === "66747970", "mp4")
       .otherwise("unknown")
 
   /** PNG pixel dimensions from the IHDR chunk — REAL header parsing (not
@@ -168,6 +171,98 @@ object Multimodal {
     (walked.getField("w"), walked.getField("h"))
   }
 
+  /** Generic container-chunk walk — the shared primitive of the MP4 box
+    * walk and the RIFF chunk walk (r16): step through `[header][payload]`
+    * chunks from 1-based `start`, returning the position of the first
+    * chunk whose fourcc (read by `fourccAt`) equals `targetHex`, NULL
+    * when the budget runs out or the walk dies (truncated size read, or
+    * a non-advancing step — both park the position at NULL so every
+    * later read reports unknown, never a number from garbage bytes).
+    * ONE `aggregate` higher-order fold over `maxChunks` steps — the
+    * [[jpegDims]] discipline: the expression tree stays LINEAR in the
+    * budget (a naive unroll re-nests the position column per step —
+    * exponential), and the whole walk is codegen'd byte-slice builtins.
+    */
+  private def chunkWalk(payload: Column, start: Column, targetHex: String,
+      maxChunks: Int, fourccAt: Column => Column,
+      nextAt: Column => Column): Column = {
+    val init = struct(start.cast("long").as("pos"), lit(false).as("found"))
+    val len = length(payload).cast("long")
+    val walked = aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      init,
+      (st, _) => {
+        val pos = st.getField("pos")
+        val found = st.getField("found")
+        // a corrupt size can carry pos past the payload (or past 2^31,
+        // where substr's int cast would error): range-check BEFORE any
+        // read — &&/when short-circuit, so out-of-range bytes are never
+        // touched and the walk parks at NULL
+        val inRange = coalesce(pos >= 1L && pos + 7L <= len, lit(false))
+        val hit = inRange && fourccAt(pos) === targetHex
+        val nxt = when(inRange, nextAt(pos))
+        // a chunk must advance past its own 8-byte header: anything
+        // shorter is corrupt and would loop or misalign every later read
+        val dead = !inRange || nxt.isNull || nxt < pos + 8L
+        struct(
+          when(found || hit, pos)
+            .when(dead, lit(null).cast("long"))
+            .otherwise(nxt).as("pos"),
+          (found || hit).as("found"))
+      })
+    when(walked.getField("found"), walked.getField("pos"))
+  }
+
+  /** MP4/ISO-BMFF movie metadata — REAL container parsing, the video leg
+    * of the [[pngDims]]/[[jpegDims]]/[[wavMeta]] triad (r16): boxes are
+    * `[BE32 size][fourcc]` with size INCLUDING the header, so the walk
+    * steps `pos + size`. One top-level walk finds `moov`, one child walk
+    * inside it finds `mvhd`, then timescale/duration are plain BE reads
+    * at the version-dependent offsets (version 0: BE32s at +20/+24;
+    * version 1 widens creation/modification to 64 bits, pushing
+    * timescale/duration to +28/+32 with an 8-byte duration). Returns
+    * (timescale, duration) — NULL on anything that is not a walkable
+    * ISO-BMFF tree (route-then-decode, like the image parsers).
+    * Exactness domain: duration < 2^63 (a v1 duration at or above it
+    * wraps the LONG — no real container is within 10^5× of that).
+    */
+  def mp4Meta(payload: Column, maxBoxes: Int = 8): (Column, Column) = {
+    def cc(p: Column) = hex(payload.substr((p + 4L).cast("int"), lit(4)))
+    def next(p: Column) = p + beUInt(payload, p, 4)
+    val moov = chunkWalk(payload, lit(1L), "6D6F6F76", maxBoxes, cc, next)
+    val mvhd = chunkWalk(payload, moov + 8L, "6D766864", maxBoxes, cc, next)
+    val v = beUInt(payload, mvhd + 8L, 1)
+    (when(v === 0L, beUInt(payload, mvhd + 20L, 4))
+       .when(v === 1L, beUInt(payload, mvhd + 28L, 4)),
+      when(v === 0L, beUInt(payload, mvhd + 24L, 4))
+        .when(v === 1L, beUInt(payload, mvhd + 32L, 8)))
+  }
+
+  /** Video-metadata extraction over opaque binary payloads (the m7 gate):
+    * format sniff plus the MP4 moov/mvhd read — (format, timescale,
+    * duration, duration_ms, payload_bytes), NULL video fields on anything
+    * that is not ISO-BMFF. duration_ms finishes the read-off with the one
+    * documented integer ratio (duration · 1000) div timescale —
+    * try_multiply + raise_error keeps the product loud outside the LONG
+    * domain (the pivotStress guard discipline).
+    */
+  def videoMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    val (ts, dur) = mp4Meta(p)
+    df.withColumn("format", sniffFormat(p))
+      .withColumn("timescale", when(col("format") === "mp4", ts))
+      .withColumn("duration", when(col("format") === "mp4", dur))
+      .withColumn("duration_ms", expr(
+        // the NOT NULL guard keeps raise_error for genuine overflow only
+        // (try_multiply of a NULL duration is NULL-in, not overflow)
+        "CASE WHEN timescale > 0 AND duration IS NOT NULL THEN " +
+          "coalesce(try_multiply(duration, 1000L), " +
+          "CAST(raise_error('videoMeta: duration * 1000 overflows LONG') " +
+          "AS BIGINT)) div timescale END"))
+      .withColumn("payload_bytes", length(p).cast("long"))
+      .drop(payloadCol)
+  }
+
   /** Little-endian unsigned read — RIFF-family containers (WAV/AVI) store
     * multi-byte fields least-significant first. Composed from single-byte
     * reads (hex-reversing a slice would need a binary reverse Spark lacks);
@@ -185,12 +280,58 @@ object Multimodal {
     * per sample (LE16 @35), all 1-based offsets. Non-WAV or non-canonical
     * payloads yield NULLs — route-then-decode, like the image parsers.
     */
-  def wavMeta(payload: Column): (Column, Column, Column) = {
-    val isWav = hex(payload.substr(lit(1), lit(4))) === "52494646" &&
+  private def isCanonicalWav(payload: Column): Column =
+    hex(payload.substr(lit(1), lit(4))) === "52494646" &&
       hex(payload.substr(lit(9), lit(8))) === "57415645666D7420" // WAVEfmt_
+
+  def wavMeta(payload: Column): (Column, Column, Column) = {
+    val isWav = isCanonicalWav(payload)
     (when(isWav, leUInt(payload, lit(23), 2)),
       when(isWav, leUInt(payload, lit(25), 4)),
       when(isWav, leUInt(payload, lit(35), 2)))
+  }
+
+  /** WAV data-chunk read-off (r16, extending [[wavMeta]]'s fixed-offset
+    * fmt parse with a REAL chunk walk): RIFF chunks are
+    * `[fourcc][LE32 size]` with the size EXCLUDING the 8-byte header and
+    * odd sizes padded to even (the RIFF word-alignment rule — the walk
+    * steps `pos + 8 + size + size%2`), so `data` need not sit at the
+    * canonical offset 37: LIST/fact/cue chunks between fmt and data are
+    * skipped by size, exactly as a real decoder does. Returns
+    * (data_bytes, byte_rate) — data payload length from the walked data
+    * chunk, bytes/second from the fmt chunk — NULL on non-canonical-WAV
+    * payloads; the caller finishes duration_ms = (data_bytes · 1000)
+    * div byte_rate (exact integer, no overflow: data_bytes < 2^32).
+    */
+  def wavData(payload: Column, maxChunks: Int = 8): (Column, Column) = {
+    val isWav = isCanonicalWav(payload)
+    // chunks start at byte 13, after the RIFF/size/WAVE preamble
+    val dataPos = chunkWalk(payload, lit(13L), "64617461", maxChunks,
+      p => hex(payload.substr(p.cast("int"), lit(4))),
+      p => {
+        val sz = leUInt(payload, p + 4L, 4)
+        p + 8L + sz + sz % 2L
+      })
+    (when(isWav, leUInt(payload, dataPos + 4L, 4)),
+      when(isWav, leUInt(payload, lit(29), 4)))
+  }
+
+  /** Audio duration extraction over opaque binary payloads (the m8 gate,
+    * the duration sibling of [[audioMeta]]): format sniff, the walked
+    * data-chunk byte count, the fmt byte rate, and the finished
+    * duration_ms = (data_bytes · 1000) div byte_rate — all exact integer
+    * reads, NULL fields on anything that is not canonical WAV.
+    */
+  def audioDuration(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    val (dataBytes, byteRate) = wavData(p)
+    df.withColumn("format", sniffFormat(p))
+      .withColumn("data_bytes", dataBytes)
+      .withColumn("byte_rate", byteRate)
+      .withColumn("duration_ms", expr(
+        "CASE WHEN byte_rate > 0 THEN (data_bytes * 1000) div byte_rate END"))
+      .withColumn("payload_bytes", length(p).cast("long"))
+      .drop(payloadCol)
   }
 
   /** Audio-metadata extraction over opaque binary payloads (the m5 gate):

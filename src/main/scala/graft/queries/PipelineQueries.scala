@@ -20,6 +20,14 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Little-endian hex rendering of an integer column at a fixed byte
+    * width — the m8 craft-side mirror of Multimodal.leUInt (byte pairs of
+    * the zero-padded big-endian hex, reversed). */
+  private def leHex(v: Column, bytes: Int): Column = {
+    val h = lpad(hex(v), bytes * 2, "0")
+    concat((bytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*)
+  }
+
   private val K = 16
   private val BANDS = 4
   private val NGRAM = 3
@@ -312,6 +320,68 @@ object PipelineQueries {
           docs(s, dir).withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload", 16, 3)
         .orderBy(col("survivor_id"))),
+
+    // Video metadata extraction (r16, completing the image/audio/video
+    // triad): the m3/m5 encode -> parse identity for MP4/ISO-BMFF —
+    // payloads carry REAL box trees (ftyp, a top-level free box, then
+    // moov{free, mvhd}) with timescale/duration from doc_id arithmetic,
+    // in BOTH mvhd versions: v0 (BE32 times, doc_id % 4 == 0) and v1
+    // (64-bit times push timescale/duration 8 bytes deeper,
+    // doc_id % 4 == 2). The free boxes force REAL walks at both levels;
+    // odd doc_ids stay raw text -> NULL fields. The oracle replays the
+    // arithmetic; the v0/v1 header-size split (68 vs 80 bytes) in
+    // payload_bytes proves both version paths parsed.
+    "m7_video_meta" -> ((s, dir) => {
+      val tsv = ((col("doc_id") % 7 + 1) * 600).cast("long")
+      val durv = (col("doc_id") % 90000 + 600).cast("long")
+      val text = col("text").cast("binary")
+      val ftypFree = unhex(lit("00000010" + "66747970" + "69736F6D"
+        + "00000200" + "00000008" + "66726565"))
+      val mp4v0 = concat(ftypFree,
+        unhex(lit("0000002C" + "6D6F6F76" + "00000008" + "66726565"
+          + "0000001C" + "6D766864" + "00000000" + "00000000" + "00000000")),
+        unhex(lpad(hex(tsv), 8, "0")), unhex(lpad(hex(durv), 8, "0")), text)
+      val mp4v1 = concat(ftypFree,
+        unhex(lit("00000038" + "6D6F6F76" + "00000008" + "66726565"
+          + "00000028" + "6D766864" + "01000000"
+          + "0000000000000000" + "0000000000000000")),
+        unhex(lpad(hex(tsv), 8, "0")), unhex(lpad(hex(durv), 16, "0")), text)
+      val payload = when(col("doc_id") % 4 === 0, mp4v0)
+        .when(col("doc_id") % 4 === 2, mp4v1)
+        .otherwise(text)
+      Multimodal.videoMeta(
+          docs(s, dir).select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .orderBy(col("doc_id"))
+    }),
+
+    // WAV duration read-off (r16): m5's fixed-offset fmt parse extended
+    // with a REAL RIFF chunk walk — a 5-byte LIST chunk (odd size, so
+    // the word-alignment pad rule is on the hashed path) sits between
+    // fmt and data, forcing the walk to step by size instead of
+    // assuming the canonical offset 37. duration_ms finishes as the
+    // exact integer (data_bytes * 1000) div byte_rate; odd doc_ids stay
+    // raw text -> NULL fields.
+    "m8_audio_duration" -> ((s, dir) => {
+      val ch = (col("doc_id") % 4 + 1).cast("long")
+      val rate = ((col("doc_id") % 5 + 1) * 8000).cast("long")
+      val bps = (col("doc_id") % 3 + 1).cast("long") // bytes/sample
+      val text = col("text").cast("binary")
+      val wav = concat(
+        lit("RIFF").cast("binary"), unhex(leHex(lit(50L) + length(text), 4)),
+        lit("WAVEfmt ").cast("binary"), unhex(lit("10000000" + "0100")),
+        unhex(leHex(ch, 2)), unhex(leHex(rate, 4)),
+        unhex(leHex(rate * ch * bps, 4)), unhex(leHex(ch * bps, 2)),
+        unhex(leHex(bps * 8, 2)),
+        lit("LIST").cast("binary"), unhex(leHex(lit(5L), 4)),
+        lit("INFOx").cast("binary"), unhex(lit("00")), // 5 bytes + 1 pad
+        lit("data").cast("binary"), unhex(leHex(length(text), 4)), text)
+      val payload = when(col("doc_id") % 2 === 0, wav).otherwise(text)
+      Multimodal.audioDuration(
+          docs(s, dir).select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .orderBy(col("doc_id"))
+    }),
 
     "t7_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
@@ -1030,6 +1100,43 @@ object PipelineQueries {
         |       THEN (doc_id % 3 + 1) * 8 END AS BIGINT) AS bits_per_sample,
         |  CAST(strlen(text) + CASE WHEN doc_id % 2 = 0
         |       THEN 44 ELSE 0 END AS BIGINT) AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m7_video_meta" ->
+      // the BMFF arithmetic identity: both mvhd versions carry the same
+      // doc_id-derived timescale/duration; the header-size split in
+      // payload_bytes (68 v0 / 80 v1) pins that BOTH version paths
+      // actually parsed; duration_ms is the exact integer ratio
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN (doc_id % 7 + 1) * 600 END AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN doc_id % 90000 + 600 END AS BIGINT) AS duration,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN ((doc_id % 90000 + 600) * 1000)
+        |            // ((doc_id % 7 + 1) * 600) END AS BIGINT) AS duration_ms,
+        |  CAST(strlen(text) + CASE WHEN doc_id % 4 = 0 THEN 68
+        |       WHEN doc_id % 4 = 2 THEN 80 ELSE 0 END AS BIGINT)
+        |    AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m8_audio_duration" ->
+      // the walked-data-chunk identity: data_bytes = the text length the
+      // craft wrote into the LE32 size field, byte_rate = the fmt-chunk
+      // product, duration_ms their exact integer ratio; header = 36
+      // (RIFF/fmt) + 14 (LIST 5 + pad) + 8 (data hdr) = 58 bytes
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'riff' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN strlen(text) END AS BIGINT) AS data_bytes,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN ((doc_id % 5 + 1) * 8000) * (doc_id % 4 + 1)
+        |            * (doc_id % 3 + 1) END AS BIGINT) AS byte_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN (strlen(text) * 1000)
+        |            // (((doc_id % 5 + 1) * 8000) * (doc_id % 4 + 1)
+        |               * (doc_id % 3 + 1)) END AS BIGINT) AS duration_ms,
+        |  CAST(strlen(text) + CASE WHEN doc_id % 2 = 0
+        |       THEN 58 ELSE 0 END AS BIGINT) AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m6_binary_clusters" ->
       // the m4 signature replay + d7's transitive-closure tail (min

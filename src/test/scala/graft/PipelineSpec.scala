@@ -319,6 +319,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(hx("52494646").sameElements("RIFF".getBytes)) // helper sanity
   }
 
+  test("video metadata: MP4 box walk, both mvhd versions, moov-last, corrupt sizes") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be32(v: Long) = hx(f"$v%08X")
+    def be64(v: Long) = hx(f"$v%016X")
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0x200)
+    def mvhd0(ts: Long, dur: Long) = be32(28) ++ "mvhd".getBytes ++
+      hx("00000000" + "00000000" + "00000000") ++ be32(ts) ++ be32(dur)
+    def mvhd1(ts: Long, dur: Long) = be32(40) ++ "mvhd".getBytes ++
+      hx("01000000") ++ be64(0) ++ be64(0) ++ be32(ts) ++ be64(dur)
+    // v0 with free boxes at BOTH levels: the walks must step by size
+    val v0 = ftyp ++ (be32(8) ++ "free".getBytes) ++
+      (be32(44) ++ "moov".getBytes ++ be32(8) ++ "free".getBytes ++
+        mvhd0(600, 3000)) ++ "tail".getBytes
+    // v1 with a duration past 2^32 — proves the 8-byte BE read
+    val v1 = ftyp ++ (be32(56) ++ "moov".getBytes ++ be32(8) ++
+      "free".getBytes ++ mvhd1(600, 4294967297L))
+    // moov LAST, after a large mdat — the layout real encoders emit;
+    // the top-level walk must skip the whole mdat by its size
+    val body = Array.fill(100)(0x5A.toByte)
+    val moovLast = ftyp ++ (be32(8L + body.length) ++ "mdat".getBytes ++
+      body) ++ (be32(36) ++ "moov".getBytes ++ mvhd0(1000, 2500))
+    // truncated mid-duration: timescale reads, duration must be NULL
+    val full = ftyp ++ (be32(36) ++ "moov".getBytes ++ mvhd0(700, 999))
+    val trunc = full.take(full.length - 2)
+    // corrupt child size (< 8): the child walk dies, never loops
+    val corrupt = ftyp ++ (be32(20) ++ "moov".getBytes ++
+      be32(3) ++ "junk".getBytes ++ be32(0))
+    // moov buried past the 8-box budget: NULLs, bounded cost
+    val deep = ftyp ++ (1 to 8).flatMap(_ => be32(8) ++ "free".getBytes)
+      .toArray ++ (be32(36) ++ "moov".getBytes ++ mvhd0(1, 1))
+    val raw = "not a container".getBytes
+    val df = Seq((0L, v0), (1L, v1), (2L, moovLast), (3L, trunc),
+      (4L, corrupt), (5L, deep), (6L, raw)).toDF("doc_id", "payload")
+    val got = graft.pipeline.Multimodal.videoMeta(df, "payload").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(0L) == ("mp4", Some(600L), Some(3000L), Some(5000L)))
+    assert(got(1L) == ("mp4", Some(600L), Some(4294967297L),
+      Some(4294967297000L / 600L)))
+    assert(got(2L) == ("mp4", Some(1000L), Some(2500L), Some(2500L)))
+    assert(got(3L) == ("mp4", Some(700L), None, None), got(3L).toString)
+    assert(got(4L) == ("mp4", None, None, None))
+    assert(got(5L) == ("mp4", None, None, None))
+    assert(got(6L) == ("unknown", None, None, None))
+  }
+
+  test("audio duration: RIFF chunk walk to data, odd-size pad, corrupt size dies") {
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Long) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def fmt(rate: Int, ch: Int, bits: Int) = "WAVEfmt ".getBytes ++
+      le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+      le32(rate.toLong * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+    // canonical: data right after fmt — 4 data bytes at 176400 B/s
+    val wav = "RIFF".getBytes ++ le32(40) ++ fmt(44100, 2, 16) ++
+      "data".getBytes ++ le32(4) ++ "abcd".getBytes
+    // an odd-size LIST chunk between fmt and data: the walk must apply
+    // the RIFF word-alignment pad (5 content bytes + 1 pad byte)
+    val listed = "RIFF".getBytes ++ le32(54) ++ fmt(8000, 1, 8) ++
+      "LIST".getBytes ++ le32(5) ++ "INFOx".getBytes ++ Array[Byte](0) ++
+      "data".getBytes ++ le32(16000) // 16000 B at 8000 B/s = 2000 ms
+    // corrupt LIST size walks past the end: data_bytes must be NULL
+    val corrupt = "RIFF".getBytes ++ le32(54) ++ fmt(8000, 1, 8) ++
+      "LIST".getBytes ++ le32(0x7FFFFFF0L) ++ "data".getBytes ++ le32(4)
+    val raw = "plain".getBytes
+    val df = Seq((0L, wav), (1L, listed), (2L, corrupt), (3L, raw))
+      .toDF("doc_id", "payload")
+    val got = graft.pipeline.Multimodal.audioDuration(df, "payload").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(0L) == ("riff", Some(4L), Some(176400L), Some(0L)))
+    assert(got(1L) == ("riff", Some(16000L), Some(8000L), Some(2000L)))
+    assert(got(2L) == ("riff", None, Some(8000L), None), got(2L).toString)
+    assert(got(3L) == ("unknown", None, None, None))
+  }
+
   test("binary near-dup: banded byte-chunk SimHash equals brute force, finds planted pair") {
     import org.apache.spark.sql.functions._
     // A and B share 15 of 16 chunks (one byte flipped in one chunk);
