@@ -404,6 +404,63 @@ object TextAnalysis {
           phonePattern, "<PHONE>"))
   }
 
+  /** Additional PII span shapes (r16): dotted-quad IPv4 with exact octet
+    * ranges, and 16-digit card numbers in the common 4×4 grouping
+    * (spaces/dashes allowed). Both RE2-compatible — no backreferences —
+    * so the DuckDB oracle applies the identical strings.
+    */
+  val ipv4Pattern: String =
+    "\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])" +
+      "(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b"
+  val ccPattern: String = "\\b[0-9]{4}([- ]?[0-9]{4}){3}\\b"
+
+  /** Mod-10 Luhn checksum over a non-empty all-digit string column: from
+    * the RIGHT, every second digit doubles (minus 9 past 9), and a valid
+    * number sums to 0 mod 10. One integer `aggregate` fold — codegen'd,
+    * no UDF, and replayable as unrolled SQL terms at a fixed length.
+    */
+  def luhnChecksum(digits: Column): Column =
+    aggregate(
+      sequence(lit(1), length(digits)),
+      lit(0L),
+      (acc, i) => {
+        val d = (ascii(digits.substr(i, lit(1))) - 48).cast("long")
+        val doubled = (length(digits) - i) % 2 === 1
+        acc + when(doubled, d * 2L - when(d >= 5L, 9L).otherwise(0L))
+          .otherwise(d)
+      }) % 10
+
+  /** Extended PII scrubbing (r16): emails, Luhn-VALID card numbers, IPv4
+    * addresses, then phone-shaped digit runs — in that order, each pass
+    * over the previous pass's output so every count is unambiguous. Card
+    * candidates come from [[ccPattern]] and only spans whose digits pass
+    * the Luhn check are redacted (the check is real arithmetic over the
+    * bytes, not a doc-id oracle); failing candidates fall through to the
+    * phone pass, which naturally swallows digit runs — deterministic
+    * either way. Everything is codegen'd regex + HOF folds over the text
+    * column: map-only, runs at scan speed at any corpus size.
+    */
+  def redactPiiExtended(df: DataFrame, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), emailPattern, "<EMAIL>")
+    val ccValid = filter(
+      regexp_extract_all(afterEmail, lit(ccPattern), lit(0)),
+      c => luhnChecksum(regexp_replace(c, "[^0-9]", "")) === 0L)
+    // distinct spans only for the replace fold (replace is
+    // all-occurrences, so a duplicate span needs one pass, not two);
+    // n_ccs still counts every valid MATCH
+    val afterCc = aggregate(array_distinct(ccValid), afterEmail,
+      (t, c) => replace(t, c, lit("<CC>")))
+    val afterIp = regexp_replace(afterCc, ipv4Pattern, "<IP>")
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0))))
+      .withColumn("n_ccs", size(ccValid))
+      .withColumn("n_ips",
+        size(regexp_extract_all(afterCc, lit(ipv4Pattern), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(afterIp, lit(phonePattern), lit(0))))
+      .withColumn("redacted", regexp_replace(afterIp, phonePattern, "<PHONE>"))
+  }
+
   /** Sliding-window chunking: split each document's token stream into
     * overlapping context windows of `chunkTokens` tokens advancing by
     * `stride` — the retrieval/context-window preparation step. One row per

@@ -483,6 +483,42 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Extended PII scrubbing (r16): IPv4 and Luhn-checked card spans on
+    // top of t11's email/phone pass. Injected spans are doc_id-derived —
+    // the 16 card digits come from a hash-mix, so Luhn validity VARIES
+    // across rows and both engines must compute the mod-10 arithmetic
+    // over the bytes (engine: one integer HOF fold; oracle: the 16
+    // unrolled terms); invalid cards fall through to the phone pass.
+    // The per-source checksum proves the redaction byte-for-byte.
+    "t20_redaction_extended" -> ((s, dir) => {
+      val ccs = lpad(((col("doc_id") * 2654435761L) % 10000000000000000L)
+        .cast("string"), 16, "0")
+      val ccFmt = concat(substring(ccs, 1, 4), lit(" "),
+        substring(ccs, 5, 4), lit(" "), substring(ccs, 9, 4), lit(" "),
+        substring(ccs, 13, 4))
+      val d = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % 5 <= 1,
+          concat(col("text"), lit(" card "), ccFmt, lit(" on file.")))
+          .when(col("doc_id") % 5 === 2,
+            concat(col("text"), lit(" from 203.0."),
+              (col("doc_id") % 256).cast("string"), lit("."),
+              (col("doc_id") % 97 + 1).cast("string"), lit(" node")))
+          .when(col("doc_id") % 5 === 3,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"),
+              lit("@example.com or call +1 555-0100.")))
+          .otherwise(col("text")))
+      TextAnalysis.redactPiiExtended(d, "text2")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_emails")).as("emails_found"),
+          sum(col("n_ccs")).as("ccs_found"),
+          sum(col("n_ips")).as("ips_found"),
+          sum(col("n_phones")).as("phones_found"),
+          sum(h32(col("redacted"))).as("redacted_checksum"))
+        .orderBy(col("source"))
+    }),
+
     // sliding-window chunking (32-token windows, stride 16) — exact detail
     // rows including the chunk text itself
     "t12_chunks" -> ((s, dir) =>
@@ -1478,6 +1514,61 @@ object PipelineQueries {
          |)
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_emails) AS BIGINT) AS emails_found,
+         |  CAST(SUM(n_phones) AS BIGINT) AS phones_found,
+         |  CAST(SUM(${h32Sql("red")}) AS BIGINT) AS redacted_checksum
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+    "t20_redaction_extended" -> {
+      val email = TextAnalysis.emailPattern
+      val phone = TextAnalysis.phonePattern
+      val ip = TextAnalysis.ipv4Pattern
+      val cc = TextAnalysis.ccPattern
+      // the engine's Luhn HOF fold unrolled at the candidate's fixed 16
+      // digits: position i from the LEFT doubles when 16 - i is odd,
+      // i.e. odd i (minus 9 past 9); NULLIF keeps the no-candidate row
+      // NULL instead of erroring on CAST('') under any evaluation order
+      val luhnTerms = (1 to 16).map { i =>
+        val d = s"CAST(NULLIF(substr(ccd, $i, 1), '') AS BIGINT)"
+        if (i % 2 == 1) s"($d * 2 - CASE WHEN $d >= 5 THEN 9 ELSE 0 END)"
+        else d
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CASE
+         |      WHEN doc_id % 5 <= 1 THEN text || ' card ' ||
+         |        substr(ccs, 1, 4) || ' ' || substr(ccs, 5, 4) || ' ' ||
+         |        substr(ccs, 9, 4) || ' ' || substr(ccs, 13, 4) || ' on file.'
+         |      WHEN doc_id % 5 = 2 THEN text || ' from 203.0.' ||
+         |        CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |        CAST(doc_id % 97 + 1 AS VARCHAR) || ' node'
+         |      WHEN doc_id % 5 = 3 THEN text || ' contact user' ||
+         |        CAST(doc_id AS VARCHAR) || '@example.com or call +1 555-0100.'
+         |      ELSE text END AS t0
+         |  FROM (SELECT *, lpad(CAST((doc_id * 2654435761) %
+         |          10000000000000000 AS VARCHAR), 16, '0') AS ccs
+         |        FROM documents)
+         |),
+         |e AS (SELECT source, doc_id,
+         |        len(regexp_extract_all(t0, '$email')) AS n_emails,
+         |        regexp_replace(t0, '$email', '<EMAIL>', 'g') AS t1 FROM d),
+         |c1 AS (SELECT *, regexp_replace(regexp_extract(t1, '$cc', 0),
+         |         '[^0-9]', '', 'g') AS ccd,
+         |         regexp_extract(t1, '$cc', 0) AS cand FROM e),
+         |c2 AS (SELECT source, doc_id, n_emails,
+         |         CASE WHEN ($luhnTerms) % 10 = 0 THEN 1 ELSE 0 END AS n_ccs,
+         |         CASE WHEN ($luhnTerms) % 10 = 0
+         |              THEN replace(t1, cand, '<CC>') ELSE t1 END AS t2
+         |       FROM c1),
+         |i AS (SELECT source, n_emails, n_ccs,
+         |        len(regexp_extract_all(t2, '$ip')) AS n_ips,
+         |        regexp_replace(t2, '$ip', '<IP>', 'g') AS t3 FROM c2),
+         |r AS (SELECT source, n_emails, n_ccs, n_ips,
+         |        len(regexp_extract_all(t3, '$phone')) AS n_phones,
+         |        regexp_replace(t3, '$phone', '<PHONE>', 'g') AS red FROM i)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_emails) AS BIGINT) AS emails_found,
+         |  CAST(SUM(n_ccs) AS BIGINT) AS ccs_found,
+         |  CAST(SUM(n_ips) AS BIGINT) AS ips_found,
          |  CAST(SUM(n_phones) AS BIGINT) AS phones_found,
          |  CAST(SUM(${h32Sql("red")}) AS BIGINT) AS redacted_checksum
          |FROM r GROUP BY source ORDER BY source""".stripMargin

@@ -625,6 +625,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1).getString(4) == "nothing to scrub here")
   }
 
+  test("extended pii: Luhn gates card redaction, IPv4 octets exact, ordered passes") {
+    import org.apache.spark.sql.functions._
+    // Luhn arithmetic itself, on the classic test number and a last-digit
+    // mutation — the fold must double from the RIGHT
+    val lu = Seq(("4539148803436467", "4539148803436468")).toDF("ok", "bad")
+      .select(TextAnalysis.luhnChecksum(col("ok")).as("a"),
+        TextAnalysis.luhnChecksum(col("bad")).as("b")).head()
+    assert(lu.getLong(0) == 0L && lu.getLong(1) != 0L)
+    val d = Seq(
+      (1L, "pay 4539 1488 0343 6467 now"),          // valid -> <CC>
+      (2L, "pay 4539-1488-0343-6468 now"),          // invalid -> phone pass
+      (3L, "host 192.168.1.100 and 255.255.255.255"),
+      (4L, "bad 999.1.2.3 is no address"),          // 999 is not an octet
+      (5L, "m@x.io 4539 1488 0343 6467 10.0.0.1 +1 555-0100"),
+      (6L, "twice 4539 1488 0343 6467 and 4539 1488 0343 6467"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPiiExtended(d, "text")
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getString(6))).toMap
+    assert(out(1L) == ((0, 1, 0, 0, "pay <CC> now")))
+    assert(out(2L) == ((0, 0, 0, 1, "pay <PHONE> now")))
+    assert(out(3L) == ((0, 0, 2, 0, "host <IP> and <IP>")))
+    assert(out(4L) == ((0, 0, 0, 0, "bad 999.1.2.3 is no address")))
+    assert(out(5L) == ((1, 1, 1, 1, "<EMAIL> <CC> <IP> <PHONE>")))
+    // duplicate valid spans: counted per MATCH, both occurrences redacted
+    assert(out(6L) == ((0, 2, 0, 0, "twice <CC> and <CC>")))
+  }
+
   test("chunking slides overlapping token windows, short docs get one chunk") {
     import org.apache.spark.sql.functions._
     val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b"))
