@@ -474,6 +474,49 @@ object TemporalGraph {
     temporalBrandesCore(edges, sources, k, integerStress = true,
       maxBroadcastRows)
 
+  /** Pivot-sampled whole-log temporal stress (r16) —
+    * [[GraphAlgorithms.pivotStress]]'s Brandes–Pich draw carried to
+    * journeys: where exact all-sources temporalStress costs
+    * |sources| · state-DAG sweeps, draw |S| sources by the deterministic
+    * h32-argmin convention over the DISTINCT edge sources, seed each at
+    * its own t0 = MIN event time (the earliest departure that source can
+    * ever make, so every journey it can start is in scope), and scale by
+    * the one integer ratio est(v) = (stress_S(v) · n_src) div |S| with
+    * n_src = the number of distinct sources in the log. Multiply before
+    * the truncating div, try_multiply + raise_error outside the
+    * stress·n_src < 2^63 domain — the whole output stays hash-checkable
+    * (the g50 discipline, sample included: the draw replays op-for-op in
+    * SQL). Cost ∝ |S| temporal sweeps at fixed log — the same 100×
+    * argument as pivotStress: whole-log temporal centrality at bounded,
+    * chosen cost. NULL src/t rows are NOT pre-filtered here; they reach
+    * [[temporalStress]]'s loud guard unchanged.
+    */
+  def temporalPivotStress(edges: DataFrame, nPivots: Int, k: Int,
+      maxBroadcastRows: Long = Traversals.BroadcastFrontierRows): DataFrame = {
+    require(nPivots >= 1, "temporalPivotStress needs at least one pivot")
+    val srcT0 = edges.select(col("src"), col("t").cast("long").as("t"))
+      .groupBy(col("src")).agg(min(col("t")).as("t0"))
+    val nSrc = srcT0.count()
+    require(nSrc > 0,
+      "temporalPivotStress: the edge relation has no sources to draw from")
+    // h32-argmin draw (the g50/g33 convention): a bounded
+    // TakeOrderedAndProject, never a full sort; the pivot relation is
+    // the sanctioned bounded class (|S| <= thousands)
+    val pivots = srcT0
+      .select(col("src").as("sid"), col("t0"),
+        graft.pipeline.TextHash.h32(
+          concat(lit("tpivot|"), col("src").cast("string"))).as("h"))
+      .orderBy(col("h"), col("sid")).limit(nPivots)
+      .select(col("sid"), col("t0"))
+    val nS = math.min(nPivots.toLong, nSrc)
+    temporalStress(edges, pivots, k, maxBroadcastRows)
+      .withColumn("stress_est",
+        expr(s"coalesce(try_multiply(stress, CAST($nSrc AS BIGINT)), " +
+          "CAST(raise_error('temporalPivotStress: stress * n_src " +
+          "overflows LONG — outside the documented exactness domain') " +
+          s"AS BIGINT)) div CAST($nS AS BIGINT)"))
+  }
+
   /** Temporal betweenness centrality — the FP twin of [[temporalStress]]
     * on the SAME state DAG (the x24/g25 pairing carried to journeys):
     * bc(v) = Σ_{s ≠ v ≠ t} σ_st(v)/σ_st over hop-minimal time-respecting

@@ -397,6 +397,17 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val psN = intArg(0, Some(16))
         val psD = intArg(1, Some(8))
         GraphAlgorithms.pivotStress(edges, psN, psD)
+      case "graft.temporalpivotstress" =>
+        // the pivot estimator carried to journeys (g52):
+        // (nPivots[, k[, 'timeProp']]) — h32-argmin draw over distinct
+        // edge sources, each departing at its own min event time,
+        // (stress * n_src) div |S| integer estimate
+        nargs(3)
+        val tpN = intArg(0, Some(4))
+        val tpK = intArg(1, Some(4))
+        val tpProp = strArg(2).getOrElse("t")
+        graft.algorithms.TemporalGraph.temporalPivotStress(
+          temporalEdges(tpProp, "graft.temporalPivotStress"), tpN, tpK)
       case "graft.closeness" =>
         // Wasserman–Faust closeness over the reachable set (the g39
         // digest): (maxDepth, sourceIds...) — integer-pure, ppm-scaled
@@ -506,6 +517,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.temporalStress(sourceId, t0[, k[, 'timeProp']]), " +
         "graft.temporalBetweenness(sourceId, t0[, k[, 'timeProp']]), " +
         "graft.pivotStress(nPivots[, maxDepth]), " +
+        "graft.temporalPivotStress(nPivots[, k[, 'timeProp']]), " +
         "graft.earliestArrival(sourceId, t0[, 'timeProp']), " +
         "graft.temporalCloseness(sourceId[, 'timeProp']), " +
         "graft.stress(maxDepth, sourceIds...), " +

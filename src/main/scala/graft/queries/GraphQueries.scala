@@ -840,6 +840,29 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Pivot-sampled TEMPORAL stress (r16): the g50 estimator carried to
+    // journeys — 4 h32-argmin pivots over the distinct event sources,
+    // each departing at its own min event time, exact integer state-DAG
+    // sweeps (the g48 engine), and the (stress · n_src) div |S| integer
+    // estimate. The 1/16 log slice is the g49 gate-budget discipline:
+    // the full-log sweep cost is already g48/cy51's measurement; this
+    // gate prices the DRAW + estimate on a reduced slice. The draw, the
+    // per-source t0 seeds, and the estimate all replay in the oracle —
+    // the sample itself is hash-checked, not trusted.
+    "g52_temporal_pivot_stress" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .where(col("event_id") % 16 === 0)
+        .select(col("user_id").cast("long").as("u"),
+          col("event_id").cast("long").as("eid"),
+          unix_micros(col("ts")).as("t"))
+      val nu = ev.agg(max(col("u"))).head().getLong(0) + 1
+      val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      graft.algorithms.TemporalGraph.temporalPivotStress(te, 4, 4)
+        .select(col("id").as("user_id"), col("stress"), col("stress_est"))
+        .orderBy(col("user_id"))
+    }),
+
     // Ego-net extraction (r8) — the GDS-style induced-subgraph projection:
     // the undirected 2-hop neighborhood of each seed plus the count of
     // ORIGINAL directed edges induced on it (both endpoints reached by the
@@ -1271,11 +1294,25 @@ object GraphQueries {
         .orderBy(col("user_id"), col("rk"))
     }))
 
-  /** Both temporal-stress sweeps unrolled (k = 4) for the g48/cy51
-    * gates: `srcsSql` selects the source set (columns: sid) off the
-    * `ev` CTE that is already in scope.
+  /** Both temporal-stress sweeps unrolled (k = 4) for the g48/cy51/g52
+    * gates: `srcsSql` selects the source set off the `ev` CTE that is
+    * already in scope (columns: sid, plus t0 when `seedASql` reads it).
+    * The r16 parameters generalize the builder for the pivot-sampled
+    * gate while the DEFAULTS reproduce the g48/cy51 strings BYTE FOR
+    * BYTE (verified against the committed oracle_sql.json — the
+    * driver-green SQL text is pinned, only new call sites vary it):
+    * `evFilter` appends a WHERE to the event scan, `seedASql` is the
+    * seed arrival expression (global t0 by default, per-source for the
+    * pivot draw), `finalSql` the read-off select over verts/contrib.
     */
-  private[queries] def temporalStressOracle(srcsSql: String): String = {
+  private[queries] def temporalStressOracle(srcsSql: String,
+      evFilter: String = "",
+      seedASql: String = "(SELECT t0 FROM bounds)",
+      finalSql: String =
+        """SELECT v.id AS user_id,
+          |  CAST(COALESCE(c.stress, 0) AS BIGINT) AS stress
+          |FROM verts v LEFT JOIN contrib c ON c.id = v.id
+          |ORDER BY user_id""".stripMargin): String = {
     val k = 4
     val fwd = (1 to k).map { h =>
       s"""l$h AS MATERIALIZED (
@@ -1308,14 +1345,14 @@ object GraphQueries {
       .mkString("\n      UNION ALL ")
     s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
        |              CAST(event_id AS BIGINT) AS eid,
-       |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+       |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events$evFilter),
        |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(t) AS t0 FROM ev),
        |te AS (SELECT DISTINCT src, dst, t FROM (
        |  SELECT u AS src,
        |         (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
        |  FROM ev) WHERE src <> dst),
        |srcs AS ($srcsSql),
-       |l0 AS (SELECT sid, sid AS id, (SELECT t0 FROM bounds) AS a,
+       |l0 AS (SELECT sid, sid AS id, $seedASql AS a,
        |              CAST(1 AS BIGINT) AS sigma FROM srcs),
        |r0 AS (SELECT sid, id, 0 AS d FROM l0),
        |$fwd,
@@ -1326,10 +1363,7 @@ object GraphQueries {
        |  WHERE id <> sid GROUP BY id),
        |verts AS (SELECT DISTINCT src AS id FROM te
        |          UNION SELECT DISTINCT dst FROM te)
-       |SELECT v.id AS user_id,
-       |  CAST(COALESCE(c.stress, 0) AS BIGINT) AS stress
-       |FROM verts v LEFT JOIN contrib c ON c.id = v.id
-       |ORDER BY user_id""".stripMargin
+       |$finalSql""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -1524,6 +1558,30 @@ object GraphQueries {
     // the interior-visit contraction σ·τ. Every aggregate BIGINT-pinned.
     "g48_temporal_stress" -> temporalStressOracle(
       "SELECT DISTINCT u AS sid FROM ev ORDER BY u LIMIT 3"),
+
+    // the pivot-sampled temporal estimator replayed from first
+    // principles (the g50 pattern on the g48 CTEs): srcs = the
+    // h32-argmin draw over distinct event sources WITH each source's
+    // min-t seed, l0 departs per source, and the final select adds the
+    // (stress * n_src) // |S| integer estimate
+    "g52_temporal_pivot_stress" -> {
+      import graft.pipeline.TextHash.h32Sql
+      temporalStressOracle(
+        s"""SELECT sid, t0 FROM (
+           |  SELECT u AS sid, MIN(t) AS t0,
+           |         ${h32Sql("'tpivot|' || CAST(u AS VARCHAR)")} AS h
+           |  FROM ev GROUP BY u
+           |  ORDER BY h, sid LIMIT 4)""".stripMargin,
+        evFilter = " WHERE event_id % 16 = 0",
+        seedASql = "t0",
+        finalSql =
+          """SELECT v.id AS user_id,
+            |  CAST(COALESCE(c.stress, 0) AS BIGINT) AS stress,
+            |  CAST(COALESCE(c.stress, 0) * (SELECT COUNT(DISTINCT u) FROM ev)
+            |       // (SELECT COUNT(*) FROM srcs) AS BIGINT) AS stress_est
+            |FROM verts v LEFT JOIN contrib c ON c.id = v.id
+            |ORDER BY user_id""".stripMargin)
+    },
 
 
     // The g35 relaxation, per-source-tagged and unrolled to EXACTLY the

@@ -746,6 +746,30 @@ class AlgorithmsSpec extends AnyFunSuite {
     graft.util.Checkpoints.release(spark, leaked)
   }
 
+  test("temporalPivotStress: full sampling equals exact per-source-t0 sweeps") {
+    import graft.algorithms.TemporalGraph
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 10L), (3L, 4L, 5L),
+      (9L, 9L, 1L)).toDF("src", "dst", "t")
+    // nPivots >= n_src: every source drawn at its own min-t seed, and
+    // n_src/|S| = 1 — the estimate coincides with the exact sum.
+    // Sources {1,2,3,9} (9 only via its inert self-loop): src 1 credits
+    // 2 and 3 on the forced 3-hop journey to 4; src 2 credits 3 on
+    // 2->3->4; src 3 and 9 credit nothing.
+    val full = TemporalGraph.temporalPivotStress(e, 10, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(full == Map(1L -> ((0L, 0L)), 2L -> ((1L, 1L)),
+      3L -> ((2L, 2L)), 4L -> ((0L, 0L))), full.toString)
+    // a strict subset draw: deterministic, estimate exactly
+    // (stress * n_src) div |S| of its own sums, never above full + scale
+    val p2a = TemporalGraph.temporalPivotStress(e, 2, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val p2b = TemporalGraph.temporalPivotStress(e, 2, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p2a == p2b)
+    assert(p2a.forall { case (_, (st, est)) => est == st * 4L / 2L })
+    assert(p2a.forall { case (id, (st, _)) => st <= full(id)._1 })
+  }
+
   test("temporal stress cross-validates against brute-force journey enumeration") {
     import graft.algorithms.TemporalGraph
     // seeded random temporal digraphs, small enough to enumerate EVERY

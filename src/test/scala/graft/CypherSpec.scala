@@ -887,6 +887,24 @@ class CypherSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("non-integral"), e4.getMessage)
   }
 
+  test("CALL graft.temporalPivotStress: full-sample estimate, loud failure") {
+    val sess = session
+    // since-chain sources {1: 2020, 2: 2021}, n_src = 2; full sampling
+    // (10 > 2): only Bob is interior (journey 1->2->3), est = 1*2 div 2
+    val df = sess.run(
+      "CALL graft.temporalPivotStress(10, 4, 'since') " +
+        "YIELD id, stress, stress_est RETURN id, stress, stress_est " +
+        "ORDER BY id")
+    assert(rows(df) == Seq(
+      Seq(Graphid.pack(100, 1), 0L, 0L),
+      Seq(Graphid.pack(100, 2), 1L, 1L),
+      Seq(Graphid.pack(100, 3), 0L, 0L)))
+    // the default time property 't' is absent — loud, never defaulted
+    val e1 = intercept[Exception](sess.run(
+      "CALL graft.temporalPivotStress(4) YIELD id RETURN id"))
+    assert(e1.getMessage.contains("time property 't'"), e1.getMessage)
+  }
+
   test("CALL graft.earliestArrival / temporalCloseness / stress / betweenness surfaces") {
     val sess = session
     val alice = Graphid.pack(100, 1)
