@@ -73,6 +73,7 @@ object ScaleProbe {
       case "anfrounds" => anfRoundsProbe(spark, sfDir)
       case "louvain"  => louvainProbe(spark, sfDir)
       case "louvainlevels" => louvainLevelsProbe(spark, sfDir)
+      case "louvainweighted" => louvainWeightedProbe(spark, sfDir)
       case "skewjoin" => skewJoinProbe(spark)
       case "tstress" => temporalStressProbe(spark, sfDir)
       case "pivotstress" => pivotStressProbe(spark, sfDir)
@@ -1448,6 +1449,53 @@ object ScaleProbe {
         (dt, nLevels, digest.getLong(3))
       }
       println(f"SCALE axis=louvainlevels-$k edges=$nEdges " +
+        f"levels=${times.head._2} comms=${times.head._3} " +
+        f"min=${times.map(_._1).min}%.2f s " +
+        times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
+    }
+  }
+
+  /** g51's volume axis (r16): the louvainlevels replica probe through
+    * the WEIGHTED entry. Every edge carries a deterministic positive
+    * LONG weight and each row is emitted TWICE with different weights
+    * (w and w+2), so weightedClosure's parallel-edge SUM aggregate —
+    * the one stage the unweighted axis never exercises (its closure is
+    * a `.distinct()`) — is on the measured path at full volume, along
+    * with the loud weight-validation aggregate. Expect the same
+    * (sub-)linear volume scaling as the unweighted axis: both extra
+    * stages are single map-side-combinable passes over 2|E| rows. Run
+    * with SPARK_GRAFT_PROBE=louvainweighted; stdout committed as
+    * tools/scaleprobe_louvainweighted_r16.txt.
+    */
+  private def louvainWeightedProbe(spark: SparkSession, sfDir: String): Unit = {
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val w1 = Seq("PLACED", "CUST_NATION", "SUPP_NATION", "IN_REGION")
+      .map(l => g.edges(l).select(col("src"), col("dst")))
+      .reduce(_ unionByName _)
+      .withColumn("w", (col("src") + col("dst")) % 7 + 1)
+    val base = w1.unionByName(w1.withColumn("w", col("w") + 2L))
+      .localCheckpoint()
+    base.count()
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    for (k <- Seq(1, 4, 16)) {
+      val df = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong << 28)).as("src"),
+          (col("dst") + lit(i.toLong << 28)).as("dst"), col("w")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val nEdges = df.count()
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val (flat, nLevels) = graft.algorithms.GraphAlgorithms
+          .louvainLevels(df, weightCol = Some("w"))
+        val nComms = flat.select(col("lbl")).distinct().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        (dt, nLevels, nComms)
+      }
+      println(f"SCALE axis=louvainweighted-$k edges=$nEdges " +
         f"levels=${times.head._2} comms=${times.head._3} " +
         f"min=${times.map(_._1).min}%.2f s " +
         times.map(t => f"${t._1}%.2f").mkString("samples=[", ",", "]"))
