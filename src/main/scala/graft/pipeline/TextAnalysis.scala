@@ -441,24 +441,34 @@ object TextAnalysis {
     * column: map-only, runs at scan speed at any corpus size.
     */
   def redactPiiExtended(df: DataFrame, textCol: String): DataFrame = {
-    val afterEmail = regexp_replace(col(textCol), emailPattern, "<EMAIL>")
-    val ccValid = filter(
-      regexp_extract_all(afterEmail, lit(ccPattern), lit(0)),
-      c => luhnChecksum(regexp_replace(c, "[^0-9]", "")) === 0L)
-    // distinct spans only for the replace fold (replace is
-    // all-occurrences, so a duplicate span needs one pass, not two);
-    // n_ccs still counts every valid MATCH
-    val afterCc = aggregate(array_distinct(ccValid), afterEmail,
-      (t, c) => replace(t, c, lit("<CC>")))
-    val afterIp = regexp_replace(afterCc, ipv4Pattern, "<IP>")
-    df.withColumn("n_emails",
+    // each pass is STAGED through an intermediate column, never re-inlined
+    // into its consumers: CollapseProject refuses to duplicate non-cheap
+    // expressions, so the Luhn candidate filter and every regex pass run
+    // ONCE per row (a single nested expression tree would recompute the
+    // candidate filter in all four consumers — measured 4× regex work),
+    // while the stacked Projects still fuse into one codegen stage
+    df.withColumn("__after_email",
+        regexp_replace(col(textCol), emailPattern, "<EMAIL>"))
+      .withColumn("__cc_valid", filter(
+        regexp_extract_all(col("__after_email"), lit(ccPattern), lit(0)),
+        c => luhnChecksum(regexp_replace(c, "[^0-9]", "")) === 0L))
+      // distinct spans only for the replace fold (replace is
+      // all-occurrences, so a duplicate span needs one pass, not two);
+      // n_ccs still counts every valid MATCH
+      .withColumn("__after_cc", aggregate(array_distinct(col("__cc_valid")),
+        col("__after_email"), (t, c) => replace(t, c, lit("<CC>"))))
+      .withColumn("__after_ip",
+        regexp_replace(col("__after_cc"), ipv4Pattern, "<IP>"))
+      .withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0))))
-      .withColumn("n_ccs", size(ccValid))
+      .withColumn("n_ccs", size(col("__cc_valid")))
       .withColumn("n_ips",
-        size(regexp_extract_all(afterCc, lit(ipv4Pattern), lit(0))))
+        size(regexp_extract_all(col("__after_cc"), lit(ipv4Pattern), lit(0))))
       .withColumn("n_phones",
-        size(regexp_extract_all(afterIp, lit(phonePattern), lit(0))))
-      .withColumn("redacted", regexp_replace(afterIp, phonePattern, "<PHONE>"))
+        size(regexp_extract_all(col("__after_ip"), lit(phonePattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(col("__after_ip"), phonePattern, "<PHONE>"))
+      .drop("__after_email", "__cc_valid", "__after_cc", "__after_ip")
   }
 
   /** Sliding-window chunking: split each document's token stream into

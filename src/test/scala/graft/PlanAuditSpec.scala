@@ -109,6 +109,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("DeserializeToObject"), p)
   }
 
+  test("m7/m8: header metadata extraction is map-only — no join, no hash shuffle") {
+    // the container walks (MP4 boxes, RIFF chunks) are aggregate-HOF
+    // folds over byte-slice builtins: the whole parse must stay a scan +
+    // codegen'd project, with the gate's final sort as the only exchange
+    for (name <- Seq("m7_video_meta", "m8_audio_duration")) {
+      val p = plan(name)
+      assert(p.contains("*("), s"$name lost codegen: $p")
+      assert(!p.contains("Join"), s"$name grew a join: $p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$name shuffled: $p")
+      assert(!p.contains("DeserializeToObject"), s"$name left codegen: $p")
+    }
+  }
+
+  test("t20: extended redaction is one map pass + one per-source aggregate") {
+    val p = plan("t20_redaction_extended")
+    // regex passes + the Luhn fold are per-row column expressions: no
+    // join anywhere, and the ONLY hash exchange is the source aggregate,
+    // fed map-side partial (the text column itself never shuffles)
+    assert(p.contains("*("), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // AQE prints Final + Initial sections, so the same exchange can
+    // appear twice — pin the KEY, not the count
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("source#")), p)
+    // the staged passes keep the Luhn candidate filter single-evaluation:
+    // exactly one filter(regexp_extract_all(...)) site in the final plan
+    val finalPlan = p.indexOf("== Initial Plan ==") match {
+      case -1 => p
+      case i => p.substring(0, i)
+    }
+    assert("filter\\(regexp_extract_all".r.findAllIn(finalPlan).length == 1,
+      s"Luhn candidate filter duplicated: $finalPlan")
+  }
+
   test("x16: salted join partitions on (key, salt), spreading each hot key") {
     val p = plan("x16_salted_join")
     // the join key must include the salt — that IS the skew spread; a
