@@ -76,6 +76,7 @@ object ScaleProbe {
       case "louvainweighted" => louvainWeightedProbe(spark, sfDir)
       case "skewjoin" => skewJoinProbe(spark)
       case "tstress" => temporalStressProbe(spark, sfDir)
+      case "tpivotstress" => temporalPivotStressProbe(spark, sfDir)
       case "pivotstress" => pivotStressProbe(spark, sfDir)
       case "fastestw" => fastestWeightedProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
@@ -1350,6 +1351,44 @@ object ScaleProbe {
     }
     println(f"SCALE axis=tbetween-k4-s3 min=${tbTimes.min}%.2f s " +
       tbTimes.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
+  }
+
+  /** g52's pivot-count axis (r16): temporalPivotStress on the gate's
+    * 1/16 log slice at k = 4, pivots 4/16/64/256. Unlike static
+    * pivotStress — whose shared multi-source sweep measured FLAT to
+    * 1024 pivots because level jobs dominate at the AQE job floor — the
+    * temporal state is keyed (sid, vertex, arrival), so state VOLUME
+    * grows with |S| and the curve shows where the data regime takes
+    * over from the job floor. Whole-log cost stays ∝ |S| either way:
+    * the estimator's 100× argument is that |S| is CHOSEN, not |sources|.
+    * Run with SPARK_GRAFT_PROBE=tpivotstress; stdout committed as
+    * tools/scaleprobe_tpivotstress_r16.txt.
+    */
+  private def temporalPivotStressProbe(spark: SparkSession, sfDir: String): Unit = {
+    val ev = graft.store.Tables.load(spark, sfDir, "events")
+      .where(col("event_id") % 16 === 0)
+      .select(col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"),
+        unix_micros(col("ts")).as("t"))
+    val nu = ev.agg(max(col("u"))).head().getLong(0) + 1
+    val te = ev.select(col("u").as("src"),
+        ((col("u") + 1 + col("eid") % 97) % nu).as("dst"), col("t"))
+      .localCheckpoint()
+    te.count()
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.trim.toInt).getOrElse(3)
+    for (n <- Seq(4, 16, 64, 256)) {
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to reps).map { _ =>
+        val t0n = System.nanoTime()
+        graft.algorithms.TemporalGraph.temporalPivotStress(te, n, 4).count()
+        val dt = (System.nanoTime() - t0n) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+        dt
+      }
+      println(f"SCALE axis=tpivotstress-$n min=${times.min}%.2f s " +
+        times.map(t => f"$t%.2f").mkString("samples=[", ",", "]"))
+    }
   }
 
   /** x16's SKEW axis (r14): the salted join measured against plain
