@@ -1786,12 +1786,19 @@ object GraphAlgorithms {
       .where(col("src") =!= col("dst"))
     // loud on NULL, non-positive, AND non-integral weights: cast("long")
     // would silently FLOOR a fractional weight (1.7 → 1), rewriting every
-    // degree sum without the failure the positive-LONG contract promises;
-    // the double round-trip comparison catches fractions and NaN alike
+    // degree sum without the failure the positive-LONG contract promises.
+    // The round trip compares through DECIMAL(38,9), not DOUBLE (r16
+    // review): a double comparison goes blind past 2^53, where a
+    // fractional or off-by-one weight would slip through; the decimal
+    // cast is exact over the full LONG range, and a value decimal cannot
+    // represent at all (NaN, Infinity, |w| ≥ 10^29) is rejected by its
+    // NULL instead of slipping through as a saturated long
     val g = raw.agg(
       sum(when(col("w0").isNull || col("w0").cast("long").isNull
+        || col("w0").cast("decimal(38,9)").isNull
         || col("w0").cast("long") <= 0L
-        || col("w0").cast("double") =!= col("w0").cast("long").cast("double"),
+        || col("w0").cast("decimal(38,9)") =!=
+          col("w0").cast("long").cast("decimal(38,9)"),
         1L).otherwise(0L))).head()
     if (!g.isNullAt(0)) require(g.getLong(0) == 0L,
       s"louvainLevels: ${g.getLong(0)} edge(s) with NULL, non-positive, " +

@@ -218,15 +218,17 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         // per level; optional arg 3 names a positive-LONG edge-weight
         // property (the r15 weighted entry — NULL/≤0 weights fail
         // loudly); yields the flat (id, lbl) partition. The JSON string
-        // is cast to DOUBLE, not LONG: a string-to-long cast silently
-        // FLOORS a fractional weight ('1.7' → 1), bypassing
-        // weightedClosure's loud non-integral rejection — the double
-        // cast hands it the raw value so the long/double round-trip
-        // check actually sees the fraction (r15 ADVICE)
+        // is cast to DECIMAL(38,9), not LONG or DOUBLE: a string-to-long
+        // cast silently FLOORS a fractional weight ('1.7' → 1), and a
+        // double cast silently rounds integers past 2^53
+        // ('9007199254740993' → ...992) — decimal hands weightedClosure
+        // the exact value, so its round-trip check sees fractions and
+        // the long conversion stays exact across the full LONG range
+        // (r15 ADVICE, tightened in the r16 review)
         val lvWeighted = strArg(2).map { wp =>
           store.allEdges.select(col("src"), col("dst"),
             get_json_object(col("properties"), "$." + wp)
-              .cast("double").as("w"))
+              .cast("decimal(38,9)").as("w"))
         }
         GraphAlgorithms.louvainLevels(lvWeighted.getOrElse(edges),
           intArg(0, Some(3)), intArg(1, Some(3)),

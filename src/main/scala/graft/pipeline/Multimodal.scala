@@ -228,7 +228,18 @@ object Multimodal {
     */
   def mp4Meta(payload: Column, maxBoxes: Int = 8): (Column, Column) = {
     def cc(p: Column) = hex(payload.substr((p + 4L).cast("int"), lit(4)))
-    def next(p: Column) = p + beUInt(payload, p, 4)
+    // the two spec-legal escape encodings (ISO 14496-12 §4.2, on real
+    // encoder output — r16 review): size == 1 means a 64-bit largesize
+    // follows the fourcc (>4 GB mdat), size == 0 means the box runs to
+    // EOF (the streaming/last-box form — advance past the payload end,
+    // which parks the walk unless this box WAS the target: the fourcc
+    // check fires before the advance)
+    def next(p: Column) = {
+      val sz = beUInt(payload, p, 4)
+      when(sz === 1L, p + beUInt(payload, p + 8L, 8))
+        .when(sz === 0L, length(payload).cast("long") + 1L)
+        .otherwise(p + sz)
+    }
     val moov = chunkWalk(payload, lit(1L), "6D6F6F76", maxBoxes, cc, next)
     val mvhd = chunkWalk(payload, moov + 8L, "6D766864", maxBoxes, cc, next)
     val v = beUInt(payload, mvhd + 8L, 1)

@@ -452,11 +452,16 @@ object TextAnalysis {
       .withColumn("__cc_valid", filter(
         regexp_extract_all(col("__after_email"), lit(ccPattern), lit(0)),
         c => luhnChecksum(regexp_replace(c, "[^0-9]", "")) === 0L))
-      // distinct spans only for the replace fold (replace is
+      // distinct spans only for the replace fold (each regexp_replace is
       // all-occurrences, so a duplicate span needs one pass, not two);
-      // n_ccs still counts every valid MATCH
+      // n_ccs still counts every valid MATCH. The replace re-anchors the
+      // span with \b on both sides (r16 review) so a valid span EMBEDDED
+      // in a longer token — which the extraction regex deliberately did
+      // not match — is not rewritten; candidates are digits/space/dash
+      // only, so the built pattern needs no escaping
       .withColumn("__after_cc", aggregate(array_distinct(col("__cc_valid")),
-        col("__after_email"), (t, c) => replace(t, c, lit("<CC>"))))
+        col("__after_email"), (t, c) => regexp_replace(t,
+          concat(lit("\\b"), c, lit("\\b")), lit("<CC>"))))
       .withColumn("__after_ip",
         regexp_replace(col("__after_cc"), ipv4Pattern, "<IP>"))
       .withColumn("n_emails",

@@ -508,6 +508,18 @@ object PipelineQueries {
               col("doc_id").cast("string"),
               lit("@example.com or call +1 555-0100.")))
           .otherwise(col("text")))
+      // the DuckDB oracle replays only the FIRST card candidate
+      // (regexp_extract — list folds are a driver-DuckDB version
+      // hazard), so the gate's data contract is ≤ 1 candidate per doc:
+      // the r16 corpus scan found zero natural card-shaped spans and
+      // the injection appends at most one. Enforce that LOUDLY here so
+      // a future corpus change fails with a message, never a hash diff.
+      val multi = d.where(size(regexp_extract_all(
+        regexp_replace(col("text2"), TextAnalysis.emailPattern, "<EMAIL>"),
+        lit(TextAnalysis.ccPattern), lit(0))) > 1).count()
+      require(multi == 0,
+        s"t20: $multi doc(s) carry 2+ card-shaped candidates — the " +
+          "single-candidate oracle replay no longer covers this corpus")
       TextAnalysis.redactPiiExtended(d, "text2")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1557,7 +1569,8 @@ object PipelineQueries {
          |c2 AS (SELECT source, doc_id, n_emails,
          |         CASE WHEN ($luhnTerms) % 10 = 0 THEN 1 ELSE 0 END AS n_ccs,
          |         CASE WHEN ($luhnTerms) % 10 = 0
-         |              THEN replace(t1, cand, '<CC>') ELSE t1 END AS t2
+         |              THEN regexp_replace(t1, '\\b' || cand || '\\b',
+         |                                  '<CC>', 'g') ELSE t1 END AS t2
          |       FROM c1),
          |i AS (SELECT source, n_emails, n_ccs,
          |        len(regexp_extract_all(t2, '$ip')) AS n_ips,

@@ -160,12 +160,22 @@ object EventStreams {
       "finishCountMin: sketch relation lacks its recorded depth/width " +
         "build parameters — build it with countMinSketch")
     val shape = sketch.agg(min(col("depth")), max(col("depth")),
-      min(col("width")), max(col("width"))).head()
+      min(col("width")), max(col("width")),
+      max(col("r")), max(col("b"))).head()
     require(!shape.isNullAt(0), "finishCountMin: the sketch is empty")
     require(shape.getInt(0) == depth && shape.getInt(1) == depth,
       s"finishCountMin: sketch depth ${shape.getInt(0)} != $depth")
     require(shape.getInt(2) == width && shape.getInt(3) == width,
       s"finishCountMin: sketch width ${shape.getInt(2)} != $width")
+    // the positional checks stay ALONGSIDE the recorded shape (r16
+    // review): a row-mutated sketch with intact metadata — e.g. a filter
+    // that dropped one counter row's worth of depth — must still fail
+    // loudly, since every event increments all depth rows
+    require(shape.getInt(4) == depth - 1,
+      s"finishCountMin: counter rows reach depth ${shape.getInt(4) + 1}, " +
+        s"recorded depth $depth — the sketch lost rows after the build")
+    require(shape.getLong(5) < width,
+      s"finishCountMin: sketch has bucket ${shape.getLong(5)} >= width $width")
     val depthRows = array((0 until depth).map(lit): _*)
     def bucket(r: Column, tok: Column): Column =
       graft.pipeline.TextHash.h32(

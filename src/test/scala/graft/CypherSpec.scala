@@ -885,6 +885,14 @@ class CypherSpec extends AnyFunSuite {
     val e4 = intercept[Exception](sess.run(
       "CALL graft.louvain(1, 1, 'since') YIELD id RETURN id"))
     assert(e4.getMessage.contains("non-integral"), e4.getMessage)
+    // why the CALL surface casts through DECIMAL(38,9), not DOUBLE (r16
+    // review): decimal keeps a 2^53+1 integer weight exact on the way to
+    // LONG, where the double path silently rounds it off by one
+    val big = spark.sql(
+      "SELECT CAST(CAST('9007199254740993' AS DECIMAL(38,9)) AS BIGINT), " +
+        "CAST(CAST('9007199254740993' AS DOUBLE) AS BIGINT)").head()
+    assert(big.getLong(0) == 9007199254740993L
+      && big.getLong(1) != 9007199254740993L)
   }
 
   test("CALL graft.temporalPivotStress: full-sample estimate, loud failure") {

@@ -341,6 +341,14 @@ class PipelineSpec extends AnyFunSuite {
     val body = Array.fill(100)(0x5A.toByte)
     val moovLast = ftyp ++ (be32(8L + body.length) ++ "mdat".getBytes ++
       body) ++ (be32(36) ++ "moov".getBytes ++ mvhd0(1000, 2500))
+    // mdat with the size=1 LARGESIZE escape (the >4GB form: the 64-bit
+    // size follows the fourcc and covers itself) — walked by largesize
+    val largesize = ftyp ++ (be32(1) ++ "mdat".getBytes ++
+      be64(16L + body.length) ++ body) ++
+      (be32(36) ++ "moov".getBytes ++ mvhd0(800, 1600))
+    // moov with size=0 (runs to EOF — the streaming/last-box form): the
+    // fourcc hit must fire before the to-EOF advance parks the walk
+    val sizeZero = ftyp ++ (be32(0) ++ "moov".getBytes ++ mvhd0(500, 1250))
     // truncated mid-duration: timescale reads, duration must be NULL
     val full = ftyp ++ (be32(36) ++ "moov".getBytes ++ mvhd0(700, 999))
     val trunc = full.take(full.length - 2)
@@ -352,7 +360,8 @@ class PipelineSpec extends AnyFunSuite {
       .toArray ++ (be32(36) ++ "moov".getBytes ++ mvhd0(1, 1))
     val raw = "not a container".getBytes
     val df = Seq((0L, v0), (1L, v1), (2L, moovLast), (3L, trunc),
-      (4L, corrupt), (5L, deep), (6L, raw)).toDF("doc_id", "payload")
+      (4L, corrupt), (5L, deep), (6L, raw), (7L, largesize),
+      (8L, sizeZero)).toDF("doc_id", "payload")
     val got = graft.pipeline.Multimodal.videoMeta(df, "payload").collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
         Option(r.get(3)), Option(r.get(4)))).toMap
@@ -364,6 +373,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ("mp4", None, None, None))
     assert(got(5L) == ("mp4", None, None, None))
     assert(got(6L) == ("unknown", None, None, None))
+    assert(got(7L) == ("mp4", Some(800L), Some(1600L), Some(2000L)),
+      got(7L).toString)
+    assert(got(8L) == ("mp4", Some(500L), Some(1250L), Some(2500L)),
+      got(8L).toString)
   }
 
   test("audio duration: RIFF chunk walk to data, odd-size pad, corrupt size dies") {
@@ -639,7 +652,12 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "host 192.168.1.100 and 255.255.255.255"),
       (4L, "bad 999.1.2.3 is no address"),          // 999 is not an octet
       (5L, "m@x.io 4539 1488 0343 6467 10.0.0.1 +1 555-0100"),
-      (6L, "twice 4539 1488 0343 6467 and 4539 1488 0343 6467"))
+      (6L, "twice 4539 1488 0343 6467 and 4539 1488 0343 6467"),
+      // the valid span EMBEDDED in a longer token (blocked by \b at both
+      // ends) must stay untouched by the \b-anchored replace, while the
+      // free-standing occurrence redacts; the embedded digits then fall
+      // to the phone pass like any other unmatched digit run
+      (7L, "ref X4539 1488 0343 64679 paid with 4539 1488 0343 6467 ok"))
       .toDF("doc_id", "text")
     val out = TextAnalysis.redactPiiExtended(d, "text")
       .orderBy(col("doc_id")).collect()
@@ -652,6 +670,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) == ((1, 1, 1, 1, "<EMAIL> <CC> <IP> <PHONE>")))
     // duplicate valid spans: counted per MATCH, both occurrences redacted
     assert(out(6L) == ((0, 2, 0, 0, "twice <CC> and <CC>")))
+    assert(out(7L) ==
+      ((0, 1, 0, 1, "ref X<PHONE> paid with <CC> ok")), out(7L).toString)
   }
 
   test("chunking slides overlapping token windows, short docs get one chunk") {
