@@ -524,6 +524,46 @@ object GraphAlgorithms {
       .select(col("id"), col("deg"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** DOULION sampled triangle counting (Tsourakakis, Kang, Miller &
+    * Faloutsos, KDD 2009) — the 100 TB answer where even the exact
+    * O(E^1.5) degree-ordered enumeration is too much: toss each canonical
+    * undirected edge a deterministic h32 coin keeping it with probability
+    * keepPermille/1000 (the ktruss-g28 sampling convention, so the SAMPLE
+    * itself replays in SQL — never a trusted RNG), run the exact
+    * [[triangleCountDF]] on the sparsified graph, and scale each per-vertex
+    * count by the one integer ratio (count · 1000³) div keepPermille³: a
+    * triangle survives iff all three edges do (p³), so the scaled count is
+    * the paper's unbiased estimator, here in exact Long arithmetic end to
+    * end. Expected cost shrinks by p on edges and ~p^1.5 on the wedge
+    * join — sparsify first, count second is exactly the order that
+    * matters at scale. Returns (id, deg_sampled, triangles_sampled,
+    * triangles_est) for vertices of the SAMPLED graph.
+    */
+  def doulionTriangles(edges: DataFrame, keepPermille: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keepPermille >= 1 && keepPermille <= 1000,
+      s"doulionTriangles: keepPermille must be in [1, 1000], got $keepPermille")
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val kept = und.where(
+      graft.pipeline.TextHash.h32(concat(col("a").cast("string"), lit("|"),
+        col("b").cast("string"))) % 1000 < keepPermille)
+    val scaleNum = 1000L * 1000L * 1000L
+    val scaleDen = keepPermille.toLong * keepPermille * keepPermille
+    // loud past the count·10⁹ < 2^63 exactness domain (the pivotStress
+    // convention) — in-domain the guarded product is bit-identical
+    triangleCountDF(kept.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("id"), col("deg").as("deg_sampled"),
+        col("triangles").as("triangles_sampled"),
+        expr(s"coalesce(try_multiply(triangles, CAST($scaleNum AS BIGINT)), " +
+          "CAST(raise_error('doulionTriangles: count * 10^9 overflows LONG " +
+          "— outside the documented exactness domain') AS BIGINT)) " +
+          s"div CAST($scaleDen AS BIGINT)").as("triangles_est"))
+  }
+
   /** Per-edge triangle support of the canonical simple graph `und`
     * (columns a < b): the triangleCountDF degree-ordered orientation and
     * wedge closure, with each triangle's three edges unioned back to
@@ -635,6 +675,26 @@ object GraphAlgorithms {
       levelProbe)
       .withColumnRenamed("value", "stress")
 
+  /** EDGE stress centrality — the Girvan–Newman community-detection
+    * primitive (Girvan & Newman, PNAS 2002, use edge betweenness; this is
+    * its all-integer stress sibling, the g25/x24 pairing applied to
+    * edges): stress(u→v) = number of shortest s→t paths traversing the
+    * edge, summed over the given sources and all targets. Same two
+    * exact sweeps as [[stressCentrality]] on the same shared core — the
+    * per-edge emission is σ_u · (1 + τ_v) at each shortest-path-DAG edge,
+    * the edge-keyed member of the identity the vertex contribution uses,
+    * so vertex and edge results are mutually consistent by construction
+    * (Σ_in-edges stress(u→v) = σ_v·τ_v + endpoint terms). Returns
+    * (src, dst, stress) for every edge on ≥ 1 counted path; edges on no
+    * path are omitted. State stays |S|·|V|-bounded plus one
+    * |DAG-edges|-bounded relation per level.
+    */
+  def edgeStressCentrality(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      broadcastRows: Long = 1L << 20): DataFrame =
+    brandesCore(edges, sources, maxDepth, broadcastRows, integerStress = true,
+      perEdge = true)
+      .withColumnRenamed("value", "stress")
+
   /** Pivot-sampled stress centrality (Brandes & Pich, "Centrality
     * Estimation in Large Networks", 2007) — the 100 TB answer for
     * whole-graph stress, where exact all-sources Brandes is O(V·E):
@@ -708,7 +768,8 @@ object GraphAlgorithms {
     */
   private def brandesCore(edges: DataFrame, sources: DataFrame, maxDepth: Int,
       broadcastRows: Long, integerStress: Boolean,
-      levelProbe: DataFrame => Unit = _ => ()): DataFrame = {
+      levelProbe: DataFrame => Unit = _ => (),
+      perEdge: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     // e stays pinned to the end — the returned frame derives its vertex
     // relation from it; the caller's per-query sweep reclaims (kCore
@@ -758,6 +819,7 @@ object GraphAlgorithms {
     val maxL = levels.length - 1
     var accNext: Option[(DataFrame, Long)] = None
     val contribs = Vector.newBuilder[DataFrame]
+    val edgeContribs = Vector.newBuilder[DataFrame]
     for (l <- (maxL - 1) to 0 by -1) {
       val (vl, vRows) = levels(l)
       val (wl, wRows) = levels(l + 1)
@@ -792,7 +854,23 @@ object GraphAlgorithms {
         if (integerStress) one + coalesce(col("wacc"), zero)
         else (col("sigma").cast("double") / col("wsigma").cast("double")) *
           (one + coalesce(col("wacc"), zero))
-      val accPlan = joined
+      // per-edge mode consumes `joined` twice (the acc aggregate AND the
+      // per-DAG-edge emission), so materialize it once — one extra job per
+      // level, never a re-run of the level joins; the vertex path is
+      // untouched (no plan change for g25/g50)
+      val jsrc = if (perEdge) joined.select(col("s"), col("vid"),
+          col("sigma"), col("wid"), col("wsigma"), col("wacc"))
+        .localCheckpoint(true) else joined
+      if (perEdge) {
+        // σ_v · (1 + τ_w) counts the shortest s→t paths traversing DAG
+        // edge (v, w) — the edge-keyed member of the same identity the
+        // vertex contribution uses; the source level (l = 0) DOES emit
+        // (edges out of s are interior to every path they carry)
+        val ec = if (integerStress) col("sigma") * m else m
+        edgeContribs += jsrc.select(col("vid").as("src"),
+          col("wid").as("dst"), ec.as("c"))
+      }
+      val accPlan = jsrc
         .select(col("s"), col("vid"), col("sigma"), m.as("m"))
         .groupBy(col("s"), col("vid"))
         .agg(sum(col("m")).as("acc"), max(col("sigma")).as("sigma"))
@@ -805,15 +883,26 @@ object GraphAlgorithms {
       }
       accNext = Some((acc.select(col("s"), col("id"), col("acc")), vRows))
     }
-    val verts = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-    val agg = contribs.result() match {
-      case Vector() => verts.limit(0).withColumn("c", zero)
-      case cs => cs.reduce(_ unionByName _)
+    if (perEdge) {
+      // only traversed DAG edges appear (an edge on zero counted paths
+      // carries no signal); exact integer sums in stress mode
+      edgeContribs.result() match {
+        case Vector() =>
+          e.select(col("src"), col("dst")).limit(0).withColumn("value", zero)
+        case cs => cs.reduce(_ unionByName _)
+          .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("value"))
+      }
+    } else {
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val agg = contribs.result() match {
+        case Vector() => verts.limit(0).withColumn("c", zero)
+        case cs => cs.reduce(_ unionByName _)
+      }
+      verts.join(agg.groupBy(col("id")).agg(sum(col("c")).as("value")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("value"), zero).as("value"))
     }
-    verts.join(agg.groupBy(col("id")).agg(sum(col("c")).as("value")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("value"), zero).as("value"))
   }
 
   /** k-core: iteratively peel vertices whose undirected distinct-neighbor

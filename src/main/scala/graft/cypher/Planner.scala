@@ -489,6 +489,17 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         require(stD >= 1, s"graft.stress: maxDepth must be positive, got $stD")
         val stSrcs = (1 until c.args.length).map(longArg(_))
         GraphAlgorithms.stressCentrality(edges, stSrcs.toDF("id"), stD)
+      case "graft.edgestress" =>
+        // the Girvan–Newman primitive (g53): per-EDGE exact path counts
+        // from the same shared Brandes sweeps as graft.stress
+        require(c.args.length >= 2,
+          "graft.edgeStress requires (maxDepth, at least one source id)")
+        import spark.implicits._
+        val esD = intArg(0)
+        require(esD >= 1,
+          s"graft.edgeStress: maxDepth must be positive, got $esD")
+        val esSrcs = (1 until c.args.length).map(longArg(_))
+        GraphAlgorithms.edgeStressCentrality(edges, esSrcs.toDF("id"), esD)
       case "graft.betweenness" =>
         // the FP sigma-ratio twin of graft.stress (x24 pairing): same
         // sweeps, fractional pair credit — output is FP, gates ride
@@ -523,6 +534,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.earliestArrival(sourceId, t0[, 'timeProp']), " +
         "graft.temporalCloseness(sourceId[, 'timeProp']), " +
         "graft.stress(maxDepth, sourceIds...), " +
+        "graft.edgeStress(maxDepth, sourceIds...), " +
         "graft.betweenness(maxDepth, sourceIds...), " +
         "graft.closeness(maxDepth, sourceIds...), " +
         "graft.harmonic(maxDepth, sourceIds...), " +

@@ -117,6 +117,46 @@ object Clustering {
       .select(col("id"), col("cluster"), col("dist_q"), col("cluster_n"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-
+    * scale through semantic deduplication", 2023, arXiv:2303.09540):
+    * semantic near-duplicate pruning that clusters the embedding space
+    * FIRST and verifies cosine similarity only WITHIN a cluster — the
+    * paper's core scaling argument, and this engine's: k-means confines
+    * the quadratic verify join to cluster-sized blocks (pick k so
+    * clusters stay bounded), so the pair join costs Σ|cluster|² instead
+    * of |corpus|²; a still-too-large cluster composes with
+    * Similarity.nearDupPairsBucketed inside the block unchanged.
+    *
+    * Drop rule (deterministic, SQL-replayable): a vector is dropped iff
+    * some SMALLER id in its cluster sits within cosine >= tau — the
+    * min-id survivor convention shared with Dedup.exact/nearDupClusters.
+    * Returns one row per DROPPED vector: (cluster, vec id, keeper = the
+    * smallest matching smaller id, n_dups = matching smaller ids,
+    * max_sim). Exactness: assignments ride [[kmeansQuantized]]'s integer
+    * grid; sim is the e1-class double (one fixed-fold dot + one divide),
+    * and min/count/max aggregates are order-independent — the whole
+    * multi-stage pipeline hash-matches the oracle's replay.
+    */
+  def semDedupDropped(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, tau: Double, q: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions
+    val asg = kmeansQuantized(df, idCol, vecCol, k, iters, q)
+      .select(col("id"), col("cluster"))
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+        VectorFunctions.toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val cv = asg.join(vecs, "id")
+    cv.as("x").join(cv.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+      .withColumn("sim",
+        VectorFunctions.dot(col("x.v"), col("y.v")) /
+          (col("x.nrm") * col("y.nrm")))
+      .where(col("sim") >= tau)
+      .groupBy(col("x.cluster").as("cluster"), col("y.id").as("vec_id"))
+      .agg(min(col("x.id")).as("keeper"),
+        count(lit(1)).as("n_dups"), max(col("sim")).as("max_sim"))
+  }
+
   /** Cluster-label purity: for each cluster in `assign` (id, cluster),
     * the dominant external label's share — the quality readout a curation
     * pipeline uses to judge whether embedding clusters track a known

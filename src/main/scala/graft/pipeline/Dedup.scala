@@ -132,6 +132,26 @@ object Dedup {
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
   }
 
+  /** MinHash signatures → band buckets → same-bucket pair join over a
+    * hashed (id, h) shingle relation: the LSH candidate generator shared
+    * by the Jaccard (d3) and edit-distance (d11) verifiers — split out in
+    * r16 so the two verification paths cannot diverge on candidate
+    * semantics. Returns (a, b) with a < b, distinct; the pair join is
+    * confined to LSH buckets, never all-pairs.
+    */
+  private[graft] def lshCandidatePairs(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(permuted(col("h"), a, b)).as(s"mh$i")
+    }
+    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val buckets = lshBuckets(sig, k, bands)
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-dup candidate pairs (a < b, distinct), verified with
     * exact n-gram Jaccard. The all-pairs join is confined to LSH buckets,
     * and verification is restricted to the candidate pairs (the all-pairs
@@ -141,18 +161,35 @@ object Dedup {
       k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
     // one shingle materialization shared by signatures and verification
     val sh = explodedShingles(df, idCol, textCol, n).localCheckpoint()
-    val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
-      min(permuted(col("h"), a, b)).as(s"mh$i")
-    }
-    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-    val buckets = lshBuckets(sig, k, bands)
-    val cands = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
-    jaccardForPairs(cands, sh)
+    jaccardForPairs(lshCandidatePairs(sh, k, bands), sh)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Edit-distance-verified fuzzy dedup: LSH candidate pairs whose exact
+    * Levenshtein distance is <= maxDist — the character-level verifier for
+    * near-dups that token shingles can only approximate (a shingle set is
+    * insensitive to WHERE an edit happened; the edit distance is not).
+    * Candidate generation is the shared banded LSH path (never all-pairs);
+    * verification runs Spark's thresholded Levenshtein — the banded DP
+    * computes O(len·maxDist) cells per pair instead of the full len²
+    * matrix and returns -1 past the threshold, so per-pair cost is bounded
+    * by the answer you asked for, not by document length. Returns
+    * (a, b, editdist) with a < b and editdist <= maxDist.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    require(maxDist >= 0, "editDistancePairs: maxDist must be >= 0")
+    val sh = explodedShingles(df, idCol, textCol, n).localCheckpoint()
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("__txt"))
+    lshCandidatePairs(sh, k, bands)
+      .join(txt.select(col("id").as("a"), col("__txt").as("__ta")), Seq("a"))
+      .join(txt.select(col("id").as("b"), col("__txt").as("__tb")), Seq("b"))
+      .withColumn("editdist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      // the thresholded DP reports "past maxDist" as -1; in-threshold
+      // values are the exact full Levenshtein distance
+      .where(col("editdist") >= 0)
+      .select(col("a"), col("b"), col("editdist"))
   }
 
   /** End-to-end near-dup deduplication: LSH candidate pairs above

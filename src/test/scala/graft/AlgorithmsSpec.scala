@@ -122,6 +122,37 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
   }
 
+  test("edgeStressCentrality: per-edge counts, vertex consistency, truncation") {
+    // same diamond + tail as the vertex spec (duplicate edge collapses)
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    // from s=1 (sigma = 1,1,1,2,2; tau = 6,2,2,1,0):
+    //   e(u,v) = sigma_u * (1 + tau_v):
+    //   1->2: 1*3 = 3 (paths ending at 2, at 4 via 2, at 5 via 2)
+    //   1->3: 3, 2->4: 1*2 = 2, 3->4: 2, 4->5: 2*1 = 2
+    val s1 = GraphAlgorithms.edgeStressCentrality(edges, Seq(1L).toDF("id"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s1 == Map((1L, 2L) -> 3L, (1L, 3L) -> 3L, (2L, 4L) -> 2L,
+      (3L, 4L) -> 2L, (4L, 5L) -> 2L))
+    // in-edge sums vs the vertex sweep: sum of stress over v's in-edges =
+    // vertex stress(v) + paths ENDING at v (sigma_v per reached v) — the
+    // construction-level consistency the shared core guarantees
+    // (v4: 2+2 = vertex 2 + ended 2; v5: 2 = 0 + 2)
+    assert(s1((2L, 4L)) + s1((3L, 4L)) == 2L + 2L)
+    assert(s1((4L, 5L)) == 0L + 2L)
+    // second source 2 adds its own DAG: 2->4 (+2: ends at 4, at 5), 4->5 (+1)
+    val s12 = GraphAlgorithms
+      .edgeStressCentrality(edges, Seq(1L, 2L).toDF("id"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s12 == Map((1L, 2L) -> 3L, (1L, 3L) -> 3L, (2L, 4L) -> 4L,
+      (3L, 4L) -> 2L, (4L, 5L) -> 3L))
+    // depth-1 truncation: only the source level's out-edges, count 1 each;
+    // untraversed edges are OMITTED, not zero-filled
+    val d1 = GraphAlgorithms.edgeStressCentrality(edges, Seq(1L).toDF("id"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d1 == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L))
+  }
+
   test("pivotStress: all-vertex pivots reproduce full stress; draw is deterministic") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst")
@@ -253,6 +284,32 @@ class AlgorithmsSpec extends AnyFunSuite {
         case _ =>
       }
     }
+  }
+
+  test("doulionTriangles: full keep equals exact, coin deterministic, 8x scale") {
+    // two triangles sharing vertex 3, plus a chord
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (1L, 4L)).toDF("src", "dst")
+    val exact = GraphAlgorithms.triangleCountDF(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // keepPermille = 1000: every edge survives, the estimator is exact
+    // with scale 1000^3 div 1000^3 = 1
+    val full = GraphAlgorithms.doulionTriangles(edges, 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(full.map(t => (t._1, t._2, t._3)).toSet == exact)
+    assert(full.forall(t => t._4 == t._3))
+    // the h32 coin is a pure function of the canonical pair: two runs
+    // sample identically, and every estimate is sampled * 8 at 500 permille
+    def run() = GraphAlgorithms.doulionTriangles(edges, 500)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val s1 = run()
+    assert(s1 == run())
+    assert(s1.forall(t => t._4 == t._3 * 8))
+    val bad = intercept[IllegalArgumentException](
+      GraphAlgorithms.doulionTriangles(edges, 0))
+    assert(bad.getMessage.contains("keepPermille"))
   }
 
   test("triangleCountDF equals GraphX triangleCount on a generated graph") {

