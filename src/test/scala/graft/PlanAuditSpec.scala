@@ -329,6 +329,36 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d11: LSH candidates stay band-bucketed; text joins are hash equi-joins") {
+    // the pair join keys on (band, bucket) and the two text lookups key on
+    // the candidate ids — a cartesian or nested-loop anywhere here is the
+    // all-pairs blowup the banding exists to avoid
+    val p = plan("d11_editdist_verify")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("e11: the semDedup verify join keys on the cluster — no all-pairs stage") {
+    // within-cluster pairs come from an equi-join on the cluster id (with
+    // the id< predicate as a join filter); the k-means feeding it assigns
+    // via literal centroids (the e7 pin), so no stage is corpus × corpus
+    val p = plan("e11_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("g53: the edge-stress tail is checkpoint unions + one keyed aggregate") {
+    // per-level join discipline is g25's levelProbe pin (shared core); the
+    // edge mode's own tail — union of per-level checkpointed emissions
+    // into one (src, dst) hash aggregate — must not smuggle in a join
+    val p = plan("g53_edge_stress")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("g54: sampled triangles keep g23's equi-join-only wedge discipline") {
+    val p = plan("g54_doulion_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("g26: harmonic closeness is one shared BFS sweep + one aggregate") {
     val p = plan("g26_harmonic")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
