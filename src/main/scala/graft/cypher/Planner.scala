@@ -399,6 +399,13 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         val psN = intArg(0, Some(16))
         val psD = intArg(1, Some(8))
         GraphAlgorithms.pivotStress(edges, psN, psD)
+      case "graft.douliontriangles" =>
+        // DOULION sparsify-first triangle estimation (g54, KDD 2009):
+        // ([keepPermille]) — deterministic h32 edge coin, exact count on
+        // the kept edges, (count * 1000^3) div permille^3 integer scale
+        nargs(1)
+        val dtP = intArg(0, Some(500))
+        GraphAlgorithms.doulionTriangles(edges, dtP)
       case "graft.temporalpivotstress" =>
         // the pivot estimator carried to journeys (g52):
         // (nPivots[, k[, 'timeProp']]) — h32-argmin draw over distinct
@@ -530,6 +537,7 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.temporalStress(sourceId, t0[, k[, 'timeProp']]), " +
         "graft.temporalBetweenness(sourceId, t0[, k[, 'timeProp']]), " +
         "graft.pivotStress(nPivots[, maxDepth]), " +
+        "graft.doulionTriangles([keepPermille]), " +
         "graft.temporalPivotStress(nPivots[, k[, 'timeProp']]), " +
         "graft.earliestArrival(sourceId, t0[, 'timeProp']), " +
         "graft.temporalCloseness(sourceId[, 'timeProp']), " +

@@ -867,6 +867,19 @@ class CypherSpec extends AnyFunSuite {
     val e2 = intercept[Exception](sess.run(
       "CALL graft.pivotStress(1, 2, 3) YIELD id RETURN id"))
     assert(e2.getMessage.contains("at most 2"), e2.getMessage)
+    // DOULION at full keep on the triangle-free chain: every canonical
+    // edge survives, degrees are the undirected ones, counts/estimates 0
+    val dt = sess.run(
+      "CALL graft.doulionTriangles(1000) " +
+        "YIELD id, deg_sampled, triangles_sampled, triangles_est " +
+        "RETURN id, deg_sampled, triangles_sampled, triangles_est ORDER BY id")
+    assert(rows(dt) == Seq(
+      Seq(Graphid.pack(100, 1), 1L, 0L, 0L),
+      Seq(Graphid.pack(100, 2), 2L, 0L, 0L),
+      Seq(Graphid.pack(100, 3), 1L, 0L, 0L)))
+    val e2b = intercept[Exception](sess.run(
+      "CALL graft.doulionTriangles(0) YIELD id RETURN id"))
+    assert(e2b.getMessage.contains("keepPermille"), e2b.getMessage)
     // weighted louvain: the 'weightProp' arg reaches the weighted closure
     // (positive 'since' weights run; every edge vertex gets a label)
     val wl = sess.run(
