@@ -185,9 +185,13 @@ object Multimodal {
     */
   private def chunkWalk(payload: Column, start: Column, targetHex: String,
       maxChunks: Int, fourccAt: Column => Column,
-      nextAt: Column => Column): Column = {
+      nextAt: Column => Column, endPos: Option[Column] = None): Column = {
     val init = struct(start.cast("long").as("pos"), lit(false).as("found"))
     val len = length(payload).cast("long")
+    // an optional inclusive end bound confines a CHILD walk to its parent
+    // box's extent (r16 review: without it, a moov with no mvhd child let
+    // the walk escape into sibling boxes and "find" a stray fourcc there)
+    val bound = endPos.map(e => least(e, len)).getOrElse(len)
     val walked = aggregate(
       sequence(lit(1), lit(maxChunks)),
       init,
@@ -198,7 +202,7 @@ object Multimodal {
         // where substr's int cast would error): range-check BEFORE any
         // read — &&/when short-circuit, so out-of-range bytes are never
         // touched and the walk parks at NULL
-        val inRange = coalesce(pos >= 1L && pos + 7L <= len, lit(false))
+        val inRange = coalesce(pos >= 1L && pos + 7L <= bound, lit(false))
         val hit = inRange && fourccAt(pos) === targetHex
         val nxt = when(inRange, nextAt(pos))
         // a chunk must advance past its own 8-byte header: anything
@@ -236,12 +240,27 @@ object Multimodal {
     // check fires before the advance)
     def next(p: Column) = {
       val sz = beUInt(payload, p, 4)
-      when(sz === 1L, p + beUInt(payload, p + 8L, 8))
+      val ls = beUInt(payload, p + 8L, 8)
+      // a largesize box's header is 16 bytes, so a largesize in [8, 15]
+      // is corrupt yet would pass the walk's generic 8-byte minimum-
+      // advance check and misalign every later read (r16 review) — park
+      // it at NULL here instead
+      when(sz === 1L, when(ls >= 16L, p + ls))
         .when(sz === 0L, length(payload).cast("long") + 1L)
         .otherwise(p + sz)
     }
     val moov = chunkWalk(payload, lit(1L), "6D6F6F76", maxBoxes, cc, next)
-    val mvhd = chunkWalk(payload, moov + 8L, "6D766864", maxBoxes, cc, next)
+    // the child walk is confined to moov's own extent and starts after
+    // moov's ACTUAL header (16 bytes in the largesize form) — without
+    // both, a moov with no mvhd child reads a stray sibling "mvhd", and
+    // a largesize moov misparses its own largesize field as a child
+    val szMoov = beUInt(payload, moov, 4)
+    val childStart = when(szMoov === 1L, moov + 16L).otherwise(moov + 8L)
+    val moovEnd = when(szMoov === 1L, moov + beUInt(payload, moov + 8L, 8) - 1L)
+      .when(szMoov === 0L, length(payload).cast("long"))
+      .otherwise(moov + szMoov - 1L)
+    val mvhd = chunkWalk(payload, childStart, "6D766864", maxBoxes, cc, next,
+      Some(moovEnd))
     val v = beUInt(payload, mvhd + 8L, 1)
     (when(v === 0L, beUInt(payload, mvhd + 20L, 4))
        .when(v === 1L, beUInt(payload, mvhd + 28L, 4)),

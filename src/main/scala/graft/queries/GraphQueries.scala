@@ -823,9 +823,9 @@ object GraphQueries {
     // count scaled by the integer 1000³ div 500³ = 8 — the sparsify-first
     // estimator for graphs where even O(E^1.5) is too much. The coin, the
     // count, and the scale all replay in the oracle; at sf0.01 the global
-    // estimate lands within 2% of g23's exact count (161700 vs 164456 —
-    // the paper's variance bound in action). Gate-budget rule: HALF of
-    // g23's already-priced graph.
+    // estimate lands within 2% of g23's exact count (estimate 164456 vs
+    // exact 161700 — the paper's variance bound in action). Gate-budget
+    // rule: HALF of g23's already-priced graph.
     "g54_doulion_triangles" -> ((s, dir) => {
       graft.algorithms.GraphAlgorithms
         .doulionTriangles(coSupplyEdges(s, dir), 500)

@@ -393,9 +393,22 @@ class PipelineSpec extends AnyFunSuite {
     val deep = ftyp ++ (1 to 8).flatMap(_ => be32(8) ++ "free".getBytes)
       .toArray ++ (be32(36) ++ "moov".getBytes ++ mvhd0(1, 1))
     val raw = "not a container".getBytes
+    // corrupt largesize in [8, 16): the 16-byte largesize header can't
+    // contain it — the walk must park, never advance into its own header
+    val corruptLarge = ftyp ++ (be32(1) ++ "mdat".getBytes ++ be64(12) ++
+      body) ++ (be32(36) ++ "moov".getBytes ++ mvhd0(800, 1600))
+    // moov with NO mvhd child, a stray top-level mvhd right after it: the
+    // child walk must stay inside moov's extent and report NULL, never
+    // "find" the sibling
+    val strayMvhd = ftyp ++ (be32(16) ++ "moov".getBytes ++
+      be32(8) ++ "free".getBytes) ++ mvhd0(999, 111)
+    // largesize moov: children start after the 16-byte header
+    val largeMoov = ftyp ++ (be32(1) ++ "moov".getBytes ++ be64(16 + 28) ++
+      mvhd0(300, 900))
     val df = Seq((0L, v0), (1L, v1), (2L, moovLast), (3L, trunc),
       (4L, corrupt), (5L, deep), (6L, raw), (7L, largesize),
-      (8L, sizeZero)).toDF("doc_id", "payload")
+      (8L, sizeZero), (9L, corruptLarge), (10L, strayMvhd),
+      (11L, largeMoov)).toDF("doc_id", "payload")
     val got = graft.pipeline.Multimodal.videoMeta(df, "payload").collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
         Option(r.get(3)), Option(r.get(4)))).toMap
@@ -411,6 +424,10 @@ class PipelineSpec extends AnyFunSuite {
       got(7L).toString)
     assert(got(8L) == ("mp4", Some(500L), Some(1250L), Some(2500L)),
       got(8L).toString)
+    assert(got(9L) == ("mp4", None, None, None), got(9L).toString)
+    assert(got(10L) == ("mp4", None, None, None), got(10L).toString)
+    assert(got(11L) == ("mp4", Some(300L), Some(900L), Some(3000L)),
+      got(11L).toString)
   }
 
   test("audio duration: RIFF chunk walk to data, odd-size pad, corrupt size dies") {
