@@ -186,23 +186,31 @@ object Multimodal {
   private def chunkWalk(payload: Column, start: Column, targetHex: String,
       maxChunks: Int, fourccAt: Column => Column,
       nextAt: Column => Column, endPos: Option[Column] = None): Column = {
-    val init = struct(start.cast("long").as("pos"), lit(false).as("found"))
     val len = length(payload).cast("long")
-    // an optional inclusive end bound confines a CHILD walk to its parent
+    // the optional inclusive end bound confines a CHILD walk to its parent
     // box's extent (r16 review: without it, a moov with no mvhd child let
-    // the walk escape into sibling boxes and "find" a stray fourcc there)
-    val bound = endPos.map(e => least(e, len)).getOrElse(len)
+    // the walk escape into sibling boxes and "find" a stray fourcc there).
+    // It rides IN the fold state so it is evaluated ONCE at init: a bound
+    // derived from the parent's own walk referenced per-iteration would
+    // re-nest that walk-sized expression maxChunks times — the exact
+    // exponential-tree blowup the jpegDims fold exists to avoid (measured:
+    // ~130x slower end to end before this was state-carried). A NULL bound
+    // (corrupt parent size) fails inRange and parks the walk.
+    val init = struct(start.cast("long").as("pos"), lit(false).as("found"),
+      endPos.getOrElse(len).cast("long").as("bound"))
     val walked = aggregate(
       sequence(lit(1), lit(maxChunks)),
       init,
       (st, _) => {
         val pos = st.getField("pos")
         val found = st.getField("found")
+        val bnd = st.getField("bound")
         // a corrupt size can carry pos past the payload (or past 2^31,
         // where substr's int cast would error): range-check BEFORE any
         // read — &&/when short-circuit, so out-of-range bytes are never
         // touched and the walk parks at NULL
-        val inRange = coalesce(pos >= 1L && pos + 7L <= bound, lit(false))
+        val inRange = coalesce(pos >= 1L && pos + 7L <= len &&
+          pos + 7L <= bnd, lit(false))
         val hit = inRange && fourccAt(pos) === targetHex
         val nxt = when(inRange, nextAt(pos))
         // a chunk must advance past its own 8-byte header: anything
@@ -212,7 +220,8 @@ object Multimodal {
           when(found || hit, pos)
             .when(dead, lit(null).cast("long"))
             .otherwise(nxt).as("pos"),
-          (found || hit).as("found"))
+          (found || hit).as("found"),
+          bnd.as("bound"))
       })
     when(walked.getField("found"), walked.getField("pos"))
   }
@@ -230,43 +239,69 @@ object Multimodal {
     * Exactness domain: duration < 2^63 (a v1 duration at or above it
     * wraps the LONG — no real container is within 10^5× of that).
     */
-  def mp4Meta(payload: Column, maxBoxes: Int = 8): (Column, Column) = {
-    def cc(p: Column) = hex(payload.substr((p + 4L).cast("int"), lit(4)))
-    // the two spec-legal escape encodings (ISO 14496-12 §4.2, on real
-    // encoder output — r16 review): size == 1 means a 64-bit largesize
-    // follows the fourcc (>4 GB mdat), size == 0 means the box runs to
-    // EOF (the streaming/last-box form — advance past the payload end,
-    // which parks the walk unless this box WAS the target: the fourcc
-    // check fires before the advance)
-    def next(p: Column) = {
-      val sz = beUInt(payload, p, 4)
-      val ls = beUInt(payload, p + 8L, 8)
-      // a largesize box's header is 16 bytes, so a largesize in [8, 15]
-      // is corrupt yet would pass the walk's generic 8-byte minimum-
-      // advance check and misalign every later read (r16 review) — park
-      // it at NULL here instead
-      when(sz === 1L, when(ls >= 16L, p + ls))
-        .when(sz === 0L, length(payload).cast("long") + 1L)
-        .otherwise(p + sz)
-    }
-    val moov = chunkWalk(payload, lit(1L), "6D6F6F76", maxBoxes, cc, next)
-    // the child walk is confined to moov's own extent and starts after
-    // moov's ACTUAL header (16 bytes in the largesize form) — without
-    // both, a moov with no mvhd child reads a stray sibling "mvhd", and
-    // a largesize moov misparses its own largesize field as a child
+  private def boxFourcc(payload: Column)(p: Column): Column =
+    hex(payload.substr((p + 4L).cast("int"), lit(4)))
+
+  /** Position after box `p` — the two spec-legal escape encodings
+    * (ISO 14496-12 §4.2, on real encoder output — r16 review): size == 1
+    * means a 64-bit largesize follows the fourcc (>4 GB mdat), size == 0
+    * means the box runs to EOF (the streaming/last-box form — advance
+    * past the payload end, which parks the walk unless this box WAS the
+    * target: the fourcc check fires before the advance).
+    */
+  private def boxNext(payload: Column)(p: Column): Column = {
+    val sz = beUInt(payload, p, 4)
+    val ls = beUInt(payload, p + 8L, 8)
+    // a largesize box's header is 16 bytes, so a largesize in [8, 15]
+    // is corrupt yet would pass the walk's generic 8-byte minimum-
+    // advance check and misalign every later read (r16 review) — park
+    // it at NULL here instead
+    when(sz === 1L, when(ls >= 16L, p + ls))
+      .when(sz === 0L, length(payload).cast("long") + 1L)
+      .otherwise(p + sz)
+  }
+
+  /** Top-level moov box position (NULL when absent/corrupt/past budget). */
+  def mp4Moov(payload: Column, maxBoxes: Int = 8): Column =
+    chunkWalk(payload, lit(1L), "6D6F6F76", maxBoxes,
+      boxFourcc(payload), boxNext(payload))
+
+  /** mvhd position inside a FOUND moov box. The child walk is confined to
+    * moov's own extent and starts after moov's ACTUAL header (16 bytes in
+    * the largesize form) — without both, a moov with no mvhd child reads
+    * a stray sibling "mvhd", and a largesize moov misparses its own
+    * largesize field as a child. moov's inclusive end is boxNext(moov)-1:
+    * one shared expression covering all three size forms that goes NULL —
+    * parking the child walk — on a corrupt largesize. IMPORTANT at the
+    * call site: pass `moov` as a MATERIALIZED column (a withColumn
+    * alias), not the raw walk expression — the walk tree is embedded ~10
+    * times here, and per-row HOF evaluation re-runs every copy (measured
+    * 15-130x slowdowns when the full walk expression was inlined).
+    */
+  def mp4Mvhd(payload: Column, moov: Column, maxBoxes: Int = 8): Column = {
     val szMoov = beUInt(payload, moov, 4)
     val childStart = when(szMoov === 1L, moov + 16L).otherwise(moov + 8L)
-    val moovEnd = when(szMoov === 1L, moov + beUInt(payload, moov + 8L, 8) - 1L)
-      .when(szMoov === 0L, length(payload).cast("long"))
-      .otherwise(moov + szMoov - 1L)
-    val mvhd = chunkWalk(payload, childStart, "6D766864", maxBoxes, cc, next,
-      Some(moovEnd))
+    chunkWalk(payload, childStart, "6D766864", maxBoxes,
+      boxFourcc(payload), boxNext(payload),
+      Some(boxNext(payload)(moov) - 1L))
+  }
+
+  /** (timescale, duration) BE reads at a FOUND mvhd's version-dependent
+    * offsets — same materialized-column caveat as [[mp4Mvhd]].
+    */
+  def mvhdTimes(payload: Column, mvhd: Column): (Column, Column) = {
     val v = beUInt(payload, mvhd + 8L, 1)
     (when(v === 0L, beUInt(payload, mvhd + 20L, 4))
        .when(v === 1L, beUInt(payload, mvhd + 28L, 4)),
       when(v === 0L, beUInt(payload, mvhd + 24L, 4))
         .when(v === 1L, beUInt(payload, mvhd + 32L, 8)))
   }
+
+  /** Column-level composition of the walks — for single-use contexts
+    * only; [[videoMeta]] materializes each stage once instead.
+    */
+  def mp4Meta(payload: Column, maxBoxes: Int = 8): (Column, Column) =
+    mvhdTimes(payload, mp4Mvhd(payload, mp4Moov(payload, maxBoxes), maxBoxes))
 
   /** Video-metadata extraction over opaque binary payloads (the m7 gate):
     * format sniff plus the MP4 moov/mvhd read — (format, timescale,
@@ -278,8 +313,17 @@ object Multimodal {
     */
   def videoMeta(df: DataFrame, payloadCol: String): DataFrame = {
     val p = col(payloadCol)
-    val (ts, dur) = mp4Meta(p)
-    df.withColumn("format", sniffFormat(p))
+    // each walk stage lands in its own aliased column so downstream
+    // references evaluate it ONCE per row: CollapseProject keeps
+    // non-cheap multi-referenced aliases in separate projections, so the
+    // moov walk runs once, the mvhd walk once (embedding the moov
+    // ATTRIBUTE, not the moov walk), and the version reads once — inlining
+    // the raw expressions instead re-evaluates the walk per reference
+    // (measured 15x end-to-end on the m7 gate)
+    val staged = df.withColumn("__moov", mp4Moov(p))
+      .withColumn("__mvhd", mp4Mvhd(p, col("__moov")))
+    val (ts, dur) = mvhdTimes(p, col("__mvhd"))
+    staged.withColumn("format", sniffFormat(p))
       .withColumn("timescale", when(col("format") === "mp4", ts))
       .withColumn("duration", when(col("format") === "mp4", dur))
       .withColumn("duration_ms", expr(
@@ -290,6 +334,7 @@ object Multimodal {
           "CAST(raise_error('videoMeta: duration * 1000 overflows LONG') " +
           "AS BIGINT)) div timescale END"))
       .withColumn("payload_bytes", length(p).cast("long"))
+      .drop("__moov", "__mvhd")
       .drop(payloadCol)
   }
 
