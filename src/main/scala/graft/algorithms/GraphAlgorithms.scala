@@ -531,7 +531,9 @@ object GraphAlgorithms {
     * keepPermille/1000 (the ktruss-g28 sampling convention, so the SAMPLE
     * itself replays in SQL — never a trusted RNG), run the exact
     * [[triangleCountDF]] on the sparsified graph, and scale each per-vertex
-    * count by the one integer ratio (count · 1000³) div keepPermille³: a
+    * count by the one integer ratio (count · 1000³) div keepPermille³
+    * (reduced by its gcd first, so full keep scales by exactly 1/1 and
+    * never trips the overflow guard on a representable exact count): a
     * triangle survives iff all three edges do (p³), so the scaled count is
     * the paper's unbiased estimator, here in exact Long arithmetic end to
     * end. Expected cost shrinks by p on edges and ~p^1.5 on the wedge
@@ -553,15 +555,25 @@ object GraphAlgorithms {
         col("b").cast("string"))) % 1000 < keepPermille)
     val scaleNum = 1000L * 1000L * 1000L
     val scaleDen = keepPermille.toLong * keepPermille * keepPermille
-    // loud past the count·10⁹ < 2^63 exactness domain (the pivotStress
-    // convention) — in-domain the guarded product is bit-identical
+    // reduce the ratio by its gcd BEFORE multiplying (r16 ADVICE): the
+    // estimate is identical in-domain — (c·10⁹) div k³ = (c·(10⁹/g)) div
+    // (k³/g) exactly, since g divides both — but the overflow guard now
+    // fires only past the REDUCED product's domain. At keepPermille=1000
+    // the ratio reduces to 1/1, so the full-keep case is the exact count
+    // with no scaling to overflow; at 500 the factor drops 10⁹ → 8.
+    val g = java.math.BigInteger.valueOf(scaleNum)
+      .gcd(java.math.BigInteger.valueOf(scaleDen)).longValueExact()
+    val (num, den) = (scaleNum / g, scaleDen / g)
+    // loud past the count·(10⁹/g) < 2^63 exactness domain (the
+    // pivotStress convention) — in-domain the guarded product is
+    // bit-identical
     triangleCountDF(kept.select(col("a").as("src"), col("b").as("dst")))
       .select(col("id"), col("deg").as("deg_sampled"),
         col("triangles").as("triangles_sampled"),
-        expr(s"coalesce(try_multiply(triangles, CAST($scaleNum AS BIGINT)), " +
-          "CAST(raise_error('doulionTriangles: count * 10^9 overflows LONG " +
+        expr(s"coalesce(try_multiply(triangles, CAST($num AS BIGINT)), " +
+          s"CAST(raise_error('doulionTriangles: count * $num overflows LONG " +
           "— outside the documented exactness domain') AS BIGINT)) " +
-          s"div CAST($scaleDen AS BIGINT)").as("triangles_est"))
+          s"div CAST($den AS BIGINT)").as("triangles_est"))
   }
 
   /** Per-edge triangle support of the canonical simple graph `und`

@@ -125,7 +125,11 @@ object Clustering {
     * the quadratic verify join to cluster-sized blocks (pick k so
     * clusters stay bounded), so the pair join costs Σ|cluster|² instead
     * of |corpus|²; a still-too-large cluster composes with
-    * Similarity.nearDupPairsBucketed inside the block unchanged.
+    * Similarity.nearDupPairsBucketed inside the block unchanged. The
+    * boundedness assumption is ENFORCED loudly (r16 VERDICT): the largest
+    * cluster must hold ≤ maxClusterSize vectors or the call fails with a
+    * message pointing at the bucketed composition — never a silent
+    * corpus-quadratic join.
     *
     * Drop rule (deterministic, SQL-replayable): a vector is dropped iff
     * some SMALLER id in its cluster sits within cosine >= tau — the
@@ -138,10 +142,25 @@ object Clustering {
     * multi-stage pipeline hash-matches the oracle's replay.
     */
   def semDedupDropped(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, tau: Double, q: Int = 6): DataFrame = {
+      k: Int, iters: Int, tau: Double, q: Int = 6,
+      maxClusterSize: Long = 8192L): DataFrame = {
     import graft.functions.VectorFunctions
-    val asg = kmeansQuantized(df, idCol, vecCol, k, iters, q)
-      .select(col("id"), col("cluster"))
+    val asgFull = kmeansQuantized(df, idCol, vecCol, k, iters, q)
+    // LOUD guard on the quadratic hazard (r16 VERDICT): the within-cluster
+    // pair join is |cluster|² by design — a degenerate k-means (near-
+    // identical embeddings, or k far too small) would silently turn it
+    // quadratic in the corpus. One cheap one-row digest over the already-
+    // checkpointed assignment (cluster_n is computed by kmeansQuantized)
+    // fails loudly instead, the mmrTopK/pivotStress discipline.
+    val maxRow = asgFull.agg(max(col("cluster_n"))).head
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    require(maxN <= maxClusterSize,
+      s"semDedupDropped: largest cluster holds $maxN vectors " +
+        s"(> maxClusterSize = $maxClusterSize) — the within-cluster verify " +
+        "join is |cluster|^2. Raise k/iters so clusters stay bounded, raise " +
+        "maxClusterSize deliberately, or route oversized clusters through " +
+        "Similarity.nearDupPairsBucketed (banded candidates, never all-pairs)")
+    val asg = asgFull.select(col("id"), col("cluster"))
     val vecs = df.select(col(idCol).cast("long").as("id"),
         VectorFunctions.toDoubleArray(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))

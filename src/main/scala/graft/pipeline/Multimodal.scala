@@ -283,25 +283,46 @@ object Multimodal {
     val childStart = when(szMoov === 1L, moov + 16L).otherwise(moov + 8L)
     chunkWalk(payload, childStart, "6D766864", maxBoxes,
       boxFourcc(payload), boxNext(payload),
-      Some(boxNext(payload)(moov) - 1L))
+      Some(moovBound(payload, moov)))
   }
 
   /** (timescale, duration) BE reads at a FOUND mvhd's version-dependent
-    * offsets — same materialized-column caveat as [[mp4Mvhd]].
+    * offsets — same materialized-column caveat as [[mp4Mvhd]]. `bound` is
+    * the parent moov's inclusive end: the child walk only confines the
+    * mvhd HEADER to it, so without re-checking here a corrupt moov whose
+    * declared size ends inside the mvhd body would read timescale/
+    * duration from sibling/stray bytes (r16 review follow-up). The check
+    * is version-aware — v0's fields end at mvhd+27, v1's at mvhd+39 — so
+    * a minimal v0 mvhd flush against its parent's end stays readable.
     */
-  def mvhdTimes(payload: Column, mvhd: Column): (Column, Column) = {
+  def mvhdTimes(payload: Column, mvhd: Column,
+      bound: Option[Column] = None): (Column, Column) = {
     val v = beUInt(payload, mvhd + 8L, 1)
-    (when(v === 0L, beUInt(payload, mvhd + 20L, 4))
-       .when(v === 1L, beUInt(payload, mvhd + 28L, 4)),
-      when(v === 0L, beUInt(payload, mvhd + 24L, 4))
-        .when(v === 1L, beUInt(payload, mvhd + 32L, 8)))
+    def fits(end: Long): Column =
+      bound.map(b => mvhd + end <= b).getOrElse(lit(true))
+    (when(v === 0L && fits(27L), beUInt(payload, mvhd + 20L, 4))
+       .when(v === 1L && fits(39L), beUInt(payload, mvhd + 28L, 4)),
+      when(v === 0L && fits(27L), beUInt(payload, mvhd + 24L, 4))
+        .when(v === 1L && fits(39L), beUInt(payload, mvhd + 32L, 8)))
   }
 
-  /** Column-level composition of the walks — for single-use contexts
-    * only; [[videoMeta]] materializes each stage once instead.
+  /** Parent moov's inclusive end — the bound both the child walk and the
+    * mvhd field reads are confined to (NULL on a corrupt largesize,
+    * parking both).
     */
-  def mp4Meta(payload: Column, maxBoxes: Int = 8): (Column, Column) =
-    mvhdTimes(payload, mp4Mvhd(payload, mp4Moov(payload, maxBoxes), maxBoxes))
+  def moovBound(payload: Column, moov: Column): Column =
+    boxNext(payload)(moov) - 1L
+
+  /** Column-level composition of the walks — for single-use contexts
+    * only; [[videoMeta]] materializes each stage once instead (this form
+    * embeds the moov walk twice: once in the child walk, once for the
+    * field-read bound).
+    */
+  def mp4Meta(payload: Column, maxBoxes: Int = 8): (Column, Column) = {
+    val moov = mp4Moov(payload, maxBoxes)
+    mvhdTimes(payload, mp4Mvhd(payload, moov, maxBoxes),
+      Some(moovBound(payload, moov)))
+  }
 
   /** Video-metadata extraction over opaque binary payloads (the m7 gate):
     * format sniff plus the MP4 moov/mvhd read — (format, timescale,
@@ -322,7 +343,8 @@ object Multimodal {
     // (measured 15x end-to-end on the m7 gate)
     val staged = df.withColumn("__moov", mp4Moov(p))
       .withColumn("__mvhd", mp4Mvhd(p, col("__moov")))
-    val (ts, dur) = mvhdTimes(p, col("__mvhd"))
+    val (ts, dur) =
+      mvhdTimes(p, col("__mvhd"), Some(moovBound(p, col("__moov"))))
     staged.withColumn("format", sniffFormat(p))
       .withColumn("timescale", when(col("format") === "mp4", ts))
       .withColumn("duration", when(col("format") === "mp4", dur))

@@ -104,8 +104,22 @@ object PipelineQueries {
     // map-side). Gate-budget rule: the NEW operator is the verify pass, so
     // the gate rides a half corpus (doc_id % 2 = 1) — the LSH family's
     // full-corpus price is already on the board as d3.
+    // ORACLE-PARITY DOMAIN (r16 ADVICE): Spark counts Levenshtein edits in
+    // Unicode CODE POINTS (spec-pinned in PipelineSpec); a byte-oriented
+    // oracle implementation could disagree on multi-byte text. The
+    // generated corpus is ASCII-only, and the guard below makes that
+    // assumption LOUD — if the corpus ever gains multi-byte characters the
+    // gate raises instead of silently hash-mismatching. The guard is an
+    // identity on ASCII, so the green gate's values are untouched.
     "d11_editdist_verify" -> ((s, dir) =>
-      Dedup.editDistancePairs(docs(s, dir).where(col("doc_id") % 2 === 1),
+      Dedup.editDistancePairs(
+          docs(s, dir).where(col("doc_id") % 2 === 1)
+            .withColumn("text",
+              when(length(col("text")) === octet_length(col("text")),
+                  col("text"))
+                .otherwise(raise_error(lit("d11_editdist_verify: non-ASCII " +
+                  "text — Spark (code points) and a byte-oriented oracle " +
+                  "Levenshtein may disagree; re-pin the parity domain")))),
           "doc_id", "text", 16, K, BANDS, NGRAM)
         .orderBy(col("a"), col("b"))),
 

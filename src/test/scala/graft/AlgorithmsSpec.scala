@@ -310,6 +310,16 @@ class AlgorithmsSpec extends AnyFunSuite {
     val bad = intercept[IllegalArgumentException](
       GraphAlgorithms.doulionTriangles(edges, 0))
     assert(bad.getMessage.contains("keepPermille"))
+    // the scale ratio is gcd-reduced BEFORE the guarded multiply (r16
+    // ADVICE): full keep multiplies by 1 (a representable exact count can
+    // never trip the overflow guard) and 500 permille by 8, never 10^9
+    val planFull = GraphAlgorithms.doulionTriangles(edges, 1000)
+      .queryExecution.analyzed.toString
+    assert(!planFull.contains("1000000000"), planFull.take(500))
+    assert(planFull.contains("count * 1 overflows"))
+    val planHalf = GraphAlgorithms.doulionTriangles(edges, 500)
+      .queryExecution.analyzed.toString
+    assert(planHalf.contains("count * 8 overflows"))
   }
 
   test("triangleCountDF equals GraphX triangleCount on a generated graph") {

