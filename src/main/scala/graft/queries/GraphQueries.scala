@@ -1346,6 +1346,72 @@ object GraphQueries {
         .orderBy(col("user_id"), col("rk"))
     }))
 
+  /** The g38 fastest-duration relaxation unrolled to 40 rounds (converged
+    * rounds are no-ops). The DEFAULT reproduces the driver-green
+    * g38_temporal_fastest string BYTE FOR BYTE (the temporalStressOracle
+    * parameterization rule — the pinned SQL text never changes, only new
+    * call sites vary it): `evFilter` appends a WHERE to the event scan so
+    * the cy38 CALL twin can re-price the already-measured sweep on a 1/16
+    * log slice (r16 VERDICT bench-budget consolidation).
+    */
+  private[queries] def fastestDurationSql(evFilter: String = ""): String = {
+    val rounds = 40
+    val iter = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT dep, id, MIN(arrival) AS arrival FROM (
+         |    SELECT dep, id, arrival FROM a${i - 1}
+         |    UNION ALL
+         |    SELECT w.dep, e.dst, e.t FROM a${i - 1} w
+         |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
+         |  GROUP BY dep, id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+       |              CAST(event_id AS BIGINT) AS eid,
+       |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events$evFilter),
+       |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(u) AS su FROM ev),
+       |te0 AS (SELECT u AS src,
+       |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
+       |        FROM ev),
+       |te AS (SELECT src, dst, t FROM te0 WHERE src <> dst),
+       |a0 AS (SELECT DISTINCT t AS dep, (SELECT su FROM bounds) AS id,
+       |         t AS arrival
+       |       FROM te WHERE src = (SELECT su FROM bounds)),
+       |$iter
+       |SELECT id AS user_id, CAST(MIN(arrival - dep) AS BIGINT) AS duration
+       |FROM a$rounds GROUP BY id ORDER BY user_id""".stripMargin
+  }
+
+  /** The g46 weighted variant of [[fastestDurationSql]] (candidate
+    * arrival t + w, w = eid % 5 + 1) — same byte-identical-default rule.
+    */
+  private[queries] def weightedDurationSql(evFilter: String = ""): String = {
+    val rounds = 40
+    val iter = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT dep, id, MIN(arrival) AS arrival FROM (
+         |    SELECT dep, id, arrival FROM a${i - 1}
+         |    UNION ALL
+         |    SELECT w.dep, e.dst, e.t + e.w FROM a${i - 1} w
+         |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
+         |  GROUP BY dep, id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+       |              CAST(event_id AS BIGINT) AS eid,
+       |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events$evFilter),
+       |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(u) AS su FROM ev),
+       |te0 AS (SELECT u AS src,
+       |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t,
+       |          eid % 5 + 1 AS w
+       |        FROM ev),
+       |te AS (SELECT src, dst, t, w FROM te0 WHERE src <> dst),
+       |a0 AS (SELECT DISTINCT t AS dep, (SELECT su FROM bounds) AS id,
+       |         t AS arrival
+       |       FROM te WHERE src = (SELECT su FROM bounds)),
+       |$iter
+       |SELECT id AS user_id, CAST(MIN(arrival - dep) AS BIGINT) AS duration
+       |FROM a$rounds GROUP BY id ORDER BY user_id""".stripMargin
+  }
+
   /** Both temporal-stress sweeps unrolled (k = 4) for the g48/cy51/g52
     * gates: `srcsSql` selects the source set off the `ev` CTE that is
     * already in scope (columns: sid, plus t0 when `seedASql` reads it).
@@ -1748,62 +1814,11 @@ object GraphQueries {
          |FROM durs WHERE id <> sid GROUP BY sid ORDER BY user_id""".stripMargin
     },
 
-    "g38_temporal_fastest" -> {
-      val rounds = 40
-      val iter = (1 to rounds).map { i =>
-        s"""a$i AS MATERIALIZED (
-           |  SELECT dep, id, MIN(arrival) AS arrival FROM (
-           |    SELECT dep, id, arrival FROM a${i - 1}
-           |    UNION ALL
-           |    SELECT w.dep, e.dst, e.t FROM a${i - 1} w
-           |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
-           |  GROUP BY dep, id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
-         |              CAST(event_id AS BIGINT) AS eid,
-         |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
-         |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(u) AS su FROM ev),
-         |te0 AS (SELECT u AS src,
-         |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
-         |        FROM ev),
-         |te AS (SELECT src, dst, t FROM te0 WHERE src <> dst),
-         |a0 AS (SELECT DISTINCT t AS dep, (SELECT su FROM bounds) AS id,
-         |         t AS arrival
-         |       FROM te WHERE src = (SELECT su FROM bounds)),
-         |$iter
-         |SELECT id AS user_id, CAST(MIN(arrival - dep) AS BIGINT) AS duration
-         |FROM a$rounds GROUP BY id ORDER BY user_id""".stripMargin
-    },
+    "g38_temporal_fastest" -> fastestDurationSql(),
 
     // the g38 relaxation with the one new term: candidate arrival t + w
     // (w = eid % 5 + 1); same fixed unroll, converged rounds are no-ops
-    "g46_temporal_weighted" -> {
-      val rounds = 40
-      val iter = (1 to rounds).map { i =>
-        s"""a$i AS MATERIALIZED (
-           |  SELECT dep, id, MIN(arrival) AS arrival FROM (
-           |    SELECT dep, id, arrival FROM a${i - 1}
-           |    UNION ALL
-           |    SELECT w.dep, e.dst, e.t + e.w FROM a${i - 1} w
-           |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
-           |  GROUP BY dep, id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
-         |              CAST(event_id AS BIGINT) AS eid,
-         |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
-         |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(u) AS su FROM ev),
-         |te0 AS (SELECT u AS src,
-         |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t,
-         |          eid % 5 + 1 AS w
-         |        FROM ev),
-         |te AS (SELECT src, dst, t, w FROM te0 WHERE src <> dst),
-         |a0 AS (SELECT DISTINCT t AS dep, (SELECT su FROM bounds) AS id,
-         |         t AS arrival
-         |       FROM te WHERE src = (SELECT su FROM bounds)),
-         |$iter
-         |SELECT id AS user_id, CAST(MIN(arrival - dep) AS BIGINT) AS duration
-         |FROM a$rounds GROUP BY id ORDER BY user_id""".stripMargin
-    },
+    "g46_temporal_weighted" -> weightedDurationSql(),
 
     // Same wedge machinery as g31, plus the center degree per wedge; the
     // hashed columns never leave integer arithmetic (COUNT, SUM(deg),
@@ -2432,9 +2447,17 @@ object GraphQueries {
     // ("anf|" + id), same lowbit registers, same exact power-of-two
     // harmonic sums, unrolled to the gate's 4 rounds. Every aggregate is
     // BIGINT-pinned (DuckDB SUM widens to HUGEINT).
-    "g40_anf" -> {
+    "g40_anf" -> anfSql())
+
+  /** The g40 integer-pure ANF sketch unrolled to `rounds` radius steps.
+    * The DEFAULT reproduces the driver-green g40_anf string BYTE FOR BYTE
+    * (the temporalStressOracle parameterization rule); the cy39 CALL twin
+    * re-prices the surface at a 2-round budget (r16 VERDICT bench-budget
+    * consolidation).
+    */
+  private[queries] def anfSql(rounds: Int = 4): String = {
+    {
       import graft.pipeline.TextHash.h32Sql
-      val rounds = 4
       val iter = (1 to rounds).map { i =>
         s"""a$i AS MATERIALIZED (
            |  SELECT id, j, MAX(lb) AS lb FROM (
@@ -2467,5 +2490,6 @@ object GraphQueries {
          |$iter
          |$digests
          |ORDER BY h""".stripMargin
-    })
+    }
+  }
 }
