@@ -262,6 +262,34 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           graft.store.Tables.load(spark, corpusDir("graft.annTopK"),
             "embeddings"),
           "vec_id", "embedding", probes, k)
+      case "graft.editdistpairs" => nargs(2)
+        // the d11 edit-distance-verified fuzzy dedup over
+        // <dir>/documents.parquet: shared-LSH candidates, THRESHOLDED
+        // Levenshtein verify (r17 CALL surface — the REST-only-algorithms
+        // lesson stays inverted for the r16 operators too)
+        val edMax = intArg(1, Some(16))
+        require(edMax >= 0,
+          s"graft.editDistPairs: maxDist must be >= 0, got $edMax")
+        graft.pipeline.Dedup.editDistancePairs(
+          graft.store.Tables.load(spark, corpusDir("graft.editDistPairs"),
+            "documents"),
+          "doc_id", "text", edMax)
+      case "graft.semdedup" => nargs(4)
+        // the e11 SemDeDup drop list over <dir>/embeddings.parquet:
+        // k-means-confined cosine verify, min-id survivor. tau rides the
+        // dedupClusters per-mille convention (CALL args are integer
+        // literals); k/iters default to the e11 gate budget.
+        val sdK = intArg(1, Some(10))
+        val sdIters = intArg(2, Some(3))
+        val sdTau = longArg(3, Some(350L))
+        require(sdK >= 1 && sdIters >= 1,
+          s"graft.semDedup: k and iters must be >= 1, got ($sdK, $sdIters)")
+        require(sdTau >= 0L && sdTau <= 1000L,
+          s"graft.semDedup: tau $sdTau must be 0..1000 per-mille")
+        graft.pipeline.Clustering.semDedupDropped(
+          graft.store.Tables.load(spark, corpusDir("graft.semDedup"),
+            "embeddings"),
+          "vec_id", "embedding", sdK, sdIters, sdTau.toDouble / 1000.0)
       case "graft.distance" =>
         nargs(4)
         import spark.implicits._
@@ -548,7 +576,9 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.harmonic(maxDepth, sourceIds...), " +
         "graft.kReaching(targetId, deadline, floor[, k[, 'timeProp']]), " +
         "graft.corpusProfile('dir'), graft.dedupClusters('dir', permille), " +
-        "graft.annTopK('dir', k, probeIds...)")
+        "graft.annTopK('dir', k, probeIds...), " +
+        "graft.editDistPairs('dir'[, maxDist]), " +
+        "graft.semDedup('dir'[, k[, iters[, tauPermille]]])")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

@@ -140,35 +140,223 @@ object Multimodal {
     * found within budget.
     */
   def jpegDims(payload: Column, maxSegments: Int = 8): (Column, Column) = {
-    def byteAt(pos: Column) = beUInt(payload, pos, 1)
-    def be16(pos: Column) = beUInt(payload, pos, 2)
+    // every per-step read comes off a 16-byte window carried IN the fold
+    // state — ONE payload reference per step (r17, the chunkWalk media-
+    // probe lesson: interpreted BoundReferences copy the whole binary
+    // field per reference), covering the marker (1), type (2), length
+    // (3–4) and the SOF dims at window bytes 6–9
+    def hdrAt(p: Column): Column = payload.substr(p.cast("int"), lit(16))
+    def b(hdr: Column, i: Int) = beUInt(hdr, lit(i.toLong), 1)
+    def b16(hdr: Column, i: Int) = beUInt(hdr, lit(i.toLong), 2)
     val init = struct(lit(3L).as("pos"),
       lit(null).cast("long").as("w"), lit(null).cast("long").as("h"),
-      lit(false).as("done"))
+      lit(false).as("done"), hdrAt(lit(3L)).as("hdr"))
     val walked = aggregate(
       sequence(lit(1), lit(maxSegments)),
       init,
       (st, _) => {
         val pos = st.getField("pos")
         val done = st.getField("done")
-        val isMarker = byteAt(pos) === 255L
-        val mk = byteAt(pos + 1)
+        val hdr = st.getField("hdr")
+        val isMarker = b(hdr, 1) === 255L
+        val mk = b(hdr, 2)
         val isSof = isMarker && mk.isin(192L, 193L, 194L)
         val isFill = isMarker && mk === 255L // FF FF padding: slide 1
         // TEM (01), RST0-7 (D0-D7), SOI (D8): marker only, no length
         val standalone = isMarker && (mk === 1L ||
           (mk >= 208L && mk <= 216L))
         val stop = done || isSof || !isMarker || mk === 217L // 217 = EOI
+        val nxt = when(isFill, pos + 1L)
+          .when(standalone, pos + 2L)
+          .otherwise(pos + 2L + b16(hdr, 3))
         struct(
-          when(stop, pos)
-            .when(isFill, pos + 1L)
-            .when(standalone, pos + 2L)
-            .otherwise(pos + 2L + be16(pos + 2)).as("pos"),
-          when(!done && isSof, be16(pos + 7)).otherwise(st.getField("w")).as("w"),
-          when(!done && isSof, be16(pos + 5)).otherwise(st.getField("h")).as("h"),
-          stop.as("done"))
+          when(stop, pos).otherwise(nxt).as("pos"),
+          when(!done && isSof, b16(hdr, 8)).otherwise(st.getField("w")).as("w"),
+          when(!done && isSof, b16(hdr, 6)).otherwise(st.getField("h")).as("h"),
+          stop.as("done"),
+          // the one payload touch — skipped once stopped
+          when(stop, hdr)
+            .otherwise(when(nxt <= 2147483647L, hdrAt(nxt))).as("hdr"))
       })
     (walked.getField("w"), walked.getField("h"))
+  }
+
+  /** Position of the first APP1/Exif segment (the FF E1 marker byte,
+    * 1-based) via the [[jpegDims]] bounded marker walk — the curation
+    * fields a multimodal ingest actually needs (orientation, capture
+    * timestamp) live here. An APP1 that is NOT Exif (XMP uses the same
+    * marker) walks on like any other segment; the walk additionally stops
+    * at SOS (FF DA) — entropy-coded data follows it, where a length-walk
+    * would misparse, and a spec-conforming APP1 precedes SOS anyway.
+    * NULL when absent/corrupt/past budget.
+    */
+  def jpegExifApp1(payload: Column, maxSegments: Int = 8): Column = {
+    // same one-window-per-step discipline as [[jpegDims]]: the window's
+    // bytes 5–10 carry the "Exif\0\0" signature right after the length
+    def hdrAt(p: Column): Column = payload.substr(p.cast("int"), lit(16))
+    def b(hdr: Column, i: Int) = beUInt(hdr, lit(i.toLong), 1)
+    val init = struct(lit(3L).as("pos"), lit(false).as("found"),
+      hdrAt(lit(3L)).as("hdr"))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      init,
+      (st, _) => {
+        val pos = st.getField("pos")
+        val found = st.getField("found")
+        val hdr = st.getField("hdr")
+        val isMarker = b(hdr, 1) === 255L
+        val mk = b(hdr, 2)
+        // "Exif\0\0" immediately after the 2-byte length
+        val hit = isMarker && mk === 225L &&
+          hex(hdr.substr(lit(5), lit(6))) === "457869660000"
+        val isFill = isMarker && mk === 255L
+        val standalone = isMarker && (mk === 1L ||
+          (mk >= 208L && mk <= 216L))
+        val stop = found || hit || !isMarker ||
+          mk === 217L || mk === 218L // EOI, SOS
+        val nxt = when(isFill, pos + 1L)
+          .when(standalone, pos + 2L)
+          .otherwise(pos + 2L + beUInt(hdr, lit(3L), 2))
+        struct(
+          when(stop, pos).otherwise(nxt).as("pos"),
+          (found || hit).as("found"),
+          when(stop, hdr)
+            .otherwise(when(nxt <= 2147483647L, hdrAt(nxt))).as("hdr"))
+      })
+    when(walked.getField("found"), walked.getField("pos"))
+  }
+
+  /** (orientation, datetime) from the TIFF IFD0 inside a FOUND APP1/Exif
+    * segment — real TIFF structure on the [[chunkWalk]] discipline: the
+    * byte-order flag ("II"/"MM") selects [[leUInt]]/[[beUInt]] for every
+    * later read, the 0x002A magic is verified, IFD0 entries are fixed
+    * 12-byte records scanned under ONE aggregate fold (entry positions
+    * are affine in the index, so the tree stays linear — the jpegDims
+    * lesson), and every read is confined to the APP1 segment's own
+    * declared extent (the m7 mvhd lesson: a corrupt length must yield
+    * NULL, never a value assembled from sibling bytes). Orientation is
+    * tag 274 (SHORT, count 1 — the value sits left-justified in the
+    * 4-byte field per TIFF 6.0 §2); DateTime is tag 306 (ASCII, count 20
+    * — the field holds an offset, relative to the TIFF header, to the
+    * 19-char "YYYY:MM:DD HH:MM:SS" + NUL). Same materialized-column
+    * caveat as [[mp4Mvhd]]: pass `app1` as a withColumn alias.
+    */
+  /** APP1's inclusive end: the 2-byte segment length counts itself but
+    * not the marker, so the last segment byte is app1 + 1 + LL (clamped
+    * to the payload).
+    */
+  private def app1Bound(payload: Column, app1: Column): Column =
+    least(length(payload).cast("long"),
+      app1 + 1L + beUInt(payload, app1 + 2L, 2))
+
+  /** The IFD0 entry scan as ONE struct(orient, dtoff) expression — split
+    * out so [[exifMeta]] can materialize the fold ONCE (the videoMeta
+    * staging discipline: the returned struct is a full fold tree, and a
+    * consumer referencing it more than once re-evaluates the scan per
+    * reference).
+    */
+  def exifScan(payload: Column, app1: Column,
+      maxEntries: Int = 8): Column = {
+    val bound = app1Bound(payload, app1)
+    val t = app1 + 10L // TIFF header, after marker(2) + LL(2) + "Exif\0\0"
+    val bo = beUInt(payload, t, 2) // 0x4949 = "II" (LE), 0x4D4D = "MM" (BE)
+    val isLE = bo === 18761L
+    def ord(pos: Column, bytes: Int): Column =
+      when(isLE, leUInt(payload, pos, bytes))
+        .otherwise(beUInt(payload, pos, bytes))
+    val headOk = (bo === 18761L || bo === 19789L) &&
+      t + 7L <= bound && ord(t + 2L, 2) === 42L
+    val ifd = when(headOk, t + ord(t + 4L, 4))
+    val nEntries = when(ifd + 1L <= bound, ord(ifd, 2))
+    val init = struct(lit(null).cast("long").as("orient"),
+      lit(null).cast("long").as("dtoff"))
+    aggregate(
+      sequence(lit(0L), lit(maxEntries - 1L)),
+      init,
+      (st, i) => {
+        val e = ifd + 2L + i * 12L
+        // entry must exist AND its full 12-byte record must sit inside
+        // the APP1 extent — short-circuits keep escaped bytes untouched
+        val valid = coalesce(i < nEntries && e + 11L <= bound, lit(false))
+        val tag = ord(e, 2)
+        val typ = ord(e + 2L, 2)
+        val cnt = ord(e + 4L, 4)
+        // first-hit-wins via coalesce(prev, candidate): prev is the fold
+        // accumulator (a lambda variable — cheap to re-read; what must
+        // NEVER ride per-iteration is an EXPRESSION like a walk result,
+        // the f085da9 lesson), and coalesce short-circuits so a matched
+        // tag stops evaluating candidates on later entries
+        struct(
+          coalesce(st.getField("orient"),
+            when(valid && tag === 274L && typ === 3L && cnt === 1L,
+              ord(e + 8L, 2))).as("orient"),
+          coalesce(st.getField("dtoff"),
+            when(valid && tag === 306L && typ === 2L && cnt === 20L,
+              ord(e + 8L, 4))).as("dtoff"))
+      })
+  }
+
+  /** The DateTime string read-off of a scanned dtoff: a legal value
+    * offset points past the 8-byte TIFF header, and the 19-char
+    * "YYYY:MM:DD HH:MM:SS" must sit inside the APP1 extent — anything
+    * else is corrupt and reads NULL, never sibling bytes.
+    */
+  def exifDatetime(payload: Column, app1: Column, dtOff: Column): Column = {
+    val dtPos = app1 + 10L + dtOff
+    when(dtOff >= 8L && dtPos + 18L <= app1Bound(payload, app1),
+      payload.substr(dtPos.cast("int"), lit(19)).cast("string"))
+  }
+
+  /** Column-level composition for single-use contexts — the [[mp4Meta]]
+    * caveat applies: the scan fold is embedded once per returned column,
+    * so [[exifMeta]]'s staged form is the hot path.
+    */
+  def exifFields(payload: Column, app1: Column,
+      maxEntries: Int = 8): (Column, Column) = {
+    val scanned = exifScan(payload, app1, maxEntries)
+    (scanned.getField("orient"),
+      exifDatetime(payload, app1, scanned.getField("dtoff")))
+  }
+
+  /** EXIF metadata extraction over opaque binary payloads (the m9 gate):
+    * format sniff plus the APP1/Exif orientation + capture-timestamp read
+    * — (format, exif_orientation, exif_datetime, payload_bytes), NULL
+    * EXIF fields on anything that is not a JPEG with a walkable Exif
+    * APP1. Each walk stage lands in its own aliased column (the
+    * [[videoMeta]] staging discipline — the fold otherwise re-evaluates
+    * per reference).
+    */
+  def exifMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    // marker walk and entry-scan fold each land in their own aliased
+    // column so downstream references evaluate them ONCE per row (the
+    // videoMeta staging discipline), and the payload is SLICED to the
+    // APP1 extent and dropped in the first projection (the r17 media-
+    // probe lesson: later stages re-copy every carried column, so only
+    // the one unavoidable full pass may carry the payload). A JPEG
+    // segment length is 16-bit, so the slice is ≤ 64 KiB by format.
+    // the marker walk appears exactly ONCE inside the slice expression
+    // (NULL app1 → NULL slice via substr), so this stays a single
+    // payload-touching projection; the fixed window covers any legal
+    // APP1 (2 marker bytes + a 16-bit length ⇒ ≤ 65537 bytes), and all
+    // extent checks are recomputed in slice coordinates from the
+    // slice's own length field
+    val staged = df
+      .withColumn("__abytes",
+        p.substr(jpegExifApp1(p).cast("int"), lit(65537)))
+      .withColumn("format", sniffFormat(p))
+      .withColumn("payload_bytes", length(p).cast("long"))
+      .drop(payloadCol)
+      .withColumn("__scan", exifScan(col("__abytes"), lit(1L)))
+    staged
+      .withColumn("exif_orientation", when(col("format") === "jpeg",
+        col("__scan").getField("orient")))
+      .withColumn("exif_datetime", when(col("format") === "jpeg",
+        exifDatetime(col("__abytes"), lit(1L),
+          col("__scan").getField("dtoff"))))
+      .select(df.columns.filter(_ != payloadCol).map(col).toIndexedSeq ++
+        Seq(col("format"), col("exif_orientation"), col("exif_datetime"),
+          col("payload_bytes")): _*)
   }
 
   /** Generic container-chunk walk — the shared primitive of the MP4 box
@@ -184,20 +372,31 @@ object Multimodal {
     * exponential), and the whole walk is codegen'd byte-slice builtins.
     */
   private def chunkWalk(payload: Column, start: Column, targetHex: String,
-      maxChunks: Int, fourccAt: Column => Column,
-      nextAt: Column => Column, endPos: Option[Column] = None): Column = {
+      maxChunks: Int, fourccOf: Column => Column,
+      nextOf: (Column, Column, Column) => Column,
+      endPos: Option[Column] = None): Column = {
     val len = length(payload).cast("long")
+    // the window every per-step read comes from: the chunk's full 8-byte
+    // header plus the 8-byte largesize field the MP4 escape form appends.
+    // ONE payload reference per step (r17, from the media probe): an
+    // interpreted HOF evaluates BoundReferences via UnsafeRow.getBinary,
+    // which copies the WHOLE binary field per reference — the old
+    // read-at-position form made ~8 payload references per step and
+    // measured ~65x the one-copy floor on 16 MiB payloads. The window
+    // rides IN the fold state, so steps after a hit (or a dead park)
+    // re-touch nothing: the when short-circuit skips the slice.
+    def hdrAt(p: Column): Column = payload.substr(p.cast("int"), lit(16))
     // the optional inclusive end bound confines a CHILD walk to its parent
     // box's extent (r16 review: without it, a moov with no mvhd child let
     // the walk escape into sibling boxes and "find" a stray fourcc there).
-    // It rides IN the fold state so it is evaluated ONCE at init: a bound
-    // derived from the parent's own walk referenced per-iteration would
-    // re-nest that walk-sized expression maxChunks times — the exact
-    // exponential-tree blowup the jpegDims fold exists to avoid (measured:
-    // ~130x slower end to end before this was state-carried). A NULL bound
-    // (corrupt parent size) fails inRange and parks the walk.
+    // Bound, payload length, and the start window are all evaluated ONCE
+    // at init: anything re-derived per-iteration would re-embed its
+    // expression maxChunks times — the exponential-tree blowup the
+    // jpegDims fold exists to avoid (measured ~130x before state-carry).
+    // A NULL bound (corrupt parent size) fails inRange and parks the walk.
     val init = struct(start.cast("long").as("pos"), lit(false).as("found"),
-      endPos.getOrElse(len).cast("long").as("bound"))
+      endPos.getOrElse(len).cast("long").as("bound"), len.as("plen"),
+      hdrAt(start.cast("long")).as("hdr"))
     val walked = aggregate(
       sequence(lit(1), lit(maxChunks)),
       init,
@@ -205,23 +404,31 @@ object Multimodal {
         val pos = st.getField("pos")
         val found = st.getField("found")
         val bnd = st.getField("bound")
-        // a corrupt size can carry pos past the payload (or past 2^31,
-        // where substr's int cast would error): range-check BEFORE any
-        // read — &&/when short-circuit, so out-of-range bytes are never
-        // touched and the walk parks at NULL
-        val inRange = coalesce(pos >= 1L && pos + 7L <= len &&
+        val plen = st.getField("plen")
+        val hdr = st.getField("hdr")
+        // the full 8-byte chunk header must be present (a short window
+        // means the chunk is truncated — length(hdr) >= 8 is the old
+        // pos + 7 <= len check read off the window itself) and inside
+        // the bound; a corrupt size parking pos at NULL cascades here
+        val inRange = coalesce(pos >= 1L && length(hdr) >= 8 &&
           pos + 7L <= bnd, lit(false))
-        val hit = inRange && fourccAt(pos) === targetHex
-        val nxt = when(inRange, nextAt(pos))
+        val hit = inRange && fourccOf(hdr) === targetHex
+        val nxt = when(inRange, nextOf(hdr, pos, plen))
         // a chunk must advance past its own 8-byte header: anything
         // shorter is corrupt and would loop or misalign every later read
         val dead = !inRange || nxt.isNull || nxt < pos + 8L
+        val stay = found || hit
         struct(
-          when(found || hit, pos)
+          when(stay, pos)
             .when(dead, lit(null).cast("long"))
             .otherwise(nxt).as("pos"),
-          (found || hit).as("found"),
-          bnd.as("bound"))
+          stay.as("found"),
+          bnd.as("bound"), plen.as("plen"),
+          // the one payload touch of the step — skipped once found/dead;
+          // a next position past int range (corrupt largesize sum) gets
+          // a NULL window and parks on the following step's range check
+          when(stay || dead, hdr)
+            .otherwise(when(nxt <= 2147483647L, hdrAt(nxt))).as("hdr"))
       })
     when(walked.getField("found"), walked.getField("pos"))
   }
@@ -239,8 +446,22 @@ object Multimodal {
     * Exactness domain: duration < 2^63 (a v1 duration at or above it
     * wraps the LONG — no real container is within 10^5× of that).
     */
-  private def boxFourcc(payload: Column)(p: Column): Column =
-    hex(payload.substr((p + 4L).cast("int"), lit(4)))
+  /** Box fourcc read off a chunkWalk 16-byte header window (bytes 5–8). */
+  private def boxFourccH(hdr: Column): Column =
+    hex(hdr.substr(lit(5), lit(4)))
+
+  /** [[boxNext]] off the header window: size is the window's first BE32,
+    * the escape largesize its bytes 9–16 (a truncated window NULLs the
+    * read, parking the walk — the old past-payload check, now read off
+    * the window itself).
+    */
+  private def boxNextH(hdr: Column, pos: Column, plen: Column): Column = {
+    val sz = beUInt(hdr, lit(1L), 4)
+    val ls = beUInt(hdr, lit(9L), 8)
+    when(sz === 1L, when(ls >= 16L, pos + ls))
+      .when(sz === 0L, plen + 1L)
+      .otherwise(pos + sz)
+  }
 
   /** Position after box `p` — the two spec-legal escape encodings
     * (ISO 14496-12 §4.2, on real encoder output — r16 review): size == 1
@@ -264,7 +485,7 @@ object Multimodal {
   /** Top-level moov box position (NULL when absent/corrupt/past budget). */
   def mp4Moov(payload: Column, maxBoxes: Int = 8): Column =
     chunkWalk(payload, lit(1L), "6D6F6F76", maxBoxes,
-      boxFourcc(payload), boxNext(payload))
+      boxFourccH, boxNextH)
 
   /** mvhd position inside a FOUND moov box. The child walk is confined to
     * moov's own extent and starts after moov's ACTUAL header (16 bytes in
@@ -282,7 +503,7 @@ object Multimodal {
     val szMoov = beUInt(payload, moov, 4)
     val childStart = when(szMoov === 1L, moov + 16L).otherwise(moov + 8L)
     chunkWalk(payload, childStart, "6D766864", maxBoxes,
-      boxFourcc(payload), boxNext(payload),
+      boxFourccH, boxNextH,
       Some(moovBound(payload, moov)))
   }
 
@@ -332,21 +553,48 @@ object Multimodal {
     * try_multiply + raise_error keeps the product loud outside the LONG
     * domain (the pivotStress guard discipline).
     */
+  /** The moov clamp: a real moov atom is KBs of track/codec tables; a
+    * declared extent beyond this is treated as corrupt (the walk parks at
+    * NULL when its reads escape the clamped slice) — documented budget,
+    * like the walk's box count.
+    */
+  val MoovSliceBytes: Long = 65536L
+
   def videoMeta(df: DataFrame, payloadCol: String): DataFrame = {
     val p = col(payloadCol)
     // each walk stage lands in its own aliased column so downstream
     // references evaluate it ONCE per row: CollapseProject keeps
     // non-cheap multi-referenced aliases in separate projections, so the
-    // moov walk runs once, the mvhd walk once (embedding the moov
-    // ATTRIBUTE, not the moov walk), and the version reads once — inlining
-    // the raw expressions instead re-evaluates the walk per reference
-    // (measured 15x end-to-end on the m7 gate)
-    val staged = df.withColumn("__moov", mp4Moov(p))
-      .withColumn("__mvhd", mp4Mvhd(p, col("__moov")))
-    val (ts, dur) =
-      mvhdTimes(p, col("__mvhd"), Some(moovBound(p, col("__moov"))))
-    staged.withColumn("format", sniffFormat(p))
-      .withColumn("timescale", when(col("format") === "mp4", ts))
+    // moov walk runs once and the mvhd walk once — inlining the raw
+    // expressions instead re-evaluates the walk per reference (measured
+    // 15x end-to-end on the m7 gate). SLICE-EARLY (r17, from the media
+    // probe): each staged projection re-copies every carried column, so
+    // carrying a multi-MB payload through three stages tripled the scan
+    // cost (video_min 10.0 s vs the 1-projection binaryMeta's 3.7 s at
+    // 16 MiB payloads). The FIRST projection — the one unavoidable full
+    // pass — finds moov, slices its clamped extent, and DROPS the
+    // payload; every later stage walks the KB-sized slice rebased to
+    // position 1 (moov's size field is the slice's first 4 bytes, so
+    // every boxNext/bound read works unchanged in slice coordinates; a
+    // truncated or clamp-exceeding extent shortens the slice and the
+    // walks' length range-checks park at NULL exactly as before).
+    // the walk appears exactly ONCE inside the slice expression (a NULL
+    // moov propagates through substr to a NULL slice), so CollapseProject
+    // inlines it and this stays a single projection — the only one that
+    // touches the payload. The slice is a FIXED 64 KiB window from moov:
+    // all downstream extent checks are recomputed in slice coordinates
+    // from the slice's own size fields, so a shorter-than-declared or
+    // clamp-exceeding moov parks at NULL exactly as before.
+    val staged = df
+      .withColumn("__mbytes",
+        p.substr(mp4Moov(p).cast("int"), lit(MoovSliceBytes.toInt)))
+      .withColumn("format", sniffFormat(p))
+      .withColumn("payload_bytes", length(p).cast("long"))
+      .drop(payloadCol)
+      .withColumn("__mvhd", mp4Mvhd(col("__mbytes"), lit(1L)))
+    val (ts, dur) = mvhdTimes(col("__mbytes"), col("__mvhd"),
+      Some(moovBound(col("__mbytes"), lit(1L))))
+    staged.withColumn("timescale", when(col("format") === "mp4", ts))
       .withColumn("duration", when(col("format") === "mp4", dur))
       .withColumn("duration_ms", expr(
         // the NOT NULL guard keeps raise_error for genuine overflow only
@@ -355,9 +603,9 @@ object Multimodal {
           "coalesce(try_multiply(duration, 1000L), " +
           "CAST(raise_error('videoMeta: duration * 1000 overflows LONG') " +
           "AS BIGINT)) div timescale END"))
-      .withColumn("payload_bytes", length(p).cast("long"))
-      .drop("__moov", "__mvhd")
-      .drop(payloadCol)
+      .select(df.columns.filter(_ != payloadCol).map(col).toIndexedSeq ++
+        Seq(col("format"), col("timescale"), col("duration"),
+          col("duration_ms"), col("payload_bytes")): _*)
   }
 
   /** Little-endian unsigned read — RIFF-family containers (WAV/AVI) store
@@ -404,9 +652,9 @@ object Multimodal {
     val isWav = isCanonicalWav(payload)
     // chunks start at byte 13, after the RIFF/size/WAVE preamble
     val dataPos = chunkWalk(payload, lit(13L), "64617461", maxChunks,
-      p => hex(payload.substr(p.cast("int"), lit(4))),
-      p => {
-        val sz = leUInt(payload, p + 4L, 4)
+      hdr => hex(hdr.substr(lit(1), lit(4))),
+      (hdr, p, _) => {
+        val sz = leUInt(hdr, lit(5L), 4)
         p + 8L + sz + sz % 2L
       })
     (when(isWav, leUInt(payload, dataPos + 4L, 4)),

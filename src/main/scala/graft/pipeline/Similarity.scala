@@ -343,4 +343,61 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
   }
+
+  /** Directed kNN relation: every vector probes its OWN LSH bucket (the
+    * annTopK confinement applied corpus-to-corpus — never all-pairs) and
+    * keeps its k nearest bucket-mates by exact cosine. Returns
+    * (pid, rank, cid, sim), the annTopK shape with the whole corpus as
+    * the probe set. The within-bucket join costs Σ|bucket|² — the same
+    * quadratic hazard class as semDedupDropped, guarded the same way: the
+    * largest bucket must hold ≤ maxBucketSize vectors (one cheap one-row
+    * digest) or the call fails loudly pointing at a larger nPlanes.
+    */
+  def knnTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nPlanes: Int = 8, maxBucketSize: Long = 8192L): DataFrame = {
+    require(k >= 1, s"knnTopK: k must be >= 1, got $k")
+    val bucketed = prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
+      .withColumn("bucket", lshBucket(col("cvec"), nPlanes))
+    val maxRow = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    require(maxN <= maxBucketSize,
+      s"knnTopK: largest LSH bucket holds $maxN vectors (> maxBucketSize " +
+        s"= $maxBucketSize) — the within-bucket join is |bucket|^2. Raise " +
+        "nPlanes (expected bucket size ~ n / 2^nPlanes) or raise " +
+        "maxBucketSize deliberately")
+    val probes = bucketed.select(col("cid").as("pid"),
+      col("cvec").as("pvec"), col("cnorm").as("pnorm"), col("bucket"))
+    val scored = bucketed.join(probes, Seq("bucket"))
+      .filter(col("cid") =!= col("pid"))
+      .withColumn("sim",
+        dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("cid"), col("sim"))
+  }
+
+  /** kNN-GRAPH construction — the standard bridge from an embedding
+    * corpus to the graph algorithms: [[knnTopK]] symmetrized into an
+    * undirected weighted edge relation (an edge exists when EITHER
+    * endpoint lists the other in its top-k; cosine is symmetric and the
+    * fixed-fold dot is term-order-identical in both directions, so the
+    * two directions carry the SAME double and collapse under DISTINCT).
+    * The weight is the e1-class sim snapped to the exact integer grid
+    * w_ppm = floor(sim·10⁶ + 0.5) — positive LONG, directly consumable
+    * by GraphAlgorithms.louvainLevels(weightCol) (which rejects ≤ 0
+    * loudly, so non-positive-cosine edges are dropped here). Output:
+    * (src, dst, w_ppm) with src < dst.
+    */
+  def knnGraphEdges(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nPlanes: Int = 8, maxBucketSize: Long = 8192L): DataFrame =
+    knnTopK(corpus, idCol, vecCol, k, nPlanes, maxBucketSize)
+      .select(least(col("pid"), col("cid")).as("src"),
+        greatest(col("pid"), col("cid")).as("dst"), col("sim"))
+      .distinct()
+      .withColumn("w_ppm",
+        floor(col("sim") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .where(col("w_ppm") > 0L)
+      .select(col("src"), col("dst"), col("w_ppm"))
 }

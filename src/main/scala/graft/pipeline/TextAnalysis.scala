@@ -777,4 +777,48 @@ object TextAnalysis {
         col("dupspan_tokens"))
       .orderBy(col("source"))
   }
+
+  /** URL host pattern: scheme + the host chars RFC 3986 allows in a
+    * reg-name (alnum, dot, hyphen) — RE2-safe (no backrefs/lookarounds),
+    * port/path excluded by the character class.
+    */
+  val urlHostPattern: String = "https?://([A-Za-z0-9.-]+)"
+
+  /** Registrable domain of a host as its LAST TWO dot labels — a
+    * DOCUMENTED public-suffix simplification (this container carries no
+    * PSL table, so co.uk-style multi-label suffixes group under their
+    * second-level label); a single-label host (localhost) is its own
+    * registrable domain. RE2-safe anchored extract, engine-portable.
+    */
+  def registrableDomain(host: Column): Column = {
+    val lastTwo = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(lastTwo === "", host).otherwise(lastTwo)
+  }
+
+  /** Registrable-domain statistics — the group-by a curation dashboard
+    * runs before anything else: every URL host in the text (map-only
+    * regexp extraction), reduced to its registrable domain, then per
+    * domain the DISTINCT-doc count, total mention count, and total
+    * token volume of the docs mentioning it (each doc's tokens counted
+    * once per domain regardless of mention count). Two chained
+    * map-side-combinable aggregates — (id, domain) then (domain) — and
+    * all-integer outputs (the hashable class). Returns (domain, n_docs,
+    * n_mentions, total_tokens); rank with (n_docs DESC, domain ASC) at
+    * the caller.
+    */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withToks = df.select(col(idCol).as("id"),
+      size(TextHash.tokens(col(textCol))).cast("long").as("n_tokens"),
+      regexp_extract_all(col(textCol), lit(urlHostPattern), lit(1))
+        .as("hosts"))
+    val perDoc = withToks
+      .select(col("id"), col("n_tokens"), explode(col("hosts")).as("host"))
+      .withColumn("domain", registrableDomain(lower(col("host"))))
+      .groupBy(col("id"), col("domain"))
+      .agg(count(lit(1)).as("cnt"), min(col("n_tokens")).as("n_tokens"))
+    perDoc.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("cnt")).as("n_mentions"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
 }

@@ -679,6 +679,34 @@ object CypherGateQueries {
            |ORDER BY pid, rank""".stripMargin)
     }),
 
+    // The r16 pipeline operators through CALL (r17): the REST-only-
+    // algorithms lesson stays inverted for d11/e11 too. cy52 runs the
+    // edit-distance verify at a HALVED threshold budget (8 vs d11's 16 —
+    // the thresholded DP is O(len·maxDist) per candidate, so the verify
+    // pass the gate prices is half d11's; the full-corpus LSH prefix is
+    // already priced as d3); the parameterized d11 oracle replays it.
+    "cy52_call_editdist" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      new CypherSession(s, g).run(
+        s"""CALL graft.editDistPairs('$dir', 8)
+           |YIELD a, b, editdist
+           |RETURN a, b, editdist
+           |ORDER BY a, b""".stripMargin)
+    }),
+
+    // cy53 runs SemDeDup at exactly the e11 budget (k=10, iters=3,
+    // tau=350 per-mille) so it answers to the e11 oracle VERBATIM — the
+    // cy47/cy48/cy49 identical-engine-behind-both-surfaces pattern; the
+    // k-means assignment and pair join are already priced by e7/e11.
+    "cy53_call_semdedup" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      new CypherSession(s, g).run(
+        s"""CALL graft.semDedup('$dir', 10, 3, 350)
+           |YIELD cluster, vec_id, keeper, n_dups, max_sim
+           |RETURN cluster, vec_id, keeper, n_dups, max_sim
+           |ORDER BY cluster, vec_id""".stripMargin)
+    }),
+
     // Multi-level Louvain through the CALL surface (r14): the g47 engine
     // on the g22-domain sub-store. Re-budgeted r17 to a (1-level,
     // 2-sweep) budget — the multi-LEVEL machinery (coarsen + repeat) is
@@ -787,6 +815,12 @@ object CypherGateQueries {
       graft.queries.PipelineQueries.oracle("d7_dedup_clusters"),
     "cy49_call_ann_topk" ->
       graft.queries.PipelineQueries.oracle("e2_ann_lsh"),
+    // the d11 oracle text at the cy52 halved threshold over the full
+    // corpus (r17); cy53 answers to the e11 oracle verbatim
+    "cy52_call_editdist" ->
+      graft.queries.PipelineQueries.editDistOracleSql(8),
+    "cy53_call_semdedup" ->
+      graft.queries.PipelineQueries.oracle("e11_semdedup"),
     // the multi-level flat-partition community-size histogram off the
     // same unrolled prefix the g47 digest reads, at the gate's
     // (1-level, 2-sweep) r17 re-budget

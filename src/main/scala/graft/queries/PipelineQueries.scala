@@ -136,6 +136,18 @@ object PipelineQueries {
       Similarity.annTopK(embs(s, dir), "vec_id", "embedding", Seq(0L, 1L, 2L), 5, 8)
         .orderBy(col("pid"), col("rank"))),
 
+    // kNN-graph construction (r17): the standard embeddings -> graph
+    // bridge — every vector keeps its 5 nearest bucket-mates (the e2 LSH
+    // confinement, corpus-to-corpus), symmetrized to an undirected edge
+    // relation with the e1-class cosine snapped to the exact w_ppm
+    // integer grid. Output feeds louvainLevels(weightCol) directly (the
+    // d7 -> g51 bridge as ONE operator; AlgorithmsSpec runs that
+    // composition). Hashed columns are ids + the grid snap — the
+    // sanctioned integer class; the FP sim itself stays un-hashed.
+    "e12_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraphEdges(embs(s, dir), "vec_id", "embedding", 5, 8)
+        .orderBy(col("src"), col("dst"))),
+
     // Radius (range) similarity search (r12): every corpus vector within
     // cosine >= 0.25 of probes 0/1/2 — e1's scan shape with the ranking
     // window replaced by a map-side threshold filter. The hashed `sim`
@@ -409,6 +421,55 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // JPEG EXIF metadata (r17): the curation fields multimodal ingest
+    // actually needs (orientation, capture timestamp) — the m3/m5/m7
+    // encode -> parse identity for the APP1/Exif TIFF IFD walk, in BOTH
+    // byte orders: "II" little-endian (doc_id % 4 == 0) and "MM"
+    // big-endian (doc_id % 4 == 2). A JFIF APP0 before the APP1 forces a
+    // real marker walk; a Make entry before orientation/DateTime forces a
+    // real entry scan; DateTime is an out-of-line ASCII value reached
+    // through the offset field. Odd doc_ids stay raw text -> NULL fields.
+    "m9_exif_meta" -> ((s, dir) => {
+      val orient = (col("doc_id") % 8 + 1).cast("long")
+      val dt = concat(
+        (col("doc_id") % 26 + 2000).cast("string"), lit(":"),
+        lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0"), lit(":"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"), lit(" "),
+        lpad((col("doc_id") % 24).cast("string"), 2, "0"), lit(":"),
+        lpad((col("doc_id") * 7 % 60).cast("string"), 2, "0"), lit(":"),
+        lpad((col("doc_id") * 13 % 60).cast("string"), 2, "0"))
+      val text = col("text").cast("binary")
+      // SOI + a 16-byte JFIF APP0 (the walk distractor)
+      val soiApp0 = unhex(lit("FFD8" + "FFE0" + "0010" + "4A46494600"
+        + "0101" + "00" + "00480048" + "0000"))
+      // APP1(LL=0x4E): Exif\0\0 + TIFF header + 3-entry IFD0
+      // (Make inline "GFT\0" distractor, Orientation SHORT, DateTime
+      // ASCII via offset 50) + next-IFD 0 + 20-byte datetime string
+      val jpegII = concat(soiApp0,
+        unhex(lit("FFE1" + "004E" + "457869660000"
+          + "49492A00" + "08000000" + "0300"
+          + "0F010200" + "04000000" + "47465400"
+          + "12010300" + "01000000")),
+        unhex(leHex(orient, 2)), unhex(lit("0000")),
+        unhex(lit("32010200" + "14000000" + "32000000" + "00000000")),
+        dt.cast("binary"), unhex(lit("00")), text)
+      val jpegMM = concat(soiApp0,
+        unhex(lit("FFE1" + "004E" + "457869660000"
+          + "4D4D002A" + "00000008" + "0003"
+          + "010F0002" + "00000004" + "47465400"
+          + "01120003" + "00000001")),
+        unhex(lpad(hex(orient), 4, "0")), unhex(lit("0000")),
+        unhex(lit("01320002" + "00000014" + "00000032" + "00000000")),
+        dt.cast("binary"), unhex(lit("00")), text)
+      val payload = when(col("doc_id") % 4 === 0, jpegII)
+        .when(col("doc_id") % 4 === 2, jpegMM)
+        .otherwise(text)
+      Multimodal.exifMeta(
+          docs(s, dir).select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .orderBy(col("doc_id"))
+    }),
+
     "t7_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy(col("id")).limit(25)),
@@ -567,6 +628,32 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Registrable-domain stats (r17): the group-by a curation dashboard
+    // runs first. The corpus carries no natural URLs (r17 scan: zero
+    // https?:// spans), so the gate injects doc_id-derived ones — a
+    // multi-label host (www.mirrorJ.exampleK.com, proving the last-two-
+    // label reduction), a mixed-case second host in the same doc
+    // (cdn.SiteJ.net, proving lower() and the per-doc mention count),
+    // and a single-host family (hostK.org); 1/3 of docs stay URL-free.
+    // 23 distinct domains against the top-20 cut exercises the ranking.
+    // All-integer outputs; order (n_docs DESC, domain ASC) is total.
+    "t21_domain_stats" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" via https://www.mirror"),
+            (col("doc_id") % 7).cast("string"), lit(".example"),
+            (col("doc_id") % 5).cast("string"),
+            lit(".com/path?q=1 and http://cdn.Site"),
+            (col("doc_id") % 7).cast("string"), lit(".net/x")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" at http://host"),
+              (col("doc_id") % 11).cast("string"), lit(".org page")))
+          .otherwise(col("text")))
+      TextAnalysis.domainStats(d, "doc_id", "text2")
+        .orderBy(col("n_docs").desc, col("domain"))
+        .limit(20)
+    }),
+
     // sliding-window chunking (32-token windows, stride 16) — exact detail
     // rows including the chunk text itself
     "t12_chunks" -> ((s, dir) =>
@@ -644,6 +731,22 @@ object PipelineQueries {
        |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
        |  FROM inter JOIN sz sa ON sa.id = a JOIN sz sb ON sb.id = b
        |)""".stripMargin
+
+  /** The d11 edit-distance-verify oracle parameterized by threshold and
+    * corpus relation (r17, the fastestDurationSql rule: the d11 call
+    * reproduces the committed driver-green string BYTE FOR BYTE; the
+    * cy52 CALL twin varies the budget).
+    */
+  private[queries] def editDistOracleSql(maxDist: Int,
+      rel: String = "documents"): String =
+    s"""WITH ${jaccardCtes(NGRAM, rel)},
+       |$minhashSql
+       |SELECT c.a, c.b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS editdist
+       |FROM cands c JOIN documents da ON da.doc_id = c.a
+       |JOIN documents db ON db.doc_id = c.b
+       |WHERE levenshtein(da.text, db.text) <= $maxDist
+       |ORDER BY a, b""".stripMargin
 
   private def minhashSql: String = {
     val mins = minhashCoeffs(K).zipWithIndex.map { case ((a, b), i) =>
@@ -886,14 +989,7 @@ object PipelineQueries {
     // full Levenshtein with the engine's threshold mirrored as a WHERE
     // (in-threshold values are the exact distance on both sides)
     "d11_editdist_verify" ->
-      s"""WITH ${jaccardCtes(NGRAM, "(SELECT * FROM documents WHERE doc_id % 2 = 1)")},
-         |$minhashSql
-         |SELECT c.a, c.b,
-         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS editdist
-         |FROM cands c JOIN documents da ON da.doc_id = c.a
-         |JOIN documents db ON db.doc_id = c.b
-         |WHERE levenshtein(da.text, db.text) <= 16
-         |ORDER BY a, b""".stripMargin,
+      editDistOracleSql(16, "(SELECT * FROM documents WHERE doc_id % 2 = 1)"),
     "d4_simhash" -> simhashSql,
     "d7_dedup_clusters" ->
       // transitive closure over the >= 0.5 candidate pairs; component label
@@ -1031,6 +1127,33 @@ object PipelineQueries {
          |)
          |SELECT pid, rank, cid, sim FROM ranked WHERE rank <= 5
          |ORDER BY pid, rank""".stripMargin,
+    // the e2 bucket/cosine replay with the WHOLE corpus as the probe set,
+    // then the symmetrize + w_ppm grid snap (cosine is symmetric and the
+    // fixed-fold dot is term-order-identical both ways, so the two
+    // directions collapse under DISTINCT on the same double)
+    "e12_knn_graph" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id AS id, embedding AS v,
+         |    ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings
+         |),
+         |ranked AS (
+         |  SELECT a.id AS pid, b.id AS cid,
+         |    ${cosSql("a.v", "b.v")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY a.id
+         |      ORDER BY ${cosSql("a.v", "b.v")} DESC, b.id) AS rank
+         |  FROM bucketed a JOIN bucketed b
+         |    ON b.bucket = a.bucket AND b.id <> a.id
+         |),
+         |und AS (
+         |  SELECT DISTINCT least(pid, cid) AS src, greatest(pid, cid) AS dst,
+         |    sim
+         |  FROM ranked WHERE rank <= 5
+         |)
+         |SELECT src, dst,
+         |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS w_ppm
+         |FROM und WHERE floor(sim * 1000000 + 0.5) > 0
+         |ORDER BY src, dst""".stripMargin,
     "t1_langid" -> langIdSql,
     "t2_quality" ->
       s"""WITH q AS (
@@ -1233,6 +1356,26 @@ object PipelineQueries {
         |               * (doc_id % 3 + 1)) END AS BIGINT) AS duration_ms,
         |  CAST(strlen(text) + CASE WHEN doc_id % 2 = 0
         |       THEN 58 ELSE 0 END AS BIGINT) AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m9_exif_meta" ->
+      // the EXIF arithmetic identity: both byte orders carry the same
+      // doc_id-derived orientation and datetime; the shared 100-byte
+      // header (SOI 2 + APP0 18 + APP1 80) pins the walk; format pins
+      // the sniff split
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN doc_id % 8 + 1 END AS BIGINT) AS exif_orientation,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    CAST(2000 + doc_id % 26 AS VARCHAR) || ':' ||
+        |    lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' ' ||
+        |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(doc_id * 13 % 60 AS VARCHAR), 2, '0')
+        |  END AS exif_datetime,
+        |  CAST(strlen(text) + CASE WHEN doc_id % 2 = 0
+        |       THEN 100 ELSE 0 END AS BIGINT) AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m6_binary_clusters" ->
       // the m4 signature replay + d7's transitive-closure tail (min
@@ -1652,6 +1795,46 @@ object PipelineQueries {
          |  CAST(SUM(${h32Sql("red")}) AS BIGINT) AS redacted_checksum
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+    // the t21 injection + host extraction + last-two-label reduction
+    // replayed: engines agree on the RE2-safe patterns and every output
+    // is an integer count (NON-interpolated string, so single backslashes
+    // reach DuckDB verbatim)
+    "t21_domain_stats" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 3 = 0 THEN text || ' via https://www.mirror' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+        |      CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.com/path?q=1 and http://cdn.Site' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '.net/x'
+        |    WHEN doc_id % 3 = 1 THEN text || ' at http://host' ||
+        |      CAST(doc_id % 11 AS VARCHAR) || '.org page'
+        |    ELSE text END AS text2
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text2), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM t2),
+        |hosts AS (
+        |  SELECT doc_id,
+        |    lower(unnest(regexp_extract_all(text2,
+        |      'https?://([A-Za-z0-9.-]+)', 1))) AS host
+        |  FROM t2),
+        |dom AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = ''
+        |         THEN host
+        |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+        |  FROM hosts),
+        |per AS (
+        |  SELECT doc_id, domain, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM dom GROUP BY doc_id, domain)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_mentions,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM per JOIN toks USING (doc_id)
+        |GROUP BY domain ORDER BY n_docs DESC, domain LIMIT 20""".stripMargin,
     "t12_chunks" ->
       s"""WITH t AS (
          |  SELECT doc_id AS id, $toksSql AS toks FROM documents WHERE doc_id < 10

@@ -80,9 +80,82 @@ object ScaleProbe {
       case "pivotstress" => pivotStressProbe(spark, sfDir)
       case "edgestress" => edgeStressProbe(spark, sfDir)
       case "fastestw" => fastestWeightedProbe(spark, sfDir)
+      case "media"    => mediaProbe(spark)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
+  }
+
+  /** Media-payload scale probe (r17, VERDICT #8): the m3/m7 gates price
+    * their walks on ~100-byte crafted headers; this measures the
+    * scan-speed claim on a PAYLOAD-SIZE axis — the same box/marker walks
+    * over payloads whose body grows 1 → 4 → 16 MiB. The MP4 tree puts
+    * moov LAST after the giant mdat (the layout real encoders emit), so
+    * the top-level walk must SKIP the body by its size field; the JPEG
+    * puts the filler after SOF, which the marker walk never reaches.
+    * Payload materialization is checkpointed OFF the timer, so the
+    * measured wall is parse cost only and should stay flat in payload
+    * size. Raw stdout committed as tools/scaleprobe_media_r17.txt.
+    */
+  private def mediaProbe(spark: SparkSession): Unit = {
+    import graft.pipeline.Multimodal
+    val n = 64
+    def sweep(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    for (mb <- Seq(1, 4, 16)) {
+      val body = repeat(lit("ABCDEFGH"), mb * 131072).cast("binary")
+      val tsv = (col("id") % 7 + 1) * 600
+      val durv = col("id") % 90000 + 600
+      val ftyp = unhex(lit("00000010" + "66747970" + "69736F6D"
+        + "00000200"))
+      val mdat = concat(
+        unhex(lpad(hex((length(body) + 8).cast("long")), 8, "0")),
+        lit("mdat").cast("binary"), body)
+      val moov = concat(
+        unhex(lit("0000002C" + "6D6F6F76" + "00000008" + "66726565"
+          + "0000001C" + "6D766864" + "00000000" + "00000000" + "00000000")),
+        unhex(lpad(hex(tsv.cast("long")), 8, "0")),
+        unhex(lpad(hex(durv.cast("long")), 8, "0")))
+      val mp4 = spark.range(n)
+        .select(col("id"), concat(ftyp, mdat, moov).as("payload"))
+        .localCheckpoint()
+      mp4.count()
+      val sof = concat(unhex(lit("FFC0" + "0011" + "08")),
+        unhex(lpad(hex((col("id") % 480 + 1).cast("long")), 4, "0")),
+        unhex(lpad(hex((col("id") % 640 + 1).cast("long")), 4, "0")),
+        unhex(lit("03" + "011100" + "021101" + "031101")))
+      val jpg = spark.range(n)
+        .select(col("id"), concat(
+          unhex(lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101"
+            + "00" + "00480048" + "0000")),
+          sof, body).as("payload"))
+        .localCheckpoint()
+      jpg.count()
+      val vT = (1 to 3).map(_ => sweep {
+        val r = Multimodal.videoMeta(mp4, "payload")
+          .agg(sum(col("duration_ms")), sum(col("timescale"))).head()
+        require(!r.isNullAt(0) && !r.isNullAt(1), "mp4 walk must parse")
+      })
+      val bT = (1 to 3).map(_ => sweep {
+        val r = Multimodal.binaryMeta(jpg, "payload")
+          .agg(sum(col("width")), sum(col("height"))).head()
+        require(!r.isNullAt(0) && !r.isNullAt(1), "jpeg walk must parse")
+      })
+      // the floor any byte-TOUCHING pass must pay: crc32 reads every
+      // payload byte once (length() would be O(1) on the stored row) —
+      // a header walk that only random-accesses ~100 bytes should land
+      // BELOW this, and far below any multiple of it
+      val sT = (1 to 3).map(_ => sweep {
+        val r = mp4.agg(sum(crc32(col("payload")))).head()
+        require(!r.isNullAt(0))
+      })
+      println(f"SCALE axis=media mb=$mb docs=$n " +
+        f"video_min=${vT.min}%.3f s binary_min=${bT.min}%.3f s " +
+        f"scan_min=${sT.min}%.3f s")
+      mp4.unpersist(true)
+      jpg.unpersist(true)
+    }
   }
 
   private def dedupProbe(spark: SparkSession, sfDir: String): Unit = {

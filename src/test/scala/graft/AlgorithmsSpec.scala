@@ -1213,6 +1213,27 @@ class AlgorithmsSpec extends AnyFunSuite {
     graft.util.Checkpoints.release(spark, graft.util.Checkpoints.idsOf(flatD))
   }
 
+  test("kNN graph feeds weighted louvain: embedding communities recovered") {
+    // the e12 -> g51 bridge as one composition: two cosine communities in
+    // embedding space become two Louvain communities of the kNN graph
+    import graft.pipeline.Similarity
+    def vec(axis: Int, i: Int) = Array.tabulate(64)(j =>
+      if (j == axis) 1.0f else if (j == 60 + i % 3) 0.05f else 0.0f)
+    val pts = ((0 until 6).map(i => (i.toLong, vec(0, i))) ++
+      (6 until 12).map(i => (i.toLong, vec(32, i))))
+      .toDF("vec_id", "embedding")
+    val edges = Similarity.knnGraphEdges(pts, "vec_id", "embedding", 3)
+    val (flat, _) = GraphAlgorithms.louvainLevels(edges,
+      maxLevels = 2, sweepsPerLevel = 2, weightCol = Some("w_ppm"))
+    val lbl = flat.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.Checkpoints.release(spark, graft.util.Checkpoints.idsOf(flat))
+    assert(lbl.size == 12, lbl.toString)
+    // one label per embedding community, and the two differ
+    assert((0L until 6L).map(lbl).toSet.size == 1, lbl.toString)
+    assert((6L until 12L).map(lbl).toSet.size == 1, lbl.toString)
+    assert(lbl(0L) != lbl(6L), lbl.toString)
+  }
+
   test("multi-level louvain: a triangle ring coarsens and merges at level 2") {
     // ring of 10 triangles joined by bridges: level 1 finds the triangles
     // (communities of weighted degree 8, m2 = 80); level 2 prices merging

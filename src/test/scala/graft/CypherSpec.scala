@@ -1756,6 +1756,28 @@ class CypherSpec extends AnyFunSuite {
     val e5 = intercept[Exception](s.run(
       "CALL graft.annTopK('/nowhere', 0, 1) YIELD pid RETURN pid"))
     assert(e5.getMessage.contains("k must be positive"), e5.getMessage)
+    // editDistPairs: a negative threshold never reaches the scan — the
+    // arg parser rejects the unary-minus expression (args are literals)
+    val e6 = intercept[Exception](s.run(
+      "CALL graft.editDistPairs('/nowhere', -1) YIELD a RETURN a"))
+    assert(e6.getMessage.contains("integer literals"), e6.getMessage)
+    val e7 = intercept[Exception](s.run(
+      "CALL graft.editDistPairs() YIELD a RETURN a"))
+    assert(e7.getMessage.contains("corpus data directory"), e7.getMessage)
+    // semDedup: per-mille tau domain and positive k/iters enforced loudly
+    val e8 = intercept[Exception](s.run(
+      "CALL graft.semDedup('/nowhere', 10, 3, 2000) " +
+        "YIELD vec_id RETURN vec_id"))
+    assert(e8.getMessage.contains("per-mille"), e8.getMessage)
+    val e9 = intercept[Exception](s.run(
+      "CALL graft.semDedup('/nowhere', 0, 3, 350) " +
+        "YIELD vec_id RETURN vec_id"))
+    assert(e9.getMessage.contains("must be >= 1"), e9.getMessage)
+    // a mistyped dir surfaces as a load failure, not a silent empty set
+    val e10 = intercept[Exception](s.run(
+      "CALL graft.semDedup('/nowhere', 10, 3, 350) " +
+        "YIELD vec_id RETURN vec_id"))
+    assert(e10 != null)
   }
 
   test("CALL graft.distance: weighted mode via the cost-property argument") {

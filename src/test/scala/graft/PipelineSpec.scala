@@ -220,6 +220,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(bucketed.subsetOf(exact))
   }
 
+  test("kNN graph: bucket-confined top-k, symmetrized edges, loud bucket guard") {
+    // two cosine communities: axis-0 vectors and axis-32 vectors, small
+    // per-vector noise so within-group sims differ (deterministic ranks)
+    def vec(axis: Int, i: Int) = Array.tabulate(64)(j =>
+      if (j == axis) 1.0f else if (j == 60 + i % 3) 0.05f else 0.0f)
+    val pts = ((0 until 6).map(i => (i.toLong, vec(0, i))) ++
+      (6 until 12).map(i => (i.toLong, vec(32, i))))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.knnTopK(pts, "vec_id", "embedding", 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every vector ranks at most 3 neighbors, ranks dense from 1
+    val byPid = topk.groupBy(_._1)
+    assert(byPid.values.forall(rs =>
+      rs.map(_._2).sorted.sameElements(1 to rs.length)))
+    // with 5 same-group bucket-mates at cosine ~1 vs cross-group ~0, the
+    // top-3 stay within the group
+    assert(topk.forall { case (p, _, c, _) => (p < 6) == (c < 6) })
+    val edges = Similarity
+      .knnGraphEdges(pts, "vec_id", "embedding", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // canonical, positive-grid weights, within-group only
+    assert(edges.forall { case (s, d, w) =>
+      s < d && w > 0L && w <= 1000000L && (s < 6) == (d < 6) })
+    // symmetrization is a set union: no duplicate canonical pairs
+    assert(edges.map(e => (e._1, e._2)).distinct.length == edges.length)
+    // a near-parallel pair must carry a near-1.0 ppm weight
+    assert(edges.exists(_._3 > 990000L))
+    // the quadratic hazard is guarded loudly (the semDedup discipline)
+    val ex = intercept[IllegalArgumentException](
+      Similarity.knnTopK(pts, "vec_id", "embedding", 2, maxBucketSize = 3L))
+    assert(ex.getMessage.contains("nPlanes"), ex.getMessage)
+  }
+
+  test("domain stats: last-two-label reduction, lowercase, per-doc token counting") {
+    import graft.pipeline.TextAnalysis
+    val d = Seq(
+      // doc 1: 4 tokens, two mentions of the SAME registrable domain
+      // through different hosts (sub + www), one other domain
+      (1L, "see https://a.b.Example.com/x https://www.example.com y" +
+        " http://other.net"),
+      // doc 2: single-label host keeps itself; repeat of example.com
+      (2L, "ping http://localhost:8080/health and https://example.com done"),
+      (3L, "no urls here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.domainStats(d, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // example.com: docs 1 (2 mentions) and 2 (1 mention); token totals
+    // count each doc once — both docs have 5 ws-tokens
+    assert(got("example.com") == (2L, 3L, 10L), got.toString)
+    assert(got("other.net") == (1L, 1L, 5L), got.toString)
+    // localhost: port excluded by the host char class, single label kept
+    assert(got("localhost") == (1L, 1L, 5L), got.toString)
+    assert(!got.contains("b.example.com") && !got.contains("localhost:8080"),
+      got.toString)
+    assert(got.size == 3, got.toString)
+  }
+
   test("language ID picks the language whose stopwords dominate") {
     val d = Seq(
       (1L, "the cat is on the mat and the dog is in the house"),
@@ -464,6 +521,79 @@ class PipelineSpec extends AnyFunSuite {
       got(11L).toString)
     assert(got(12L) == ("mp4", None, None, None), got(12L).toString)
     assert(got(13L) == ("mp4", None, None, None), got(13L).toString)
+  }
+
+  test("EXIF: IFD walk in both byte orders, corrupt/truncated/missing-tag") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val soi = hx("FFD8")
+    val app0 = hx("FFE00010" + "4A46494600" + "0101" + "00" + "00480048"
+      + "0000")
+    val dt19 = "2021:06:15 12:34:56"
+    // II: 3-entry IFD0 (Make inline distractor, Orientation 6, DateTime
+    // via offset 50), datetime string out-of-line
+    def tiffII(orHex: String) = hx("49492A00" + "08000000" + "0300"
+      + "0F010200" + "04000000" + "47465400"
+      + "12010300" + "01000000" + orHex + "0000"
+      + "32010200" + "14000000" + "32000000" + "00000000") ++
+      dt19.getBytes ++ hx("00")
+    def app1(tiff: Array[Byte]) =
+      hx("FFE1" + f"${2 + 6 + tiff.length}%04X" + "457869660000") ++ tiff
+    val ii = soi ++ app0 ++ app1(tiffII("0600")) ++ "tail".getBytes
+    // MM: same fields big-endian, orientation 3
+    val tiffMM = hx("4D4D002A" + "00000008" + "0003"
+      + "010F0002" + "00000004" + "47465400"
+      + "01120003" + "00000001" + "0003" + "0000"
+      + "01320002" + "00000014" + "00000032" + "00000000") ++
+      dt19.getBytes ++ hx("00")
+    val mm = soi ++ app0 ++ app1(tiffMM)
+    // APP1 that is NOT Exif (XMP-style): the walk must skip it and,
+    // finding no Exif APP1, report NULLs
+    val xmp = soi ++ hx("FFE1" + "0008" + "687474703A") ++ hx("00") ++
+      app0
+    // missing orientation tag: a 2-entry IFD (Make + DateTime at offset
+    // 38 = 8 + 2 + 24 + 4) — datetime reads, orientation NULL
+    val tiffNoOr = hx("49492A00" + "08000000" + "0200"
+      + "0F010200" + "04000000" + "47465400"
+      + "32010200" + "14000000" + "26000000" + "00000000") ++
+      dt19.getBytes ++ hx("00")
+    val noOrient = soi ++ app1(tiffNoOr)
+    // corrupt byte-order flag: every field NULL, no stray reads
+    val badBo = soi ++ app1(hx("58582A00" + "08000000" + "0100"
+      + "12010300" + "01000000" + "06000000"))
+    // bad TIFF magic (43 instead of 42)
+    val badMagic = soi ++ app1(hx("49492B00" + "08000000" + "0100"
+      + "12010300" + "01000000" + "06000000"))
+    // truncated: APP1 length claims past the payload end — the entry
+    // records escape the (clamped) bound, so fields are NULL
+    val truncated = (soi ++ app1(tiffII("0600")))
+      .dropRight(40)
+    // DateTime offset escaping the APP1 extent: orientation reads,
+    // datetime must be NULL (never sibling bytes)
+    val tiffEscape = hx("49492A00" + "08000000" + "0200"
+      + "12010300" + "01000000" + "06000000"
+      + "32010200" + "14000000" + "FF000000" + "00000000")
+    val dtEscape = soi ++ app1(tiffEscape) ++ ("x" * 300).getBytes
+    // SOS before any APP1: the walk stops at entropy data
+    val sosFirst = soi ++ hx("FFDA" + "0008" + "010100003F00") ++
+      app1(tiffII("0600"))
+    val raw = "not a jpeg".getBytes
+    val df = Seq((0L, ii), (1L, mm), (2L, xmp), (3L, noOrient),
+      (4L, badBo), (5L, badMagic), (6L, truncated), (7L, dtEscape),
+      (8L, sosFirst), (9L, raw)).toDF("doc_id", "payload")
+    val got = graft.pipeline.Multimodal.exifMeta(df, "payload").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
+        Option(r.get(3)))).toMap
+    assert(got(0L) == ("jpeg", Some(6L), Some(dt19)), got(0L).toString)
+    assert(got(1L) == ("jpeg", Some(3L), Some(dt19)), got(1L).toString)
+    assert(got(2L) == ("jpeg", None, None), got(2L).toString)
+    assert(got(3L) == ("jpeg", None, Some(dt19)), got(3L).toString)
+    assert(got(4L) == ("jpeg", None, None), got(4L).toString)
+    assert(got(5L) == ("jpeg", None, None), got(5L).toString)
+    assert(got(6L) == ("jpeg", None, None), got(6L).toString)
+    assert(got(7L) == ("jpeg", Some(6L), None), got(7L).toString)
+    assert(got(8L) == ("jpeg", None, None), got(8L).toString)
+    assert(got(9L) == ("unknown", None, None), got(9L).toString)
   }
 
   test("audio duration: RIFF chunk walk to data, odd-size pad, corrupt size dies") {
