@@ -238,8 +238,12 @@ object Multimodal {
     * tag 274 (SHORT, count 1 — the value sits left-justified in the
     * 4-byte field per TIFF 6.0 §2); DateTime is tag 306 (ASCII, count 20
     * — the field holds an offset, relative to the TIFF header, to the
-    * 19-char "YYYY:MM:DD HH:MM:SS" + NUL). Same materialized-column
-    * caveat as [[mp4Mvhd]]: pass `app1` as a withColumn alias.
+    * 19-char "YYYY:MM:DD HH:MM:SS" + NUL). The entry budget defaults to
+    * 24 because REAL camera IFD0s lead with Make/Model/resolution
+    * entries and place DateTime at index 8+ (r17 review) — the fold is
+    * linear in the budget, so headroom is cheap. Same
+    * materialized-column caveat as [[mp4Mvhd]]: pass `app1` as a
+    * withColumn alias.
     */
   /** APP1's inclusive end: the 2-byte segment length counts itself but
     * not the marker, so the last segment byte is app1 + 1 + LL (clamped
@@ -256,7 +260,7 @@ object Multimodal {
     * reference).
     */
   def exifScan(payload: Column, app1: Column,
-      maxEntries: Int = 8): Column = {
+      maxEntries: Int = 24): Column = {
     val bound = app1Bound(payload, app1)
     val t = app1 + 10L // TIFF header, after marker(2) + LL(2) + "Exif\0\0"
     val bo = beUInt(payload, t, 2) // 0x4949 = "II" (LE), 0x4D4D = "MM" (BE)
@@ -312,7 +316,7 @@ object Multimodal {
     * so [[exifMeta]]'s staged form is the hot path.
     */
   def exifFields(payload: Column, app1: Column,
-      maxEntries: Int = 8): (Column, Column) = {
+      maxEntries: Int = 24): (Column, Column) = {
     val scanned = exifScan(payload, app1, maxEntries)
     (scanned.getField("orient"),
       exifDatetime(payload, app1, scanned.getField("dtoff")))
@@ -326,7 +330,8 @@ object Multimodal {
     * [[videoMeta]] staging discipline — the fold otherwise re-evaluates
     * per reference).
     */
-  def exifMeta(df: DataFrame, payloadCol: String): DataFrame = {
+  def exifMeta(df: DataFrame, payloadCol: String,
+      maxSegments: Int = 8, maxEntries: Int = 24): DataFrame = {
     val p = col(payloadCol)
     // marker walk and entry-scan fold each land in their own aliased
     // column so downstream references evaluate them ONCE per row (the
@@ -343,11 +348,11 @@ object Multimodal {
     // slice's own length field
     val staged = df
       .withColumn("__abytes",
-        p.substr(jpegExifApp1(p).cast("int"), lit(65537)))
+        p.substr(jpegExifApp1(p, maxSegments).cast("int"), lit(65537)))
       .withColumn("format", sniffFormat(p))
       .withColumn("payload_bytes", length(p).cast("long"))
       .drop(payloadCol)
-      .withColumn("__scan", exifScan(col("__abytes"), lit(1L)))
+      .withColumn("__scan", exifScan(col("__abytes"), lit(1L), maxEntries))
     staged
       .withColumn("exif_orientation", when(col("format") === "jpeg",
         col("__scan").getField("orient")))

@@ -356,8 +356,13 @@ object Similarity {
   def knnTopK(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nPlanes: Int = 8, maxBucketSize: Long = 8192L): DataFrame = {
     require(k >= 1, s"knnTopK: k must be >= 1, got $k")
+    // materialize the bucketing ONCE (the editDistancePairs shingle
+    // pattern — r17 review): the guard digest plus both sides of the
+    // self-join would otherwise recompute toDoubleArray + norm + the
+    // plane dot products over the full corpus three times
     val bucketed = prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
       .withColumn("bucket", lshBucket(col("cvec"), nPlanes))
+      .localCheckpoint()
     val maxRow = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
     val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)

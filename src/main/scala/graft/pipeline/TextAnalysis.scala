@@ -778,11 +778,15 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  /** URL host pattern: scheme + the host chars RFC 3986 allows in a
-    * reg-name (alnum, dot, hyphen) — RE2-safe (no backrefs/lookarounds),
-    * port/path excluded by the character class.
+  /** URL host pattern: scheme + an OPTIONAL userinfo component (RFC 3986
+    * allows `user:pass@` before the host — scraped corpora commonly carry
+    * token URLs like `https://x-token@github.com/...`, and without the
+    * skip the user label would be reported as the domain; r17 review) +
+    * the host chars a reg-name allows (alnum, dot, hyphen). RE2-safe (no
+    * backrefs/lookarounds); port/path excluded by the character class.
     */
-  val urlHostPattern: String = "https?://([A-Za-z0-9.-]+)"
+  val urlHostPattern: String =
+    "https?://(?:[A-Za-z0-9._%:+-]+@)?([A-Za-z0-9.-]+)"
 
   /** Registrable domain of a host as its LAST TWO dot labels — a
     * DOCUMENTED public-suffix simplification (this container carries no

@@ -1354,44 +1354,34 @@ object GraphQueries {
     * the cy38 CALL twin can re-price the already-measured sweep on a 1/16
     * log slice (r16 VERDICT bench-budget consolidation).
     */
-  private[queries] def fastestDurationSql(evFilter: String = ""): String = {
-    val rounds = 40
-    val iter = (1 to rounds).map { i =>
-      s"""a$i AS MATERIALIZED (
-         |  SELECT dep, id, MIN(arrival) AS arrival FROM (
-         |    SELECT dep, id, arrival FROM a${i - 1}
-         |    UNION ALL
-         |    SELECT w.dep, e.dst, e.t FROM a${i - 1} w
-         |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
-         |  GROUP BY dep, id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
-       |              CAST(event_id AS BIGINT) AS eid,
-       |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events$evFilter),
-       |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(u) AS su FROM ev),
-       |te0 AS (SELECT u AS src,
-       |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t
-       |        FROM ev),
-       |te AS (SELECT src, dst, t FROM te0 WHERE src <> dst),
-       |a0 AS (SELECT DISTINCT t AS dep, (SELECT su FROM bounds) AS id,
-       |         t AS arrival
-       |       FROM te WHERE src = (SELECT su FROM bounds)),
-       |$iter
-       |SELECT id AS user_id, CAST(MIN(arrival - dep) AS BIGINT) AS duration
-       |FROM a$rounds GROUP BY id ORDER BY user_id""".stripMargin
-  }
+  private[queries] def fastestDurationSql(evFilter: String = ""): String =
+    temporalDurationSql(evFilter, weighted = false)
 
   /** The g46 weighted variant of [[fastestDurationSql]] (candidate
     * arrival t + w, w = eid % 5 + 1) — same byte-identical-default rule.
     */
-  private[queries] def weightedDurationSql(evFilter: String = ""): String = {
+  private[queries] def weightedDurationSql(evFilter: String = ""): String =
+    temporalDurationSql(evFilter, weighted = true)
+
+  /** One scaffold for both duration oracles (r17 review: the two ~25-line
+    * builders differed only in the weight column and the candidate
+    * arrival term, and a scaffold edit applied to one but not the other
+    * would silently diverge the g38 vs g46 oracle families). Both
+    * weighted = false/true outputs are byte-identical to the previously
+    * committed driver-green strings.
+    */
+  private def temporalDurationSql(evFilter: String,
+      weighted: Boolean): String = {
     val rounds = 40
+    val cand = if (weighted) "e.t + e.w" else "e.t"
+    val wDef = if (weighted) ",\n          eid % 5 + 1 AS w" else ""
+    val teCols = if (weighted) "src, dst, t, w" else "src, dst, t"
     val iter = (1 to rounds).map { i =>
       s"""a$i AS MATERIALIZED (
          |  SELECT dep, id, MIN(arrival) AS arrival FROM (
          |    SELECT dep, id, arrival FROM a${i - 1}
          |    UNION ALL
-         |    SELECT w.dep, e.dst, e.t + e.w FROM a${i - 1} w
+         |    SELECT w.dep, e.dst, $cand FROM a${i - 1} w
          |    JOIN te e ON e.src = w.id AND e.t >= w.arrival)
          |  GROUP BY dep, id)""".stripMargin
     }.mkString(",\n")
@@ -1400,10 +1390,9 @@ object GraphQueries {
        |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events$evFilter),
        |bounds AS (SELECT MAX(u) + 1 AS nu, MIN(u) AS su FROM ev),
        |te0 AS (SELECT u AS src,
-       |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t,
-       |          eid % 5 + 1 AS w
+       |          (u + 1 + eid % 97) % (SELECT nu FROM bounds) AS dst, t$wDef
        |        FROM ev),
-       |te AS (SELECT src, dst, t, w FROM te0 WHERE src <> dst),
+       |te AS (SELECT $teCols FROM te0 WHERE src <> dst),
        |a0 AS (SELECT DISTINCT t AS dep, (SELECT su FROM bounds) AS id,
        |         t AS arrival
        |       FROM te WHERE src = (SELECT su FROM bounds)),

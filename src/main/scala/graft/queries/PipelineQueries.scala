@@ -115,7 +115,11 @@ object PipelineQueries {
       Dedup.editDistancePairs(
           docs(s, dir).where(col("doc_id") % 2 === 1)
             .withColumn("text",
-              when(length(col("text")) === octet_length(col("text")),
+              // NULL text passes through (a NULL comparison would fall to
+              // the otherwise branch and blame "non-ASCII" for a missing
+              // value — r17 review); only genuinely multi-byte text trips
+              when(col("text").isNull ||
+                  length(col("text")) === octet_length(col("text")),
                   col("text"))
                 .otherwise(raise_error(lit("d11_editdist_verify: non-ASCII " +
                   "text — Spark (code points) and a byte-oriented oracle " +
@@ -1819,7 +1823,8 @@ object PipelineQueries {
         |hosts AS (
         |  SELECT doc_id,
         |    lower(unnest(regexp_extract_all(text2,
-        |      'https?://([A-Za-z0-9.-]+)', 1))) AS host
+        |      'https?://(?:[A-Za-z0-9._%:+-]+@)?([A-Za-z0-9.-]+)', 1)))
+        |      AS host
         |  FROM t2),
         |dom AS (
         |  SELECT doc_id,

@@ -1773,11 +1773,12 @@ class CypherSpec extends AnyFunSuite {
       "CALL graft.semDedup('/nowhere', 0, 3, 350) " +
         "YIELD vec_id RETURN vec_id"))
     assert(e9.getMessage.contains("must be >= 1"), e9.getMessage)
-    // a mistyped dir surfaces as a load failure, not a silent empty set
+    // a mistyped dir surfaces as a LOAD failure naming the path, not a
+    // silent empty set (and not an unrelated arg error)
     val e10 = intercept[Exception](s.run(
       "CALL graft.semDedup('/nowhere', 10, 3, 350) " +
         "YIELD vec_id RETURN vec_id"))
-    assert(e10 != null)
+    assert(e10.getMessage.contains("nowhere"), e10.getMessage)
   }
 
   test("CALL graft.distance: weighted mode via the cost-property argument") {

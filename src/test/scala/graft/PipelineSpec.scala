@@ -262,18 +262,24 @@ class PipelineSpec extends AnyFunSuite {
         " http://other.net"),
       // doc 2: single-label host keeps itself; repeat of example.com
       (2L, "ping http://localhost:8080/health and https://example.com done"),
-      (3L, "no urls here at all")).toDF("doc_id", "text")
+      (3L, "no urls here at all"),
+      // doc 4: a token/userinfo URL — the user label must be SKIPPED,
+      // not reported as the domain (r17 review)
+      (4L, "clone https://x-token123@github.example.com/repo now"))
+      .toDF("doc_id", "text")
     val got = TextAnalysis.domainStats(d, "doc_id", "text").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
-    // example.com: docs 1 (2 mentions) and 2 (1 mention); token totals
-    // count each doc once — both docs have 5 ws-tokens
-    assert(got("example.com") == (2L, 3L, 10L), got.toString)
+    // example.com: docs 1 (2 mentions via sub/www hosts), 2 (1), and 4
+    // (1, through the skipped userinfo); token totals count each doc
+    // once — docs 1/2 have 5 ws-tokens, doc 4 has 3
+    assert(got("example.com") == (3L, 4L, 13L), got.toString)
     assert(got("other.net") == (1L, 1L, 5L), got.toString)
     // localhost: port excluded by the host char class, single label kept
     assert(got("localhost") == (1L, 1L, 5L), got.toString)
-    assert(!got.contains("b.example.com") && !got.contains("localhost:8080"),
-      got.toString)
+    // the userinfo token label never surfaces as a domain
+    assert(!got.contains("x-token123") && !got.contains("b.example.com") &&
+      !got.contains("localhost:8080"), got.toString)
     assert(got.size == 3, got.toString)
   }
 
@@ -578,9 +584,17 @@ class PipelineSpec extends AnyFunSuite {
     val sosFirst = soi ++ hx("FFDA" + "0008" + "010100003F00") ++
       app1(tiffII("0600"))
     val raw = "not a jpeg".getBytes
+    // the real-camera shape: 8 leading Make-style entries push DateTime
+    // to entry index 8 — past the old 8-entry budget, inside the
+    // default 24 (r17 review)
+    val deepDt = soi ++ app1(
+      hx("49492A00" + "08000000" + "0900"
+        + (1 to 8).map(_ => "0F010200" + "04000000" + "47465400").mkString
+        + "32010200" + "14000000" + "7A000000" + "00000000") ++
+        dt19.getBytes ++ hx("00"))
     val df = Seq((0L, ii), (1L, mm), (2L, xmp), (3L, noOrient),
       (4L, badBo), (5L, badMagic), (6L, truncated), (7L, dtEscape),
-      (8L, sosFirst), (9L, raw)).toDF("doc_id", "payload")
+      (8L, sosFirst), (9L, raw), (10L, deepDt)).toDF("doc_id", "payload")
     val got = graft.pipeline.Multimodal.exifMeta(df, "payload").collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
         Option(r.get(3)))).toMap
@@ -594,6 +608,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(7L) == ("jpeg", Some(6L), None), got(7L).toString)
     assert(got(8L) == ("jpeg", None, None), got(8L).toString)
     assert(got(9L) == ("unknown", None, None), got(9L).toString)
+    assert(got(10L) == ("jpeg", None, Some(dt19)), got(10L).toString)
   }
 
   test("audio duration: RIFF chunk walk to data, odd-size pad, corrupt size dies") {
