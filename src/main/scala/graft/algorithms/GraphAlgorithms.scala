@@ -444,6 +444,117 @@ object GraphAlgorithms {
     (comp, propRounds, jumpRounds)
   }
 
+  /** Borůvka minimum spanning forest over a weighted undirected edge
+    * relation (src, dst, w) — the classic O(log V)-round distributed MST
+    * (Borůvka 1926; the hook-and-contract round structure of GHS and
+    * every MapReduce MST since): each round every component picks its
+    * minimum incident cross edge, the picked edges join the forest, and
+    * the picked component graph contracts via the EXISTING pointer-
+    * jumping CC machinery ([[connectedComponentsDF]]). Determinism
+    * without RNG or weight assumptions: edges are ordered by the TUPLE
+    * (w, src, dst) — a total order under which all "weights" are
+    * distinct, so the MSF is unique and both endpoints of a tied pair
+    * pick the same tuple (no cycles; the classic distinct-weights
+    * argument). Exact integer weights (the g16 relation class).
+    *
+    * Input contract: self-loops are dropped; duplicate rows and
+    * symmetric (u,v)/(v,u) pairs are safe (argmin is consistent, the
+    * forest is deduped on the edge tuple). Returns one row per MSF edge:
+    * (component, src, dst, w) with component = the final min-vertex-id
+    * label of the tree the edge belongs to.
+    *
+    * Scale shape: state is the |V|-sized label relation plus the ≤(V-1)
+    * accumulated forest; each round touches the edge relation ONCE for
+    * the cross-edge filter (two gated label joins), aggregates per
+    * component (map-side combinable min), and runs CC on the ≤|C|-row
+    * picked graph — never on |E|. Components at least halve per round
+    * (every live component merges), bounding rounds at log2(V); the
+    * maxRounds guard is loud, not a silent cap.
+    */
+  def boruvkaMst(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val (e, releaseE) = trackedCheckpoint(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .where(col("src") =!= col("dst")), eager = false)
+    var (comp, releaseComp) = trackedCheckpoint(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id")))
+        .distinct().withColumn("component", col("id")), eager = false)
+    val nVerts = comp.count()
+    def small(df: DataFrame): DataFrame =
+      if (nVerts <= BroadcastVertexRows) broadcast(df)
+      else df.hint("shuffle_hash")
+    // per-round picked-edge checkpoints accumulate under the forest (≤
+    // log V of them, each ≤ |C| rows); the final relation reads them, so
+    // they stay pinned for the caller's sweep — the CC convention
+    var forestParts = List.empty[DataFrame]
+    var rounds = 0
+    var more = true
+    while (more && rounds < maxRounds) {
+      rounds += 1
+      val cs = comp.select(col("id").as("sid"), col("component").as("csrc"))
+      val cd = comp.select(col("id").as("did"), col("component").as("cdst"))
+      val cross = e.join(small(cs), col("src") === col("sid"))
+        .join(small(cd), col("dst") === col("did"))
+        .where(col("csrc") =!= col("cdst"))
+        .select(col("src"), col("dst"), col("w"), col("csrc"), col("cdst"))
+      // every cross edge is incident to BOTH its endpoint components
+      val incid = cross.select(col("csrc").as("comp"),
+          struct(col("w"), col("src"), col("dst"),
+            col("cdst").as("other")).as("e"))
+        .unionByName(cross.select(col("cdst").as("comp"),
+          struct(col("w"), col("src"), col("dst"),
+            col("csrc").as("other")).as("e")))
+      val sel = incid.groupBy(col("comp")).agg(min(col("e")).as("m"))
+        .select(col("comp"), col("m.w").as("w"), col("m.src").as("src"),
+          col("m.dst").as("dst"), col("m.other").as("other"))
+      // ONE job: the eager checkpoint materializes the round; its count
+      // decides termination (no cross edges left = every component done)
+      val (selCk, releaseSel) = trackedCheckpoint(sel, eager = true)
+      if (selCk.count() == 0) { releaseSel(); more = false }
+      else {
+        forestParts ::= selCk.select(col("src"), col("dst"), col("w"))
+        // contract: min-id labels over the picked component graph (≤ |C|
+        // rows — the CC cost is in CURRENT components, not edges), then
+        // one label-composition join. The CC machinery's own checkpoints
+        // are dead once the new label relation materializes — released
+        // here instead of waiting for the harness sweep.
+        val before = sc.getPersistentRDDs.keySet
+        val merged = connectedComponentsDF(
+          selCk.select(col("comp").as("src"), col("other").as("dst")))
+        val (nc, releaseNc) = trackedCheckpoint(
+          comp.join(small(merged.select(col("id").as("oc"),
+              col("component").as("nc"))),
+              col("component") === col("oc"), "left")
+            .select(col("id"),
+              coalesce(col("nc"), col("component")).as("component")),
+          eager = true)
+        graft.util.Checkpoints.release(spark,
+          sc.getPersistentRDDs.keySet -- before --
+            graft.util.Checkpoints.idsOf(nc))
+        releaseComp()
+        comp = nc
+        releaseComp = releaseNc
+      }
+    }
+    require(!more,
+      s"boruvkaMst: $maxRounds rounds without convergence — components " +
+        "must at least halve per round, so this input exceeds 2^maxRounds " +
+        "vertices or the relation mutated mid-run; raise maxRounds " +
+        "deliberately")
+    releaseE() // the forest reads only the per-round checkpoints
+    val forest = forestParts
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.range(0).select(col("id").as("src"),
+        col("id").as("dst"), col("id").as("w")))
+      .distinct() // a pair of components can pick the same edge tuple
+    forest.join(small(comp), forest("src") === comp("id"))
+      .select(col("component"), forest("src"), forest("dst"), forest("w"))
+  }
+
   /** Triangle count per vertex (GraphX canonical orientation). */
   def triangleCount(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._

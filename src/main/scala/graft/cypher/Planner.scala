@@ -262,17 +262,26 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           graft.store.Tables.load(spark, corpusDir("graft.annTopK"),
             "embeddings"),
           "vec_id", "embedding", probes, k)
-      case "graft.editdistpairs" => nargs(2)
+      case "graft.editdistpairs" => nargs(3)
         // the d11 edit-distance-verified fuzzy dedup over
         // <dir>/documents.parquet: shared-LSH candidates, THRESHOLDED
         // Levenshtein verify (r17 CALL surface — the REST-only-algorithms
-        // lesson stays inverted for the r16 operators too)
+        // lesson stays inverted for the r16 operators too). The optional
+        // sliceMod arg (r18, the cy38/cy45 re-budget discipline) confines
+        // the corpus to doc_id % sliceMod = 1 — the d11 gate's own
+        // half-corpus slice when 2 — so a CALL twin prices the surface,
+        // not a second full-corpus LSH prefix (already priced as d3).
         val edMax = intArg(1, Some(16))
         require(edMax >= 0,
           s"graft.editDistPairs: maxDist must be >= 0, got $edMax")
+        val edSlice = intArg(2, Some(1))
+        require(edSlice >= 1,
+          s"graft.editDistPairs: sliceMod must be >= 1, got $edSlice")
+        val edCorpus = graft.store.Tables.load(spark,
+          corpusDir("graft.editDistPairs"), "documents")
         graft.pipeline.Dedup.editDistancePairs(
-          graft.store.Tables.load(spark, corpusDir("graft.editDistPairs"),
-            "documents"),
+          if (edSlice == 1) edCorpus
+          else edCorpus.where(col("doc_id") % edSlice === 1),
           "doc_id", "text", edMax)
       case "graft.semdedup" => nargs(4)
         // the e11 SemDeDup drop list over <dir>/embeddings.parquet:
@@ -290,6 +299,21 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           graft.store.Tables.load(spark, corpusDir("graft.semDedup"),
             "embeddings"),
           "vec_id", "embedding", sdK, sdIters, sdTau.toDouble / 1000.0)
+      case "graft.mst" =>
+        // Borůvka minimum spanning forest over the session graph (r18):
+        // optional arg names an integer edge-weight property; absent (or
+        // absent on an edge) the weight defaults to 1 — the graft.distance
+        // convention — making the default MSF a deterministic spanning
+        // forest under the (w, src, dst) tuple order.
+        nargs(1)
+        val mstEdges = strArg(0) match {
+          case None => store.allEdges.select(col("src"), col("dst"),
+            lit(1L).as("w"))
+          case Some(wk) => store.allEdges.select(col("src"), col("dst"),
+            coalesce(get_json_object(col("properties"), "$." + wk)
+              .cast("long"), lit(1L)).as("w"))
+        }
+        GraphAlgorithms.boruvkaMst(mstEdges)
       case "graft.distance" =>
         nargs(4)
         import spark.implicits._
@@ -316,11 +340,22 @@ final class Planner(spark: SparkSession, store0: GraphStore,
               .toDF("start_id", "end_id", "dist")
         }
       case "graft.walks" =>
-        nargs(3)
+        // (sourceId, walksPerStart, steps[, p[, q]]) — the two optional
+        // node2vec bias args (r18): absent → the g27 uniform hash walks,
+        // byte-identical to the pre-r18 surface; present → the biased
+        // replica-argmin draw (g55). p = q = 1 through the biased path is
+        // uniform but hashes the replica index, so the two forms are
+        // deliberately distinct corpora.
+        nargs(5)
         import spark.implicits._
-        graft.algorithms.RandomWalks.hashWalks(edges,
-          Seq(longArg(0)).toDF("id"), intArg(2, Some(6)),
-          intArg(1, Some(1)))
+        if (c.args.length <= 3)
+          graft.algorithms.RandomWalks.hashWalks(edges,
+            Seq(longArg(0)).toDF("id"), intArg(2, Some(6)),
+            intArg(1, Some(1)))
+        else
+          graft.algorithms.RandomWalks.node2vecWalks(edges,
+            Seq(longArg(0)).toDF("id"), intArg(2, Some(6)),
+            intArg(1, Some(1)), intArg(3, Some(1)), intArg(4, Some(1)))
       case "graft.latestdeparture" =>
         // latest time-respecting departure toward a target by a deadline
         // (the g36 temporal sweep) — arg 3 names the edge-time property.
@@ -551,7 +586,8 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.pageRank(iters), graft.connectedComponents(), graft.kCore(k), " +
         "graft.labelPropagation(iters), graft.triangles(), graft.degrees(), " +
         "graft.ppr(sourceId, iters), graft.katz(maxLen, beta), " +
-        "graft.kTruss(k), graft.walks(sourceId, walksPerStart, steps), " +
+        "graft.kTruss(k), graft.walks(sourceId, walksPerStart, steps" +
+        "[, p[, q]]), " +
         "graft.scc(), graft.linkPrediction(topK), graft.mis(), " +
         "graft.distance(srcId, dstId, maxHops[, 'weightProp']), " +
         "graft.latestDeparture(targetId, deadline[, 'timeProp']), " +
@@ -577,8 +613,9 @@ final class Planner(spark: SparkSession, store0: GraphStore,
         "graft.kReaching(targetId, deadline, floor[, k[, 'timeProp']]), " +
         "graft.corpusProfile('dir'), graft.dedupClusters('dir', permille), " +
         "graft.annTopK('dir', k, probeIds...), " +
-        "graft.editDistPairs('dir'[, maxDist]), " +
-        "graft.semDedup('dir'[, k[, iters[, tauPermille]]])")
+        "graft.editDistPairs('dir'[, maxDist[, sliceMod]]), " +
+        "graft.semDedup('dir'[, k[, iters[, tauPermille]]]), " +
+        "graft.mst(['weightProp'])")
     }
     val available = out.columns.toSeq
     val items = if (c.yields.nonEmpty) c.yields

@@ -140,6 +140,13 @@ object Clustering {
     * grid; sim is the e1-class double (one fixed-fold dot + one divide),
     * and min/count/max aggregates are order-independent — the whole
     * multi-stage pipeline hash-matches the oracle's replay.
+    *
+    * EAGER-EXECUTION NOTE (r17 ADVICE): the cluster-size guard must run
+    * before the hazard it guards, so CONSTRUCTING this DataFrame executes
+    * the full k-means job — an EXPLAIN or dry-run registration is not
+    * free. The assignment checkpoint kmeansQuantized pins stays until the
+    * harness sweep (Verify/Bench sweep getPersistentRDDs per query); a
+    * resident caller should wrap consumption in Checkpoints.sweepingDelta.
     */
   def semDedupDropped(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, tau: Double, q: Int = 6,
@@ -174,6 +181,135 @@ object Clustering {
       .groupBy(col("x.cluster").as("cluster"), col("y.id").as("vec_id"))
       .agg(min(col("x.id")).as("keeper"),
         count(lit(1)).as("n_dups"), max(col("sim")).as("max_sim"))
+  }
+
+  /** Product-quantization ANN top-k (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the missing
+    * member of the compression family (int8 recall → PQ): vectors split
+    * into `m` subspaces, an EXACT-GRID k-means ([[kmeansQuantized]]'s
+    * integer arithmetic, run GROUPED — all m codebooks train in the same
+    * jobs, keyed by subspace, so training cost is iteration count, not
+    * m × iterations) learns a kCodes-entry codebook per subspace, the
+    * corpus encodes as m small codes per vector, and probe distances are
+    * ADC — asymmetric distance computation: the probe's exact quantized
+    * subvector against each centroid gives an m × kCodes integer LUT, and
+    * a candidate's distance is the SUM of its m LUT entries. Everything
+    * rides the 10^-q grid: codes, LUT entries and ADC sums are exact
+    * integers, so the whole trained-encode-search pipeline hash-matches a
+    * SQL replay (something float PQ cannot).
+    *
+    * Returns (pid, rank, cid, adc) — rank by (adc ASC, cid) per probe,
+    * rank ≤ k. Recall against brute force is measured like e3
+    * (deterministic both sides).
+    *
+    * Scale shape: codebooks are m·kCodes·(d/m) = kCodes·d LONGs —
+    * driver-bounded like kmeansQuantized's centroids; encoding is the
+    * same shuffle-free broadcast-literal argmin pass; the ADC join keys
+    * on (subspace, code) against the m·kCodes-row LUT (broadcast) and
+    * partial-aggregates the per-(probe, candidate) sum map-side. At
+    * 100 TB the codes relation is m small ints per vector — the point of
+    * PQ — and search never touches the raw vectors.
+    *
+    * EAGER-EXECUTION NOTE: training runs at construction time (the
+    * kmeansQuantized/semDedup class); the codes checkpoint stays pinned
+    * until the harness sweep.
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, m: Int = 4, kCodes: Int = 8,
+      iters: Int = 2, q: Int = 6): DataFrame = {
+    require(k >= 1 && m >= 1 && kCodes >= 1 && iters >= 1,
+      s"pqTopK: k, m, kCodes, iters must be >= 1, got ($k, $m, $kCodes, $iters)")
+    val scale = math.pow(10, q)
+    val offset = (scale * 10).toLong
+    // one row per (subspace, vector): xq = the quantized subvector. The
+    // slice length is size div m — guarded uniform and divisible below,
+    // so it is the same constant on every row.
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"))
+    val pts = base
+      .select(col("id"), col("__v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("sub"), col("id"),
+        transform(
+          slice(col("__v"),
+            (col("sub") * expr(s"size(__v) div $m") + 1).cast("int"),
+            expr(s"size(__v) div $m").cast("int")),
+          v => floor(v.cast("double") * scale + lit(0.5)).cast("long") +
+            lit(offset)).as("xq"))
+      .localCheckpoint(false)
+    // positivity + uniform-dimension + divisibility in ONE pass (the
+    // kmeansQuantized guard, plus the PQ split constraint)
+    val g = base.agg(min(size(col("__v"))), max(size(col("__v")))).head()
+    val (dMin, dMax) = (g.getInt(0), g.getInt(1))
+    require(dMin == dMax, s"pqTopK: ragged embedding lengths " +
+      s"($dMin..$dMax) — uniform dimensionality is required")
+    require(dMin % m == 0,
+      s"pqTopK: dimension $dMin is not divisible by m = $m subspaces")
+    val minQ = pts.agg(min(array_min(col("xq")))).head().getLong(0)
+    require(minQ > 0, s"pqTopK: embedding magnitude exceeds the 10.0 " +
+      s"guard (min quantized $minQ); raise the offset")
+
+    def assign(cents: Array[(Int, Long, Seq[Long])]): DataFrame = {
+      val centLit = array(cents.map { case (sub, cl, cq) =>
+        struct(lit(sub).as("sub"), typedLit(cq).as("cq"), lit(cl).as("cl"))
+      }: _*)
+      // per-subspace argmin: only centroids of the row's OWN subspace
+      // compete (the grouped form of kmeansQuantized's global argmin)
+      pts.withColumn("best",
+          array_min(transform(
+            filter(centLit, c => c.getField("sub") === col("sub")),
+            c => struct(distQ(col("xq"), c.getField("cq")).as("dist"),
+              c.getField("cl").as("cl")))))
+        .select(col("sub"), col("id"), col("xq"),
+          col("best.cl").as("code"), col("best.dist").as("dist_q"))
+    }
+    def collectCents(centDf: DataFrame): Array[(Int, Long, Seq[Long])] =
+      centDf.collect().map { r: Row =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Long](2))
+      }.sortBy(c => (c._1, c._2))
+
+    // init: each subspace's codebook seeds from the k lowest ids (the
+    // kmeansQuantized deterministic init, identical across subspaces)
+    val lowIds = base.select(col("id")).orderBy(col("id")).limit(kCodes)
+      .collect().map(_.getLong(0)).toSeq
+    var cents = collectCents(
+      pts.where(col("id").isin(lowIds: _*))
+        .select(col("sub"), col("id").as("cl"), col("xq").as("cq")))
+    for (_ <- 1 to iters) {
+      val assigned = assign(cents)
+      val updated = assigned
+        .select(col("sub"), col("code"), posexplode(col("xq")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        // the kmeansQuantized half-up integer mean, verbatim
+        .agg(expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("cqd"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cqd")))),
+          s => s.getField("cqd")).as("cq"))
+        .select(col("sub"), col("code").as("cl"), col("cq"))
+      cents = collectCents(updated)
+    }
+    val codes = assign(cents).select(col("sub"), col("id"), col("code"))
+      .localCheckpoint()
+    // the ADC LUT: each probe's exact quantized subvector against every
+    // centroid of that subspace — m·kCodes rows per probe, broadcast
+    val centLit = array(cents.map { case (sub, cl, cq) =>
+      struct(lit(sub).as("sub"), typedLit(cq).as("cq"), lit(cl).as("cl"))
+    }: _*)
+    val lut = pts.where(col("id").isin(probeIds: _*))
+      .select(col("id").as("pid"), col("sub"), col("xq"),
+        explode(filter(centLit, c => c.getField("sub") === col("sub")))
+          .as("c"))
+      .select(col("pid"), col("sub"), col("c.cl").as("code"),
+        distQ(col("xq"), col("c.cq")).as("dist"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("id") =!= col("pid"))
+      .groupBy(col("pid"), col("id").as("cid"))
+      .agg(sum(col("dist")).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("adc"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("cid"), col("adc"))
   }
 
   /** Cluster-label purity: for each cluster in `assign` (id, cluster),

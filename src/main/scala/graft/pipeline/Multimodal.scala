@@ -165,7 +165,11 @@ object Multimodal {
         // TEM (01), RST0-7 (D0-D7), SOI (D8): marker only, no length
         val standalone = isMarker && (mk === 1L ||
           (mk >= 208L && mk <= 216L))
-        val stop = done || isSof || !isMarker || mk === 217L // 217 = EOI
+        // 217 = EOI; 218 = SOS — entropy-coded data follows SOS, where a
+        // length-walk would misparse aliased marker bytes (r17 ADVICE:
+        // same stop jpegExifApp1 ships; SOF legally precedes SOS, so no
+        // spec-conforming payload changes)
+        val stop = done || isSof || !isMarker || mk === 217L || mk === 218L
         val nxt = when(isFill, pos + 1L)
           .when(standalone, pos + 2L)
           .otherwise(pos + 2L + b16(hdr, 3))
@@ -380,6 +384,23 @@ object Multimodal {
       maxChunks: Int, fourccOf: Column => Column,
       nextOf: (Column, Column, Column) => Column,
       endPos: Option[Column] = None): Column = {
+    val walked = chunkWalkState(payload, start, targetHex, maxChunks,
+      fourccOf, nextOf, endPos)
+    when(walked.getField("found"), walked.getField("pos"))
+  }
+
+  /** The full final state of a [[chunkWalk]] — (pos, found, bound, plen,
+    * hdr) — for callers that need more than the hit position: the found
+    * chunk's own 16-byte header window rides in `hdr`, so its size can be
+    * read off the window WITHOUT re-embedding the walk expression (the
+    * videoMeta staging lesson) or re-touching the payload (the r17 media
+    * probe: every BoundReference to a binary column copies the whole
+    * field in an interpreted HOF).
+    */
+  private def chunkWalkState(payload: Column, start: Column,
+      targetHex: String, maxChunks: Int, fourccOf: Column => Column,
+      nextOf: (Column, Column, Column) => Column,
+      endPos: Option[Column] = None): Column = {
     val len = length(payload).cast("long")
     // the window every per-step read comes from: the chunk's full 8-byte
     // header plus the 8-byte largesize field the MP4 escape form appends.
@@ -435,7 +456,7 @@ object Multimodal {
           when(stay || dead, hdr)
             .otherwise(when(nxt <= 2147483647L, hdrAt(nxt))).as("hdr"))
       })
-    when(walked.getField("found"), walked.getField("pos"))
+    walked
   }
 
   /** MP4/ISO-BMFF movie metadata — REAL container parsing, the video leg
@@ -539,6 +560,84 @@ object Multimodal {
   def moovBound(payload: Column, moov: Column): Column =
     boxNext(payload)(moov) - 1L
 
+  /** First trak box inside a FOUND moov — the m10 walk level between
+    * moov and tkhd (ISO 14496-12 §8.3.1: trak is a plain container box).
+    * Same child-walk shape as [[mp4Mvhd]]: confined to moov's extent,
+    * children start after moov's ACTUAL header (16 bytes in the largesize
+    * form). FIRST-trak semantics, documented: a multi-track file reports
+    * its first trak's dimensions (an audio-first layout reports the audio
+    * tkhd's 0×0) — the per-track explode is a caller-side variant, not
+    * this scalar read-off. Same materialized-column caveat as [[mp4Mvhd]].
+    */
+  def mp4Trak(payload: Column, moov: Column, maxBoxes: Int = 8): Column = {
+    val szMoov = beUInt(payload, moov, 4)
+    val childStart = when(szMoov === 1L, moov + 16L).otherwise(moov + 8L)
+    chunkWalk(payload, childStart, "7472616B", maxBoxes,
+      boxFourccH, boxNextH, Some(moovBound(payload, moov)))
+  }
+
+  /** tkhd position inside a FOUND trak box — confined to trak's own
+    * extent exactly like the mvhd walk is to moov's (a trak with no tkhd
+    * child must read NULL, never a stray sibling's fourcc).
+    */
+  def mp4Tkhd(payload: Column, trak: Column, maxBoxes: Int = 8): Column = {
+    val szTrak = beUInt(payload, trak, 4)
+    val childStart = when(szTrak === 1L, trak + 16L).otherwise(trak + 8L)
+    chunkWalk(payload, childStart, "746B6864", maxBoxes,
+      boxFourccH, boxNextH, Some(boxNext(payload)(trak) - 1L))
+  }
+
+  /** (width, height) integer parts from a FOUND tkhd's version-dependent
+    * offsets — the track-dimension read a video-curation pass needs
+    * (ISO 14496-12 §8.3.2: width/height are 16.16 fixed-point BE32s at
+    * tkhd +84/+88 in version 0; version 1 widens creation/modification/
+    * duration, pushing them to +96/+100). The integer part is the exact
+    * `raw >> 16` (≡ div 65536 on the non-negative BE32 domain — integer
+    * arithmetic, the hashed-column class). `bound` is the parent trak's
+    * inclusive end, checked version-aware like [[mvhdTimes]]: v0's fields
+    * end at tkhd+91, v1's at tkhd+103 — a trak whose declared size cuts
+    * the fields reads NULL, never sibling bytes. Same materialized-column
+    * caveat as [[mp4Mvhd]].
+    */
+  def tkhdDims(payload: Column, tkhd: Column,
+      bound: Option[Column] = None): (Column, Column) = {
+    val v = beUInt(payload, tkhd + 8L, 1)
+    def fits(end: Long): Column =
+      bound.map(b => tkhd + end <= b).getOrElse(lit(true))
+    (when(v === 0L && fits(91L), shiftright(beUInt(payload, tkhd + 84L, 4), 16))
+       .when(v === 1L && fits(103L), shiftright(beUInt(payload, tkhd + 96L, 4), 16)),
+      when(v === 0L && fits(91L), shiftright(beUInt(payload, tkhd + 88L, 4), 16))
+        .when(v === 1L && fits(103L), shiftright(beUInt(payload, tkhd + 100L, 4), 16)))
+  }
+
+  /** Track-dimension extraction over opaque binary payloads (the m10
+    * gate): format sniff plus the moov → trak → tkhd read —
+    * (format, track_width, track_height, payload_bytes), NULL track
+    * fields on anything that is not ISO-BMFF with a walkable first trak.
+    * Same staging discipline as [[videoMeta]]: the ONE payload-touching
+    * projection finds moov and slices min(declared, budget)
+    * ([[moovSlice]]); each walk stage lands in its own aliased column so
+    * downstream references evaluate it once per row.
+    */
+  def trackMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    val staged = df
+      .withColumn("__mbytes", moovSlice(p))
+      .withColumn("format", sniffFormat(p))
+      .withColumn("payload_bytes", length(p).cast("long"))
+      .drop(payloadCol)
+      .withColumn("__trak", mp4Trak(col("__mbytes"), lit(1L)))
+      .withColumn("__tkhd", mp4Tkhd(col("__mbytes"), col("__trak")))
+    val (w, h) = tkhdDims(col("__mbytes"), col("__tkhd"),
+      Some(boxNext(col("__mbytes"))(col("__trak")) - 1L))
+    staged
+      .withColumn("track_width", when(col("format") === "mp4", w))
+      .withColumn("track_height", when(col("format") === "mp4", h))
+      .select(df.columns.filter(_ != payloadCol).map(col).toIndexedSeq ++
+        Seq(col("format"), col("track_width"), col("track_height"),
+          col("payload_bytes")): _*)
+  }
+
   /** Column-level composition of the walks — for single-use contexts
     * only; [[videoMeta]] materializes each stage once instead (this form
     * embeds the moov walk twice: once in the child walk, once for the
@@ -558,12 +657,42 @@ object Multimodal {
     * try_multiply + raise_error keeps the product loud outside the LONG
     * domain (the pivotStress guard discipline).
     */
-  /** The moov clamp: a real moov atom is KBs of track/codec tables; a
-    * declared extent beyond this is treated as corrupt (the walk parks at
-    * NULL when its reads escape the clamped slice) — documented budget,
-    * like the walk's box count.
+  /** The moov slice budget (r17 ADVICE: the old FIXED 64 KiB slice
+    * silently NULLed fields of real moovs whose mvhd sat past 64 KiB —
+    * stco/stsz tables grow with sample count). The slice is now
+    * min(declared moov size, this budget): normal moovs copy exactly
+    * their declared KBs (cheaper than the old fixed window), oversized-
+    * but-legal moovs parse up to the budget, and only a moov declaring
+    * more than 4 MiB has its fields past the budget read NULL —
+    * documented budget, like the walk's box count.
     */
-  val MoovSliceBytes: Long = 65536L
+  val MoovBudgetBytes: Long = 4L * 1024 * 1024
+
+  /** The payload-touching moov slice: ONE expression that runs the moov
+    * walk once, reads the found box's declared size OFF THE WALK'S OWN
+    * header window, and slices min(declared, budget) — built as an
+    * `aggregate` whose FINISH lambda reads the walk's final state as a
+    * lambda variable (cheap per re-read), because referencing the walk
+    * expression twice (substr pos + declared-size read) would re-evaluate
+    * the whole walk per reference (the videoMeta staging lesson), and
+    * reading the size off the payload would add whole-payload copies (the
+    * r17 media-probe lesson). A corrupt declared size (largesize < 16)
+    * yields a NULL length — the slice, and every field read, parks NULL.
+    */
+  def moovSlice(payload: Column, maxBoxes: Int = 8): Column =
+    aggregate(
+      sequence(lit(1), lit(1)),
+      chunkWalkState(payload, lit(1L), "6D6F6F76", maxBoxes,
+        boxFourccH, boxNextH),
+      (st, _) => st,
+      st => {
+        val pos = when(st.getField("found"), st.getField("pos"))
+        val declared =
+          boxNextH(st.getField("hdr"), pos, st.getField("plen")) - pos
+        val len = when(declared.isNotNull,
+          least(declared, lit(MoovBudgetBytes)))
+        payload.substr(pos.cast("int"), len.cast("int"))
+      })
 
   def videoMeta(df: DataFrame, payloadCol: String): DataFrame = {
     val p = col(payloadCol)
@@ -586,13 +715,13 @@ object Multimodal {
     // the walk appears exactly ONCE inside the slice expression (a NULL
     // moov propagates through substr to a NULL slice), so CollapseProject
     // inlines it and this stays a single projection — the only one that
-    // touches the payload. The slice is a FIXED 64 KiB window from moov:
+    // touches the payload. The slice is min(declared moov size, 4 MiB)
+    // read off the walk's own header window ([[moovSlice]], r17 ADVICE):
     // all downstream extent checks are recomputed in slice coordinates
     // from the slice's own size fields, so a shorter-than-declared or
-    // clamp-exceeding moov parks at NULL exactly as before.
+    // budget-exceeding moov parks exactly where the slice ends.
     val staged = df
-      .withColumn("__mbytes",
-        p.substr(mp4Moov(p).cast("int"), lit(MoovSliceBytes.toInt)))
+      .withColumn("__mbytes", moovSlice(p))
       .withColumn("format", sniffFormat(p))
       .withColumn("payload_bytes", length(p).cast("long"))
       .drop(payloadCol)

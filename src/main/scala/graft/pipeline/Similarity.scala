@@ -352,6 +352,15 @@ object Similarity {
     * quadratic hazard class as semDedupDropped, guarded the same way: the
     * largest bucket must hold ≤ maxBucketSize vectors (one cheap one-row
     * digest) or the call fails loudly pointing at a larger nPlanes.
+    *
+    * EAGER-EXECUTION NOTE (r17 ADVICE): because the guard digest must run
+    * before the hazard it guards, CONSTRUCTING this DataFrame executes the
+    * bucketing job (an EXPLAIN or dry-run registration is not free), and
+    * the returned plan reads a localCheckpoint that stays pinned until the
+    * harness sweep (Verify/Bench sweep getPersistentRDDs per query; a
+    * resident caller should wrap consumption in Checkpoints.sweepingDelta
+    * once the result is collected/written). A guard FAILURE releases the
+    * checkpoint before throwing — a rejected call leaks nothing.
     */
   def knnTopK(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nPlanes: Int = 8, maxBucketSize: Long = 8192L): DataFrame = {
@@ -360,12 +369,16 @@ object Similarity {
     // pattern — r17 review): the guard digest plus both sides of the
     // self-join would otherwise recompute toDoubleArray + norm + the
     // plane dot products over the full corpus three times
-    val bucketed = prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
-      .withColumn("bucket", lshBucket(col("cvec"), nPlanes))
-      .localCheckpoint()
-    val maxRow = bucketed.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
-    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val (bucketed, releaseBucketed) = graft.util.Checkpoints.tracked(
+      prepared(corpus, idCol, vecCol, "cid", "cvec", "cnorm")
+        .withColumn("bucket", lshBucket(col("cvec"), nPlanes)),
+      eager = true)
+    val maxN = try {
+      val maxRow = bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+      if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    } catch { case t: Throwable => releaseBucketed(); throw t }
+    if (maxN > maxBucketSize) releaseBucketed() // reject without leaking
     require(maxN <= maxBucketSize,
       s"knnTopK: largest LSH bucket holds $maxN vectors (> maxBucketSize " +
         s"= $maxBucketSize) — the within-bucket join is |bucket|^2. Raise " +

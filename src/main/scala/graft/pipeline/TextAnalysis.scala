@@ -782,11 +782,16 @@ object TextAnalysis {
     * allows `user:pass@` before the host — scraped corpora commonly carry
     * token URLs like `https://x-token@github.com/...`, and without the
     * skip the user label would be reported as the domain; r17 review) +
-    * the host chars a reg-name allows (alnum, dot, hyphen). RE2-safe (no
-    * backrefs/lookarounds); port/path excluded by the character class.
+    * the host chars a reg-name allows (alnum, dot, hyphen). The userinfo
+    * class is NEGATED (r17 ADVICE: the old explicit class omitted RFC
+    * 3986 sub-delims like `!$&'()*,;=`, so `https://a!b@c.com` reported
+    * host `a`): anything up to the `@` counts as userinfo EXCEPT the
+    * characters that legally terminate the authority first (`/?#`) and
+    * whitespace. RE2-safe (no backrefs/lookarounds); port/path excluded
+    * by the host character class.
     */
   val urlHostPattern: String =
-    "https?://(?:[A-Za-z0-9._%:+-]+@)?([A-Za-z0-9.-]+)"
+    "https?://(?:[^/@?#\\s]+@)?([A-Za-z0-9.-]+)"
 
   /** Registrable domain of a host as its LAST TWO dot labels — a
     * DOCUMENTED public-suffix simplification (this container carries no

@@ -682,13 +682,15 @@ object CypherGateQueries {
     // The r16 pipeline operators through CALL (r17): the REST-only-
     // algorithms lesson stays inverted for d11/e11 too. cy52 runs the
     // edit-distance verify at a HALVED threshold budget (8 vs d11's 16 —
-    // the thresholded DP is O(len·maxDist) per candidate, so the verify
-    // pass the gate prices is half d11's; the full-corpus LSH prefix is
-    // already priced as d3); the parameterized d11 oracle replays it.
+    // the thresholded DP is O(len·maxDist) per candidate) AND, per the
+    // r17 verdict re-budget, on the d11 gate's own HALF-corpus slice
+    // (sliceMod 2 → doc_id % 2 = 1): the full-corpus LSH prefix is
+    // already priced as d3, so the twin prices only the CALL surface;
+    // the parameterized d11 oracle replays both knobs.
     "cy52_call_editdist" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
       new CypherSession(s, g).run(
-        s"""CALL graft.editDistPairs('$dir', 8)
+        s"""CALL graft.editDistPairs('$dir', 8, 2)
            |YIELD a, b, editdist
            |RETURN a, b, editdist
            |ORDER BY a, b""".stripMargin)
@@ -705,6 +707,25 @@ object CypherGateQueries {
            |YIELD cluster, vec_id, keeper, n_dups, max_sim
            |RETURN cluster, vec_id, keeper, n_dups, max_sim
            |ORDER BY cluster, vec_id""".stripMargin)
+    }),
+
+    // Borůvka MSF through the CALL surface (r18): the g56 engine over a
+    // BOUNDED sub-store (supplier→nation→region only — no customer/order/
+    // lineitem fan-out; the cy50 sub-store discipline). The label graph is
+    // a forest, so the MSF is the graph itself and the oracle is a plain
+    // per-tree digest — the ALGORITHM's cycle-dropping is priced and
+    // verified by g56; this twin prices the CALL surface and the
+    // default-weight path. Folded in Cypher to per-tree digests.
+    "cy54_call_mst" -> ((s, dir) => {
+      val g = GraphStore.tpch(s, dir)
+      val sub = new GraphStore(g.vertexTables,
+        g.edgeTables.view.filterKeys(
+          Set("SUPP_NATION", "IN_REGION")).toMap)
+      new CypherSession(s, sub).run(
+        """CALL graft.mst() YIELD component, src, dst, w
+          |WITH component, count(*) AS n_edges, sum(w) AS total_w
+          |RETURN component, n_edges, total_w
+          |ORDER BY component""".stripMargin)
     }),
 
     // Multi-level Louvain through the CALL surface (r14): the g47 engine
@@ -815,12 +836,39 @@ object CypherGateQueries {
       graft.queries.PipelineQueries.oracle("d7_dedup_clusters"),
     "cy49_call_ann_topk" ->
       graft.queries.PipelineQueries.oracle("e2_ann_lsh"),
-    // the d11 oracle text at the cy52 halved threshold over the full
-    // corpus (r17); cy53 answers to the e11 oracle verbatim
+    // the d11 oracle text at the cy52 halved threshold over the d11
+    // half-corpus slice (r18 re-budget); cy53 answers to the e11 oracle
+    // verbatim
     "cy52_call_editdist" ->
-      graft.queries.PipelineQueries.editDistOracleSql(8),
+      graft.queries.PipelineQueries.editDistOracleSql(8,
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)"),
     "cy53_call_semdedup" ->
       graft.queries.PipelineQueries.oracle("e11_semdedup"),
+    // the cy54 sub-store graph is a FOREST (each supplier one nation,
+    // each nation one region), so the MSF is the graph itself: the
+    // oracle digests the trees directly — min-reachable-id component
+    // labels (the engine's CC convention), unit weights
+    "cy54_call_mst" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT) AS src,
+        |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT) AS dst,
+        |         1 AS w
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
+        |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT), 1
+        |  FROM nation),
+        |und AS (SELECT src AS x, dst AS y FROM e UNION SELECT dst, src FROM e),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM und
+        |  UNION
+        |  SELECT r.x, u.y FROM reach r JOIN und u ON u.x = r.y),
+        |comp AS (SELECT x AS id, LEAST(x, MIN(y)) AS component
+        |         FROM reach GROUP BY x)
+        |SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |  CAST(SUM(e.w) AS BIGINT) AS total_w
+        |FROM e JOIN comp c ON c.id = e.src
+        |GROUP BY c.component ORDER BY c.component""".stripMargin,
     // the multi-level flat-partition community-size histogram off the
     // same unrolled prefix the g47 digest reads, at the gate's
     // (1-level, 2-sweep) r17 re-budget

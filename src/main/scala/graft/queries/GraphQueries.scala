@@ -76,6 +76,116 @@ object GraphQueries {
        |ORDER BY start_id, walk, step""".stripMargin
   }
 
+  /** Oracle for RandomWalks.node2vecWalks, statically unrolled (r18): per
+    * step the candidate set with its scaled-integer node2vec weight
+    * (1 at step 1's uniform draw; q on a return; p·q when (prev, cand) is
+    * itself an edge — the LEFT JOIN against the distinct edge set; p
+    * otherwise), expanded to weight-many replicas via unnest(range), each
+    * hashed h32("s|w|t|dst|r"), then the (h, dst)-ordered pick — exactly
+    * the Spark replica-argmin replayed in SQL.
+    */
+  private[queries] def node2vecOracle(custFilter: String, walks: Int,
+      steps: Int, p: Int, q: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT f.s, f.w, f.prev, f.id AS cur, e.dst,
+         |    CASE WHEN f.prev IS NULL THEN 1
+         |         WHEN e.dst = f.prev THEN $q
+         |         WHEN a.src IS NOT NULL THEN ${p * q}
+         |         ELSE $p END AS wt
+         |  FROM w${t - 1} f JOIN edges e ON e.src = f.id
+         |  LEFT JOIN ed a ON a.src = f.prev AND a.dst = e.dst),
+         |r$t AS MATERIALIZED (
+         |  SELECT s, w, cur, dst,
+         |    (('0x' || substr(md5(s || '|' || w || '|' || $t || '|' || dst || '|' || r),1,8))::BIGINT) AS h
+         |  FROM (SELECT c.*, unnest(range(1, wt + 1)) AS r FROM c$t c)),
+         |w$t AS MATERIALIZED (
+         |  SELECT s, w, cur AS prev, dst AS id FROM (
+         |    SELECT s, w, cur, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY s, w ORDER BY h, dst) AS rn
+         |    FROM r$t) x WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps)
+      .map(t => s"SELECT s, w, $t AS step, id FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH $edgesCte,
+       |ed AS (SELECT DISTINCT src, dst FROM edges),
+       |starts AS (SELECT (CAST(1 AS BIGINT)<<48)|CAST(c_custkey AS BIGINT) AS s
+       |           FROM customer WHERE $custFilter),
+       |w0 AS (SELECT s, CAST(v.w AS INT) AS w, CAST(NULL AS BIGINT) AS prev,
+       |              s AS id
+       |       FROM starts CROSS JOIN (SELECT UNNEST(range(1, ${walks + 1})) AS w) v),
+       |$stepCtes
+       |SELECT s AS start_id, w AS walk, CAST(step AS INT) AS step, id
+       |FROM ($union)
+       |ORDER BY start_id, walk, step""".stripMargin
+  }
+
+  /** Oracle for GraphAlgorithms.boruvkaMst on the g56 crafted supplier
+    * graph, statically unrolled (r18): per round the cross-component
+    * edges under the previous labeling, the per-component (w, src, dst)-
+    * ordered minimum incident edge, the picked edges' distinct union into
+    * the forest, and the contraction — a recursive transitive closure
+    * over the ≤|C|-edge picked component graph with LEAST(x, MIN(y)) =
+    * the min-reachable-id label, exactly the engine's pointer-jumping CC
+    * fixpoint. Extra rounds past convergence are no-ops (no cross edges →
+    * empty pick → labels carry), so a fixed unroll covers every SF.
+    */
+  private[queries] def boruvkaOracle(rounds: Int): String = {
+    import graft.pipeline.TextHash.h32Sql
+    val roundCtes = (1 to rounds).map { r =>
+      s"""x$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.w, cs.component AS csrc, cd.component AS cdst
+         |  FROM we e JOIN c${r - 1} cs ON cs.id = e.src
+         |  JOIN c${r - 1} cd ON cd.id = e.dst
+         |  WHERE cs.component <> cd.component),
+         |i$r AS (SELECT csrc AS comp, w, src, dst, cdst AS other FROM x$r
+         |        UNION ALL SELECT cdst, w, src, dst, csrc FROM x$r),
+         |s$r AS MATERIALIZED (
+         |  SELECT comp, w, src, dst, other FROM (
+         |    SELECT i.*, ROW_NUMBER() OVER (PARTITION BY comp
+         |      ORDER BY w, src, dst) AS rn FROM i$r i) z
+         |  WHERE rn = 1),
+         |m$r AS (SELECT comp AS x, other AS y FROM s$r
+         |        UNION SELECT other, comp FROM s$r),
+         |t$r(x, y) AS (
+         |  SELECT x, y FROM m$r
+         |  UNION
+         |  SELECT t.x, m.y FROM t$r t JOIN m$r m ON m.x = t.y),
+         |n$r AS (SELECT x AS c, LEAST(x, MIN(y)) AS nc FROM t$r GROUP BY x),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.id, COALESCE(n.nc, p.component) AS component
+         |  FROM c${r - 1} p LEFT JOIN n$r n ON n.c = p.component)""".stripMargin
+    }.mkString(",\n")
+    val chosenUnion = (1 to rounds)
+      .map(r => s"SELECT src, dst, w FROM s$r").mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE sup AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+       |  WHERE s_suppkey <= 40),
+       |we AS (
+       |  SELECT a.k AS src, a.k + d.d AS dst,
+       |    ${h32Sql("a.k || '|' || (a.k + d.d)")} % 997 + 1 AS w
+       |  FROM sup a CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS d) d
+       |  JOIN sup b ON b.k = a.k + d.d
+       |  WHERE (a.k - 1) // 8 = (a.k + d.d - 1) // 8),
+       |c0 AS (
+       |  -- explicit DISTINCT: inside a WITH RECURSIVE list DuckDB runs a
+       |  -- non-self-referencing CTE's UNION as UNION ALL (verified on
+       |  -- 1.0.0), and duplicate labels would fan out the final join
+       |  SELECT DISTINCT id, component FROM (
+       |    SELECT src AS id, src AS component FROM we
+       |    UNION ALL SELECT dst, dst FROM we)),
+       |$roundCtes,
+       |chosen AS (SELECT DISTINCT src, dst, w FROM (
+       |  $chosenUnion))
+       |SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |  CAST(SUM(ch.w) AS BIGINT) AS total_w,
+       |  CAST(SUM(${h32Sql("ch.src || '|' || ch.dst")}) AS BIGINT)
+       |    AS edge_digest
+       |FROM chosen ch JOIN c$rounds c ON c.id = ch.src
+       |GROUP BY c.component ORDER BY c.component""".stripMargin
+  }
+
   private def srcDst(df: DataFrame): DataFrame = df.select(col("src"), col("dst"))
 
   /** Shared unrolled-LPA oracle prelude for g22/g44: the non-lineitem edge
@@ -703,6 +813,54 @@ object GraphQueries {
         .map(Graphid.pack(GraphStore.Lab.Customer, _)).toDF("id")
       graft.algorithms.RandomWalks
         .hashWalks(srcDst(g.allEdges), starts, steps = 6, walksPerStart = 3)
+        .orderBy(col("start_id"), col("walk"), col("step"))
+    }),
+
+    // Borůvka MST (r18): the classic distributed MSF on a crafted cyclic
+    // graph — suppliers ≤ 40 in groups of 8, chords i→i+{1,2,3} within a
+    // group (cycles, so the MST genuinely drops edges), h32-derived exact
+    // integer weights (the deterministic draw convention, so the WEIGHTS
+    // are oracle-checked too). FIXED-size domain at every SF (the gate-
+    // budget rule: rounds × CC cost is the price, not data — ScaleProbe
+    // owns the scale axes). Output: per-tree digests — component label,
+    // edge count, total weight, and an edge-set digest.
+    "g56_boruvka_mst" -> ((s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"))
+        .where(col("k") <= 40)
+      val pairs = sup
+        .select(col("k").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+        .withColumn("dst", col("src") + col("d"))
+        .where(expr("((src - 1) div 8) = ((dst - 1) div 8)"))
+        .join(sup.select(col("k").as("dst")), Seq("dst"))
+      val weighted = pairs.select(col("src"), col("dst"),
+        (graft.pipeline.TextHash.h32(concat_ws("|", col("src"), col("dst")))
+          % 997 + 1).as("w"))
+      graft.algorithms.GraphAlgorithms.boruvkaMst(weighted)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("total_w"),
+          sum(graft.pipeline.TextHash.h32(
+            concat_ws("|", col("src"), col("dst")))).as("edge_digest"))
+        .orderBy(col("component"))
+    }),
+
+    // node2vec-biased hash walks (r18): the corpus-sampling primitive one
+    // step beyond g27's uniform draws — (prev, cur) walk state, scaled
+    // integer p/q weights (q return / p·q common-neighbor / p outward),
+    // exact weighted sampling via replica-argmin (weight-many hashed
+    // replicas per candidate; still zero RNG, so the whole biased corpus
+    // is oracle-replayable bit-for-bit). Budget: 10 starts × 2 walks × 4
+    // steps — the bias machinery is per-step constant-factor over g27,
+    // which keeps the full-corpus price.
+    "g55_node2vec_walks" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphStore.tpch(s, dir)
+      val starts = (1L to 10L)
+        .map(Graphid.pack(GraphStore.Lab.Customer, _)).toDF("id")
+      graft.algorithms.RandomWalks
+        .node2vecWalks(srcDst(g.allEdges), starts, steps = 4,
+          walksPerStart = 2, p = 2, q = 3)
         .orderBy(col("start_id"), col("walk"), col("step"))
     }),
 
@@ -2205,6 +2363,9 @@ object GraphQueries {
          |FROM hist GROUP BY sz ORDER BY sz""".stripMargin,
 
     "g27_hash_walks" -> walkOracle("c_custkey BETWEEN 1 AND 20", 3, 6),
+    "g55_node2vec_walks" ->
+      node2vecOracle("c_custkey BETWEEN 1 AND 10", 2, 4, 2, 3),
+    "g56_boruvka_mst" -> boruvkaOracle(6),
     "g29_egonet" ->
       s"""WITH RECURSIVE $edgesCte,
          |und AS (SELECT src, dst FROM edges

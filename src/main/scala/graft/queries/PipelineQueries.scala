@@ -474,6 +474,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MP4 track dimensions (r18, the r17 verdict's m10 ask): the m7
+    // encode -> parse identity one walk level deeper — moov{free,
+    // trak{free, tkhd}} in BOTH tkhd versions (v0: 16.16 width/height at
+    // +84/+88, doc_id % 4 == 0; v1's widened times push them to +96/+100,
+    // doc_id % 4 == 2), dimensions from doc_id arithmetic encoded as
+    // value << 16. The free boxes force REAL walks at both levels; odd
+    // doc_ids stay raw text -> NULL fields. The oracle replays the
+    // arithmetic; the v0/v1 header-size split (148 vs 160 bytes) in
+    // payload_bytes pins that both version paths parsed.
+    "m10_track_dims" -> ((s, dir) => {
+      val wv = (col("doc_id") % 640 + 16).cast("long")
+      val hv = (col("doc_id") % 480 + 9).cast("long")
+      val text = col("text").cast("binary")
+      val ftypFree = unhex(lit("00000010" + "66747970" + "69736F6D"
+        + "00000200" + "00000008" + "66726565"))
+      val mp4v0 = concat(ftypFree,
+        unhex(lit("0000007C" + "6D6F6F76" + "00000008" + "66726565"
+          + "0000006C" + "7472616B" + "00000008" + "66726565"
+          + "0000005C" + "746B6864" + "00000000" + "00" * 72)),
+        unhex(lpad(hex(wv * 65536), 8, "0")),
+        unhex(lpad(hex(hv * 65536), 8, "0")), text)
+      val mp4v1 = concat(ftypFree,
+        unhex(lit("00000088" + "6D6F6F76" + "00000008" + "66726565"
+          + "00000078" + "7472616B" + "00000008" + "66726565"
+          + "00000068" + "746B6864" + "01000000" + "00" * 84)),
+        unhex(lpad(hex(wv * 65536), 8, "0")),
+        unhex(lpad(hex(hv * 65536), 8, "0")), text)
+      val payload = when(col("doc_id") % 4 === 0, mp4v0)
+        .when(col("doc_id") % 4 === 2, mp4v1)
+        .otherwise(text)
+      Multimodal.trackMeta(
+          docs(s, dir).select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .orderBy(col("doc_id"))
+    }),
+
     "t7_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy(col("id")).limit(25)),
@@ -1381,6 +1417,20 @@ object PipelineQueries {
         |  CAST(strlen(text) + CASE WHEN doc_id % 2 = 0
         |       THEN 100 ELSE 0 END AS BIGINT) AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m10_track_dims" ->
+      // the tkhd arithmetic identity: both versions carry the same
+      // doc_id-derived 16.16 dimensions; the header-size split (148 v0 /
+      // 160 v1) pins that both version paths actually parsed
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN doc_id % 640 + 16 END AS BIGINT) AS track_width,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN doc_id % 480 + 9 END AS BIGINT) AS track_height,
+        |  CAST(strlen(text) + CASE WHEN doc_id % 4 = 0 THEN 148
+        |       WHEN doc_id % 4 = 2 THEN 160 ELSE 0 END AS BIGINT)
+        |    AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m6_binary_clusters" ->
       // the m4 signature replay + d7's transitive-closure tail (min
       // reachable id = GraphX's min-id component convention)
@@ -1823,7 +1873,7 @@ object PipelineQueries {
         |hosts AS (
         |  SELECT doc_id,
         |    lower(unnest(regexp_extract_all(text2,
-        |      'https?://(?:[A-Za-z0-9._%:+-]+@)?([A-Za-z0-9.-]+)', 1)))
+        |      'https?://(?:[^/@?#\s]+@)?([A-Za-z0-9.-]+)', 1)))
         |      AS host
         |  FROM t2),
         |dom AS (

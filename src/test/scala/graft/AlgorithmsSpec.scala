@@ -286,6 +286,127 @@ class AlgorithmsSpec extends AnyFunSuite {
     }
   }
 
+  test("boruvkaMst: hand MST, Kruskal cross-check, duplicate/symmetric safety") {
+    import graft.algorithms.GraphAlgorithms
+    // two components: a weighted triangle (the MST must DROP the w=4
+    // edge) and an isolated pair; a self-loop that must vanish
+    val es = Seq((1L, 2L, 4L), (2L, 3L, 1L), (1L, 3L, 2L), (5L, 6L, 7L),
+      (7L, 7L, 1L)).toDF("src", "dst", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphAlgorithms.boruvkaMst(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val got = run(es)
+    assert(got == Set((1L, 2L, 3L, 1L), (1L, 1L, 3L, 2L), (5L, 5L, 6L, 7L)),
+      got.toString)
+    // duplicate rows and symmetric (v,u) copies change nothing: the
+    // tuple argmin is consistent and the forest dedups on the tuple
+    val noisy = es.unionByName(
+      Seq((2L, 1L, 4L), (3L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w"))
+    assert(run(noisy) == got)
+    // Kruskal cross-check on a hash-derived graph: under the SAME
+    // (w, src, dst) total order all weights are tuple-distinct, so the
+    // MSF is unique and greedy-by-weight must agree with hook-and-contract
+    val rnd = for {
+      u <- 1L to 24L; d <- Seq(1L, 2L, 5L)
+      if u + d <= 24L && (u * 31 + d) % 3 != 0
+    } yield (u, u + d, (u * 2654435761L + d * 40503L) % 225L + 1L)
+    def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.sortBy(e => (e._3, e._1, e._2)).flatMap { case (u, v, w) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru == rv) None else { parent(ru max rv) = ru min rv; Some((u, v, w)) }
+      }.toSet
+    }
+    val expect = kruskal(rnd)
+    val gotRnd = run(rnd.toDF("src", "dst", "w"))
+    assert(gotRnd.map(t => (t._2, t._3, t._4)) == expect,
+      s"engine ${gotRnd.size} vs kruskal ${expect.size}")
+    // component labels are the min vertex id of each tree (the CC min-id
+    // convention carried through contraction)
+    gotRnd.groupBy(_._1).foreach { case (c, rows) =>
+      val verts = rows.flatMap(t => Seq(t._2, t._3))
+      assert(verts.min == c, s"component $c labels $verts")
+    }
+  }
+
+  test("node2vecWalks: replica-argmin matches a driver replay; p/q extremes; guard") {
+    import graft.algorithms.RandomWalks
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    // driver-side reference replay of the FULL biased draw: candidates
+    // from the out-edge map, scaled integer weights by the node2vec rule,
+    // weight-many hashed replicas, (h, dst) argmin
+    def replay(edges: Set[(Long, Long)], starts: Seq[Long], steps: Int,
+        walks: Int, p: Int, q: Int): Seq[(Long, Int, Int, Long)] = {
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+      val acc = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Long)]()
+      for (s <- starts; w <- 1 to walks) {
+        var prev = Option.empty[Long]
+        var cur = s
+        acc += ((s, w, 0, cur))
+        var t = 0
+        var live = true
+        while (t < steps && live) {
+          t += 1
+          val cands = out.getOrElse(cur, Seq.empty)
+          if (cands.isEmpty) live = false
+          else {
+            val picked = cands.flatMap { d =>
+              val wt =
+                if (prev.isEmpty) 1
+                else if (d == prev.get) q
+                else if (edges((prev.get, d))) p * q
+                else p
+              (1 to wt).map(r => ((h32(s"$s|$w|$t|$d|$r"), d), d))
+            }.minBy(_._1)._2
+            acc += ((s, w, t, picked))
+            prev = Some(cur); cur = picked
+          }
+        }
+      }
+      acc.toSeq.sortBy(x => (x._1, x._2, x._3))
+    }
+    // hand graph with all three weight classes reachable: returns (2-cycle
+    // 1<->2), a common-neighbor move (1->3 makes 2->3 distance-1 from
+    // prev 1), and outward moves (2->4 is distance-2 from 1)
+    val es = Set((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 2L), (4L, 5L), (3L, 1L))
+    val g = es.toSeq.toDF("src", "dst")
+    def engine(p: Int, q: Int) = RandomWalks
+      .node2vecWalks(g, Seq(1L, 4L).toDF("id"), steps = 5,
+        walksPerStart = 3, p = p, q = q)
+      .orderBy("start_id", "walk", "step").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    // exact corpus equality at a mixed setting and at BOTH extremes the
+    // bounded domain allows (p-heavy: returns damped 64x; q-heavy:
+    // distance-2 moves damped 64x) — the replay recomputes every weight
+    // class, so a misclassified candidate shifts some argmin
+    for ((p, q) <- Seq((2, 3), (64, 1), (1, 64)))
+      assert(engine(p, q) == replay(es, Seq(1L, 4L), 5, 3, p, q),
+        s"corpus mismatch at p=$p q=$q")
+    // weight classes actually differ across these settings somewhere in
+    // the corpus (otherwise the three asserts test one draw three times)
+    assert(Seq(engine(2, 3), engine(64, 1), engine(1, 64)).distinct.size > 1)
+    // chain: single-candidate steps are bias-free; sink truncates
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val w = RandomWalks.node2vecWalks(chain, Seq(1L).toDF("id"), steps = 5,
+        p = 4, q = 4)
+      .orderBy("step").collect().map(r => (r.getInt(2), r.getLong(3)))
+    assert(w.toSeq == Seq((0, 1L), (1, 2L), (2, 3L)))
+    // the replica fan-out guard is loud
+    val ex = intercept[IllegalArgumentException](
+      RandomWalks.node2vecWalks(chain, Seq(1L).toDF("id"), 2, 1, 9, 9))
+    assert(ex.getMessage.contains("p*q"), ex.getMessage)
+  }
+
   test("doulionTriangles: full keep equals exact, coin deterministic, 8x scale") {
     // two triangles sharing vertex 3, plus a chord
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),

@@ -1578,6 +1578,16 @@ class CypherSpec extends AnyFunSuite {
     // the KNOWS chain has no triangles: its 3-truss is empty
     val t = session.run("CALL graft.kTruss(3) YIELD a RETURN count(*) AS n")
     assert(rows(t) == Seq(Seq(0L)))
+    // the optional p/q args route to the node2vec draw (r18): on the
+    // chain every step has one candidate, so the biased walk is the same
+    // forced path — this pins the 5-arg surface end-to-end
+    val n2v = session.run(
+      s"""CALL graft.walks($start, 1, 5, 2, 3) YIELD walk, step, id
+         |RETURN walk, step, id ORDER BY step""".stripMargin)
+    assert(rows(n2v) == Seq(
+      Seq(1, 0, Graphid.pack(100, 1)),
+      Seq(1, 1, Graphid.pack(100, 2)),
+      Seq(1, 2, Graphid.pack(100, 3))))
   }
 
   test("SET += merges a literal map: overwrites named keys, keeps the rest") {

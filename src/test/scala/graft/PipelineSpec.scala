@@ -265,7 +265,12 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "no urls here at all"),
       // doc 4: a token/userinfo URL — the user label must be SKIPPED,
       // not reported as the domain (r17 review)
-      (4L, "clone https://x-token123@github.example.com/repo now"))
+      (4L, "clone https://x-token123@github.example.com/repo now"),
+      // doc 5: userinfo with RFC 3986 sub-delims (r17 ADVICE: the old
+      // explicit class stopped at '!' and reported host 'a') and a
+      // query-terminated authority whose '@' sits in the QUERY — the
+      // negated class must not swallow '?' into userinfo
+      (5L, "x https://a!b@c.com/y plus https://plain.org?next=1@z end"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.domainStats(d, "doc_id", "text").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -280,7 +285,12 @@ class PipelineSpec extends AnyFunSuite {
     // the userinfo token label never surfaces as a domain
     assert(!got.contains("x-token123") && !got.contains("b.example.com") &&
       !got.contains("localhost:8080"), got.toString)
-    assert(got.size == 3, got.toString)
+    // sub-delims userinfo skipped to the real host; the query '@' did not
+    // pull '?next=1' into userinfo (doc 5 has 5 ws-tokens)
+    assert(got("c.com") == (1L, 1L, 5L), got.toString)
+    assert(got("plain.org") == (1L, 1L, 5L), got.toString)
+    assert(!got.contains("a!b") && !got.contains("a"), got.toString)
+    assert(got.size == 5, got.toString)
   }
 
   test("language ID picks the language whose stopwords dominate") {
@@ -400,8 +410,15 @@ class PipelineSpec extends AnyFunSuite {
     // the walk slides over each fill byte
     val padded = hx("FFD8") ++ hx("FFFF") ++ hx("FFFF") ++
       hx("FFC0000B08") ++ be16(77) ++ be16(88) ++ hx("01011100")
+    // SOS (FF DA) BEFORE any SOF, with entropy bytes that ALIAS a valid
+    // SOF segment right after it: the walk must stop at SOS (r17 ADVICE —
+    // the jpegExifApp1 stop, now symmetric) and report NULL, never dims
+    // assembled from entropy-coded data
+    val sosAliased = hx("FFD8") ++ hx("FFDA0004" + "0000") ++
+      hx("FFC0000B08") ++ be16(11) ++ be16(22) ++ hx("01011100")
     val df2 = df.unionByName(
-      Seq((5L, truncated), (6L, padded)).toDF("doc_id", "payload"))
+      Seq((5L, truncated), (6L, padded), (7L, sosAliased))
+        .toDF("doc_id", "payload"))
     val got = graft.pipeline.Multimodal.binaryMeta(df2, "payload").collect()
       .map(r => r.getLong(0) ->
         (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
@@ -412,6 +429,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ("unknown", None, None))
     assert(got(5L) == ("png", None, None), got(5L).toString)
     assert(got(6L) == ("jpeg", Some(88L), Some(77L)), got(6L).toString)
+    assert(got(7L) == ("jpeg", None, None), got(7L).toString)
   }
 
   test("audio metadata: canonical WAV little-endian fmt parse, non-WAV RIFF stays NULL") {
@@ -501,10 +519,24 @@ class PipelineSpec extends AnyFunSuite {
     // 8-byte duration — the version-aware check NULLs BOTH fields
     val moovCutsV1 = ftyp ++ be32(40) ++ "moov".getBytes ++
       mvhd1(600, 777) ++ "straystray".getBytes
+    // moov LARGER than the old fixed 64 KiB slice, mvhd sitting past
+    // 64 KiB (a big free child stands in for real stco/stsz tables): the
+    // min(declared, budget) slice must still parse it (r17 ADVICE — the
+    // old fixed window NULLed exactly this legal layout)
+    val bigFree = be32(69008) ++ "free".getBytes ++
+      Array.fill(69000)(0x00.toByte)
+    val bigMoov = ftyp ++ (be32(8 + 69008 + 28) ++ "moov".getBytes ++
+      bigFree ++ mvhd0(250, 750))
+    // moov DECLARING more than the 4 MiB budget with mvhd in the first
+    // bytes: the slice caps at the budget and parses what fits — fields
+    // inside the window read, never NULL-by-budget
+    val hugeDecl = ftyp ++ (be32(5000000) ++ "moov".getBytes ++
+      mvhd0(400, 800) ++ Array.fill(64)(0x00.toByte))
     val df = Seq((0L, v0), (1L, v1), (2L, moovLast), (3L, trunc),
       (4L, corrupt), (5L, deep), (6L, raw), (7L, largesize),
       (8L, sizeZero), (9L, corruptLarge), (10L, strayMvhd),
-      (11L, largeMoov), (12L, moovCutsV0), (13L, moovCutsV1))
+      (11L, largeMoov), (12L, moovCutsV0), (13L, moovCutsV1),
+      (14L, bigMoov), (15L, hugeDecl))
       .toDF("doc_id", "payload")
     val got = graft.pipeline.Multimodal.videoMeta(df, "payload").collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
@@ -527,6 +559,67 @@ class PipelineSpec extends AnyFunSuite {
       got(11L).toString)
     assert(got(12L) == ("mp4", None, None, None), got(12L).toString)
     assert(got(13L) == ("mp4", None, None, None), got(13L).toString)
+    assert(got(14L) == ("mp4", Some(250L), Some(750L), Some(3000L)),
+      got(14L).toString)
+    assert(got(15L) == ("mp4", Some(400L), Some(800L), Some(2000L)),
+      got(15L).toString)
+  }
+
+  test("track dims: moov->trak->tkhd walk, both versions, corrupt/truncated/zero") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be32(v: Long) = hx(f"$v%08X")
+    def be64(v: Long) = hx(f"$v%016X")
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0x200)
+    // tkhd v0: vf + 72 zero bytes (times/ids/reserved/matrix), then the
+    // 16.16 width/height at +84/+88
+    def tkhd0(w: Long, h: Long) = be32(92) ++ "tkhd".getBytes ++
+      hx("00000000" + "00" * 72) ++ be32(w << 16) ++ be32(h << 16)
+    // tkhd v1: widened times push the fields to +96/+100
+    def tkhd1(w: Long, h: Long) = be32(104) ++ "tkhd".getBytes ++
+      hx("01000000" + "00" * 84) ++ be32(w << 16) ++ be32(h << 16)
+    def trak(inner: Array[Byte]) =
+      be32(8L + 8L + inner.length) ++ "trak".getBytes ++
+        (be32(8) ++ "free".getBytes) ++ inner
+    def moov(inner: Array[Byte]) =
+      be32(8L + 8L + inner.length) ++ "moov".getBytes ++
+        (be32(8) ++ "free".getBytes) ++ inner
+    val v0 = ftyp ++ moov(trak(tkhd0(1920, 1080))) ++ "tail".getBytes
+    val v1 = ftyp ++ moov(trak(tkhd1(640, 360)))
+    // audio-style first trak: zero dims are a REAL 0x0, not NULL
+    val zero = ftyp ++ moov(trak(tkhd0(0, 0)))
+    // trak with NO tkhd child and a stray tkhd SIBLING right after it:
+    // the child walk must stay inside trak's extent
+    val stray = ftyp ++ moov(
+      (be32(16) ++ "trak".getBytes ++ be32(8) ++ "free".getBytes) ++
+        tkhd0(111, 222))
+    // truncated mid-width (the last 6 bytes drop the height field and 2
+    // of the 4 width bytes): a partial read must report NULL, never a
+    // number assembled from fewer bytes than the field holds
+    val full = ftyp ++ moov(trak(tkhd0(320, 240)))
+    val trunc = full.take(full.length - 6)
+    // trak whose declared size ends INSIDE the tkhd fields: the walk
+    // finds the tkhd header but the +84..+91 reads escape trak's extent
+    val cutBytes = trak(tkhd0(500, 600))
+    val cut = ftyp ++ moov(be32(40) ++ "trak".getBytes ++
+      cutBytes.drop(8)) // re-declare trak as 40 bytes, keep the body
+    // largesize trak: children start after the 16-byte header
+    val largeTrak = ftyp ++ moov(be32(1) ++ "trak".getBytes ++
+      be64(16L + 92L) ++ tkhd0(800, 450))
+    val raw = "not a container".getBytes
+    val df = Seq((0L, v0), (1L, v1), (2L, zero), (3L, stray), (4L, trunc),
+      (5L, cut), (6L, largeTrak), (7L, raw)).toDF("doc_id", "payload")
+    val got = graft.pipeline.Multimodal.trackMeta(df, "payload").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
+        Option(r.get(3)))).toMap
+    assert(got(0L) == ("mp4", Some(1920L), Some(1080L)), got(0L).toString)
+    assert(got(1L) == ("mp4", Some(640L), Some(360L)), got(1L).toString)
+    assert(got(2L) == ("mp4", Some(0L), Some(0L)), got(2L).toString)
+    assert(got(3L) == ("mp4", None, None), got(3L).toString)
+    assert(got(4L) == ("mp4", None, None), got(4L).toString)
+    assert(got(5L) == ("mp4", None, None), got(5L).toString)
+    assert(got(6L) == ("mp4", Some(800L), Some(450L)), got(6L).toString)
+    assert(got(7L) == ("unknown", None, None), got(7L).toString)
   }
 
   test("EXIF: IFD walk in both byte orders, corrupt/truncated/missing-tag") {
