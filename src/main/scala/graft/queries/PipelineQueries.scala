@@ -518,6 +518,29 @@ object PipelineQueries {
       TextAnalysis.mixtureWeights(docs(s, dir), "source", "text", 1000000L)
         .orderBy(col("source"))),
 
+    // Product-quantization ANN (r18, the r17 verdict's e13 ask): 4
+    // subspaces of the 64-dim embeddings, 8-entry codebooks trained by
+    // the GROUPED exact-grid k-means (2 iterations — all four codebooks
+    // in the same jobs), ADC distances as exact integer LUT sums. Codes,
+    // LUT entries and ADC ranks are all integers — the whole
+    // train->encode->search pipeline is hash-checked.
+    "e13_pq_topk" -> ((s, dir) =>
+      Clustering.pqTopK(embs(s, dir), "vec_id", "embedding",
+          Seq(0L, 1L, 2L), 10)
+        .orderBy(col("pid"), col("rank"))),
+
+    // measured PQ quality (the e3 pattern): recall@5 of the ADC ranking
+    // vs brute-force cosine — deterministic on both sides, so the
+    // compression family's accuracy number is itself oracle-checked
+    "e14_pq_recall" -> ((s, dir) =>
+      Similarity.recallAtK(
+          Clustering.pqTopK(embs(s, dir), "vec_id", "embedding",
+            Seq(0L, 1L, 2L), 5),
+          Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
+            Seq(0L, 1L, 2L), 5),
+          5)
+        .orderBy(col("pid"))),
+
     // measured ANN quality: recall@5 of the LSH search vs brute force —
     // deterministic on both sides, so the number itself is oracle-checked
     "e3_ann_recall" -> ((s, dir) =>
@@ -859,6 +882,65 @@ object PipelineQueries {
        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
        |FROM (SELECT DISTINCT pid FROM ex) p LEFT JOIN hits h USING (pid)
        |ORDER BY p.pid""".stripMargin
+
+  /** The product-quantization CTE chain (r18): per-subspace quantized
+    * points (the kmeansUnrollCtes grid, sliced by subspace), the grouped
+    * per-(sub, cluster) k-means unroll — assign/update keyed by sub, the
+    * identical half-up integer mean — the final encode, the probes' ADC
+    * LUT (probe subvector vs every same-subspace centroid), and the
+    * per-(probe, candidate) ADC sum. Leaves `pq_adc(pid, cid, adc)` in
+    * scope for the caller's ranking tail.
+    */
+  private def pqCtes(m: Int, kCodes: Int, iters: Int,
+      probes: String): String = {
+    def dst(p: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($p.xq) + 1), i -> " +
+        s"($p.xq[i] - $c.cq[i]) * ($p.xq[i] - $c.cq[i]))) AS BIGINT)"
+    def assignCte(a: String, cPrev: String): String =
+      s"""$a AS MATERIALIZED (
+         |  SELECT sub, id, cl, dist FROM (
+         |    SELECT sub, id, cl, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY sub, id ORDER BY dist, cl) AS rk
+         |    FROM (SELECT p.sub, p.id, c.cl, ${dst("p", "c")} AS dist
+         |          FROM pq_pts p JOIN $cPrev c ON c.sub = p.sub))
+         |  WHERE rk = 1)""".stripMargin
+    def updateCte(c: String, a: String): String =
+      s"""$c AS MATERIALIZED (
+         |  SELECT sub, cl, list(cqd ORDER BY i) AS cq FROM (
+         |    SELECT a.sub, a.cl, t.i,
+         |      CAST((2 * CAST(SUM(p.xq[t.i]) AS BIGINT) + COUNT(*))
+         |           // (2 * COUNT(*)) AS BIGINT) AS cqd
+         |    FROM $a a JOIN pq_pts p ON p.sub = a.sub AND p.id = a.id
+         |    CROSS JOIN (SELECT unnest(range(1, sd + 1)) AS i FROM pq_dims) t
+         |    GROUP BY a.sub, a.cl, t.i)
+         |  GROUP BY sub, cl)""".stripMargin
+    val rounds = (1 to iters).map(r =>
+      assignCte(s"pq_a$r", s"pq_c${r - 1}") + ",\n" +
+        updateCte(s"pq_c$r", s"pq_a$r")).mkString(",\n")
+    s"""pq_dims AS (SELECT CAST(MAX(len(embedding)) AS BIGINT) // $m AS sd
+       |            FROM embeddings),
+       |pq_pts AS MATERIALIZED (
+       |  SELECT s.sub, vec_id AS id,
+       |    list_transform(range(1, len(embedding) // $m + 1), i ->
+       |      CAST(floor(embedding[s.sub * (len(embedding) // $m) + i]::DOUBLE
+       |             * 1000000.0 + 0.5) AS BIGINT) + 10000000) AS xq
+       |  FROM embeddings CROSS JOIN (SELECT UNNEST(range(0, $m)) AS sub) s),
+       |pq_c0 AS (SELECT sub, id AS cl, xq AS cq FROM (
+       |  SELECT sub, id, xq,
+       |    ROW_NUMBER() OVER (PARTITION BY sub ORDER BY id) AS rn
+       |  FROM pq_pts) z WHERE rn <= $kCodes),
+       |$rounds,
+       |${assignCte("pq_af", s"pq_c$iters")},
+       |pq_lut AS (
+       |  SELECT p.id AS pid, p.sub, c.cl AS code, ${dst("p", "c")} AS dist
+       |  FROM pq_pts p JOIN pq_c$iters c ON c.sub = p.sub
+       |  WHERE p.id IN ($probes)),
+       |pq_adc AS (
+       |  SELECT l.pid, f.id AS cid, CAST(SUM(l.dist) AS BIGINT) AS adc
+       |  FROM pq_af f JOIN pq_lut l ON l.sub = f.sub AND l.code = f.cl
+       |  WHERE f.id <> l.pid
+       |  GROUP BY l.pid, f.id)""".stripMargin
+  }
 
   /** LSH bucket in SQL: sign bits of dot(vec, ±1-plane m), m = 0..7. */
   private def bucketSql(v: String): String =
@@ -1589,6 +1671,27 @@ object PipelineQueries {
          |  least(1.0, CAST((1000000 * fs) // sum_fs AS DOUBLE) / total_tokens)
          |    AS sample_rate
          |FROM f, s ORDER BY source""".stripMargin,
+    // the grouped per-subspace k-means unroll + encode + integer ADC,
+    // ranked (adc ASC, cid) per probe — every hashed column an integer
+    "e13_pq_topk" ->
+      s"""WITH ${pqCtes(4, 8, 2, "0, 1, 2")},
+         |ranked AS (
+         |  SELECT pid, cid, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY adc, cid) AS rank
+         |  FROM pq_adc)
+         |SELECT pid, rank, cid, adc FROM ranked WHERE rank <= 10
+         |ORDER BY pid, rank""".stripMargin,
+    // the e3 recall tail over the PQ ranking's top-5
+    "e14_pq_recall" ->
+      s"""WITH ${pqCtes(4, 8, 2, "0, 1, 2")},
+         |$exactTop5Cte,
+         |ap AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT pid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY adc, cid) AS rank
+         |    FROM pq_adc) z
+         |  WHERE rank <= 5),
+         |$recallTailSql""".stripMargin,
     "e3_ann_recall" ->
       s"""WITH ex AS (
          |  SELECT pid, cid FROM (

@@ -1152,6 +1152,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(5).getLong(2) == 40000000000L + 133333L * 133333L)
   }
 
+  test("pqTopK: grouped integer PQ matches a full driver replica; guards") {
+    import graft.pipeline.Clustering
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(0.0f, 0.05f, 1.0f, 1.0f),
+      1L -> Seq(0.1f, 0.0f, 1.1f, 0.9f),
+      2L -> Seq(2.0f, 2.0f, 1.0f, 1.2f),
+      3L -> Seq(2.1f, 1.9f, 0.0f, 0.1f),
+      4L -> Seq(0.05f, 0.0f, 0.1f, 0.0f),
+      5L -> Seq(1.9f, 2.2f, 1.0f, 1.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val (m, kC, iters, k, sd) = (2, 2, 2, 3, 2)
+    val got = Clustering
+      .pqTopK(df, "vec_id", "embedding", Seq(0L, 3L), k, m, kC, iters)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // driver replica of the WHOLE pipeline on the same integer grid:
+    // quantize, per-subspace init from the 2 lowest ids, 2 assign/update
+    // rounds with the half-up integer mean (empty clusters drop), final
+    // encode, ADC = sum of per-subspace LUT distances, (adc, cid) rank
+    def quant(x: Float): Long =
+      math.floor(x.toDouble * 1e6 + 0.5).toLong + 10000000L
+    val pts: Map[(Int, Long), Seq[Long]] =
+      (for ((id, v) <- vecs; sub <- 0 until m)
+        yield ((sub, id), v.slice(sub * sd, sub * sd + sd).map(quant))).toMap
+    def distQ(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Map[Int, Map[Long, Seq[Long]]] =
+      (0 until m).map(sub => sub ->
+        Seq(0L, 1L).map(id => id -> pts((sub, id))).toMap).toMap
+    def assign(): Map[(Int, Long), Long] = pts.map { case ((sub, id), xq) =>
+      ((sub, id),
+        cents(sub).toSeq.map { case (cl, cq) => (distQ(xq, cq), cl) }.min._2)
+    }
+    for (_ <- 1 to iters) {
+      val a = assign()
+      cents = (0 until m).map { sub =>
+        sub -> a.toSeq.collect { case ((s, id), cl) if s == sub => (cl, id) }
+          .groupBy(_._1).map { case (cl, members) =>
+            val ms = members.map(_._2)
+            cl -> (0 until sd).map { d =>
+              val vals = ms.map(id => pts((sub, id))(d))
+              (2 * vals.sum + vals.size) / (2 * vals.size)
+            }.toSeq
+          }
+      }.toMap
+    }
+    val codes = assign()
+    def adc(pid: Long, cid: Long): Long = (0 until m).map { sub =>
+      distQ(pts((sub, pid)), cents(sub)(codes((sub, cid))))
+    }.sum
+    val expect = (for (pid <- Seq(0L, 3L)) yield {
+      vecs.map(_._1).filter(_ != pid)
+        .map(cid => (adc(pid, cid), cid)).sorted.take(k)
+        .zipWithIndex.map { case ((a, cid), i) => (pid, i + 1, cid, a) }
+    }).flatten
+    assert(got == expect, s"got $got expect $expect")
+    // a probe's own-vector ADC is not necessarily 0 (codes quantize), but
+    // an identical duplicate pair must tie at the same adc to both probes
+    // guards: non-divisible subspace count and ragged vectors fail loudly
+    val ex = intercept[IllegalArgumentException](
+      Clustering.pqTopK(df, "vec_id", "embedding", Seq(0L), 1, 3))
+    assert(ex.getMessage.contains("divisible"), ex.getMessage)
+    val ragged = (vecs :+ (6L -> Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val ex2 = intercept[IllegalArgumentException](
+      Clustering.pqTopK(ragged, "vec_id", "embedding", Seq(0L), 1, 2))
+    assert(ex2.getMessage.contains("ragged"), ex2.getMessage)
+  }
+
   test("semDedup: within-cluster near-dups drop to the min-id keeper only") {
     import graft.pipeline.Clustering
     // two spatial groups (k-means separates them); inside each, a pair of
