@@ -815,6 +815,66 @@ object TextAnalysis {
     * n_mentions, total_tokens); rank with (n_docs DESC, domain ASC) at
     * the caller.
     */
+  /** FineWeb-style composite quality filter (the shape of Penedo et al.,
+    * "The FineWeb Datasets", 2024, arXiv:2406.17557 — a conjunction of
+    * cheap per-document signals deciding keep/drop): composes the
+    * already-priced signals — token-count window (t2), alpha ratio (t2),
+    * duplicated-trigram share (t7), corpus-rarity per token (t17), PII
+    * span count (t20), URL count (t21) — into one verdict with EXACT
+    * INTEGER thresholds (ratios compare cross-multiplied per-mille, never
+    * as doubles), plus a fail BITMASK (1 len | 2 alpha | 4 repetition |
+    * 8 rarity | 16 pii | 32 urls) so a curation dashboard can read WHY
+    * documents drop. Returns one row per document:
+    * (doc_id, n_tokens, rarity, n_pii, n_urls, fail_mask, keep).
+    *
+    * Scale shape: two map-only passes (signals + PII chain) plus the
+    * t17 rarity join (doc/token aggregates, broadcast total) — every
+    * aggregate map-side combinable; the verdict itself is a projection.
+    * Empty documents: split-on-whitespace yields one empty token, so
+    * every row survives the rarity inner join (n_tokens ≥ 1 always).
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long, maxTokens: Long, alphaPermille: Long,
+      dupTriPermille: Long, rarityPerTokenCap: Long, maxPii: Long,
+      maxUrls: Long): DataFrame = {
+    import graft.pipeline.TextHash.{tokens, shingles}
+    val rare = unigramRarity(df, idCol, textCol) // (doc_id, n_tokens, rarity)
+    val pii = redactPiiExtended(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("__t")), "__t")
+      .select(col("doc_id"),
+        (col("n_emails") + col("n_ccs") + col("n_ips") + col("n_phones"))
+          .cast("long").as("n_pii"))
+    val t = col(textCol)
+    val tri = shingles(tokens(t), 3)
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      length(t).cast("long").as("total_chars"),
+      length(regexp_replace(lower(t), "[^a-z]", "")).cast("long")
+        .as("alpha_chars"),
+      size(tri).cast("long").as("n_tri"),
+      size(array_distinct(tri)).cast("long").as("nd_tri"),
+      size(regexp_extract_all(t, lit(urlHostPattern), lit(1))).cast("long")
+        .as("n_urls"))
+    base.join(rare, "doc_id").join(pii, "doc_id")
+      .withColumn("fail_mask",
+        when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens,
+          lit(1L)).otherwise(lit(0L)) +
+        when(col("alpha_chars") * 1000L < col("total_chars") * alphaPermille,
+          lit(2L)).otherwise(lit(0L)) +
+        when(col("n_tri") > 0L &&
+            (col("n_tri") - col("nd_tri")) * 1000L >
+              col("n_tri") * dupTriPermille,
+          lit(4L)).otherwise(lit(0L)) +
+        when(col("n_tokens") > 0L &&
+            expr("rarity div n_tokens") > rarityPerTokenCap,
+          lit(8L)).otherwise(lit(0L)) +
+        when(col("n_pii") > maxPii, lit(16L)).otherwise(lit(0L)) +
+        when(col("n_urls") > maxUrls, lit(32L)).otherwise(lit(0L)))
+      .withColumn("keep", col("fail_mask") === 0L)
+      .select(col("doc_id"), col("n_tokens"), col("rarity"), col("n_pii"),
+        col("n_urls"), col("fail_mask"), col("keep"))
+  }
+
   def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withToks = df.select(col(idCol).as("id"),
       size(TextHash.tokens(col(textCol))).cast("long").as("n_tokens"),

@@ -510,6 +510,56 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // FineWeb-style composite quality filter (r18, the r17 verdict's t22
+    // ask): the operator a curation pipeline actually ends with — the
+    // priced signals (t2 length/alpha, t7 repetition, t17 rarity, t20
+    // PII, t21 urls) conjoined under exact integer thresholds into a
+    // keep/drop verdict + fail bitmask. PII and URL spans are injected
+    // (the t11/t20/t21 convention — the corpus carries none naturally):
+    // doc_id % 9 == 4 gains an email+phone (n_pii 2 > 1 → bit 16),
+    // doc_id % 9 == 7 gains two URLs (n_urls 2 > 1 → bit 32); thresholds
+    // were picked against the measured sf0.01 distributions so the len /
+    // alpha / repetition / rarity rules each fire on real docs too. The
+    // digest is the per-source keep-rate dashboard: every column an
+    // integer count.
+    "t22_quality_filter" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % 9 === 4,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com or call +1 555-0100.")))
+          .when(col("doc_id") % 9 === 7,
+            concat(col("text"), lit(" via https://spam"),
+              (col("doc_id") % 5).cast("string"),
+              lit(".example.com/x and http://track"),
+              (col("doc_id") % 3).cast("string"),
+              lit(".example.net/y")))
+          .otherwise(col("text")))
+      TextAnalysis.qualityFilter(d, "doc_id", "text2",
+          minTokens = 16L, maxTokens = 96L, alphaPermille = 810L,
+          dupTriPermille = 40L, rarityPerTokenCap = 1300000000L,
+          maxPii = 1L, maxUrls = 1L)
+        .join(docs(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(when(col("keep"), col("n_tokens"))).as("tokens_kept"),
+          sum(when(col("fail_mask").bitwiseAND(1L) > 0, 1L).otherwise(0L))
+            .as("n_fail_len"),
+          sum(when(col("fail_mask").bitwiseAND(2L) > 0, 1L).otherwise(0L))
+            .as("n_fail_alpha"),
+          sum(when(col("fail_mask").bitwiseAND(4L) > 0, 1L).otherwise(0L))
+            .as("n_fail_rep"),
+          sum(when(col("fail_mask").bitwiseAND(8L) > 0, 1L).otherwise(0L))
+            .as("n_fail_rare"),
+          sum(when(col("fail_mask").bitwiseAND(16L) > 0, 1L).otherwise(0L))
+            .as("n_fail_pii"),
+          sum(when(col("fail_mask").bitwiseAND(32L) > 0, 1L).otherwise(0L))
+            .as("n_fail_url"))
+        .orderBy(col("source"))
+    }),
+
     "t7_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy(col("id")).limit(25)),
@@ -941,6 +991,18 @@ object PipelineQueries {
        |  WHERE f.id <> l.pid
        |  GROUP BY l.pid, f.id)""".stripMargin
   }
+
+  /** The engine's Luhn HOF fold unrolled at the candidate's fixed 16
+    * digits (hoisted r18 — shared by the t20 and t22 oracles): position i
+    * from the LEFT doubles when 16 - i is odd, i.e. odd i (minus 9 past
+    * 9); NULLIF keeps the no-candidate row NULL instead of erroring on
+    * CAST('') under any evaluation order.
+    */
+  private def luhnTermsSql: String = (1 to 16).map { i =>
+    val d = s"CAST(NULLIF(substr(ccd, $i, 1), '') AS BIGINT)"
+    if (i % 2 == 1) s"($d * 2 - CASE WHEN $d >= 5 THEN 9 ELSE 0 END)"
+    else d
+  }.mkString(" + ")
 
   /** LSH bucket in SQL: sign bits of dot(vec, ±1-plane m), m = 0..7. */
   private def bucketSql(v: String): String =
@@ -1896,20 +1958,103 @@ object PipelineQueries {
          |  CAST(SUM(${h32Sql("red")}) AS BIGINT) AS redacted_checksum
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+    // the t22 conjunction replayed end-to-end on the injected text: the
+    // t17 rarity chain, the t20 sequenced PII chain (shared luhnTermsSql),
+    // the t21 host extraction, the t7 trigram share and the t2 counts,
+    // folded into the same integer bitmask and per-source digests
+    "t22_quality_filter" -> {
+      val email = TextAnalysis.emailPattern
+      val phone = TextAnalysis.phonePattern
+      val ip = TextAnalysis.ipv4Pattern
+      val cc = TextAnalysis.ccPattern
+      val url = TextAnalysis.urlHostPattern
+      val luhnTerms = luhnTermsSql
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CASE
+         |    WHEN doc_id % 9 = 4 THEN text || ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com or call +1 555-0100.'
+         |    WHEN doc_id % 9 = 7 THEN text || ' via https://spam' ||
+         |      CAST(doc_id % 5 AS VARCHAR) || '.example.com/x and http://track' ||
+         |      CAST(doc_id % 3 AS VARCHAR) || '.example.net/y'
+         |    ELSE text END AS t2
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split_regex(lower(t2), '\\s+') AS tk
+         |         FROM t),
+         |tri AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+         |          THEN list_transform(range(1, len(tk) - 1),
+         |            i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+         |          ELSE [] END AS tg
+         |        FROM toks),
+         |base AS (
+         |  SELECT t.doc_id, strlen(t2) AS total_chars,
+         |    strlen(regexp_replace(lower(t2), '[^a-z]', '', 'g')) AS alpha_chars,
+         |    len(tg) AS n_tri, len(list_distinct(tg)) AS nd_tri,
+         |    len(regexp_extract_all(t2, '$url', 1)) AS n_urls
+         |  FROM t JOIN tri ON tri.doc_id = t.doc_id),
+         |dt AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         |kk AS (SELECT doc_id, tok, COUNT(*) AS k FROM dt GROUP BY 1, 2),
+         |ff AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS cnt FROM kk GROUP BY tok),
+         |ww AS (SELECT tok, CAST(1000000000000 AS BIGINT) // cnt AS w FROM ff),
+         |rr AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(w * k) AS BIGINT) AS rarity
+         |       FROM kk JOIN ww USING (tok) GROUP BY doc_id),
+         |e AS (SELECT doc_id,
+         |        len(regexp_extract_all(t2, '$email')) AS n_emails,
+         |        regexp_replace(t2, '$email', '<EMAIL>', 'g') AS t1x FROM t),
+         |c1 AS (SELECT *, regexp_replace(regexp_extract(t1x, '$cc', 0),
+         |         '[^0-9]', '', 'g') AS ccd,
+         |         regexp_extract(t1x, '$cc', 0) AS cand FROM e),
+         |c2 AS (SELECT doc_id, n_emails,
+         |         CASE WHEN ($luhnTerms) % 10 = 0 THEN 1 ELSE 0 END AS n_ccs,
+         |         CASE WHEN ($luhnTerms) % 10 = 0
+         |              THEN regexp_replace(t1x, '\\b' || cand || '\\b',
+         |                                  '<CC>', 'g') ELSE t1x END AS t2x
+         |       FROM c1),
+         |i AS (SELECT doc_id, n_emails, n_ccs,
+         |        len(regexp_extract_all(t2x, '$ip')) AS n_ips,
+         |        regexp_replace(t2x, '$ip', '<IP>', 'g') AS t3x FROM c2),
+         |p AS (SELECT doc_id, CAST(n_emails + n_ccs + n_ips +
+         |        len(regexp_extract_all(t3x, '$phone')) AS BIGINT) AS n_pii
+         |      FROM i),
+         |v AS (
+         |  SELECT b.doc_id, rr.n_tokens,
+         |    (CASE WHEN rr.n_tokens < 16 OR rr.n_tokens > 96 THEN 1 ELSE 0 END
+         |     + CASE WHEN b.alpha_chars * 1000 < b.total_chars * 810
+         |            THEN 2 ELSE 0 END
+         |     + CASE WHEN b.n_tri > 0 AND
+         |              (b.n_tri - b.nd_tri) * 1000 > b.n_tri * 40
+         |            THEN 4 ELSE 0 END
+         |     + CASE WHEN rr.n_tokens > 0 AND
+         |              rr.rarity // rr.n_tokens > 1300000000
+         |            THEN 8 ELSE 0 END
+         |     + CASE WHEN p.n_pii > 1 THEN 16 ELSE 0 END
+         |     + CASE WHEN b.n_urls > 1 THEN 32 ELSE 0 END) AS fm
+         |  FROM base b JOIN rr USING (doc_id) JOIN p USING (doc_id))
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN fm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN fm = 0 THEN n_tokens END) AS BIGINT)
+         |    AS tokens_kept,
+         |  CAST(SUM(CASE WHEN fm & 1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_len,
+         |  CAST(SUM(CASE WHEN fm & 2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_alpha,
+         |  CAST(SUM(CASE WHEN fm & 4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_rep,
+         |  CAST(SUM(CASE WHEN fm & 8 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_rare,
+         |  CAST(SUM(CASE WHEN fm & 16 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_pii,
+         |  CAST(SUM(CASE WHEN fm & 32 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_url
+         |FROM v JOIN documents d ON d.doc_id = v.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
     "t20_redaction_extended" -> {
       val email = TextAnalysis.emailPattern
       val phone = TextAnalysis.phonePattern
       val ip = TextAnalysis.ipv4Pattern
       val cc = TextAnalysis.ccPattern
-      // the engine's Luhn HOF fold unrolled at the candidate's fixed 16
-      // digits: position i from the LEFT doubles when 16 - i is odd,
-      // i.e. odd i (minus 9 past 9); NULLIF keeps the no-candidate row
-      // NULL instead of erroring on CAST('') under any evaluation order
-      val luhnTerms = (1 to 16).map { i =>
-        val d = s"CAST(NULLIF(substr(ccd, $i, 1), '') AS BIGINT)"
-        if (i % 2 == 1) s"($d * 2 - CASE WHEN $d >= 5 THEN 9 ELSE 0 END)"
-        else d
-      }.mkString(" + ")
+      val luhnTerms = luhnTermsSql
       s"""WITH d AS (
          |  SELECT source, doc_id,
          |    CASE

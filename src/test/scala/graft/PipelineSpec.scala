@@ -1152,6 +1152,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(5).getLong(2) == 40000000000L + 133333L * 133333L)
   }
 
+  test("qualityFilter: every rule fires at its integer boundary; bitmask composes") {
+    import graft.pipeline.TextAnalysis
+    val d = Seq(
+      (1L, "aa bb cc"),                   // inside every threshold -> keep
+      (2L, "aa bb"),                      // 2 < minTokens -> bit 1
+      (3L, "aa bb cc dd ee ff"),          // 6 > maxTokens -> bit 1
+      (4L, "a1 22 33"),                   // alpha 1/8 AND all-rare -> 2|8
+      (5L, "x y z x y z x y"),            // 8 tokens AND dup trigrams -> 1|4
+      (6L, "aa bb cc dd@ee.com"),         // one email -> bit 16
+      (7L, "aa bb cc http://ex.com"),     // one url -> bit 32
+      (8L, "qq ww rr"))                   // corpus-unique tokens -> bit 8
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityFilter(d, "doc_id", "text",
+        minTokens = 3L, maxTokens = 5L, alphaPermille = 500L,
+        dupTriPermille = 0L, rarityPerTokenCap = 900000000000L,
+        maxPii = 0L, maxUrls = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(5), r.getBoolean(6)))
+      .toMap
+    val expect = Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 10L, 5L -> 5L,
+      6L -> 16L, 7L -> 32L, 8L -> 8L)
+    assert(got == expect.map { case (k, m) => k -> ((m, m == 0L)) },
+      got.toString)
+    // boundary exactness: doc 1's alpha ratio is exactly 6/8 = 750
+    // permille — at alphaPermille = 750 the cross-multiplied comparison
+    // 6*1000 < 8*750 is FALSE (equality keeps), at 751 it fails
+    def maskAt(permille: Long): Long =
+      TextAnalysis.qualityFilter(
+          d.where(org.apache.spark.sql.functions.col("doc_id") === 1L), "doc_id",
+          "text", 1L, 99L, permille, 1000L, Long.MaxValue, 99L, 99L)
+        .collect().head.getLong(5)
+    assert(maskAt(750L) == 0L && maskAt(751L) == 2L)
+  }
+
   test("pqTopK: grouped integer PQ matches a full driver replica; guards") {
     import graft.pipeline.Clustering
     val vecs: Seq[(Long, Seq[Float])] = Seq(
