@@ -507,6 +507,63 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("e12: the kNN-graph self-join stays bucket-keyed — no all-pairs stage") {
+    // every stage of bucketed-probe kNN + symmetrize must be an equi-join
+    // on the bucket (or id) keys: a cartesian/nested-loop anywhere is the
+    // |corpus|^2 blowup the LSH confinement exists to avoid
+    val p = plan("e12_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("m9/m10: EXIF and track-dim walks are map-only projections") {
+    for (name <- Seq("m9_exif_meta", "m10_track_dims")) {
+      val p = plan(name)
+      // the m3/m5 contract one level deeper: byte walks are per-row
+      // projections — no join, no aggregate, and the only exchange is the
+      // gate's ORDER BY (rangepartitioning)
+      assert(!p.contains("Join"), s"$name: $p")
+      assert(!p.contains("HashAggregate"), s"$name: $p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$name: $p")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+        s"$name: $readSchema")
+      assert(!readSchema.contains("source"), s"$name: $readSchema")
+    }
+  }
+
+  test("t21: domain stats are a map-side extraction + two chained aggregates") {
+    // no join anywhere: hosts explode per row, then (id, domain) and
+    // (domain) aggregates — both partial-combined map-side; the top-20
+    // rides TakeOrdered, never a global sort
+    val p = plan("t21_domain_stats")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("t22: the quality-filter verdict composes via equi-joins and partial aggregates") {
+    val p = plan("t22_quality_filter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("e13: PQ search is a broadcast LUT join + one rank window, no all-pairs") {
+    // training ran at construction (literal centroids, the e7 pin); the
+    // SEARCH plan joins the codes relation against the m*kCodes-row LUT —
+    // broadcastable by construction — and ranks per probe
+    val p = plan("e13_pq_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("g55/g56: biased walks and Boruvka keep the equi-join-only discipline") {
+    for (name <- Seq("g55_node2vec_walks", "g56_boruvka_mst")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: $p")
+    }
+  }
+
   test("t19: real BPE is one pruned scan + one aggregation shuffle, no join") {
     val p = plan("t19_bpe_real")
     // the 24-merge replace chain stays a per-row projection: no join of
