@@ -118,7 +118,6 @@ object RandomWalks {
     // double a candidate's replica set
     val adj = e.distinct().select(col("src").as("p_src"),
       col("dst").as("p_dst")).localCheckpoint(false)
-    val nAdj = adj.count()
     val walkIds = spark.range(1, walksPerStart + 1L)
       .select(col("id").cast("int").as("walk"))
     var frontier = starts.select(col("id").cast("long").as("start_id"))
@@ -134,12 +133,23 @@ object RandomWalks {
     while (step < steps && live > 0) {
       step += 1
       val f = if (live <= maxBroadcastRows) broadcast(frontier) else frontier
-      val adjGated = if (nAdj <= maxBroadcastRows) broadcast(adj) else adj
+      // distance-1 test, prev-confined (r18 bench finding: joining the
+      // candidates against the FULL distinct edge set shuffled |E| rows
+      // per step — 8.5 s vs g27's ~2 s at sf0.1). Only edges whose source
+      // is a live prev can mark a candidate, so semi-filter the edge set
+      // by the ≤|frontier| prev values first (broadcast-gated like the
+      // frontier join): the |E| relation is only SCANNED map-side, and
+      // the marker join runs against the slim slice (AQE sizes it).
+      val prevs = frontier.select(col("prev").as("p_src"))
+        .where(col("p_src").isNotNull).distinct()
+      val adjSlim = adj.join(
+        if (live <= maxBroadcastRows) broadcast(prevs) else prevs,
+        Seq("p_src"), "left_semi")
       val cand = e.join(f, f("id") === e("src"))
         .select(f("start_id"), f("walk"), f("prev"), f("id").as("cur"),
           e("dst"))
         // distance-1 marker: is (prev, dst) itself an edge?
-        .join(adjGated,
+        .join(adjSlim,
           col("prev") === col("p_src") && col("dst") === col("p_dst"),
           "left")
       // the scaled integer node2vec weights; step 1 (prev NULL) is the

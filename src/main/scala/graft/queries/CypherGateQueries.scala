@@ -710,17 +710,17 @@ object CypherGateQueries {
     }),
 
     // Borůvka MSF through the CALL surface (r18): the g56 engine over a
-    // BOUNDED sub-store (supplier→nation→region only — no customer/order/
-    // lineitem fan-out; the cy50 sub-store discipline). The label graph is
-    // a forest, so the MSF is the graph itself and the oracle is a plain
-    // per-tree digest — the ALGORITHM's cycle-dropping is priced and
-    // verified by g56; this twin prices the CALL surface and the
-    // default-weight path. Folded in Cypher to per-tree digests.
+    // BOUNDED sub-store (supplier→nation stars ONLY — no customer/order/
+    // lineitem fan-out, and no IN_REGION: the extra contraction level
+    // would add a whole hook-and-contract round of pure job-floor cost;
+    // the cy50 sub-store discipline). The label graph is a forest, so the
+    // MSF is the graph itself and the oracle is a plain per-tree digest —
+    // the ALGORITHM's cycle-dropping is priced and verified by g56; this
+    // twin prices the CALL surface and the default-weight path.
     "cy54_call_mst" -> ((s, dir) => {
       val g = GraphStore.tpch(s, dir)
       val sub = new GraphStore(g.vertexTables,
-        g.edgeTables.view.filterKeys(
-          Set("SUPP_NATION", "IN_REGION")).toMap)
+        g.edgeTables.view.filterKeys(Set("SUPP_NATION")).toMap)
       new CypherSession(s, sub).run(
         """CALL graft.mst() YIELD component, src, dst, w
           |WITH component, count(*) AS n_edges, sum(w) AS total_w
@@ -844,20 +844,16 @@ object CypherGateQueries {
         "(SELECT * FROM documents WHERE doc_id % 2 = 1)"),
     "cy53_call_semdedup" ->
       graft.queries.PipelineQueries.oracle("e11_semdedup"),
-    // the cy54 sub-store graph is a FOREST (each supplier one nation,
-    // each nation one region), so the MSF is the graph itself: the
-    // oracle digests the trees directly — min-reachable-id component
-    // labels (the engine's CC convention), unit weights
+    // the cy54 sub-store graph is a FOREST (supplier→nation stars), so
+    // the MSF is the graph itself: the oracle digests the trees directly
+    // — min-reachable-id component labels (the engine's CC convention),
+    // unit weights
     "cy54_call_mst" ->
       """WITH RECURSIVE e AS (
         |  SELECT (CAST(4 AS BIGINT)<<48)|CAST(s_suppkey AS BIGINT) AS src,
         |         (CAST(5 AS BIGINT)<<48)|CAST(s_nationkey AS BIGINT) AS dst,
         |         1 AS w
-        |  FROM supplier
-        |  UNION ALL
-        |  SELECT (CAST(5 AS BIGINT)<<48)|CAST(n_nationkey AS BIGINT),
-        |         (CAST(6 AS BIGINT)<<48)|CAST(n_regionkey AS BIGINT), 1
-        |  FROM nation),
+        |  FROM supplier),
         |und AS (SELECT src AS x, dst AS y FROM e UNION SELECT dst, src FROM e),
         |reach(x, y) AS (
         |  SELECT x, y FROM und
