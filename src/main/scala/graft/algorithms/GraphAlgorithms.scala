@@ -475,6 +475,27 @@ object GraphAlgorithms {
     import org.apache.spark.sql.functions._
     val spark = edges.sparkSession
     val sc = spark.sparkContext
+    // Spark 4 carries the origin plan's ESTIMATED sizeInBytes into a
+    // checkpoint's LogicalRDD (SPARK-39748, LogicalRDD.fromDataset).
+    // Borůvka's round plan multiplies join estimates (~|joins in round +
+    // nested CC|× per round), so the carried BigInt's DIGITS compound
+    // exponentially round over round until stats estimation itself
+    // dominates the wall clock (measured: minutes inside
+    // BigInteger.multiply at round 5 of a 64-vertex probe graph).
+    // Rebuilding the frame from the checkpointed RDD resets each round's
+    // leaves to constant-estimate LogicalRDDs — the Row round-trip costs
+    // one conversion pass over |C|-bounded relations, the estimates stop
+    // compounding, and the checkpointed blocks still back the data.
+    // returns (rebuilt frame, release thunk, ids of the BACKING persisted
+    // checkpoint): the rebuilt frame's own LogicalRDD wraps the converted
+    // RDD, so idsOf(rebuilt) would NOT protect the persisted blocks — the
+    // caller's delta-release must exclude these ids explicitly.
+    def statsFreeCheckpoint(df: DataFrame)
+        : (DataFrame, () => Unit, Set[Int]) = {
+      val (ck, rel) = trackedCheckpoint(df, eager = true)
+      (spark.createDataFrame(ck.rdd, ck.schema), rel,
+        graft.util.Checkpoints.idsOf(ck))
+    }
     val (e, releaseE) = trackedCheckpoint(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -513,7 +534,7 @@ object GraphAlgorithms {
           col("m.dst").as("dst"), col("m.other").as("other"))
       // ONE job: the eager checkpoint materializes the round; its count
       // decides termination (no cross edges left = every component done)
-      val (selCk, releaseSel) = trackedCheckpoint(sel, eager = true)
+      val (selCk, releaseSel, _) = statsFreeCheckpoint(sel)
       if (selCk.count() == 0) { releaseSel(); more = false }
       else {
         forestParts ::= selCk.select(col("src"), col("dst"), col("w"))
@@ -525,16 +546,14 @@ object GraphAlgorithms {
         val before = sc.getPersistentRDDs.keySet
         val merged = connectedComponentsDF(
           selCk.select(col("comp").as("src"), col("other").as("dst")))
-        val (nc, releaseNc) = trackedCheckpoint(
+        val (nc, releaseNc, ncIds) = statsFreeCheckpoint(
           comp.join(small(merged.select(col("id").as("oc"),
               col("component").as("nc"))),
               col("component") === col("oc"), "left")
             .select(col("id"),
-              coalesce(col("nc"), col("component")).as("component")),
-          eager = true)
+              coalesce(col("nc"), col("component")).as("component")))
         graft.util.Checkpoints.release(spark,
-          sc.getPersistentRDDs.keySet -- before --
-            graft.util.Checkpoints.idsOf(nc))
+          sc.getPersistentRDDs.keySet -- before -- ncIds)
         releaseComp()
         comp = nc
         releaseComp = releaseNc

@@ -81,6 +81,7 @@ object ScaleProbe {
       case "edgestress" => edgeStressProbe(spark, sfDir)
       case "fastestw" => fastestWeightedProbe(spark, sfDir)
       case "media"    => mediaProbe(spark)
+      case "mst"      => mstProbe(spark)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -97,6 +98,48 @@ object ScaleProbe {
     * measured wall is parse cost only and should stay flat in payload
     * size. Raw stdout committed as tools/scaleprobe_media_r17.txt.
     */
+  /** Borůvka scale probe (r18): the g56 gate prices the algorithm on a
+    * FIXED 41-vertex domain, so this pins the claimed scale posture —
+    * O(log V) hook-and-contract rounds — on a synthetic chord graph
+    * growing 256 → 4096 vertices (groups of 8 with i→i+{1,2,3} chords
+    * PLUS a group-linking chord per group so the component count starts
+    * at V/8 and must contract through multiple rounds). Expected: wall
+    * grows with ROUNDS (log-ish), never with V at these sizes — the
+    * per-round cost is the job floor, the state |V|-bounded.
+    */
+  private def mstProbe(spark: SparkSession): Unit = {
+    import graft.pipeline.TextHash
+    val sizes = sys.env.get("SPARK_GRAFT_MST_SIZES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(256, 1024, 4096))
+    for (n <- sizes) {
+      val vs = spark.range(1, n + 1).select(col("id").as("src"))
+      val chords = vs
+        .select(col("src"), explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+        .withColumn("dst", col("src") + col("d"))
+        .where(expr("((src - 1) div 8) = ((dst - 1) div 8)"))
+      // one inter-group link per group keeps the whole graph ONE
+      // component: contraction cannot stop at the group level
+      val links = spark.range(0, n / 8 - 1)
+        .select((col("id") * 8 + 8).as("src"), (col("id") * 8 + 9).as("dst"))
+      val edges = chords.select(col("src"), col("dst"))
+        .unionByName(links)
+        .select(col("src"), col("dst"),
+          (TextHash.h32(concat_ws("|", col("src"), col("dst"))) % 997 + 1)
+            .as("w"))
+        .localCheckpoint()
+      edges.count()
+      val t0 = System.nanoTime()
+      val mst = graft.algorithms.GraphAlgorithms.boruvkaMst(edges)
+      val got = mst.agg(count(lit(1)), sum(col("w"))).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE axis=mst n=$n edges_kept=${got.getLong(0)} " +
+        f"total_w=${got.getLong(1)} wall=$secs%.3f s")
+      require(got.getLong(0) == n - 1, s"MST of one component must keep V-1")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+  }
+
   private def mediaProbe(spark: SparkSession): Unit = {
     import graft.pipeline.Multimodal
     val n = 64
