@@ -467,9 +467,11 @@ object GraphAlgorithms {
     * accumulated forest; each round touches the edge relation ONCE for
     * the cross-edge filter (two gated label joins), aggregates per
     * component (map-side combinable min), and runs CC on the ≤|C|-row
-    * picked graph — never on |E|. Components at least halve per round
-    * (every live component merges), bounding rounds at log2(V); the
-    * maxRounds guard is loud, not a silent cap.
+    * picked graph — never on |E|. Components at least halve per PICKING
+    * round (every live component merges), bounding picking rounds at
+    * log2(V); one final empty round detects termination and does not
+    * count against the budget (r18 review). The maxRounds guard is loud,
+    * not a silent cap.
     */
   def boruvkaMst(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -514,8 +516,7 @@ object GraphAlgorithms {
     var forestParts = List.empty[DataFrame]
     var rounds = 0
     var more = true
-    while (more && rounds < maxRounds) {
-      rounds += 1
+    while (more) {
       val cs = comp.select(col("id").as("sid"), col("component").as("csrc"))
       val cd = comp.select(col("id").as("did"), col("component").as("cdst"))
       val cross = e.join(small(cs), col("src") === col("sid"))
@@ -537,6 +538,15 @@ object GraphAlgorithms {
       val (selCk, releaseSel, _) = statsFreeCheckpoint(sel)
       if (selCk.count() == 0) { releaseSel(); more = false }
       else {
+        rounds += 1
+        if (rounds > maxRounds) {
+          releaseSel() // a rejected call leaks nothing (the knnTopK rule)
+          require(rounds <= maxRounds,
+            s"boruvkaMst: $maxRounds picking rounds without convergence " +
+              "— components must at least halve per picking round, so " +
+              s"this input exceeds 2^$maxRounds vertices or the relation " +
+              "mutated mid-run; raise maxRounds deliberately")
+        }
         forestParts ::= selCk.select(col("src"), col("dst"), col("w"))
         // contract: min-id labels over the picked component graph (≤ |C|
         // rows — the CC cost is in CURRENT components, not edges), then
@@ -559,11 +569,6 @@ object GraphAlgorithms {
         releaseComp = releaseNc
       }
     }
-    require(!more,
-      s"boruvkaMst: $maxRounds rounds without convergence — components " +
-        "must at least halve per round, so this input exceeds 2^maxRounds " +
-        "vertices or the relation mutated mid-run; raise maxRounds " +
-        "deliberately")
     releaseE() // the forest reads only the per-round checkpoints
     val forest = forestParts
       .reduceOption(_.unionByName(_))

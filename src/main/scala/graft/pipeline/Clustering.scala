@@ -237,15 +237,22 @@ object Clustering {
           v => floor(v.cast("double") * scale + lit(0.5)).cast("long") +
             lit(offset)).as("xq"))
       .localCheckpoint(false)
-    // positivity + uniform-dimension + divisibility in ONE pass (the
-    // kmeansQuantized guard, plus the PQ split constraint)
-    val g = base.agg(min(size(col("__v"))), max(size(col("__v")))).head()
-    val (dMin, dMax) = (g.getInt(0), g.getInt(1))
+    // positivity + uniform-dimension + divisibility in ONE pass over the
+    // base relation (the kmeansQuantized guard plus the PQ split
+    // constraint; r18 review — a second guard job would pay the AQE job
+    // floor twice per call). Positivity is checked on the FULL quantized
+    // vector: once divisibility holds the subspace slices cover exactly
+    // these elements, so the minima agree; when it does not, the
+    // divisibility require fires first.
+    val g = base.agg(min(size(col("__v"))), max(size(col("__v"))),
+      min(array_min(transform(col("__v"),
+        v => floor(v.cast("double") * scale + lit(0.5)).cast("long") +
+          lit(offset))))).head()
+    val (dMin, dMax, minQ) = (g.getInt(0), g.getInt(1), g.getLong(2))
     require(dMin == dMax, s"pqTopK: ragged embedding lengths " +
       s"($dMin..$dMax) — uniform dimensionality is required")
     require(dMin % m == 0,
       s"pqTopK: dimension $dMin is not divisible by m = $m subspaces")
-    val minQ = pts.agg(min(array_min(col("xq")))).head().getLong(0)
     require(minQ > 0, s"pqTopK: embedding magnitude exceeds the 10.0 " +
       s"guard (min quantized $minQ); raise the offset")
 

@@ -2099,37 +2099,41 @@ object PipelineQueries {
     },
     // the t21 injection + host extraction + last-two-label reduction
     // replayed: engines agree on the RE2-safe patterns and every output
-    // is an integer count (NON-interpolated string, so single backslashes
-    // reach DuckDB verbatim)
+    // is an integer count. The host pattern INTERPOLATES the shared
+    // TextAnalysis.urlHostPattern constant (r18 review: the old literal
+    // copy had to be hand-edited in lockstep with the engine — the one
+    // drift hazard of the oracle-twin scheme); in the s-interpolator the
+    // remaining literal backslashes are doubled so single backslashes
+    // still reach DuckDB verbatim.
     "t21_domain_stats" ->
-      """WITH t2 AS (
-        |  SELECT doc_id, CASE
-        |    WHEN doc_id % 3 = 0 THEN text || ' via https://www.mirror' ||
-        |      CAST(doc_id % 7 AS VARCHAR) || '.example' ||
-        |      CAST(doc_id % 5 AS VARCHAR) ||
-        |      '.com/path?q=1 and http://cdn.Site' ||
-        |      CAST(doc_id % 7 AS VARCHAR) || '.net/x'
-        |    WHEN doc_id % 3 = 1 THEN text || ' at http://host' ||
-        |      CAST(doc_id % 11 AS VARCHAR) || '.org page'
-        |    ELSE text END AS text2
-        |  FROM documents),
-        |toks AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split_regex(lower(text2), '\s+')) AS BIGINT)
-        |      AS n_tokens
-        |  FROM t2),
-        |hosts AS (
-        |  SELECT doc_id,
-        |    lower(unnest(regexp_extract_all(text2,
-        |      'https?://(?:[^/@?#\s]+@)?([A-Za-z0-9.-]+)', 1)))
-        |      AS host
-        |  FROM t2),
-        |dom AS (
-        |  SELECT doc_id,
-        |    CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = ''
-        |         THEN host
-        |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
-        |  FROM hosts),
+      s"""WITH t2 AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 3 = 0 THEN text || ' via https://www.mirror' ||
+         |      CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+         |      CAST(doc_id % 5 AS VARCHAR) ||
+         |      '.com/path?q=1 and http://cdn.Site' ||
+         |      CAST(doc_id % 7 AS VARCHAR) || '.net/x'
+         |    WHEN doc_id % 3 = 1 THEN text || ' at http://host' ||
+         |      CAST(doc_id % 11 AS VARCHAR) || '.org page'
+         |    ELSE text END AS text2
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(lower(text2), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM t2),
+         |hosts AS (
+         |  SELECT doc_id,
+         |    lower(unnest(regexp_extract_all(text2,
+         |      '${TextAnalysis.urlHostPattern}', 1)))
+         |      AS host
+         |  FROM t2),
+         |dom AS (
+         |  SELECT doc_id,
+         |    CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = ''
+         |         THEN host
+         |         ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+         |  FROM hosts),
         |per AS (
         |  SELECT doc_id, domain, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM dom GROUP BY doc_id, domain)

@@ -332,7 +332,21 @@ class AlgorithmsSpec extends AnyFunSuite {
       val verts = rows.flatMap(t => Seq(t._2, t._3))
       assert(verts.min == c, s"component $c labels $verts")
     }
+    // maxRounds counts PICKING rounds only (r18 review): this path needs
+    // exactly 2 picking rounds (the middle edge joins the two pairs in
+    // round 2) plus the free empty detection round
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 5L), (3L, 4L, 2L))
+      .toDF("src", "dst", "w")
+    assert(run2(path, 2) ==
+      Set((1L, 1L, 2L, 1L), (1L, 2L, 3L, 5L), (1L, 3L, 4L, 2L)))
+    val exR = intercept[IllegalArgumentException](run2(path, 1))
+    assert(exR.getMessage.contains("picking rounds"), exR.getMessage)
   }
+
+  private def run2(df: org.apache.spark.sql.DataFrame, maxRounds: Int) =
+    graft.algorithms.GraphAlgorithms.boruvkaMst(df, maxRounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
 
   test("node2vecWalks: replica-argmin matches a driver replay; p/q extremes; guard") {
     import graft.algorithms.RandomWalks
