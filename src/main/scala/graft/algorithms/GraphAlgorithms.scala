@@ -514,6 +514,7 @@ object GraphAlgorithms {
     // log V of them, each ≤ |C| rows); the final relation reads them, so
     // they stay pinned for the caller's sweep — the CC convention
     var forestParts = List.empty[DataFrame]
+    var forestReleases = List.empty[() => Unit]
     var rounds = 0
     var more = true
     while (more) {
@@ -540,7 +541,14 @@ object GraphAlgorithms {
       else {
         rounds += 1
         if (rounds > maxRounds) {
-          releaseSel() // a rejected call leaks nothing (the knnTopK rule)
+          // a rejected call leaks NOTHING (the knnTopK rule, r18 review):
+          // the round's sel, every prior round's picked-edge checkpoint,
+          // the live label relation, and the edge relation all release
+          // before the throw — the failure path pins no blocks
+          releaseSel()
+          forestReleases.foreach(_.apply())
+          releaseComp()
+          releaseE()
           require(rounds <= maxRounds,
             s"boruvkaMst: $maxRounds picking rounds without convergence " +
               "— components must at least halve per picking round, so " +
@@ -548,6 +556,7 @@ object GraphAlgorithms {
               "mutated mid-run; raise maxRounds deliberately")
         }
         forestParts ::= selCk.select(col("src"), col("dst"), col("w"))
+        forestReleases ::= releaseSel
         // contract: min-id labels over the picked component graph (≤ |C|
         // rows — the CC cost is in CURRENT components, not edges), then
         // one label-composition join. The CC machinery's own checkpoints

@@ -301,17 +301,30 @@ final class Planner(spark: SparkSession, store0: GraphStore,
           "vec_id", "embedding", sdK, sdIters, sdTau.toDouble / 1000.0)
       case "graft.mst" =>
         // Borůvka minimum spanning forest over the session graph (r18):
-        // optional arg names an integer edge-weight property; absent (or
-        // absent on an edge) the weight defaults to 1 — the graft.distance
-        // convention — making the default MSF a deterministic spanning
-        // forest under the (w, src, dst) tuple order.
+        // optional arg names an integer edge-weight property; an ABSENT
+        // property defaults to 1 — the graft.distance convention — but a
+        // PRESENT value that does not cast to long fails loudly (r18
+        // ADVICE: a silent 1 would silently change the MSF; the
+        // temporalEdges pattern, one bounded pass over the edge relation).
         nargs(1)
         val mstEdges = strArg(0) match {
           case None => store.allEdges.select(col("src"), col("dst"),
             lit(1L).as("w"))
-          case Some(wk) => store.allEdges.select(col("src"), col("dst"),
-            coalesce(get_json_object(col("properties"), "$." + wk)
-              .cast("long"), lit(1L)).as("w"))
+          case Some(wk) =>
+            // try_cast, not cast: ANSI cast THROWS on a malformed string
+            // with a generic CAST_INVALID_INPUT — the guard below is the
+            // loud path, with the property name and the default rule
+            val we = store.allEdges.select(col("src"), col("dst"),
+                get_json_object(col("properties"), "$." + wk).as("raw"))
+              .withColumn("cast", expr("try_cast(raw AS long)"))
+            val nBad =
+              we.where(col("raw").isNotNull && col("cast").isNull).count()
+            require(nBad == 0,
+              s"graft.mst: $nBad edge(s) carry weight property '$wk' " +
+                "with a non-integer value — a present weight must cast " +
+                "to long (only an ABSENT property defaults to 1)")
+            we.select(col("src"), col("dst"),
+              coalesce(col("cast"), lit(1L)).as("w"))
         }
         GraphAlgorithms.boruvkaMst(mstEdges)
       case "graft.distance" =>

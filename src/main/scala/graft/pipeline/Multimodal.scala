@@ -593,17 +593,24 @@ object Multimodal {
     * tkhd +84/+88 in version 0; version 1 widens creation/modification/
     * duration, pushing them to +96/+100). The integer part is the exact
     * `raw >> 16` (≡ div 65536 on the non-negative BE32 domain — integer
-    * arithmetic, the hashed-column class). `bound` is the parent trak's
-    * inclusive end, checked version-aware like [[mvhdTimes]]: v0's fields
-    * end at tkhd+91, v1's at tkhd+103 — a trak whose declared size cuts
-    * the fields reads NULL, never sibling bytes. Same materialized-column
+    * arithmetic, the hashed-column class). The reads are gated BOTH by
+    * the tkhd's OWN declared size (largesize-aware via the same boxNext
+    * read the walk uses — r18 ADVICE: a tkhd declaring fewer bytes than
+    * its version's fields, followed by a sibling box inside the same
+    * trak, must read NULL, never the sibling's bytes) AND by `bound`,
+    * the parent trak's inclusive end, each checked version-aware: v0's
+    * fields end at tkhd+91, v1's at tkhd+103. A corrupt largesize makes
+    * the own-end NULL, parking both fields. Same materialized-column
     * caveat as [[mp4Mvhd]].
     */
   def tkhdDims(payload: Column, tkhd: Column,
       bound: Option[Column] = None): (Column, Column) = {
     val v = beUInt(payload, tkhd + 8L, 1)
-    def fits(end: Long): Column =
-      bound.map(b => tkhd + end <= b).getOrElse(lit(true))
+    val ownEnd = boxNext(payload)(tkhd) - 1L
+    def fits(end: Long): Column = {
+      val self = tkhd + end <= ownEnd
+      bound.map(b => self && tkhd + end <= b).getOrElse(self)
+    }
     (when(v === 0L && fits(91L), shiftright(beUInt(payload, tkhd + 84L, 4), 16))
        .when(v === 1L && fits(103L), shiftright(beUInt(payload, tkhd + 96L, 4), 16)),
       when(v === 0L && fits(91L), shiftright(beUInt(payload, tkhd + 88L, 4), 16))

@@ -339,8 +339,14 @@ class AlgorithmsSpec extends AnyFunSuite {
       .toDF("src", "dst", "w")
     assert(run2(path, 2) ==
       Set((1L, 1L, 2L, 1L), (1L, 2L, 3L, 5L), (1L, 3L, 4L, 2L)))
+    // the rejected call leaks NOTHING (r18 ADVICE): the round's sel,
+    // the prior rounds' picked-edge checkpoints, the label relation,
+    // and the edge relation are all released before the throw
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val exR = intercept[IllegalArgumentException](run2(path, 1))
     assert(exR.getMessage.contains("picking rounds"), exR.getMessage)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pinnedBefore,
+      "maxRounds rejection leaked persisted blocks")
   }
 
   private def run2(df: org.apache.spark.sql.DataFrame, maxRounds: Int) =

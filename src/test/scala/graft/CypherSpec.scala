@@ -677,6 +677,34 @@ class CypherSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("bound"), err2.getMessage)
   }
 
+  test("CALL graft.mst: weighted form; a present non-integer weight is loud") {
+    import spark.implicits._
+    val sess = session
+    // KNOWS carries `since` (2020, 2021) — the weighted form reads it;
+    // the people graph is a path, so the MSF is the graph itself
+    val df = sess.run(
+      "CALL graft.mst('since') YIELD component, src, dst, w " +
+        "RETURN component, src, dst, w ORDER BY w")
+    assert(rows(df) == Seq(
+      Seq(Graphid.pack(100, 1), Graphid.pack(100, 1),
+        Graphid.pack(100, 2), 2020L),
+      Seq(Graphid.pack(100, 1), Graphid.pack(100, 2),
+        Graphid.pack(100, 3), 2021L)))
+    // an ABSENT property defaults to 1 (the graft.distance convention)
+    assert(rows(sess.run(
+      "CALL graft.mst('nope') YIELD w RETURN w ORDER BY w"))
+      == Seq(Seq(1L), Seq(1L)))
+    // a PRESENT value that does not cast to long fails loudly (r18
+    // ADVICE): a silent default-1 would silently change the MSF
+    val ps = peopleStore
+    val bad = new CypherSession(spark, new GraphStore(ps.vertexTables,
+      Map("KNOWS" -> Seq((Graphid.pack(101, 1), Graphid.pack(100, 1),
+        Graphid.pack(100, 2), "heavy")).toDF("id", "src", "dst", "wt"))))
+    val e = intercept[Exception](bad.run(
+      "CALL graft.mst('wt') YIELD w RETURN w"))
+    assert(e.getMessage.contains("non-integer"), e.getMessage)
+  }
+
   test("CALL graft.latestDeparture: temporal sweep, loud failure paths") {
     val sess = session
     // KNOWS carries `since` as the event time: 1-[2020]->2-[2021]->3;

@@ -606,9 +606,20 @@ class PipelineSpec extends AnyFunSuite {
     // largesize trak: children start after the 16-byte header
     val largeTrak = ftyp ++ moov(be32(1) ++ "trak".getBytes ++
       be64(16L + 92L) ++ tkhd0(800, 450))
+    // tkhd declaring only 40 bytes (own size < v0's 92) followed by a
+    // sibling box inside the SAME trak whose body holds plausible 16.16
+    // values exactly where +84/+88 land: the OWN-declared-size gate
+    // (r18 ADVICE) must read NULL, never the sibling's bytes — the
+    // parent-trak bound alone would pass here
+    val shortTkhd = be32(40) ++ "tkhd".getBytes ++ hx("00" * 32)
+    val sibBody = hx("00" * 36) ++ be32(777L << 16) ++ be32(888L << 16) ++
+      hx("00" * 8)
+    val ownCut = ftyp ++ moov(trak(shortTkhd ++
+      (be32(8L + sibBody.length) ++ "free".getBytes ++ sibBody)))
     val raw = "not a container".getBytes
     val df = Seq((0L, v0), (1L, v1), (2L, zero), (3L, stray), (4L, trunc),
-      (5L, cut), (6L, largeTrak), (7L, raw)).toDF("doc_id", "payload")
+      (5L, cut), (6L, largeTrak), (7L, raw), (8L, ownCut))
+      .toDF("doc_id", "payload")
     val got = graft.pipeline.Multimodal.trackMeta(df, "payload").collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
         Option(r.get(3)))).toMap
@@ -620,6 +631,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5L) == ("mp4", None, None), got(5L).toString)
     assert(got(6L) == ("mp4", Some(800L), Some(450L)), got(6L).toString)
     assert(got(7L) == ("unknown", None, None), got(7L).toString)
+    assert(got(8L) == ("mp4", None, None), got(8L).toString)
   }
 
   test("EXIF: IFD walk in both byte orders, corrupt/truncated/missing-tag") {
