@@ -319,6 +319,256 @@ object Clustering {
       .select(col("pid"), col("rank"), col("cid"), col("adc"))
   }
 
+  /** IVFADC ANN top-k (Jégou, Douze & Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011, §IV — the paper's actual
+    * search system, composing the two halves this engine already ships):
+    * an IVF coarse quantizer (exact-grid k-means, [[kmeansQuantized]]'s
+    * arithmetic with k = nLists) routes every vector to its nearest
+    * coarse list; a product quantizer ([[pqTopK]]'s grouped exact-grid
+    * k-means) encodes each vector's RESIDUAL (x − coarse centroid) as m
+    * small codes; a probe scans only its nProbe nearest lists and ranks
+    * candidates by the integer ADC sum of its own residual-vs-codebook
+    * LUT. Residual encoding is why IVFADC beats unrouted PQ (e13/e14) at
+    * the same code budget: residuals concentrate near zero, so the same
+    * kCodes-entry codebooks quantize them far more finely.
+    *
+    * Metric (r19): with `unitNorm` (the default) vectors are UNIT-
+    * NORMALIZED before the grid snap — on the unit sphere squared L2 is
+    * 2 − 2·cos, so the L2-native IVFADC machinery ranks by COSINE, the
+    * metric the e-family's brute-force exact side uses (without this,
+    * routing confines L2 neighbours while recall is judged on cosine —
+    * measured at e14-class recall; normalized, the routing and the ADC
+    * agree with the judge). The norm is the e1-class ONE fixed-fold
+    * double + one division per element, mirrored op-for-op in the
+    * oracle; `unitNorm = false` keeps the raw-grid L2 form (the spec's
+    * hand-exact case).
+    *
+    * Exactness: everything rides the 10^-q grid. Residuals are integer
+    * differences re-offset by 2·10^(q+1) (strictly positive given the
+    * ±10.0 magnitude guard, so the half-up integer mean's `div` agrees
+    * with DuckDB `//`); the offset cancels in every squared distance, so
+    * codes and ADC sums are those of the unshifted residuals. The whole
+    * route-train-encode-search pipeline hash-matches a SQL replay.
+    *
+    * Returns (pid, rank, cid, adc): rank by (adc ASC, cid) per probe over
+    * candidates in the probe's nProbe lists only, rank ≤ k.
+    *
+    * `rerank` > 0 is the paper's IVFADC+R refinement (Jégou et al. §V —
+    * what every production PQ system ships): the ADC ranking keeps its
+    * top-`rerank` shortlist per probe, the shortlist alone is re-scored
+    * with the EXACT cosine (R bounded point lookups of raw vectors — the
+    * only step that touches them), and rank ≤ k is by (sim DESC, cid).
+    * ADC compresses the scan; the exact pass fixes the quantization
+    * noise (measured: e16 recall@5 at the routing ceiling vs e14's
+    * unrouted 0.2–0.4). The adc integer rides along in the output.
+    *
+    * Scale shape: coarse centroids are nLists·d longs and PQ codebooks
+    * m·kCodes·(d/m) longs — both driver-bounded broadcast literals;
+    * routing and encoding are shuffle-free codegen'd argmin passes; the
+    * stored index is (list, m codes) per vector — PQ compression WITH
+    * list confinement, so a probe touches ~nProbe/nLists of the code
+    * relation and never a raw vector. The ADC join keys on (list, sub,
+    * code) against the broadcast probe LUT (|probes|·nProbe·m·kCodes
+    * rows) and partial-aggregates map-side — the e13 plan shape plus the
+    * list equi-key.
+    *
+    * EAGER-EXECUTION NOTE: both quantizers train at construction (the
+    * kmeansQuantized/pqTopK class); the routed-codes checkpoint stays
+    * pinned until the harness sweep.
+    */
+  def ivfadcTopK(df: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, nLists: Int = 8, nProbe: Int = 2,
+      m: Int = 4, kCodes: Int = 8, iters: Int = 2, q: Int = 6,
+      unitNorm: Boolean = true, rerank: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(k >= 1 && nLists >= 1 && m >= 1 && kCodes >= 1 && iters >= 1,
+      s"ivfadcTopK: k, nLists, m, kCodes, iters must be >= 1, " +
+        s"got ($k, $nLists, $m, $kCodes, $iters)")
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"ivfadcTopK: nProbe $nProbe must be in 1..$nLists")
+    val scale = math.pow(10, q)
+    val offset = (scale * 10).toLong
+    val offR = 2L * offset // residual re-offset: xq − cq ∈ (−offR, offR)
+    val pts = (if (unitNorm) {
+      // the e4 zero-vector floor keeps 0/0 off the grid; op order
+      // ((v / n) * scale + 0.5) is mirrored exactly in the oracle
+      df.select(col(idCol).cast("long").as("id"),
+          VectorFunctions.toDoubleArray(col(vecCol)).as("__v"))
+        .withColumn("__n",
+          greatest(VectorFunctions.norm(col("__v")), lit(1e-30)))
+        .select(col("id"), transform(col("__v"),
+          v => floor((v / col("__n")) * scale + lit(0.5)).cast("long") +
+            lit(offset)).as("xq"))
+    } else {
+      df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          v => floor(v.cast("double") * scale + lit(0.5)).cast("long") +
+            lit(offset)).as("xq"))
+    }).localCheckpoint(false)
+    // all guards in ONE pass (the pqTopK discipline), plus the UPPER
+    // magnitude bound residual positivity needs: xq must stay below
+    // 2·offset so xq − cq + 2·offset > 0 on every coordinate
+    val g = pts.agg(min(size(col("xq"))), max(size(col("xq"))),
+      min(array_min(col("xq"))), max(array_max(col("xq")))).head()
+    val (dMin, dMax, minQ, maxQ) =
+      (g.getInt(0), g.getInt(1), g.getLong(2), g.getLong(3))
+    require(dMin == dMax, s"ivfadcTopK: ragged embedding lengths " +
+      s"($dMin..$dMax) — uniform dimensionality is required")
+    require(dMin % m == 0,
+      s"ivfadcTopK: dimension $dMin is not divisible by m = $m subspaces")
+    require(minQ > 0 && maxQ < offR,
+      s"ivfadcTopK: embedding magnitude exceeds the ±10.0 guard " +
+        s"(quantized range $minQ..$maxQ outside (0, $offR)); raise the offset")
+    val sd = dMin / m
+
+    // ---- coarse quantizer: exact-grid k-means, k = nLists ----
+    def coarseLit(cents: Array[(Long, Seq[Long])]): Column =
+      array(cents.map { case (cl, cq) =>
+        struct(typedLit(cq).as("cq"), lit(cl).as("cl"))
+      }: _*)
+    def coarseAssign(cents: Array[(Long, Seq[Long])]): DataFrame =
+      pts.withColumn("best",
+          array_min(transform(coarseLit(cents), c => struct(
+            distQ(col("xq"), c.getField("cq")).as("dist"),
+            c.getField("cl").as("cl")))))
+        .select(col("id"), col("xq"), col("best.cl").as("list"))
+    def collectCoarse(centDf: DataFrame): Array[(Long, Seq[Long])] =
+      centDf.collect().map { r: Row =>
+        (r.getLong(0), r.getSeq[Long](1))
+      }.sortBy(_._1)
+    var cCents = collectCoarse(
+      pts.orderBy(col("id")).limit(nLists)
+        .select(col("id").as("cl"), col("xq").as("cq")))
+    for (_ <- 1 to iters) {
+      val assigned = coarseAssign(cCents)
+      cCents = collectCoarse(assigned
+        .select(col("list"), posexplode(col("xq")).as(Seq("pos", "v")))
+        .groupBy(col("list"), col("pos"))
+        .agg(expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("cqd"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cqd")))),
+          s => s.getField("cqd")).as("cq")))
+    }
+    val cLit = coarseLit(cCents)
+
+    // ---- residual points: one row per (subspace, vector), confined to
+    // the vector's OWN list centroid; staged columns so the coarse
+    // lookup evaluates once per row (the HOF-blowup rule) ----
+    val rpts = coarseAssign(cCents)
+      .withColumn("__cq", element_at(
+        filter(cLit, c => c.getField("cl") === col("list")), 1)
+        .getField("cq"))
+      .select(col("id"), col("list"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("xq"), col("__cq"))
+      .select(col("sub"), col("id"), col("list"),
+        zip_with(
+          slice(col("xq"), (col("sub") * sd + 1).cast("int"), lit(sd)),
+          slice(col("__cq"), (col("sub") * sd + 1).cast("int"), lit(sd)),
+          (x, c) => x - c + lit(offR)).as("xq"))
+      .localCheckpoint(false)
+
+    // ---- product quantizer on residuals: pqTopK's grouped exact-grid
+    // k-means, verbatim arithmetic ----
+    def pqLitOf(cents: Array[(Int, Long, Seq[Long])]): Column =
+      array(cents.map { case (sub, cl, cq) =>
+        struct(lit(sub).as("sub"), typedLit(cq).as("cq"), lit(cl).as("cl"))
+      }: _*)
+    def pqAssign(cents: Array[(Int, Long, Seq[Long])]): DataFrame =
+      rpts.withColumn("best",
+          array_min(transform(
+            filter(pqLitOf(cents), c => c.getField("sub") === col("sub")),
+            c => struct(distQ(col("xq"), c.getField("cq")).as("dist"),
+              c.getField("cl").as("cl")))))
+        .select(col("sub"), col("id"), col("list"), col("xq"),
+          col("best.cl").as("code"))
+    def collectPq(centDf: DataFrame): Array[(Int, Long, Seq[Long])] =
+      centDf.collect().map { r: Row =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Long](2))
+      }.sortBy(c => (c._1, c._2))
+    val lowIds = pts.select(col("id")).orderBy(col("id")).limit(kCodes)
+      .collect().map(_.getLong(0)).toSeq
+    var pqCents = collectPq(
+      rpts.where(col("id").isin(lowIds: _*))
+        .select(col("sub"), col("id").as("cl"), col("xq").as("cq")))
+    for (_ <- 1 to iters) {
+      val assigned = pqAssign(pqCents)
+      pqCents = collectPq(assigned
+        .select(col("sub"), col("code"), posexplode(col("xq")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("cqd"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cqd")))),
+          s => s.getField("cqd")).as("cq"))
+        .select(col("sub"), col("code").as("cl"), col("cq")))
+    }
+    val pqLit = pqLitOf(pqCents)
+    // the stored index: (list, sub, code) per vector — m small codes
+    val codes = pqAssign(pqCents)
+      .select(col("sub"), col("id"), col("list"), col("code"))
+      .localCheckpoint()
+
+    // ---- probe routing + residual LUT: top-nProbe coarse lists per
+    // probe, then the probe's residual vs every same-subspace codebook
+    // entry — |probes|·nProbe·m·kCodes integer rows, broadcast ----
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("dist"), col("list"))
+    val pRoutes = pts.where(col("id").isin(probeIds: _*))
+      .select(col("id").as("pid"), col("xq").as("pxq"),
+        explode(cLit).as("c"))
+      .select(col("pid"), col("pxq"), col("c.cl").as("list"),
+        col("c.cq").as("lcq"),
+        distQ(col("pxq"), col("c.cq")).as("dist"))
+      .withColumn("rk", row_number().over(w0))
+      .where(col("rk") <= nProbe)
+    val lut = pRoutes
+      .select(col("pid"), col("list"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("pxq"), col("lcq"))
+      .withColumn("prq", zip_with(
+        slice(col("pxq"), (col("sub") * sd + 1).cast("int"), lit(sd)),
+        slice(col("lcq"), (col("sub") * sd + 1).cast("int"), lit(sd)),
+        (x, c) => x - c + lit(offR)))
+      .select(col("pid"), col("list"), col("sub"),
+        explode(filter(pqLit, c => c.getField("sub") === col("sub")))
+          .as("c2"), col("prq"))
+      .select(col("pid"), col("list"), col("sub"),
+        col("c2.cl").as("code"), distQ(col("prq"), col("c2.cq")).as("dist"))
+
+    // ---- ADC over probed lists only: the e13 broadcast-LUT equi-join
+    // plus the list confinement key ----
+    val scored = codes.join(broadcast(lut), Seq("list", "sub", "code"))
+      .where(col("id") =!= col("pid"))
+      .groupBy(col("pid"), col("id").as("cid"))
+      .agg(sum(col("dist")).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("adc"), col("cid"))
+    val adcRanked = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      adcRanked.where(col("rank") <= k)
+        .select(col("pid"), col("rank"), col("cid"), col("adc"))
+    else {
+      // IVFADC+R: exact cosine over the ADC top-`rerank` shortlist only
+      val vecs = df.select(col(idCol).cast("long").as("vid"),
+          VectorFunctions.toDoubleArray(col(vecCol)).as("vv"))
+        .withColumn("vn", VectorFunctions.norm(col("vv")))
+      val short = adcRanked.where(col("rank") <= rerank)
+        .select(col("pid"), col("cid"), col("adc"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+      short
+        .join(vecs.select(col("vid").as("pid"), col("vv").as("pv"),
+          col("vn").as("pn")), Seq("pid"))
+        .join(vecs.select(col("vid").as("cid"), col("vv").as("cv"),
+          col("vn").as("cn")), Seq("cid"))
+        .withColumn("sim", VectorFunctions.dot(col("pv"), col("cv")) /
+          (col("pn") * col("cn")))
+        .withColumn("rank", row_number().over(wr))
+        .where(col("rank") <= k)
+        .select(col("pid"), col("rank"), col("cid"), col("adc"))
+    }
+  }
+
   /** Cluster-label purity: for each cluster in `assign` (id, cluster),
     * the dominant external label's share — the quality readout a curation
     * pipeline uses to judge whether embedding clusters track a known

@@ -892,6 +892,75 @@ object Multimodal {
     Dedup.clustersOfPairs(
       binaryNearDupPairs(df, idCol, payloadCol, chunkBytes, maxDist))
 
+  /** dHash perceptual fingerprint over RAWG raw-bitmap payloads (r19 —
+    * the content-aware image near-dup m4/m6's byte-level simhash cannot
+    * give: re-encoded or brightness-shifted images share NO bytes but DO
+    * share gradient signs). Payload format "RAWG": 4 magic bytes, BE16
+    * width, BE16 height, then width·height row-major 8-bit gray pixels —
+    * the uncompressed bitmap class, so no codec runs anywhere. The
+    * fingerprint is the classic dHash (resize to 9×8, compare horizontal
+    * neighbors): sample positions x_k = (k·w) div 9, y_r = (r·h) div 8
+    * read nearest-neighbor single bytes off the stored grid, and bit
+    * (r·8 + k) is set when px(r, k) < px(r, k+1). A uniform brightness
+    * shift cancels in every comparison; a small translation of smooth
+    * content keeps the gradient signs — the collisions PipelineSpec pins
+    * by hand. 72 single-byte reads per payload, each staged in its own
+    * aliased column (the videoMeta single-eval discipline) — map-only,
+    * ONE payload touch, exact integers end to end.
+    *
+    * Returns (id, dhash): NULL for payloads that are not RAWG, shorter
+    * than the declared grid, or degenerate (w < 9 or h < 8 — fewer
+    * pixels than sample points).
+    */
+  def dHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    val staged = df.select(col(idCol).as("id"), p.as("__p"),
+        beUInt(p, lit(5L), 2).as("__w"), beUInt(p, lit(7L), 2).as("__h"))
+      .withColumn("__ok",
+        beUInt(col("__p"), lit(1L), 4) === lit(0x52415747L) &&
+          col("__w") >= 9L && col("__h") >= 8L &&
+          length(col("__p")).cast("long") >= lit(8L) + col("__w") * col("__h"))
+    val pxCols = for (r <- 0 until 8; k <- 0 to 8) yield
+      beUInt(col("__p"), lit(9L) +
+          expr(s"(($r * __h) div 8) * __w + (($k * __w) div 9)"), 1)
+        .as(s"__px_${r}_$k")
+    val withPx = staged.select(
+      (Seq(col("id"), col("__ok")) ++ pxCols).toIndexedSeq: _*)
+    // bitwise OR, not +: bit 63 (r = 7, k = 7) is Long.MinValue, and an
+    // ANSI arithmetic sum would overflow where the OR is just bits
+    val fp = (for (r <- 0 until 8; k <- 0 until 8) yield
+      when(col(s"__px_${r}_$k") < col(s"__px_${r}_${k + 1}"),
+        lit(1L << (r * 8 + k))).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    withPx.select(col("id"), when(col("__ok"), fp).as("dhash"))
+  }
+
+  /** Perceptual near-duplicate pairs over the 64-bit dHash: 4 fixed
+    * 16-bit bands bucket the candidates (pigeonhole: any pair at Hamming
+    * ≤ 3 shares at least one intact band), exact distance =
+    * bit_count(xor) filters. Non-RAWG payloads (NULL dhash) never pair.
+    * Same 100 TB posture as the m4 byte variant — banded candidates,
+    * never all-pairs. One row per pair: (a, b, hamming), a < b.
+    */
+  def dHashNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      s"dHashNearDupPairs: 4 bands guarantee recall only for maxDist < 4, " +
+        s"got $maxDist")
+    val sig = dHash(df, idCol, payloadCol).where(col("dhash").isNotNull)
+    val bk = sig.select(col("id"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bits",
+        expr("shiftright(dhash, CAST(band * 16 AS INT)) & 65535"))
+    bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        expr("CAST(bit_count(x.dhash ^ y.dhash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Demo pipeline over documents: treat text bytes as a fake media payload,
     * decode, and aggregate per source — exercises binary columns end-to-end.
     * Pure column expressions (codegen'd); the mapPartitions plumbing in

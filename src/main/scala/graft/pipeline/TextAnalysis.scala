@@ -385,6 +385,40 @@ object TextAnalysis {
         ((col("cum") - col("n_tokens")) % lit(seqLen)).as("seq_offset"))
   }
 
+  /** Training-corpus emit manifest (r19 — the pipeline's actual LAST
+    * step, priced end-to-end): mixture-sample the corpus
+    * ([[sampleByMixture]]'s deterministic h60 rate draw), pack the
+    * survivors into fixed-token training sequences ([[packSequences]]'s
+    * (source, shard)-confined cumulative window), and reduce to the
+    * per-(source, shard) manifest a trainer consumes: n_docs, n_seqs,
+    * n_tokens and an ORDER-INDEPENDENT content digest —
+    * bit_xor of h60("id|seq_id|seq_offset") — so equality of manifests
+    * proves byte-identical shard content without any global sort (XOR
+    * commutes; a LONG sum of 2^60-class hashes would overflow).
+    *
+    * Scale shape: the corpus scan never shuffles for the sample (tiny
+    * broadcast plan + partition-local predicate); the ONLY data-sized
+    * exchange keys on (source, shard) for the packing window, and the
+    * manifest aggregate reuses that partitioning (no second exchange) —
+    * PlanAuditSpec pins exactly this. The write side is the same
+    * relation `.write.partitionBy("source", "shard")` — the manifest is
+    * the receipt to check that write against.
+    */
+  def emitManifest(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budget: Long, seqLen: Long,
+      nShards: Int = 64): DataFrame = {
+    val packed = packSequences(
+        sampleByMixture(df, idCol, sourceCol, textCol, budget),
+        idCol, sourceCol, textCol, seqLen, nShards)
+      .withColumn("__h", TextHash.h60(
+        concat_ws("|", col("id"), col("seq_id"), col("seq_offset"))))
+    packed.groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("seq_id")) + 1L).as("n_seqs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        expr("bit_xor(__h)").cast("long").as("digest"))
+  }
+
   /** PII scrubbing: replace emails and phone-number-shaped digit runs with
     * typed placeholder tokens, and count what was found. Pure codegen'd
     * regexp expressions (RE2-compatible so the DuckDB oracle applies the
@@ -673,6 +707,83 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("rarity"))
   }
 
+  /** Corpus-bigram interpolated rarity — the LM-quality signal one step
+    * past [[unigramRarity]]'s unigram model (the CCNet/KenLM filtering
+    * shape with the corpus as its own interpolated bigram model). Each
+    * in-document bigram u→v scores the exact integer inverse of the
+    * per-mille-interpolated probability
+    * p = (λ·c(uv)/c(u·) + (1000−λ)·c(v)/T) / 1000 — put over the common
+    * denominator, the weight is ONE positive-integer division
+    * w(u,v) = (1000·S·c(u·)·T) div (λ·c(uv)·T + (1000−λ)·c(v)·c(u·)),
+    * so w ≈ S/p exactly on both engines (positive operands: Spark `div`
+    * ≡ DuckDB `//`; the t17 rarity convention — after r10/r11 proved
+    * ln-derived hashed integers diverge on an unknown oracle host, rare
+    * stays an integer reciprocal, never a transcendental). The unigram
+    * floor is what makes unseen-in-context bigrams score sanely: a
+    * common word after a novel predecessor is cheap, a rare word is
+    * expensive everywhere — the standard Jelinek-Mercer backoff shape.
+    *
+    * Returns one row per input document:
+    * (doc_id, n_bigrams, bigram_rarity = Σ k·w) — docs under 2 tokens
+    * carry (0, 0). Low rarity = fluent in-corpus wording; high = garbled
+    * or out-of-domain. Feeds [[qualityFilter]]'s optional bigram cap.
+    *
+    * Overflow envelope (loud, the pivotStress convention): the weight
+    * numerator c(u·)·T·1000·S must fit LONG — try_multiply + raise_error
+    * fires past ~3·10^6 corpus tokens at the default S = 1000; shard the
+    * corpus model or lower S past that. Per-doc sums are bounded by
+    * n_bigrams·1000·S·T/(1000−λ): ≥ 9·10^5 worst-case bigrams per doc
+    * before LONG wraps — far beyond pre-chunked training documents.
+    *
+    * Scale shape: doc/bigram/prefix/unigram aggregates, all map-side
+    * combinable; T rides the plan as a broadcast 1-row aggregate; the
+    * weight relation is |distinct bigrams| rows joined back on (u, v).
+    */
+  def bigramRarity(df: DataFrame, idCol: String, textCol: String,
+      lambdaPermille: Int = 700, s: Long = 1000L): DataFrame = {
+    import graft.pipeline.TextHash.tokens
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"bigramRarity: lambdaPermille $lambdaPermille must be 0..1000")
+    require(s >= 1, s"bigramRarity: scale $s must be >= 1")
+    val lam = lambdaPermille.toLong
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("ts"))
+    val db = toks.where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.u").as("u"), col("bg.v").as("v"))
+      .agg(count(lit(1)).as("k"))
+    val cb = db.groupBy(col("u"), col("v")).agg(sum(col("k")).as("cuv"))
+    val cu = cb.groupBy(col("u")).agg(sum(col("cuv")).as("cu"))
+    val cv = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = cv.agg(sum(col("cnt")).as("total"))
+    val w = cb.join(cu, "u")
+      .join(cv.select(col("tok").as("v"), col("cnt")), "v")
+      .crossJoin(broadcast(total))
+      .select(col("u"), col("v"),
+        expr(s"coalesce(try_multiply(try_multiply(cu, total), " +
+          s"CAST(${1000L * s} AS BIGINT)), raise_error(" +
+          "'bigramRarity: weight numerator exceeds the LONG domain - " +
+          "shard the corpus model or lower the scale')) div " +
+          s"(CAST($lam AS BIGINT) * coalesce(try_multiply(cuv, total), " +
+          "raise_error('bigramRarity: cuv*T exceeds the LONG domain')) + " +
+          s"CAST(${1000L - lam} AS BIGINT) * " +
+          "coalesce(try_multiply(cnt, cu), raise_error(" +
+          "'bigramRarity: cnt*cu exceeds the LONG domain')))").as("w"))
+    val scored = db.join(w, Seq("u", "v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("n_bigrams"),
+        sum(col("k") * col("w")).cast("long").as("bigram_rarity"))
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bigram_rarity"), lit(0L)).as("bigram_rarity"))
+  }
+
   /** Content fingerprint: h32 of the normalized text (exact-dup detector),
     * plus a min-shingle-hash (stable under small edits — rolling-hash
     * style document signature).
@@ -827,6 +938,12 @@ object TextAnalysis {
     * documents drop. Returns one row per document:
     * (doc_id, n_tokens, rarity, n_pii, n_urls, fail_mask, keep).
     *
+    * `bigramCap` (r19, optional — None leaves the plan and output
+    * byte-identical to the priced t22 shape) upgrades the rarity signal
+    * with [[bigramRarity]]'s interpolated bigram model: bit 64 fires
+    * when bigram_rarity div n_bigrams exceeds the cap (docs under 2
+    * tokens have no bigrams and never fire it).
+    *
     * Scale shape: two map-only passes (signals + PII chain) plus the
     * t17 rarity join (doc/token aggregates, broadcast total) — every
     * aggregate map-side combinable; the verdict itself is a projection.
@@ -836,7 +953,7 @@ object TextAnalysis {
   def qualityFilter(df: DataFrame, idCol: String, textCol: String,
       minTokens: Long, maxTokens: Long, alphaPermille: Long,
       dupTriPermille: Long, rarityPerTokenCap: Long, maxPii: Long,
-      maxUrls: Long): DataFrame = {
+      maxUrls: Long, bigramCap: Option[Long] = None): DataFrame = {
     import graft.pipeline.TextHash.{tokens, shingles}
     val rare = unigramRarity(df, idCol, textCol) // (doc_id, n_tokens, rarity)
     val pii = redactPiiExtended(
@@ -855,8 +972,19 @@ object TextAnalysis {
       size(array_distinct(tri)).cast("long").as("nd_tri"),
       size(regexp_extract_all(t, lit(urlHostPattern), lit(1))).cast("long")
         .as("n_urls"))
-    base.join(rare, "doc_id").join(pii, "doc_id")
+    val withBigram = bigramCap match {
+      case None => base.join(rare, "doc_id").join(pii, "doc_id")
+        .withColumn("__bg_fail", lit(0L))
+      case Some(cap) => base.join(rare, "doc_id").join(pii, "doc_id")
+        .join(bigramRarity(df, idCol, textCol), "doc_id")
+        .withColumn("__bg_fail",
+          when(col("n_bigrams") > 0L &&
+            expr("bigram_rarity div n_bigrams") > cap, lit(64L))
+            .otherwise(lit(0L)))
+    }
+    withBigram
       .withColumn("fail_mask",
+        col("__bg_fail") +
         when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens,
           lit(1L)).otherwise(lit(0L)) +
         when(col("alpha_chars") * 1000L < col("total_chars") * alphaPermille,

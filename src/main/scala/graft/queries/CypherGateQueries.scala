@@ -356,6 +356,19 @@ object CypherGateQueries {
         |RETURN start_id, walk, step, id
         |ORDER BY walk, step""".stripMargin),
 
+    // Biased node2vec walks through the CALL surface (r19, the r18
+    // verdict's #4 ask — the 5-arg form was spec-tested but not
+    // gate-priced): the cy30 budget exactly (customer 1, 2 walks × 6
+    // steps) with the g55 bias (p = 2, q = 3), so the twin's cost
+    // surplus over cy30 IS the bias machinery's price on the session
+    // graph. Oracle = the g55 unrolled replica-argmin CTEs
+    // parameterized to this start.
+    "cy55_call_walks_biased" -> cy(
+      """CALL graft.walks(281474976710657, 2, 6, 2, 3)
+        |YIELD start_id, walk, step, id
+        |RETURN start_id, walk, step, id
+        |ORDER BY walk, step""".stripMargin),
+
     // CALL { } subqueries (r8): the correlated-aggregate form — one row
     // per outer nation, empty invocations surviving with count 0 / NULL
     // max (the left-outer + fill path) — and the multiplying form (each
@@ -1079,6 +1092,8 @@ object CypherGateQueries {
          |WHERE out_degree > 20
          |ORDER BY id""".stripMargin,
     "cy30_call_walks" -> GraphQueries.walkOracle("c_custkey = 1", 2, 6),
+    "cy55_call_walks_biased" ->
+      GraphQueries.node2vecOracle("c_custkey = 1", 2, 6, 2, 3),
     "cy33_exists_subquery" ->
       """SELECT n_name AS nation FROM nation
         |WHERE EXISTS (SELECT 1 FROM supplier

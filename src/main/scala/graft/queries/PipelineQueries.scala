@@ -220,6 +220,15 @@ object PipelineQueries {
       TextAnalysis.unigramRarity(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Bigram interpolated rarity (r19, the r18 verdict's #3 ask): the
+    // LM-quality signal one step past t17's unigram — per-doc Σ k·w with
+    // w the exact integer inverse of the per-mille-interpolated bigram
+    // probability (λ = 700‰ against the unigram floor). Pure integers,
+    // fully hash-checked; the overflow guards are loud (pivotStress).
+    "t23_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.bigramRarity(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "m1_multimodal" -> ((s, dir) =>
       Multimodal.featureStats(docs(s, dir))
         .orderBy(col("source"))),
@@ -352,6 +361,37 @@ object PipelineQueries {
           docs(s, dir).withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload", 16, 3)
         .orderBy(col("a"), col("b"))),
+
+    // Perceptual image near-dup (r19, the r18 verdict's #5 ask — m4/m6's
+    // byte simhash misses re-encoded images): RAWG raw-bitmap payloads
+    // crafted from doc_id arithmetic — group g = doc_id div 50 fixes the
+    // grid (w, h) and gradient pattern; CLEAN docs (doc_id % 10 < 2)
+    // carry only the group pattern plus a per-doc BRIGHTNESS base, which
+    // dHash's neighbor comparisons cancel, so clean same-group docs
+    // collide at hamming 0 while dirty docs mix doc_id into the pattern;
+    // doc_id % 7 == 3 stays raw text (NULL dhash, never pairs). The
+    // oracle replays the sample-position arithmetic identity (the m3
+    // convention) — any misread offset or sampling slip breaks the hash.
+    "m11_image_neardup" -> ((s, dir) => {
+      val g = expr("doc_id div 50")
+      val w = (g % 7 + 18).cast("long")
+      val h = (g % 5 + 16).cast("long")
+      val m1 = (g % 5 + 2) +
+        when(expr("doc_id % 10") < 2, lit(0L)).otherwise(expr("doc_id % 13 + 1"))
+      val m2 = g % 3 + 1
+      val bb = expr("doc_id % 40")
+      val body = unhex(array_join(transform(sequence(lit(0L), w * h - 1),
+        i => lpad(hex((((i % w) * m1 + (i / w).cast("long") * m2) % 23) * 8
+          + bb), 2, "0")), ""))
+      val rawg = concat(lit("RAWG").cast("binary"),
+        unhex(lpad(hex(w), 4, "0")), unhex(lpad(hex(h), 4, "0")), body)
+      val payload = when(col("doc_id") % 7 === 3, col("text").cast("binary"))
+        .otherwise(rawg)
+      Multimodal.dHashNearDupPairs(
+          docs(s, dir).select(col("doc_id"), payload.as("payload")),
+          "doc_id", "payload", 3)
+        .orderBy(col("a"), col("b"))
+    }),
 
     // Binary near-dup clusters (r15): m4's pairs through distributed
     // connected components with a min-id survivor — the d7 clustering
@@ -591,6 +631,32 @@ object PipelineQueries {
           5)
         .orderBy(col("pid"))),
 
+    // IVFADC (r19, the r18 verdict's #2 ask): the IVF coarse quantizer
+    // routes vectors to 8 lists, PQ encodes RESIDUALS (4 subspaces ×
+    // 8 codes), probes scan their 2 nearest lists and rank by integer
+    // ADC — the Jégou et al. composition lifting e14's unrouted-PQ
+    // recall at bounded probe cost. All integers; fully hash-checked.
+    "e15_ivfadc_topk" -> ((s, dir) =>
+      Clustering.ivfadcTopK(embs(s, dir), "vec_id", "embedding",
+          Seq(0L, 1L, 2L), 10, nLists = 8, nProbe = 2, m = 8, kCodes = 16)
+        .orderBy(col("pid"), col("rank"))),
+
+    // measured IVFADC quality (the e14 pattern): recall@5 of the FULL
+    // search — ADC shortlist (top-64) + exact re-rank, the paper's
+    // IVFADC+R — vs brute-force cosine. Sits at the 2-of-8-list routing
+    // ceiling (1.0/1.0/0.6 at sf0.01), strictly above e14's unrouted
+    // 0.2–0.4 while touching raw vectors for only 64 of ~125 scanned
+    // candidates per probe; deterministic both sides, oracle-checked
+    "e16_ivfadc_recall" -> ((s, dir) =>
+      Similarity.recallAtK(
+          Clustering.ivfadcTopK(embs(s, dir), "vec_id", "embedding",
+            Seq(0L, 1L, 2L), 5, nLists = 8, nProbe = 2, m = 8, kCodes = 16,
+            rerank = 64),
+          Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
+            Seq(0L, 1L, 2L), 5),
+          5)
+        .orderBy(col("pid"))),
+
     // measured ANN quality: recall@5 of the LSH search vs brute force —
     // deterministic on both sides, so the number itself is oracle-checked
     "e3_ann_recall" -> ((s, dir) =>
@@ -674,6 +740,18 @@ object PipelineQueries {
       TextAnalysis.packSequences(docs(s, dir), "doc_id", "source", "text", 128L, 4)
         .orderBy(col("source"), col("shard"), col("id"))
         .limit(30)),
+
+    // Training-corpus emit manifest (r19, the r18 verdict's #6 ask — the
+    // pipeline's last step, previously unpriced end-to-end): t9's mixture
+    // sample -> t10's packing -> the per-(source, shard) receipt a
+    // trainer consumes (n_docs, n_seqs, n_tokens, bit_xor h60 digest —
+    // order-independent, so NO global sort exists anywhere; PlanAudit
+    // pins the single (source, shard) exchange). Lives here (not
+    // ExtraQueries) to share the t9/t10 oracle builders.
+    "x39_emit_manifest" -> ((s, dir) =>
+      TextAnalysis.emitManifest(docs(s, dir), "doc_id", "source", "text",
+          1000000L, 128L, 4)
+        .orderBy(col("source"), col("shard"))),
 
     // PII scrubbing: every 5th doc gets a deterministic injected email +
     // phone; the per-source checksum over the redacted text proves the
@@ -990,6 +1068,144 @@ object PipelineQueries {
        |  FROM pq_af f JOIN pq_lut l ON l.sub = f.sub AND l.code = f.cl
        |  WHERE f.id <> l.pid
        |  GROUP BY l.pid, f.id)""".stripMargin
+  }
+
+  /** The IVFADC CTE chain (r19): a coarse exact-grid k-means (k = nLists,
+    * the kmeansUnrollCtes machinery) routes vectors to lists; residuals
+    * vs the OWN list centroid (re-offset +2·10^7 so every value stays
+    * positive and // ≡ div) feed the grouped per-subspace PQ unroll (the
+    * pqCtes machinery on residuals); probes route to their nProbe
+    * nearest lists, build a per-(list, sub, code) residual LUT, and the
+    * ADC sum joins on (list, sub, code) — candidates OUTSIDE the probed
+    * lists never appear, the IVF confinement. Leaves
+    * `iva_adc(pid, cid, adc)` in scope for the caller's ranking tail.
+    */
+  private def ivfadcCtes(nLists: Int, nProbe: Int, m: Int, kCodes: Int,
+      iters: Int, probes: String): String = {
+    // full-vector squared distance (coarse), BIGINT-pinned
+    def cdst(p: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($p.xq) + 1), i -> " +
+        s"($p.xq[i] - $c.cq[i]) * ($p.xq[i] - $c.cq[i]))) AS BIGINT)"
+    def cAssign(a: String, cPrev: String): String =
+      s"""$a AS MATERIALIZED (
+         |  SELECT id, cl, dist FROM (
+         |    SELECT id, cl, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cl) AS rk
+         |    FROM (SELECT p.id, c.cl, ${cdst("p", "c")} AS dist
+         |          FROM iva_pts p CROSS JOIN $cPrev c))
+         |  WHERE rk = 1)""".stripMargin
+    def cUpdate(c: String, a: String): String =
+      s"""$c AS MATERIALIZED (
+         |  SELECT cl, list(cqd ORDER BY i) AS cq FROM (
+         |    SELECT a.cl, t.i,
+         |      CAST((2 * CAST(SUM(p.xq[t.i]) AS BIGINT) + COUNT(*))
+         |           // (2 * COUNT(*)) AS BIGINT) AS cqd
+         |    FROM $a a JOIN iva_pts p USING (id)
+         |    CROSS JOIN (SELECT unnest(range(1, nd + 1)) AS i FROM iva_dims) t
+         |    GROUP BY a.cl, t.i)
+         |  GROUP BY cl)""".stripMargin
+    val cRounds = (1 to iters).map(r =>
+      cAssign(s"iva_a$r", s"iva_c${r - 1}") + ",\n" +
+        cUpdate(s"iva_c$r", s"iva_a$r")).mkString(",\n")
+    // subvector squared distance (PQ, on residuals), BIGINT-pinned
+    def rdst(p: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($p.xq) + 1), i -> " +
+        s"($p.xq[i] - $c.cq[i]) * ($p.xq[i] - $c.cq[i]))) AS BIGINT)"
+    def rAssign(a: String, cPrev: String): String =
+      s"""$a AS MATERIALIZED (
+         |  SELECT sub, id, list, cl, dist FROM (
+         |    SELECT sub, id, list, cl, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY sub, id ORDER BY dist, cl) AS rk
+         |    FROM (SELECT p.sub, p.id, p.list, c.cl, ${rdst("p", "c")} AS dist
+         |          FROM iva_rpts p JOIN $cPrev c ON c.sub = p.sub))
+         |  WHERE rk = 1)""".stripMargin
+    def rUpdate(c: String, a: String): String =
+      s"""$c AS MATERIALIZED (
+         |  SELECT sub, cl, list(cqd ORDER BY i) AS cq FROM (
+         |    SELECT a.sub, a.cl, t.i,
+         |      CAST((2 * CAST(SUM(p.xq[t.i]) AS BIGINT) + COUNT(*))
+         |           // (2 * COUNT(*)) AS BIGINT) AS cqd
+         |    FROM $a a JOIN iva_rpts p ON p.sub = a.sub AND p.id = a.id
+         |    CROSS JOIN (SELECT unnest(range(1, sd + 1)) AS i FROM iva_dims) t
+         |    GROUP BY a.sub, a.cl, t.i)
+         |  GROUP BY sub, cl)""".stripMargin
+    val rRounds = (1 to iters).map(r =>
+      rAssign(s"iva_ra$r", s"iva_rc${r - 1}") + ",\n" +
+        rUpdate(s"iva_rc$r", s"iva_ra$r")).mkString(",\n")
+    // probe residual element i inside subspace s.sub of list cc: the
+    // LUT distance term (probe re-offset minus codebook entry)
+    val sd = s"(len(p.xq) // $m)"
+    val lutTerm =
+      s"(p.xq[s.sub * $sd + i] - cc.cq[s.sub * $sd + i] + 20000000 - c2.cq[i])"
+    s"""iva_dims AS (SELECT CAST(MAX(len(embedding)) AS BIGINT) AS nd,
+       |  CAST(MAX(len(embedding)) AS BIGINT) // $m AS sd FROM embeddings),
+       |iva_nrm AS (
+       |  SELECT vec_id, embedding,
+       |    greatest(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+       |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))), 1e-30) AS nrm
+       |  FROM embeddings),
+       |iva_pts AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(range(1, len(embedding) + 1), i ->
+       |      CAST(floor((embedding[i]::DOUBLE / nrm) * 1000000.0 + 0.5)
+       |        AS BIGINT) + 10000000) AS xq
+       |  FROM iva_nrm),
+       |iva_c0 AS (SELECT id AS cl, xq AS cq FROM iva_pts ORDER BY id LIMIT $nLists),
+       |$cRounds,
+       |${cAssign("iva_af", s"iva_c$iters")},
+       |iva_rpts AS MATERIALIZED (
+       |  SELECT s.sub, a.id, a.cl AS list,
+       |    list_transform(range(1, $sd + 1), i ->
+       |      p.xq[s.sub * $sd + i] - c.cq[s.sub * $sd + i] + 20000000) AS xq
+       |  FROM iva_af a JOIN iva_pts p USING (id)
+       |  JOIN iva_c$iters c ON c.cl = a.cl
+       |  CROSS JOIN (SELECT UNNEST(range(0, $m)) AS sub) s),
+       |iva_rc0 AS (SELECT sub, id AS cl, xq AS cq FROM (
+       |  SELECT sub, id, xq,
+       |    ROW_NUMBER() OVER (PARTITION BY sub ORDER BY id) AS rn
+       |  FROM iva_rpts) z WHERE rn <= $kCodes),
+       |$rRounds,
+       |${rAssign("iva_raf", s"iva_rc$iters")},
+       |iva_pr AS (
+       |  SELECT pid, list FROM (
+       |    SELECT pid, list, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist, list) AS rk
+       |    FROM (SELECT p.id AS pid, c.cl AS list, ${cdst("p", "c")} AS dist
+       |          FROM iva_pts p CROSS JOIN iva_c$iters c
+       |          WHERE p.id IN ($probes)))
+       |  WHERE rk <= $nProbe),
+       |iva_lut AS (
+       |  SELECT r.pid, r.list, s.sub, c2.cl AS code,
+       |    CAST(list_sum(list_transform(range(1, $sd + 1), i ->
+       |      $lutTerm * $lutTerm)) AS BIGINT) AS dist
+       |  FROM iva_pr r
+       |  JOIN iva_pts p ON p.id = r.pid
+       |  JOIN iva_c$iters cc ON cc.cl = r.list
+       |  CROSS JOIN (SELECT UNNEST(range(0, $m)) AS sub) s
+       |  JOIN iva_rc$iters c2 ON c2.sub = s.sub),
+       |iva_adc AS (
+       |  SELECT l.pid, f.id AS cid, CAST(SUM(l.dist) AS BIGINT) AS adc
+       |  FROM iva_raf f
+       |  JOIN iva_lut l ON l.list = f.list AND l.sub = f.sub AND l.code = f.cl
+       |  WHERE f.id <> l.pid
+       |  GROUP BY l.pid, f.id)""".stripMargin
+  }
+
+  /** The m11 dHash fingerprint unrolled (r19): 64 neighbor comparisons at
+    * the sample positions x_k = (k·w) // 9, y_r = (r·h) // 8, each pixel
+    * the crafted-pattern arithmetic identity, bits OR-folded (bit 63 via
+    * the two-term min-long literal — DuckDB rejects 1 << 63). Expects
+    * w, h, m1, m2, bb in scope.
+    */
+  private def dhashFpSql: String = {
+    def px(r: Int, k: Int): String =
+      s"((((($k * w) // 9) * m1 + (($r * h) // 8) * m2) % 23) * 8 + bb)"
+    (for (r <- 0 until 8; k <- 0 until 8) yield {
+      val bit =
+        if (r * 8 + k == 63) "(-9223372036854775807 - 1)"
+        else s"CAST(${1L << (r * 8 + k)} AS BIGINT)"
+      s"(CASE WHEN ${px(r, k)} < ${px(r, k + 1)} THEN $bit ELSE 0::BIGINT END)"
+    }).mkString(" | ")
   }
 
   /** The engine's Luhn HOF fold unrolled at the candidate's fixed 16
@@ -1378,6 +1594,44 @@ object PipelineQueries {
          |  CAST(SUM(w.w * dt.k) AS BIGINT) AS rarity
          |FROM dt JOIN w USING (tok) GROUP BY dt.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // the bigramRarity plan replayed: doc bigram multiplicities via
+    // adjacent-pair unnest, corpus bigram/prefix/unigram counts, the
+    // common-denominator integer weight (1000·S·c(u·)·T) //
+    // (λ·c(uv)·T + (1000−λ)·c(v)·c(u·)) with λ = 700, S = 1000 — every
+    // aggregate pinned BIGINT, `//` ≡ Spark `div` on positive operands,
+    // docs under 2 tokens carried at (0, 0) by the left join
+    "t23_bigram_nll" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ts[i] AS u, ts[i + 1] AS v
+         |  FROM tk, UNNEST(range(1, len(ts))) AS r(i)
+         |  WHERE len(ts) >= 2),
+         |db AS (SELECT doc_id, u, v, CAST(COUNT(*) AS BIGINT) AS k
+         |       FROM bg GROUP BY doc_id, u, v),
+         |cb AS (SELECT u, v, CAST(SUM(k) AS BIGINT) AS cuv
+         |       FROM db GROUP BY u, v),
+         |cu AS (SELECT u, CAST(SUM(cuv) AS BIGINT) AS cu
+         |       FROM cb GROUP BY u),
+         |cv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |         SELECT unnest(ts) AS tok FROM tk) GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cv),
+         |w AS (
+         |  SELECT cb.u, cb.v,
+         |    CAST((CAST(1000000 AS BIGINT) * cu.cu * t.total) //
+         |      (CAST(700 AS BIGINT) * cb.cuv * t.total +
+         |       CAST(300 AS BIGINT) * cv.cnt * cu.cu) AS BIGINT) AS w
+         |  FROM cb JOIN cu USING (u) JOIN cv ON cv.tok = cb.v
+         |  CROSS JOIN tot t),
+         |sc AS (
+         |  SELECT db.doc_id, CAST(SUM(db.k) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(db.k * w.w) AS BIGINT) AS bigram_rarity
+         |  FROM db JOIN w ON w.u = db.u AND w.v = db.v
+         |  GROUP BY db.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(sc.bigram_rarity, 0) AS BIGINT) AS bigram_rarity
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // same 4x256 counter construction: bucket = h32(r || '|' || tok) mod
     // 256, estimate = MIN over the 4 rows' counters; casts pin BIGINT
     "t18_countmin" -> {
@@ -1606,6 +1860,28 @@ object PipelineQueries {
          |FROM sig x JOIN sig y ON x.id < y.id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+    "m11_image_neardup" ->
+      // the dHash sample-position arithmetic identity (the m3 replay
+      // convention): pixels never materialize — the oracle computes each
+      // sampled pixel from the crafting formula, OR-folds the 64
+      // comparison bits, and goes all-pairs (4-band pigeonhole makes the
+      // engine's banded recall complete at hamming <= 3, the m4 argument)
+      s"""WITH p2 AS (
+         |  SELECT doc_id, doc_id // 50 AS g FROM documents
+         |  WHERE doc_id % 7 <> 3),
+         |pr AS (
+         |  SELECT doc_id,
+         |    18 + g % 7 AS w, 16 + g % 5 AS h,
+         |    (g % 5 + 2) + (CASE WHEN doc_id % 10 < 2 THEN 0
+         |                        ELSE doc_id % 13 + 1 END) AS m1,
+         |    g % 3 + 1 AS m2, doc_id % 40 AS bb
+         |  FROM p2),
+         |fp AS (SELECT doc_id AS id, $dhashFpSql AS dhash FROM pr)
+         |SELECT x.id AS a, y.id AS b,
+         |  CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+         |FROM fp x JOIN fp y ON x.id < y.id
+         |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
     "d9_curation" -> {
       val votes = TextAnalysis.stopwords.map { case (lang, words) =>
         val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1752,6 +2028,38 @@ object PipelineQueries {
          |    SELECT pid, cid,
          |      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY adc, cid) AS rank
          |    FROM pq_adc) z
+         |  WHERE rank <= 5),
+         |$recallTailSql""".stripMargin,
+    // the IVFADC chain: coarse route -> residual PQ -> list-confined ADC,
+    // ranked (adc ASC, cid) per probe — every hashed column an integer
+    "e15_ivfadc_topk" ->
+      s"""WITH ${ivfadcCtes(8, 2, 8, 16, 2, "0, 1, 2")},
+         |ranked AS (
+         |  SELECT pid, cid, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY adc, cid) AS rank
+         |  FROM iva_adc)
+         |SELECT pid, rank, cid, adc FROM ranked WHERE rank <= 10
+         |ORDER BY pid, rank""".stripMargin,
+    // the e3 recall tail over the FULL IVFADC+R search: ADC top-64
+    // shortlist, exact-cosine re-rank, top-5
+    "e16_ivfadc_recall" ->
+      s"""WITH ${ivfadcCtes(8, 2, 8, 16, 2, "0, 1, 2")},
+         |$exactTop5Cte,
+         |shortl AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT pid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY adc, cid) AS ar
+         |    FROM iva_adc) z
+         |  WHERE ar <= 64),
+         |ap AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT sl.pid, sl.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY sl.pid
+         |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC,
+         |          sl.cid) AS rank
+         |    FROM shortl sl
+         |    JOIN embeddings p ON p.vec_id = sl.pid
+         |    JOIN embeddings c ON c.vec_id = sl.cid) z
          |  WHERE rank <= 5),
          |$recallTailSql""".stripMargin,
     "e3_ann_recall" ->
@@ -1932,6 +2240,44 @@ object PipelineQueries {
          |  CAST((cum - n_tokens) // 128 AS BIGINT) AS seq_id,
          |  CAST((cum - n_tokens) % 128 AS BIGINT) AS seq_offset
          |FROM c ORDER BY source, shard, id LIMIT 30""".stripMargin,
+    // the t9 sample chain feeding the t10 packing chain, reduced to the
+    // per-shard manifest — COUNT/MAX/SUM plus the commutative bit_xor
+    // h60 digest, every aggregate BIGINT-pinned
+    "x39_emit_manifest" ->
+      s"""WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
+         |ps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens
+         |       FROM t GROUP BY source),
+         |f AS (SELECT source, total_tokens,
+         |        CAST(floor(sqrt(total_tokens)) AS BIGINT) AS fs FROM ps),
+         |s AS (SELECT CAST(SUM(fs) AS BIGINT) AS sum_fs FROM f),
+         |a AS (SELECT source, total_tokens,
+         |        (1000000 * fs) // sum_fs AS alloc FROM f, s),
+         |kept AS (
+         |  SELECT d.source, d.doc_id, d.text
+         |  FROM documents d JOIN a USING (source)
+         |  WHERE (${h60Sql("CAST(doc_id AS VARCHAR)")} % total_tokens) < alloc),
+         |pk AS (
+         |  SELECT source,
+         |    ${h32Sql("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+         |    doc_id AS id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM kept),
+         |c AS (
+         |  SELECT source, shard, id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pk),
+         |pc AS (
+         |  SELECT source, shard, id, n_tokens,
+         |    CAST((cum - n_tokens) // 128 AS BIGINT) AS seq_id,
+         |    CAST((cum - n_tokens) % 128 AS BIGINT) AS seq_offset
+         |  FROM c)
+         |SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(${h60Sql("CAST(id AS VARCHAR) || '|' || " +
+              "CAST(seq_id AS VARCHAR) || '|' || CAST(seq_offset AS VARCHAR)")})
+         |    AS BIGINT) AS digest
+         |FROM pc GROUP BY source, shard ORDER BY source, shard""".stripMargin,
     "t11_redaction" -> {
       val email = TextAnalysis.emailPattern
       val phone = TextAnalysis.phonePattern

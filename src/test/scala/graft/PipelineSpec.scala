@@ -565,6 +565,42 @@ class PipelineSpec extends AnyFunSuite {
       got(15L).toString)
   }
 
+  test("dHash: hand grid, brightness/shift variants collide, distinct don't, guards") {
+    import graft.pipeline.Multimodal
+    def rawg(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] =
+      "RAWG".getBytes ++ Array[Byte]((w >> 8).toByte, w.toByte,
+        (h >> 8).toByte, h.toByte) ++
+        (for (y <- 0 until h; x <- 0 until w) yield px(x, y).toByte).toArray
+    // smooth increasing ramp (columns strictly brighten left to right);
+    // the y fold varies rows without touching horizontal comparisons
+    def base(x: Int, y: Int): Int = x * 5 + (y % 3)
+    val img0 = rawg(18, 16, base)
+    val bright = rawg(18, 16, (x, y) => base(x, y) + 30)
+    val shift = rawg(18, 16, (x, y) => base(x + 1, y))
+    val rev = rawg(18, 16, (x, _) => 120 - x * 5)
+    val tiny = rawg(8, 16, base) // w < 9: fewer pixels than samples
+    val short0 = rawg(18, 16, base).dropRight(5) // truncated grid
+    val txt = "not an image".getBytes
+    val df = Seq((0L, img0), (1L, bright), (2L, shift), (3L, rev),
+      (4L, tiny), (5L, short0), (6L, txt)).toDF("id", "payload")
+    val fps = Multimodal.dHash(df, "id", "payload").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // the ramp sets EVERY bit (including bit 63 — the Long.MinValue OR)
+    assert(fps(0L) == Some(-1L), fps(0L).toString)
+    assert(fps(1L) == fps(0L)) // brightness cancels in every comparison
+    assert(fps(2L) == fps(0L)) // 1-px shift keeps every gradient sign
+    assert(fps(3L) == Some(0L)) // reversed ramp flips all 64 bits
+    assert(java.lang.Long.bitCount(fps(0L).get ^ fps(3L).get) > 3)
+    assert(fps(4L).isEmpty && fps(5L).isEmpty && fps(6L).isEmpty)
+    val pairs = Multimodal.dHashNearDupPairs(df, "id", "payload", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)), pairs)
+    val ex = intercept[IllegalArgumentException](
+      Multimodal.dHashNearDupPairs(df, "id", "payload", 4))
+    assert(ex.getMessage.contains("4 bands"), ex.getMessage)
+  }
+
   test("track dims: moov->trak->tkhd walk, both versions, corrupt/truncated/zero") {
     def hx(s: String): Array[Byte] =
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -1123,6 +1159,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1)._3.toDouble / r(1)._2 > r(0)._3.toDouble / r(0)._2)
   }
 
+  test("bigramRarity: hand corpus, interpolation extremes, short docs, t22 wiring") {
+    // corpus: tokens a×3, b×3 (T = 6); bigrams (a,b)×1, (b,a)×1, (b,b)×1;
+    // prefix counts c(a·) = 1, c(b·) = 2. λ = 700, S = 1000:
+    //   w(a,b) = (10^6·1·6) // (700·1·6 + 300·3·1) = 6e6 // 5100 = 1176
+    //   w(b,a) = (10^6·2·6) // (700·1·6 + 300·3·2) = 12e6 // 6000 = 2000
+    //   w(b,b) = 2000 (same counts as (b,a))
+    val df = Seq((0L, "a b a"), (1L, "a"), (2L, "b b")).toDF("doc_id", "text")
+    def run(lam: Int) = TextAnalysis.bigramRarity(df, "doc_id", "text", lam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(run(700) == Seq((0L, 2L, 1176L + 2000L), (1L, 0L, 0L),
+      (2L, 1L, 2000L)))
+    // λ = 1000: the pure bigram inverse S·c(u·)·T // (1000·c(uv)·T)
+    assert(run(1000) == Seq((0L, 2L, 1000L + 2000L), (1L, 0L, 0L),
+      (2L, 1L, 2000L)))
+    // λ = 0: the unigram floor — w depends only on c(v), so every
+    // bigram into a count-3 token weighs 1000·T // (1000·3) → 2000
+    assert(run(0) == Seq((0L, 2L, 4000L), (1L, 0L, 0L), (2L, 1L, 2000L)))
+    val exL = intercept[IllegalArgumentException](
+      TextAnalysis.bigramRarity(df, "doc_id", "text", 1001))
+    assert(exL.getMessage.contains("lambdaPermille"), exL.getMessage)
+    // t22 wiring: with lenient everything-else, only the bigram cap can
+    // fire — per-bigram rarity d0 = 3176 div 2 = 1588, d2 = 2000; cap
+    // 1600 drops d2 alone (bit 64); the no-bigram doc never fires it
+    val qf = TextAnalysis.qualityFilter(df, "doc_id", "text",
+        0L, 100L, 0L, 1000L, Long.MaxValue, 9L, 9L, bigramCap = Some(1600L))
+      .collect().map(r => (r.getLong(0), r.getLong(5), r.getBoolean(6)))
+      .toSeq.sortBy(_._1)
+    assert(qf == Seq((0L, 0L, true), (1L, 0L, true), (2L, 64L, false)), qf)
+    // default None: byte-identical t22 behavior — everything keeps
+    val qf0 = TextAnalysis.qualityFilter(df, "doc_id", "text",
+        0L, 100L, 0L, 1000L, Long.MaxValue, 9L, 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(5), r.getBoolean(6)))
+      .toSeq.sortBy(_._1)
+    assert(qf0.forall(t => t._2 == 0L && t._3), qf0)
+  }
+
+  test("emitManifest: the manifest is the receipt of the partitioned shard write") {
+    import graft.pipeline.{TextAnalysis, TextHash}
+    val df = Seq((0L, "s1", "a b c"), (1L, "s1", "d e"), (2L, "s1", "f"),
+      (3L, "s2", "g h i j"), (4L, "s2", "k l"), (5L, "s2", "m n o"))
+      .toDF("doc_id", "source", "text")
+    // budget >> corpus tokens: every doc survives the sample, so the
+    // manifest covers the whole corpus deterministically
+    // shard is LONG from the engine but INT when re-read as a partition
+    // directory key — normalize through toString for the set compare
+    val man = TextAnalysis.emitManifest(df, "doc_id", "source", "text",
+        1000000L, 4L, 2).collect()
+      .map(r => (r.getString(0), r.get(1).toString.toInt, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(man.nonEmpty && man.map(t => (t._1, t._2)).size == man.size)
+    // the write a trainer reads: the same packed relation partitioned by
+    // (source, shard); the manifest recomputed FROM THE WRITTEN FILES
+    // must match — the receipt property
+    import org.apache.spark.sql.functions.{col, concat_ws, count, expr, lit, max, sum}
+    val packed = TextAnalysis.packSequences(
+      TextAnalysis.sampleByMixture(df, "doc_id", "source", "text", 1000000L),
+      "doc_id", "source", "text", 4L, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("emit_r19").toString +
+      "/shards"
+    packed.write.partitionBy("source", "shard").parquet(tmp)
+    val reread = spark.read.parquet(tmp)
+      .withColumn("__h", TextHash.h60(
+        concat_ws("|", col("id"), col("seq_id"), col("seq_offset"))))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), (max(col("seq_id")) + 1L).as("n_seqs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        expr("bit_xor(__h)").cast("long").as("digest"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString.toInt, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(reread == man, s"write receipt mismatch:\n$reread\nvs\n$man")
+  }
+
   test("clusterPurity: dominant share, smallest-label tie-break") {
     import graft.pipeline.Clustering
     val assign = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
@@ -1264,6 +1374,75 @@ class PipelineSpec extends AnyFunSuite {
     val ex2 = intercept[IllegalArgumentException](
       Clustering.pqTopK(ragged, "vec_id", "embedding", Seq(0L), 1, 2))
     assert(ex2.getMessage.contains("ragged"), ex2.getMessage)
+  }
+
+  test("ivfadcTopK: list confinement, exact-codebook ADC = exact L2, guards") {
+    import graft.pipeline.Clustering
+    // two well-separated 4-dim groups. Ids 0 and 1 (the coarse init
+    // seeds) land in DIFFERENT groups, so one k-means round separates
+    // them cleanly: list A = {0, 2, 3, 4}, list B = {1, 5, 6, 7}.
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(1.0f, 1.0f, 0.0f, 0.0f),
+      1L -> Seq(-1.0f, -1.0f, 5.0f, 5.0f),
+      2L -> Seq(1.1f, 1.0f, 0.0f, 0.0f), //  d²(0,2) = 0.01
+      3L -> Seq(1.0f, 1.0f, 0.5f, 0.0f), //  d²(0,3) = 0.25
+      4L -> Seq(2.0f, 2.0f, 0.0f, 0.0f), //  d²(0,4) = 2.0
+      5L -> Seq(-1.1f, -1.0f, 5.0f, 5.0f),
+      6L -> Seq(-1.0f, -1.0f, 5.5f, 5.0f),
+      7L -> Seq(-2.0f, -2.0f, 5.0f, 5.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    // kCodes = 8 = |corpus|: every residual subvector seeds its own
+    // codebook entry, so codes quantize EXACTLY and the ADC sum equals
+    // the exact quantized squared L2 (the shared list centroid cancels
+    // in the residual difference) — the ranking is hand-checkable
+    val got = Clustering.ivfadcTopK(df, "vec_id", "embedding",
+        Seq(0L, 1L), k = 10, nLists = 2, nProbe = 1, m = 2, kCodes = 8,
+        iters = 1, unitNorm = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // k = 10 > the 3 same-list candidates: exactly 3 rows per probe —
+    // candidates OUTSIDE the probed list never appear (IVF confinement)
+    val sq = (d: Double) => { val u = math.round(d * 1e6); u * u }
+    assert(got == Seq(
+      (0L, 1, 2L, sq(0.1)), (0L, 2, 3L, sq(0.5)), (0L, 3, 4L, 2 * sq(1.0)),
+      (1L, 1, 5L, sq(0.1)), (1L, 2, 6L, sq(0.5)), (1L, 3, 7L, 2 * sq(1.0))),
+      got.toString)
+    // unitNorm (the default) makes L2 machinery rank by COSINE: vector 4
+    // is PARALLEL to probe 0 (cos = 1), so normalized it quantizes to
+    // the identical grid point — adc 0, rank 1 — where the raw-L2 form
+    // above ranked it LAST; and the rerank > 0 path (exact re-score of
+    // the ADC shortlist) returns the same cosine order
+    for (rr <- Seq(0, 10)) {
+      val nm = Clustering.ivfadcTopK(df, "vec_id", "embedding",
+          Seq(0L), k = 3, nLists = 2, nProbe = 1, m = 2, kCodes = 8,
+          iters = 1, rerank = rr)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      assert(nm.map(_._2) == Seq(4L, 2L, 3L), s"rerank=$rr: $nm")
+      if (rr == 0) assert(nm.head._3 == 0L, nm.toString) // parallel -> adc 0
+    }
+    // guards: nProbe range, non-divisible m, ragged, magnitude
+    val exP = intercept[IllegalArgumentException](
+      Clustering.ivfadcTopK(df, "vec_id", "embedding", Seq(0L), 1,
+        nLists = 2, nProbe = 3))
+    assert(exP.getMessage.contains("nProbe"), exP.getMessage)
+    val exM = intercept[IllegalArgumentException](
+      Clustering.ivfadcTopK(df, "vec_id", "embedding", Seq(0L), 1, m = 3))
+    assert(exM.getMessage.contains("divisible"), exM.getMessage)
+    val ragged = (vecs :+ (8L -> Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val exR = intercept[IllegalArgumentException](
+      Clustering.ivfadcTopK(ragged, "vec_id", "embedding", Seq(0L), 1))
+    assert(exR.getMessage.contains("ragged"), exR.getMessage)
+    // the magnitude guard is a RAW-grid concern: unitNorm (the default)
+    // tames any magnitude by construction, so only the raw form throws
+    val big = (vecs :+ (8L -> Seq(11.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val exB = intercept[IllegalArgumentException](
+      Clustering.ivfadcTopK(big, "vec_id", "embedding", Seq(0L), 1,
+        unitNorm = false))
+    assert(exB.getMessage.contains("magnitude"), exB.getMessage)
+    assert(Clustering.ivfadcTopK(big, "vec_id", "embedding", Seq(0L), 1)
+      .collect().nonEmpty) // normalized: same input is in-domain
   }
 
   test("semDedup: within-cluster near-dups drop to the min-id keeper only") {

@@ -556,6 +556,92 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("e15: IVFADC search is a list-confined broadcast-LUT join, no all-pairs") {
+    // both quantizers trained at construction (literal centroids); the
+    // SEARCH joins the (list, sub, code) index against the broadcast
+    // probe LUT — the e13 pin plus the list confinement key
+    val p = plan("e15_ivfadc_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("g55: the per-step distance-1 edge filter is a broadcast semi-join, never a full-|E| exchange") {
+    // r18's bench fix pinned (r18 VERDICT #7): each step must semi-filter
+    // the adjacency relation by the broadcast prev frontier — a full-|E|
+    // hashpartitioning exchange per step is the 100×-scale regression the
+    // fix removed. Per-step plans hide behind localCheckpoints, so capture
+    // them with a QueryExecutionListener (delivered async — poll to quiesce).
+    import spark.implicits._
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (2L, 1L),
+        (3L, 1L)).toDF("src", "dst")
+      graft.algorithms.RandomWalks.node2vecWalks(edges,
+        Seq(1L).toDF("id"), steps = 3, walksPerStart = 2, p = 2, q = 3)
+        .collect()
+      // quiesce: listener events are async — wait until the captured set
+      // stops growing (bounded at ~10 s)
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100)
+        waited += 1
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      val captured = plans.synchronized(plans.toList)
+      assert(captured.exists(p => p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))),
+        s"no broadcast LeftSemi step plan captured (${captured.size} plans)")
+      // negative pins apply to the STEP plans (the ones that join) and to
+      // their FINAL section only: the one-time adj setup legitimately
+      // shuffles for its distinct, and AQE's toString repeats the
+      // pre-adaptive plan (where the static planner picks sort-merge
+      // before runtime sizes arrive) under "== Initial Plan =="
+      // the regression signature is the marker join shuffling the ADJ
+      // relation on its two keys — hashpartitioning(p_src, p_dst) — or
+      // the frontier join shuffling the edge relation on src; the tiny
+      // prevs.distinct legitimately partitions on p_src ALONE
+      for (p <- captured if p.contains("Join")) {
+        val fin = p.split("== Initial Plan ==").head
+        assert(!fin.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning(p_src#") && l.contains("p_dst#")),
+          s"adjacency relation shuffled on (p_src, p_dst) — the r18 per-step fix regressed:\n$p")
+        assert(!fin.contains("hashpartitioning(src#"),
+          s"edge relation shuffled on src — the frontier join lost its broadcast:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("x39: the emit manifest shuffles once on the shard key, no global sort") {
+    // sample predicate is partition-local behind a broadcast plan join;
+    // the packing window and the manifest aggregate share ONE
+    // (source, shard) exchange; the only range exchange is the gate's
+    // own ORDER BY over the |sources|·nShards-row manifest
+    // count in the FINAL plan only — AQE's toString repeats the whole
+    // tree under "== Initial Plan ==", doubling every textual match
+    val p = plan("x39_emit_manifest")
+    val fin = p.split("== Initial Plan ==").head
+    assert(fin.contains("hashpartitioning(source"), p)
+    val rangeExchanges = fin.linesIterator
+      .count(_.contains("Exchange rangepartitioning"))
+    assert(rangeExchanges <= 1, s"$rangeExchanges range exchanges:\n$p")
+    // the mixture plan's 1-row totals ride a broadcast CROSS join by
+    // design (the t9 shape) — only an unbounded cartesian is forbidden
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("g55/g56: biased walks and Boruvka keep the equi-join-only discipline") {
     for (name <- Seq("g55_node2vec_walks", "g56_boruvka_mst")) {
       val p = plan(name)
