@@ -904,9 +904,17 @@ object Multimodal {
     * (r·8 + k) is set when px(r, k) < px(r, k+1). A uniform brightness
     * shift cancels in every comparison; a small translation of smooth
     * content keeps the gradient signs — the collisions PipelineSpec pins
-    * by hand. 72 single-byte reads per payload, each staged in its own
-    * aliased column (the videoMeta single-eval discipline) — map-only,
-    * ONE payload touch, exact integers end to end.
+    * by hand.
+    *
+    * Plan shape (r19 rework, the slice-early lesson one step further):
+    * the ONE payload-touching projection concatenates the 72 sampled
+    * bytes into a tiny `__s` slice and the payload is never referenced
+    * again — every comparison then reads `__s` at a LITERAL offset, so
+    * the whole fingerprint compiles to small fixed-position byte reads
+    * instead of 72 independent position-computed header parses (the
+    * first cut spent ~3 s per plan in codegen alone). Sample positions
+    * are monotone in (r, k), so a payload cut mid-grid only shortens
+    * `__s`'s tail — and the `__ok` length gate already parks that NULL.
     *
     * Returns (id, dhash): NULL for payloads that are not RAWG, shorter
     * than the declared grid, or degenerate (w < 9 or h < 8 — fewer
@@ -914,25 +922,26 @@ object Multimodal {
     */
   def dHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val p = col(payloadCol)
+    val sampleBytes = for (r <- 0 until 8; k <- 0 to 8) yield
+      col("__p").substr((lit(9L) +
+          expr(s"(($r * __h) div 8) * __w + (($k * __w) div 9)")).cast("int"),
+        lit(1))
     val staged = df.select(col(idCol).as("id"), p.as("__p"),
         beUInt(p, lit(5L), 2).as("__w"), beUInt(p, lit(7L), 2).as("__h"))
       .withColumn("__ok",
         beUInt(col("__p"), lit(1L), 4) === lit(0x52415747L) &&
           col("__w") >= 9L && col("__h") >= 8L &&
           length(col("__p")).cast("long") >= lit(8L) + col("__w") * col("__h"))
-    val pxCols = for (r <- 0 until 8; k <- 0 to 8) yield
-      beUInt(col("__p"), lit(9L) +
-          expr(s"(($r * __h) div 8) * __w + (($k * __w) div 9)"), 1)
-        .as(s"__px_${r}_$k")
-    val withPx = staged.select(
-      (Seq(col("id"), col("__ok")) ++ pxCols).toIndexedSeq: _*)
+      .withColumn("__s", concat(sampleBytes.toIndexedSeq: _*))
+      .select(col("id"), col("__ok"), col("__s"))
     // bitwise OR, not +: bit 63 (r = 7, k = 7) is Long.MinValue, and an
     // ANSI arithmetic sum would overflow where the OR is just bits
     val fp = (for (r <- 0 until 8; k <- 0 until 8) yield
-      when(col(s"__px_${r}_$k") < col(s"__px_${r}_${k + 1}"),
+      when(beUInt(col("__s"), lit(r * 9 + k + 1L), 1) <
+          beUInt(col("__s"), lit(r * 9 + k + 2L), 1),
         lit(1L << (r * 8 + k))).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-    withPx.select(col("id"), when(col("__ok"), fp).as("dhash"))
+    staged.select(col("id"), when(col("__ok"), fp).as("dhash"))
   }
 
   /** Perceptual near-duplicate pairs over the 64-bit dHash: 4 fixed
@@ -947,7 +956,15 @@ object Multimodal {
     require(maxDist >= 0 && maxDist < 4,
       s"dHashNearDupPairs: 4 bands guarantee recall only for maxDist < 4, " +
         s"got $maxDist")
-    val sig = dHash(df, idCol, payloadCol).where(col("dhash").isNotNull)
+    // materialize the (id, dhash) relation BEFORE both the self-join and
+    // the NULL filter: the two join branches would otherwise each
+    // evaluate the full fingerprint plan, and a filter AHEAD of the
+    // checkpoint is pushed below the projection with the whole fp tree
+    // SUBSTITUTED into its condition — measured 232 s vs 2.6 s on 1000
+    // rows for the identical result (the alias-substitution face of the
+    // m7 expression-blowup lesson). The relation is 2 small columns.
+    val sig = dHash(df, idCol, payloadCol).localCheckpoint()
+      .where(col("dhash").isNotNull)
     val bk = sig.select(col("id"), col("dhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bits",

@@ -387,8 +387,14 @@ object PipelineQueries {
         unhex(lpad(hex(w), 4, "0")), unhex(lpad(hex(h), 4, "0")), body)
       val payload = when(col("doc_id") % 7 === 3, col("text").cast("binary"))
         .otherwise(rawg)
+      // domain bounded to the first 1000 doc_ids (20 groups): payload
+      // CRAFTING (a per-pixel HOF the oracle never pays — it replays the
+      // arithmetic) dominates the gate's cost, and 20 groups already
+      // exercise every pattern/brightness/raw-text class (the gate-budget
+      // rule; sf0.1 documents carry 5000 rows)
       Multimodal.dHashNearDupPairs(
-          docs(s, dir).select(col("doc_id"), payload.as("payload")),
+          docs(s, dir).where(col("doc_id") < 1000)
+            .select(col("doc_id"), payload.as("payload")),
           "doc_id", "payload", 3)
         .orderBy(col("a"), col("b"))
     }),
@@ -638,7 +644,7 @@ object PipelineQueries {
     // recall at bounded probe cost. All integers; fully hash-checked.
     "e15_ivfadc_topk" -> ((s, dir) =>
       Clustering.ivfadcTopK(embs(s, dir), "vec_id", "embedding",
-          Seq(0L, 1L, 2L), 10, nLists = 8, nProbe = 2, m = 8, kCodes = 16)
+          Seq(0L, 1L, 2L), 10, nLists = 8, nProbe = 2, m = 4, kCodes = 8)
         .orderBy(col("pid"), col("rank"))),
 
     // measured IVFADC quality (the e14 pattern): recall@5 of the FULL
@@ -650,7 +656,7 @@ object PipelineQueries {
     "e16_ivfadc_recall" -> ((s, dir) =>
       Similarity.recallAtK(
           Clustering.ivfadcTopK(embs(s, dir), "vec_id", "embedding",
-            Seq(0L, 1L, 2L), 5, nLists = 8, nProbe = 2, m = 8, kCodes = 16,
+            Seq(0L, 1L, 2L), 5, nLists = 8, nProbe = 2, m = 4, kCodes = 8,
             rerank = 64),
           Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
             Seq(0L, 1L, 2L), 5),
@@ -1868,7 +1874,7 @@ object PipelineQueries {
       // engine's banded recall complete at hamming <= 3, the m4 argument)
       s"""WITH p2 AS (
          |  SELECT doc_id, doc_id // 50 AS g FROM documents
-         |  WHERE doc_id % 7 <> 3),
+         |  WHERE doc_id % 7 <> 3 AND doc_id < 1000),
          |pr AS (
          |  SELECT doc_id,
          |    18 + g % 7 AS w, 16 + g % 5 AS h,
@@ -2033,7 +2039,7 @@ object PipelineQueries {
     // the IVFADC chain: coarse route -> residual PQ -> list-confined ADC,
     // ranked (adc ASC, cid) per probe — every hashed column an integer
     "e15_ivfadc_topk" ->
-      s"""WITH ${ivfadcCtes(8, 2, 8, 16, 2, "0, 1, 2")},
+      s"""WITH ${ivfadcCtes(8, 2, 4, 8, 2, "0, 1, 2")},
          |ranked AS (
          |  SELECT pid, cid, adc,
          |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY adc, cid) AS rank
@@ -2043,7 +2049,7 @@ object PipelineQueries {
     // the e3 recall tail over the FULL IVFADC+R search: ADC top-64
     // shortlist, exact-cosine re-rank, top-5
     "e16_ivfadc_recall" ->
-      s"""WITH ${ivfadcCtes(8, 2, 8, 16, 2, "0, 1, 2")},
+      s"""WITH ${ivfadcCtes(8, 2, 4, 8, 2, "0, 1, 2")},
          |$exactTop5Cte,
          |shortl AS (
          |  SELECT pid, cid FROM (
