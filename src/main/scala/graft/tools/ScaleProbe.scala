@@ -82,6 +82,7 @@ object ScaleProbe {
       case "fastestw" => fastestWeightedProbe(spark, sfDir)
       case "media"    => mediaProbe(spark)
       case "mst"      => mstProbe(spark)
+      case "ivfadc"   => ivfadcProbe(spark)
       case _          => dedupProbe(spark, sfDir)
     }
     spark.stop()
@@ -136,6 +137,47 @@ object ScaleProbe {
       println(f"SCALE axis=mst n=$n edges_kept=${got.getLong(0)} " +
         f"total_w=${got.getLong(1)} wall=$secs%.3f s")
       require(got.getLong(0) == n - 1, s"MST of one component must keep V-1")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+  }
+
+  /** IVFADC scale probe (r19): the e15/e16 gates price the operator on
+    * the fixed 500/2000-row embeddings table; this pins the claimed
+    * scale posture on a VECTOR-COUNT axis (2k → 8k → 32k synthetic
+    * 64-dim vectors, deterministic h32 components in [-1, 1]).
+    * Expected: construction wall grows ~linearly in N (the two
+    * quantizers are iterations × one broadcast-literal argmin pass each
+    * — never N², never a shuffle of raw vectors), and the +rerank run
+    * adds a bounded increment (64 exact re-scores per probe regardless
+    * of N — the list-confined search never touches more raw vectors).
+    * A superlinear rung or a rerank increment growing with N is a
+    * regression. Raw stdout committed as tools/scaleprobe_ivfadc_r19.txt.
+    */
+  private def ivfadcProbe(spark: SparkSession): Unit = {
+    import graft.pipeline.{Clustering, TextHash}
+    val sizes = sys.env.get("SPARK_GRAFT_IVFADC_SIZES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(2000, 8000, 32000))
+    for (n <- sizes) {
+      val vecs = spark.range(0, n.toLong).select(col("id"),
+          transform(sequence(lit(1), lit(64)), j =>
+            (pmod(TextHash.h32(concat_ws("|", col("id"), j)), lit(2001L))
+              .cast("double") - lit(1000.0)) / lit(1000.0)).as("embedding"))
+        .localCheckpoint()
+      vecs.count()
+      for (rr <- Seq(0, 64)) {
+        val t0 = System.nanoTime()
+        val got = Clustering.ivfadcTopK(vecs, "id", "embedding",
+            Seq(0L, 1L, 2L), 10, rerank = rr)
+          .agg(count(lit(1)), min(col("rank")), max(col("rank"))).head()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE axis=ivfadc n=$n rerank=$rr rows=${got.getLong(0)} " +
+          f"ranks=${got.getInt(1)}..${got.getInt(2)} wall=$secs%.3f s")
+        require(got.getLong(0) == 30L, s"expected 3 probes x k=10 rows")
+        val keep = graft.util.Checkpoints.idsOf(vecs)
+        spark.sparkContext.getPersistentRDDs.values
+          .filter(r => !keep.contains(r.id)).foreach(_.unpersist(true))
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
   }
