@@ -42,6 +42,61 @@ object Clustering {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
+  // ------------------------------------------------------------------
+  // Grouped (per-subspace) exact-grid k-means — ONE copy of the codebook
+  // arithmetic shared by pqTopK (e13) and ivfadcTopK's residual PQ (e15),
+  // so the argmin struct ordering, the half-up integer mean and the
+  // (sub, cl) sort can never silently desynchronize (r19 review).
+  // ------------------------------------------------------------------
+
+  /** Literal array of grouped codebook entries (sub, cq, cl). */
+  private def groupedCentsLit(cents: Array[(Int, Long, Seq[Long])]): Column =
+    array(cents.map { case (sub, cl, cq) =>
+      struct(lit(sub).as("sub"), typedLit(cq).as("cq"), lit(cl).as("cl"))
+    }: _*)
+
+  /** Per-subspace argmin: appends `code` to pts' columns — only centroids
+    * of the row's OWN subspace compete (the grouped form of
+    * kmeansQuantized's global argmin). Extra pts columns ride through.
+    */
+  private def groupedAssign(pts: DataFrame,
+      cents: Array[(Int, Long, Seq[Long])]): DataFrame =
+    pts.withColumn("best",
+        array_min(transform(
+          filter(groupedCentsLit(cents), c => c.getField("sub") === col("sub")),
+          c => struct(distQ(col("xq"), c.getField("cq")).as("dist"),
+            c.getField("cl").as("cl")))))
+      .select(pts.columns.map(col).toIndexedSeq :+
+        col("best.cl").as("code"): _*)
+
+  /** The grouped trainer over a (sub, id, xq[, …]) relation: init = the
+    * rows of `lowIds` (each subspace seeds from the same ids), `iters`
+    * assign/update rounds with the half-up integer mean, empty codes
+    * drop (standard Lloyd's).
+    */
+  private def groupedGridKmeans(pts: DataFrame, iters: Int,
+      lowIds: Seq[Long]): Array[(Int, Long, Seq[Long])] = {
+    def collect(centDf: DataFrame): Array[(Int, Long, Seq[Long])] =
+      centDf.collect().map { r: Row =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Long](2))
+      }.sortBy(c => (c._1, c._2))
+    var cents = collect(
+      pts.where(col("id").isin(lowIds: _*))
+        .select(col("sub"), col("id").as("cl"), col("xq").as("cq")))
+    for (_ <- 1 to iters) {
+      cents = collect(groupedAssign(pts, cents)
+        .select(col("sub"), col("code"), posexplode(col("xq")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        // the kmeansQuantized half-up integer mean, verbatim
+        .agg(expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("cqd"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cqd")))),
+          s => s.getField("cqd")).as("cq"))
+        .select(col("sub"), col("code").as("cl"), col("cq")))
+    }
+    cents
+  }
+
   /** k-means on the 10^-q grid; returns one row per input vector:
     * (id, cluster, dist_q, cluster_n) where dist_q is the exact
     * quantized squared distance to the final centroid and cluster_n the
@@ -256,52 +311,17 @@ object Clustering {
     require(minQ > 0, s"pqTopK: embedding magnitude exceeds the 10.0 " +
       s"guard (min quantized $minQ); raise the offset")
 
-    def assign(cents: Array[(Int, Long, Seq[Long])]): DataFrame = {
-      val centLit = array(cents.map { case (sub, cl, cq) =>
-        struct(lit(sub).as("sub"), typedLit(cq).as("cq"), lit(cl).as("cl"))
-      }: _*)
-      // per-subspace argmin: only centroids of the row's OWN subspace
-      // compete (the grouped form of kmeansQuantized's global argmin)
-      pts.withColumn("best",
-          array_min(transform(
-            filter(centLit, c => c.getField("sub") === col("sub")),
-            c => struct(distQ(col("xq"), c.getField("cq")).as("dist"),
-              c.getField("cl").as("cl")))))
-        .select(col("sub"), col("id"), col("xq"),
-          col("best.cl").as("code"), col("best.dist").as("dist_q"))
-    }
-    def collectCents(centDf: DataFrame): Array[(Int, Long, Seq[Long])] =
-      centDf.collect().map { r: Row =>
-        (r.getInt(0), r.getLong(1), r.getSeq[Long](2))
-      }.sortBy(c => (c._1, c._2))
-
     // init: each subspace's codebook seeds from the k lowest ids (the
     // kmeansQuantized deterministic init, identical across subspaces)
     val lowIds = base.select(col("id")).orderBy(col("id")).limit(kCodes)
       .collect().map(_.getLong(0)).toSeq
-    var cents = collectCents(
-      pts.where(col("id").isin(lowIds: _*))
-        .select(col("sub"), col("id").as("cl"), col("xq").as("cq")))
-    for (_ <- 1 to iters) {
-      val assigned = assign(cents)
-      val updated = assigned
-        .select(col("sub"), col("code"), posexplode(col("xq")).as(Seq("pos", "v")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        // the kmeansQuantized half-up integer mean, verbatim
-        .agg(expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("cqd"))
-        .groupBy(col("sub"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cqd")))),
-          s => s.getField("cqd")).as("cq"))
-        .select(col("sub"), col("code").as("cl"), col("cq"))
-      cents = collectCents(updated)
-    }
-    val codes = assign(cents).select(col("sub"), col("id"), col("code"))
+    val cents = groupedGridKmeans(pts, iters, lowIds)
+    val codes = groupedAssign(pts, cents)
+      .select(col("sub"), col("id"), col("code"))
       .localCheckpoint()
     // the ADC LUT: each probe's exact quantized subvector against every
     // centroid of that subspace — m·kCodes rows per probe, broadcast
-    val centLit = array(cents.map { case (sub, cl, cq) =>
-      struct(lit(sub).as("sub"), typedLit(cq).as("cq"), lit(cl).as("cl"))
-    }: _*)
+    val centLit = groupedCentsLit(cents)
     val lut = pts.where(col("id").isin(probeIds: _*))
       .select(col("id").as("pid"), col("sub"), col("xq"),
         explode(filter(centLit, c => c.getField("sub") === col("sub")))
@@ -389,7 +409,7 @@ object Clustering {
     val scale = math.pow(10, q)
     val offset = (scale * 10).toLong
     val offR = 2L * offset // residual re-offset: xq − cq ∈ (−offR, offR)
-    val pts = (if (unitNorm) {
+    val ptsPlan = if (unitNorm) {
       // the e4 zero-vector floor keeps 0/0 off the grid; op order
       // ((v / n) * scale + 0.5) is mirrored exactly in the oracle
       df.select(col(idCol).cast("long").as("id"),
@@ -404,11 +424,12 @@ object Clustering {
         transform(col(vecCol),
           v => floor(v.cast("double") * scale + lit(0.5)).cast("long") +
             lit(offset)).as("xq"))
-    }).localCheckpoint(false)
-    // all guards in ONE pass (the pqTopK discipline), plus the UPPER
-    // magnitude bound residual positivity needs: xq must stay below
-    // 2·offset so xq − cq + 2·offset > 0 on every coordinate
-    val g = pts.agg(min(size(col("xq"))), max(size(col("xq"))),
+    }
+    // all guards in ONE pass over the UN-checkpointed plan (the pqTopK
+    // discipline — a rejected call must pin no blocks, the knnTopK
+    // rule), plus the UPPER magnitude bound residual positivity needs:
+    // xq must stay below 2·offset so xq − cq + 2·offset > 0 everywhere
+    val g = ptsPlan.agg(min(size(col("xq"))), max(size(col("xq"))),
       min(array_min(col("xq"))), max(array_max(col("xq")))).head()
     val (dMin, dMax, minQ, maxQ) =
       (g.getInt(0), g.getInt(1), g.getLong(2), g.getLong(3))
@@ -420,6 +441,7 @@ object Clustering {
       s"ivfadcTopK: embedding magnitude exceeds the ±10.0 guard " +
         s"(quantized range $minQ..$maxQ outside (0, $offR)); raise the offset")
     val sd = dMin / m
+    val pts = ptsPlan.localCheckpoint(false)
 
     // ---- coarse quantizer: exact-grid k-means, k = nLists ----
     def coarseLit(cents: Array[(Long, Seq[Long])]): Column =
@@ -468,43 +490,14 @@ object Clustering {
           (x, c) => x - c + lit(offR)).as("xq"))
       .localCheckpoint(false)
 
-    // ---- product quantizer on residuals: pqTopK's grouped exact-grid
-    // k-means, verbatim arithmetic ----
-    def pqLitOf(cents: Array[(Int, Long, Seq[Long])]): Column =
-      array(cents.map { case (sub, cl, cq) =>
-        struct(lit(sub).as("sub"), typedLit(cq).as("cq"), lit(cl).as("cl"))
-      }: _*)
-    def pqAssign(cents: Array[(Int, Long, Seq[Long])]): DataFrame =
-      rpts.withColumn("best",
-          array_min(transform(
-            filter(pqLitOf(cents), c => c.getField("sub") === col("sub")),
-            c => struct(distQ(col("xq"), c.getField("cq")).as("dist"),
-              c.getField("cl").as("cl")))))
-        .select(col("sub"), col("id"), col("list"), col("xq"),
-          col("best.cl").as("code"))
-    def collectPq(centDf: DataFrame): Array[(Int, Long, Seq[Long])] =
-      centDf.collect().map { r: Row =>
-        (r.getInt(0), r.getLong(1), r.getSeq[Long](2))
-      }.sortBy(c => (c._1, c._2))
+    // ---- product quantizer on residuals: the SHARED grouped exact-grid
+    // k-means (one copy of the codebook arithmetic with pqTopK) ----
     val lowIds = pts.select(col("id")).orderBy(col("id")).limit(kCodes)
       .collect().map(_.getLong(0)).toSeq
-    var pqCents = collectPq(
-      rpts.where(col("id").isin(lowIds: _*))
-        .select(col("sub"), col("id").as("cl"), col("xq").as("cq")))
-    for (_ <- 1 to iters) {
-      val assigned = pqAssign(pqCents)
-      pqCents = collectPq(assigned
-        .select(col("sub"), col("code"), posexplode(col("xq")).as(Seq("pos", "v")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("cqd"))
-        .groupBy(col("sub"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cqd")))),
-          s => s.getField("cqd")).as("cq"))
-        .select(col("sub"), col("code").as("cl"), col("cq")))
-    }
-    val pqLit = pqLitOf(pqCents)
+    val pqCents = groupedGridKmeans(rpts, iters, lowIds)
+    val pqLit = groupedCentsLit(pqCents)
     // the stored index: (list, sub, code) per vector — m small codes
-    val codes = pqAssign(pqCents)
+    val codes = groupedAssign(rpts, pqCents)
       .select(col("sub"), col("id"), col("list"), col("code"))
       .localCheckpoint()
 

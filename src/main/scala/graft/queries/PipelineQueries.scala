@@ -1088,7 +1088,9 @@ object PipelineQueries {
     */
   private def ivfadcCtes(nLists: Int, nProbe: Int, m: Int, kCodes: Int,
       iters: Int, probes: String): String = {
-    // full-vector squared distance (coarse), BIGINT-pinned
+    // squared distance over a row's xq vs a codebook's cq — the length
+    // adapts, so the SAME helper serves the coarse (full-vector) and
+    // residual (subvector) halves (r19 review: one copy, two call sites)
     def cdst(p: String, c: String): String =
       s"CAST(list_sum(list_transform(range(1, len($p.xq) + 1), i -> " +
         s"($p.xq[i] - $c.cq[i]) * ($p.xq[i] - $c.cq[i]))) AS BIGINT)"
@@ -1113,16 +1115,12 @@ object PipelineQueries {
     val cRounds = (1 to iters).map(r =>
       cAssign(s"iva_a$r", s"iva_c${r - 1}") + ",\n" +
         cUpdate(s"iva_c$r", s"iva_a$r")).mkString(",\n")
-    // subvector squared distance (PQ, on residuals), BIGINT-pinned
-    def rdst(p: String, c: String): String =
-      s"CAST(list_sum(list_transform(range(1, len($p.xq) + 1), i -> " +
-        s"($p.xq[i] - $c.cq[i]) * ($p.xq[i] - $c.cq[i]))) AS BIGINT)"
     def rAssign(a: String, cPrev: String): String =
       s"""$a AS MATERIALIZED (
          |  SELECT sub, id, list, cl, dist FROM (
          |    SELECT sub, id, list, cl, dist,
          |      ROW_NUMBER() OVER (PARTITION BY sub, id ORDER BY dist, cl) AS rk
-         |    FROM (SELECT p.sub, p.id, p.list, c.cl, ${rdst("p", "c")} AS dist
+         |    FROM (SELECT p.sub, p.id, p.list, c.cl, ${cdst("p", "c")} AS dist
          |          FROM iva_rpts p JOIN $cPrev c ON c.sub = p.sub))
          |  WHERE rk = 1)""".stripMargin
     def rUpdate(c: String, a: String): String =

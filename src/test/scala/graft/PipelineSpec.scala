@@ -1422,7 +1422,10 @@ class PipelineSpec extends AnyFunSuite {
       assert(nm.map(_._2) == Seq(4L, 2L, 3L), s"rerank=$rr: $nm")
       if (rr == 0) assert(nm.head._3 == 0L, nm.toString) // parallel -> adc 0
     }
-    // guards: nProbe range, non-divisible m, ragged, magnitude
+    // guards: nProbe range, non-divisible m, ragged, magnitude — and a
+    // rejected call pins NO blocks (the knnTopK rule; guards run on the
+    // un-checkpointed plan, r19 review)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val exP = intercept[IllegalArgumentException](
       Clustering.ivfadcTopK(df, "vec_id", "embedding", Seq(0L), 1,
         nLists = 2, nProbe = 3))
@@ -1441,6 +1444,8 @@ class PipelineSpec extends AnyFunSuite {
       Clustering.ivfadcTopK(big, "vec_id", "embedding", Seq(0L), 1,
         unitNorm = false))
     assert(exB.getMessage.contains("magnitude"), exB.getMessage)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pinnedBefore,
+      "guard rejections leaked persisted blocks")
     assert(Clustering.ivfadcTopK(big, "vec_id", "embedding", Seq(0L), 1)
       .collect().nonEmpty) // normalized: same input is in-domain
   }

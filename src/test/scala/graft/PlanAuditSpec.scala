@@ -633,7 +633,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // tree under "== Initial Plan ==", doubling every textual match
     val p = plan("x39_emit_manifest")
     val fin = p.split("== Initial Plan ==").head
-    assert(fin.contains("hashpartitioning(source"), p)
+    // exactly ONE (source, shard) data exchange: the packing window's —
+    // the manifest aggregate must REUSE its partitioning, so a second
+    // one means the reuse regressed (r19 review: contains() alone would
+    // miss that)
+    val shardExchanges = fin.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(source#") && l.contains("shard#"))
+    assert(shardExchanges == 1, s"$shardExchanges (source, shard) exchanges:\n$p")
     val rangeExchanges = fin.linesIterator
       .count(_.contains("Exchange rangepartitioning"))
     assert(rangeExchanges <= 1, s"$rangeExchanges range exchanges:\n$p")
