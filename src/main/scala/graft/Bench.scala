@@ -29,9 +29,22 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // r19 §2/§5 finding: Spark 4.1's ChecksumCheckpointFileManager gates
+      // every streaming state-store delta/commit finalize on a checksum-
+      // sidecar write awaited through a shared pool — jstack sampling of
+      // x29 showed 78% of task samples parked in its awaitResult (a fixed
+      // ~3 s per task per micro-batch, data-independent). The gates use
+      // ephemeral per-query temp checkpoints deleted at gate end, where
+      // corruption detection protects nothing; with it off x29 runs 18→10.5 s,
+      // x28 8.2→6.6 s (medians of 3). A deployment with durable checkpoints
+      // can re-enable via the env override.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CRC", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // profiling hook: SPARK_GRAFT_LOG=INFO exposes per-job timings without
+    // touching the measured queries (default stays WARN)
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     // warmup: file-footer reads + JIT/codegen warm so per-query numbers
     // measure the query, not session startup
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
