@@ -40,11 +40,31 @@ object Bench {
       // can re-enable via the env override.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CRC", "false"))
+      // r19 §1/§7 finding: with the codegen stage id in the generated
+      // CLASS NAME (the default), every iteration of an iterative
+      // DataFrame algorithm produces byte-distinct sources for the same
+      // logical stage, so the Janino cache can never hit — the 10 heaviest
+      // gates compiled 1276 generated classes (20+ s of pure Janino) where
+      // 819 sufficed with the id off, and the iterative family's paired
+      // minima drop 10-40% (g47 35.1→20.2, g30 16.0→10.8, cy50 20.2→14.1).
+      // The id exists only to make stack traces name their stage; plans,
+      // results, and stage boundaries are untouched.
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // profiling hook: SPARK_GRAFT_LOG=INFO exposes per-job timings without
     // touching the measured queries (default stays WARN)
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
+    // finer-grained profiling hook: SPARK_GRAFT_LOGGERS="name=LEVEL,..."
+    // raises individual loggers (e.g. the codegen source dump) without
+    // drowning the log in root-level DEBUG
+    sys.env.get("SPARK_GRAFT_LOGGERS").foreach(_.split(",").foreach { kv =>
+      kv.split("=") match {
+        case Array(n, l) => org.apache.logging.log4j.core.config.Configurator
+          .setLevel(n.trim, org.apache.logging.log4j.Level.valueOf(l.trim))
+        case _ => ()
+      }
+    })
     // warmup: file-footer reads + JIT/codegen warm so per-query numbers
     // measure the query, not session startup
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())

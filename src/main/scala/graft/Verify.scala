@@ -17,6 +17,9 @@ object Verify {
       // sidecars; see the Bench.scala note (r19 optimization, measured)
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CRC", "false"))
+      // codegen-cache reuse across iterative plans; see the Bench.scala
+      // note (r19 optimization, measured — results/plans untouched)
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2146,10 +2146,19 @@ object GraphAlgorithms {
       .join(dc.select(col("lbl").as("c"), col("dcs").as("d_b")), Seq("c"))
       .withColumn("g", lit(m2) * (col("k") - col("k_va"))
         - col("kv") * col("kv") - col("kv") * (col("d_b") - col("d_a")))
-    val w = Window.partitionBy(col("id")).orderBy(col("g").desc, col("c"))
-    val best = cand.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1 && col("g") > 0)
-      .select(col("id"), col("c").as("moved"))
+    // per-vertex argmax as a PARTIAL-AGGREGABLE max, not a window sort
+    // (r19, guide §2.3 "aggregate before you shuffle"): max over
+    // (g, ~c) is lexicographically "largest gain, ties to the SMALLEST
+    // target label" — bitwise_not is an overflow-free order inversion
+    // (where -c would overflow at Long.MinValue) — so each mapper ships
+    // one candidate row per vertex instead of every candidate through a
+    // sort exchange. Bit-identical to the former row_number window
+    // ordered (g desc, c asc).
+    val best = cand
+      .groupBy(col("id"))
+      .agg(max(struct(col("g").as("g"), bitwise_not(col("c")).as("nc"))).as("m"))
+      .where(col("m.g") > 0)
+      .select(col("id"), bitwise_not(col("m.nc")).as("moved"))
     lbl.join(best, Seq("id"), "left")
       .select(col("id"), coalesce(col("moved"), col("lbl")).as("lbl"))
   }
@@ -2304,10 +2313,16 @@ object GraphAlgorithms {
                 && col("c") > col("a")))
               .withColumn("g", lit(m2) * (col("k") - col("k_va"))
                 - col("kv") * col("kv") - col("kv") * (col("d_b") - col("d_a")))
-            val w = Window.partitionBy(col("id")).orderBy(col("g").desc, col("c"))
-            val best = cand.withColumn("rn", row_number().over(w))
-              .where(col("rn") === 1 && col("g") > 0)
-              .select(col("id"), col("c").as("moved"))
+            // partial-aggregable per-vertex argmax (the louvainSweepPlan
+            // r19 conversion): max(struct(g, ~c)) = best gain, ties to the
+            // smaller label — bit-identical to the former row_number
+            // window, one candidate row per vertex shipped per mapper
+            val best = cand
+              .groupBy(col("id"))
+              .agg(max(struct(col("g").as("g"),
+                bitwise_not(col("c")).as("nc"))).as("m"))
+              .where(col("m.g") > 0)
+              .select(col("id"), bitwise_not(col("m.nc")).as("moved"))
               .localCheckpoint(false) // read twice: move count + application
             sweepMoved += best.count()
             lbl = statsBarrier(lbl.join(best, Seq("id"), "left")

@@ -267,13 +267,20 @@ object Traversals {
           .join(visited.select("id"), Seq("id"), "left_anti")
           .withColumn("dist", lit(lvl))
           .localCheckpoint(false)
-        val n = next.count()
-        expanded += n
-        val m = next.join(
+        // ONE action per level, not two (r19): the frontier count and the
+        // meet score fuse into a single aggregate over next LEFT JOIN
+        // opposite — next's ids are unique (distinct + anti-join) and so
+        // are the visited set's, so the left join is 1:≤1 and count(1)
+        // still counts exactly the new frontier; unmatched rows contribute
+        // NULL to the meet min. Same numbers, one distributed pass fewer
+        // per level (here and at cluster scale).
+        val st = next.join(
             opposite.select(col("id").as("oid"), col("dist").as("odist")),
-            col("id") === col("oid"))
-          .agg(min(col("dist") + col("odist"))).collect()(0)
-        if (!m.isNullAt(0)) best = math.min(best, m.getInt(0))
+            col("id") === col("oid"), "left")
+          .agg(count(lit(1)), min(col("dist") + col("odist"))).head()
+        val n = st.getLong(0)
+        expanded += n
+        if (!st.isNullAt(1)) best = math.min(best, st.getInt(1))
         if (forward) { nF = n; vF = vF.unionByName(next); fF = next; lF += 1 }
         else { nB = n; vB = vB.unionByName(next); fB = next; lB += 1 }
       }
@@ -377,14 +384,21 @@ object Traversals {
             .where(col("old").isNull || col("dist") < col("old"))
             .select(col("id"), col("dist"))
             .localCheckpoint(false)
-          val st = imp.agg(count(lit(1)), min(col("dist"))).head()
+          // ONE action per round, not two (r19): frontier count, frontier
+          // min, and the meet score fuse into a single aggregate over
+          // imp LEFT JOIN opposite — imp's ids are unique (groupBy) and so
+          // are the visited set's, so the join is 1:≤1: count(1) still
+          // counts the improved frontier, min(dist) is unchanged, and
+          // unmatched rows contribute NULL to the meet min. Same numbers,
+          // one distributed pass fewer per round.
+          val st = imp.join(
+              opposite.select(col("id").as("oid"), col("dist").as("odist")),
+              col("id") === col("oid"), "left")
+            .agg(count(lit(1)), min(col("dist")),
+              min(col("dist") + col("odist"))).head()
           val n = st.getLong(0)
           expanded += n
-          val m = imp.join(
-              opposite.select(col("id").as("oid"), col("dist").as("odist")),
-              col("id") === col("oid"))
-            .agg(min(col("dist") + col("odist"))).head()
-          if (!m.isNullAt(0)) best = math.min(best, m.getDouble(0))
+          if (!st.isNullAt(2)) best = math.min(best, st.getDouble(2))
           val merged = visited
             .join(imp.select(col("id").as("iid")), col("id") === col("iid"),
               "left_anti")

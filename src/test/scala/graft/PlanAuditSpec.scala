@@ -445,7 +445,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
-  test("g45: louvain sweep is equi-joins + per-vertex window; no data-sized nested loop") {
+  test("g45: louvain sweep is equi-joins + per-vertex partial-agg argmax; no data-sized nested loop") {
     import graft.algorithms.GraphAlgorithms
     val edges = communityEdges()
     val p = auditingDelta {
@@ -455,8 +455,11 @@ class PlanAuditSpec extends AnyFunSuite {
     }.split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // the per-vertex argmax is a hash-partitioned window, never global
-    assert(p.contains("Window"), p)
+    // the per-vertex argmax is a map-side-combinable aggregate (r19:
+    // partial_max of the (g, ~c) struct) — never a window SORT, which
+    // would ship every candidate row through the exchange
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max"), p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     // the gate plan itself stays cartesian-free: the digest and move-count
     // one-row joins are the only BNLJs
